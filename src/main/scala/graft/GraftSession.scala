@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Tuned local SparkSession factory for tests and ad-hoc runs.
+  *
+  * The same conf keys are what we'd set cluster-side: AQE on (runtime
+  * re-planning, skew-join splitting, partition coalescing), modest
+  * shuffle parallelism for local mode, UTC session time.
+  */
+object GraftSession {
+  def local(threads: Int = 32): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$threads]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", threads)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,13 +1,512 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Every query key has a DuckDB oracle in [[SparkEntry.oracleSql]] with
+  * IDENTICAL output column names; float outputs are rounded on both
+  * sides. The shared events→transfers/prices mapping lives in
+  * [[Tables]] and is restated as CTEs inside each oracle.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q10WalletProfits(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------
+  // shared oracle CTEs (events → transfers/prices mapping)
+  // ---------------------------------------------------------------
+  private val transfersCte =
+    """transfers AS (
+      |  SELECT event_type AS asset, user_id AS wallet, CAST(ts AS DATE) AS date,
+      |         SUM(CASE WHEN event_id % 3 = 0 THEN -value ELSE value END) AS net_transfers
+      |  FROM events GROUP BY 1, 2, 3
+      |)""".stripMargin
+
+  private val balancesCte =
+    """balances AS (
+      |  SELECT asset, wallet, date, net_transfers,
+      |         SUM(net_transfers) OVER (PARTITION BY asset, wallet ORDER BY date) AS balance,
+      |         COUNT(net_transfers) OVER (PARTITION BY asset, wallet ORDER BY date) AS transfer_sequence
+      |  FROM transfers
+      |)""".stripMargin
+
+  private val pricesCte =
+    """prices AS (
+      |  SELECT event_type AS asset, CAST(ts AS DATE) AS date, ROUND(MAX(value), 6) AS price
+      |  FROM events
+      |  WHERE CAST(ts AS DATE) >= (SELECT CAST(MIN(ts) AS DATE) + INTERVAL 7 DAY FROM events)
+      |  GROUP BY 1, 2
+      |)""".stripMargin
+
+  // ---------------------------------------------------------------
+  // queries
+  // ---------------------------------------------------------------
+
+  /** q1: grouped multi-aggregate scan (TPC-H Q1 shape). */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** q2: row_number keep-first dedupe (core_coin_market_data.py:54-58). */
+  def q2DedupeRank(spark: SparkSession, dir: String): DataFrame =
+    WindowOps.dedupeFirst(
+      Tables.events(spark, dir),
+      keys = Seq("user_id", "event_type"),
+      order = Seq(col("ts"), col("event_id")))
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+
+  /** q3: running balance + transfer sequence (core_coin_wallet_transfers.py:178-191). */
+  def q3RunningBalance(spark: SparkSession, dir: String): DataFrame =
+    Tables.transfersWithBalance(spark, dir)
+      .select(
+        col("asset"), col("wallet"), col("date"),
+        round(col("net_transfers"), 6).as("net_transfers"),
+        round(col("balance"), 6).as("balance"),
+        col("transfer_sequence"))
+
+  /** q4: calendar gap-fill + ffill + days_imputed (core_coin_market_data.py:196-280). */
+  def q4GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type").as("asset"), to_date(col("ts")).as("date"))
+      .agg(round(max("value"), 6).as("price"), count(lit(1)).as("volume"))
+      // ~70% of days per asset kept: deterministic synthetic gaps
+      .where((dayofmonth(col("date")) + length(col("asset"))) % 10 < 7)
+    GapFill.fillDaily(daily, Seq("asset"), "date", Seq("price"), Seq("volume"))
+      .select(col("asset"), col("date"), col("price"), col("volume"), col("days_imputed"))
+  }
+
+  /** q5: single-day dip removal (core_coin_market_data.py:141-194). */
+  def q5DipRemoval(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type").as("asset"), to_date(col("ts")).as("date"))
+      .agg(round(min("value"), 6).as("price"))
+    Outliers.removeSingleDayDips(daily, Seq("asset"), "date", "price",
+      dipThreshold = 0.8, recoveryThreshold = 0.9)
+  }
+
+  /** q6: multi-exclusion-list anti-join (core_coin_wallet_transfers.py:224-303). */
+  def q6ExclusionAntijoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.transfers(spark, dir)
+    val errorWallets = Tables.events(spark, dir)
+      .where(col("event_type") === "error")
+      .groupBy(col("user_id").as("wallet"))
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= 16)
+      .select("wallet")
+    val patternWallets = t.select("wallet").distinct().where(col("wallet") % 5 === 0)
+    t.join(errorWallets, Seq("wallet"), "left_anti")
+      .join(patternWallets, Seq("wallet"), "left_anti")
+      .groupBy("wallet")
+      .agg(count(lit(1)).as("n_rows"), round(sum("net_transfers"), 6).as("total_net"))
+  }
+
+  /** q7: negative-balance cohort filter (core_coin_wallet_transfers.py:306-390). */
+  def q7NegativeBalanceCohort(spark: SparkSession, dir: String): DataFrame =
+    Balances.negativeBalanceCohortFilter(
+      Tables.transfersWithBalance(spark, dir),
+      keyCol = "asset", walletCol = "wallet", balanceCol = "balance",
+      tolerance = 0.1, maxNegativeShare = 0.6)
+      .select(
+        col("asset"), col("wallet"), col("date"),
+        round(col("net_transfers"), 6).as("net_transfers"),
+        round(col("balance"), 6).as("balance"))
+
+  /** q8: whale-size bucket daily counts (dreambot_whale_chart.py:370-436). */
+  def q8WhaleBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val balances = Tables.transfersWithBalance(spark, dir)
+      .select("asset", "wallet", "date", "balance")
+    val dense = GapFill.fillDaily(balances, Seq("asset", "wallet"), "date",
+      ffillCols = Seq("balance"), zeroCols = Seq.empty)
+    Balances.whaleCounts(dense, "asset", "date", "balance",
+      smallMax = 50.0, whaleMin = 300.0)
+  }
+
+  /** q9: stable dense ID assignment (core_coin_wallet_transfers.py:410-480). */
+  def q9StableIds(spark: SparkSession, dir: String): DataFrame =
+    WindowOps.stableIds(
+      Tables.events(spark, dir).select(col("user_id").as("wallet")),
+      key = "wallet", idName = "wallet_id")
+
+  /** q10 FLAGSHIP: wallet profitability (core_coin_wallet_profits.py:235-634). */
+  def q10WalletProfits(spark: SparkSession, dir: String): DataFrame =
+    Profits.walletProfits(
+      Tables.transfersWithBalance(spark, dir).drop("transfer_sequence"),
+      Tables.prices(spark, dir))
+
+  /** q11: two-source union with anti-join precedence (core_coin_market_data.py:59-117). */
+  def q11MultisourceUnion(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val sourceA = ev.where(col("event_id") % 2 === 0)
+      .groupBy(col("event_type").as("asset"), to_date(col("ts")).as("date"))
+      .agg(round(max("value"), 6).as("price"))
+      .withColumn("data_source", lit("a"))
+    val sourceB = ev.where(col("event_id") % 5 === 0)
+      .groupBy(col("event_type").as("asset"), to_date(col("ts")).as("date"))
+      .agg(round(max("value"), 6).as("price"))
+      .withColumn("data_source", lit("b"))
+    sourceA.unionByName(sourceB.join(sourceA.select("asset", "date"), Seq("asset", "date"), "left_anti"))
+  }
+
+  /** q12: join+filter+agg+topk (TPC-H Q3 shape; broadcast + pushdown). */
+  def q12ShippingPriority(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .where(col("c_mktsegment") === "BUILDING" &&
+        col("o_orderdate") < lit("1999-01-01") && col("l_shipdate") > lit("1996-01-01"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"), col("revenue"),
+        to_date(col("o_orderdate")).as("o_orderdate"), col("o_orderpriority"))
+
+  /** q13: multi-join star aggregate (TPC-H Q5 shape; join ordering). */
+  def q13MarketShare(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+
+  /** q14: per-key first-value extraction (core_coin_wallet_profits.py:315-345). */
+  def q14FirstPrice(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.prices(spark, dir)
+    WindowOps.dedupeFirst(p, Seq("asset"), Seq(col("date")))
+      .select(col("asset"), col("date").as("first_price_date"), col("price").as("first_price"))
+  }
+
+  /** q15: event daily rollup (batch twin of streaming.EventRollup). */
+  def q15DailyRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("date"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 6).as("sum_value"),
+        round(min("value"), 6).as("min_value"),
+        round(max("value"), 6).as("max_value"))
+
+  // ---------------------------------------------------------------
+  // registry
+  // ---------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary"         -> (q1PricingSummary _),
+    "q2_dedupe_rank"             -> (q2DedupeRank _),
+    "q3_running_balance"         -> (q3RunningBalance _),
+    "q4_gap_fill"                -> (q4GapFill _),
+    "q5_dip_removal"             -> (q5DipRemoval _),
+    "q6_exclusion_antijoin"      -> (q6ExclusionAntijoin _),
+    "q7_negative_balance_cohort" -> (q7NegativeBalanceCohort _),
+    "q8_whale_buckets"           -> (q8WhaleBuckets _),
+    "q9_stable_ids"              -> (q9StableIds _),
+    "q10_wallet_profits"         -> (q10WalletProfits _),
+    "q11_multisource_union"      -> (q11MultisourceUnion _),
+    "q12_shipping_priority"      -> (q12ShippingPriority _),
+    "q13_market_share"           -> (q13MarketShare _),
+    "q14_first_price"            -> (q14FirstPrice _),
+    "q15_daily_rollup"           -> (q15DailyRollup _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  ROUND(AVG(l_quantity), 4) AS avg_qty,
+        |  ROUND(AVG(l_extendedprice), 4) AS avg_price,
+        |  ROUND(AVG(l_discount), 4) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q2_dedupe_rank" ->
+      """SELECT user_id, event_type, event_id, value FROM (
+        |  SELECT user_id, event_type, event_id, value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |) WHERE rn = 1""".stripMargin,
+
+    "q3_running_balance" ->
+      s"""WITH $transfersCte, $balancesCte
+         |SELECT asset, wallet, date,
+         |  ROUND(net_transfers, 6) AS net_transfers,
+         |  ROUND(balance, 6) AS balance,
+         |  transfer_sequence
+         |FROM balances""".stripMargin,
+
+    "q4_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT event_type AS asset, CAST(ts AS DATE) AS date,
+        |         ROUND(MAX(value), 6) AS price, COUNT(*) AS volume
+        |  FROM events GROUP BY 1, 2
+        |),
+        |kept AS (
+        |  SELECT * FROM daily
+        |  WHERE (DATE_PART('day', date) + LENGTH(asset)) % 10 < 7
+        |),
+        |bounds AS (SELECT asset, MIN(date) AS d0 FROM kept GROUP BY 1),
+        |maxd AS (SELECT MAX(date) AS d1 FROM kept),
+        |cal AS (
+        |  SELECT b.asset, CAST(UNNEST(GENERATE_SERIES(b.d0, (SELECT d1 FROM maxd), INTERVAL 1 DAY)) AS DATE) AS date
+        |  FROM bounds b
+        |),
+        |joined AS (
+        |  SELECT c.asset, c.date, k.price, k.volume
+        |  FROM cal c LEFT JOIN kept k ON k.asset = c.asset AND k.date = c.date
+        |),
+        |lagged AS (
+        |  SELECT *, LAG(price) OVER (PARTITION BY asset ORDER BY date) AS prev_price
+        |  FROM joined
+        |),
+        |grp AS (
+        |  SELECT *,
+        |    SUM(CASE WHEN price IS NOT NULL OR prev_price IS NOT NULL
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY asset ORDER BY date) AS igrp
+        |  FROM lagged
+        |)
+        |SELECT asset, date,
+        |  LAST_VALUE(price IGNORE NULLS) OVER
+        |    (PARTITION BY asset ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS price,
+        |  COALESCE(volume, 0) AS volume,
+        |  CASE WHEN price IS NULL
+        |       THEN ROW_NUMBER() OVER (PARTITION BY asset, igrp ORDER BY date) END AS days_imputed
+        |FROM grp""".stripMargin,
+
+    "q5_dip_removal" ->
+      """WITH daily AS (
+        |  SELECT event_type AS asset, CAST(ts AS DATE) AS date, ROUND(MIN(value), 6) AS price
+        |  FROM events GROUP BY 1, 2
+        |),
+        |flagged AS (
+        |  SELECT *,
+        |    LAG(price)  OVER (PARTITION BY asset ORDER BY date) AS prev_price,
+        |    LEAD(price) OVER (PARTITION BY asset ORDER BY date) AS next_price
+        |  FROM daily
+        |)
+        |SELECT asset, date, price FROM flagged
+        |WHERE NOT COALESCE(
+        |  (price / prev_price < 0.8 AND next_price / prev_price > 0.9)
+        |  OR (price = 0 AND prev_price > 0 AND next_price > 0 AND next_price / prev_price > 0.9),
+        |  FALSE)""".stripMargin,
+
+    "q6_exclusion_antijoin" ->
+      s"""WITH $transfersCte,
+         |error_wallets AS (
+         |  SELECT user_id AS wallet FROM events WHERE event_type = 'error'
+         |  GROUP BY 1 HAVING COUNT(*) >= 16
+         |),
+         |pattern_wallets AS (
+         |  SELECT DISTINCT wallet FROM transfers WHERE wallet % 5 = 0
+         |)
+         |SELECT wallet, COUNT(*) AS n_rows, ROUND(SUM(net_transfers), 6) AS total_net
+         |FROM transfers t
+         |WHERE NOT EXISTS (SELECT 1 FROM error_wallets e WHERE e.wallet = t.wallet)
+         |  AND NOT EXISTS (SELECT 1 FROM pattern_wallets p WHERE p.wallet = t.wallet)
+         |GROUP BY 1""".stripMargin,
+
+    "q7_negative_balance_cohort" ->
+      s"""WITH $transfersCte, $balancesCte,
+         |pair_stats AS (
+         |  SELECT asset, wallet, MIN(balance) AS lowest FROM balances GROUP BY 1, 2
+         |),
+         |key_stats AS (
+         |  SELECT asset, COUNT(wallet) AS wallets,
+         |         COUNT(CASE WHEN lowest < -0.1 THEN 1 END) AS neg_wallets
+         |  FROM pair_stats GROUP BY 1
+         |)
+         |SELECT b.asset, b.wallet, b.date,
+         |  ROUND(b.net_transfers, 6) AS net_transfers,
+         |  ROUND(b.balance, 6) AS balance
+         |FROM balances b
+         |JOIN pair_stats p ON p.asset = b.asset AND p.wallet = b.wallet
+         |JOIN key_stats k ON k.asset = b.asset
+         |WHERE p.lowest > -0.1 AND k.neg_wallets < k.wallets * 0.6""".stripMargin,
+
+    "q8_whale_buckets" ->
+      s"""WITH $transfersCte, $balancesCte,
+         |bal AS (SELECT asset, wallet, date, balance FROM balances),
+         |bounds AS (SELECT asset, wallet, MIN(date) AS d0 FROM bal GROUP BY 1, 2),
+         |maxd AS (SELECT MAX(date) AS d1 FROM bal),
+         |cal AS (
+         |  SELECT b.asset, b.wallet, CAST(UNNEST(GENERATE_SERIES(b.d0, (SELECT d1 FROM maxd), INTERVAL 1 DAY)) AS DATE) AS date
+         |  FROM bounds b
+         |),
+         |dense AS (
+         |  SELECT c.asset, c.wallet, c.date,
+         |    LAST_VALUE(b.balance IGNORE NULLS) OVER
+         |      (PARTITION BY c.asset, c.wallet ORDER BY c.date
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS balance
+         |  FROM cal c LEFT JOIN bal b ON b.asset = c.asset AND b.wallet = c.wallet AND b.date = c.date
+         |)
+         |SELECT asset, date,
+         |  COUNT(CASE WHEN balance <= 50 THEN 1 END) AS small_wallets,
+         |  COUNT(CASE WHEN balance > 50 AND balance <= 300 THEN 1 END) AS medium_wallets,
+         |  COUNT(CASE WHEN balance > 300 THEN 1 END) AS whale_wallets
+         |FROM dense GROUP BY 1, 2""".stripMargin,
+
+    "q9_stable_ids" ->
+      """SELECT wallet, ROW_NUMBER() OVER (ORDER BY wallet) AS wallet_id
+        |FROM (SELECT DISTINCT user_id AS wallet FROM events)""".stripMargin,
+
+    "q10_wallet_profits" ->
+      s"""WITH $transfersCte, $balancesCte, $pricesCte,
+         |merged AS (
+         |  SELECT b.asset, b.wallet, b.date, b.net_transfers, b.balance, p.price
+         |  FROM balances b LEFT JOIN prices p ON p.asset = b.asset AND p.date = b.date
+         |),
+         |first_prices AS (
+         |  SELECT p.asset, f.first_price_date, p.price AS first_price
+         |  FROM (SELECT asset, MIN(date) AS first_price_date FROM prices GROUP BY 1) f
+         |  JOIN prices p ON p.asset = f.asset AND p.date = f.first_price_date
+         |),
+         |with_first AS (
+         |  SELECT m.*, f.first_price_date, f.first_price
+         |  FROM merged m LEFT JOIN first_prices f ON f.asset = m.asset
+         |),
+         |pre_price AS (SELECT * FROM with_first WHERE date < first_price_date),
+         |has_pre AS (SELECT DISTINCT asset, wallet FROM pre_price),
+         |active_on_fpd AS (
+         |  SELECT DISTINCT asset, wallet FROM with_first WHERE date = first_price_date
+         |),
+         |needs_imputation AS (
+         |  SELECT h.* FROM has_pre h
+         |  WHERE NOT EXISTS (SELECT 1 FROM active_on_fpd a
+         |                    WHERE a.asset = h.asset AND a.wallet = h.wallet)
+         |),
+         |last_pre_balance AS (
+         |  SELECT asset, wallet, balance FROM (
+         |    SELECT p.asset, p.wallet, p.balance,
+         |           ROW_NUMBER() OVER (PARTITION BY p.asset, p.wallet ORDER BY p.date DESC) AS rn
+         |    FROM pre_price p
+         |    JOIN needs_imputation n ON n.asset = p.asset AND n.wallet = p.wallet
+         |  ) WHERE rn = 1
+         |),
+         |imputed AS (
+         |  SELECT l.asset, l.wallet, f.first_price_date AS date,
+         |         l.balance AS net_transfers, l.balance, f.first_price AS price
+         |  FROM last_pre_balance l JOIN first_prices f ON f.asset = l.asset
+         |),
+         |combined AS (
+         |  SELECT asset, wallet, date, net_transfers, balance, price
+         |  FROM merged WHERE price IS NOT NULL
+         |  UNION ALL
+         |  SELECT asset, wallet, date, net_transfers, balance, price FROM imputed
+         |),
+         |rebased AS (
+         |  SELECT asset, wallet, date,
+         |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY asset, wallet ORDER BY date) = 1
+         |         THEN balance ELSE net_transfers END AS net_transfers,
+         |    balance, price
+         |  FROM combined
+         |),
+         |inflow_filtered AS (
+         |  SELECT * FROM (
+         |    SELECT *,
+         |      SUM(GREATEST(net_transfers, 0.0)) OVER
+         |        (PARTITION BY asset, wallet ORDER BY date) AS inflows_cum
+         |    FROM rebased
+         |  ) WHERE inflows_cum > 0
+         |),
+         |prof AS (
+         |  SELECT asset, wallet, date, net_transfers, balance, price,
+         |    (price - COALESCE(LAG(price) OVER w, price))
+         |      * COALESCE(LAG(balance) OVER w, 0.0) AS profits_change
+         |  FROM inflow_filtered
+         |  WINDOW w AS (PARTITION BY asset, wallet ORDER BY date)
+         |),
+         |prof2 AS (
+         |  SELECT *,
+         |    SUM(profits_change) OVER w AS profits_cumulative,
+         |    balance * price AS usd_balance,
+         |    net_transfers * price AS usd_net_transfers,
+         |    CASE WHEN net_transfers * price > 0 THEN net_transfers * price ELSE 0.0 END AS usd_inflows
+         |  FROM prof
+         |  WINDOW w AS (PARTITION BY asset, wallet ORDER BY date)
+         |)
+         |SELECT asset, wallet, date,
+         |  ROUND(profits_change, 6) AS profits_change,
+         |  ROUND(profits_cumulative, 6) AS profits_cumulative,
+         |  ROUND(usd_balance, 6) AS usd_balance,
+         |  ROUND(usd_net_transfers, 6) AS usd_net_transfers,
+         |  ROUND(usd_inflows, 6) AS usd_inflows,
+         |  ROUND(SUM(usd_inflows) OVER (PARTITION BY asset, wallet ORDER BY date), 6) AS usd_inflows_cumulative
+         |FROM prof2""".stripMargin,
+
+    "q11_multisource_union" ->
+      """WITH source_a AS (
+        |  SELECT event_type AS asset, CAST(ts AS DATE) AS date,
+        |         ROUND(MAX(value), 6) AS price, 'a' AS data_source
+        |  FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2
+        |),
+        |source_b AS (
+        |  SELECT event_type AS asset, CAST(ts AS DATE) AS date,
+        |         ROUND(MAX(value), 6) AS price, 'b' AS data_source
+        |  FROM events WHERE event_id % 5 = 0 GROUP BY 1, 2
+        |)
+        |SELECT * FROM source_a
+        |UNION ALL
+        |SELECT b.* FROM source_b b
+        |WHERE NOT EXISTS (SELECT 1 FROM source_a a WHERE a.asset = b.asset AND a.date = b.date)""".stripMargin,
+
+    "q12_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q13_market_share" ->
+      """SELECT n_name,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |GROUP BY 1""".stripMargin,
+
+    "q14_first_price" ->
+      s"""WITH $pricesCte
+         |SELECT asset, date AS first_price_date, price AS first_price FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY asset ORDER BY date) AS rn FROM prices
+         |) WHERE rn = 1""".stripMargin,
+
+    "q15_daily_rollup" ->
+      """SELECT event_type, CAST(ts AS DATE) AS date,
+        |  COUNT(*) AS n_events,
+        |  ROUND(SUM(value), 6) AS sum_value,
+        |  ROUND(MIN(value), 6) AS min_value,
+        |  ROUND(MAX(value), 6) AS max_value
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
 }
