@@ -5,6 +5,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.operators._
+import graft.similarity.{Ann, Dedup}
+import graft.text.TextOps
+import graft.multimodal.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -208,6 +211,60 @@ object SparkEntry {
         round(max("value"), 6).as("max_value"))
 
   // ---------------------------------------------------------------
+  // §2b LLM-training-data operators
+  // ---------------------------------------------------------------
+
+  /** q16: exact dedupe via content hash groupBy. */
+  def q16DedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** q17: 3-gram shingle Jaccard near-dup pairs (threshold 0.8). */
+  def q17DedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text", n = 3, threshold = 0.8)
+
+  /** q18: MinHash+LSH banding candidate pairs (rows-only). */
+  def q18DedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** q19: 64-bit SimHash + hamming-band dedupe (rows-only). */
+  def q19DedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text", maxHamming = 3)
+
+  /** q20: brute-force cosine top-5 neighbors. */
+  def q20KnnCosine(spark: SparkSession, dir: String): DataFrame =
+    Ann.bruteForceKnn(Tables.embeddings(spark, dir), "vec_id", "embedding", k = 5)
+
+  /** q21: random-hyperplane LSH-bucketed ANN top-5 (rows-only). */
+  def q21LshKnn(spark: SparkSession, dir: String): DataFrame =
+    Ann.lshKnn(Tables.embeddings(spark, dir), "vec_id", "embedding", k = 5)
+
+  /** q22: whitespace + BPE-ish regex token counts. */
+  def q22TokenCount(spark: SparkSession, dir: String): DataFrame =
+    TextOps.tokenCounts(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** q23: doc quality scoring (char-class + stopword ratios). */
+  def q23QualityScore(spark: SparkSession, dir: String): DataFrame =
+    TextOps.qualityScore(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** q24: stopword-heuristic language ID vs the labeled lang. */
+  def q24LangId(spark: SparkSession, dir: String): DataFrame =
+    TextOps.langId(Tables.documents(spark, dir), "doc_id", "text", "lang")
+
+  /** q25: rolling polynomial document fingerprint. */
+  def q25Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextOps.fingerprint(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** q26: embedding-cosine near-dup pairs (threshold 0.4 — the
+    * synthetic embeddings' max pairwise cosine is ~0.6). */
+  def q26EmbeddingDedup(spark: SparkSession, dir: String): DataFrame =
+    Ann.cosinePairs(Tables.embeddings(spark, dir), "vec_id", "embedding", threshold = 0.4)
+
+  /** q27: multimodal binary-column plumbing, stubbed decode (rows-only). */
+  def q27MultimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractMetadata(
+      Multimodal.asMediaTable(Tables.documents(spark, dir), "doc_id", "text"))
+
+  // ---------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -225,7 +282,19 @@ object SparkEntry {
     "q12_shipping_priority"      -> (q12ShippingPriority _),
     "q13_market_share"           -> (q13MarketShare _),
     "q14_first_price"            -> (q14FirstPrice _),
-    "q15_daily_rollup"           -> (q15DailyRollup _)
+    "q15_daily_rollup"           -> (q15DailyRollup _),
+    "q16_dedup_exact"            -> (q16DedupExact _),
+    "q17_dedup_ngram_jaccard"    -> (q17DedupNgramJaccard _),
+    "q18_dedup_minhash"          -> (q18DedupMinhash _),
+    "q19_dedup_simhash"          -> (q19DedupSimhash _),
+    "q20_knn_cosine"             -> (q20KnnCosine _),
+    "q21_lsh_knn"                -> (q21LshKnn _),
+    "q22_token_count"            -> (q22TokenCount _),
+    "q23_quality_score"          -> (q23QualityScore _),
+    "q24_lang_id"                -> (q24LangId _),
+    "q25_fingerprint"            -> (q25Fingerprint _),
+    "q26_embedding_dedup"        -> (q26EmbeddingDedup _),
+    "q27_multimodal_meta"        -> (q27MultimodalMeta _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -507,6 +576,99 @@ object SparkEntry {
         |  ROUND(SUM(value), 6) AS sum_value,
         |  ROUND(MIN(value), 6) AS min_value,
         |  ROUND(MAX(value), 6) AS max_value
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q16_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q17_dedup_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |),
+        |sh AS (
+        |  SELECT doc_id, UNNEST(list_distinct(list_transform(
+        |    generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+        |  FROM toks
+        |),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+        |  FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+        |) WHERE jaccard >= 0.8""".stripMargin,
+
+    "q20_knn_cosine" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+        |    ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |)
+        |SELECT vec_id, neighbor_id, cosine, rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM pairs
+        |) WHERE rank <= 5""".stripMargin,
+
+    "q22_token_count" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_tokens
+        |FROM documents""".stripMargin,
+
+    "q23_quality_score" ->
+      """SELECT doc_id, n_chars, n_tokens,
+        |  alpha_ppm, digit_ppm, punct_ppm, stopword_ppm,
+        |  (4 * alpha_ppm + 3 * stopword_ppm
+        |    + 2 * (1000000 - digit_ppm) + (1000000 - punct_ppm)) // 10 AS quality_score_ppm
+        |FROM (
+        |  SELECT doc_id, LENGTH(text) AS n_chars, len(string_split(text, ' ')) AS n_tokens,
+        |    (len(regexp_extract_all(text, '[A-Za-z]')) * 1000000) // GREATEST(LENGTH(text), 1) AS alpha_ppm,
+        |    (len(regexp_extract_all(text, '[0-9]')) * 1000000) // GREATEST(LENGTH(text), 1) AS digit_ppm,
+        |    (len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 1000000) // GREATEST(LENGTH(text), 1) AS punct_ppm,
+        |    (len(list_filter(string_split(text, ' '),
+        |        w -> w IN ('the','a','an','and','or','of','to','in','is','it'))) * 1000000)
+        |      // GREATEST(len(string_split(text, ' ')), 1) AS stopword_ppm
+        |  FROM documents
+        |)""".stripMargin,
+
+    "q24_lang_id" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('the','a','and','of','is'))) AS s_en,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','ist'))) AS s_de,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('le','la','les','et','est'))) AS s_fr,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('el','los','las','y','es'))) AS s_es,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('de','shi','le','wo','ni'))) AS s_zh
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, pred_lang, pred_lang = lang AS is_match FROM (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN s_en >= GREATEST(s_de, s_fr, s_es, s_zh) THEN 'en'
+        |         WHEN s_de >= GREATEST(s_fr, s_es, s_zh) THEN 'de'
+        |         WHEN s_fr >= GREATEST(s_es, s_zh) THEN 'fr'
+        |         WHEN s_es >= s_zh THEN 'es'
+        |         ELSE 'zh' END AS pred_lang
+        |  FROM scored
+        |)""".stripMargin,
+
+    "q25_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ' '),
+        |        w -> CAST(LENGTH(w) * 97 + CASE WHEN LENGTH(w) > 0 THEN ascii(w) ELSE 0 END AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+        |FROM documents""".stripMargin,
+
+    "q26_embedding_dedup" ->
+      """SELECT vec_a, vec_b, cosine FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |) WHERE cosine >= 0.4""".stripMargin
   )
 }

@@ -1,0 +1,65 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Media travels as an opaque `binary` payload column with typed
+  * metadata alongside — the schema/partitioning/batching pattern a
+  * 100 TB multimodal pipeline needs. Decode runs per-partition in
+  * fixed-size batches (the shape a vectorized codec or GPU decode
+  * wants); the codec itself is STUBBED (no image/audio libs in this
+  * environment) with a deterministic fake so the plumbing — schema,
+  * batch iteration, per-partition distribution — is real and tested.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
+  case class MediaMeta(
+      doc_id: Long,
+      media_type: String,
+      n_bytes: Int,
+      width: Int,
+      height: Int,
+      checksum: Long)
+
+  /** Batch size handed to the (stubbed) codec — the unit a real
+    * vectorized decoder or GPU kernel would consume. */
+  val DecodeBatchSize = 64
+
+  /** STUB: a real implementation decodes the payload with an image/
+    * audio codec (e.g. JPEG dims, PCM duration). Deterministic fake:
+    * dims derived from payload length, checksum a polynomial over the
+    * bytes — so tests can assert exact values. */
+  private def stubDecode(batch: Seq[MediaRow]): Seq[MediaMeta] =
+    batch.map { r =>
+      val n = r.payload.length
+      val checksum = r.payload.foldLeft(0L)((acc, b) => (acc * 131 + (b & 0xff)) % 1000000007L)
+      MediaMeta(r.doc_id, r.media_type, n, 16 + n % 64, 16 + (n / 64) % 64, checksum)
+    }
+
+  /** Wrap a text table into a binary media table (payload = utf-8
+    * bytes standing in for encoded media; media_type round-robins). */
+  def asMediaTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      element_at(
+        array(lit("image"), lit("audio"), lit("video")),
+        (col(idCol) % 3 + 1).cast("int")).as("media_type"),
+      encode(col(textCol), "UTF-8").as("payload"))
+
+  /** Decode/feature-extract pass: per-partition, batched. The only
+    * wide operation a real pipeline adds here is an optional
+    * repartition to match decoder parallelism; the decode itself is a
+    * narrow mapPartitions. */
+  def extractMetadata(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("media_type"), col("payload"))
+      .as[MediaRow]
+      .mapPartitions(it => it.grouped(DecodeBatchSize).flatMap(stubDecode))
+      .toDF()
+  }
+}

@@ -1,0 +1,147 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for LLM-training-data pipelines.
+  *
+  * Four tiers, cheapest-first, the way a 100 TB dedup pass layers
+  * them: exact content-hash dedupe, then SimHash / MinHash+LSH
+  * candidate generation (both avoid the O(n²) cross join by shuffling
+  * on band/bucket keys), with the n-gram Jaccard self-join as the
+  * precise verifier over candidate pairs.
+  *
+  * Everything is pure column algebra over `xxhash64`/`md5`/bit ops —
+  * no UDFs, fully codegen'd, one shuffle per groupBy/join on keys
+  * that hash-partition evenly (shingle, band signature, bit-band).
+  */
+object Dedup {
+
+  /** Distinct word-n-gram shingles per document: (idCol, shingle).
+    * Documents shorter than n tokens produce no shingles. */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("__t"))
+      .where(size(col("__t")) >= n)
+      .select(
+        col(idCol),
+        explode(array_distinct(expr(
+          s"transform(sequence(1, size(__t) - ${n - 1}), i -> array_join(slice(__t, i, $n), ' '))"))).as("shingle"))
+
+  /** Exact dedupe: group documents by content hash, keep lowest id.
+    * At 100 TB this is the first pass — a single hash-partitioned
+    * aggregation, no joins. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** Near-duplicate pairs by n-gram shingle Jaccard similarity.
+    *
+    * Inverted-index join on the shingle (shuffle key = shingle hash)
+    * rather than a doc×doc cross join: cost is Σ(docs-per-shingle²),
+    * which stays tractable when shingles are selective. At 100 TB you
+    * run this only over MinHash/SimHash candidate pairs; standalone it
+    * is exact and oracle-checkable.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .agg(count(lit(1)).as("__i"))
+    inter
+      .join(counts.select(col(idCol).as("doc_a"), col("__n").as("__na")), Seq("doc_a"))
+      .join(counts.select(col(idCol).as("doc_b"), col("__n").as("__nb")), Seq("doc_b"))
+      // no decimal rounding: a single IEEE division of exact integer
+      // inputs is bit-identical across engines, round() is not
+      .withColumn("jaccard", col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** MinHash + LSH banding candidate pairs.
+    *
+    * numHashes min-hash permutations via seeded `xxhash64(seed, shingle)`;
+    * signatures split into `bands` bands whose hash is the LSH bucket
+    * key. Docs sharing ≥1 band bucket become candidates. The only
+    * shuffles are the per-doc signature aggregation and the band-key
+    * self-join — never a cross join, which is the whole point at scale.
+    */
+  def minhashLsh(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      n: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val sh = shingles(docs, idCol, textCol, n)
+    val sigCols = (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"__h$i"))
+    val sigs = sh.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      val hs = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"__h$i"))
+      struct(lit(b).as("band"), xxhash64(hs: _*).as("sig"))
+    }
+    val banded = sigs
+      .select(col(idCol), explode(array(bandCols: _*)).as("__bs"))
+      .select(col(idCol), col("__bs.band").as("band"), col("__bs.sig").as("sig"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** 64-bit SimHash near-duplicate pairs with hamming-band blocking.
+    *
+    * Token-weighted SimHash: every token's xxhash64 votes ±1 per bit;
+    * the sign of the per-bit sum is the fingerprint bit. The 64 bits
+    * are packed into four 16-bit band signatures; candidate pairs must
+    * share ≥1 exact band (pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4 bands
+    * equal), then the true hamming distance is `bit_count(a XOR b)`
+    * summed over bands. Bit-vote aggregation and band join are the
+    * only shuffles.
+    */
+  def simhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val bits = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("__tok"))
+      .withColumn("__h", xxhash64(col("__tok")))
+      .select(col(idCol), posexplode(expr(
+        "transform(sequence(0, 63), j -> CASE WHEN (shiftrightunsigned(__h, j) & 1) = 1 THEN 1 ELSE -1 END)"))
+        .as(Seq("pos", "sign")))
+      .groupBy(col(idCol), col("pos"))
+      .agg(when(sum("sign") > 0, 1).otherwise(0).as("bit"))
+
+    val bandSigs = bits
+      .groupBy(col(idCol), (col("pos") / 16).cast("int").as("band"))
+      .agg(sum(expr("shiftleft(bit, cast(pos % 16 as int))")).as("sig"))
+
+    val cands = bandSigs.as("a")
+      .join(bandSigs.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+
+    cands
+      .join(bandSigs.select(col(idCol).as("doc_a"), col("band"), col("sig").as("__sa")), Seq("doc_a"))
+      .join(bandSigs.select(col(idCol).as("doc_b"), col("band"), col("sig").as("__sb")), Seq("doc_b", "band"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(bit_count(col("__sa").bitwiseXOR(col("__sb")))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+}

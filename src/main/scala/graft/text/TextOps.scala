@@ -1,0 +1,112 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis operators for LLM-training-data curation: token
+  * counting, quality scoring, language ID, and document
+  * fingerprinting. All pure column algebra (regexp_count, split,
+  * higher-order functions) — codegen'd, shuffle-free (each operator
+  * is a narrow per-row map), and oracle-expressible in ANSI SQL.
+  */
+object TextOps {
+
+  /** BPE-ish pre-tokenizer classes: letter runs, digit runs, single
+    * non-alphanumeric marks (same regex semantics in Java and RE2). */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Per-language marker words for the heuristic language ID. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+    "zh" -> Seq("de", "shi", "le", "wo", "ni"))
+
+  private def tokens(textCol: Column): Column = split(textCol, " ")
+
+  /** Whitespace token count + BPE-ish regex token count. */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      size(tokens(col(textCol))).as("ws_tokens"),
+      regexp_count(col(textCol), lit(BpeishPattern)).as("bpe_tokens"))
+
+  /** Document quality signals: alpha/digit/punct char ratios and
+    * stopword token ratio, combined into one heuristic score.
+    *
+    * Ratios are exact integer parts-per-million (integer division) —
+    * decimal-rounding a float here is engine-dependent at halfway
+    * points (Java BigDecimal HALF_UP vs C-library rounding disagree
+    * when e.g. n_chars = 128 makes the millionths ratio land exactly
+    * on .5), so no floats appear anywhere in this operator. */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs
+      .select(
+        col(idCol),
+        length(t).as("n_chars"),
+        size(tokens(t)).as("n_tokens"),
+        regexp_count(t, lit("[A-Za-z]")).as("__alpha"),
+        regexp_count(t, lit("[0-9]")).as("__digit"),
+        regexp_count(t, lit("[^A-Za-z0-9 ]")).as("__punct"),
+        size(filter(tokens(t), w => w.isInCollection(Stopwords))).as("__stop"))
+      .select(
+        col(idCol),
+        col("n_chars"),
+        col("n_tokens"),
+        expr("(__alpha * 1000000L) div greatest(n_chars, 1)").as("alpha_ppm"),
+        expr("(__digit * 1000000L) div greatest(n_chars, 1)").as("digit_ppm"),
+        expr("(__punct * 1000000L) div greatest(n_chars, 1)").as("punct_ppm"),
+        expr("(__stop * 1000000L) div greatest(n_tokens, 1)").as("stopword_ppm"))
+      .withColumn(
+        "quality_score_ppm",
+        expr("""(4 * alpha_ppm + 3 * stopword_ppm
+               | + 2 * (1000000 - digit_ppm) + (1000000 - punct_ppm)) div 10""".stripMargin))
+  }
+
+  /** Stopword-marker language ID: score each language by its marker
+    * word occurrences in the token stream; argmax with a fixed
+    * priority order (en > de > fr > es > zh) as tiebreak. */
+  def langId(docs: DataFrame, idCol: String, textCol: String, actualLangCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scores: Seq[(String, Column)] = LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, w => w.isInCollection(markers)))
+    }
+    val scored = docs.select(
+      (col(idCol) +: col(actualLangCol).as("lang") +:
+        scores.map { case (l, c) => c.as(s"__s_$l") }): _*)
+    val langs = LangMarkers.map(_._1)
+    // argmax with fixed-order tiebreak: lang i wins if its score is
+    // >= every later language's score
+    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last): Column) {
+      case ((l, i), elseCol) =>
+        val later = langs.drop(i + 1).map(x => col(s"__s_$x"))
+        val laterMax = if (later.sizeIs == 1) later.head else greatest(later: _*)
+        when(col(s"__s_$l") >= laterMax, l).otherwise(elseCol)
+    }
+    scored
+      .withColumn("pred_lang", pred)
+      .withColumn("is_match", col("pred_lang") === col("lang"))
+      .select(col(idCol), col("lang"), col("pred_lang"), col("is_match"))
+  }
+
+  /** Rolling polynomial fingerprint over the token stream:
+    * h ← (h·31 + len(w)·97 + ascii(w[0])) mod 1e9+7.
+    * A content fingerprint that is stable under whitespace layout and
+    * cheap enough to run per-document at 100 TB (single fold, no
+    * shuffle). */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      aggregate(
+        transform(
+          tokens(col(textCol)),
+          w => (length(w) * lit(97L) +
+            when(length(w) > 0, ascii(w)).otherwise(lit(0))).cast("long")),
+        lit(0L),
+        (acc, x) => (acc * 31L + x) % 1000000007L).as("fingerprint"))
+}
