@@ -61,10 +61,17 @@ object Ann {
       .select("vec_a", "vec_b", "cosine")
   }
 
-  /** Random-hyperplane LSH top-k: bucket = sign bits of `numPlanes`
-    * hyperplane projections; candidates share a bucket; exact cosine
-    * ranks within the bucket. Planes are generated driver-side from a
-    * fixed seed (tiny constant arrays, broadcast into the plan).
+  /** Multi-table random-hyperplane LSH top-k.
+    *
+    * `numTables` independent hash tables of `bitsPerTable` hyperplane
+    * sign bits each; a pair is a candidate if it collides in ANY
+    * table (union → distinct), then exact cosine re-ranks the
+    * candidates. For neighbors at angle θ the per-table collision
+    * rate is (1 − θ/π)^bits, so recall is tuned by adding tables —
+    * the classic quality/shuffle-volume dial: each table is one more
+    * explode row per vector, and the candidate join shuffles on the
+    * (table, bucket) key, never a cross join. Planes come from a
+    * fixed seed driver-side (tiny constant literals in the plan).
     *
     * Approximate by construction → rows-only check, no SQL oracle.
     */
@@ -73,22 +80,33 @@ object Ann {
       idCol: String,
       vecCol: String,
       k: Int = 5,
-      numPlanes: Int = 6,
+      numTables: Int = 12,
+      bitsPerTable: Int = 4,
       dim: Int = 64,
       seed: Long = 42L): DataFrame = {
     val rnd = new scala.util.Random(seed)
-    val planes: Seq[Column] =
-      Seq.fill(numPlanes)(array(Seq.fill(dim)(lit(rnd.nextGaussian())): _*))
-    val bucket = (0 until numPlanes)
-      .map(i => when(dot(col("__e"), planes(i)) >= 0, 1 << i).otherwise(0))
-      .reduce(_ + _)
+    def plane(): Column = array(Seq.fill(dim)(lit(rnd.nextGaussian())): _*)
+    val tableBuckets: Seq[Column] = (0 until numTables).map { t =>
+      val bits = (0 until bitsPerTable)
+        .map(i => when(dot(col("__e"), plane()) >= 0, 1 << i).otherwise(0))
+        .reduce(_ + _)
+      struct(lit(t).as("table"), bits.as("bucket"))
+    }
 
-    val e = prepared(emb, idCol, vecCol).withColumn("__bucket", bucket)
-    val a = e.select(col(idCol).as("vec_id"), col("__bucket"), col("__e").as("__ea"), col("__norm").as("__na"))
-    val b = e.select(col(idCol).as("neighbor_id"), col("__bucket"), col("__e").as("__eb"), col("__norm").as("__nb"))
-    val pairs = a
-      .join(b, Seq("__bucket"))
-      .where(col("vec_id") =!= col("neighbor_id"))
+    val e = prepared(emb, idCol, vecCol)
+      .withColumn("__tb", explode(array(tableBuckets: _*)))
+      .select(col(idCol), col("__tb.table").as("__table"), col("__tb.bucket").as("__bucket"))
+    val cands = e.as("a")
+      .join(e.as("b"),
+        col("a.__table") === col("b.__table") && col("a.__bucket") === col("b.__bucket") &&
+          col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("vec_id"), col(s"b.$idCol").as("neighbor_id"))
+      .distinct()
+
+    val v = prepared(emb, idCol, vecCol)
+    val pairs = cands
+      .join(v.select(col(idCol).as("vec_id"), col("__e").as("__ea"), col("__norm").as("__na")), Seq("vec_id"))
+      .join(v.select(col(idCol).as("neighbor_id"), col("__e").as("__eb"), col("__norm").as("__nb")), Seq("neighbor_id"))
       .withColumn("cosine", round(dot(col("__ea"), col("__eb")) / (col("__na") * col("__nb")), 6))
     val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("neighbor_id"))
     pairs

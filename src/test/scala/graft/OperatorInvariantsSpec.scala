@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Targeted semantic invariants per operator family — the properties
+  * the reference pipelines rely on, asserted directly (value-level
+  * equality vs DuckDB is the driver gate's job). */
+class OperatorInvariantsSpec extends SparkSpec {
+
+  test("q3: running balance telescopes to the sum of net transfers") {
+    val df = SparkEntry.q3RunningBalance(spark, SfDir)
+    val bad = df
+      .groupBy("asset", "wallet")
+      .agg(
+        abs(sum("net_transfers") - max_by(col("balance"), col("date"))).as("err"),
+        max("transfer_sequence").as("maxseq"),
+        count(lit(1)).as("n"))
+      .where(col("err") > 1e-4 || col("maxseq") =!= col("n"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("q4: gap-fill leaves no missing dates and marks imputed rows") {
+    val df = SparkEntry.q4GapFill(spark, SfDir).cache()
+    val perAsset = df
+      .groupBy("asset")
+      .agg(count(lit(1)).as("n"), min("date").as("d0"), max("date").as("d1"))
+      .withColumn("span", datediff(col("d1"), col("d0")) + 1)
+      .where(col("n") =!= col("span"))
+    assert(perAsset.count() == 0, "calendar has holes")
+    assert(df.where(col("days_imputed").isNotNull && col("volume") =!= 0).count() == 0,
+      "imputed rows must carry zero volume")
+    df.unpersist()
+  }
+
+  test("q16: exact-dedupe copy counts partition the corpus") {
+    val total = Tables.documents(spark, SfDir).count()
+    val agg = SparkEntry.q16DedupExact(spark, SfDir).agg(sum("n_copies")).head.getLong(0)
+    assert(agg == total)
+  }
+
+  test("q17: jaccard pairs are ordered and above threshold") {
+    val df = SparkEntry.q17DedupNgramJaccard(spark, SfDir)
+    assert(df.where(col("doc_a") >= col("doc_b") || col("jaccard") < 0.8).count() == 0)
+    assert(df.count() > 0, "synthetic corpus plants near-duplicates")
+  }
+
+  test("q18/q19: LSH candidates recover most true near-duplicate pairs") {
+    val truth = SparkEntry.q17DedupNgramJaccard(spark, SfDir).select("doc_a", "doc_b")
+    val nTruth = truth.count()
+    val minhash = SparkEntry.q18DedupMinhash(spark, SfDir).select("doc_a", "doc_b")
+    val simhash = SparkEntry.q19DedupSimhash(spark, SfDir).select("doc_a", "doc_b")
+    assert(minhash.join(truth, Seq("doc_a", "doc_b")).count() >= (nTruth * 8) / 10,
+      "minhash recall below 80%")
+    // simhash hamming<=3 is a tighter notion of "near" than jaccard>=0.8
+    // (a few swapped words can flip >3 bits), so expect lower recall
+    assert(simhash.join(truth, Seq("doc_a", "doc_b")).count() >= (nTruth * 7) / 10,
+      "simhash recall below 70%")
+  }
+
+  test("q19: hamming bounded by threshold, pairs ordered") {
+    val df = SparkEntry.q19DedupSimhash(spark, SfDir)
+    assert(df.where(col("hamming") > 3 || col("doc_a") >= col("doc_b")).count() == 0)
+  }
+
+  test("q20: exactly k ranked neighbors per vector, cosine within [-1, 1]") {
+    val df = SparkEntry.q20KnnCosine(spark, SfDir).cache()
+    val n = Tables.embeddings(spark, SfDir).count()
+    assert(df.count() == n * 5)
+    assert(df.where(col("rank") < 1 || col("rank") > 5).count() == 0)
+    assert(df.where(abs(col("cosine")) > 1.000001).count() == 0)
+    df.unpersist()
+  }
+
+  test("q21: LSH top-1 agrees with brute force for most vectors") {
+    val bf = SparkEntry.q20KnnCosine(spark, SfDir).where(col("rank") === 1)
+      .select(col("vec_id"), col("neighbor_id").as("bf_nn"))
+    val lsh = SparkEntry.q21LshKnn(spark, SfDir).where(col("rank") === 1)
+      .select(col("vec_id"), col("neighbor_id").as("lsh_nn"))
+    val joined = bf.join(lsh, Seq("vec_id"))
+    val agree = joined.where(col("bf_nn") === col("lsh_nn")).count()
+    // multi-table LSH on loosely-clustered synthetic data: expect
+    // strong but not exact agreement — guards against a broken bucketer
+    assert(agree * 100 >= joined.count() * 50, s"LSH top-1 agreement too low: $agree")
+  }
+
+  test("q23: ppm ratios stay in [0, 1e6] and score is their combination") {
+    val df = SparkEntry.q23QualityScore(spark, SfDir)
+    val bad = df.where(
+      col("alpha_ppm") < 0 || col("alpha_ppm") > 1000000 ||
+        col("stopword_ppm") < 0 || col("stopword_ppm") > 1000000 ||
+        col("quality_score_ppm") =!= expr(
+          """(alpha_ppm * 4 + stopword_ppm * 3
+            | + (1000000 - digit_ppm) * 2 + (1000000 - punct_ppm)) div 10""".stripMargin))
+    assert(bad.count() == 0)
+  }
+
+  test("q27: stubbed decode is deterministic and total") {
+    val a = SparkEntry.q27MultimodalMeta(spark, SfDir)
+    val b = SparkEntry.q27MultimodalMeta(spark, SfDir)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    assert(a.count() == Tables.documents(spark, SfDir).count())
+  }
+}
