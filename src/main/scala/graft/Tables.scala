@@ -73,8 +73,9 @@ object Tables {
     val daily = events(spark, dir)
       .groupBy(col("event_type").as("asset"), to_date(col("ts")).as("date"))
       .agg(round(max("value"), 6).as("price"))
-    val cutoff = events(spark, dir)
-      .agg(date_add(to_date(min(col("ts"))), 7).as("price_start"))
+    // min daily date == date of min ts (monotone), so the cutoff is
+    // derived from the aggregate — no second scan of the fact table
+    val cutoff = daily.agg(date_add(min(col("date")), 7).as("price_start"))
     daily
       .crossJoin(broadcast(cutoff))
       .where(col("date") >= col("price_start"))

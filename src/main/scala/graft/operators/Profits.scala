@@ -36,37 +36,40 @@ object Profits {
     *         usd_inflows, usd_inflows_cumulative
     */
   def walletProfits(transfers: DataFrame, prices: DataFrame): DataFrame = {
-    // ---- step 1: merge (left join keeps pre-price history for step 3)
-    val merged = transfers.join(prices, Seq("asset", "date"), "left")
-
-    // ---- step 2: first price info per asset (broadcast-size agg)
+    // ---- step 2 first: first price info per asset — ONE aggregation
+    //      (min_by), no self-join, broadcast-size result
     val firstPrices = prices
       .groupBy("asset")
-      .agg(min("date").as("first_price_date"))
-      .join(prices, Seq("asset"))
-      .where(col("date") === col("first_price_date"))
-      .select(col("asset"), col("first_price_date"), col("price").as("first_price"))
+      .agg(
+        min("date").as("first_price_date"),
+        min_by(col("price"), col("date")).as("first_price"))
 
-    val withFirst = merged.join(broadcast(firstPrices), Seq("asset"), "left")
+    // ---- step 1: merge; the single shared intermediate every later
+    //      step reads. Persisted because two branches (priced rows,
+    //      imputation extraction) consume it — without this, each
+    //      branch re-derives the full transfers subtree from the raw
+    //      events, which at 100 TB means re-scanning the fact table
+    //      per branch. MEMORY_AND_DISK ≈ a pipeline temp table.
+    val withFirst = transfers
+      .join(prices, Seq("asset", "date"), "left")
+      .join(broadcast(firstPrices), Seq("asset"), "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // ---- step 3: imputed records for pre-price wallets
-    val prePrice = withFirst.where(col("date") < col("first_price_date"))
-    val hasPre = prePrice.select("asset", "wallet").distinct()
-    val activeOnFpd = withFirst
-      .where(col("date") === col("first_price_date"))
-      .select("asset", "wallet")
-      .distinct()
-    val needsImputation = hasPre.join(activeOnFpd, Seq("asset", "wallet"), "left_anti")
-
+    // ---- step 3: imputed records for pre-price wallets, extracted
+    //      with windows over the SAME (asset, wallet) partitioning as
+    //      every later step (one shuffle, reused):
+    //      a pair needs imputation iff it has pre-price rows and no
+    //      row exactly on the first price date; its last pre-price
+    //      balance becomes a synthetic transfer-in at that date.
+    val wPair = Window.partitionBy("asset", "wallet")
     val wDesc = Window.partitionBy("asset", "wallet").orderBy(col("date").desc)
-    val lastPreBalance = prePrice
-      .join(needsImputation, Seq("asset", "wallet"))
+    val imputed = withFirst
+      .withColumn(
+        "__active_fpd",
+        max(when(col("date") === col("first_price_date"), 1).otherwise(0)).over(wPair))
+      .where(col("date") < col("first_price_date") && col("__active_fpd") === 0)
       .withColumn("__rn", row_number().over(wDesc))
       .where(col("__rn") === 1)
-      .select(col("asset"), col("wallet"), col("balance"))
-
-    val imputed = lastPreBalance
-      .join(broadcast(firstPrices), Seq("asset"))
       .select(
         col("asset"),
         col("wallet"),
@@ -77,7 +80,7 @@ object Profits {
 
     // ---- step 4: keep priced rows + imputed; earliest row per pair
     //      becomes a full-balance transfer-in
-    val priced = merged
+    val priced = withFirst
       .where(col("price").isNotNull)
       .select("asset", "wallet", "date", "net_transfers", "balance", "price")
     val combined = priced.unionByName(imputed)

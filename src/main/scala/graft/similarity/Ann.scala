@@ -4,12 +4,16 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.functions.GraftFunctions
+
 /** Approximate-nearest-neighbor search over an embedding column.
   *
-  * Dot products / norms are `zip_with` + `aggregate` higher-order
-  * functions — pure Catalyst expressions, fully codegen'd, no UDF.
-  * Float32 inputs are widened to double before summation so the
-  * result is reproducible and oracle-comparable at 6 decimals.
+  * Per-pair dot products (the O(n²) hot path) use the native
+  * codegen'd [[graft.functions.DotProduct]] expression; per-row
+  * norms and bucketing projections stay on `zip_with` + `aggregate`
+  * higher-order functions, whose interpreter cost is irrelevant at
+  * O(n). Float32 inputs are widened to double before summation so
+  * the result is reproducible and oracle-comparable at 6 decimals.
   *
   * `bruteForceKnn` is the O(n²) correctness baseline (the small side
   * broadcasts, so it is a single broadcast-nested-loop stage);
@@ -38,9 +42,10 @@ object Ann {
     val e = prepared(emb, idCol, vecCol)
     val a = e.select(col(idCol).as("vec_id"), col("__e").as("__ea"), col("__norm").as("__na"))
     val b = e.select(col(idCol).as("neighbor_id"), col("__e").as("__eb"), col("__norm").as("__nb"))
+    GraftFunctions.register(emb.sparkSession)
     val pairs = a
       .join(broadcast(b), col("vec_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(dot(col("__ea"), col("__eb")) / (col("__na") * col("__nb")), 6))
+      .withColumn("cosine", round(expr("graft_dot(__ea, __eb)") / (col("__na") * col("__nb")), 6))
     val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("neighbor_id"))
     pairs
       .withColumn("rank", row_number().over(w))
@@ -55,8 +60,14 @@ object Ann {
     val e = prepared(emb, idCol, vecCol)
     val a = e.select(col(idCol).as("vec_a"), col("__e").as("__ea"), col("__norm").as("__na"))
     val b = e.select(col(idCol).as("vec_b"), col("__e").as("__eb"), col("__norm").as("__nb"))
-    a.join(broadcast(b), col("vec_a") < col("vec_b"))
-      .withColumn("cosine", round(dot(col("__ea"), col("__eb")) / (col("__na") * col("__nb")), 6))
+    GraftFunctions.register(emb.sparkSession)
+    // conservative raw-dot prefilter inside the join condition: kills
+    // ~all pairs with ONE dot evaluation; the exact rounded-threshold
+    // check then runs only on survivors (epsilon guards the boundary)
+    a.join(broadcast(b),
+        col("vec_a") < col("vec_b") &&
+          expr("graft_dot(__ea, __eb)") >= lit(threshold - 1e-6) * col("__na") * col("__nb"))
+      .withColumn("cosine", round(expr("graft_dot(__ea, __eb)") / (col("__na") * col("__nb")), 6))
       .where(col("cosine") >= threshold)
       .select("vec_a", "vec_b", "cosine")
   }
@@ -84,6 +95,7 @@ object Ann {
       bitsPerTable: Int = 4,
       dim: Int = 64,
       seed: Long = 42L): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
     val rnd = new scala.util.Random(seed)
     def plane(): Column = array(Seq.fill(dim)(lit(rnd.nextGaussian())): _*)
     val tableBuckets: Seq[Column] = (0 until numTables).map { t =>
@@ -107,7 +119,7 @@ object Ann {
     val pairs = cands
       .join(v.select(col(idCol).as("vec_id"), col("__e").as("__ea"), col("__norm").as("__na")), Seq("vec_id"))
       .join(v.select(col(idCol).as("neighbor_id"), col("__e").as("__eb"), col("__norm").as("__nb")), Seq("neighbor_id"))
-      .withColumn("cosine", round(dot(col("__ea"), col("__eb")) / (col("__na") * col("__nb")), 6))
+      .withColumn("cosine", round(expr("graft_dot(__ea, __eb)") / (col("__na") * col("__nb")), 6))
     val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("neighbor_id"))
     pairs
       .withColumn("rank", row_number().over(w))

@@ -117,18 +117,29 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val bits = docs
+    // 64 per-bit vote sums as aggregate COLUMNS (not exploded rows):
+    // the map side partially aggregates per doc, so the shuffle
+    // carries one 64-column row per document instead of 64 rows per
+    // token — the difference between shuffling |tokens|×64 and |docs|
+    val votes = (0 until 64).map(j =>
+      sum(when(shiftrightunsigned(col("__h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"__v$j"))
+    val sums = docs
       .select(col(idCol), explode(split(col(textCol), " ")).as("__tok"))
       .withColumn("__h", xxhash64(col("__tok")))
-      .select(col(idCol), posexplode(expr(
-        "transform(sequence(0, 63), j -> CASE WHEN (shiftrightunsigned(__h, j) & 1) = 1 THEN 1 ELSE -1 END)"))
-        .as(Seq("pos", "sign")))
-      .groupBy(col(idCol), col("pos"))
-      .agg(when(sum("sign") > 0, 1).otherwise(0).as("bit"))
+      .groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
 
-    val bandSigs = bits
-      .groupBy(col(idCol), (col("pos") / 16).cast("int").as("band"))
-      .agg(sum(expr("shiftleft(bit, cast(pos % 16 as int))")).as("sig"))
+    val bandCols = (0 until 4).map { b =>
+      (b * 16 until (b + 1) * 16)
+        .map(j => when(col(s"__v$j") > 0, 1 << (j % 16)).otherwise(0))
+        .reduce(_ + _)
+        .as(s"__band$b")
+    }
+    val bandSigs = sums
+      .select(col(idCol) +: bandCols: _*)
+      .select(col(idCol), expr(
+        "stack(4, 0, __band0, 1, __band1, 2, __band2, 3, __band3) AS (band, sig)"))
 
     val cands = bandSigs.as("a")
       .join(bandSigs.as("b"),
