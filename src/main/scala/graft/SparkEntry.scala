@@ -8,6 +8,7 @@ import graft.operators._
 import graft.similarity.{Ann, Dedup}
 import graft.text.TextOps
 import graft.multimodal.Multimodal
+import graft.sources.Ingest
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -265,6 +266,46 @@ object SparkEntry {
       Multimodal.asMediaTable(Tables.documents(spark, dir), "doc_id", "text"))
 
   // ---------------------------------------------------------------
+  // §2c ingestion-side operators (sources/sinks surface)
+  // ---------------------------------------------------------------
+
+  /** q28: JSON normalization + typed aggregation over events.props
+    * (coingecko_parse_json-style blob parsing, distributed). */
+  def q28JsonNormalize(spark: SparkSession, dir: String): DataFrame =
+    Ingest.parseJson(Tables.events(spark, dir), "props", "k INT")
+      .groupBy(col("event_type"), (col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n_events"), sum("k").as("sum_k"))
+
+  /** q29: incremental upsert — newest row per key across an existing
+    * table and an update batch (dune_transfers_updates-style). */
+  def q29IncrementalUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val existing = ev.where(col("event_id") % 2 === 0)
+    val updates = ev.where(col("event_id") % 2 === 1)
+    Ingest.keepLatest(existing, updates,
+      keys = Seq("user_id", "event_type"),
+      versionCols = Seq(col("ts"), col("event_id")))
+      .select("user_id", "event_type", "event_id", "value")
+  }
+
+  /** q30: two-source entity resolution with coalesce precedence
+    * (core_coins multi-source rebuild). */
+  def q30EntityResolution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def src(m: Int): DataFrame = ev.where(col("event_id") % 2 === m)
+      .groupBy(col("user_id"))
+      .agg(
+        round(max("value"), 6).as("max_value"),
+        to_date(min("ts")).as("first_seen"),
+        count(lit(1)).as("n_events"))
+      // sparse field: only "rich" profiles carry it, so coalesce matters
+      .withColumn("max_value", when(col("n_events") >= 10, col("max_value")))
+      .drop("n_events")
+    Ingest.coalesceSources(src(0), src(1), keys = Seq("user_id"),
+      valueCols = Seq("max_value", "first_seen"))
+  }
+
+  // ---------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -294,7 +335,10 @@ object SparkEntry {
     "q24_lang_id"                -> (q24LangId _),
     "q25_fingerprint"            -> (q25Fingerprint _),
     "q26_embedding_dedup"        -> (q26EmbeddingDedup _),
-    "q27_multimodal_meta"        -> (q27MultimodalMeta _)
+    "q27_multimodal_meta"        -> (q27MultimodalMeta _),
+    "q28_json_normalize"         -> (q28JsonNormalize _),
+    "q29_incremental_upsert"     -> (q29IncrementalUpsert _),
+    "q30_entity_resolution"      -> (q30EntityResolution _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -669,6 +713,40 @@ object SparkEntry {
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |    ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |) WHERE cosine >= 0.4""".stripMargin
+        |) WHERE cosine >= 0.4""".stripMargin,
+
+    "q28_json_normalize" ->
+      """SELECT event_type, CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q29_incremental_upsert" ->
+      """SELECT user_id, event_type, event_id, value FROM (
+        |  SELECT user_id, event_type, event_id, value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |) WHERE rn = 1""".stripMargin,
+
+    "q30_entity_resolution" ->
+      """WITH src0 AS (
+        |  SELECT user_id,
+        |    CASE WHEN COUNT(*) >= 10 THEN ROUND(MAX(value), 6) END AS max_value,
+        |    CAST(MIN(ts) AS DATE) AS first_seen
+        |  FROM events WHERE event_id % 2 = 0 GROUP BY 1
+        |),
+        |src1 AS (
+        |  SELECT user_id,
+        |    CASE WHEN COUNT(*) >= 10 THEN ROUND(MAX(value), 6) END AS max_value,
+        |    CAST(MIN(ts) AS DATE) AS first_seen
+        |  FROM events WHERE event_id % 2 = 1 GROUP BY 1
+        |)
+        |SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+        |  COALESCE(a.max_value, b.max_value) AS max_value,
+        |  COALESCE(a.first_seen, b.first_seen) AS first_seen,
+        |  (CASE WHEN a.user_id IS NOT NULL THEN 1 ELSE 0 END
+        |   + CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS n_sources
+        |FROM src0 a FULL OUTER JOIN src1 b ON a.user_id = b.user_id""".stripMargin
   )
 }
