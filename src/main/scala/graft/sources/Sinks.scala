@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Sink surface: how graft tables land on storage at scale.
+  *
+  * The reference's sinks are BigQuery tables refreshed by
+  * DELETE+INSERT; the Spark-native equivalents are layout decisions
+  * that the next reader's plan can exploit:
+  *
+  *   - `writePartitioned`: hive-style directory partitioning → the
+  *     reader's WHERE on the partition column prunes whole
+  *     directories (PartitionFilters in the scan, zero I/O for
+  *     untouched partitions). Pair with `keepLatest` upserts so an
+  *     incremental refresh rewrites only touched partitions
+  *     (dynamic partition overwrite).
+  *   - `writeBucketed`: hash-bucketed + sorted table layout → joins
+  *     and aggregations on the bucket key skip their shuffle
+  *     entirely; this is how the (asset, wallet) pipelines avoid
+  *     re-shuffling the fact table every run at 100 TB.
+  */
+object Sinks {
+
+  /** Directory-partitioned parquet write with dynamic partition
+    * overwrite (only partitions present in `df` are replaced). */
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write
+      .mode(mode)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Bucketed + sorted managed table (requires a catalog; bucket
+    * metadata only survives via saveAsTable). numBuckets should be
+    * sized so a bucket's largest partition fits an executor's memory
+    * at the target scale. */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      numBuckets: Int,
+      sortCols: Seq[String] = Seq.empty,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode).bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    val ws = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    ws.format("parquet").saveAsTable(table)
+  }
+}
