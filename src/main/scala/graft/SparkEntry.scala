@@ -305,6 +305,11 @@ object SparkEntry {
       valueCols = Seq("max_value", "first_seen"))
   }
 
+  /** q31: IVF-partitioned ANN top-5 (seeded kmeans cells, nprobe=2;
+    * rows-only). */
+  def q31IvfKnn(spark: SparkSession, dir: String): DataFrame =
+    Ann.ivfKnn(Tables.embeddings(spark, dir), "vec_id", "embedding", k = 5)
+
   // ---------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------
@@ -338,7 +343,8 @@ object SparkEntry {
     "q27_multimodal_meta"        -> (q27MultimodalMeta _),
     "q28_json_normalize"         -> (q28JsonNormalize _),
     "q29_incremental_upsert"     -> (q29IncrementalUpsert _),
-    "q30_entity_resolution"      -> (q30EntityResolution _)
+    "q30_entity_resolution"      -> (q30EntityResolution _),
+    "q31_ivf_knn"                -> (q31IvfKnn _)
   )
 
   def oracleSql: Map[String, String] = Map(

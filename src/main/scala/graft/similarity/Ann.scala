@@ -126,4 +126,75 @@ object Ann {
       .where(col("rank") <= k)
       .select("vec_id", "neighbor_id", "cosine", "rank")
   }
+
+  /** IVF (inverted-file) ANN top-k: partition the space into
+    * `numCells` Voronoi cells (seeded init + one Lloyd refinement,
+    * all as DataFrame aggregations), assign every vector to its
+    * nearest centroid, and search each query's `nprobe` closest
+    * cells. The cell id is the shuffle key — candidate generation is
+    * an equi-join on (cell), exactly how an IVF index shards a 100 TB
+    * embedding corpus (cells ≈ partitions; nprobe trades recall for
+    * scan fan-out). Centroid work is O(n·numCells) with the centroid
+    * side broadcast.
+    *
+    * Approximate by construction → rows-only check, no SQL oracle.
+    */
+  def ivfKnn(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 5,
+      numCells: Int = 16,
+      nprobe: Int = 3): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val e = prepared(emb, idCol, vecCol)
+
+    // seed centroids: the first numCells vectors (deterministic);
+    // one Lloyd iteration: assign-all → per-cell elementwise mean
+    val seeds = e.where(col(idCol) < numCells)
+      .select(col(idCol).cast("int").as("cell"), col("__e").as("__c"))
+    def nearestCell(vecs: DataFrame, cents: DataFrame, outCol: String): DataFrame = {
+      val w = Window.partitionBy(idCol).orderBy(col("__sim").desc, col("cell"))
+      vecs.join(broadcast(cents), expr("true"))
+        .withColumn("__sim", expr("graft_dot(__e, __c)") /
+          (col("__norm") * sqrt(aggregate(transform(col("__c"), x => x * x), lit(0.0), (acc, x) => acc + x))))
+        .withColumn("__rk", row_number().over(w))
+        .where(col("__rk") <= 1)
+        .select(col(idCol), col("cell").as(outCol))
+    }
+    val assigned0 = nearestCell(e, seeds, "cell0")
+    val centroids = e.join(assigned0, Seq(idCol))
+      .select(col("cell0").as("cell"), posexplode(col("__e")).as(Seq("pos", "v")))
+      .groupBy("cell", "pos")
+      .agg(avg("v").as("v"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("__pv"))
+      .select(col("cell"), expr("transform(__pv, s -> s.v)").as("__c"))
+
+    // final assignment + query-side probe list (nprobe nearest cells)
+    val assigned = nearestCell(e, centroids, "cell")
+    val wProbe = Window.partitionBy(idCol).orderBy(col("__sim").desc, col("cell"))
+    val probes = e.join(broadcast(centroids), expr("true"))
+      .withColumn("__sim", expr("graft_dot(__e, __c)") /
+        (col("__norm") * sqrt(aggregate(transform(col("__c"), x => x * x), lit(0.0), (acc, x) => acc + x))))
+      .withColumn("__rk", row_number().over(wProbe))
+      .where(col("__rk") <= nprobe)
+      .select(col(idCol).as("vec_id"), col("cell"))
+
+    val members = assigned.select(col(idCol).as("neighbor_id"), col("cell"))
+    val cands = probes.join(members, Seq("cell"))
+      .where(col("vec_id") =!= col("neighbor_id"))
+      .select("vec_id", "neighbor_id")
+      .distinct()
+
+    val pairs = cands
+      .join(e.select(col(idCol).as("vec_id"), col("__e").as("__ea"), col("__norm").as("__na")), Seq("vec_id"))
+      .join(e.select(col(idCol).as("neighbor_id"), col("__e").as("__eb"), col("__norm").as("__nb")), Seq("neighbor_id"))
+      .withColumn("cosine", round(expr("graft_dot(__ea, __eb)") / (col("__na") * col("__nb")), 6))
+    val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("vec_id", "neighbor_id", "cosine", "rank")
+  }
 }

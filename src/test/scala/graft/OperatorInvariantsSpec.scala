@@ -84,6 +84,28 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(agree * 100 >= joined.count() * 50, s"LSH top-1 agreement too low: $agree")
   }
 
+  test("q31: IVF top-1 agrees with brute force for most vectors") {
+    val bf = SparkEntry.q20KnnCosine(spark, SfDir).where(col("rank") === 1)
+      .select(col("vec_id"), col("neighbor_id").as("bf_nn"))
+    val ivf = SparkEntry.q31IvfKnn(spark, SfDir).where(col("rank") === 1)
+      .select(col("vec_id"), col("neighbor_id").as("ivf_nn"))
+    val joined = bf.join(ivf, Seq("vec_id"))
+    assert(joined.count() == bf.count(), "IVF must return a top-1 for every vector")
+    val agree = joined.where(col("bf_nn") === col("ivf_nn")).count()
+    assert(agree * 100 >= joined.count() * 50, s"IVF top-1 agreement too low: $agree")
+  }
+
+  test("salted join equals the plain join") {
+    import graft.operators.Salting
+    val t = Tables.transfers(spark, SfDir)
+    val dim = Tables.transfers(spark, SfDir)
+      .groupBy("asset").agg(count(lit(1)).as("asset_rows"))
+    val plain = t.join(dim, Seq("asset"))
+    val salted = Salting.saltedJoin(t, dim, Seq("asset"), salts = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0)
+  }
+
   test("q23: ppm ratios stay in [0, 1e6] and score is their combination") {
     val df = SparkEntry.q23QualityScore(spark, SfDir)
     val bad = df.where(
