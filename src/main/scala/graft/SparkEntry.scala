@@ -429,8 +429,8 @@ object SparkEntry {
         |)
         |SELECT asset, date, price FROM flagged
         |WHERE NOT COALESCE(
-        |  (price / prev_price < 0.8 AND next_price / prev_price > 0.9)
-        |  OR (price = 0 AND prev_price > 0 AND next_price > 0 AND next_price / prev_price > 0.9),
+        |  (price / NULLIF(prev_price, 0) < 0.8 AND next_price / NULLIF(prev_price, 0) > 0.9)
+        |  OR (price = 0 AND prev_price > 0 AND next_price > 0 AND next_price / NULLIF(prev_price, 0) > 0.9),
         |  FALSE)""".stripMargin,
 
     "q6_exclusion_antijoin" ->

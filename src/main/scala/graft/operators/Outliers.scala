@@ -27,8 +27,12 @@ object Outliers {
     val prev = lag(p, 1).over(w)
     val next = lead(p, 1).over(w)
 
-    val pctDip = (p / prev < dipThreshold) && (next / prev > recoveryThreshold)
-    val zeroDip = (p === 0) && (prev > 0) && (next > 0) && (next / prev > recoveryThreshold)
+    // nullif guards prev == 0: ANSI mode would raise DIVIDE_BY_ZERO,
+    // while the reference's pandas inf/NaN comparisons land on "keep
+    // the row" — null comparisons below coalesce to the same outcome
+    val prevNz = nullif(prev, lit(0))
+    val pctDip = (p / prevNz < dipThreshold) && (next / prevNz > recoveryThreshold)
+    val zeroDip = (p === 0) && (prev > 0) && (next > 0) && (next / prevNz > recoveryThreshold)
 
     // null lag/lead (series edges) make the comparisons null ⇒ kept,
     // matching the pandas NaN-comparison-is-False behavior under ~mask
