@@ -310,6 +310,11 @@ object SparkEntry {
   def q31IvfKnn(spark: SparkSession, dir: String): DataFrame =
     Ann.ivfKnn(Tables.embeddings(spark, dir), "vec_id", "embedding", k = 5)
 
+  /** q32: composed near-dup pipeline — LSH candidates → Jaccard
+    * verify → min-label clustering → keeper per doc (rows-only). */
+  def q32NearDupKeepers(spark: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupKeepers(Tables.documents(spark, dir), "doc_id", "text")
+
   // ---------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------
@@ -344,7 +349,8 @@ object SparkEntry {
     "q28_json_normalize"         -> (q28JsonNormalize _),
     "q29_incremental_upsert"     -> (q29IncrementalUpsert _),
     "q30_entity_resolution"      -> (q30EntityResolution _),
-    "q31_ivf_knn"                -> (q31IvfKnn _)
+    "q31_ivf_knn"                -> (q31IvfKnn _),
+    "q32_neardup_keepers"        -> (q32NearDupKeepers _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -46,6 +46,9 @@ object Ann {
     val pairs = a
       .join(broadcast(b), col("vec_id") =!= col("neighbor_id"))
       .withColumn("cosine", round(expr("graft_dot(__ea, __eb)") / (col("__na") * col("__nb")), 6))
+      // drop the embedding arrays BEFORE the window shuffle: the rank
+      // exchange then moves 24-byte rows instead of ~1 KB rows
+      .select("vec_id", "neighbor_id", "cosine")
     val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("neighbor_id"))
     pairs
       .withColumn("rank", row_number().over(w))

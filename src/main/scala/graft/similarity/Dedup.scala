@@ -155,4 +155,53 @@ object Dedup {
       .agg(sum(bit_count(col("__sa").bitwiseXOR(col("__sb")))).as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
+
+  /** The composed near-duplicate pipeline a training-data curation
+    * pass actually runs: cheap LSH candidate generation → exact
+    * Jaccard verification on candidates only → cluster formation →
+    * one keeper per cluster.
+    *
+    * Clustering is iterative min-label propagation over the verified
+    * pair graph (each round: label ← min(label, neighbors' labels));
+    * near-dup clusters are shallow (dupes of a common source), so a
+    * handful of rounds converges — `maxIters` bounds the work, and
+    * each round is one join + one aggregation on the doc id. Returns
+    * (doc_id, keeper_id, is_keeper) for every document.
+    */
+  def nearDupKeepers(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      maxIters: Int = 5): DataFrame = {
+    val cands = minhashLsh(docs, idCol, textCol).select("doc_a", "doc_b")
+    val sh = shingles(docs, idCol, textCol)
+    val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    val verified = cands
+      .join(sh.select(col(idCol).as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col(idCol).as("doc_b"), col("shingle").as("__s2")), Seq("doc_b"))
+      .where(col("shingle") === col("__s2"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("__i"))
+      .join(counts.select(col(idCol).as("doc_a"), col("__n").as("__na")), Seq("doc_a"))
+      .join(counts.select(col(idCol).as("doc_b"), col("__n").as("__nb")), Seq("doc_b"))
+      .where(col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")) >= threshold)
+      .select("doc_a", "doc_b")
+
+    // undirected edge list, both directions, for label propagation
+    val edges = verified
+      .unionByName(verified.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var labels = docs.select(col(idCol), col(idCol).as("keeper_id"))
+    for (_ <- 1 to maxIters) {
+      val propagated = labels
+        .join(edges, labels(idCol) === edges("doc_a"), "left")
+        .join(
+          labels.select(col(idCol).as("__nbr"), col("keeper_id").as("__nbr_label")),
+          col("doc_b") === col("__nbr"), "left")
+        .groupBy(col(idCol))
+        .agg(least(min("keeper_id"), coalesce(min("__nbr_label"), min("keeper_id"))).as("keeper_id"))
+      labels = propagated
+    }
+    labels.withColumn("is_keeper", col("keeper_id") === col(idCol))
+  }
 }

@@ -117,6 +117,23 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("q32: near-dup keepers cover every doc and collapse verified pairs") {
+    val keepers = SparkEntry.q32NearDupKeepers(spark, SfDir).cache()
+    val nDocs = Tables.documents(spark, SfDir).count()
+    assert(keepers.count() == nDocs, "one row per document")
+    // every jaccard-verified pair that minhash recalled must share a keeper
+    val truth = SparkEntry.q17DedupNgramJaccard(spark, SfDir).select("doc_a", "doc_b")
+    val recalled = SparkEntry.q18DedupMinhash(spark, SfDir)
+      .join(truth, Seq("doc_a", "doc_b")).select("doc_a", "doc_b")
+    val split = recalled
+      .join(keepers.select(col("doc_id").as("doc_a"), col("keeper_id").as("ka")), Seq("doc_a"))
+      .join(keepers.select(col("doc_id").as("doc_b"), col("keeper_id").as("kb")), Seq("doc_b"))
+      .where(col("ka") =!= col("kb"))
+      .count()
+    assert(split == 0, "verified near-dup pair ended in different clusters")
+    keepers.unpersist()
+  }
+
   test("q27: stubbed decode is deterministic and total") {
     val a = SparkEntry.q27MultimodalMeta(spark, SfDir)
     val b = SparkEntry.q27MultimodalMeta(spark, SfDir)
