@@ -188,9 +188,13 @@ object Dedup {
       .where(col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")) >= threshold)
       .select("doc_a", "doc_b")
 
-    // undirected edge list, both directions, for label propagation
+    // undirected edge list, both directions, for label propagation.
+    // Persisted: every propagation round joins against it — without
+    // this the final plan re-derives the whole LSH+verify subtree
+    // once per iteration.
     val edges = verified
       .unionByName(verified.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = docs.select(col(idCol), col(idCol).as("keeper_id"))
     for (_ <- 1 to maxIters) {
       val propagated = labels
@@ -200,7 +204,10 @@ object Dedup {
           col("doc_b") === col("__nbr"), "left")
         .groupBy(col(idCol))
         .agg(least(min("keeper_id"), coalesce(min("__nbr_label"), min("keeper_id"))).as("keeper_id"))
-      labels = propagated
+      // truncate lineage each round (iterative-algorithm hygiene: the
+      // plan would otherwise nest one join tree per iteration; on a
+      // cluster use checkpoint() to reliable storage instead)
+      labels = propagated.localCheckpoint()
     }
     labels.withColumn("is_keeper", col("keeper_id") === col(idCol))
   }

@@ -19,6 +19,25 @@ import graft.operators.WindowOps
   */
 object Ingest {
 
+  /** Schema-enforced CSV reader (macro_trends_upload's CSV→typed
+    * table path): explicit DDL schema (never inferSchema — a schema
+    * inference pass reads the data twice and types drift run-to-run),
+    * corrupt rows quarantined into `_corrupt_record` instead of
+    * failing the job. */
+  def readCsv(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      ddl: String,
+      header: Boolean = true,
+      timestampFormat: String = "yyyy-MM-dd HH:mm:ss"): DataFrame =
+    spark.read
+      .schema(ddl + ", _corrupt_record STRING")
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("timestampFormat", timestampFormat)
+      .csv(path)
+
   /** Parse a JSON string column against a DDL schema and lift every
     * top-level field alongside the original columns
     * (coingecko_parse_json's metadata extraction, minus the driver
