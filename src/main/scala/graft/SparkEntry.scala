@@ -168,11 +168,14 @@ object SparkEntry {
     sourceA.unionByName(sourceB.join(sourceA.select("asset", "date"), Seq("asset", "date"), "left_anti"))
   }
 
-  /** q12: join+filter+agg+topk (TPC-H Q3 shape; broadcast + pushdown). */
+  /** q12: join+filter+agg+topk (TPC-H Q3 shape; pushdown + AQE-chosen
+    * join strategy — customer is NOT hint-broadcast: at 100 TB it is
+    * a fact-sized table, and AQE will still broadcast it at small SF
+    * once the mktsegment filter shrinks it below the threshold). */
   def q12ShippingPriority(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .where(col("c_mktsegment") === "BUILDING" &&
         col("o_orderdate") < lit("1999-01-01") && col("l_shipdate") > lit("1996-01-01"))
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -182,12 +185,15 @@ object SparkEntry {
       .select(col("l_orderkey"), col("revenue"),
         to_date(col("o_orderdate")).as("o_orderdate"), col("o_orderpriority"))
 
-  /** q13: multi-join star aggregate (TPC-H Q5 shape; join ordering). */
+  /** q13: multi-join star aggregate (TPC-H Q5 shape; join ordering).
+    * Only the bounded dims (nation, region) carry broadcast hints;
+    * supplier/customer scale with the fact side, so their strategy is
+    * left to AQE. */
   def q13MarketShare(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.supplier(spark, dir)),
+      .join(Tables.supplier(spark, dir),
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
