@@ -8,12 +8,14 @@ import graft.functions.GraftFunctions
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
-  * Per-pair dot products (the O(n²) hot path) use the native
-  * codegen'd [[graft.functions.DotProduct]] expression; per-row
-  * norms and bucketing projections stay on `zip_with` + `aggregate`
-  * higher-order functions, whose interpreter cost is irrelevant at
-  * O(n). Float32 inputs are widened to double before summation so
-  * the result is reproducible and oracle-comparable at 6 decimals.
+  * Every dot product — per-pair scoring, norms, hyperplane and
+  * centroid projections — goes through the native codegen'd
+  * [[graft.functions.DotProduct]] expression via `call_function`
+  * (the `aggregate`/`zip_with` HOF spelling is semantically identical
+  * but runs the expression interpreter per row, which dominated
+  * these queries). Float32 inputs are widened to double before
+  * summation so the result is reproducible and oracle-comparable at
+  * 6 decimals.
   *
   * `bruteForceKnn` is the O(n²) correctness baseline (the small side
   * broadcasts, so it is a single broadcast-nested-loop stage);
@@ -24,15 +26,18 @@ import graft.functions.GraftFunctions
   */
 object Ann {
 
-  /** Elementwise dot product of two double-array columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Elementwise dot product via the codegen'd graft_dot expression
+    * (the session must have called GraftFunctions.register; every
+    * public entry point here does). The `aggregate`/`zip_with` HOF
+    * spelling is semantically identical but interpreted per row. */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
-  private def prepared(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+  private def prepared(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
     emb
       .select(col(idCol), transform(col(vecCol), x => x.cast("double")).as("__e"))
-      .withColumn("__norm", sqrt(aggregate(
-        transform(col("__e"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+      .withColumn("__norm", sqrt(dot(col("__e"), col("__e"))))
+  }
 
   /** Exact cosine top-k per vector via doc×doc comparison.
     * Correctness baseline + small-collection path; at scale use
@@ -45,7 +50,7 @@ object Ann {
     GraftFunctions.register(emb.sparkSession)
     val pairs = a
       .join(broadcast(b), col("vec_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(expr("graft_dot(__ea, __eb)") / (col("__na") * col("__nb")), 6))
+      .withColumn("cosine", round(dot(col("__ea"), col("__eb")) / (col("__na") * col("__nb")), 6))
       // drop the embedding arrays BEFORE the window shuffle: the rank
       // exchange then moves 24-byte rows instead of ~1 KB rows
       .select("vec_id", "neighbor_id", "cosine")
@@ -69,8 +74,8 @@ object Ann {
     // check then runs only on survivors (epsilon guards the boundary)
     a.join(broadcast(b),
         col("vec_a") < col("vec_b") &&
-          expr("graft_dot(__ea, __eb)") >= lit(threshold - 1e-6) * col("__na") * col("__nb"))
-      .withColumn("cosine", round(expr("graft_dot(__ea, __eb)") / (col("__na") * col("__nb")), 6))
+          dot(col("__ea"), col("__eb")) >= lit(threshold - 1e-6) * col("__na") * col("__nb"))
+      .withColumn("cosine", round(dot(col("__ea"), col("__eb")) / (col("__na") * col("__nb")), 6))
       .where(col("cosine") >= threshold)
       .select("vec_a", "vec_b", "cosine")
   }
@@ -122,7 +127,7 @@ object Ann {
     val pairs = cands
       .join(v.select(col(idCol).as("vec_id"), col("__e").as("__ea"), col("__norm").as("__na")), Seq("vec_id"))
       .join(v.select(col(idCol).as("neighbor_id"), col("__e").as("__eb"), col("__norm").as("__nb")), Seq("neighbor_id"))
-      .withColumn("cosine", round(expr("graft_dot(__ea, __eb)") / (col("__na") * col("__nb")), 6))
+      .withColumn("cosine", round(dot(col("__ea"), col("__eb")) / (col("__na") * col("__nb")), 6))
     val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("neighbor_id"))
     pairs
       .withColumn("rank", row_number().over(w))
@@ -159,8 +164,8 @@ object Ann {
     def nearestCell(vecs: DataFrame, cents: DataFrame, outCol: String): DataFrame = {
       val w = Window.partitionBy(idCol).orderBy(col("__sim").desc, col("cell"))
       vecs.join(broadcast(cents), expr("true"))
-        .withColumn("__sim", expr("graft_dot(__e, __c)") /
-          (col("__norm") * sqrt(aggregate(transform(col("__c"), x => x * x), lit(0.0), (acc, x) => acc + x))))
+        .withColumn("__sim", dot(col("__e"), col("__c")) /
+          (col("__norm") * sqrt(dot(col("__c"), col("__c")))))
         .withColumn("__rk", row_number().over(w))
         .where(col("__rk") <= 1)
         .select(col(idCol), col("cell").as(outCol))
@@ -178,8 +183,8 @@ object Ann {
     val assigned = nearestCell(e, centroids, "cell")
     val wProbe = Window.partitionBy(idCol).orderBy(col("__sim").desc, col("cell"))
     val probes = e.join(broadcast(centroids), expr("true"))
-      .withColumn("__sim", expr("graft_dot(__e, __c)") /
-        (col("__norm") * sqrt(aggregate(transform(col("__c"), x => x * x), lit(0.0), (acc, x) => acc + x))))
+      .withColumn("__sim", dot(col("__e"), col("__c")) /
+        (col("__norm") * sqrt(dot(col("__c"), col("__c")))))
       .withColumn("__rk", row_number().over(wProbe))
       .where(col("__rk") <= nprobe)
       .select(col(idCol).as("vec_id"), col("cell"))
@@ -193,7 +198,7 @@ object Ann {
     val pairs = cands
       .join(e.select(col(idCol).as("vec_id"), col("__e").as("__ea"), col("__norm").as("__na")), Seq("vec_id"))
       .join(e.select(col(idCol).as("neighbor_id"), col("__e").as("__eb"), col("__norm").as("__nb")), Seq("neighbor_id"))
-      .withColumn("cosine", round(expr("graft_dot(__ea, __eb)") / (col("__na") * col("__nb")), 6))
+      .withColumn("cosine", round(dot(col("__ea"), col("__eb")) / (col("__na") * col("__nb")), 6))
     val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("neighbor_id"))
     pairs
       .withColumn("rank", row_number().over(w))
