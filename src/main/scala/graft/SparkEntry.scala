@@ -321,6 +321,20 @@ object SparkEntry {
   def q32NearDupKeepers(spark: SparkSession, dir: String): DataFrame =
     Dedup.nearDupKeepers(Tables.documents(spark, dir), "doc_id", "text")
 
+  /** q33: balance-over-supply exclusion
+    * (core_coin_wallet_transfers.py:334-385); supply dim derived
+    * deterministically per asset. */
+  def q33SupplyOverage(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.transfersWithBalance(spark, dir).drop("transfer_sequence")
+    val supply = b.groupBy("asset").agg(round(max("balance") * 0.9, 6).as("supply"))
+    Balances.supplyOverageFilter(b, supply, "asset", "wallet", "balance", "supply",
+      maxOverageWallets = 3)
+      .select(
+        col("asset"), col("wallet"), col("date"),
+        round(col("net_transfers"), 6).as("net_transfers"),
+        round(col("balance"), 6).as("balance"))
+  }
+
   // ---------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------
@@ -356,7 +370,8 @@ object SparkEntry {
     "q29_incremental_upsert"     -> (q29IncrementalUpsert _),
     "q30_entity_resolution"      -> (q30EntityResolution _),
     "q31_ivf_knn"                -> (q31IvfKnn _),
-    "q32_neardup_keepers"        -> (q32NearDupKeepers _)
+    "q32_neardup_keepers"        -> (q32NearDupKeepers _),
+    "q33_supply_overage"         -> (q33SupplyOverage _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -765,6 +780,27 @@ object SparkEntry {
         |  COALESCE(a.first_seen, b.first_seen) AS first_seen,
         |  (CASE WHEN a.user_id IS NOT NULL THEN 1 ELSE 0 END
         |   + CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS n_sources
-        |FROM src0 a FULL OUTER JOIN src1 b ON a.user_id = b.user_id""".stripMargin
+        |FROM src0 a FULL OUTER JOIN src1 b ON a.user_id = b.user_id""".stripMargin,
+
+    "q33_supply_overage" ->
+      s"""WITH $transfersCte, $balancesCte,
+         |supply AS (
+         |  SELECT asset, ROUND(MAX(balance) * 0.9, 6) AS supply FROM balances GROUP BY 1
+         |),
+         |overage_pairs AS (
+         |  SELECT DISTINCT b.asset, b.wallet
+         |  FROM balances b JOIN supply s ON s.asset = b.asset
+         |  WHERE b.balance > s.supply
+         |),
+         |overage_keys AS (
+         |  SELECT asset FROM overage_pairs GROUP BY 1 HAVING COUNT(*) >= 3
+         |)
+         |SELECT b.asset, b.wallet, b.date,
+         |  ROUND(b.net_transfers, 6) AS net_transfers,
+         |  ROUND(b.balance, 6) AS balance
+         |FROM balances b
+         |WHERE NOT EXISTS (SELECT 1 FROM overage_pairs p
+         |                  WHERE p.asset = b.asset AND p.wallet = b.wallet)
+         |  AND NOT EXISTS (SELECT 1 FROM overage_keys k WHERE k.asset = b.asset)""".stripMargin
   )
 }

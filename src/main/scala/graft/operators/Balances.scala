@@ -42,6 +42,34 @@ object Balances {
       .drop("__lowest", "__wallets", "__neg_wallets")
   }
 
+  /** Drop (key, wallet) pairs whose balance ever exceeded the key's
+    * total supply, and every wallet of a key with ≥ maxOverageWallets
+    * such wallets (bad-supply-metadata signal;
+    * core_coin_wallet_transfers.py:334-385). supply is a per-key dim
+    * (broadcast-size) joined once; both exclusion sets are anti-joins
+    * on the fact's natural keys. */
+  def supplyOverageFilter(
+      df: DataFrame,
+      supply: DataFrame,
+      keyCol: String,
+      walletCol: String,
+      balanceCol: String,
+      supplyCol: String,
+      maxOverageWallets: Int = 5): DataFrame = {
+    val overagePairs = df
+      .join(broadcast(supply), Seq(keyCol))
+      .where(col(balanceCol) > col(supplyCol))
+      .select(keyCol, walletCol)
+      .distinct()
+    val overageKeys = overagePairs
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("__overage_wallets"))
+      .where(col("__overage_wallets") >= maxOverageWallets)
+      .select(keyCol)
+    df.join(overagePairs, Seq(keyCol, walletCol), "left_anti")
+      .join(overageKeys, Seq(keyCol), "left_anti")
+  }
+
   /** Classify a balance into small/medium/whale buckets with
     * pd.cut-compatible right-closed bins: (-inf, small] / (small,
     * whale] / (whale, inf). */
