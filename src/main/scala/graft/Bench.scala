@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -17,17 +18,18 @@ object Bench {
     }
     // min of two timed runs per query: local[32] scheduling/GC noise
     // swings single runs by ±50% on the heavy similarity queries
+    // a throwing query records -1 (failure marker), never a fast time
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t = math.min(timeOnce(fn), timeOnce(fn))
+      val (a, b) = (timeOnce(fn), timeOnce(fn))
       // drop persisted intermediates (e.g. q10's) so they don't eat
       // executor memory under later queries
       spark.catalog.clearCache()
-      name -> t
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

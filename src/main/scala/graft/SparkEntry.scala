@@ -681,10 +681,13 @@ object SparkEntry {
         |) WHERE jaccard >= 0.8""".stripMargin,
 
     "q20_knn_cosine" ->
-      """WITH pairs AS (
+      """WITH nz AS (
+        |  SELECT * FROM embeddings WHERE len(list_filter(embedding, x -> x <> 0)) > 0
+        |),
+        |pairs AS (
         |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
         |    ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |  FROM nz a JOIN nz b ON a.vec_id <> b.vec_id
         |)
         |SELECT vec_id, neighbor_id, cosine, rank FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
@@ -742,10 +745,13 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "q26_embedding_dedup" ->
-      """SELECT vec_a, vec_b, cosine FROM (
+      """WITH nz AS (
+        |  SELECT * FROM embeddings WHERE len(list_filter(embedding, x -> x <> 0)) > 0
+        |)
+        |SELECT vec_a, vec_b, cosine FROM (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |    ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  FROM nz a JOIN nz b ON a.vec_id < b.vec_id
         |) WHERE cosine >= 0.4""".stripMargin,
 
     "q28_json_normalize" ->
@@ -790,7 +796,7 @@ object SparkEntry {
          |overage_pairs AS (
          |  SELECT DISTINCT b.asset, b.wallet
          |  FROM balances b JOIN supply s ON s.asset = b.asset
-         |  WHERE b.balance > s.supply
+         |  WHERE ROUND(b.balance, 6) > s.supply
          |),
          |overage_keys AS (
          |  SELECT asset FROM overage_pairs GROUP BY 1 HAVING COUNT(*) >= 3

@@ -25,7 +25,10 @@ object Tables {
     * timestamp here (ordering- and day-truncation-preserving). */
   private def nanosToTs(df: DataFrame, c: String): DataFrame =
     if (df.schema(c).dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn(c, timestamp_micros((col(c) / 1000L).cast("long")))
+      // integer div, not `/` (double division): epoch-nanos ~1.7e18
+      // exceed double's 2^53 exact range, and a 256ns ulp error could
+      // flip a microsecond (ordering ties, midnight day boundaries)
+      df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
     else df
 
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")

@@ -16,10 +16,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete(): Unit
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
+      val target = new java.io.File(s"$outDir/$name")
+      // pre-delete: a failure must never leave a previous run's result
+      // in place for the driver's compare to validate as current
+      deleteRec(target)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        deleteRec(target)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -56,9 +56,12 @@ object Balances {
       balanceCol: String,
       supplyCol: String,
       maxOverageWallets: Int = 5): DataFrame = {
+    // threshold on the ROUNDED balance: the raw window sum's last bits
+    // are accumulation-order-dependent, so a balance lying exactly on
+    // the supply cutoff could classify differently across engines
     val overagePairs = df
       .join(broadcast(supply), Seq(keyCol))
-      .where(col(balanceCol) > col(supplyCol))
+      .where(round(col(balanceCol), 6) > col(supplyCol))
       .select(keyCol, walletCol)
       .distinct()
     val overageKeys = overagePairs

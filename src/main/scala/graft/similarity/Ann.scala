@@ -37,6 +37,10 @@ object Ann {
     emb
       .select(col(idCol), transform(col(vecCol), x => x.cast("double")).as("__e"))
       .withColumn("__norm", sqrt(dot(col("__e"), col("__e"))))
+      // cosine is undefined for the zero vector, and the engines
+      // disagree on 0/0 (Spark non-ANSI NULL vs DuckDB NaN, which
+      // sorts ABOVE everything) — excluded on both sides of the oracle
+      .where(col("__norm") > 0)
   }
 
   /** Exact cosine top-k per vector via doc×doc comparison.
