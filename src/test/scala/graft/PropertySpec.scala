@@ -1,0 +1,131 @@
+package graft
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{GapFill, WindowOps}
+import graft.sources.Ingest
+import graft.text.TextOps
+
+case class Obs(k: String, date: Date, v: Double)
+case class Ver(k: Long, ver: Long, payload: Long)
+
+/** Property-based checks: operators vs independent in-Scala reference
+  * implementations on randomized inputs — coverage the fixed testdata
+  * can't give (degenerate keys, single-row groups, adversarial gaps).
+  */
+class PropertySpec extends SparkSpec {
+
+  // scalacheck generators driven directly with fixed seeds (the
+  // scalatest<->scalacheck bridge artifact is not on the offline
+  // classpath); 5 deterministic cases per property
+  private val params = Gen.Parameters.default.withSize(40)
+  private def forAll[T](g: Gen[T])(body: T => Unit): Unit =
+    (0 until 5).foreach(i => g.apply(params, Seed(42L + i)).foreach(body))
+  private def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
+
+  private val day0 = Date.valueOf("2024-01-01").toLocalDate
+
+  private val obsGen: Gen[List[Obs]] = Gen.listOf(for {
+    k <- Gen.oneOf("a", "b", "c")
+    d <- Gen.choose(0, 20)
+    v <- Gen.choose(1, 999)
+  } yield Obs(k, Date.valueOf(day0.plusDays(d)), v.toDouble))
+
+  test("GapFill: dense calendar, observed rows preserved, ffill correct") {
+    import spark.implicits._
+    forAll(obsGen) { rows =>
+      val distinctRows = rows.groupBy(r => (r.k, r.date)).map(_._2.head).toList
+      whenever(distinctRows.nonEmpty) {
+        val df = distinctRows.toDF("k", "date", "v")
+        val out = GapFill.fillDaily(df, Seq("k"), "date", Seq("v"), Seq.empty)
+          .select("k", "date", "v", "days_imputed")
+          .collect()
+          .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getDouble(2),
+            if (r.isNullAt(3)) None else Some(r.getInt(3).toLong)))
+
+        val globalMax = distinctRows.map(_.date.toLocalDate).max(Ordering.by[java.time.LocalDate, Long](_.toEpochDay))
+        distinctRows.groupBy(_.k).foreach { case (k, krows) =>
+          val obs = krows.map(r => r.date.toLocalDate -> r.v).toMap
+          val d0 = krows.map(_.date.toLocalDate).minBy(_.toEpochDay)
+          val expectDates = Iterator.iterate(d0)(_.plusDays(1))
+            .takeWhile(!_.isAfter(globalMax)).toList
+          val got = out.filter(_._1 == k).sortBy(_._2.toEpochDay)
+          assert(got.map(_._2).toList == expectDates, s"calendar holes for key $k")
+          var lastV = Double.NaN
+          var streak = 0L
+          got.foreach { case (_, d, v, imputed) =>
+            if (obs.contains(d)) {
+              lastV = obs(d); streak = 0
+              assert(v == lastV && imputed.isEmpty, s"observed row altered at $k/$d")
+            } else {
+              streak += 1
+              assert(v == lastV, s"ffill wrong at $k/$d")
+              assert(imputed.contains(streak), s"days_imputed wrong at $k/$d")
+            }
+          }
+        }
+      }
+    }
+  }
+
+  test("keepLatest: equals in-Scala max-by-version per key") {
+    import spark.implicits._
+    forAll(Gen.listOf(for {
+      k <- Gen.choose(0L, 5L); v <- Gen.choose(0L, 100L); p <- Gen.choose(0L, 999L)
+    } yield Ver(k, v, p))) { rows =>
+      // unique (k, ver) so "latest" is well-defined on both sides
+      val uniq = rows.groupBy(r => (r.k, r.ver)).map(_._2.head).toList
+      whenever(uniq.nonEmpty) {
+        val (a, b) = uniq.partition(_.payload % 2 == 0)
+        val got = Ingest.keepLatest(
+          a.toDF("k", "ver", "payload"), b.toDF("k", "ver", "payload"),
+          keys = Seq("k"), versionCols = Seq(col("ver")))
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        val want = uniq.groupBy(_.k).map { case (k, g) =>
+          val top = g.maxBy(_.ver); k -> (top.ver, top.payload)
+        }
+        assert(got == want)
+      }
+    }
+  }
+
+  test("dedupeFirst keeps exactly the first row per key under the given order") {
+    import spark.implicits._
+    forAll(Gen.listOf(for {
+      k <- Gen.choose(0L, 4L); o <- Gen.choose(0L, 50L); p <- Gen.choose(0L, 999L)
+    } yield Ver(k, o, p))) { rows =>
+      val uniq = rows.groupBy(r => (r.k, r.ver)).map(_._2.head).toList
+      whenever(uniq.nonEmpty) {
+        val got = WindowOps.dedupeFirst(uniq.toDF("k", "ver", "payload"),
+          Seq("k"), Seq(col("ver")))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val want = uniq.groupBy(_.k).map { case (k, g) => k -> g.map(_.ver).min }
+        assert(got == want)
+      }
+    }
+  }
+
+  test("fingerprint matches an in-Scala reference fold") {
+    import spark.implicits._
+    val wordGen = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+    forAll(Gen.listOf(Gen.listOf(wordGen).map(_.mkString(" ")))) { texts =>
+      whenever(texts.nonEmpty) {
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val got = TextOps.fingerprint(df, "doc_id", "text")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val want = texts.zipWithIndex.map { case (t, i) =>
+          val h = t.split(" ", -1).foldLeft(0L) { (acc, w) =>
+            val cv = if (w.nonEmpty) w.head.toLong else 0L
+            (acc * 31L + w.length * 97L + cv) % 1000000007L
+          }
+          i.toLong -> h
+        }.toMap
+        assert(got == want)
+      }
+    }
+  }
+}
