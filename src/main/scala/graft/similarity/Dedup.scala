@@ -50,7 +50,10 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       threshold: Double = 0.8): DataFrame = {
+    // consumed three times (counts + both self-join sides); persist so
+    // the tokenize/shingle scan runs once, not per consumer
     val sh = shingles(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
     val inter = sh.as("a")
       .join(sh.as("b"),
