@@ -25,15 +25,20 @@ object Bench {
       catch { case _: Throwable => -1.0 }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val (a, b) = (timeOnce(fn), timeOnce(fn))
-      // drop persisted intermediates (e.g. q10's) so they don't eat
-      // executor memory under later queries
+      val a = timeOnce(fn)
+      // clear BETWEEN the two runs too: queries that persist an
+      // intermediate (q10/q17/q32) would otherwise serve run b from
+      // run a's cache and report the warm-read time as the query
+      spark.catalog.clearCache()
+      val b = timeOnce(fn)
       spark.catalog.clearCache()
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // failures (-1 markers) stay visible per-query but must not
+    // subtract from (or fake-improve) the headline total
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -390,9 +390,13 @@ object SparkEntry {
         |GROUP BY 1, 2""".stripMargin,
 
     "q2_dedupe_rank" ->
+      // ORDER BY casts TIMESTAMP_NS -> TIMESTAMP (microseconds): Spark
+      // has no nanosecond type, so sub-us components must tie-break by
+      // event_id on BOTH engines, not by nanos on one
       """SELECT user_id, event_type, event_id, value FROM (
         |  SELECT user_id, event_type, event_id, value,
-        |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
         |  FROM events
         |) WHERE rn = 1""".stripMargin,
 
@@ -764,7 +768,7 @@ object SparkEntry {
       """SELECT user_id, event_type, event_id, value FROM (
         |  SELECT user_id, event_type, event_id, value,
         |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |                            ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
         |  FROM events
         |) WHERE rn = 1""".stripMargin,
 

@@ -25,12 +25,18 @@ object Verify {
       // pre-delete: a failure must never leave a previous run's result
       // in place for the driver's compare to validate as current
       deleteRec(target)
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), not coalesce(1): coalesce would collapse the
+      // whole final stage (windows, aggs) into one task; repartition
+      // keeps upstream parallelism and only serializes the file write
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         deleteRec(target)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // queries that persist intermediates (q10/q17/q32) must not hold
+      // executor storage under the remaining queries
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

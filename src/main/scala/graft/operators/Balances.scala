@@ -77,7 +77,10 @@ object Balances {
     * pd.cut-compatible right-closed bins: (-inf, small] / (small,
     * whale] / (whale, inf). */
   def sizeBucket(balanceCol: String, smallMax: Double, whaleMin: Double) =
-    when(col(balanceCol) <= smallMax, "small_wallets")
+    // null balance → null bucket (counted nowhere); without the guard
+    // the otherwise-branch would count every missing balance as a whale
+    when(col(balanceCol).isNull, lit(null))
+      .when(col(balanceCol) <= smallMax, "small_wallets")
       .when(col(balanceCol) <= whaleMin, "medium_wallets")
       .otherwise("whale_wallets")
 

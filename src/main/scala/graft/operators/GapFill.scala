@@ -31,6 +31,8 @@ object GapFill {
       dateCol: String,
       ffillCols: Seq[String],
       zeroCols: Seq[String]): DataFrame = {
+    require(ffillCols.nonEmpty,
+      "fillDaily needs >= 1 ffill column: its nulls mark which calendar rows are imputed")
     val keyCols = keys.map(col)
 
     // per-key first date; global last date (all keys filled through it)

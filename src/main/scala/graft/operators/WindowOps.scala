@@ -41,12 +41,25 @@ object WindowOps {
   }
 
   /** Deterministic dense integer IDs for the distinct values of `key`,
-    * ordered by the key itself. One narrow shuffle on the key; at scale
-    * prefer assigning IDs once and appending only new keys (the
-    * reference preserves previously-issued IDs the same way).
+    * ordered by the key itself.
+    *
+    * NOT a global `row_number()` window — that funnels every distinct
+    * key through one partition. A range-partitioned sort followed by
+    * zipWithIndex assigns the identical ids distributively: the sort
+    * is the only shuffle, and the index is computed from per-partition
+    * offsets. At scale prefer assigning IDs once and appending only
+    * new keys (the reference preserves previously-issued IDs the same
+    * way).
     */
   def stableIds(df: DataFrame, key: String, idName: String): DataFrame = {
-    val w = Window.orderBy(key)
-    df.select(key).distinct().withColumn(idName, row_number().over(w))
+    val spark = df.sparkSession
+    val distinctSorted = df.select(key).distinct().orderBy(key)
+    val schema = org.apache.spark.sql.types.StructType(
+      distinctSorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(idName, org.apache.spark.sql.types.LongType, nullable = false))
+    val withIds = distinctSorted.rdd
+      .zipWithIndex()
+      .map { case (row, idx) => org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (idx + 1L)) }
+    spark.createDataFrame(withIds, schema)
   }
 }

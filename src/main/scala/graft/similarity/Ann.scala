@@ -117,7 +117,8 @@ object Ann {
       struct(lit(t).as("table"), bits.as("bucket"))
     }
 
-    val e = prepared(emb, idCol, vecCol)
+    val v = prepared(emb, idCol, vecCol)
+    val e = v
       .withColumn("__tb", explode(array(tableBuckets: _*)))
       .select(col(idCol), col("__tb.table").as("__table"), col("__tb.bucket").as("__bucket"))
     val cands = e.as("a")
@@ -127,7 +128,6 @@ object Ann {
       .select(col(s"a.$idCol").as("vec_id"), col(s"b.$idCol").as("neighbor_id"))
       .distinct()
 
-    val v = prepared(emb, idCol, vecCol)
     val pairs = cands
       .join(v.select(col(idCol).as("vec_id"), col("__e").as("__ea"), col("__norm").as("__na")), Seq("vec_id"))
       .join(v.select(col(idCol).as("neighbor_id"), col("__e").as("__eb"), col("__norm").as("__nb")), Seq("neighbor_id"))
@@ -183,17 +183,20 @@ object Ann {
       .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("__pv"))
       .select(col("cell"), expr("transform(__pv, s -> s.v)").as("__c"))
 
-    // final assignment + query-side probe list (nprobe nearest cells)
-    val assigned = nearestCell(e, centroids, "cell")
+    // ONE ranked centroid-projection pass serves both roles: rank 1 is
+    // the vector's cell assignment, ranks 1..nprobe are the query-side
+    // probe list (a second nearestCell call would redo the whole
+    // O(n·numCells) cross join)
     val wProbe = Window.partitionBy(idCol).orderBy(col("__sim").desc, col("cell"))
-    val probes = e.join(broadcast(centroids), expr("true"))
+    val ranked = e.join(broadcast(centroids), expr("true"))
       .withColumn("__sim", dot(col("__e"), col("__c")) /
         (col("__norm") * sqrt(dot(col("__c"), col("__c")))))
       .withColumn("__rk", row_number().over(wProbe))
       .where(col("__rk") <= nprobe)
-      .select(col(idCol).as("vec_id"), col("cell"))
-
-    val members = assigned.select(col(idCol).as("neighbor_id"), col("cell"))
+      .select(col(idCol), col("cell"), col("__rk"))
+    val probes = ranked.select(col(idCol).as("vec_id"), col("cell"))
+    val members = ranked.where(col("__rk") === 1)
+      .select(col(idCol).as("neighbor_id"), col("cell"))
     val cands = probes.join(members, Seq("cell"))
       .where(col("vec_id") =!= col("neighbor_id"))
       .select("vec_id", "neighbor_id")

@@ -178,7 +178,10 @@ object Dedup {
       threshold: Double = 0.8,
       maxIters: Int = 5): DataFrame = {
     val cands = minhashLsh(docs, idCol, textCol).select("doc_a", "doc_b")
+    // three consumers (counts + both verification join sides), same as
+    // in ngramJaccardPairs — persist so the shingle scan runs once
     val sh = shingles(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
     val verified = cands
       .join(sh.select(col(idCol).as("doc_a"), col("shingle")), Seq("doc_a"))
