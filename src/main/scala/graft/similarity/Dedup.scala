@@ -202,7 +202,9 @@ object Dedup {
       .unionByName(verified.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = docs.select(col(idCol), col(idCol).as("keeper_id"))
-    for (_ <- 1 to maxIters) {
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
       val propagated = labels
         .join(edges, labels(idCol) === edges("doc_a"), "left")
         .join(
@@ -210,10 +212,20 @@ object Dedup {
           col("doc_b") === col("__nbr"), "left")
         .groupBy(col(idCol))
         .agg(least(min("keeper_id"), coalesce(min("__nbr_label"), min("keeper_id"))).as("keeper_id"))
-      // truncate lineage each round (iterative-algorithm hygiene: the
-      // plan would otherwise nest one join tree per iteration; on a
-      // cluster use checkpoint() to reliable storage instead)
-      labels = propagated.localCheckpoint()
+        // truncate lineage each round (iterative-algorithm hygiene:
+        // the plan would otherwise nest one join tree per iteration;
+        // on a cluster use checkpoint() to reliable storage instead)
+        .localCheckpoint()
+      // near-dup components are mostly cliques (diameter 1), so the
+      // fixpoint usually lands after one round — stop there instead
+      // of paying maxIters jobs; the check is a cheap join on the
+      // checkpointed label tables
+      converged = propagated.as("n")
+        .join(labels.as("o"), Seq(idCol))
+        .where(col("n.keeper_id") =!= col("o.keeper_id"))
+        .isEmpty
+      labels = propagated
+      iter += 1
     }
     labels.withColumn("is_keeper", col("keeper_id") === col(idCol))
   }
