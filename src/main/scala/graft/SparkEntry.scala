@@ -335,6 +335,26 @@ object SparkEntry {
         round(col("balance"), 6).as("balance"))
   }
 
+  /** q34: gap-based sessionization of the event stream (30-min
+    * timeout; batch form of Structured Streaming's session_window). */
+  def q34Sessionize(spark: SparkSession, dir: String): DataFrame =
+    Sessionize.sessions(
+      Tables.events(spark, dir), "user_id", "ts",
+      order = Seq(col("ts"), col("event_id")))
+
+  /** q35: statistical rollup per event type — interpolated exact
+    * percentiles + moments (macro_trends-style distribution stats). */
+  def q35Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg("value"), 6).as("mean_value"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"),
+        round(stddev_samp(col("value")), 6).as("stddev_value"))
+
   // ---------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------
@@ -371,7 +391,9 @@ object SparkEntry {
     "q30_entity_resolution"      -> (q30EntityResolution _),
     "q31_ivf_knn"                -> (q31IvfKnn _),
     "q32_neardup_keepers"        -> (q32NearDupKeepers _),
-    "q33_supply_overage"         -> (q33SupplyOverage _)
+    "q33_supply_overage"         -> (q33SupplyOverage _),
+    "q34_sessionize"             -> (q34Sessionize _),
+    "q35_percentiles"            -> (q35Percentiles _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -811,6 +833,40 @@ object SparkEntry {
          |FROM balances b
          |WHERE NOT EXISTS (SELECT 1 FROM overage_pairs p
          |                  WHERE p.asset = b.asset AND p.wallet = b.wallet)
-         |  AND NOT EXISTS (SELECT 1 FROM overage_keys k WHERE k.asset = b.asset)""".stripMargin
+         |  AND NOT EXISTS (SELECT 1 FROM overage_keys k WHERE k.asset = b.asset)""".stripMargin,
+
+    "q34_sessionize" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |),
+        |numbered AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_id,
+        |  COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start,
+        |  MAX(ts) AS session_end,
+        |  epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+        |FROM numbered GROUP BY 1, 2""".stripMargin,
+
+    "q35_percentiles" ->
+      """SELECT event_type,
+        |  COUNT(*) AS n,
+        |  ROUND(AVG(value), 6) AS mean_value,
+        |  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(value, 0.9), 6) AS p90,
+        |  ROUND(quantile_cont(value, 0.99), 6) AS p99,
+        |  ROUND(stddev_samp(value), 6) AS stddev_value
+        |FROM events GROUP BY 1""".stripMargin
   )
 }
