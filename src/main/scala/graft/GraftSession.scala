@@ -9,12 +9,20 @@ import org.apache.spark.sql.SparkSession
   * shuffle parallelism for local mode, UTC session time.
   */
 object GraftSession {
-  def local(threads: Int = 32): SparkSession = {
+  def local(threads: Int = 32): SparkSession =
+    build(s"local[$threads]", threads)
+
+  /** The single tuned builder every graft entry point (tests, Verify,
+    * Bench, demos) goes through — one place for the parity-critical
+    * flags (UTC, nanosAsLong) and the scale posture (AQE + skew join),
+    * so a future required config cannot silently diverge between the
+    * verified and the benchmarked session. */
+  def build(master: String, shufflePartitions: Int): SparkSession = {
     val spark = SparkSession
       .builder()
-      .master(s"local[$threads]")
+      .master(master)
       .appName("graft")
-      .config("spark.sql.shuffle.partitions", threads)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -50,6 +50,10 @@ object Profits {
     //      branch re-derives the full transfers subtree from the raw
     //      events, which at 100 TB means re-scanning the fact table
     //      per branch. MEMORY_AND_DISK ≈ a pipeline temp table.
+    //      Lifecycle: the operator cannot know when its result is
+    //      consumed, so it does not unpersist; long-lived sessions
+    //      should spark.catalog.clearCache() between pipeline runs
+    //      (Bench and Verify do).
     val withFirst = transfers
       .join(prices, Seq("asset", "date"), "left")
       .join(broadcast(firstPrices), Seq("asset"), "left")

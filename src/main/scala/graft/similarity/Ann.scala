@@ -32,6 +32,22 @@ object Ann {
     * spelling is semantically identical but interpreted per row. */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
+  /** Shared tail of the ANN paths: exact-cosine score the candidate
+    * (vec_id, neighbor_id) pairs against the prepared vectors `v` and
+    * keep the top k per vec_id — the scoring/tie-break contract lives
+    * in exactly one place. */
+  private def rankCandidates(cands: DataFrame, v: DataFrame, idCol: String, k: Int): DataFrame = {
+    val pairs = cands
+      .join(v.select(col(idCol).as("vec_id"), col("__e").as("__ea"), col("__norm").as("__na")), Seq("vec_id"))
+      .join(v.select(col(idCol).as("neighbor_id"), col("__e").as("__eb"), col("__norm").as("__nb")), Seq("neighbor_id"))
+      .withColumn("cosine", round(dot(col("__ea"), col("__eb")) / (col("__na") * col("__nb")), 6))
+    val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("vec_id", "neighbor_id", "cosine", "rank")
+  }
+
   private def prepared(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
     emb
@@ -89,7 +105,9 @@ object Ann {
     *
     * Same scale envelope as the broadcast BNLJ it replaces: the
     * collection must fit in executor memory (it is the brute-force
-    * baseline; LSH/IVF are the scale paths).
+    * baseline; LSH/IVF are the scale paths). Requires an integral id
+    * column (emitted as bigint); use [[bruteForceKnnExpr]] for
+    * non-numeric ids.
     */
   def bruteForceKnnCompact(emb: DataFrame, idCol: String, vecCol: String, k: Int = 5): DataFrame = {
     val spark = emb.sparkSession
@@ -203,9 +221,13 @@ object Ann {
       k: Int = 5,
       numTables: Int = 12,
       bitsPerTable: Int = 4,
-      dim: Int = 64,
       seed: Long = 42L): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
+    // plane dimension comes from the data — a hardcoded width would
+    // silently project onto a prefix (graft_dot truncates to the
+    // shorter array) and quietly wreck recall on wider embeddings
+    val dim = emb.select(size(col(vecCol)).as("__d")).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
     val rnd = new scala.util.Random(seed)
     def plane(): Column = array(Seq.fill(dim)(lit(rnd.nextGaussian())): _*)
     val tableBuckets: Seq[Column] = (0 until numTables).map { t =>
@@ -226,15 +248,7 @@ object Ann {
       .select(col(s"a.$idCol").as("vec_id"), col(s"b.$idCol").as("neighbor_id"))
       .distinct()
 
-    val pairs = cands
-      .join(v.select(col(idCol).as("vec_id"), col("__e").as("__ea"), col("__norm").as("__na")), Seq("vec_id"))
-      .join(v.select(col(idCol).as("neighbor_id"), col("__e").as("__eb"), col("__norm").as("__nb")), Seq("neighbor_id"))
-      .withColumn("cosine", round(dot(col("__ea"), col("__eb")) / (col("__na") * col("__nb")), 6))
-    val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    pairs
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("vec_id", "neighbor_id", "cosine", "rank")
+    rankCandidates(cands, v, idCol, k)
   }
 
   /** IVF (inverted-file) ANN top-k: partition the space into
@@ -259,10 +273,14 @@ object Ann {
     GraftFunctions.register(emb.sparkSession)
     val e = prepared(emb, idCol, vecCol)
 
-    // seed centroids: the first numCells vectors (deterministic);
-    // one Lloyd iteration: assign-all → per-cell elementwise mean
-    val seeds = e.where(col(idCol) < numCells)
-      .select(col(idCol).cast("int").as("cell"), col("__e").as("__c"))
+    // seed centroids: the numCells lowest-id vectors (deterministic
+    // for ANY id distribution — `id < numCells` would silently seed
+    // nothing when ids aren't dense from 0); one Lloyd iteration:
+    // assign-all → per-cell elementwise mean
+    // (cell ids need only be distinct join keys, not dense ints, so
+    // the seed's own id serves as its cell id)
+    val seeds = e.orderBy(col(idCol)).limit(numCells)
+      .select(col(idCol).cast("long").as("cell"), col("__e").as("__c"))
     def nearestCell(vecs: DataFrame, cents: DataFrame, outCol: String): DataFrame = {
       val w = Window.partitionBy(idCol).orderBy(col("__sim").desc, col("cell"))
       vecs.join(broadcast(cents), expr("true"))
@@ -300,14 +318,6 @@ object Ann {
       .select("vec_id", "neighbor_id")
       .distinct()
 
-    val pairs = cands
-      .join(e.select(col(idCol).as("vec_id"), col("__e").as("__ea"), col("__norm").as("__na")), Seq("vec_id"))
-      .join(e.select(col(idCol).as("neighbor_id"), col("__e").as("__eb"), col("__norm").as("__nb")), Seq("neighbor_id"))
-      .withColumn("cosine", round(dot(col("__ea"), col("__eb")) / (col("__na") * col("__nb")), 6))
-    val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    pairs
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("vec_id", "neighbor_id", "cosine", "rank")
+    rankCandidates(cands, e, idCol, k)
   }
 }

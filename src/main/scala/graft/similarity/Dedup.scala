@@ -44,6 +44,24 @@ object Dedup {
     * run this only over MinHash/SimHash candidate pairs; standalone it
     * is exact and oracle-checkable.
     */
+  /** Jaccard-threshold stage shared by the exact self-join path and
+    * the candidate-verification path: given (doc_a, doc_b, __i)
+    * intersection counts and per-doc shingle counts, emit pairs with
+    * |A∩B| / |A∪B| >= threshold. The >= boundary and the no-rounding
+    * policy (a single IEEE division of exact integer inputs is
+    * bit-identical across engines) are defined HERE, once. */
+  private def jaccardThreshold(
+      inter: DataFrame,
+      counts: DataFrame,
+      idCol: String,
+      threshold: Double): DataFrame =
+    inter
+      .join(counts.select(col(idCol).as("doc_a"), col("__n").as("__na")), Seq("doc_a"))
+      .join(counts.select(col(idCol).as("doc_b"), col("__n").as("__nb")), Seq("doc_b"))
+      .withColumn("jaccard", col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+
   def ngramJaccardPairs(
       docs: DataFrame,
       idCol: String,
@@ -60,14 +78,7 @@ object Dedup {
         col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
       .agg(count(lit(1)).as("__i"))
-    inter
-      .join(counts.select(col(idCol).as("doc_a"), col("__n").as("__na")), Seq("doc_a"))
-      .join(counts.select(col(idCol).as("doc_b"), col("__n").as("__nb")), Seq("doc_b"))
-      // no decimal rounding: a single IEEE division of exact integer
-      // inputs is bit-identical across engines, round() is not
-      .withColumn("jaccard", col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")))
-      .where(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+    jaccardThreshold(inter, counts, idCol, threshold)
   }
 
   /** MinHash + LSH banding candidate pairs.
@@ -183,15 +194,13 @@ object Dedup {
     val sh = shingles(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
-    val verified = cands
+    val inter = cands
       .join(sh.select(col(idCol).as("doc_a"), col("shingle")), Seq("doc_a"))
       .join(sh.select(col(idCol).as("doc_b"), col("shingle").as("__s2")), Seq("doc_b"))
       .where(col("shingle") === col("__s2"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("__i"))
-      .join(counts.select(col(idCol).as("doc_a"), col("__n").as("__na")), Seq("doc_a"))
-      .join(counts.select(col(idCol).as("doc_b"), col("__n").as("__nb")), Seq("doc_b"))
-      .where(col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")) >= threshold)
+    val verified = jaccardThreshold(inter, counts, idCol, threshold)
       .select("doc_a", "doc_b")
 
     // undirected edge list, both directions, for label propagation.

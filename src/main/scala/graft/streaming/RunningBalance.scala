@@ -28,7 +28,11 @@ case class BalState(balance: Double, seq: Long)
   * footprint for exact running sums on an unbounded stream. Keys
   * hash-partition the state store, so a 1000-executor cluster holds
   * wallet-count × ~32 bytes of state, independent of event volume.
-  * Within a micro-batch, rows are folded in date order.
+  * Within a micro-batch, rows are folded in date order; the input
+  * must be at the (asset, wallet, date) grain (as Tables.transfers
+  * produces) — with several same-date rows per key, within-date order
+  * would be arrival-dependent and the emitted intermediate balances
+  * nondeterministic.
   */
 object RunningBalance {
 
