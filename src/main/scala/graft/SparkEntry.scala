@@ -355,6 +355,34 @@ object SparkEntry {
         round(expr("percentile(value, 0.99)"), 6).as("p99"),
         round(stddev_samp(col("value")), 6).as("stddev_value"))
 
+  /** q36: 7-day moving average + extrema over the daily price series
+    * (market-data smoothing on the reference's daily grain). */
+  def q36MovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type").as("asset"), to_date(col("ts")).as("date"))
+      .agg(round(max("value"), 6).as("price"))
+    val w7 = Window.partitionBy("asset").orderBy("date").rowsBetween(-6, 0)
+    daily
+      .withColumn("ma7", round(avg("price").over(w7), 6))
+      .withColumn("min7", round(min("price").over(w7), 6))
+      .withColumn("max7", round(max("price").over(w7), 6))
+      .withColumn("n7", count(lit(1)).over(w7))
+  }
+
+  /** q37: pairwise Pearson correlation between asset daily price
+    * series (cross-asset co-movement; date-equi-join, never n²×days). */
+  def q37PriceCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type").as("asset"), to_date(col("ts")).as("date"))
+      .agg(round(max("value"), 6).as("price"))
+    daily.as("a")
+      .join(daily.as("b"), col("a.date") === col("b.date") && col("a.asset") < col("b.asset"))
+      .groupBy(col("a.asset").as("asset_a"), col("b.asset").as("asset_b"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        round(corr(col("a.price"), col("b.price")), 6).as("price_corr"))
+  }
+
   // ---------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------
@@ -393,7 +421,9 @@ object SparkEntry {
     "q32_neardup_keepers"        -> (q32NearDupKeepers _),
     "q33_supply_overage"         -> (q33SupplyOverage _),
     "q34_sessionize"             -> (q34Sessionize _),
-    "q35_percentiles"            -> (q35Percentiles _)
+    "q35_percentiles"            -> (q35Percentiles _),
+    "q36_moving_avg"             -> (q36MovingAvg _),
+    "q37_price_correlation"      -> (q37PriceCorrelation _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -867,6 +897,30 @@ object SparkEntry {
         |  ROUND(quantile_cont(value, 0.9), 6) AS p90,
         |  ROUND(quantile_cont(value, 0.99), 6) AS p99,
         |  ROUND(stddev_samp(value), 6) AS stddev_value
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q36_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT event_type AS asset, CAST(ts AS DATE) AS date, ROUND(MAX(value), 6) AS price
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT asset, date, price,
+        |  ROUND(AVG(price) OVER w7, 6) AS ma7,
+        |  ROUND(MIN(price) OVER w7, 6) AS min7,
+        |  ROUND(MAX(price) OVER w7, 6) AS max7,
+        |  COUNT(*) OVER w7 AS n7
+        |FROM daily
+        |WINDOW w7 AS (PARTITION BY asset ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q37_price_correlation" ->
+      """WITH daily AS (
+        |  SELECT event_type AS asset, CAST(ts AS DATE) AS date, ROUND(MAX(value), 6) AS price
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT a.asset AS asset_a, b.asset AS asset_b,
+        |  COUNT(*) AS n_days,
+        |  ROUND(corr(a.price, b.price), 6) AS price_corr
+        |FROM daily a JOIN daily b ON a.date = b.date AND a.asset < b.asset
+        |GROUP BY 1, 2""".stripMargin
   )
 }

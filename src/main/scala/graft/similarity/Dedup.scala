@@ -95,10 +95,19 @@ object Dedup {
       textCol: String,
       numHashes: Int = 16,
       bands: Int = 4,
-      n: Int = 3): DataFrame = {
+      n: Int = 3): DataFrame =
+    minhashLshFromShingles(shingles(docs, idCol, textCol, n), idCol, numHashes, bands)
+
+  /** Same, over an existing shingle table — lets composed pipelines
+    * (nearDupKeepers) reuse one persisted shingle scan for candidate
+    * generation AND verification. */
+  def minhashLshFromShingles(
+      sh: DataFrame,
+      idCol: String,
+      numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-    val sh = shingles(docs, idCol, textCol, n)
     val sigCols = (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"__h$i"))
     val sigs = sh.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
     val bandCols = (0 until bands).map { b =>
@@ -188,11 +197,11 @@ object Dedup {
       textCol: String,
       threshold: Double = 0.8,
       maxIters: Int = 5): DataFrame = {
-    val cands = minhashLsh(docs, idCol, textCol).select("doc_a", "doc_b")
-    // three consumers (counts + both verification join sides), same as
-    // in ngramJaccardPairs — persist so the shingle scan runs once
+    // four consumers (minhash signatures, counts, both verification
+    // join sides) — persist so the shingle scan runs once
     val sh = shingles(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = minhashLshFromShingles(sh, idCol).select("doc_a", "doc_b")
     val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
     val inter = cands
       .join(sh.select(col(idCol).as("doc_a"), col("shingle")), Seq("doc_a"))
