@@ -383,6 +383,45 @@ object SparkEntry {
         round(corr(col("a.price"), col("b.price")), 6).as("price_corr"))
   }
 
+  /** q38: cohort retention — users grouped by first-seen date, D1/D7
+    * return rates (daily-grain user analytics over the event stream). */
+  def q38Retention(spark: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("date"))
+      .distinct()
+    val first = act.groupBy("user_id").agg(min("date").as("cohort_date"))
+    act.join(first, Seq("user_id"))
+      .groupBy("cohort_date")
+      .agg(
+        countDistinct("user_id").as("n_users"),
+        countDistinct(when(datediff(col("date"), col("cohort_date")) === 1, col("user_id")))
+          .as("d1_retained"),
+        countDistinct(when(datediff(col("date"), col("cohort_date")) === 7, col("user_id")))
+          .as("d7_retained"))
+  }
+
+  /** q39: ordered funnel conversion signup → view → purchase (each
+    * step strictly after the previous one's first occurrence). */
+  def q39Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def firstAfter(evType: String, prev: DataFrame, prevTs: String, outTs: String): DataFrame =
+      ev.where(col("event_type") === evType)
+        .join(prev, Seq("user_id"))
+        .where(col("ts") > col(prevTs))
+        .groupBy("user_id")
+        .agg(min("ts").as(outTs))
+    val s1 = ev.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = firstAfter("view", s1, "t1", "t2")
+    val s3 = firstAfter("purchase", s2.select("user_id", "t2"), "t2", "t3")
+    s1.join(s2.select(col("user_id"), col("t2")), Seq("user_id"), "left")
+      .join(s3.select(col("user_id"), col("t3")), Seq("user_id"), "left")
+      .agg(
+        count(col("t1")).as("n_signup"),
+        count(col("t2")).as("n_viewed_after_signup"),
+        count(col("t3")).as("n_purchased_after_view"))
+  }
+
   // ---------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------
@@ -423,7 +462,9 @@ object SparkEntry {
     "q34_sessionize"             -> (q34Sessionize _),
     "q35_percentiles"            -> (q35Percentiles _),
     "q36_moving_avg"             -> (q36MovingAvg _),
-    "q37_price_correlation"      -> (q37PriceCorrelation _)
+    "q37_price_correlation"      -> (q37PriceCorrelation _),
+    "q38_retention"              -> (q38Retention _),
+    "q39_funnel"                 -> (q39Funnel _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -921,6 +962,43 @@ object SparkEntry {
         |  COUNT(*) AS n_days,
         |  ROUND(corr(a.price, b.price), 6) AS price_corr
         |FROM daily a JOIN daily b ON a.date = b.date AND a.asset < b.asset
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q38_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS date FROM events
+        |),
+        |first AS (
+        |  SELECT user_id, MIN(date) AS cohort_date FROM act GROUP BY 1
+        |)
+        |SELECT f.cohort_date,
+        |  COUNT(DISTINCT a.user_id) AS n_users,
+        |  COUNT(DISTINCT CASE WHEN a.date = f.cohort_date + INTERVAL 1 DAY THEN a.user_id END) AS d1_retained,
+        |  COUNT(DISTINCT CASE WHEN a.date = f.cohort_date + INTERVAL 7 DAY THEN a.user_id END) AS d7_retained
+        |FROM act a JOIN first f ON f.user_id = a.user_id
+        |GROUP BY 1""".stripMargin,
+
+    "q39_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |),
+        |s1 AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM ev WHERE event_type = 'signup' GROUP BY 1
+        |),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2
+        |  FROM ev e JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY 1
+        |),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t3
+        |  FROM ev e JOIN s2 ON s2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+        |)
+        |SELECT COUNT(s1.t1) AS n_signup,
+        |  COUNT(s2.t2) AS n_viewed_after_signup,
+        |  COUNT(s3.t3) AS n_purchased_after_view
+        |FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
+        |        LEFT JOIN s3 ON s3.user_id = s1.user_id""".stripMargin
   )
 }
