@@ -422,6 +422,10 @@ object SparkEntry {
         count(col("t3")).as("n_purchased_after_view"))
   }
 
+  /** q40: top-5 TF-IDF terms per document (inverted-index build). */
+  def q40Tfidf(spark: SparkSession, dir: String): DataFrame =
+    TextOps.topTfidfTerms(Tables.documents(spark, dir), "doc_id", "text", k = 5)
+
   // ---------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------
@@ -464,7 +468,8 @@ object SparkEntry {
     "q36_moving_avg"             -> (q36MovingAvg _),
     "q37_price_correlation"      -> (q37PriceCorrelation _),
     "q38_retention"              -> (q38Retention _),
-    "q39_funnel"                 -> (q39Funnel _)
+    "q39_funnel"                 -> (q39Funnel _),
+    "q40_tfidf"                  -> (q40Tfidf _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -999,6 +1004,22 @@ object SparkEntry {
         |  COUNT(s2.t2) AS n_viewed_after_signup,
         |  COUNT(s3.t3) AS n_purchased_after_view
         |FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
-        |        LEFT JOIN s3 ON s3.user_id = s1.user_id""".stripMargin
+        |        LEFT JOIN s3 ON s3.user_id = s1.user_id""".stripMargin,
+
+    "q40_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+        |),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents)
+        |SELECT doc_id, term, tf, df, tfidf, rank FROM (
+        |  SELECT t.doc_id, t.term, t.tf, d.df,
+        |    ROUND(t.tf * LN(CAST((SELECT n FROM n) AS DOUBLE) / d.df), 6) AS tfidf,
+        |    ROW_NUMBER() OVER (PARTITION BY t.doc_id
+        |                       ORDER BY ROUND(t.tf * LN(CAST((SELECT n FROM n) AS DOUBLE) / d.df), 6) DESC,
+        |                                t.term) AS rank
+        |  FROM tf t JOIN dfreq d ON d.term = t.term
+        |) WHERE rank <= 5""".stripMargin
   )
 }

@@ -94,6 +94,29 @@ object TextOps {
       .select(col(idCol), col("lang"), col("pred_lang"), col("is_match"))
   }
 
+  /** Top TF-IDF terms per document.
+    *
+    * tf = raw term count in the doc; idf = ln(N / df) with df = number
+    * of docs containing the term. Two hash-partitioned aggregations
+    * (doc-term counts, term document-frequencies) and a broadcast-size
+    * N — the classic inverted-index build, no cross joins. Ranking is
+    * on the ROUNDED score with the term as tiebreak so the SQL oracle
+    * agrees.
+    */
+  def topTfidfTerms(docs: DataFrame, idCol: String, textCol: String, k: Int = 5): DataFrame = {
+    val terms = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(col(idCol)).distinct().count()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("tfidf").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"), col("rank"))
+  }
+
   /** Rolling polynomial fingerprint over the token stream:
     * h ← (h·31 + len(w)·97 + ascii(w[0])) mod 1e9+7.
     * A content fingerprint that is stable under whitespace layout and
