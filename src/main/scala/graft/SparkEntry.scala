@@ -225,9 +225,14 @@ object SparkEntry {
   def q16DedupExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exact(Tables.documents(spark, dir), "doc_id", "text")
 
-  /** q17: 3-gram shingle Jaccard near-dup pairs (threshold 0.8). */
+  /** q17: 3-gram shingle Jaccard near-dup pairs (threshold 0.8).
+    * maxDf=20 caps the inverted-index join's key multiplicity (a
+    * stop-phrase shingle can no longer contribute df² pairs to one
+    * shuffle key); the full-intersection verify keeps the pair set
+    * bit-identical to the uncapped oracle at every tested SF. */
   def q17DedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text", n = 3, threshold = 0.8)
+    Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
+      n = 3, threshold = 0.8, maxDf = 20)
 
   /** q18: MinHash+LSH banding candidate pairs (rows-only). */
   def q18DedupMinhash(spark: SparkSession, dir: String): DataFrame =
@@ -426,6 +431,70 @@ object SparkEntry {
   def q40Tfidf(spark: SparkSession, dir: String): DataFrame =
     TextOps.topTfidfTerms(Tables.documents(spark, dir), "doc_id", "text", k = 5)
 
+  /** q41: scale-safe embedding near-dup — LSH candidates → exact
+    * cosine verify (the production route; q26's all-pairs form is its
+    * correctness oracle, and the DuckDB oracle below IS q26's).
+    * 32 tables × 3 bits puts per-pair miss probability at the
+    * ≥0.4-cosine boundary at (1−0.251)^32 ≈ 1e-4, vanishing fast with
+    * cosine — measured recall on the testdata is total (sf0.001/0.01/
+    * 0.1 pair sets equal q26's exactly; AnnSpec + the shared oracle
+    * enforce it). A production dedup pass at cosine ≥0.9 would dial
+    * bits UP (p_bit ≈ 0.86 → fewer, finer tables), this threshold is
+    * the hard case. */
+  def q41EmbeddingNeardupLsh(spark: SparkSession, dir: String): DataFrame =
+    Ann.nearDupPairsLsh(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      threshold = 0.4, numTables = 32, bitsPerTable = 3)
+
+  /** q42: incremental refresh composed end-to-end — stage a
+    * partitioned base table (newest-per-key of the even-id half),
+    * upsert the odd-id rows of a subset of event types, dynamic-
+    * partition-overwrite ONLY the touched partitions, read the table
+    * back (dune_transfers_updates' DELETE+INSERT;
+    * coingecko_market_data.py:317-380). IngestSpec proves untouched
+    * partition files are byte-identical after the refresh. */
+  def q42IncrementalRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val keys = Seq("user_id", "event_type")
+    val version = Seq(col("ts"), col("event_id"))
+    val base = WindowOps.dedupeFirst(
+      ev.where(col("event_id") % 2 === 0), keys, version.map(_.desc))
+    // updates touch only event types of even name length — the odd-
+    // length types' partitions must survive the refresh untouched
+    val updates = ev.where(
+      col("event_id") % 2 === 1 && length(col("event_type")) % 2 === 0)
+    val tableDir = java.nio.file.Files.createTempDirectory("graft_refresh_table").toString
+    val stagingDir = java.nio.file.Files.createTempDirectory("graft_refresh_stage").toString
+    graft.sources.Sinks.writePartitioned(base, tableDir, Seq("event_type"))
+    Ingest.incrementalRefresh(tableDir, updates, keys, version, Seq("event_type"), stagingDir)
+    spark.read.parquet(tableDir).select("user_id", "event_type", "event_id", "value")
+  }
+
+  /** q43: near-dup keeper assignment over the EXACT n-gram Jaccard
+    * edge set — same min-label clustering as q32, but the edges are
+    * fully deterministic, so the keeper table is hash-checkable
+    * against a DuckDB recursive-CTE connected-components oracle
+    * (q32's LSH-candidate edges stay the scale path). */
+  def q43NeardupKeepersExact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val edges = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.8, maxDf = 20).select("doc_a", "doc_b")
+    Dedup.keepersFromEdges(docs, "doc_id", edges, maxIters = 20)
+  }
+
+  /** q44: the flagship rerun over a bucketed layout — materialize
+    * transfers+balances bucketed on (asset, wallet), then run the
+    * profits pipeline reading the bucketed table: the fact side's
+    * window chain needs ZERO Exchange (SinksSpec proves it), which is
+    * how the daily 100 TB profits rebuild avoids re-shuffling the
+    * fact table every run. Result is identical to q10 (same oracle). */
+  def q44WalletProfitsBucketed(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.Sinks.writeBucketed(
+      Tables.transfersWithBalance(spark, dir).drop("transfer_sequence"),
+      "graft_twb_bucketed", bucketCols = Seq("asset", "wallet"), numBuckets = 8,
+      sortCols = Seq("asset", "wallet", "date"))
+    Profits.walletProfits(spark.table("graft_twb_bucketed"), Tables.prices(spark, dir))
+  }
+
   // ---------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------
@@ -469,10 +538,26 @@ object SparkEntry {
     "q37_price_correlation"      -> (q37PriceCorrelation _),
     "q38_retention"              -> (q38Retention _),
     "q39_funnel"                 -> (q39Funnel _),
-    "q40_tfidf"                  -> (q40Tfidf _)
+    "q40_tfidf"                  -> (q40Tfidf _),
+    "q41_embedding_neardup_lsh"  -> (q41EmbeddingNeardupLsh _),
+    "q42_incremental_refresh"    -> (q42IncrementalRefresh _),
+    "q43_neardup_keepers_exact"  -> (q43NeardupKeepersExact _),
+    "q44_wallet_profits_bucketed" -> (q44WalletProfitsBucketed _)
   )
 
-  def oracleSql: Map[String, String] = Map(
+  // q10 and q44 compute the same result over different physical
+  // layouts (shuffled vs bucketed); q26 and q41 compute the same pairs
+  // via all-pairs vs LSH-composed routes — each pair shares ONE oracle
+  // string (aliased after map construction) so the contract "same
+  // semantics" is literal.
+  def oracleSql: Map[String, String] = {
+    val m = baseOracleSql
+    m ++ Map(
+      "q41_embedding_neardup_lsh"   -> m("q26_embedding_dedup"),
+      "q44_wallet_profits_bucketed" -> m("q10_wallet_profits"))
+  }
+
+  private def baseOracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  ROUND(SUM(l_quantity), 2) AS sum_qty,
@@ -1020,6 +1105,56 @@ object SparkEntry {
         |                       ORDER BY ROUND(t.tf * LN(CAST((SELECT n FROM n) AS DOUBLE) / d.df), 6) DESC,
         |                                t.term) AS rank
         |  FROM tf t JOIN dfreq d ON d.term = t.term
-        |) WHERE rank <= 5""".stripMargin
+        |) WHERE rank <= 5""".stripMargin,
+
+    "q42_incremental_refresh" ->
+      // the refreshed table ≡ newest-per-key over (all even-id rows) ∪
+      // (odd-id rows of the touched event types): untouched partitions
+      // keep their base rows, touched partitions get the upsert
+      """SELECT user_id, event_type, event_id, value FROM (
+        |  SELECT user_id, event_type, event_id, value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events
+        |  WHERE event_id % 2 = 0
+        |     OR (event_id % 2 = 1 AND LENGTH(event_type) % 2 = 0)
+        |) WHERE rn = 1""".stripMargin,
+
+    "q43_neardup_keepers_exact" ->
+      // connected components over the exact 3-gram Jaccard >= 0.8 edge
+      // set as a recursive min-label closure; keeper = component min id
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |),
+        |sh AS (
+        |  SELECT doc_id, UNNEST(list_distinct(list_transform(
+        |    generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+        |  FROM toks
+        |),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+        |    FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+        |  ) WHERE jaccard >= 0.8
+        |),
+        |edges AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  UNION ALL
+        |  SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+        |),
+        |reach(doc_id, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.doc_a, r.label FROM edges e JOIN reach r ON r.doc_id = e.doc_b
+        |)
+        |SELECT doc_id, MIN(label) AS keeper_id, MIN(label) = doc_id AS is_keeper
+        |FROM reach GROUP BY 1""".stripMargin
   )
 }

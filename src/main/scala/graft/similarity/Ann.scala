@@ -61,26 +61,53 @@ object Ann {
 
   /** Exact cosine top-k per vector.
     *
-    * Default path is [[bruteForceKnnCompact]]; the declarative
-    * join+window formulation below ([[bruteForceKnnExpr]]) computes
-    * identical results and is kept as the cross-check (`AnnSpec`
-    * asserts exact equality) and as the reference plan shape.
-    * At scale use [[lshKnn]]/[[ivfKnn]] — brute force is the
-    * small-collection baseline either way. */
-  def bruteForceKnn(emb: DataFrame, idCol: String, vecCol: String, k: Int = 5): DataFrame =
-    bruteForceKnnCompact(emb, idCol, vecCol, k)
+    * Size-dispatched: collections small enough to broadcast go through
+    * [[bruteForceKnnCompact]] (block compute, n·k output rows, no pair
+    * materialization); anything larger falls back to the fully
+    * distributed join+window form with NO driver materialization and
+    * no broadcast (shuffle-replicated nested loop), so the exact-kNN
+    * entry point never OOMs the driver at scale — it just pays the
+    * honest O(n²) cost that "exact" implies. At scale use
+    * [[lshKnn]]/[[ivfKnn]]; brute force is the baseline either way.
+    * All paths compute identical values (`AnnSpec` asserts equality).
+    */
+  def bruteForceKnn(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 5,
+      maxCompactRows: Long = 1L << 17): DataFrame = {
+    // one cheap count job decides the path; the compact path's collect
+    // is then bounded by construction (maxCompactRows × dim doubles)
+    val n = prepared(emb, idCol, vecCol).count()
+    if (n <= maxCompactRows) bruteForceKnnCompact(emb, idCol, vecCol, k)
+    else bruteForceKnnJoin(emb, idCol, vecCol, k, broadcastSmallSide = false)
+  }
 
   /** Declarative join+window formulation: O(n²) pair rows through a
     * BroadcastNestedLoopJoin, then a rank window. Ranking is on the
     * ROUNDED cosine with the neighbor id as tiebreak so results are
     * deterministic across engines. */
-  def bruteForceKnnExpr(emb: DataFrame, idCol: String, vecCol: String, k: Int = 5): DataFrame = {
+  def bruteForceKnnExpr(emb: DataFrame, idCol: String, vecCol: String, k: Int = 5): DataFrame =
+    bruteForceKnnJoin(emb, idCol, vecCol, k, broadcastSmallSide = true)
+
+  private def bruteForceKnnJoin(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      broadcastSmallSide: Boolean): DataFrame = {
     val e = prepared(emb, idCol, vecCol)
     val a = e.select(col(idCol).as("vec_id"), col("__e").as("__ea"), col("__norm").as("__na"))
-    val b = e.select(col(idCol).as("neighbor_id"), col("__e").as("__eb"), col("__norm").as("__nb"))
     GraftFunctions.register(emb.sparkSession)
+    // without the hint the non-equi join plans as a shuffle-replicated
+    // cartesian: distributed O(n²), zero driver-side materialization —
+    // the only exact-kNN shape that survives when n is too big to
+    // broadcast at all
+    val bPrep = e.select(col(idCol).as("neighbor_id"), col("__e").as("__eb"), col("__norm").as("__nb"))
+    val b = if (broadcastSmallSide) broadcast(bPrep) else bPrep
     val pairs = a
-      .join(broadcast(b), col("vec_id") =!= col("neighbor_id"))
+      .join(b, col("vec_id") =!= col("neighbor_id"))
       .withColumn("cosine", round(dot(col("__ea"), col("__eb")) / (col("__na") * col("__nb")), 6))
       // drop the embedding arrays BEFORE the window shuffle: the rank
       // exchange then moves 24-byte rows instead of ~1 KB rows
@@ -223,6 +250,30 @@ object Ann {
       bitsPerTable: Int = 4,
       seed: Long = 42L): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
+    val v = prepared(emb, idCol, vecCol)
+    val e = lshBuckets(v, emb, idCol, vecCol, numTables, bitsPerTable, seed)
+    val cands = e.as("a")
+      .join(e.as("b"),
+        col("a.__table") === col("b.__table") && col("a.__bucket") === col("b.__bucket") &&
+          col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("vec_id"), col(s"b.$idCol").as("neighbor_id"))
+      .distinct()
+
+    rankCandidates(cands, v, idCol, k)
+  }
+
+  /** Random-hyperplane LSH bucket table: one (id, table, bucket) row
+    * per vector per hash table, shared by [[lshKnn]] and
+    * [[nearDupPairsLsh]]. Planes come from a fixed seed driver-side
+    * (tiny constant literals in the plan). */
+  private def lshBuckets(
+      v: DataFrame,
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numTables: Int,
+      bitsPerTable: Int,
+      seed: Long): DataFrame = {
     // plane dimension comes from the data — a hardcoded width would
     // silently project onto a prefix (graft_dot truncates to the
     // shorter array) and quietly wreck recall on wider embeddings
@@ -236,19 +287,45 @@ object Ann {
         .reduce(_ + _)
       struct(lit(t).as("table"), bits.as("bucket"))
     }
-
-    val v = prepared(emb, idCol, vecCol)
-    val e = v
-      .withColumn("__tb", explode(array(tableBuckets: _*)))
+    v.withColumn("__tb", explode(array(tableBuckets: _*)))
       .select(col(idCol), col("__tb.table").as("__table"), col("__tb.bucket").as("__bucket"))
+  }
+
+  /** Scale-safe embedding near-duplicate pairs: hyperplane-LSH
+    * candidate generation → exact rounded-cosine verification — the
+    * embedding twin of [[Dedup.nearDupKeepers]]'s candidates→verify
+    * composition, and the production route that replaces the all-pairs
+    * [[cosinePairs]] at 100 TB. The candidate join shuffles on the
+    * (table, bucket) key — never a cross join; per-table collision
+    * probability for a pair at angle θ is (1 − θ/π)^bits, so recall is
+    * dialed by adding tables (more explode rows, same join shape).
+    * Verification computes the same rounded cosine as [[cosinePairs]],
+    * so on any pair the two paths agree exactly; candidates the LSH
+    * misses are the (tunable) recall gap. Output schema matches
+    * [[cosinePairs]]: (vec_a, vec_b, cosine), undirected a < b. */
+  def nearDupPairsLsh(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      numTables: Int = 32,
+      bitsPerTable: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val v = prepared(emb, idCol, vecCol)
+    val e = lshBuckets(v, emb, idCol, vecCol, numTables, bitsPerTable, seed)
     val cands = e.as("a")
       .join(e.as("b"),
         col("a.__table") === col("b.__table") && col("a.__bucket") === col("b.__bucket") &&
-          col(s"a.$idCol") =!= col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("vec_id"), col(s"b.$idCol").as("neighbor_id"))
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("vec_a"), col(s"b.$idCol").as("vec_b"))
       .distinct()
-
-    rankCandidates(cands, v, idCol, k)
+    cands
+      .join(v.select(col(idCol).as("vec_a"), col("__e").as("__ea"), col("__norm").as("__na")), Seq("vec_a"))
+      .join(v.select(col(idCol).as("vec_b"), col("__e").as("__eb"), col("__norm").as("__nb")), Seq("vec_b"))
+      .withColumn("cosine", round(dot(col("__ea"), col("__eb")) / (col("__na") * col("__nb")), 6))
+      .where(col("cosine") >= threshold)
+      .select("vec_a", "vec_b", "cosine")
   }
 
   /** IVF (inverted-file) ANN top-k: partition the space into

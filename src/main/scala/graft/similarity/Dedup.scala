@@ -62,24 +62,66 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
 
+  /** @param maxDf shingle document-frequency cap for CANDIDATE
+    *   generation: the self-join runs only on shingles appearing in at
+    *   most `maxDf` documents, so one ubiquitous stop-phrase shingle
+    *   ("of the and" in 10⁶ docs) can no longer put df² pairs into a
+    *   single shuffle key — the join cost is bounded by Σ(min(df,
+    *   maxDf)²). Verification then counts the FULL intersection over
+    *   the candidate pairs, so any qualifying pair that shares at
+    *   least one sub-cap shingle gets its exact uncapped Jaccard —
+    *   capping changes which pairs are FOUND (only pairs whose every
+    *   shared shingle is ubiquitous can be missed; at threshold 0.8
+    *   that means near-identical docs made entirely of stop phrases),
+    *   never the score of a found pair. Int.MaxValue (default)
+    *   disables the cap and the extra verification join entirely. */
   def ngramJaccardPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      maxDf: Int = Int.MaxValue): DataFrame = {
     // consumed three times (counts + both self-join sides); persist so
     // the tokenize/shingle scan runs once, not per consumer
     val sh = shingles(docs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
-      .agg(count(lit(1)).as("__i"))
+    val inter =
+      if (maxDf == Int.MaxValue) {
+        // uncapped: the self-join's per-pair row count IS the
+        // intersection size — no separate verification pass needed
+        sh.as("a")
+          .join(sh.as("b"),
+            col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol"))
+          .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+          .agg(count(lit(1)).as("__i"))
+      } else {
+        val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+          .where(col("__df") <= maxDf)
+          .select("shingle")
+        val candSh = sh.join(rare, Seq("shingle"))
+        val cands = candSh.as("a")
+          .join(candSh.as("b"),
+            col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol"))
+          .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+          .distinct()
+        fullIntersection(cands, sh, idCol)
+      }
     jaccardThreshold(inter, counts, idCol, threshold)
   }
+
+  /** Exact shingle-intersection counts for an explicit candidate-pair
+    * list (shared by the df-capped path and [[nearDupKeepers]]):
+    * joins each side's full shingle set and counts matches — cost is
+    * |candidates| × shingles-per-doc, never docs². */
+  private def fullIntersection(cands: DataFrame, sh: DataFrame, idCol: String): DataFrame =
+    cands
+      .join(sh.select(col(idCol).as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col(idCol).as("doc_b"), col("shingle").as("__s2")), Seq("doc_b"))
+      .where(col("shingle") === col("__s2"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("__i"))
 
   /** MinHash + LSH banding candidate pairs.
     *
@@ -203,21 +245,36 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = minhashLshFromShingles(sh, idCol).select("doc_a", "doc_b")
     val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
-    val inter = cands
-      .join(sh.select(col(idCol).as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(sh.select(col(idCol).as("doc_b"), col("shingle").as("__s2")), Seq("doc_b"))
-      .where(col("shingle") === col("__s2"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("__i"))
-    val verified = jaccardThreshold(inter, counts, idCol, threshold)
+    val verified = jaccardThreshold(fullIntersection(cands, sh, idCol), counts, idCol, threshold)
       .select("doc_a", "doc_b")
+    keepersFromEdges(docs, idCol, verified, maxIters)
+  }
 
+  /** Min-label connected-component clustering over an explicit
+    * verified-pair edge list → one keeper per cluster. Factored out of
+    * [[nearDupKeepers]] so the same clustering runs over ANY edge
+    * source: LSH-verified candidates (the scale path) or the exact
+    * [[ngramJaccardPairs]] edge set (fully deterministic, so the
+    * keeper assignment is SQL-oracle-checkable via a recursive CTE).
+    *
+    * Each round: label ← min(own, neighbors' labels) — one join + one
+    * aggregation on the doc id; the min label travels one hop per
+    * round, so `maxIters` must be ≥ the largest component's
+    * eccentricity; the convergence check exits early (near-dup
+    * clusters are shallow — dupes of a common source). Returns
+    * (doc_id, keeper_id, is_keeper) for every document.
+    */
+  def keepersFromEdges(
+      docs: DataFrame,
+      idCol: String,
+      verifiedPairs: DataFrame,
+      maxIters: Int = 5): DataFrame = {
     // undirected edge list, both directions, for label propagation.
     // Persisted: every propagation round joins against it — without
-    // this the final plan re-derives the whole LSH+verify subtree
-    // once per iteration.
-    val edges = verified
-      .unionByName(verified.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    // this the final plan re-derives the whole candidate+verify
+    // subtree once per iteration.
+    val edges = verifiedPairs.select("doc_a", "doc_b")
+      .unionByName(verifiedPairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = docs.select(col(idCol), col(idCol).as("keeper_id"))
     var iter = 0

@@ -64,24 +64,74 @@ object Ingest {
       keys,
       versionCols.map(_.desc))
 
-  /** Two-source entity resolution: full-outer join on the key,
-    * field-wise coalesce with source-A precedence, plus lineage
-    * columns (core_coins' coalesce-across-sources rebuild). */
+  /** Two-source entity resolution (source-A precedence) — the common
+    * case, delegating to the N-source form. */
   def coalesceSources(
       a: DataFrame,
       b: DataFrame,
       keys: Seq[String],
+      valueCols: Seq[String]): DataFrame =
+    coalesceSources(Seq(a, b), keys, valueCols)
+
+  /** N-source entity resolution: full-outer join the sources on the
+    * key in precedence order (earlier sources win), field-wise
+    * coalesce, plus an `n_sources` lineage column (core_coins.py
+    * coalesces across 3+ left-joined sources — here the join chain is
+    * full-outer so a key present in ANY source survives). Each source
+    * joins once; `keys` columns are auto-coalesced by the USING join,
+    * so the fold is associative in the key space. */
+  def coalesceSources(
+      sources: Seq[DataFrame],
+      keys: Seq[String],
       valueCols: Seq[String]): DataFrame = {
-    val aP = valueCols.foldLeft(a.withColumn("__a_present", lit(1)))(
-      (d, c) => d.withColumnRenamed(c, s"__a_$c"))
-    val bP = valueCols.foldLeft(b.withColumn("__b_present", lit(1)))(
-      (d, c) => d.withColumnRenamed(c, s"__b_$c"))
-    val joined = aP.join(bP, keys, "full_outer")
+    require(sources.nonEmpty, "coalesceSources needs at least one source")
+    val prepped = sources.zipWithIndex.map { case (s, i) =>
+      valueCols.foldLeft(s.withColumn(s"__p$i", lit(1)))(
+        (d, c) => d.withColumnRenamed(c, s"__s${i}_$c"))
+    }
+    val joined = prepped.reduceLeft((acc, s) => acc.join(s, keys, "full_outer"))
     val resolved = valueCols.foldLeft(joined)((d, c) =>
-      d.withColumn(c, coalesce(col(s"__a_$c"), col(s"__b_$c"))))
+      d.withColumn(c, coalesce(sources.indices.map(i => col(s"__s${i}_$c")): _*)))
     resolved
       .withColumn("n_sources",
-        coalesce(col("__a_present"), lit(0)) + coalesce(col("__b_present"), lit(0)))
-      .drop(valueCols.flatMap(c => Seq(s"__a_$c", s"__b_$c")) :+ "__a_present" :+ "__b_present": _*)
+        sources.indices.map(i => coalesce(col(s"__p$i"), lit(0))).reduce(_ + _))
+      .drop(sources.indices.flatMap(i =>
+        valueCols.map(c => s"__s${i}_$c") :+ s"__p$i"): _*)
+  }
+
+  /** The reference's dominant operational pattern composed end-to-end:
+    * DELETE+INSERT refresh of only-new data
+    * (dune_transfers_updates/retrieve_dune_transfer_data.py,
+    * coingecko_market_data.py:317-380 filter already-stored dates
+    * before upload). Spark-native form: [[keepLatest]] over ONLY the
+    * partitions the update batch touches, then a dynamic-partition-
+    * overwrite write — untouched partitions are never read OR
+    * rewritten, so a daily refresh of a 100 TB table costs
+    * O(updated-partition bytes), not O(table bytes).
+    *
+    * The refreshed rows are staged to a scratch directory first:
+    * Spark (correctly) refuses to overwrite a path that appears as a
+    * source in the same plan, and at scale the stage-then-swap also
+    * bounds the failure domain (a mid-write crash leaves the target's
+    * committed partitions intact).
+    */
+  def incrementalRefresh(
+      tablePath: String,
+      updates: DataFrame,
+      keys: Seq[String],
+      versionCols: Seq[Column],
+      partitionCols: Seq[String],
+      stagingPath: String): Unit = {
+    val spark = updates.sparkSession
+    val existing = spark.read.parquet(tablePath)
+    // partition pruning, not a full-table read: semi-join on the
+    // distinct touched partition values (broadcast — a batch touches
+    // few partitions) reaches the scan as a partition filter
+    val touched = updates.select(partitionCols.map(col): _*).distinct()
+    val existingTouched = existing.join(broadcast(touched), partitionCols, "left_semi")
+    val refreshed = keepLatest(existingTouched, updates, keys, versionCols)
+    refreshed.write.mode("overwrite").parquet(stagingPath)
+    Sinks.writePartitioned(
+      spark.read.parquet(stagingPath), tablePath, partitionCols)
   }
 }

@@ -45,8 +45,28 @@ object Sinks {
       numBuckets: Int,
       sortCols: Seq[String] = Seq.empty,
       mode: SaveMode = SaveMode.Overwrite): Unit = {
+    // Overwrite must be idempotent ACROSS sessions: the default
+    // in-memory catalog forgets the table when the JVM exits but its
+    // warehouse directory survives, and saveAsTable then fails with
+    // LOCATION_ALREADY_EXISTS — clear the orphaned location first.
+    if (mode == SaveMode.Overwrite) dropTable(df.sparkSession, table)
     val w = df.write.mode(mode).bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     val ws = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
     ws.format("parquet").saveAsTable(table)
+  }
+
+  /** Drop a managed table AND its warehouse directory — DROP TABLE
+    * alone cannot remove a location orphaned by a previous session
+    * (the in-memory catalog never knew about it). */
+  def dropTable(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = java.net.URI.create(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val loc = java.nio.file.Paths.get(wh, table.toLowerCase)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverseIterator
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 }

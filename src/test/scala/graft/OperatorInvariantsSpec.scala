@@ -45,6 +45,29 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(df.count() > 0, "synthetic corpus plants near-duplicates")
   }
 
+  test("q17 maxDf: planted ubiquitous stop-phrase shingles leave the pair set unchanged") {
+    import graft.similarity.Dedup
+    // plant an 8-word header in EVERY document: its interior 3-gram
+    // shingles get df == corpus size, the exact hot-key shape that
+    // makes an uncapped inverted-index join quadratic in one shuffle key
+    val docs = Tables.documents(spark, SfDir)
+      .withColumn("text",
+        concat(lit("common header phrase planted in every single document "), col("text")))
+    val nDocs = docs.count()
+    val maxDfSeen = Dedup.shingles(docs, "doc_id", "text", 3)
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .agg(max("df")).head.getLong(0)
+    assert(maxDfSeen == nDocs, "planted shingle must be ubiquitous")
+    val uncapped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8, maxDf = 20)
+    assert(uncapped.count() > 0, "synthetic corpus plants near-duplicates")
+    // candidate generation skips the df>20 shingles entirely, yet the
+    // full-intersection verify reproduces the EXACT uncapped result —
+    // same pairs, same jaccard values
+    assert(capped.exceptAll(uncapped).count() == 0 && uncapped.exceptAll(capped).count() == 0,
+      "df-capped pair set diverges from the uncapped result")
+  }
+
   test("q18/q19: LSH candidates recover most true near-duplicate pairs") {
     val truth = SparkEntry.q17DedupNgramJaccard(spark, SfDir).select("doc_a", "doc_b")
     val nTruth = truth.count()

@@ -43,4 +43,28 @@ class SinksSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
     }
   }
+
+  test("profits window chain over the bucketed transfers table runs with zero Exchange") {
+    import org.apache.spark.sql.expressions.Window
+    try {
+      // the q44 layout: fact table bucketed on the window partition key
+      Sinks.writeBucketed(
+        Tables.transfersWithBalance(spark, SfDir).drop("transfer_sequence"),
+        "graft_twb_spec", bucketCols = Seq("asset", "wallet"), numBuckets = 8,
+        sortCols = Seq("asset", "wallet", "date"))
+      val w = Window.partitionBy("asset", "wallet").orderBy("date")
+      // the flagship's per-wallet window chain (running inflows +
+      // sequence) — on the shuffled layout this is the ONE fact
+      // exchange q10 pays; on the bucketed layout it must vanish
+      val chained = spark.table("graft_twb_spec")
+        .withColumn("inflows_cum", sum(greatest(col("net_transfers"), lit(0.0))).over(w))
+        .withColumn("seq", count(lit(1)).over(w))
+      chained.count()
+      val plan = chained.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed window chain should not shuffle:\n$plan")
+    } finally {
+      Sinks.dropTable(spark, "graft_twb_spec")
+    }
+  }
 }
