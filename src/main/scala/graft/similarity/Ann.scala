@@ -250,8 +250,12 @@ object Ann {
       bitsPerTable: Int = 4,
       seed: Long = 42L): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
+    // v feeds bucket generation + both re-rank sides; e self-joins —
+    // persist both or every consumer re-runs the scan + projections
     val v = prepared(emb, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val e = lshBuckets(v, emb, idCol, vecCol, numTables, bitsPerTable, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = e.as("a")
       .join(e.as("b"),
         col("a.__table") === col("b.__table") && col("a.__bucket") === col("b.__bucket") &&
@@ -312,8 +316,12 @@ object Ann {
       bitsPerTable: Int = 4,
       seed: Long = 42L): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
+    // v feeds bucket generation + both verify sides; e self-joins —
+    // persist both or every consumer re-runs the scan + projections
     val v = prepared(emb, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val e = lshBuckets(v, emb, idCol, vecCol, numTables, bitsPerTable, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = e.as("a")
       .join(e.as("b"),
         col("a.__table") === col("b.__table") && col("a.__bucket") === col("b.__bucket") &&
@@ -348,7 +356,10 @@ object Ann {
       numCells: Int = 16,
       nprobe: Int = 3): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
+    // consumed by seeding, assignment, centroid aggregation, the probe
+    // pass, and both re-rank sides — persist or the scan runs 6×
     val e = prepared(emb, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // seed centroids: the numCells lowest-id vectors (deterministic
     // for ANY id distribution — `id < numCells` would silently seed
