@@ -481,6 +481,22 @@ object SparkEntry {
     Dedup.keepersFromEdges(docs, "doc_id", edges, maxIters = 20)
   }
 
+  /** q45: the 100 TB form of q35 — approx_percentile (a mergeable
+    * KLL-style sketch: map-side partial sketches, one small merge per
+    * group) instead of exact `percentile`, whose per-group state is
+    * every value. Accuracy 10000 bounds rank error at n/10000;
+    * AnalyticsInvariantsSpec bounds the drift against exact q35.
+    * Approximate by construction → rows-only check, no SQL oracle. */
+  def q45PercentilesApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg("value"), 6).as("mean_value"),
+        round(expr("approx_percentile(value, 0.5, 10000)"), 6).as("p50_approx"),
+        round(expr("approx_percentile(value, 0.9, 10000)"), 6).as("p90_approx"),
+        round(expr("approx_percentile(value, 0.99, 10000)"), 6).as("p99_approx"))
+
   /** q44: the flagship rerun over a bucketed layout — materialize
     * transfers+balances bucketed on (asset, wallet), then run the
     * profits pipeline reading the bucketed table: the fact side's
@@ -548,7 +564,8 @@ object SparkEntry {
     "q41_embedding_neardup_lsh"  -> (q41EmbeddingNeardupLsh _),
     "q42_incremental_refresh"    -> (q42IncrementalRefresh _),
     "q43_neardup_keepers_exact"  -> (q43NeardupKeepersExact _),
-    "q44_wallet_profits_bucketed" -> (q44WalletProfitsBucketed _)
+    "q44_wallet_profits_bucketed" -> (q44WalletProfitsBucketed _),
+    "q45_percentiles_approx"     -> (q45PercentilesApprox _)
   )
 
   // q10 and q44 compute the same result over different physical

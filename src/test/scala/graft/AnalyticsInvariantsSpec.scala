@@ -59,4 +59,28 @@ class AnalyticsInvariantsSpec extends SparkSpec {
     assert(df.where(col("tfidf") < 0).count() == 0)
     df.unpersist()
   }
+
+  test("q45: approx percentiles land within sketch RANK tolerance of the target") {
+    // the KLL-style sketch's guarantee is on RANK, not value: the
+    // returned value's rank among the group's values must be within
+    // n/accuracy (+slack for value-vs-interpolation semantics) of q·n.
+    // A value-space bound would be meaningless in a sparse tail.
+    val approx = SparkEntry.q45PercentilesApprox(spark, SfDir)
+      .selectExpr("event_type",
+        "stack(3, 0.5D, p50_approx, 0.9D, p90_approx, 0.99D, p99_approx) AS (q, v)")
+    val ev = Tables.events(spark, SfDir).select("event_type", "value")
+    val ranked = approx.join(ev, Seq("event_type"))
+      .groupBy("event_type", "q", "v")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("value") <= col("v"), 1).otherwise(0)).as("rank_le"),
+        sum(when(col("value") < col("v"), 1).otherwise(0)).as("rank_lt"))
+      .withColumn("target", col("q") * col("n"))
+      .withColumn("slack", col("n") / lit(10000) + lit(2))
+    val bad = ranked.where(
+      col("rank_le") < col("target") - col("slack") ||
+        col("rank_lt") > col("target") + col("slack"))
+    assert(bad.count() == 0,
+      s"approx percentile rank drift: ${bad.collect().mkString(", ")}")
+  }
 }

@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{EventRollup, RunningBalance, SessionRollup, Transfer}
+import graft.streaming.{DedupStream, EventRollup, RunningBalance, SessionRollup, Transfer}
 
 /** S1/S2: drive the streaming operators through MemoryStream →
   * writeStream (the real Structured Streaming engine, micro-batched)
@@ -112,6 +112,61 @@ class StreamingSpec extends SparkSpec {
         col("s.n_events") =!= col("b.n_events") ||
           col("s.session_end") =!= col("b.session_end"))
       assert(bad.count() == 0, "stream/batch session contents diverge")
+    } finally query.stop()
+  }
+
+  test("S6: streaming keep-first dedup matches the batch key set, one row per key") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val rows = Tables.events(spark, SfDir)
+      .select("event_id", "event_type", "user_id", "ts", "value")
+      .as[Ev].collect().sortBy(_.ts.getTime)
+
+    val mem = MemoryStream[Ev]
+    val query = DedupStream.firstPerKey(mem.toDF())
+      .writeStream.format("memory").queryName("s6_dedup")
+      .outputMode("append").start()
+    try {
+      val (first, second) = rows.splitAt(rows.length / 2)
+      mem.addData(first.toIndexedSeq)
+      query.processAllAvailable()
+      mem.addData(second.toIndexedSeq)
+      query.processAllAvailable()
+
+      val streamed = spark.table("s6_dedup").cache()
+      // exactly one survivor per key, and the SAME key set the batch
+      // dedupe keeps (which row represents a key differs by design:
+      // arrival order vs (ts, event_id) order)
+      assert(streamed.groupBy("user_id", "event_type").count()
+        .where(col("count") > 1).count() == 0, "duplicate keys in streamed dedup")
+      val batchKeys = SparkEntry.q2DedupeRank(spark, SfDir).select("user_id", "event_type")
+      val streamKeys = streamed.select("user_id", "event_type")
+      assert(streamKeys.count() == batchKeys.count())
+      assert(streamKeys.exceptAll(batchKeys).count() == 0, "stream/batch key sets diverge")
+    } finally query.stop()
+  }
+
+  test("S6b: TTL dedup suppresses within-horizon duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val rows = Tables.events(spark, SfDir)
+      .select("event_id", "event_type", "user_id", "ts", "value")
+      .as[Ev].collect()
+    val mem = MemoryStream[Ev]
+    val query = DedupStream.firstPerKeyTtl(mem.toDF())
+      .writeStream.format("memory").queryName("s6b_dedup")
+      .outputMode("append").start()
+    try {
+      // every row fed twice in one batch: the second copy must vanish
+      mem.addData((rows ++ rows).toIndexedSeq)
+      query.processAllAvailable()
+      val streamed = spark.table("s6b_dedup")
+      assert(streamed.groupBy("user_id", "event_type").count()
+        .where(col("count") > 1).count() == 0, "TTL dedup let a duplicate through")
+      assert(streamed.count() ==
+        Tables.events(spark, SfDir).select("user_id", "event_type").distinct().count())
     } finally query.stop()
   }
 
