@@ -77,9 +77,12 @@ object Ann {
       vecCol: String,
       k: Int = 5,
       maxCompactRows: Long = 1L << 17): DataFrame = {
-    // one cheap count job decides the path; the compact path's collect
-    // is then bounded by construction (maxCompactRows × dim doubles)
-    val n = prepared(emb, idCol, vecCol).count()
+    // the dispatch only needs "does n exceed the threshold", so count
+    // a LIMIT threshold+1 subquery — a bounded short-circuiting job,
+    // not a full scan of norms; the compact path's collect is then
+    // bounded by construction (maxCompactRows × dim doubles)
+    val probe = math.min(maxCompactRows, Int.MaxValue - 1L).toInt + 1
+    val n = prepared(emb, idCol, vecCol).limit(probe).count()
     if (n <= maxCompactRows) bruteForceKnnCompact(emb, idCol, vecCol, k)
     else bruteForceKnnJoin(emb, idCol, vecCol, k, broadcastSmallSide = false)
   }

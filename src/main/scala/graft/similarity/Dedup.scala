@@ -63,18 +63,23 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
 
   /** @param maxDf shingle document-frequency cap for CANDIDATE
-    *   generation: the self-join runs only on shingles appearing in at
-    *   most `maxDf` documents, so one ubiquitous stop-phrase shingle
-    *   ("of the and" in 10⁶ docs) can no longer put df² pairs into a
-    *   single shuffle key — the join cost is bounded by Σ(min(df,
-    *   maxDf)²). Verification then counts the FULL intersection over
-    *   the candidate pairs, so any qualifying pair that shares at
-    *   least one sub-cap shingle gets its exact uncapped Jaccard —
-    *   capping changes which pairs are FOUND (only pairs whose every
-    *   shared shingle is ubiquitous can be missed; at threshold 0.8
-    *   that means near-identical docs made entirely of stop phrases),
-    *   never the score of a found pair. Int.MaxValue (default)
-    *   disables the cap and the extra verification join entirely. */
+    *   generation: the shingle self-join runs only on shingles
+    *   appearing in at most `maxDf` documents, so one ubiquitous
+    *   stop-phrase shingle ("of the and" in 10⁶ docs) can no longer
+    *   put df² pairs into a single shuffle key — the join cost is
+    *   bounded by Σ(min(df, maxDf)²). Verification then counts the
+    *   FULL intersection over the candidate pairs, so any found pair
+    *   gets its exact uncapped Jaccard. A duplicate CLUSTER larger
+    *   than maxDf would push even its own shingles over the cap, so
+    *   the capped path additionally admits exact-duplicate candidates
+    *   (equi-join on the content hash — these pairs are all true
+    *   positives, and their quadratic count is the OUTPUT size, not
+    *   avoidable shuffle skew). Residual contract: a NEAR-identical
+    *   (not byte-identical) cluster larger than maxDf can still lose
+    *   pairs — size maxDf above the largest expected near-dup cluster,
+    *   or collapse exact dups (q16) before this pass, the tiered
+    *   design the scaladoc above describes. Int.MaxValue (default)
+    *   disables the cap and the extra joins entirely. */
   def ngramJaccardPairs(
       docs: DataFrame,
       idCol: String,
@@ -101,11 +106,20 @@ object Dedup {
           .where(col("__df") <= maxDf)
           .select("shingle")
         val candSh = sh.join(rare, Seq("shingle"))
-        val cands = candSh.as("a")
+        val shingleCands = candSh.as("a")
           .join(candSh.as("b"),
             col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol"))
           .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
-          .distinct()
+        // identical-doc rescue: a cluster of >maxDf byte-identical
+        // copies has NO sub-cap shingle, yet every one of its pairs is
+        // a true jaccard=1.0 positive — admit them via the content
+        // hash so the cap can't silence dedup's primary target
+        val hashes = docs.select(col(idCol), md5(col(textCol)).as("__h"))
+        val exactCands = hashes.as("a")
+          .join(hashes.as("b"),
+            col("a.__h") === col("b.__h") && col(s"a.$idCol") < col(s"b.$idCol"))
+          .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+        val cands = shingleCands.unionByName(exactCands).distinct()
         fullIntersection(cands, sh, idCol)
       }
     jaccardThreshold(inter, counts, idCol, threshold)

@@ -48,8 +48,14 @@ object Sinks {
     // Overwrite must be idempotent ACROSS sessions: the default
     // in-memory catalog forgets the table when the JVM exits but its
     // warehouse directory survives, and saveAsTable then fails with
-    // LOCATION_ALREADY_EXISTS — clear the orphaned location first.
-    if (mode == SaveMode.Overwrite) dropTable(df.sparkSession, table)
+    // LOCATION_ALREADY_EXISTS. Clear the location ONLY when the
+    // catalog does not know the table (i.e. it is an orphan from a
+    // dead session) — when the table is live, saveAsTable's own
+    // Overwrite handling runs with its safety checks intact (a
+    // pre-drop here would destroy the old data before the new write
+    // is even validated, e.g. on a self-read plan or a bad column).
+    if (mode == SaveMode.Overwrite && !df.sparkSession.catalog.tableExists(table))
+      dropTable(df.sparkSession, table)
     val w = df.write.mode(mode).bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     val ws = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
     ws.format("parquet").saveAsTable(table)
@@ -65,8 +71,9 @@ object Sinks {
     val loc = java.nio.file.Paths.get(wh, table.toLowerCase)
     if (java.nio.file.Files.exists(loc)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverseIterator
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      val walk = java.nio.file.Files.walk(loc)
+      val paths = try walk.iterator().asScala.toSeq finally walk.close()
+      paths.reverseIterator.foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
 }

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared durable-streaming harness: stage a bounded events DataFrame
+  * as TIME-ORDERED files, run `EventRollup.daily` over a file source
+  * into a parquet sink with a checkpoint, STOP the query mid-backlog,
+  * restart it from the checkpoint, drain, and flush the final windows
+  * with a far-future sentinel. One implementation serves both the
+  * runnable [[StreamDemo]] and `StreamingSpec`'s S5 recovery test —
+  * the sentinel/watermark/flush interplay is fiddly enough that two
+  * copies would drift.
+  *
+  * Mechanics that make this correct:
+  *   - files are staged in event-time order with increasing mtimes, so
+  *     the source (oldest-first) replays them in order and the
+  *     watermark always trails unseen data — nothing is late-dropped;
+  *   - the sentinel event sits far past max(ts) + watermark, so after
+  *     its batch the watermark passes every real window and append
+  *     mode emits them; the closing emission may ride the subsequent
+  *     no-data micro-batch, hence the polling wait;
+  *   - the parquet sink's transaction log makes a replayed batch
+  *     idempotent — the restart cannot double-write a window.
+  */
+object DurableReplay {
+
+  /** @param events bounded (event_id, event_type, user_id, ts, value)
+    * @param expectRows rows the drained sink must reach (the batch
+    *   twin's count) — polled with a deadline after the sentinel
+    * @return (recovered non-sentinel sink rows, progress entries seen
+    *   before the mid-backlog stop) */
+  def run(spark: SparkSession, events: DataFrame, expectRows: Long): (DataFrame, Int) = {
+    import spark.implicits._
+    val inDir = java.nio.file.Files.createTempDirectory("graft_durable_in").toString
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_durable_sink").toString + "/out"
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_durable_ckpt").toString
+
+    val w = org.apache.spark.sql.expressions.Window.orderBy("ts")
+    val quartiled = events.withColumn("__q", ntile(4).over(w)).cache()
+    (1 to 4).foreach { i =>
+      quartiled.where(col("__q") === i).drop("__q")
+        .coalesce(1).write.mode("append").parquet(inDir)
+      Thread.sleep(50)
+    }
+
+    def mkQuery() = {
+      val stream = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      EventRollup.daily(stream)
+        .writeStream.format("parquet")
+        .option("path", sinkDir).option("checkpointLocation", ckptDir)
+        .outputMode("append").start()
+    }
+
+    // first incarnation: part of the backlog, then stop — offsets and
+    // window state survive in the checkpoint
+    val q1 = mkQuery()
+    val stopDeadline = System.currentTimeMillis + 120000
+    while (q1.recentProgress.length < 2 && System.currentTimeMillis < stopDeadline)
+      Thread.sleep(50)
+    val batchesBeforeStop = q1.recentProgress.length
+    q1.stop()
+
+    // second incarnation: resume, drain, sentinel-flush
+    val q2 = mkQuery()
+    try {
+      q2.processAllAvailable()
+      val maxTs = events.agg(max("ts")).head.getTimestamp(0)
+      Seq((9999999L, "zz_sentinel", 0L,
+          new java.sql.Timestamp(maxTs.getTime + 10L * 24 * 3600 * 1000), 0.0))
+        .toDF("event_id", "event_type", "user_id", "ts", "value")
+        .write.mode("append").parquet(inDir)
+      q2.processAllAvailable()
+      def sunk() = spark.read.parquet(sinkDir).where(col("event_type") =!= "zz_sentinel")
+      val flushDeadline = System.currentTimeMillis + 60000
+      while (sunk().count() < expectRows && System.currentTimeMillis < flushDeadline)
+        Thread.sleep(200)
+      (sunk(), batchesBeforeStop)
+    } finally {
+      q2.stop()
+      quartiled.unpersist(): Unit
+    }
+  }
+}

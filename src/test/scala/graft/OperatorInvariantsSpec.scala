@@ -68,6 +68,26 @@ class OperatorInvariantsSpec extends SparkSpec {
       "df-capped pair set diverges from the uncapped result")
   }
 
+  test("q17 maxDf: an identical-doc cluster larger than the cap keeps all its pairs") {
+    import graft.similarity.Dedup
+    // 30 byte-identical docs: every shingle they contain has df=30 >
+    // maxDf=20, so WITHOUT the content-hash rescue the capped path
+    // would emit zero pairs for dedup's primary target
+    val clones = spark.range(30)
+      .selectExpr("id + 1000000 AS doc_id",
+        "'alpha beta gamma delta epsilon zeta eta theta iota kappa' AS text")
+    val corpus = Tables.documents(spark, SfDir).select("doc_id", "text").unionByName(clones)
+    val capped = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      n = 3, threshold = 0.8, maxDf = 20).cache()
+    val clonePairs = capped.where(col("doc_a") >= 1000000 && col("doc_b") >= 1000000)
+    assert(clonePairs.count() == 30L * 29 / 2, "identical cluster lost pairs under the cap")
+    assert(clonePairs.where(col("jaccard") =!= 1.0).count() == 0)
+    // and the full result still equals the uncapped computation
+    val uncapped = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3, threshold = 0.8)
+    assert(capped.exceptAll(uncapped).count() == 0 && uncapped.exceptAll(capped).count() == 0)
+    capped.unpersist()
+  }
+
   test("q18/q19: LSH candidates recover most true near-duplicate pairs") {
     val truth = SparkEntry.q17DedupNgramJaccard(spark, SfDir).select("doc_a", "doc_b")
     val nTruth = truth.count()

@@ -1,7 +1,5 @@
 package graft
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -173,75 +171,23 @@ class StreamingSpec extends SparkSpec {
   test("S5: file sink + checkpoint survives a mid-stream restart exactly-once") {
     val events = Tables.events(spark, SfDir)
       .select("event_id", "event_type", "user_id", "ts", "value")
-    val inDir = Files.createTempDirectory("graft_durable_in").toString
-    val sinkDir = Files.createTempDirectory("graft_durable_sink").toString + "/out"
-    val ckptDir = Files.createTempDirectory("graft_durable_ckpt").toString
+    val batch = SparkEntry.q15DailyRollup(spark, SfDir).cache()
+    val expect = batch.count()
 
-    // stage the input as 4 TIME-ORDERED files with increasing mtimes:
-    // the file source replays oldest-first, so the watermark only ever
-    // advances behind data still to come — nothing is dropped as late
-    val w = org.apache.spark.sql.expressions.Window.orderBy("ts")
-    val quartiled = events.withColumn("__q", ntile(4).over(w)).cache()
-    (1 to 4).foreach { i =>
-      quartiled.where(col("__q") === i).drop("__q")
-        .coalesce(1).write.mode("append").parquet(inDir)
-      Thread.sleep(50)
-    }
-
-    def mkQuery() = {
-      val stream = spark.readStream.schema(events.schema)
-        .option("maxFilesPerTrigger", "1").parquet(inDir)
-      EventRollup.daily(stream)
-        .writeStream.format("parquet")
-        .option("path", sinkDir).option("checkpointLocation", ckptDir)
-        .outputMode("append").start()
-    }
-
-    // run the first incarnation only partway through the backlog, then
-    // stop it — offsets + window state live in the checkpoint
-    val q1 = mkQuery()
-    val deadline = System.currentTimeMillis + 120000
-    while (q1.recentProgress.length < 2 && System.currentTimeMillis < deadline)
-      Thread.sleep(50)
-    q1.stop()
-
-    // second incarnation resumes from the checkpoint and drains the
-    // rest; a far-future sentinel then pushes the watermark past every
-    // real day window so append mode flushes them all
-    val q2 = mkQuery()
-    try {
-      q2.processAllAvailable()
-      val maxTs = events.agg(max("ts")).head.getTimestamp(0)
-      import spark.implicits._
-      Seq((9999999L, "zz_sentinel", 0L,
-          new java.sql.Timestamp(maxTs.getTime + 10L * 24 * 3600 * 1000), 0.0))
-        .toDF("event_id", "event_type", "user_id", "ts", "value")
-        .write.mode("append").parquet(inDir)
-      q2.processAllAvailable()
-      // the closing emission can ride the no-data batch right after the
-      // sentinel batch — wait for it
-      val batch = SparkEntry.q15DailyRollup(spark, SfDir).cache()
-      val expect = batch.count()
-      val flushDeadline = System.currentTimeMillis + 60000
-      def sunk() = spark.read.parquet(sinkDir).where(col("event_type") =!= "zz_sentinel")
-      while (sunk().count() < expect && System.currentTimeMillis < flushDeadline)
-        Thread.sleep(200)
-
-      val out = sunk().cache()
-      // exactly-once: the restart must not have double-written a window
-      assert(out.groupBy("event_type", "date").count().where(col("count") > 1).count() == 0,
-        "duplicate windows after restart")
-      assert(out.count() == expect, "missing windows after restart")
-      val joined = out.as("s").join(batch.as("b"), Seq("event_type", "date"))
-      val bad = joined.where(
-        col("s.n_events") =!= col("b.n_events") ||
-          abs(col("s.sum_value") - col("b.sum_value")) > 1e-4 ||
-          col("s.min_value") =!= col("b.min_value") ||
-          col("s.max_value") =!= col("b.max_value"))
-      assert(bad.count() == 0, "recovered stream diverges from batch")
-    } finally {
-      q2.stop()
-      quartiled.unpersist()
-    }
+    // the staging/stop/restart/sentinel mechanics live in
+    // DurableReplay (shared with the runnable StreamDemo)
+    val (out0, _) = graft.streaming.DurableReplay.run(spark, events, expect)
+    val out = out0.cache()
+    // exactly-once: the restart must not have double-written a window
+    assert(out.groupBy("event_type", "date").count().where(col("count") > 1).count() == 0,
+      "duplicate windows after restart")
+    assert(out.count() == expect, "missing windows after restart")
+    val joined = out.as("s").join(batch.as("b"), Seq("event_type", "date"))
+    val bad = joined.where(
+      col("s.n_events") =!= col("b.n_events") ||
+        abs(col("s.sum_value") - col("b.sum_value")) > 1e-4 ||
+        col("s.min_value") =!= col("b.min_value") ||
+        col("s.max_value") =!= col("b.max_value"))
+    assert(bad.count() == 0, "recovered stream diverges from batch")
   }
 }
