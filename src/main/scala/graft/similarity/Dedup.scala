@@ -102,25 +102,45 @@ object Dedup {
           .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
           .agg(count(lit(1)).as("__i"))
       } else {
-        val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
-          .where(col("__df") <= maxDf)
-          .select("shingle")
-        val candSh = sh.join(rare, Seq("shingle"))
-        val shingleCands = candSh.as("a")
+        // split the shingle universe at the cap ONCE; the self-join
+        // runs only on the sub-cap side (bounded key multiplicity),
+        // and — exactly like the uncapped path — its per-pair row
+        // count IS the rare-side intersection, so no distinct and no
+        // re-join of the full shingle table is ever needed
+        val byDf = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val candSh = sh.join(byDf.where(col("__df") <= maxDf).select("shingle"), Seq("shingle"))
+        val interRare = candSh.as("a")
           .join(candSh.as("b"),
             col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol"))
-          .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+          .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+          .agg(count(lit(1)).as("__ir"))
+        // the dropped hot shingles still count toward a FOUND pair's
+        // intersection: join the (few) >cap shingles against the
+        // candidate pairs only — Σ shared-hot-per-pair rows, bounded
+        val hotSh = sh.join(byDf.where(col("__df") > maxDf).select("shingle"), Seq("shingle"))
+        val interHot = interRare.select("doc_a", "doc_b")
+          .join(hotSh.select(col(idCol).as("doc_a"), col("shingle")), Seq("doc_a"))
+          .join(hotSh.select(col(idCol).as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+          .groupBy("doc_a", "doc_b")
+          .agg(count(lit(1)).as("__ih"))
+        val viaShingles = interRare
+          .join(interHot, Seq("doc_a", "doc_b"), "left")
+          .select(col("doc_a"), col("doc_b"),
+            (col("__ir") + coalesce(col("__ih"), lit(0L))).as("__i"))
         // identical-doc rescue: a cluster of >maxDf byte-identical
-        // copies has NO sub-cap shingle, yet every one of its pairs is
-        // a true jaccard=1.0 positive — admit them via the content
-        // hash so the cap can't silence dedup's primary target
+        // copies can have NO sub-cap shingle at all — admit its pairs
+        // via the content hash (true jaccard=1.0 positives; identical
+        // shingle sets ⇒ intersection = own shingle count, no join)
         val hashes = docs.select(col(idCol), md5(col(textCol)).as("__h"))
-        val exactCands = hashes.as("a")
+        val exactOnly = hashes.as("a")
           .join(hashes.as("b"),
             col("a.__h") === col("b.__h") && col(s"a.$idCol") < col(s"b.$idCol"))
           .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
-        val cands = shingleCands.unionByName(exactCands).distinct()
-        fullIntersection(cands, sh, idCol)
+          .join(viaShingles.select("doc_a", "doc_b"), Seq("doc_a", "doc_b"), "left_anti")
+          .join(counts.select(col(idCol).as("doc_a"), col("__n").as("__i")), Seq("doc_a"))
+          .select("doc_a", "doc_b", "__i")
+        viaShingles.unionByName(exactOnly)
       }
     jaccardThreshold(inter, counts, idCol, threshold)
   }
@@ -132,8 +152,12 @@ object Dedup {
   private def fullIntersection(cands: DataFrame, sh: DataFrame, idCol: String): DataFrame =
     cands
       .join(sh.select(col(idCol).as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(sh.select(col(idCol).as("doc_b"), col("shingle").as("__s2")), Seq("doc_b"))
-      .where(col("shingle") === col("__s2"))
+      // (doc_b, shingle) must BOTH be join keys: with doc_b alone the
+      // join materializes |pairs| × shingles-per-doc² rows and leaves
+      // the shingle match to a filter — measured 2.5× the whole-query
+      // cost at sf0.1 once the df-capped path fed it real candidate
+      // volumes; keyed on the pair the join emits intersection rows only
+      .join(sh.select(col(idCol).as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("__i"))
 
