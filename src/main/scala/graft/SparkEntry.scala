@@ -502,6 +502,14 @@ object SparkEntry {
     Dedup.keepersFromEdges(docs, "doc_id", edges, maxIters = 20)
   }
 
+  /** q46: video frame sampling over the binary media table — one
+    * video row fans out to 4 frame rows (stub codec, deterministic;
+    * the fan-out + per-frame schema are the real scale surface).
+    * Rows-only: binary plumbing has no SQL oracle. */
+  def q46FrameSample(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+      Multimodal.asMediaTable(Tables.documents(spark, dir), "doc_id", "text"))
+
   /** q45: the 100 TB form of q35 — approx_percentile (a mergeable
     * KLL-style sketch: map-side partial sketches, one small merge per
     * group) instead of exact `percentile`, whose per-group state is
@@ -586,7 +594,8 @@ object SparkEntry {
     "q42_incremental_refresh"    -> (q42IncrementalRefresh _),
     "q43_neardup_keepers_exact"  -> (q43NeardupKeepersExact _),
     "q44_wallet_profits_bucketed" -> (q44WalletProfitsBucketed _),
-    "q45_percentiles_approx"     -> (q45PercentilesApprox _)
+    "q45_percentiles_approx"     -> (q45PercentilesApprox _),
+    "q46_frame_sample"           -> (q46FrameSample _)
   )
 
   // q10 and q44 compute the same result over different physical

@@ -62,4 +62,56 @@ object Multimodal {
       .mapPartitions(it => it.grouped(DecodeBatchSize).flatMap(stubDecode))
       .toDF()
   }
+
+  case class ResizedRow(doc_id: Long, media_type: String, width: Int, height: Int,
+      payload: Array[Byte])
+  case class FrameRow(doc_id: Long, frame_idx: Int, byte_offset: Int, n_bytes: Int,
+      frame_checksum: Long)
+
+  /** Resize pass (STUB codec): emits a payload of exactly width×height
+    * bytes per row — a real implementation decodes, resamples, and
+    * re-encodes inside the same batched narrow pass. The fake fills
+    * the target buffer by cycling the source bytes, so output size is
+    * schema-checkable and values are deterministic. Narrow map — the
+    * 100 TB shape is "payload in, payload out, no shuffle". */
+  def resize(media: DataFrame, width: Int, height: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media_type"), col("payload")).as[MediaRow]
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(_.map { r =>
+        val out = new Array[Byte](width * height)
+        val n = r.payload.length
+        var i = 0
+        while (i < out.length) { out(i) = if (n == 0) 0 else r.payload(i % n); i += 1 }
+        ResizedRow(r.doc_id, r.media_type, width, height, out)
+      }))
+      .toDF()
+  }
+
+  /** Frame sampling (STUB codec): one video row fans out to
+    * `framesPerDoc` frame rows at evenly-spaced byte offsets — the
+    * real op seeks keyframes via the container index; the fan-out,
+    * per-frame schema, and downstream partitioning are the parts that
+    * matter at scale (a frame table feeds the image ops and is
+    * repartitioned by frame, not by source video, so one long video
+    * cannot skew a partition). */
+  def sampleFrames(media: DataFrame, framesPerDoc: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.where(col("media_type") === "video")
+      .select(col("doc_id"), col("media_type"), col("payload")).as[MediaRow]
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(_.flatMap { r =>
+        val n = r.payload.length
+        val k = math.max(1, math.min(framesPerDoc, n))
+        (0 until k).map { i =>
+          val off = (n.toLong * i / k).toInt
+          val end = math.min(off + 16, n)
+          var cs = 0L
+          var j = off
+          while (j < end) { cs = (cs * 131 + (r.payload(j) & 0xff)) % 1000000007L; j += 1 }
+          FrameRow(r.doc_id, i, off, end - off, cs)
+        }
+      }))
+      .toDF()
+  }
 }

@@ -183,4 +183,28 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
     assert(a.count() == Tables.documents(spark, SfDir).count())
   }
+
+  test("multimodal resize/frame-sample: exact output shapes, deterministic") {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.asMediaTable(Tables.documents(spark, SfDir), "doc_id", "text")
+
+    val resized = Multimodal.resize(media, width = 8, height = 6).cache()
+    assert(resized.count() == media.count(), "resize must be total")
+    assert(resized.where(length(col("payload")) =!= 8 * 6).count() == 0,
+      "resized payload must be exactly width*height bytes")
+
+    val frames = SparkEntry.q46FrameSample(spark, SfDir).cache()
+    val nVideos = media.where(col("media_type") === "video").count()
+    assert(nVideos > 0)
+    // 4 frames per video (docs are longer than 4 bytes), dense indices
+    assert(frames.count() == nVideos * 4)
+    val badDocs = frames.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max("frame_idx").as("mx"), min("frame_idx").as("mn"))
+      .where(col("n") =!= 4 || col("mx") =!= 3 || col("mn") =!= 0)
+    assert(badDocs.count() == 0, "frame indices must be dense 0..3 per video")
+    // deterministic: a rerun reproduces every checksum
+    val again = SparkEntry.q46FrameSample(spark, SfDir)
+    assert(frames.exceptAll(again).count() == 0 && again.exceptAll(frames).count() == 0)
+    resized.unpersist(); frames.unpersist()
+  }
 }
