@@ -465,13 +465,36 @@ object SparkEntry {
       if (java.nio.file.Files.exists(src))
         s"${java.nio.file.Files.size(src)}_${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
       else "nofp"
-    val key = dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + fp
+    val sfKey = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val key = sfKey + "_" + fp
     val tmp = sys.props("java.io.tmpdir")
     val tableDir = s"$tmp/graft_q42_table_$key"
     val stagingDir = s"$tmp/graft_q42_stage_$key"
     val marker = java.nio.file.Paths.get(s"$tmp/graft_q42_done_$key")
     if (!java.nio.file.Files.exists(marker) ||
         !java.nio.file.Files.exists(java.nio.file.Paths.get(tableDir))) {
+      // a regenerated testdata set mints a new fingerprint — reap the
+      // previous fingerprints' scratch dirs for this SF or every
+      // regeneration leaves two dead table copies in tmp
+      val tmpPath = java.nio.file.Paths.get(tmp)
+      val stale = java.nio.file.Files.list(tmpPath)
+      try {
+        stale.iterator().forEachRemaining { p =>
+            val name = p.getFileName.toString
+            val isQ42 = name.startsWith(s"graft_q42_table_$sfKey") ||
+              name.startsWith(s"graft_q42_stage_$sfKey") ||
+              name.startsWith(s"graft_q42_done_$sfKey")
+            if (isQ42 && !name.endsWith(fp)) {
+              val walk = java.nio.file.Files.walk(p)
+              val paths = try {
+                val b = Seq.newBuilder[java.nio.file.Path]
+                walk.iterator().forEachRemaining(q => b += q)
+                b.result()
+              } finally walk.close()
+              paths.reverseIterator.foreach(q => java.nio.file.Files.deleteIfExists(q))
+            }
+          }
+      } finally stale.close()
       val ev = Tables.events(spark, dir)
       val keys = Seq("user_id", "event_type")
       val version = Seq(col("ts"), col("event_id"))

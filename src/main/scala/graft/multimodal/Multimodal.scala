@@ -28,6 +28,16 @@ object Multimodal {
     * vectorized decoder or GPU kernel would consume. */
   val DecodeBatchSize = 64
 
+  /** Rolling polynomial checksum over payload[from, until) — the ONE
+    * stub hash every fake codec in this object uses, so the
+    * "deterministic stub" values cannot drift between ops. */
+  private def polyChecksum(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var cs = 0L
+    var j = from
+    while (j < until) { cs = (cs * 131 + (bytes(j) & 0xff)) % 1000000007L; j += 1 }
+    cs
+  }
+
   /** STUB: a real implementation decodes the payload with an image/
     * audio codec (e.g. JPEG dims, PCM duration). Deterministic fake:
     * dims derived from payload length, checksum a polynomial over the
@@ -35,8 +45,8 @@ object Multimodal {
   private def stubDecode(batch: Seq[MediaRow]): Seq[MediaMeta] =
     batch.map { r =>
       val n = r.payload.length
-      val checksum = r.payload.foldLeft(0L)((acc, b) => (acc * 131 + (b & 0xff)) % 1000000007L)
-      MediaMeta(r.doc_id, r.media_type, n, 16 + n % 64, 16 + (n / 64) % 64, checksum)
+      MediaMeta(r.doc_id, r.media_type, n, 16 + n % 64, 16 + (n / 64) % 64,
+        polyChecksum(r.payload, 0, n))
     }
 
   /** Wrap a text table into a binary media table (payload = utf-8
@@ -75,6 +85,11 @@ object Multimodal {
     * schema-checkable and values are deterministic. Narrow map — the
     * 100 TB shape is "payload in, payload out, no shuffle". */
   def resize(media: DataFrame, width: Int, height: Int): DataFrame = {
+    // guard BEFORE the job runs: width*height is an Int allocation —
+    // oversized dims would overflow (silent empty/negative buffers)
+    // inside every task instead of failing fast on the driver
+    require(width > 0 && height > 0 && width.toLong * height <= Int.MaxValue,
+      s"resize dims must satisfy 0 < width*height <= Int.MaxValue, got ${width}x$height")
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("doc_id"), col("media_type"), col("payload")).as[MediaRow]
@@ -90,11 +105,12 @@ object Multimodal {
 
   /** Frame sampling (STUB codec): one video row fans out to
     * `framesPerDoc` frame rows at evenly-spaced byte offsets — the
-    * real op seeks keyframes via the container index; the fan-out,
-    * per-frame schema, and downstream partitioning are the parts that
-    * matter at scale (a frame table feeds the image ops and is
-    * repartitioned by frame, not by source video, so one long video
-    * cannot skew a partition). */
+    * real op seeks keyframes via the container index. The op itself
+    * is a narrow map (frames stay in their source video's partition);
+    * a downstream consumer feeding per-frame image ops should
+    * repartition the frame table so one long video cannot skew a
+    * partition — that shuffle belongs to the consumer, which knows
+    * its parallelism, not here. */
   def sampleFrames(media: DataFrame, framesPerDoc: Int = 4): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -106,10 +122,7 @@ object Multimodal {
         (0 until k).map { i =>
           val off = (n.toLong * i / k).toInt
           val end = math.min(off + 16, n)
-          var cs = 0L
-          var j = off
-          while (j < end) { cs = (cs * 131 + (r.payload(j) & 0xff)) % 1000000007L; j += 1 }
-          FrameRow(r.doc_id, i, off, end - off, cs)
+          FrameRow(r.doc_id, i, off, end - off, polyChecksum(r.payload, off, end))
         }
       }))
       .toDF()

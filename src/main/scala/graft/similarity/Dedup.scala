@@ -106,15 +106,20 @@ object Dedup {
         // runs only on the sub-cap side (bounded key multiplicity),
         // and — exactly like the uncapped path — its per-pair row
         // count IS the rare-side intersection, so no distinct and no
-        // re-join of the full shingle table is ever needed
+        // re-join of the full shingle table is ever needed.
+        // byDf is cheap to recompute from the persisted sh; interRare
+        // (the expensive self-join, one small row per candidate pair)
+        // is persisted because three subtrees consume it — lifecycle
+        // follows sh's documented contract (callers clearCache
+        // between pipeline runs; Verify/Bench do)
         val byDf = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val candSh = sh.join(byDf.where(col("__df") <= maxDf).select("shingle"), Seq("shingle"))
         val interRare = candSh.as("a")
           .join(candSh.as("b"),
             col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol"))
           .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
           .agg(count(lit(1)).as("__ir"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // the dropped hot shingles still count toward a FOUND pair's
         // intersection: join the (few) >cap shingles against the
         // candidate pairs only — Σ shared-hot-per-pair rows, bounded
@@ -137,7 +142,10 @@ object Dedup {
           .join(hashes.as("b"),
             col("a.__h") === col("b.__h") && col(s"a.$idCol") < col(s"b.$idCol"))
           .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
-          .join(viaShingles.select("doc_a", "doc_b"), Seq("doc_a", "doc_b"), "left_anti")
+          // anti-join against interRare, whose pair set equals
+          // viaShingles' by construction (left join preserves rows) —
+          // skips re-expanding the interHot subtree in this branch
+          .join(interRare.select("doc_a", "doc_b"), Seq("doc_a", "doc_b"), "left_anti")
           .join(counts.select(col(idCol).as("doc_a"), col("__n").as("__i")), Seq("doc_a"))
           .select("doc_a", "doc_b", "__i")
         viaShingles.unionByName(exactOnly)
@@ -146,17 +154,16 @@ object Dedup {
   }
 
   /** Exact shingle-intersection counts for an explicit candidate-pair
-    * list (shared by the df-capped path and [[nearDupKeepers]]):
-    * joins each side's full shingle set and counts matches — cost is
+    * list ([[nearDupKeepers]]'s LSH-candidate verification): joins
+    * each side's full shingle set and counts matches — cost is
     * |candidates| × shingles-per-doc, never docs². */
   private def fullIntersection(cands: DataFrame, sh: DataFrame, idCol: String): DataFrame =
     cands
       .join(sh.select(col(idCol).as("doc_a"), col("shingle")), Seq("doc_a"))
       // (doc_b, shingle) must BOTH be join keys: with doc_b alone the
       // join materializes |pairs| × shingles-per-doc² rows and leaves
-      // the shingle match to a filter — measured 2.5× the whole-query
-      // cost at sf0.1 once the df-capped path fed it real candidate
-      // volumes; keyed on the pair the join emits intersection rows only
+      // the shingle match to a filter; keyed on the pair it emits
+      // intersection rows only
       .join(sh.select(col(idCol).as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("__i"))
