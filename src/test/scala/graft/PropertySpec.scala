@@ -109,6 +109,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("ngramJaccardPairs: df-capped ≡ uncapped on random corpora with dup clusters") {
+    import spark.implicits._
+    // small vocab forces heavy shingle collisions; appended clone
+    // blocks force duplicate clusters larger than the cap — together
+    // they exercise every branch of the rare/hot/exact decomposition
+    val vocab = Vector("ant", "bee", "cat", "dog", "elk", "fox", "gnu", "hen", "ibis", "jay")
+    val textGen = Gen.choose(3, 12).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val corpusGen = for {
+      texts <- Gen.listOfN(25, textGen)
+      cloneText <- textGen
+      nClones <- Gen.choose(5, 15)
+      cap <- Gen.choose(2, 8)
+    } yield (texts ++ List.fill(nClones)(cloneText), cap)
+    forAll(corpusGen) { case (texts, cap) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val uncapped = graft.similarity.Dedup
+        .ngramJaccardPairs(df, "doc_id", "text", n = 3, threshold = 0.5)
+      val capped = graft.similarity.Dedup
+        .ngramJaccardPairs(df, "doc_id", "text", n = 3, threshold = 0.5, maxDf = cap)
+      // the byte-identical clone cluster must ALWAYS survive the cap;
+      // random near-identical texts may legitimately differ between
+      // the paths (documented contract), so compare on the clone block
+      // plus assert capped ⊆ uncapped with equal jaccard everywhere
+      val cloneIds = (25 until texts.length).map(_.toLong).toSet
+      val uncappedClonePairs = uncapped
+        .where(col("doc_a").isin(cloneIds.toSeq: _*) && col("doc_b").isin(cloneIds.toSeq: _*))
+      val cappedClonePairs = capped
+        .where(col("doc_a").isin(cloneIds.toSeq: _*) && col("doc_b").isin(cloneIds.toSeq: _*))
+      assert(cappedClonePairs.exceptAll(uncappedClonePairs).count() == 0 &&
+        uncappedClonePairs.exceptAll(cappedClonePairs).count() == 0,
+        s"clone cluster pairs diverge at cap=$cap")
+      assert(capped.exceptAll(uncapped).count() == 0,
+        s"capped produced a pair/jaccard the uncapped path does not have (cap=$cap)")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("fingerprint matches an in-Scala reference fold") {
     import spark.implicits._
     val wordGen = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
