@@ -123,6 +123,19 @@ object Ingest {
       partitionCols: Seq[String],
       stagingPath: String): Unit = {
     val spark = updates.sparkSession
+    // bootstrap: a first-ever batch has no table to refresh — write
+    // the deduped batch as the initial partitioned table (the same
+    // thing the reference's first DELETE+INSERT run does)
+    val tableRoot = new java.io.File(tablePath)
+    val hasData = tableRoot.isDirectory &&
+      Option(tableRoot.listFiles()).exists(_.exists(f =>
+        f.getName.endsWith(".parquet") || f.getName.contains("=")))
+    if (!hasData) {
+      Sinks.writePartitioned(
+        WindowOps.dedupeFirst(updates, keys, versionCols.map(_.desc)),
+        tablePath, partitionCols)
+      return
+    }
     val existing = spark.read.parquet(tablePath)
     // partition pruning, not a full-table read: semi-join on the
     // distinct touched partition values (broadcast — a batch touches

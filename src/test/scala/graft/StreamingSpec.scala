@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{DedupStream, EventRollup, RunningBalance, SessionRollup, Transfer}
+import graft.streaming.{DedupStream, EventRollup, RunningBalance, SessionRollup, Transfer, UpsertSink}
 
 /** S1/S2: drive the streaming operators through MemoryStream →
   * writeStream (the real Structured Streaming engine, micro-batched)
@@ -166,6 +166,51 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.count() ==
         Tables.events(spark, SfDir).select("user_id", "event_type").distinct().count())
     } finally query.stop()
+  }
+
+  test("S7: streaming upsert sink builds the table incrementally and replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val rows = Tables.events(spark, SfDir)
+      .select("event_id", "event_type", "user_id", "ts", "value")
+      .as[Ev].collect().sortBy(_.ts.getTime)
+    val tableDir = java.nio.file.Files.createTempDirectory("graft_upsert_table").toString
+    val stagingDir = java.nio.file.Files.createTempDirectory("graft_upsert_stage").toString
+    val keys = Seq("user_id", "event_type")
+    val version = Seq(col("ts"), col("event_id"))
+
+    val mem = MemoryStream[Ev]
+    val query = UpsertSink.start(mem.toDF(), tableDir, stagingDir,
+      keys, version, partitionCols = Seq("event_type"))
+    try {
+      val (first, second) = rows.splitAt(rows.length / 2)
+      mem.addData(first.toIndexedSeq)
+      query.processAllAvailable()
+      mem.addData(second.toIndexedSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    def tableState() = spark.read.parquet(tableDir)
+      .select("user_id", "event_type", "event_id", "value")
+    val want = graft.operators.WindowOps.dedupeFirst(
+      Tables.events(spark, SfDir), keys, version.map(_.desc))
+      .select("user_id", "event_type", "event_id", "value")
+    val got = tableState().cache()
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "incrementally-upserted table diverges from the batch upsert")
+
+    // restartable by construction: re-applying the LAST batch (a crash
+    // between sink commit and offset commit replays it) is a no-op
+    val secondBatch = rows.drop(rows.length / 2)
+      .map(e => (e.event_id, e.event_type, e.user_id, e.ts, e.value))
+      .toSeq.toDF("event_id", "event_type", "user_id", "ts", "value")
+    graft.sources.Ingest.incrementalRefresh(tableDir, secondBatch,
+      keys, version, Seq("event_type"), stagingDir)
+    val replayed = tableState()
+    assert(replayed.exceptAll(want).count() == 0 && want.exceptAll(replayed).count() == 0,
+      "replaying a batch changed the table — the sink is not idempotent")
+    got.unpersist()
   }
 
   test("S5: file sink + checkpoint survives a mid-stream restart exactly-once") {
