@@ -475,24 +475,20 @@ object SparkEntry {
         !java.nio.file.Files.exists(java.nio.file.Paths.get(tableDir))) {
       // a regenerated testdata set mints a new fingerprint — reap the
       // previous fingerprints' scratch dirs for this SF or every
-      // regeneration leaves two dead table copies in tmp
+      // regeneration leaves two dead table copies in tmp. The match
+      // includes the trailing '_' separator so one SF whose sanitized
+      // key is a string prefix of another's (sf1 vs sf10) can never
+      // reap the other's live cache.
       val tmpPath = java.nio.file.Paths.get(tmp)
       val stale = java.nio.file.Files.list(tmpPath)
       try {
         stale.iterator().forEachRemaining { p =>
             val name = p.getFileName.toString
-            val isQ42 = name.startsWith(s"graft_q42_table_$sfKey") ||
-              name.startsWith(s"graft_q42_stage_$sfKey") ||
-              name.startsWith(s"graft_q42_done_$sfKey")
-            if (isQ42 && !name.endsWith(fp)) {
-              val walk = java.nio.file.Files.walk(p)
-              val paths = try {
-                val b = Seq.newBuilder[java.nio.file.Path]
-                walk.iterator().forEachRemaining(q => b += q)
-                b.result()
-              } finally walk.close()
-              paths.reverseIterator.foreach(q => java.nio.file.Files.deleteIfExists(q))
-            }
+            val isQ42 = name.startsWith(s"graft_q42_table_${sfKey}_") ||
+              name.startsWith(s"graft_q42_stage_${sfKey}_") ||
+              name.startsWith(s"graft_q42_done_${sfKey}_")
+            if (isQ42 && !name.endsWith(fp))
+              graft.sources.Sinks.deleteRecursively(p)
           }
       } finally stale.close()
       val ev = Tables.events(spark, dir)

@@ -69,11 +69,16 @@ object Sinks {
     val wh = java.net.URI.create(
       spark.conf.get("spark.sql.warehouse.dir")).getPath
     val loc = java.nio.file.Paths.get(wh, table.toLowerCase)
+    deleteRecursively(loc)
+  }
+
+  /** Recursive directory delete (no-op if absent) — the ONE place the
+    * walk/reverse/delete dance lives. */
+  def deleteRecursively(loc: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(loc)) {
       import scala.jdk.CollectionConverters._
       val walk = java.nio.file.Files.walk(loc)
       val paths = try walk.iterator().asScala.toSeq finally walk.close()
       paths.reverseIterator.foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
-  }
 }

@@ -24,18 +24,28 @@ object UpsertSink {
 
   /** Start upserting a stream of updates into the partitioned table
     * at `tablePath`. One refresh per micro-batch; each refresh reads
-    * and rewrites only the partitions that batch touches. */
+    * and rewrites only the partitions that batch touches.
+    *
+    * @param checkpointLocation REQUIRED for real restartability: the
+    *   sink's idempotency only pays off when the restarted query
+    *   resumes from committed offsets — without a checkpoint a
+    *   replayable source (files) reprocesses all history (safe but
+    *   wasteful) and a latest-offset source (Kafka) silently SKIPS
+    *   everything between crash and restart. Tests may omit it for
+    *   in-memory sources. */
   def start(
       updates: DataFrame,
       tablePath: String,
       stagingPath: String,
       keys: Seq[String],
       versionCols: Seq[Column],
-      partitionCols: Seq[String]): StreamingQuery =
-    updates.writeStream
+      partitionCols: Seq[String],
+      checkpointLocation: Option[String] = None): StreamingQuery = {
+    val writer = updates.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         Ingest.incrementalRefresh(
           tablePath, batch, keys, versionCols, partitionCols, stagingPath)
       }
-      .start()
+    checkpointLocation.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
 }
