@@ -297,7 +297,12 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = minhashLshFromShingles(sh, idCol).select("doc_a", "doc_b")
     val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
-    val verified = jaccardThreshold(fullIntersection(cands, sh, idCol), counts, idCol, threshold)
+    // the verification join needs only shingle equality — feed it the
+    // 64-bit hash projection (of the SAME persisted shingles, so the
+    // minhash candidate stage is untouched): 8-byte join keys instead
+    // of ~30-byte strings, identical intersection counts
+    val shH = sh.select(col(idCol), xxhash64(col("shingle")).as("shingle"))
+    val verified = jaccardThreshold(fullIntersection(cands, shH, idCol), counts, idCol, threshold)
       .select("doc_a", "doc_b")
     keepersFromEdges(docs, idCol, verified, maxIters)
   }
