@@ -431,19 +431,24 @@ object SparkEntry {
   def q40Tfidf(spark: SparkSession, dir: String): DataFrame =
     TextOps.topTfidfTerms(Tables.documents(spark, dir), "doc_id", "text", k = 5)
 
-  /** q41: scale-safe embedding near-dup — LSH candidates → exact
-    * cosine verify (the production route; q26's all-pairs form is its
-    * correctness oracle, and the DuckDB oracle below IS q26's).
-    * 32 tables × 3 bits puts per-pair miss probability at the
-    * ≥0.4-cosine boundary at (1−0.251)^32 ≈ 1e-4, vanishing fast with
-    * cosine — measured recall on the testdata is total (sf0.001/0.01/
-    * 0.1 pair sets equal q26's exactly; AnnSpec + the shared oracle
-    * enforce it). A production dedup pass at cosine ≥0.9 would dial
-    * bits UP (p_bit ≈ 0.86 → fewer, finer tables), this threshold is
-    * the hard case. */
-  def q41EmbeddingNeardupLsh(spark: SparkSession, dir: String): DataFrame =
-    Ann.nearDupPairsLsh(Tables.embeddings(spark, dir), "vec_id", "embedding",
-      threshold = 0.4, numTables = 32, bitsPerTable = 3)
+  /** q41: scale-safe embedding near-dup — screened blocked exact pair
+    * scan (q26's all-pairs form is its correctness oracle, and the
+    * DuckDB oracle below IS q26's). The r2 LSH route is retired HERE
+    * because τ=0.4 is below LSH's viability floor: the testdata is
+    * isotropic (pair cosines ~N(0, 1/64); 776 of sf0.1's 920 pairs sit
+    * in [0.40,0.45)), per-bit agreement at the boundary is 0.631 vs
+    * 0.5 random, and any hyperplane-LSH point with near-zero miss AND
+    * sub-all-pairs candidates needs ≥(2·0.631)^b ≥ 13 ⇒ b ≥ 12 ⇒
+    * ~2300 tables — 14× brute-force compute in hashing alone
+    * (PLANS.md). The screened scan instead GUARANTEES q26's pair set
+    * (Cauchy–Schwarz screen, no probability) with measured candidates
+    * ~10% of all-pairs; [[graft.similarity.Ann.nearDupPairsLsh]]
+    * remains the production route at τ ≳ 0.7 and auto-tunes its
+    * operating point (AnnSpec exercises it at τ=0.9 on planted
+    * near-dups where its candidate mass is provably sub-all-pairs). */
+  def q41EmbeddingNeardupScale(spark: SparkSession, dir: String): DataFrame =
+    Ann.cosinePairsScreened(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      threshold = 0.4)
 
   /** q42: incremental refresh composed end-to-end — stage a
     * partitioned base table (newest-per-key of the even-id half),
@@ -609,7 +614,7 @@ object SparkEntry {
     "q38_retention"              -> (q38Retention _),
     "q39_funnel"                 -> (q39Funnel _),
     "q40_tfidf"                  -> (q40Tfidf _),
-    "q41_embedding_neardup_lsh"  -> (q41EmbeddingNeardupLsh _),
+    "q41_embedding_neardup_scale" -> (q41EmbeddingNeardupScale _),
     "q42_incremental_refresh"    -> (q42IncrementalRefresh _),
     "q43_neardup_keepers_exact"  -> (q43NeardupKeepersExact _),
     "q44_wallet_profits_bucketed" -> (q44WalletProfitsBucketed _),
@@ -625,7 +630,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = {
     val m = baseOracleSql
     m ++ Map(
-      "q41_embedding_neardup_lsh"   -> m("q26_embedding_dedup"),
+      "q41_embedding_neardup_scale" -> m("q26_embedding_dedup"),
       "q44_wallet_profits_bucketed" -> m("q10_wallet_profits"))
   }
 

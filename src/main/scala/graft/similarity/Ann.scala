@@ -161,9 +161,6 @@ object Ann {
     }
     val bc = spark.sparkContext.broadcast((ids, norms, mat, dim))
 
-    def roundHalfUp(x: Double): Double =
-      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-
     e.mapPartitions { it =>
       val (bids, bnorms, bmat, d) = bc.value
       val m = bids.length
@@ -200,7 +197,7 @@ object Ann {
         val buf = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
         i = 0
         while (i < m) {
-          if (bids(i) != id && raw(i) >= cutoff) buf += ((roundHalfUp(raw(i)), bids(i)))
+          if (bids(i) != id && raw(i) >= cutoff) buf += ((roundHalfUp6(raw(i)), bids(i)))
           i += 1
         }
         buf.sortBy { case (c, bid) => (-c, bid) }
@@ -228,6 +225,233 @@ object Ann {
       .withColumn("cosine", round(dot(col("__ea"), col("__eb")) / (col("__na") * col("__nb")), 6))
       .where(col("cosine") >= threshold)
       .select("vec_a", "vec_b", "cosine")
+  }
+
+  // ---------------------------------------------------------------
+  // screened blocked exact pair scan — the LOW-threshold scale path
+  // ---------------------------------------------------------------
+
+  /** Spark's `round` algorithm in scalar form (Decimal.fromDouble goes
+    * through Double.toString, exactly like BigDecimal.valueOf) — used
+    * by every compact kernel so their values are bit-identical to the
+    * declarative paths'. */
+  private def roundHalfUp6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Screen prefix length: the partial dot covers the first 3/4 of the
+    * dimensions; the Cauchy–Schwarz bound on the remaining quarter is
+    * tight enough to cull ~90% of isotropic pairs at τ=0.4 while the
+    * screen itself skips a quarter of the multiplies. */
+  private def screenDims(d: Int): Int = math.max(1, d * 3 / 4)
+
+  /** splitmix64 finalizer — block assignment for the tiled kernel must
+    * spread ANY id distribution (sequential, clustered, sparse) evenly. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Screened evaluation of one pair of unit vectors: partial dot over
+    * the first `screenDims` coordinates, then the Cauchy–Schwarz bound
+    * dot(â,b̂) ≤ Σ_{i<k} â_i·b̂_i + tail_a·tail_b decides whether the
+    * full dot is worth finishing. Returns the HALF_UP-rounded cosine,
+    * or NaN when the bound proves the pair cannot reach `thr` — no
+    * qualifying pair is ever screened out (the 1e-6 margin covers the
+    * rounding boundary: raw ≥ thr − 5e-7 can still round up to thr). */
+  private def screenEval(
+      a: Array[Double], tailA: Double,
+      b: Array[Double], tailB: Double,
+      thr: Double): Double = {
+    val d = a.length
+    val k = screenDims(d)
+    var s = 0.0
+    var i = 0
+    while (i < k) { s += a(i) * b(i); i += 1 }
+    if (s + tailA * tailB < thr - 1e-6) Double.NaN
+    else {
+      while (i < d) { s += a(i) * b(i); i += 1 }
+      roundHalfUp6(s)
+    }
+  }
+
+  /** (id, normalized vector, screen-tail energy) rows shared by both
+    * screened kernels: â = e/‖e‖, tail = √(1 − Σ_{i<k} â_i²). */
+  private def normalizedRows(emb: DataFrame, idCol: String, vecCol: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Double], Double)] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    prepared(emb, idCol, vecCol)
+      .select(col(idCol).cast("long"), col("__e"), col("__norm"))
+      .as[(Long, Seq[Double], Double)]
+      .map { case (id, e, norm) =>
+        val d = e.length
+        val k = screenDims(d)
+        val a = new Array[Double](d)
+        var head = 0.0
+        var i = 0
+        while (i < d) {
+          a(i) = e(i) / norm
+          if (i < k) head += a(i) * a(i)
+          i += 1
+        }
+        (id, a, math.sqrt(math.max(0.0, 1.0 - head)))
+      }
+  }
+
+  /** Exact embedding near-duplicate pairs via a screened blocked pair
+    * scan — the low-threshold production route that replaces both the
+    * all-pairs BNLJ ([[cosinePairs]]) and the LSH composition at
+    * thresholds where no LSH family can win. PLANS.md derives the
+    * bound: at τ=0.4 (per-bit agreement 0.63 vs 0.5 random) any
+    * hyperplane-LSH configuration with near-zero miss AND fewer
+    * candidates than all-pairs needs ≥2³⁰⁰ tables-equivalent hashing
+    * work — ≥10× brute force on hashing alone; [[nearDupPairsLsh]] is
+    * the right tool only at τ ≳ 0.7 where per-bit agreement clears
+    * ~0.75 (its scaladoc has the crossover arithmetic).
+    *
+    * Here recall is GUARANTEED, not sampled: the Cauchy–Schwarz screen
+    * can only discard pairs that provably fall below the threshold, so
+    * the output equals [[cosinePairs]]'s pair set on any input, any
+    * seed — which is what makes the shared DuckDB oracle safe at every
+    * SF. Candidate count (screen survivors, the pairs that get a full
+    * dot + materialized row) is measured ~10% of n(n−1)/2 on isotropic
+    * data and far fewer on clustered data; `AnnSpec` asserts it.
+    *
+    * Size-dispatched like [[bruteForceKnn]]: a broadcast-compact
+    * kernel below `maxCompactRows`, a block-tiled shuffle kernel above
+    * — B = O(√tasks) blocks, each row shuffled to B tiles, each tile
+    * one task holding two blocks in memory (bounded by construction at
+    * ~32 MB/block), the standard distributed triangle join a 100 TB
+    * exact pass uses. */
+  def cosinePairsScreened(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      maxCompactRows: Long = 1L << 17): DataFrame =
+    screenedPairs(emb, idCol, vecCol, threshold, maxCompactRows)
+      .where(col("cosine") >= threshold)
+      .select("vec_a", "vec_b", "cosine")
+
+  /** Screen survivors with their exact rounded cosine (including
+    * sub-threshold survivors — the "candidate pairs" the screen could
+    * not prove away). Exposed package-private so specs can measure the
+    * candidate count against n(n−1)/2. */
+  private[graft] def screenedPairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      maxCompactRows: Long = 1L << 17): DataFrame = {
+    // bounded LIMIT probe on the RAW scan (cheapest possible dispatch
+    // evidence — no projection or norm work, cf. q20's dispatcher)
+    val probe = math.min(maxCompactRows, Int.MaxValue - 1L).toInt + 1
+    val n = emb.limit(probe).count()
+    if (n <= maxCompactRows) screenedPairsCompact(emb, idCol, vecCol, threshold)
+    else screenedPairsTiled(emb, idCol, vecCol, threshold)
+  }
+
+  /** Compact kernel: broadcast all normalized vectors (same envelope
+    * as [[bruteForceKnnCompact]]); each row screens against every
+    * strictly-larger id in one primitive pass — no pair
+    * materialization before the screen, no shuffle at all. */
+  private def screenedPairsCompact(
+      emb: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val rows = normalizedRows(emb, idCol, vecCol)
+    val collected = rows.collect().sortBy(_._1)
+    val ids = collected.map(_._1)
+    val vecs = collected.map(_._2)
+    val tails = collected.map(_._3)
+    val bc = spark.sparkContext.broadcast((ids, vecs, tails))
+    val thr = threshold
+    rows.mapPartitions { it =>
+      val (bids, bvecs, btails) = bc.value
+      val m = bids.length
+      it.flatMap { case (id, a, ta) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        // own id is always present in the broadcast — start just past it
+        var j = java.util.Arrays.binarySearch(bids, id) + 1
+        if (j <= 0) j = -j // id absent (concurrent-input edge): insertion point
+        while (j < m) {
+          val c = screenEval(a, ta, bvecs(j), btails(j), thr)
+          if (!java.lang.Double.isNaN(c)) out += ((id, bids(j), c))
+          j += 1
+        }
+        out
+      }
+    }.toDF("vec_a", "vec_b", "cosine")
+  }
+
+  /** Tiled kernel: hash ids into B blocks, route every row to the B
+    * tiles (i≤j) containing its block, evaluate each tile's pairs in
+    * one task. Shuffle volume is n·B rows; tile memory is two blocks
+    * (≤ ~32 MB each by construction); tasks = B(B+1)/2 spread the
+    * n²/2 screens evenly. */
+  private def screenedPairsTiled(
+      emb: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val rows = normalizedRows(emb, idCol, vecCol)
+    val n = emb.count()
+    val dim = emb.select(size(col(vecCol)).as("__d")).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    // enough tiles for ~4 waves of the cluster; block rows bounded so
+    // one block stays ≤ ~32 MB of task memory at any n
+    val para = spark.sparkContext.defaultParallelism
+    val maxBlockRows = math.max(1L, (32L << 20) / (math.max(1, dim) * 8L))
+    val nB = math.max(2, math.max(
+      math.ceil(math.sqrt(8.0 * para)).toInt,
+      math.ceil(n.toDouble / maxBlockRows).toInt))
+    val thr = threshold
+    rows
+      .flatMap { case (id, a, t) =>
+        val blk = (((mix64(id) % nB) + nB) % nB).toInt
+        (0 until nB).iterator.map { o =>
+          val i = math.min(blk, o)
+          val j = math.max(blk, o)
+          (i * nB + j, blk, id, a, t)
+        }
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (key: Int, it: Iterator[(Int, Int, Long, Array[Double], Double)]) =>
+        val i = key / nB
+        val j = key % nB
+        val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
+        val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
+        it.foreach { case (_, blk, id, v, t) =>
+          if (i == j || blk == i) left += ((id, v, t))
+          else right += ((id, v, t))
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        if (i == j) {
+          val arr = left.sortBy(_._1).toArray
+          var x = 0
+          while (x < arr.length) {
+            var y = x + 1
+            while (y < arr.length) {
+              val c = screenEval(arr(x)._2, arr(x)._3, arr(y)._2, arr(y)._3, thr)
+              if (!java.lang.Double.isNaN(c)) out += ((arr(x)._1, arr(y)._1, c))
+              y += 1
+            }
+            x += 1
+          }
+        } else {
+          left.foreach { case (ida, va, ta) =>
+            right.foreach { case (idb, vb, tb) =>
+              val c = screenEval(va, ta, vb, tb, thr)
+              if (!java.lang.Double.isNaN(c)) {
+                if (ida < idb) out += ((ida, idb, c)) else out += ((idb, ida, c))
+              }
+            }
+          }
+        }
+        out.iterator
+      }
+      .toDF("vec_a", "vec_b", "cosine")
   }
 
   /** Multi-table random-hyperplane LSH top-k.
@@ -298,40 +522,105 @@ object Ann {
       .select(col(idCol), col("__tb.table").as("__table"), col("__tb.bucket").as("__bucket"))
   }
 
-  /** Scale-safe embedding near-duplicate pairs: hyperplane-LSH
-    * candidate generation → exact rounded-cosine verification — the
-    * embedding twin of [[Dedup.nearDupKeepers]]'s candidates→verify
-    * composition, and the production route that replaces the all-pairs
-    * [[cosinePairs]] at 100 TB. The candidate join shuffles on the
-    * (table, bucket) key — never a cross join; per-table collision
-    * probability for a pair at angle θ is (1 − θ/π)^bits, so recall is
-    * dialed by adding tables (more explode rows, same join shape).
-    * Verification computes the same rounded cosine as [[cosinePairs]],
-    * so on any pair the two paths agree exactly; candidates the LSH
-    * misses are the (tunable) recall gap. Output schema matches
+  /** Auto-tuned LSH operating point: bits from collection size (bucket
+    * occupancy n/2^bits ≈ `targetBucketRows`) and table count from a
+    * per-pair miss budget δ=1e-3 at the THRESHOLD angle — the worst
+    * qualifying pair; real near-dups sit far above the threshold and
+    * miss with exponentially lower probability (a planted pair at
+    * cosine 0.98 under the τ=0.9 auto point misses at ~1e-7). With
+    * multi-probe the per-table hit rate for per-bit agreement p1 is
+    * p1^b + b·p1^(b−1)(1−p1) — exact collision or one flipped bit —
+    * so far fewer tables buy the same recall. Returns (tables, bits).
+    *
+    * Candidate work relative to all-pairs is T·(b+1)/2^b; at τ=0.9,
+    * n=2000 the auto point (7 tables × 8 bits) puts it at 0.25 and it
+    * SHRINKS with n (n=10⁶ → 15 tables × 17 bits → ~1e-3). Below
+    * τ≈0.7 the same formula proves LSH unwinnable (PLANS.md) — use
+    * [[cosinePairsScreened]] there. */
+  private[graft] def lshParams(
+      n: Long,
+      threshold: Double,
+      multiProbe: Boolean = true,
+      targetBucketRows: Int = 8): (Int, Int) = {
+    val b = math.max(2, math.min(20,
+      math.ceil(math.log(math.max(2.0, n.toDouble / targetBucketRows)) / math.log(2.0)).toInt))
+    val p1 = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+    val hit =
+      if (multiProbe) math.pow(p1, b) + b * math.pow(p1, b - 1) * (1 - p1)
+      else math.pow(p1, b)
+    val t = math.max(2, math.min(64,
+      math.ceil(math.log(1e3) / -math.log1p(-hit)).toInt))
+    (t, b)
+  }
+
+  /** LSH candidate pairs (vec_a < vec_b, distinct). With `multiProbe`
+    * the probe side explodes each signature into itself plus its b
+    * Hamming-distance-1 neighbors and joins against the EXACT bucket
+    * table, so a pair is a candidate iff some table hashes them within
+    * Hamming distance 1 — the recall of b+1 tables for one table's
+    * bucketing cost. The join still shuffles on the (table, bucket)
+    * key; never a cross join. */
+  private[graft] def lshCandidates(
+      v: DataFrame,
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numTables: Int,
+      bitsPerTable: Int,
+      multiProbe: Boolean,
+      seed: Long): DataFrame = {
+    val e = lshBuckets(v, emb, idCol, vecCol, numTables, bitsPerTable, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probeSide =
+      if (!multiProbe) e
+      else e.select(col(idCol), col("__table"),
+        explode(array(col("__bucket") +:
+          (0 until bitsPerTable).map(i => col("__bucket").bitwiseXOR(lit(1 << i))): _*))
+          .as("__bucket"))
+    probeSide.as("a")
+      .join(e.as("b"),
+        col("a.__table") === col("b.__table") && col("a.__bucket") === col("b.__bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("vec_a"), col(s"b.$idCol").as("vec_b"))
+      .distinct()
+  }
+
+  /** Embedding near-duplicate pairs via hyperplane-LSH candidates →
+    * exact rounded-cosine verification — the embedding twin of
+    * [[Dedup.nearDupKeepers]]'s candidates→verify composition, and the
+    * production route at HIGH thresholds (τ ≳ 0.7, where per-bit
+    * agreement ≥ ~0.75 makes the candidate mass genuinely sub-all-pairs
+    * — [[lshParams]] has the arithmetic; below that use
+    * [[cosinePairsScreened]], whose recall needs no probability at
+    * all). Defaults (-1) auto-tune tables and bits from the collection
+    * size and threshold. Verification computes the same rounded cosine
+    * as [[cosinePairs]], so on any candidate the paths agree exactly;
+    * candidates the LSH misses are the (budgeted, δ=1e-3 at the
+    * threshold boundary) recall gap. Output schema matches
     * [[cosinePairs]]: (vec_a, vec_b, cosine), undirected a < b. */
   def nearDupPairsLsh(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      numTables: Int = 32,
-      bitsPerTable: Int = 4,
+      numTables: Int = -1,
+      bitsPerTable: Int = -1,
+      multiProbe: Boolean = true,
       seed: Long = 42L): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
-    // v feeds bucket generation + both verify sides; e self-joins —
-    // persist both or every consumer re-runs the scan + projections
+    val (t, b) =
+      if (numTables > 0 && bitsPerTable > 0) (numTables, bitsPerTable)
+      else {
+        // parquet row-count metadata makes this a cheap action
+        val auto = lshParams(emb.count(), threshold, multiProbe)
+        (if (numTables > 0) numTables else auto._1,
+          if (bitsPerTable > 0) bitsPerTable else auto._2)
+      }
+    // v feeds bucket generation + both verify sides — persist or every
+    // consumer re-runs the scan + projections
     val v = prepared(emb, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val e = lshBuckets(v, emb, idCol, vecCol, numTables, bitsPerTable, seed)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = e.as("a")
-      .join(e.as("b"),
-        col("a.__table") === col("b.__table") && col("a.__bucket") === col("b.__bucket") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("vec_a"), col(s"b.$idCol").as("vec_b"))
-      .distinct()
-    cands
+    lshCandidates(v, emb, idCol, vecCol, t, b, multiProbe, seed)
       .join(v.select(col(idCol).as("vec_a"), col("__e").as("__ea"), col("__norm").as("__na")), Seq("vec_a"))
       .join(v.select(col(idCol).as("vec_b"), col("__e").as("__eb"), col("__norm").as("__nb")), Seq("vec_b"))
       .withColumn("cosine", round(dot(col("__ea"), col("__eb")) / (col("__na") * col("__nb")), 6))

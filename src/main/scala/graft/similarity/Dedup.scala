@@ -314,12 +314,19 @@ object Dedup {
     * [[ngramJaccardPairs]] edge set (fully deterministic, so the
     * keeper assignment is SQL-oracle-checkable via a recursive CTE).
     *
-    * Each round: label ← min(own, neighbors' labels) — one join + one
-    * aggregation on the doc id; the min label travels one hop per
-    * round, so `maxIters` must be ≥ the largest component's
-    * eccentricity; the convergence check exits early (near-dup
-    * clusters are shallow — dupes of a common source). Returns
-    * (doc_id, keeper_id, is_keeper) for every document.
+    * Each round does TWO label moves: neighbor propagation
+    * (label ← min(own, neighbors' labels) — one join + one aggregation
+    * on the doc id) and then a pointer jump (label ← label(label), the
+    * label-doubling step): because every label value is itself a doc
+    * id in the same component, following the label's own label
+    * roughly doubles how far the component minimum has traveled each
+    * round, so convergence is O(log diameter) instead of O(diameter).
+    * A path of 200 near-dup docs (chained paraphrases at web scale
+    * produce exactly these) converges in 7 rounds where one-hop
+    * propagation needs 199 — the planted-chain spec in
+    * OperatorInvariantsSpec pins this. The convergence check exits
+    * early (near-dup clusters are mostly cliques — one round).
+    * Returns (doc_id, keeper_id, is_keeper) for every document.
     */
   def keepersFromEdges(
       docs: DataFrame,
@@ -337,7 +344,7 @@ object Dedup {
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
-      val propagated = labels
+      val neighborMin = labels
         .join(edges, labels(idCol) === edges("doc_a"), "left")
         .join(
           labels.select(col(idCol).as("__nbr"), col("keeper_id").as("__nbr_label")),
@@ -346,8 +353,21 @@ object Dedup {
         .agg(least(min("keeper_id"), coalesce(min("__nbr_label"), min("keeper_id"))).as("keeper_id"))
         // truncate lineage each round (iterative-algorithm hygiene:
         // the plan would otherwise nest one join tree per iteration;
-        // on a cluster use checkpoint() to reliable storage instead)
+        // on a cluster use checkpoint() to reliable storage instead) —
+        // and the pointer jump below consumes it twice
         .localCheckpoint()
+      // pointer jump: label ← min(label, label(label)). Every label
+      // value is a doc id (init + min-closure preserve this), so the
+      // self-join always resolves; left join guards the degenerate
+      // empty-input case. One extra equi-join per round buys O(log D)
+      // total rounds.
+      val propagated = neighborMin.as("x")
+        .join(
+          neighborMin.select(col(idCol).as("__lid"), col("keeper_id").as("__ll")).as("l"),
+          col("x.keeper_id") === col("__lid"), "left")
+        .select(
+          col(s"x.$idCol").as(idCol),
+          least(col("x.keeper_id"), coalesce(col("__ll"), col("x.keeper_id"))).as("keeper_id"))
       // near-dup components are mostly cliques (diameter 1), so the
       // fixpoint usually lands after one round — stop there instead
       // of paying maxIters jobs; the check is a cheap join on the

@@ -177,6 +177,23 @@ class OperatorInvariantsSpec extends SparkSpec {
     keepers.unpersist()
   }
 
+  test("keepersFromEdges: a 200-doc chain converges within 10 rounds (pointer jumping)") {
+    // path graph 1–2–…–200: eccentricity 199, the worst case for
+    // one-hop propagation (needs 199 rounds; silently mis-clusters at
+    // maxIters=10). The pointer-jump step must collapse it in ~7:
+    // distance-to-min follows d ← 2d+2 (one neighbor hop, then
+    // label(label)) — 2, 6, 14, 30, 62, 126, 254 ≥ 199.
+    val sess = spark
+    import sess.implicits._
+    val n = 200
+    val docs = (1 to n).map(_.toLong).toDF("doc_id")
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("doc_a", "doc_b")
+    val keepers = graft.similarity.Dedup.keepersFromEdges(docs, "doc_id", edges, maxIters = 10)
+    val offMin = keepers.where(col("keeper_id") =!= 1L).count()
+    assert(offMin == 0, s"$offMin of $n chain docs did not reach the component minimum")
+    assert(keepers.where(col("is_keeper")).count() == 1)
+  }
+
   test("q27: stubbed decode is deterministic and total") {
     val a = SparkEntry.q27MultimodalMeta(spark, SfDir)
     val b = SparkEntry.q27MultimodalMeta(spark, SfDir)
