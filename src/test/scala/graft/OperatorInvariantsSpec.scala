@@ -138,6 +138,14 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(agree * 100 >= joined.count() * 50, s"IVF top-1 agreement too low: $agree")
   }
 
+  test("q47/q48: salted skew join equals the plain join on the planted hot key") {
+    val salted = SparkEntry.q47SkewJoinSalted(spark, SfDir)
+    val plain = SparkEntry.q48SkewJoinPlain(spark, SfDir)
+    assert(salted.count() > 0)
+    assert(salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0,
+      "salting changed the join result under planted skew")
+  }
+
   test("salted join equals the plain join") {
     import graft.operators.Salting
     val t = Tables.transfers(spark, SfDir)
