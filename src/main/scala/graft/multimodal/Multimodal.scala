@@ -9,11 +9,19 @@ import org.apache.spark.sql.functions._
   * metadata alongside — the schema/partitioning/batching pattern a
   * 100 TB multimodal pipeline needs. Decode runs per-partition in
   * fixed-size batches (the shape a vectorized codec or GPU decode
-  * wants); the codec itself is STUBBED (no image/audio libs in this
-  * environment) with a deterministic fake so the plumbing — schema,
-  * batch iteration, per-partition distribution — is real and tested.
+  * wants). The IMAGE codec is REAL: `javax.imageio` ships in the JDK,
+  * so PNG/JPEG/GIF/BMP payloads decode to true width/height and a
+  * checksum over actual pixel values (OperatorInvariantsSpec decodes
+  * a generated PNG). Audio/video decode and the resize re-encode
+  * remain STUBBED (no media libs in this environment) with a
+  * deterministic fake, so that plumbing — schema, batch iteration,
+  * per-partition distribution — is still real and tested.
   */
 object Multimodal {
+
+  // memory-backed ImageInputStreams, not temp-file caches, in every
+  // task JVM (runs once per executor classload)
+  javax.imageio.ImageIO.setUseCache(false)
 
   case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
   case class MediaMeta(
@@ -38,15 +46,48 @@ object Multimodal {
     cs
   }
 
-  /** STUB: a real implementation decodes the payload with an image/
-    * audio codec (e.g. JPEG dims, PCM duration). Deterministic fake:
-    * dims derived from payload length, checksum a polynomial over the
-    * bytes — so tests can assert exact values. */
-  private def stubDecode(batch: Seq[MediaRow]): Seq[MediaMeta] =
+  /** REAL image decode via the JDK's javax.imageio: width/height from
+    * the decoded raster and a rolling checksum over the actual ARGB
+    * pixel values (the feature-extract stand-in that proves pixel data
+    * was read, not just sniffed). Returns None when the payload is not
+    * a decodable image — ImageIO's signature sniff rejects non-image
+    * bytes cheaply, so mixed corpora (the testdata's text-backed
+    * payloads) fall through to the stub without a decode attempt
+    * per-byte. PNG is lossless, so every value here is deterministic. */
+  private def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Long)] =
+    try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))).map { img =>
+        val w = img.getWidth
+        val h = img.getHeight
+        var cs = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            cs = (cs * 131 + (img.getRGB(x, y) & 0xffffffffL)) % 1000000007L
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, cs)
+      }
+    } catch { case _: Exception => None }
+
+  /** Batched decode: image payloads go through the REAL
+    * [[decodeImage]] codec; audio/video (and image payloads that are
+    * not actually encoded images) take the deterministic STUB — dims
+    * derived from payload length, checksum a polynomial over the raw
+    * bytes — so tests can assert exact values on both paths. */
+  private def decodeBatch(batch: Seq[MediaRow]): Seq[MediaMeta] =
     batch.map { r =>
       val n = r.payload.length
-      MediaMeta(r.doc_id, r.media_type, n, 16 + n % 64, 16 + (n / 64) % 64,
-        polyChecksum(r.payload, 0, n))
+      val real = if (r.media_type == "image") decodeImage(r.payload) else None
+      real match {
+        case Some((w, h, pixelCs)) => MediaMeta(r.doc_id, r.media_type, n, w, h, pixelCs)
+        case None =>
+          MediaMeta(r.doc_id, r.media_type, n, 16 + n % 64, 16 + (n / 64) % 64,
+            polyChecksum(r.payload, 0, n))
+      }
     }
 
   /** Wrap a text table into a binary media table (payload = utf-8
@@ -69,7 +110,7 @@ object Multimodal {
     media
       .select(col("doc_id"), col("media_type"), col("payload"))
       .as[MediaRow]
-      .mapPartitions(it => it.grouped(DecodeBatchSize).flatMap(stubDecode))
+      .mapPartitions(it => it.grouped(DecodeBatchSize).flatMap(decodeBatch))
       .toDF()
   }
 

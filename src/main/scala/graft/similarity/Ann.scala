@@ -493,6 +493,24 @@ object Ann {
     rankCandidates(cands, v, idCol, k)
   }
 
+  /** Standalone LSH bucket table for an embedding collection —
+    * (id, __table, __bucket) rows ready for the (table, bucket)
+    * candidate equi-join. Deterministic for a fixed seed: the plane
+    * set depends only on (seed, dim, numTables, bits), so an
+    * incremental maintainer ([[graft.streaming.AnnIndexSink]]) can
+    * hash each micro-batch independently and the accumulated table
+    * equals this batch build — StreamingSpec S8 proves it. */
+  def lshBucketTable(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numTables: Int = 12,
+      bitsPerTable: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    lshBuckets(prepared(emb, idCol, vecCol), emb, idCol, vecCol, numTables, bitsPerTable, seed)
+  }
+
   /** Random-hyperplane LSH bucket table: one (id, table, bucket) row
     * per vector per hash table, shared by [[lshKnn]] and
     * [[nearDupPairsLsh]]. Planes come from a fixed seed driver-side

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.similarity.Ann
+import graft.sources.Ingest
+
+/** S8: streaming ANN index maintenance — every micro-batch of new or
+  * updated vectors is hashed with the SAME fixed hyperplane set (the
+  * plane literals depend only on seed/dim/tables/bits, so each batch
+  * hashes independently and consistently) and upserted into a
+  * persisted LSH bucket table through the S7 idempotent-refresh
+  * pattern ([[UpsertSink]]): keys (id, lsh_table), partitioned by
+  * lsh_table, so one micro-batch rewrites at most `numTables`
+  * partitions and replaying a batch after a crash is a byte-level
+  * no-op. The maintained table IS [[Ann.lshBucketTable]] of the
+  * accumulated collection (StreamingSpec S8 proves set equality and
+  * replay idempotency) — query-side ANN joins it on (lsh_table,
+  * bucket) without ever re-hashing the corpus, which is the entire
+  * point of index maintenance at 100 TB: the corpus streams in, the
+  * index stays current, and a full rebuild never happens.
+  */
+object AnnIndexSink {
+
+  /** Start maintaining the LSH bucket table at `tablePath` from a
+    * stream of (idCol, vecCol) vector rows. Re-keyed vectors replace
+    * their previous bucket rows (keep-newest upsert per (id, table)).
+    *
+    * @param checkpointLocation see [[UpsertSink.start]] — required for
+    *   real restartability; tests may omit it for in-memory sources. */
+  def start(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tablePath: String,
+      stagingPath: String,
+      numTables: Int = 12,
+      bitsPerTable: Int = 4,
+      seed: Long = 42L,
+      checkpointLocation: Option[String] = None): StreamingQuery = {
+    val writer = vectors.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val buckets = Ann.lshBucketTable(batch, idCol, vecCol, numTables, bitsPerTable, seed)
+          // durable-table column names (the partition directory name
+          // must not look like a hidden path, and a persisted schema
+          // should not leak plan-internal __ prefixes)
+          .select(col(idCol), col("__table").as("lsh_table"), col("__bucket").as("bucket"))
+        // version = bucket: a replayed batch recomputes identical
+        // buckets, so keep-newest-per-(id, table) is provably a no-op
+        Ingest.incrementalRefresh(
+          tablePath, buckets,
+          keys = Seq(idCol, "lsh_table"),
+          versionCols = Seq(col("bucket")),
+          partitionCols = Seq("lsh_table"),
+          stagingPath)
+      }
+    checkpointLocation.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
+}

@@ -202,6 +202,36 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(keepers.where(col("is_keeper")).count() == 1)
   }
 
+  test("extractMetadata decodes REAL PNG payloads: true dims + pixel checksum, stub untouched") {
+    // build a real 5×3 PNG in-memory with deterministic pixels
+    val img = new java.awt.image.BufferedImage(5, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 3; x <- 0 until 5) img.setRGB(x, y, x * 40 + y * 8000 + 123)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", baos))
+    val png = baos.toByteArray
+    // the checksum the kernel must reproduce from DECODED pixels
+    // (TYPE_INT_RGB getRGB carries opaque alpha: 0xff000000 | rgb)
+    var want = 0L
+    for (y <- 0 until 3; x <- 0 until 5)
+      want = (want * 131 + (img.getRGB(x, y) & 0xffffffffL)) % 1000000007L
+    val sess = spark
+    import sess.implicits._
+    val media = Seq(
+      (1L, "image", png),                          // real PNG → real decode
+      (2L, "image", "not an image".getBytes("UTF-8")), // sniff fails → stub
+      (3L, "audio", png)                           // wrong modality → stub
+    ).toDF("doc_id", "media_type", "payload")
+    val meta = graft.multimodal.Multimodal.extractMetadata(media)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(meta(1L).getInt(3) == 5 && meta(1L).getInt(4) == 3, "decoded dims wrong")
+    assert(meta(1L).getLong(5) == want, "pixel checksum does not match decoded raster")
+    assert(meta(1L).getInt(2) == png.length)
+    // stub path: dims derived from length, checksum over raw bytes
+    val n2 = "not an image".getBytes("UTF-8").length
+    assert(meta(2L).getInt(3) == 16 + n2 % 64 && meta(2L).getInt(4) == 16 + (n2 / 64) % 64)
+    assert(meta(3L).getInt(3) == 16 + png.length % 64, "audio must not take the image codec")
+  }
+
   test("q27: stubbed decode is deterministic and total") {
     val a = SparkEntry.q27MultimodalMeta(spark, SfDir)
     val b = SparkEntry.q27MultimodalMeta(spark, SfDir)

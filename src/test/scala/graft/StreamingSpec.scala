@@ -213,6 +213,51 @@ class StreamingSpec extends SparkSpec {
     got.unpersist()
   }
 
+  test("S8: streaming ANN index maintenance equals the batch bucket build, replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val emb = Tables.embeddings(spark, SfDir)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as embedding")
+      .as[(Long, Seq[Double])].collect()
+    val tableDir = java.nio.file.Files.createTempDirectory("graft_annidx_table").toString
+    val stagingDir = java.nio.file.Files.createTempDirectory("graft_annidx_stage").toString
+
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val query = graft.streaming.AnnIndexSink.start(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", tableDir, stagingDir)
+    try {
+      val (first, second) = emb.splitAt(emb.length / 2)
+      mem.addData(first.toIndexedSeq)
+      query.processAllAvailable()
+      mem.addData(second.toIndexedSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    def tableState() = spark.read.parquet(tableDir)
+      .select(col("vec_id"), col("lsh_table").cast("int"), col("bucket"))
+    val want = graft.similarity.Ann
+      .lshBucketTable(Tables.embeddings(spark, SfDir), "vec_id", "embedding")
+      .select(col("vec_id").cast("long"), col("__table").cast("int"), col("__bucket"))
+    val got = tableState().cache()
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "stream-maintained LSH bucket table diverges from the batch build")
+
+    // replay the second half (crash between sink commit and offset
+    // commit) — identical buckets, keep-newest upsert, byte-level no-op
+    val secondBatch = emb.drop(emb.length / 2).toSeq.toDF("vec_id", "embedding")
+    val buckets = graft.similarity.Ann
+      .lshBucketTable(secondBatch, "vec_id", "embedding")
+      .select(col("vec_id"), col("__table").as("lsh_table"), col("__bucket").as("bucket"))
+    graft.sources.Ingest.incrementalRefresh(tableDir, buckets,
+      Seq("vec_id", "lsh_table"), Seq(col("bucket")), Seq("lsh_table"), stagingDir)
+    val replayed = tableState()
+    assert(replayed.exceptAll(want).count() == 0 && want.exceptAll(replayed).count() == 0,
+      "replaying a vector batch changed the index table")
+    got.unpersist()
+  }
+
   test("S5: file sink + checkpoint survives a mid-stream restart exactly-once") {
     val events = Tables.events(spark, SfDir)
       .select("event_id", "event_type", "user_id", "ts", "value")
