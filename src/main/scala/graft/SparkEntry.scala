@@ -246,7 +246,9 @@ object SparkEntry {
   def q20KnnCosine(spark: SparkSession, dir: String): DataFrame =
     Ann.bruteForceKnn(Tables.embeddings(spark, dir), "vec_id", "embedding", k = 5)
 
-  /** q21: random-hyperplane LSH-bucketed ANN top-5 (rows-only). */
+  /** q21: random-hyperplane LSH-bucketed ANN top-5 (rows-only).
+    * Bits auto-scale with n + Hamming-1 multi-probe (r3: the fixed
+    * 4-bit r2 config measured slope 1.4 in the sf-sweep). */
   def q21LshKnn(spark: SparkSession, dir: String): DataFrame =
     Ann.lshKnn(Tables.embeddings(spark, dir), "vec_id", "embedding", k = 5)
 
@@ -316,8 +318,10 @@ object SparkEntry {
       valueCols = Seq("max_value", "first_seen"))
   }
 
-  /** q31: IVF-partitioned ANN top-5 (seeded kmeans cells, nprobe=2;
-    * rows-only). */
+  /** q31: IVF-partitioned ANN top-5 (seeded kmeans cells, nprobe=3;
+    * rows-only). Cell count auto-scales as n/targetCellRows (r3: the
+    * fixed 16-cell r2 config measured slope 1.64 in the sf-sweep —
+    * candidate mass n²·nprobe/C needs C ∝ n to stay linear). */
   def q31IvfKnn(spark: SparkSession, dir: String): DataFrame =
     Ann.ivfKnn(Tables.embeddings(spark, dir), "vec_id", "embedding", k = 5)
 

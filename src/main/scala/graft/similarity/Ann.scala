@@ -78,11 +78,12 @@ object Ann {
       k: Int = 5,
       maxCompactRows: Long = 1L << 17): DataFrame = {
     // the dispatch only needs "does n exceed the threshold", so count
-    // a LIMIT threshold+1 subquery — a bounded short-circuiting job,
-    // not a full scan of norms; the compact path's collect is then
-    // bounded by construction (maxCompactRows × dim doubles)
+    // a LIMIT threshold+1 subquery on the RAW scan — a bounded
+    // short-circuiting job that pays no projection or norm compute
+    // (prepared() would); the compact path's collect is then bounded
+    // by construction (maxCompactRows × dim doubles)
     val probe = math.min(maxCompactRows, Int.MaxValue - 1L).toInt + 1
-    val n = prepared(emb, idCol, vecCol).limit(probe).count()
+    val n = emb.limit(probe).count()
     if (n <= maxCompactRows) bruteForceKnnCompact(emb, idCol, vecCol, k)
     else bruteForceKnnJoin(emb, idCol, vecCol, k, broadcastSmallSide = false)
   }
@@ -474,21 +475,24 @@ object Ann {
       vecCol: String,
       k: Int = 5,
       numTables: Int = 12,
-      bitsPerTable: Int = 4,
+      bitsPerTable: Int = -1,
+      multiProbe: Boolean = true,
       seed: Long = 42L): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
-    // v feeds bucket generation + both re-rank sides; e self-joins —
-    // persist both or every consumer re-runs the scan + projections
+    // bits auto-scale with n (default -1): the sf-sweep measured slope
+    // 1.4 for the fixed-4-bit r2 config — random candidate mass
+    // T·n²/2^bits goes quadratic unless bits grow as log n; multi-probe
+    // holds recall as the buckets get finer
+    val b = if (bitsPerTable > 0) bitsPerTable else lshBits(emb.count())
+    // v feeds bucket generation + both re-rank sides — persist or
+    // every consumer re-runs the scan + projections
     val v = prepared(emb, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val e = lshBuckets(v, emb, idCol, vecCol, numTables, bitsPerTable, seed)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = e.as("a")
-      .join(e.as("b"),
-        col("a.__table") === col("b.__table") && col("a.__bucket") === col("b.__bucket") &&
-          col(s"a.$idCol") =!= col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("vec_id"), col(s"b.$idCol").as("neighbor_id"))
-      .distinct()
+    // kNN needs DIRECTED candidates: both orientations of the
+    // undirected collision pairs
+    val und = lshCandidates(v, emb, idCol, vecCol, numTables, b, multiProbe, seed)
+    val cands = und.select(col("vec_a").as("vec_id"), col("vec_b").as("neighbor_id"))
+      .unionByName(und.select(col("vec_b").as("vec_id"), col("vec_a").as("neighbor_id")))
 
     rankCandidates(cands, v, idCol, k)
   }
@@ -555,13 +559,21 @@ object Ann {
     * SHRINKS with n (n=10⁶ → 15 tables × 17 bits → ~1e-3). Below
     * τ≈0.7 the same formula proves LSH unwinnable (PLANS.md) — use
     * [[cosinePairsScreened]] there. */
+  /** Bucket width from collection size: occupancy n/2^bits ≈
+    * `targetBucketRows`. FIXED bits are the quadratic-slope trap the
+    * sf-sweep caught (PLANS.md): random-collision candidate mass is
+    * T·n²/2^bits, so bits must grow with log n for the mass to stay
+    * ~T·n·targetBucketRows — linear. */
+  private[graft] def lshBits(n: Long, targetBucketRows: Int = 8): Int =
+    math.max(2, math.min(20,
+      math.ceil(math.log(math.max(2.0, n.toDouble / targetBucketRows)) / math.log(2.0)).toInt))
+
   private[graft] def lshParams(
       n: Long,
       threshold: Double,
       multiProbe: Boolean = true,
       targetBucketRows: Int = 8): (Int, Int) = {
-    val b = math.max(2, math.min(20,
-      math.ceil(math.log(math.max(2.0, n.toDouble / targetBucketRows)) / math.log(2.0)).toInt))
+    val b = lshBits(n, targetBucketRows)
     val p1 = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
     val hit =
       if (multiProbe) math.pow(p1, b) + b * math.pow(p1, b - 1) * (1 - p1)
@@ -663,9 +675,21 @@ object Ann {
       idCol: String,
       vecCol: String,
       k: Int = 5,
-      numCells: Int = 16,
-      nprobe: Int = 3): DataFrame = {
+      numCells: Int = -1,
+      nprobe: Int = 3,
+      targetCellRows: Int = 128): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
+    // cells auto-scale with n (default -1): a FIXED cell count is the
+    // quadratic-slope trap the sf-sweep measured (slope 1.64 for the
+    // r2 fixed-16 config) — candidate mass is n²·nprobe/C, so C must
+    // grow as n/targetCellRows for the mass to stay n·nprobe·target,
+    // i.e. linear. Centroid work is O(n·C): n²/targetCellRows, the
+    // assignment pass's honest cost (an IVF index at 100 TB trains
+    // centroids on a sample instead; the JOIN shape is identical).
+    val c =
+      if (numCells > 0) numCells
+      else math.max(16, math.min(4096,
+        math.ceil(emb.count().toDouble / targetCellRows).toInt))
     // consumed by seeding, assignment, centroid aggregation, the probe
     // pass, and both re-rank sides — persist or the scan runs 6×
     val e = prepared(emb, idCol, vecCol)
@@ -677,7 +701,7 @@ object Ann {
     // assign-all → per-cell elementwise mean
     // (cell ids need only be distinct join keys, not dense ints, so
     // the seed's own id serves as its cell id)
-    val seeds = e.orderBy(col(idCol)).limit(numCells)
+    val seeds = e.orderBy(col(idCol)).limit(c)
       .select(col(idCol).cast("long").as("cell"), col("__e").as("__c"))
     def nearestCell(vecs: DataFrame, cents: DataFrame, outCol: String): DataFrame = {
       val w = Window.partitionBy(idCol).orderBy(col("__sim").desc, col("cell"))

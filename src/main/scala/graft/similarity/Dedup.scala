@@ -322,10 +322,12 @@ object Dedup {
     * roughly doubles how far the component minimum has traveled each
     * round, so convergence is O(log diameter) instead of O(diameter).
     * A path of 200 near-dup docs (chained paraphrases at web scale
-    * produce exactly these) converges in 7 rounds where one-hop
+    * produce exactly these) converges in 8 rounds where one-hop
     * propagation needs 199 — the planted-chain spec in
-    * OperatorInvariantsSpec pins this. The convergence check exits
-    * early (near-dup clusters are mostly cliques — one round).
+    * OperatorInvariantsSpec pins this. The jump is skipped on round 1
+    * so clique components (the common case, fixpoint after one
+    * neighbor-min round) never pay for it; the convergence check
+    * exits them early.
     * Returns (doc_id, keeper_id, is_keeper) for every document.
     */
   def keepersFromEdges(
@@ -360,14 +362,20 @@ object Dedup {
       // value is a doc id (init + min-closure preserve this), so the
       // self-join always resolves; left join guards the degenerate
       // empty-input case. One extra equi-join per round buys O(log D)
-      // total rounds.
-      val propagated = neighborMin.as("x")
-        .join(
-          neighborMin.select(col(idCol).as("__lid"), col("keeper_id").as("__ll")).as("l"),
-          col("x.keeper_id") === col("__lid"), "left")
-        .select(
-          col(s"x.$idCol").as(idCol),
-          least(col("x.keeper_id"), coalesce(col("__ll"), col("x.keeper_id"))).as("keeper_id"))
+      // total rounds. Skipped on round 1: clique-shaped components —
+      // the overwhelmingly common near-dup case — reach their fixpoint
+      // in one neighbor-min round, and the convergence check exits
+      // before a jump could ever help them; chains still converge in
+      // d ← 2d+2 steps from round 2 (a 200-path lands in 8 rounds).
+      val propagated =
+        if (iter == 0) neighborMin
+        else neighborMin.as("x")
+          .join(
+            neighborMin.select(col(idCol).as("__lid"), col("keeper_id").as("__ll")).as("l"),
+            col("x.keeper_id") === col("__lid"), "left")
+          .select(
+            col(s"x.$idCol").as(idCol),
+            least(col("x.keeper_id"), coalesce(col("__ll"), col("x.keeper_id"))).as("keeper_id"))
       // near-dup components are mostly cliques (diameter 1), so the
       // fixpoint usually lands after one round — stop there instead
       // of paying maxIters jobs; the check is a cheap join on the

@@ -188,9 +188,9 @@ class OperatorInvariantsSpec extends SparkSpec {
   test("keepersFromEdges: a 200-doc chain converges within 10 rounds (pointer jumping)") {
     // path graph 1–2–…–200: eccentricity 199, the worst case for
     // one-hop propagation (needs 199 rounds; silently mis-clusters at
-    // maxIters=10). The pointer-jump step must collapse it in ~7:
-    // distance-to-min follows d ← 2d+2 (one neighbor hop, then
-    // label(label)) — 2, 6, 14, 30, 62, 126, 254 ≥ 199.
+    // maxIters=10). The pointer-jump step must collapse it in ~8:
+    // round 1 is neighbor-min only (d=1), then d ← 2d+2 (one neighbor
+    // hop + label(label)) — 4, 10, 22, 46, 94, 190, 382 ≥ 199.
     val sess = spark
     import sess.implicits._
     val n = 200
