@@ -247,8 +247,9 @@ object SparkEntry {
     Ann.bruteForceKnn(Tables.embeddings(spark, dir), "vec_id", "embedding", k = 5)
 
   /** q21: random-hyperplane LSH-bucketed ANN top-5 (rows-only).
-    * Bits auto-scale with n + Hamming-1 multi-probe (r3: the fixed
-    * 4-bit r2 config measured slope 1.4 in the sf-sweep). */
+    * Bits auto-scale with n, tables auto-scale with bits to hold a
+    * 95% candidate-recall design point, Hamming-1 multi-probe (r3:
+    * the fixed 4-bit r2 config measured slope 1.4 in the sf-sweep). */
   def q21LshKnn(spark: SparkSession, dir: String): DataFrame =
     Ann.lshKnn(Tables.embeddings(spark, dir), "vec_id", "embedding", k = 5)
 

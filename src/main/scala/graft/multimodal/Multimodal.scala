@@ -59,15 +59,16 @@ object Multimodal {
       Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))).map { img =>
         val w = img.getWidth
         val h = img.getHeight
+        // bulk getRGB: one ColorModel conversion pass into a primitive
+        // row-major ARGB array — per-pixel getRGB(x, y) pays a virtual
+        // call + conversion per pixel, the slow path on a decode that
+        // runs per row at corpus scale. Values are identical.
+        val argb = img.getRGB(0, 0, w, h, null, 0, w)
         var cs = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            cs = (cs * 131 + (img.getRGB(x, y) & 0xffffffffL)) % 1000000007L
-            x += 1
-          }
-          y += 1
+        var i = 0
+        while (i < argb.length) {
+          cs = (cs * 131 + (argb(i) & 0xffffffffL)) % 1000000007L
+          i += 1
         }
         (w, h, cs)
       }

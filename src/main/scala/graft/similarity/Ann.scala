@@ -254,33 +254,41 @@ object Ann {
     z ^ (z >>> 31)
   }
 
-  /** Screened evaluation of one pair of unit vectors: partial dot over
-    * the first `screenDims` coordinates, then the Cauchy–Schwarz bound
-    * dot(â,b̂) ≤ Σ_{i<k} â_i·b̂_i + tail_a·tail_b decides whether the
-    * full dot is worth finishing. Returns the HALF_UP-rounded cosine,
-    * or NaN when the bound proves the pair cannot reach `thr` — no
-    * qualifying pair is ever screened out (the 1e-6 margin covers the
-    * rounding boundary: raw ≥ thr − 5e-7 can still round up to thr). */
+  /** Screened evaluation of one pair: partial RAW dot over the first
+    * `screenDims` coordinates, then the Cauchy–Schwarz bound
+    * Σ_{i≥k} a_i·b_i ≤ ‖a_tail‖·‖b_tail‖ decides whether the full dot
+    * is worth finishing. Returns the HALF_UP-rounded cosine, or NaN
+    * when the bound proves the pair cannot reach `thr` — no qualifying
+    * pair is ever screened out (the 1e-6 margin covers the rounding
+    * boundary: raw ≥ thr − 5e-7 can still round up to thr, and dwarfs
+    * fp error in the bound itself). The accumulation runs over the RAW
+    * cast-to-double coordinates left-to-right and divides by the norm
+    * product at the end — the EXACT float sequence of [[cosinePairs]]'
+    * `graft_dot / (na·nb)` and [[bruteForceKnnCompact]], so rounded
+    * values are bit-identical across all three paths (pre-normalizing
+    * coordinates would be a different fp computation that can flip a
+    * 6-decimal boundary). */
   private def screenEval(
-      a: Array[Double], tailA: Double,
-      b: Array[Double], tailB: Double,
+      a: Array[Double], normA: Double, tailA: Double,
+      b: Array[Double], normB: Double, tailB: Double,
       thr: Double): Double = {
     val d = a.length
     val k = screenDims(d)
     var s = 0.0
     var i = 0
     while (i < k) { s += a(i) * b(i); i += 1 }
-    if (s + tailA * tailB < thr - 1e-6) Double.NaN
+    if (s + tailA * tailB < (thr - 1e-6) * normA * normB) Double.NaN
     else {
       while (i < d) { s += a(i) * b(i); i += 1 }
-      roundHalfUp6(s)
+      roundHalfUp6(s / (normA * normB))
     }
   }
 
-  /** (id, normalized vector, screen-tail energy) rows shared by both
-    * screened kernels: â = e/‖e‖, tail = √(1 − Σ_{i<k} â_i²). */
-  private def normalizedRows(emb: DataFrame, idCol: String, vecCol: String)
-      : org.apache.spark.sql.Dataset[(Long, Array[Double], Double)] = {
+  /** (id, raw cast-to-double vector, norm, tail-norm) rows shared by
+    * both screened kernels: tail = ‖(e_k..e_d)‖ = √(‖e‖² − Σ_{i<k}e_i²),
+    * the Cauchy–Schwarz bound on the unseen tail of the raw dot. */
+  private def rawRows(emb: DataFrame, idCol: String, vecCol: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Double], Double, Double)] = {
     val spark = emb.sparkSession
     import spark.implicits._
     prepared(emb, idCol, vecCol)
@@ -293,11 +301,11 @@ object Ann {
         var head = 0.0
         var i = 0
         while (i < d) {
-          a(i) = e(i) / norm
+          a(i) = e(i)
           if (i < k) head += a(i) * a(i)
           i += 1
         }
-        (id, a, math.sqrt(math.max(0.0, 1.0 - head)))
+        (id, a, norm, math.sqrt(math.max(0.0, norm * norm - head)))
       }
   }
 
@@ -362,23 +370,26 @@ object Ann {
       emb: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val rows = normalizedRows(emb, idCol, vecCol)
+    val rows = rawRows(emb, idCol, vecCol)
     val collected = rows.collect().sortBy(_._1)
     val ids = collected.map(_._1)
     val vecs = collected.map(_._2)
-    val tails = collected.map(_._3)
-    val bc = spark.sparkContext.broadcast((ids, vecs, tails))
+    val norms = collected.map(_._3)
+    val tails = collected.map(_._4)
+    val bc = spark.sparkContext.broadcast((ids, vecs, norms, tails))
     val thr = threshold
     rows.mapPartitions { it =>
-      val (bids, bvecs, btails) = bc.value
+      val (bids, bvecs, bnorms, btails) = bc.value
       val m = bids.length
-      it.flatMap { case (id, a, ta) =>
+      it.flatMap { case (id, a, na, ta) =>
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-        // own id is always present in the broadcast — start just past it
-        var j = java.util.Arrays.binarySearch(bids, id) + 1
-        if (j <= 0) j = -j // id absent (concurrent-input edge): insertion point
+        // start past the LAST occurrence of the own id: with duplicate
+        // ids in the input (upstream bug), a pair (id, id) would
+        // otherwise leak out — cosinePairs' strict a < b never emits it
+        var j = java.util.Arrays.binarySearch(bids, id)
+        if (j < 0) j = -j - 1 else { while (j < m && bids(j) == id) j += 1 }
         while (j < m) {
-          val c = screenEval(a, ta, bvecs(j), btails(j), thr)
+          val c = screenEval(a, na, ta, bvecs(j), bnorms(j), btails(j), thr)
           if (!java.lang.Double.isNaN(c)) out += ((id, bids(j), c))
           j += 1
         }
@@ -396,7 +407,7 @@ object Ann {
       emb: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val rows = normalizedRows(emb, idCol, vecCol)
+    val rows = rawRows(emb, idCol, vecCol)
     val n = emb.count()
     val dim = emb.select(size(col(vecCol)).as("__d")).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(0)
@@ -409,23 +420,23 @@ object Ann {
       math.ceil(n.toDouble / maxBlockRows).toInt))
     val thr = threshold
     rows
-      .flatMap { case (id, a, t) =>
+      .flatMap { case (id, a, nm, t) =>
         val blk = (((mix64(id) % nB) + nB) % nB).toInt
         (0 until nB).iterator.map { o =>
           val i = math.min(blk, o)
           val j = math.max(blk, o)
-          (i * nB + j, blk, id, a, t)
+          (i * nB + j, blk, id, a, nm, t)
         }
       }
       .groupByKey(_._1)
-      .flatMapGroups { (key: Int, it: Iterator[(Int, Int, Long, Array[Double], Double)]) =>
+      .flatMapGroups { (key: Int, it: Iterator[(Int, Int, Long, Array[Double], Double, Double)]) =>
         val i = key / nB
         val j = key % nB
-        val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
-        val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
-        it.foreach { case (_, blk, id, v, t) =>
-          if (i == j || blk == i) left += ((id, v, t))
-          else right += ((id, v, t))
+        val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double, Double)]
+        val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double, Double)]
+        it.foreach { case (_, blk, id, v, nm, t) =>
+          if (i == j || blk == i) left += ((id, v, nm, t))
+          else right += ((id, v, nm, t))
         }
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
         if (i == j) {
@@ -434,18 +445,25 @@ object Ann {
           while (x < arr.length) {
             var y = x + 1
             while (y < arr.length) {
-              val c = screenEval(arr(x)._2, arr(x)._3, arr(y)._2, arr(y)._3, thr)
-              if (!java.lang.Double.isNaN(c)) out += ((arr(x)._1, arr(y)._1, c))
+              // duplicate ids (upstream bug) must not emit an (id, id)
+              // pair — strict a < b, like cosinePairs
+              if (arr(x)._1 != arr(y)._1) {
+                val c = screenEval(arr(x)._2, arr(x)._3, arr(x)._4,
+                  arr(y)._2, arr(y)._3, arr(y)._4, thr)
+                if (!java.lang.Double.isNaN(c)) out += ((arr(x)._1, arr(y)._1, c))
+              }
               y += 1
             }
             x += 1
           }
         } else {
-          left.foreach { case (ida, va, ta) =>
-            right.foreach { case (idb, vb, tb) =>
-              val c = screenEval(va, ta, vb, tb, thr)
-              if (!java.lang.Double.isNaN(c)) {
-                if (ida < idb) out += ((ida, idb, c)) else out += ((idb, ida, c))
+          left.foreach { case (ida, va, na, ta) =>
+            right.foreach { case (idb, vb, nb, tb) =>
+              if (ida != idb) {
+                val c = screenEval(va, na, ta, vb, nb, tb, thr)
+                if (!java.lang.Double.isNaN(c)) {
+                  if (ida < idb) out += ((ida, idb, c)) else out += ((idb, ida, c))
+                }
               }
             }
           }
@@ -474,23 +492,37 @@ object Ann {
       idCol: String,
       vecCol: String,
       k: Int = 5,
-      numTables: Int = 12,
+      numTables: Int = -1,
       bitsPerTable: Int = -1,
       multiProbe: Boolean = true,
       seed: Long = 42L): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
     // bits auto-scale with n (default -1): the sf-sweep measured slope
     // 1.4 for the fixed-4-bit r2 config — random candidate mass
-    // T·n²/2^bits goes quadratic unless bits grow as log n; multi-probe
-    // holds recall as the buckets get finer
-    val b = if (bitsPerTable > 0) bitsPerTable else lshBits(emb.count())
+    // T·n²/2^bits goes quadratic unless bits grow as log n. Tables
+    // must then scale WITH bits (multi-probe alone cannot hold recall:
+    // per-table hit still shrinks as p^b): auto-tables hold ≥95%
+    // candidate probability for a neighbor at cosine 0.7 — the honest
+    // price of recall as buckets get finer is more tables, paid in
+    // O(log n) bucketing rows, not in n² candidate pairs.
+    val nRows = if (bitsPerTable > 0 && numTables > 0) 0L else emb.count()
+    val b = if (bitsPerTable > 0) bitsPerTable else lshBits(nRows)
+    val t =
+      if (numTables > 0) numTables
+      else {
+        val p = 1.0 - math.acos(0.7) / math.Pi
+        val hit =
+          if (multiProbe) math.pow(p, b) + b * math.pow(p, b - 1) * (1 - p)
+          else math.pow(p, b)
+        math.max(4, math.min(64, math.ceil(math.log(20.0) / -math.log1p(-hit)).toInt))
+      }
     // v feeds bucket generation + both re-rank sides — persist or
     // every consumer re-runs the scan + projections
     val v = prepared(emb, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // kNN needs DIRECTED candidates: both orientations of the
     // undirected collision pairs
-    val und = lshCandidates(v, emb, idCol, vecCol, numTables, b, multiProbe, seed)
+    val und = lshCandidates(v, emb, idCol, vecCol, t, b, multiProbe, seed)
     val cands = und.select(col("vec_a").as("vec_id"), col("vec_b").as("neighbor_id"))
       .unionByName(und.select(col("vec_b").as("vec_id"), col("vec_a").as("neighbor_id")))
 
@@ -642,7 +674,28 @@ object Ann {
       if (numTables > 0 && bitsPerTable > 0) (numTables, bitsPerTable)
       else {
         // parquet row-count metadata makes this a cheap action
-        val auto = lshParams(emb.count(), threshold, multiProbe)
+        val n = emb.count()
+        val auto = lshParams(n, threshold, multiProbe)
+        // fail FAST instead of degrading silently: below τ≈0.7 the
+        // δ=1e-3 table budget is unreachable (lshParams clamps at 64
+        // tables) and recall quietly collapses — the caller wanted
+        // cosinePairsScreened, whose recall needs no probability
+        val p1 = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+        val hit =
+          if (multiProbe) math.pow(p1, auto._2) + auto._2 * math.pow(p1, auto._2 - 1) * (1 - p1)
+          else math.pow(p1, auto._2)
+        val tUnclamped = math.ceil(math.log(1e3) / -math.log1p(-hit))
+        require(tUnclamped <= 64,
+          s"LSH cannot meet its miss budget at threshold=$threshold (needs ~${tUnclamped.toLong} " +
+            "tables; per-bit agreement is too close to random) — use cosinePairsScreened, " +
+            "the exact screened scan, for low thresholds")
+        // ... and candidate work must actually undercut the all-pairs
+        // scan it replaces: expected random-collision fraction is
+        // T·(b+1)/2^b (T/2^b without multi-probe)
+        val work = tUnclamped * (if (multiProbe) auto._2 + 1.0 else 1.0) / math.pow(2.0, auto._2)
+        require(work < 1.0,
+          f"LSH candidate mass at threshold=$threshold would be $work%.2f of all-pairs — " +
+            "worse than the exact scan; use cosinePairsScreened for this threshold/size")
         (if (numTables > 0) numTables else auto._1,
           if (bitsPerTable > 0) bitsPerTable else auto._2)
       }

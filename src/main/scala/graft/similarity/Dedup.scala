@@ -376,6 +376,10 @@ object Dedup {
           .select(
             col(s"x.$idCol").as(idCol),
             least(col("x.keeper_id"), coalesce(col("__ll"), col("x.keeper_id"))).as("keeper_id"))
+          // checkpointed for the same reason as neighborMin: the
+          // convergence check AND the next round both consume it — the
+          // jump join would otherwise re-execute per consumer
+          .localCheckpoint()
       // near-dup components are mostly cliques (diameter 1), so the
       // fixpoint usually lands after one round — stop there instead
       // of paying maxIters jobs; the check is a cheap join on the

@@ -41,18 +41,23 @@ object AnnIndexSink {
       seed: Long = 42L,
       checkpointLocation: Option[String] = None): StreamingQuery = {
     val writer = vectors.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val buckets = Ann.lshBucketTable(batch, idCol, vecCol, numTables, bitsPerTable, seed)
           // durable-table column names (the partition directory name
           // must not look like a hidden path, and a persisted schema
           // should not leak plan-internal __ prefixes)
           .select(col(idCol), col("__table").as("lsh_table"), col("__bucket").as("bucket"))
-        // version = bucket: a replayed batch recomputes identical
-        // buckets, so keep-newest-per-(id, table) is provably a no-op
+          // version = the micro-batch sequence number, NOT the bucket
+          // value: keepLatest keeps the max version, and a re-embedded
+          // vector's NEW bucket can be numerically smaller than its
+          // old one — bucket-as-version would keep the stale row
+          // forever. A replayed batch carries the same batchId, so
+          // replay is still a provable no-op.
+          .withColumn("batch_seq", org.apache.spark.sql.functions.lit(batchId))
         Ingest.incrementalRefresh(
           tablePath, buckets,
           keys = Seq(idCol, "lsh_table"),
-          versionCols = Seq(col("bucket")),
+          versionCols = Seq(col("batch_seq")),
           partitionCols = Seq("lsh_table"),
           stagingPath)
       }

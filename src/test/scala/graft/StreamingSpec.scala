@@ -245,17 +245,38 @@ class StreamingSpec extends SparkSpec {
       "stream-maintained LSH bucket table diverges from the batch build")
 
     // replay the second half (crash between sink commit and offset
-    // commit) — identical buckets, keep-newest upsert, byte-level no-op
+    // commit): same batchId ⇒ same batch_seq version ⇒ keep-newest
+    // upsert is a byte-level no-op
     val secondBatch = emb.drop(emb.length / 2).toSeq.toDF("vec_id", "embedding")
     val buckets = graft.similarity.Ann
       .lshBucketTable(secondBatch, "vec_id", "embedding")
       .select(col("vec_id"), col("__table").as("lsh_table"), col("__bucket").as("bucket"))
+      .withColumn("batch_seq", lit(1L))
     graft.sources.Ingest.incrementalRefresh(tableDir, buckets,
-      Seq("vec_id", "lsh_table"), Seq(col("bucket")), Seq("lsh_table"), stagingDir)
+      Seq("vec_id", "lsh_table"), Seq(col("batch_seq")), Seq("lsh_table"), stagingDir)
     val replayed = tableState()
     assert(replayed.exceptAll(want).count() == 0 && want.exceptAll(replayed).count() == 0,
       "replaying a vector batch changed the index table")
     got.unpersist()
+
+    // UPDATE case: a re-embedded vector must take its NEW buckets even
+    // when they are numerically smaller (negating the vector flips
+    // every sign bit, so new bucket = complement of old — half of them
+    // smaller; a version ordered by bucket value instead of batch
+    // recency would keep the stale rows)
+    val (uid, uvec) = emb.head
+    val updBatch = Seq((uid, uvec.map(x => -x))).toDF("vec_id", "embedding")
+    val updBuckets = graft.similarity.Ann
+      .lshBucketTable(updBatch, "vec_id", "embedding")
+      .select(col("vec_id"), col("__table").as("lsh_table"), col("__bucket").as("bucket"))
+      .withColumn("batch_seq", lit(2L))
+    graft.sources.Ingest.incrementalRefresh(tableDir, updBuckets,
+      Seq("vec_id", "lsh_table"), Seq(col("batch_seq")), Seq("lsh_table"), stagingDir)
+    val afterUpd = tableState().where(col("vec_id") === uid)
+      .select(col("vec_id"), col("lsh_table"), col("bucket"))
+    val wantUpd = updBuckets.select(col("vec_id"), col("lsh_table").cast("int"), col("bucket"))
+    assert(afterUpd.exceptAll(wantUpd).count() == 0 && wantUpd.exceptAll(afterUpd).count() == 0,
+      "re-embedded vector kept stale bucket rows")
   }
 
   test("S5: file sink + checkpoint survives a mid-stream restart exactly-once") {
