@@ -343,6 +343,24 @@ object Dedup {
       .unionByName(verifiedPairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = docs.select(col(idCol), col(idCol).as("keeper_id"))
+    // convergence detection: labels are per-node NON-INCREASING, so
+    // for integral ids the label total strictly decreases until the
+    // fixpoint — comparing two scalars replaces a per-round
+    // anti-equality join. Fractional/string ids (where a truncating
+    // cast could alias two labels) keep the exact join check.
+    val integralIds = {
+      import org.apache.spark.sql.types._
+      docs.schema(idCol).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("keeper_id").cast("decimal(38,0)")).as("s")).head().getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s // empty input sums to null
+    }
+    // baseline before the loop so a no-edge input converges on round 1
+    var prevSum: java.math.BigDecimal = if (integralIds) labelSum(labels) else null
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
@@ -377,17 +395,19 @@ object Dedup {
             col(s"x.$idCol").as(idCol),
             least(col("x.keeper_id"), coalesce(col("__ll"), col("x.keeper_id"))).as("keeper_id"))
           // checkpointed for the same reason as neighborMin: the
-          // convergence check AND the next round both consume it — the
+          // convergence sum AND the next round both consume it — the
           // jump join would otherwise re-execute per consumer
           .localCheckpoint()
-      // near-dup components are mostly cliques (diameter 1), so the
-      // fixpoint usually lands after one round — stop there instead
-      // of paying maxIters jobs; the check is a cheap join on the
-      // checkpointed label tables
-      converged = propagated.as("n")
-        .join(labels.as("o"), Seq(idCol))
-        .where(col("n.keeper_id") =!= col("o.keeper_id"))
-        .isEmpty
+      if (integralIds) {
+        val curSum = labelSum(propagated)
+        converged = prevSum.compareTo(curSum) == 0
+        prevSum = curSum
+      } else {
+        converged = propagated.as("n")
+          .join(labels.as("o"), Seq(idCol))
+          .where(col("n.keeper_id") =!= col("o.keeper_id"))
+          .isEmpty
+      }
       labels = propagated
       iter += 1
     }
