@@ -505,17 +505,11 @@ object Ann {
     // candidate probability for a neighbor at cosine 0.7 — the honest
     // price of recall as buckets get finer is more tables, paid in
     // O(log n) bucketing rows, not in n² candidate pairs.
-    val nRows = if (bitsPerTable > 0 && numTables > 0) 0L else emb.count()
-    val b = if (bitsPerTable > 0) bitsPerTable else lshBits(nRows)
+    val b = if (bitsPerTable > 0) bitsPerTable else lshBits(emb.count())
     val t =
       if (numTables > 0) numTables
-      else {
-        val p = 1.0 - math.acos(0.7) / math.Pi
-        val hit =
-          if (multiProbe) math.pow(p, b) + b * math.pow(p, b - 1) * (1 - p)
-          else math.pow(p, b)
-        math.max(4, math.min(64, math.ceil(math.log(20.0) / -math.log1p(-hit)).toInt))
-      }
+      else math.max(4, math.min(MaxAutoTables,
+        lshTablesFor(lshHit(pBit(0.7), b, multiProbe), math.log(20.0))))
     // v feeds bucket generation + both re-rank sides — persist or
     // every consumer re-runs the scan + projections
     val v = prepared(emb, idCol, vecCol)
@@ -576,21 +570,6 @@ object Ann {
       .select(col(idCol), col("__tb.table").as("__table"), col("__tb.bucket").as("__bucket"))
   }
 
-  /** Auto-tuned LSH operating point: bits from collection size (bucket
-    * occupancy n/2^bits ≈ `targetBucketRows`) and table count from a
-    * per-pair miss budget δ=1e-3 at the THRESHOLD angle — the worst
-    * qualifying pair; real near-dups sit far above the threshold and
-    * miss with exponentially lower probability (a planted pair at
-    * cosine 0.98 under the τ=0.9 auto point misses at ~1e-7). With
-    * multi-probe the per-table hit rate for per-bit agreement p1 is
-    * p1^b + b·p1^(b−1)(1−p1) — exact collision or one flipped bit —
-    * so far fewer tables buy the same recall. Returns (tables, bits).
-    *
-    * Candidate work relative to all-pairs is T·(b+1)/2^b; at τ=0.9,
-    * n=2000 the auto point (7 tables × 8 bits) puts it at 0.25 and it
-    * SHRINKS with n (n=10⁶ → 15 tables × 17 bits → ~1e-3). Below
-    * τ≈0.7 the same formula proves LSH unwinnable (PLANS.md) — use
-    * [[cosinePairsScreened]] there. */
   /** Bucket width from collection size: occupancy n/2^bits ≈
     * `targetBucketRows`. FIXED bits are the quadratic-slope trap the
     * sf-sweep caught (PLANS.md): random-collision candidate mass is
@@ -600,18 +579,55 @@ object Ann {
     math.max(2, math.min(20,
       math.ceil(math.log(math.max(2.0, n.toDouble / targetBucketRows)) / math.log(2.0)).toInt))
 
+  /** Per-bit agreement probability for a pair at the given cosine:
+    * p = 1 − θ/π (the Goemans–Williamson identity). */
+  private def pBit(cosine: Double): Double =
+    1.0 - math.acos(math.max(-1.0, math.min(1.0, cosine))) / math.Pi
+
+  /** Per-table candidate probability for a pair with per-bit agreement
+    * p1 under a b-bit table — exact collision, or exactly one flipped
+    * bit when multi-probing: p1^b + b·p1^(b−1)(1−p1). The ONE place
+    * this probe model lives: the auto-tuners and their feasibility
+    * guards must never drift apart. */
+  private[graft] def lshHit(p1: Double, b: Int, multiProbe: Boolean): Double =
+    if (multiProbe) math.pow(p1, b) + b * math.pow(p1, b - 1) * (1 - p1)
+    else math.pow(p1, b)
+
+  /** Tables needed for per-pair miss ≤ e^(−lnInvDelta) at per-table
+    * hit rate `hit`. Unclamped — feasibility decisions belong to the
+    * caller. */
+  private[graft] def lshTablesFor(hit: Double, lnInvDelta: Double): Int =
+    math.max(2, math.ceil(lnInvDelta / -math.log1p(-hit)).toInt)
+
+  /** Sanity ceiling on auto-chosen table counts: past this, bucketing
+    * itself (T explode rows + T·b hyperplane dots per vector) stops
+    * being cheap and the operating point deserves an explicit caller
+    * decision, not silent growth — [[nearDupPairsLsh]] fails fast at
+    * this line instead of degrading recall quietly. */
+  private[graft] val MaxAutoTables = 512
+
+  /** Auto-tuned LSH operating point: bits from collection size (bucket
+    * occupancy n/2^bits ≈ `targetBucketRows`) and table count from a
+    * per-pair miss budget δ=1e-3 at the THRESHOLD angle — the worst
+    * qualifying pair; real near-dups sit far above the threshold and
+    * miss with exponentially lower probability (a planted pair at
+    * cosine 0.98 under the τ=0.9 auto point misses at ~1e-7). With
+    * multi-probe far fewer tables buy the same recall ([[lshHit]]).
+    * Returns (tables, bits), tables clamped to [[MaxAutoTables]].
+    *
+    * Candidate work relative to all-pairs is T·(b+1)/2^b; at τ=0.9,
+    * n=2000 the auto point (7 tables × 8 bits) puts it at 0.25 and it
+    * SHRINKS with n (n=10⁶ → 15 tables × 17 bits → ~1e-3). Below
+    * τ≈0.65 the same formula proves LSH unwinnable (PLANS.md) — use
+    * [[cosinePairsScreened]] there. */
   private[graft] def lshParams(
       n: Long,
       threshold: Double,
       multiProbe: Boolean = true,
       targetBucketRows: Int = 8): (Int, Int) = {
     val b = lshBits(n, targetBucketRows)
-    val p1 = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
-    val hit =
-      if (multiProbe) math.pow(p1, b) + b * math.pow(p1, b - 1) * (1 - p1)
-      else math.pow(p1, b)
-    val t = math.max(2, math.min(64,
-      math.ceil(math.log(1e3) / -math.log1p(-hit)).toInt))
+    val t = math.min(MaxAutoTables,
+      lshTablesFor(lshHit(pBit(threshold), b, multiProbe), math.log(1e3)))
     (t, b)
   }
 
@@ -670,34 +686,34 @@ object Ann {
       multiProbe: Boolean = true,
       seed: Long = 42L): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
-    val (t, b) =
-      if (numTables > 0 && bitsPerTable > 0) (numTables, bitsPerTable)
+    // resolve the FINAL operating point first; guards below validate
+    // what will actually run, and only for components the caller left
+    // to the auto-tuner (explicit params are expert mode — accepted
+    // as-is, like every other tuning knob in the library)
+    val b =
+      if (bitsPerTable > 0) bitsPerTable
+      // parquet row-count metadata makes this a cheap action
+      else lshBits(emb.count())
+    val tNeeded = lshTablesFor(lshHit(pBit(threshold), b, multiProbe), math.log(1e3))
+    val t =
+      if (numTables > 0) numTables
       else {
-        // parquet row-count metadata makes this a cheap action
-        val n = emb.count()
-        val auto = lshParams(n, threshold, multiProbe)
-        // fail FAST instead of degrading silently: below τ≈0.7 the
-        // δ=1e-3 table budget is unreachable (lshParams clamps at 64
-        // tables) and recall quietly collapses — the caller wanted
-        // cosinePairsScreened, whose recall needs no probability
-        val p1 = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
-        val hit =
-          if (multiProbe) math.pow(p1, auto._2) + auto._2 * math.pow(p1, auto._2 - 1) * (1 - p1)
-          else math.pow(p1, auto._2)
-        val tUnclamped = math.ceil(math.log(1e3) / -math.log1p(-hit))
-        require(tUnclamped <= 64,
-          s"LSH cannot meet its miss budget at threshold=$threshold (needs ~${tUnclamped.toLong} " +
-            "tables; per-bit agreement is too close to random) — use cosinePairsScreened, " +
-            "the exact screened scan, for low thresholds")
+        // fail FAST instead of degrading silently: when the δ=1e-3
+        // budget needs an absurd table count (τ too close to random
+        // agreement), the caller wanted cosinePairsScreened, whose
+        // recall needs no probability at all
+        require(tNeeded <= MaxAutoTables,
+          s"LSH cannot meet its miss budget at threshold=$threshold with $b-bit tables " +
+            s"(needs ~$tNeeded tables; per-bit agreement is too close to random) — " +
+            "use cosinePairsScreened, the exact screened scan, for low thresholds")
         // ... and candidate work must actually undercut the all-pairs
         // scan it replaces: expected random-collision fraction is
         // T·(b+1)/2^b (T/2^b without multi-probe)
-        val work = tUnclamped * (if (multiProbe) auto._2 + 1.0 else 1.0) / math.pow(2.0, auto._2)
+        val work = tNeeded * (if (multiProbe) b + 1.0 else 1.0) / math.pow(2.0, b)
         require(work < 1.0,
           f"LSH candidate mass at threshold=$threshold would be $work%.2f of all-pairs — " +
             "worse than the exact scan; use cosinePairsScreened for this threshold/size")
-        (if (numTables > 0) numTables else auto._1,
-          if (bitsPerTable > 0) bitsPerTable else auto._2)
+        tNeeded
       }
     // v feeds bucket generation + both verify sides — persist or every
     // consumer re-runs the scan + projections

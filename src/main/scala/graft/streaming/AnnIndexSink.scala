@@ -41,19 +41,37 @@ object AnnIndexSink {
       seed: Long = 42L,
       checkpointLocation: Option[String] = None): StreamingQuery = {
     val writer = vectors.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val buckets = Ann.lshBucketTable(batch, idCol, vecCol, numTables, bitsPerTable, seed)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // ONE embedding per id within the batch: two updates for the
+        // same vector in one micro-batch would tie on the version and
+        // let keepLatest pick per-TABLE winners from different
+        // embeddings — an index state consistent with neither. Row
+        // order inside a micro-batch is not meaningful at this API
+        // level, so the winner is arbitrary but the buckets it yields
+        // are all from the same embedding.
+        val oneVectorPerId = batch.dropDuplicates(Seq(idCol))
+        // version = the table's own high-water mark + 1, NOT the raw
+        // batchId: keepLatest keeps the max version, and (a) a
+        // re-embedded vector's new bucket can be numerically smaller
+        // (bucket-as-version kept stale rows), while (b) batchId
+        // resets to 0 when the stream restarts with a fresh
+        // checkpoint — every update would then lose to the persisted
+        // higher sequence until batchId caught up. Deriving from the
+        // TABLE makes the sequence monotone over the table's whole
+        // lifetime; a same-batchId replay writes identical buckets
+        // one sequence higher, so replay stays a content-level no-op
+        // (StreamingSpec S8 proves it).
+        val spark = batch.sparkSession
+        val nextSeq = (try {
+          spark.read.parquet(tablePath).agg(
+            org.apache.spark.sql.functions.max(col("batch_seq"))).head().getLong(0)
+        } catch { case _: Exception => -1L }) + 1L
+        val buckets = Ann.lshBucketTable(oneVectorPerId, idCol, vecCol, numTables, bitsPerTable, seed)
           // durable-table column names (the partition directory name
           // must not look like a hidden path, and a persisted schema
           // should not leak plan-internal __ prefixes)
           .select(col(idCol), col("__table").as("lsh_table"), col("__bucket").as("bucket"))
-          // version = the micro-batch sequence number, NOT the bucket
-          // value: keepLatest keeps the max version, and a re-embedded
-          // vector's NEW bucket can be numerically smaller than its
-          // old one — bucket-as-version would keep the stale row
-          // forever. A replayed batch carries the same batchId, so
-          // replay is still a provable no-op.
-          .withColumn("batch_seq", org.apache.spark.sql.functions.lit(batchId))
+          .withColumn("batch_seq", org.apache.spark.sql.functions.lit(nextSeq))
         Ingest.incrementalRefresh(
           tablePath, buckets,
           keys = Seq(idCol, "lsh_table"),

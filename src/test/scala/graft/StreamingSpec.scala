@@ -259,24 +259,27 @@ class StreamingSpec extends SparkSpec {
       "replaying a vector batch changed the index table")
     got.unpersist()
 
-    // UPDATE case: a re-embedded vector must take its NEW buckets even
-    // when they are numerically smaller (negating the vector flips
-    // every sign bit, so new bucket = complement of old — half of them
-    // smaller; a version ordered by bucket value instead of batch
-    // recency would keep the stale rows)
+    // UPDATE through a RESTARTED sink (fresh stream ⇒ batchId resets
+    // to 0): the table-derived sequence must still beat every
+    // persisted version, or re-embedded vectors would silently keep
+    // stale buckets after any checkpoint loss. Negating the vector
+    // also flips every sign bit, so half the new buckets are
+    // numerically SMALLER — regression for bucket-as-version too.
     val (uid, uvec) = emb.head
-    val updBatch = Seq((uid, uvec.map(x => -x))).toDF("vec_id", "embedding")
-    val updBuckets = graft.similarity.Ann
-      .lshBucketTable(updBatch, "vec_id", "embedding")
-      .select(col("vec_id"), col("__table").as("lsh_table"), col("__bucket").as("bucket"))
-      .withColumn("batch_seq", lit(2L))
-    graft.sources.Ingest.incrementalRefresh(tableDir, updBuckets,
-      Seq("vec_id", "lsh_table"), Seq(col("batch_seq")), Seq("lsh_table"), stagingDir)
+    val updBatch = Seq((uid, uvec.map(x => -x)))
+    val mem2 = MemoryStream[(Long, Seq[Double])]
+    val query2 = graft.streaming.AnnIndexSink.start(
+      mem2.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", tableDir, stagingDir)
+    try {
+      mem2.addData(updBatch.toIndexedSeq)
+      query2.processAllAvailable()
+    } finally query2.stop()
     val afterUpd = tableState().where(col("vec_id") === uid)
-      .select(col("vec_id"), col("lsh_table"), col("bucket"))
-    val wantUpd = updBuckets.select(col("vec_id"), col("lsh_table").cast("int"), col("bucket"))
+    val wantUpd = graft.similarity.Ann
+      .lshBucketTable(updBatch.toDF("vec_id", "embedding"), "vec_id", "embedding")
+      .select(col("vec_id"), col("__table").cast("int"), col("__bucket"))
     assert(afterUpd.exceptAll(wantUpd).count() == 0 && wantUpd.exceptAll(afterUpd).count() == 0,
-      "re-embedded vector kept stale bucket rows")
+      "re-embedded vector kept stale bucket rows after sink restart")
   }
 
   test("S5: file sink + checkpoint survives a mid-stream restart exactly-once") {
