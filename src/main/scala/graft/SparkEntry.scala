@@ -536,6 +536,18 @@ object SparkEntry {
         round(expr("approx_percentile(value, 0.9, 10000)"), 6).as("p90_approx"),
         round(expr("approx_percentile(value, 0.99, 10000)"), 6).as("p99_approx"))
 
+  /** q49: the tiled distributed form of q41's screened exact scan —
+    * maxCompactRows=0 forces the block-tiled shuffle kernel, the shape
+    * the operator takes when the collection cannot be broadcast
+    * (B = O(√tasks) blocks, each row shuffled to B tiles, one tile per
+    * task). Registering it separately hash-checks the 100 TB code
+    * path against the same q26 oracle at every gate SF, instead of
+    * only spec-checking it at sf0.001, and benches the kernel's
+    * shuffle overhead next to q41's broadcast form. */
+  def q49EmbeddingNeardupTiled(spark: SparkSession, dir: String): DataFrame =
+    Ann.cosinePairsScreened(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      threshold = 0.4, maxCompactRows = 0)
+
   /** Planted pathological skew: 30% of the event rows remapped to ONE
     * hot wallet (the whale-wallet shape of the reference's
     * core_coin_wallet_transfers, where a handful of whale coins
@@ -649,7 +661,8 @@ object SparkEntry {
     "q45_percentiles_approx"     -> (q45PercentilesApprox _),
     "q46_frame_sample"           -> (q46FrameSample _),
     "q47_skew_join_salted"       -> (q47SkewJoinSalted _),
-    "q48_skew_join_plain"        -> (q48SkewJoinPlain _)
+    "q48_skew_join_plain"        -> (q48SkewJoinPlain _),
+    "q49_embedding_neardup_tiled" -> (q49EmbeddingNeardupTiled _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -662,7 +675,8 @@ object SparkEntry {
     m ++ Map(
       "q41_embedding_neardup_scale" -> m("q26_embedding_dedup"),
       "q44_wallet_profits_bucketed" -> m("q10_wallet_profits"),
-      "q48_skew_join_plain"         -> m("q47_skew_join_salted"))
+      "q48_skew_join_plain"         -> m("q47_skew_join_salted"),
+      "q49_embedding_neardup_tiled" -> m("q26_embedding_dedup"))
   }
 
   private def baseOracleSql: Map[String, String] = Map(
