@@ -242,6 +242,17 @@ object SparkEntry {
   def q19DedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text", maxHamming = 3)
 
+  /** q50: the 128-bit scale form of q19 — 32-bit bands put random
+    * band-collision candidate mass at n²/2³² instead of n²/2¹⁶, the
+    * remedy for q19's measured super-linear slope (PLANS.md sf-sweep;
+    * same band-width-grows-with-log-n law as lshBits). Same hamming
+    * budget over more bits = a sharper similarity bar, so the pair
+    * set is a near-subset of q19's, not identical — rows-only, with
+    * the collision-mass property spec-asserted on a planted corpus. */
+  def q50DedupSimhashWide(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text",
+      maxHamming = 3, numBits = 128)
+
   /** q20: brute-force cosine top-5 neighbors. */
   def q20KnnCosine(spark: SparkSession, dir: String): DataFrame =
     Ann.bruteForceKnn(Tables.embeddings(spark, dir), "vec_id", "embedding", k = 5)
@@ -662,7 +673,8 @@ object SparkEntry {
     "q46_frame_sample"           -> (q46FrameSample _),
     "q47_skew_join_salted"       -> (q47SkewJoinSalted _),
     "q48_skew_join_plain"        -> (q48SkewJoinPlain _),
-    "q49_embedding_neardup_tiled" -> (q49EmbeddingNeardupTiled _)
+    "q49_embedding_neardup_tiled" -> (q49EmbeddingNeardupTiled _),
+    "q50_dedup_simhash_wide"     -> (q50DedupSimhashWide _)
   )
 
   // q10 and q44 compute the same result over different physical

@@ -219,45 +219,33 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
-  /** 64-bit SimHash near-duplicate pairs with hamming-band blocking.
+  /** SimHash near-duplicate pairs with hamming-band blocking.
     *
     * Token-weighted SimHash: every token's xxhash64 votes ±1 per bit;
-    * the sign of the per-bit sum is the fingerprint bit. The 64 bits
-    * are packed into four 16-bit band signatures; candidate pairs must
-    * share ≥1 exact band (pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4 bands
-    * equal), then the true hamming distance is `bit_count(a XOR b)`
-    * summed over bands. Bit-vote aggregation and band join are the
-    * only shuffles.
-    */
+    * the sign of the per-bit sum is the fingerprint bit. The bits are
+    * packed into `maxHamming + 1` band signatures; candidate pairs
+    * must share ≥1 exact band (pigeonhole: hamming ≤ m ⇒ ≥1 of m+1
+    * bands equal), then the true hamming distance is `bit_count(a
+    * XOR b)` summed over bands. Bit-vote aggregation and band join
+    * are the only shuffles.
+    *
+    * `numBits` is the SCALE dial (the sf-sweep's named q19 cause):
+    * random pairs collide per band with probability 2^(−bits/bands),
+    * so candidate mass is (m+1)·n²·2^(−bits/(m+1)) — at 64 bits the
+    * 16-bit bands hold to ~10⁵ docs, past that widen to 128 (32-bit
+    * bands: n²/2³² random mass, good to ~10⁹). Same law as
+    * [[Ann.lshBits]]: band width must grow with log n. The wider
+    * fingerprint also sharpens the hamming threshold (same m over
+    * more bits = a stricter similarity bar), which is exactly the
+    * semantics a bigger corpus wants. */
   def simhashPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    // 64 per-bit vote sums as aggregate COLUMNS (not exploded rows):
-    // the map side partially aggregates per doc, so the shuffle
-    // carries one 64-column row per document instead of 64 rows per
-    // token — the difference between shuffling |tokens|×64 and |docs|
-    val votes = (0 until 64).map(j =>
-      sum(when(shiftrightunsigned(col("__h"), j).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"__v$j"))
-    val sums = docs
-      .select(col(idCol), explode(split(col(textCol), " ")).as("__tok"))
-      .withColumn("__h", xxhash64(col("__tok")))
-      .groupBy(col(idCol))
-      .agg(votes.head, votes.tail: _*)
-
-    val bandCols = (0 until 4).map { b =>
-      (b * 16 until (b + 1) * 16)
-        .map(j => when(col(s"__v$j") > 0, 1 << (j % 16)).otherwise(0))
-        .reduce(_ + _)
-        .as(s"__band$b")
-    }
-    val bandSigs = sums
-      .select(col(idCol) +: bandCols: _*)
-      .select(col(idCol), expr(
-        "stack(4, 0, __band0, 1, __band1, 2, __band2, 3, __band3) AS (band, sig)"))
-
+      maxHamming: Int = 3,
+      numBits: Int = 64): DataFrame = {
+    val bandSigs = simhashBandSigs(docs, idCol, textCol, maxHamming, numBits)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = bandSigs.as("a")
       .join(bandSigs.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -271,6 +259,52 @@ object Dedup {
       .groupBy("doc_a", "doc_b")
       .agg(sum(bit_count(col("__sa").bitwiseXOR(col("__sb")))).as("hamming"))
       .where(col("hamming") <= maxHamming)
+  }
+
+  /** (id, band, sig) SimHash band signatures — the candidate-join key
+    * table. Package-private so specs can measure band-collision
+    * candidate mass directly (the quantity the `numBits` dial
+    * controls). */
+  private[graft] def simhashBandSigs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      numBits: Int = 64): DataFrame = {
+    val bands = maxHamming + 1
+    require(numBits % 64 == 0 && numBits % bands == 0 && numBits / bands <= 63,
+      s"numBits must be a multiple of 64 and of ${bands} bands of <=63 bits, got $numBits")
+    val words = numBits / 64
+    // per-bit vote sums as aggregate COLUMNS (not exploded rows): the
+    // map side partially aggregates per doc, so the shuffle carries
+    // one row of numBits columns per document instead of numBits rows
+    // per token. Bit j lives in word j/64; word 0 hashes the bare
+    // token (byte-compatible with the original 64-bit form), word w>0
+    // re-hashes with the word index as salt.
+    val votes = (0 until numBits).map { j =>
+      val w = j / 64
+      sum(when(shiftrightunsigned(col(s"__h$w"), j % 64).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"__v$j")
+    }
+    val hashed = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("__tok"))
+      .withColumn("__h0", xxhash64(col("__tok")))
+    val withWords = (1 until words).foldLeft(hashed)((df, w) =>
+      df.withColumn(s"__h$w", xxhash64(lit(w), col("__tok"))))
+    val sums = withWords.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+
+    val bandBits = numBits / bands
+    val bandCols = (0 until bands).map { b =>
+      (b * bandBits until (b + 1) * bandBits)
+        .map(j => when(col(s"__v$j") > 0, lit(1L << (j - b * bandBits))).otherwise(lit(0L)))
+        .reduce(_ + _)
+        .as(s"__band$b")
+    }
+    val stackExpr = "stack(" + bands + ", " +
+      (0 until bands).map(b => s"$b, __band$b").mkString(", ") + ") AS (band, sig)"
+    sums
+      .select(col(idCol) +: bandCols: _*)
+      .select(col(idCol), expr(stackExpr))
   }
 
   /** The composed near-duplicate pipeline a training-data curation

@@ -101,6 +101,48 @@ class OperatorInvariantsSpec extends SparkSpec {
       "simhash recall below 70%")
   }
 
+  test("simhash width: 32-bit bands collapse random candidate mass, keep true near-dups") {
+    // 1200 mutually-dissimilar random docs (drawn from a wide vocab,
+    // so fingerprints are ~independent) + 40 planted near-dup pairs.
+    // 16-bit bands expect 4·(n choose 2)/2^16 ≈ 44 random band
+    // collisions; 32-bit bands expect ~0.0007 — the numBits dial is
+    // exactly this collapse.
+    // duplicates are EXACT copies: hamming 0 at ANY width, so recall
+    // is deterministic for both operating points — a 1-token edit
+    // already flips ~8 of 64 bits at these doc lengths (hamming ≤ 3
+    // means ~99% token overlap; the graded-similarity behavior is
+    // covered by the q18/q19 recall specs on the real corpus)
+    val rnd = new scala.util.Random(11)
+    def randDoc(): String = Seq.fill(40)("t" + rnd.nextInt(500000)).mkString(" ")
+    val base = (0 until 1200).map(i => (i.toLong, randDoc()))
+    val dups = (0 until 40).map(i => ((2000 + i).toLong, base(i)._2))
+    val sess = spark
+    import sess.implicits._
+    val docs = (base ++ dups).toDF("doc_id", "text")
+    def randomCollisions(bits: Int): Long = {
+      val sigs = graft.similarity.Dedup
+        .simhashBandSigs(docs, "doc_id", "text", maxHamming = 3, numBits = bits)
+      sigs.as("a").join(sigs.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        // exclude the planted pairs: what's left is pure random mass
+        .where(col("b.doc_id") - col("a.doc_id") =!= 2000L)
+        .count()
+    }
+    val c64 = randomCollisions(64)
+    val c128 = randomCollisions(128)
+    assert(c64 > 0, "degenerate: no random band collisions at 64 bits on 1200 docs")
+    assert(c128 * 10 < c64,
+      s"wide bands did not collapse random candidate mass: 64-bit=$c64, 128-bit=$c128")
+    // recall: every planted near-dup pair survives BOTH widths
+    for (bits <- Seq(64, 128)) {
+      val pairs = graft.similarity.Dedup
+        .simhashPairs(docs, "doc_id", "text", maxHamming = 3, numBits = bits)
+        .where(col("doc_b") - col("doc_a") === 2000L)
+      assert(pairs.count() == 40, s"missing planted near-dups at $bits bits")
+    }
+  }
+
   test("q19: hamming bounded by threshold, pairs ordered") {
     val df = SparkEntry.q19DedupSimhash(spark, SfDir)
     assert(df.where(col("hamming") > 3 || col("doc_a") >= col("doc_b")).count() == 0)
