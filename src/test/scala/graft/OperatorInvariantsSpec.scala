@@ -141,6 +141,12 @@ class OperatorInvariantsSpec extends SparkSpec {
         .where(col("doc_b") - col("doc_a") === 2000L)
       assert(pairs.count() == 40, s"missing planted near-dups at $bits bits")
     }
+    // domain: every maxHamming the fixed 4×16 layout served still
+    // resolves to a valid band layout at the default width
+    for (m <- Seq(0, 1, 2)) {
+      assert(graft.similarity.Dedup
+        .simhashPairs(docs.limit(50), "doc_id", "text", maxHamming = m).count() >= 0)
+    }
   }
 
   test("q19: hamming bounded by threshold, pairs ordered") {
