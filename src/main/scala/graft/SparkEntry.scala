@@ -400,12 +400,19 @@ object SparkEntry {
     * unordered pair still joins exactly once (probe = partner's actual
     * bucket on both sides), so the result — and the oracle — are
     * unchanged. Replication cost is B rows per daily point per side;
-    * at 100× assets, B scales as √(assets² / target-task-pairs). */
+    * B is DERIVED from the measured asset count as
+    * √(assets² / target-task-pairs) = assets/√targetPairs (floored at
+    * 2 so the key never degenerates to bare date) — a hardcoded B
+    * would let per-task pair work grow quadratically in assets again
+    * at 100×. The distinct-count action is a cheap dimension probe
+    * (assets is the tiny axis; the fact table is dates×assets). */
   def q37PriceCorrelation(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
       .groupBy(col("event_type").as("asset"), to_date(col("ts")).as("date"))
       .agg(round(max("value"), 6).as("price"))
-    val B = 4
+    val assets = daily.select("asset").distinct().count()
+    // target ≈ 4096 pair-evaluations per (date, bucket_a, bucket_b) key
+    val B = math.max(2, math.ceil(assets / math.sqrt(4096.0)).toInt)
     val bucketed = daily
       .withColumn("__g", pmod(xxhash64(col("asset")), lit(B)).cast("int"))
       .withColumn("__pg", explode(array((0 until B).map(i => lit(i)): _*)))

@@ -425,13 +425,17 @@ object Ann {
         (0 until nB).iterator.map { o =>
           val i = math.min(blk, o)
           val j = math.max(blk, o)
-          (i * nB + j, blk, id, a, nm, t)
+          // Long tile key: nB exceeds ~46k exactly in the huge-n regime
+          // this kernel exists for (dim 1536 → maxBlockRows≈2730, so
+          // n ≳ 1.3e8 rows), where an Int i*nB+j overflows and aliased
+          // keys would silently misroute blocks
+          (i.toLong * nB + j, blk, id, a, nm, t)
         }
       }
       .groupByKey(_._1)
-      .flatMapGroups { (key: Int, it: Iterator[(Int, Int, Long, Array[Double], Double, Double)]) =>
-        val i = key / nB
-        val j = key % nB
+      .flatMapGroups { (key: Long, it: Iterator[(Long, Int, Long, Array[Double], Double, Double)]) =>
+        val i = (key / nB).toInt
+        val j = (key % nB).toInt
         val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double, Double)]
         val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double, Double)]
         it.foreach { case (_, blk, id, v, nm, t) =>
@@ -508,8 +512,21 @@ object Ann {
     val b = if (bitsPerTable > 0) bitsPerTable else lshBits(emb.count())
     val t =
       if (numTables > 0) numTables
-      else math.max(4, math.min(MaxAutoTables,
-        lshTablesFor(lshHit(pBit(0.7), b, multiProbe), math.log(20.0))))
+      else {
+        val tNeeded = lshTablesFor(lshHit(pBit(0.7), b, multiProbe), math.log(20.0))
+        // fail fast when the ceiling binds (mirrors nearDupPairsLsh):
+        // clamping would quietly drop the 95% candidate-recall design
+        // point (e.g. multiProbe=false at b=20 needs ~1030 tables —
+        // clamped to 512 the per-pair recall decays to ~77%). The
+        // caller's outs: keep multi-probe on, pass explicit numTables
+        // as an accepted-recall expert choice, or coarsen bitsPerTable.
+        require(tNeeded <= MaxAutoTables,
+          s"lshKnn auto-tuning needs ~$tNeeded tables to hold the 95% candidate-recall " +
+            s"design point at $b-bit tables (multiProbe=$multiProbe) — past the " +
+            s"$MaxAutoTables sanity ceiling. Enable multiProbe, coarsen bitsPerTable, " +
+            "or pass numTables explicitly to accept the reduced recall.")
+        math.max(4, tNeeded)
+      }
     // v feeds bucket generation + both re-rank sides — persist or
     // every consumer re-runs the scan + projections
     val v = prepared(emb, idCol, vecCol)

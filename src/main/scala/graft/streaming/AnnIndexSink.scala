@@ -42,14 +42,7 @@ object AnnIndexSink {
       checkpointLocation: Option[String] = None): StreamingQuery = {
     val writer = vectors.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // ONE embedding per id within the batch: two updates for the
-        // same vector in one micro-batch would tie on the version and
-        // let keepLatest pick per-TABLE winners from different
-        // embeddings — an index state consistent with neither. Row
-        // order inside a micro-batch is not meaningful at this API
-        // level, so the winner is arbitrary but the buckets it yields
-        // are all from the same embedding.
-        val oneVectorPerId = batch.dropDuplicates(Seq(idCol))
+        val oneVectorPerId = canonicalBatch(batch, idCol, vecCol)
         // version = the table's own high-water mark + 1, NOT the raw
         // batchId: keepLatest keeps the max version, and (a) a
         // re-embedded vector's new bucket can be numerically smaller
@@ -62,10 +55,7 @@ object AnnIndexSink {
         // one sequence higher, so replay stays a content-level no-op
         // (StreamingSpec S8 proves it).
         val spark = batch.sparkSession
-        val nextSeq = (try {
-          spark.read.parquet(tablePath).agg(
-            org.apache.spark.sql.functions.max(col("batch_seq"))).head().getLong(0)
-        } catch { case _: Exception => -1L }) + 1L
+        val nextSeq = nextBatchSeq(spark, tablePath)
         val buckets = Ann.lshBucketTable(oneVectorPerId, idCol, vecCol, numTables, bitsPerTable, seed)
           // durable-table column names (the partition directory name
           // must not look like a hidden path, and a persisted schema
@@ -80,5 +70,48 @@ object AnnIndexSink {
           stagingPath)
       }
     checkpointLocation.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
+
+  /** ONE embedding per id within a micro-batch: two updates for the
+    * same vector in one batch would tie on the version and let
+    * keepLatest pick per-TABLE winners from different embeddings — an
+    * index state consistent with neither. The winner is the
+    * lexicographically greatest payload (arrays of orderable types
+    * order element-wise in Spark), NOT dropDuplicates' arbitrary row:
+    * a crash-replay of the same batch must re-pick the SAME embedding
+    * or the replay writes different buckets at a higher seq and the
+    * no-op guarantee quietly narrows to duplicate-free batches. */
+  private[graft] def canonicalBatch(
+      batch: DataFrame, idCol: String, vecCol: String): DataFrame =
+    batch
+      .select(col(idCol), col(vecCol))
+      .groupBy(col(idCol))
+      .agg(org.apache.spark.sql.functions.max(col(vecCol)).as(vecCol))
+
+  /** The table's next version: max(batch_seq)+1, or 0 only when the
+    * table genuinely does not exist yet. Any OTHER read failure
+    * (transient storage error on a populated table) must abort the
+    * batch — swallowing it would reset the sequence to 0 and every
+    * row in this batch would silently lose to persisted higher-seq
+    * rows in keepLatest, keeping stale buckets. */
+  private[graft] def nextBatchSeq(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String): Long = {
+    val prev =
+      try {
+        val r = spark.read.parquet(tablePath)
+          .agg(org.apache.spark.sql.functions.max(col("batch_seq"))).head()
+        if (r.isNullAt(0)) -1L else r.getLong(0)
+      } catch {
+        // "no table yet": the path is absent, or exists but holds no
+        // data files (a pre-created sink dir before the first commit).
+        // Data-file CORRUPTION surfaces at execution time as a
+        // SparkException, which deliberately falls through.
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getCondition).exists(c =>
+              c.contains("PATH_NOT_FOUND") || c.contains("UNABLE_TO_INFER_SCHEMA")) ||
+              e.getMessage.contains("Path does not exist") => -1L
+        case _: java.io.FileNotFoundException => -1L
+      }
+    prev + 1L
   }
 }

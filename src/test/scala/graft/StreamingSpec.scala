@@ -282,6 +282,45 @@ class StreamingSpec extends SparkSpec {
       "re-embedded vector kept stale bucket rows after sink restart")
   }
 
+  test("S8: conflicting same-id updates in one batch resolve deterministically; seq read failures abort") {
+    import spark.implicits._
+    // two DIFFERENT embeddings for one id in a single micro-batch: the
+    // winner must be replay-stable (lexicographically greatest
+    // payload), not dropDuplicates' arbitrary row — a crash-replay
+    // that re-picks the other row would write different buckets at a
+    // higher seq, breaking the no-op claim
+    val conflicted = Seq(
+      (1L, Seq(0.1, 0.9)), (1L, Seq(0.7, -0.2)), (2L, Seq(0.5, 0.5)))
+      .toDF("vec_id", "embedding")
+    val winners = graft.streaming.AnnIndexSink
+      .canonicalBatch(conflicted, "vec_id", "embedding")
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(winners(1L) == Seq(0.7, -0.2), "winner is not the lexicographic max payload")
+    assert(winners(2L) == Seq(0.5, 0.5))
+    // shuffled input order picks the SAME winner
+    val winners2 = graft.streaming.AnnIndexSink
+      .canonicalBatch(
+        Seq((1L, Seq(0.7, -0.2)), (2L, Seq(0.5, 0.5)), (1L, Seq(0.1, 0.9)))
+          .toDF("vec_id", "embedding"),
+        "vec_id", "embedding")
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(winners == winners2, "intra-batch winner depends on row order")
+
+    // missing table ⇒ sequence starts at 0
+    val missing = java.nio.file.Files.createTempDirectory("graft_annidx_seq")
+      .resolve("never_written").toString
+    assert(graft.streaming.AnnIndexSink.nextBatchSeq(spark, missing) == 0L)
+    // a populated-but-unreadable table must ABORT the batch, not
+    // silently reset the sequence to 0 (which would version the batch
+    // below the table's high-water mark and keep stale buckets)
+    val corrupt = java.nio.file.Files.createTempDirectory("graft_annidx_corrupt")
+    java.nio.file.Files.write(
+      corrupt.resolve("part-00000.parquet"), "not a parquet file".getBytes)
+    intercept[Exception] {
+      graft.streaming.AnnIndexSink.nextBatchSeq(spark, corrupt.toString)
+    }
+  }
+
   test("S5: file sink + checkpoint survives a mid-stream restart exactly-once") {
     val events = Tables.events(spark, SfDir)
       .select("event_id", "event_type", "user_id", "ts", "value")
