@@ -628,6 +628,24 @@ object SparkEntry {
     Profits.walletProfits(spark.table(table), Tables.prices(spark, dir))
   }
 
+  /** q51: backward as-of price join — every transfer row priced with
+    * the most recent quote at-or-before its date. The quote series is
+    * deliberately SPARSIFIED (every-third-day quotes) so the lookup is
+    * a genuine as-of walk, not a same-day equi-join; transfers before
+    * the first surviving quote come back with null price (the
+    * pre-price history the reference's imputation handles). One hash
+    * shuffle on asset — see [[operators.AsOfJoin]] for why the
+    * union+window form is the 100 TB shape. Oracle: DuckDB's native
+    * ASOF LEFT JOIN, an independent engine's implementation of the
+    * same semantics. */
+  def q51AsofPriceJoin(spark: SparkSession, dir: String): DataFrame = {
+    val probes = Tables.transfers(spark, dir)
+    val quotes = Tables.prices(spark, dir)
+      .where(dayofmonth(col("date")) % 3 === 0)
+      .select(col("asset"), col("date").as("price_date"), col("price"))
+    AsOfJoin.asOf(probes, quotes, Seq("asset"), "date", "price_date", Seq("price"))
+  }
+
   // ---------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------
@@ -681,7 +699,8 @@ object SparkEntry {
     "q47_skew_join_salted"       -> (q47SkewJoinSalted _),
     "q48_skew_join_plain"        -> (q48SkewJoinPlain _),
     "q49_embedding_neardup_tiled" -> (q49EmbeddingNeardupTiled _),
-    "q50_dedup_simhash_wide"     -> (q50DedupSimhashWide _)
+    "q50_dedup_simhash_wide"     -> (q50DedupSimhashWide _),
+    "q51_asof_price_join"        -> (q51AsofPriceJoin _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -1297,6 +1316,18 @@ object SparkEntry {
         |)
         |SELECT doc_id, MIN(label) AS keeper_id, MIN(label) = doc_id AS is_keeper
         |FROM reach GROUP BY 1""".stripMargin,
+
+    "q51_asof_price_join" ->
+      // DuckDB's native ASOF LEFT JOIN — an independent implementation
+      // of backward-inclusive as-of semantics checking ours
+      s"""WITH $transfersCte, $pricesCte,
+         |quotes AS (
+         |  SELECT asset, date AS price_date, price FROM prices
+         |  WHERE EXTRACT(DAY FROM date) % 3 = 0
+         |)
+         |SELECT t.asset, t.wallet, t.date, t.net_transfers, q.price_date, q.price
+         |FROM transfers t ASOF LEFT JOIN quotes q
+         |  ON t.asset = q.asset AND t.date >= q.price_date""".stripMargin,
 
     "q47_skew_join_salted" ->
       // planted hot key: 30% of rows remapped to wallet 0; the salted

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def quotes = Seq(
+    ("btc", "2024-01-05", 100.0),
+    ("btc", "2024-01-10", 110.0),
+    ("eth", "2024-01-08", 50.0))
+    .toDF("asset", "qd", "price")
+    .select(col("asset"), to_date(col("qd")).as("price_date"), col("price"))
+
+  private def probes = Seq(
+    ("btc", "2024-01-04", 1L), // before first quote → null
+    ("btc", "2024-01-05", 2L), // ON a quote date → inclusive match
+    ("btc", "2024-01-07", 3L), // between quotes → earlier quote
+    ("btc", "2024-01-30", 4L), // far after last quote
+    ("eth", "2024-01-09", 5L), // other key
+    ("ltc", "2024-01-09", 6L)) // key with NO quotes at all
+    .toDF("asset", "pd", "row_id")
+    .select(col("asset"), to_date(col("pd")).as("date"), col("row_id"))
+
+  test("backward-inclusive semantics: boundary, gap, missing-key, pre-quote rows") {
+    val got = AsOfJoin.asOf(probes, quotes, Seq("asset"), "date", "price_date", Seq("price"))
+      .select("row_id", "price_date", "price")
+      .as[(Long, Option[java.sql.Date], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2.map(_.toString), r._3))).toMap
+    assert(got(1L) == ((None, None)), "probe before the first quote must not match")
+    assert(got(2L) == ((Some("2024-01-05"), Some(100.0))), "same-day quote must match (inclusive)")
+    assert(got(3L) == ((Some("2024-01-05"), Some(100.0))), "between quotes → most recent earlier")
+    assert(got(4L) == ((Some("2024-01-10"), Some(110.0))), "after last quote → last quote")
+    assert(got(5L) == ((Some("2024-01-08"), Some(50.0))), "keys must not bleed")
+    assert(got(6L) == ((None, None)), "key with no quotes → null match")
+  }
+
+  test("tolerance nulls matches older than maxGapDays") {
+    val got = AsOfJoin.asOf(probes, quotes, Seq("asset"), "date", "price_date", Seq("price"),
+      maxGapDays = Some(3))
+      .select("row_id", "price")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got(2L).contains(100.0), "gap 0 within tolerance")
+    assert(got(3L).contains(100.0), "gap 2 within tolerance")
+    assert(got(4L).isEmpty, "gap 20 beyond tolerance must null out")
+  }
+
+  test("equals the naive theta-join + max-per-probe definition on real transfers") {
+    // the declarative definition: join every quote at-or-before the
+    // probe, keep the latest — quadratic per key, but unimpeachable
+    val probes = Tables.transfers(spark, SfDir)
+    val quotes = Tables.prices(spark, SfDir)
+      .where(dayofmonth(col("date")) % 3 === 0)
+      .select(col("asset"), col("date").as("price_date"), col("price"))
+
+    val got = AsOfJoin.asOf(probes, quotes, Seq("asset"), "date", "price_date", Seq("price"))
+
+    val naive = probes.as("p")
+      .join(quotes.as("q"),
+        col("p.asset") === col("q.asset") && col("q.price_date") <= col("p.date"),
+        "left")
+      .groupBy(probes.columns.map(c => col("p." + c)): _*)
+      .agg(max(struct(col("q.price_date"), col("q.price"))).as("m"))
+      .select(probes.columns.map(c => col(c)) ++
+        Seq(col("m.price_date").as("price_date"), col("m.price").as("price")): _*)
+
+    assert(got.count() == probes.count(), "as-of join must preserve probe cardinality")
+    assert(got.exceptAll(naive).count() == 0 && naive.exceptAll(got).count() == 0,
+      "union+window as-of join diverges from the naive theta-join definition")
+  }
+
+  test("the plan shuffles once on the key — no nested-loop join") {
+    val plan = AsOfJoin.asOf(probes, quotes, Seq("asset"), "date", "price_date", Seq("price"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"as-of join fell back to a nested loop:\n$plan")
+  }
+}
