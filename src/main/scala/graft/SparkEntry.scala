@@ -404,12 +404,16 @@ object SparkEntry {
     * √(assets² / target-task-pairs) = assets/√targetPairs (floored at
     * 2 so the key never degenerates to bare date) — a hardcoded B
     * would let per-task pair work grow quadratically in assets again
-    * at 100×. The distinct-count action is a cheap dimension probe
-    * (assets is the tiny axis; the fact table is dates×assets). */
+    * at 100×. The daily aggregate is PERSISTED before the probe: the
+    * distinct-count action materializes the cache, so the probe, the
+    * join's left side, and its right side all share ONE scan+aggregate
+    * of the events fact table (unpersisted plans would scan it three
+    * times — the r4 advice). */
   def q37PriceCorrelation(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
       .groupBy(col("event_type").as("asset"), to_date(col("ts")).as("date"))
       .agg(round(max("value"), 6).as("price"))
+      .persist()
     val assets = daily.select("asset").distinct().count()
     // target ≈ 4096 pair-evaluations per (date, bucket_a, bucket_b) key
     val B = math.max(2, math.ceil(assets / math.sqrt(4096.0)).toInt)
@@ -646,6 +650,39 @@ object SparkEntry {
     AsOfJoin.asOf(probes, quotes, Seq("asset"), "date", "price_date", Seq("price"))
   }
 
+  /** q52: point-in-interval range join — every event joined to each
+    * "campaign" window whose [lo, hi] date range contains it, then
+    * rolled up per campaign. Campaign windows are derived
+    * deterministically from `orders` keys (contiguous 0..N-1) mapped
+    * into the events' date range, so both engines build the identical
+    * interval set. The naive BETWEEN join has no equi key — Spark
+    * executes it as a BroadcastNestedLoop (single task once the
+    * interval side outgrows the broadcast ceiling); [[operators
+    * .RangeJoin]] manufactures the equi key by bin-bucketing the date
+    * axis, so Catalyst sees an ordinary equi-join + residual filter.
+    * binWidth=8 days ≈ the typical window length (2–8 days) keeps
+    * interval replication ≤ 2 rows. Oracle: DuckDB evaluates the
+    * plain BETWEEN form. */
+  def q52RangeCampaignJoin(spark: SparkSession, dir: String): DataFrame = {
+    val points = Tables.events(spark, dir)
+      .select(col("user_id"), col("value"),
+        unix_date(to_date(col("ts"))).as("day"))
+    val anchor = to_date(lit("2024-01-01"))
+    val cIdx = expr("o_orderkey div 300")
+    val campaigns = Tables.orders(spark, dir)
+      .where(col("o_orderkey") % 300 === 0)
+      .select(
+        col("o_orderkey").as("campaign_id"),
+        unix_date(date_add(anchor, (cIdx % 28).cast("int"))).as("lo_day"),
+        unix_date(date_add(anchor, (cIdx % 28 + cIdx % 7 + 1).cast("int"))).as("hi_day"))
+    RangeJoin.pointInInterval(points, campaigns, "day", "lo_day", "hi_day", binWidth = 8)
+      .groupBy("campaign_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"),
+        round(sum("value"), 6).as("total_value"))
+  }
+
   // ---------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------
@@ -700,7 +737,8 @@ object SparkEntry {
     "q48_skew_join_plain"        -> (q48SkewJoinPlain _),
     "q49_embedding_neardup_tiled" -> (q49EmbeddingNeardupTiled _),
     "q50_dedup_simhash_wide"     -> (q50DedupSimhashWide _),
-    "q51_asof_price_join"        -> (q51AsofPriceJoin _)
+    "q51_asof_price_join"        -> (q51AsofPriceJoin _),
+    "q52_range_campaign_join"    -> (q52RangeCampaignJoin _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -1328,6 +1366,25 @@ object SparkEntry {
          |SELECT t.asset, t.wallet, t.date, t.net_transfers, q.price_date, q.price
          |FROM transfers t ASOF LEFT JOIN quotes q
          |  ON t.asset = q.asset AND t.date >= q.price_date""".stripMargin,
+
+    "q52_range_campaign_join" ->
+      // the plain BETWEEN (theta-join) form — DuckDB's optimizer is
+      // free to pick any strategy; result must equal the bin-bucketed
+      // equi-join rewrite exactly
+      """WITH campaigns AS (
+        |  SELECT o_orderkey AS campaign_id,
+        |    DATE '2024-01-01' + (((o_orderkey // 300) % 28)::INT) AS lo,
+        |    DATE '2024-01-01' + (((o_orderkey // 300) % 28
+        |                          + (o_orderkey // 300) % 7 + 1)::INT) AS hi
+        |  FROM orders WHERE o_orderkey % 300 = 0
+        |)
+        |SELECT c.campaign_id,
+        |  COUNT(*) AS n_events,
+        |  COUNT(DISTINCT e.user_id) AS n_users,
+        |  ROUND(SUM(e.value), 6) AS total_value
+        |FROM events e JOIN campaigns c
+        |  ON CAST(e.ts AS DATE) BETWEEN c.lo AND c.hi
+        |GROUP BY c.campaign_id""".stripMargin,
 
     "q47_skew_join_salted" ->
       // planted hot key: 30% of rows remapped to wallet 0; the salted

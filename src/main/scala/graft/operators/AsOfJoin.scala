@@ -31,6 +31,13 @@ import org.apache.spark.sql.functions._
   * lexicographically greatest payload wins deterministically (the
   * window also orders by the payload struct), so results never depend
   * on partition iteration order.
+  *
+  * NULL keys follow equi-join semantics: `Window.partitionBy` groups
+  * NULLs into one partition, which would let a NULL-keyed probe match
+  * a NULL-keyed quote — DuckDB's ASOF JOIN (and any equi-join) never
+  * matches NULL keys. NULL-keyed quote rows are therefore dropped
+  * before the union; NULL-keyed probes still pass through with a null
+  * match, preserving probe cardinality.
   */
 object AsOfJoin {
 
@@ -68,7 +75,9 @@ object AsOfJoin {
     // reattach it after the window
     val pStruct = struct(probes.columns.map(col): _*)
 
-    val taggedQuotes = quotes.select(
+    val taggedQuotes = quotes
+      .where(keys.map(col(_).isNotNull).reduce(_ && _))
+      .select(
       keys.map(col) ++ Seq(
         col(quoteTime).as("__t"),
         lit(1).as("__side"),

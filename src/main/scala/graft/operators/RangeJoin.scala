@@ -31,7 +31,14 @@ import org.apache.spark.sql.functions._
   *
   * Bounds are INCLUSIVE on both ends. Columns must be integral
   * (already-quantized axis: epoch days, epoch seconds, block heights);
-  * callers with dates convert via `datediff` first — see q52.
+  * callers with dates convert via `datediff`/`unix_date` first — see
+  * q52. Binning is exact integer arithmetic (decimal floor-division,
+  * never double `/`, whose 2^53 mantissa would silently mis-bin
+  * nanosecond-epoch or block-height axes), and every interval is
+  * guarded against exploding the bin fan-out: an open-ended sentinel
+  * (hi = Long.MaxValue) or a binWidth far below the interval span
+  * fails fast with a clear error instead of OOMing an executor inside
+  * `sequence()`.
   */
 object RangeJoin {
 
@@ -44,6 +51,11 @@ object RangeJoin {
     *                  with lo > hi are empty intervals and drop out
     * @param binWidth  bin size on the shared axis — set near the
     *                  typical interval length
+    * @param maxBinsPerInterval fail-fast ceiling on per-interval bin
+    *                  replication; an interval spanning more bins
+    *                  (sentinel hi, mis-sized binWidth) raises a
+    *                  descriptive error on the executor instead of
+    *                  materializing an unbounded `sequence()`
     */
   def pointInInterval(
       points: DataFrame,
@@ -52,19 +64,39 @@ object RangeJoin {
       loCol: String,
       hiCol: String,
       binWidth: Long,
-      extraKeys: Seq[String] = Nil): DataFrame = {
+      extraKeys: Seq[String] = Nil,
+      maxBinsPerInterval: Long = 1 << 16): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    require(maxBinsPerInterval > 0, "maxBinsPerInterval must be positive")
     val overlap = points.columns.toSet
       .intersect(intervals.columns.toSet) -- extraKeys
     require(overlap.isEmpty,
       s"non-key columns present on both sides would collide: ${overlap.mkString(", ")}")
 
-    def bin(c: org.apache.spark.sql.Column) = floor(c / binWidth)
+    // true floor(c / binWidth) in EXACT arithmetic: decimal(38,0)
+    // division cannot round the way double division does past 2^53,
+    // and floor (not `div`'s truncate-toward-zero) keeps bins
+    // uniform across zero for negative axes
+    def bin(c: org.apache.spark.sql.Column) =
+      floor(c.cast(org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0))
+        / lit(binWidth)).cast("long")
 
     val pts = points.withColumn("__bin", bin(col(pointCol)))
+    // the guard lives INSIDE __bhi (not a dropped side column Catalyst
+    // would prune away): sequence() only ever sees a bounded upper bin
     val itv = intervals
       .where(col(loCol) <= col(hiCol))
-      .withColumn("__bin", explode(sequence(bin(col(loCol)), bin(col(hiCol)))))
+      .withColumn("__blo", bin(col(loCol)))
+      .withColumn("__bhi",
+        when(bin(col(hiCol)) - col("__blo") < lit(maxBinsPerInterval), bin(col(hiCol)))
+          .otherwise(raise_error(concat(
+            lit(s"RangeJoin: interval [$loCol="), col(loCol).cast("string"),
+            lit(s", $hiCol="), col(hiCol).cast("string"),
+            lit(s"] spans more than $maxBinsPerInterval bins at binWidth=$binWidth — "
+              + "open-ended sentinel bound or binWidth too small; widen binWidth, "
+              + "cap hi, or raise maxBinsPerInterval"))).cast("long")))
+      .withColumn("__bin", explode(sequence(col("__blo"), col("__bhi"))))
+      .drop("__blo", "__bhi")
 
     pts.join(itv, extraKeys :+ "__bin")
       .where(col(pointCol).between(col(loCol), col(hiCol)))

@@ -37,6 +37,23 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got(6L) == ((None, None)), "key with no quotes → null match")
   }
 
+  test("NULL keys never match — equi-join semantics, not window-partition semantics") {
+    val nq = quotes.unionByName(
+      Seq(("x", "2024-01-01", 999.0)).toDF("asset", "qd", "price")
+        .select(lit(null).cast("string").as("asset"),
+          to_date(col("qd")).as("price_date"), col("price")))
+    val np = probes.unionByName(
+      Seq(("x", "2024-01-09", 7L)).toDF("asset", "pd", "row_id")
+        .select(lit(null).cast("string").as("asset"),
+          to_date(col("pd")).as("date"), col("row_id")))
+    val got = AsOfJoin.asOf(np, nq, Seq("asset"), "date", "price_date", Seq("price"))
+      .select("row_id", "price")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got.size == 7, "NULL-keyed probe must still pass through")
+    assert(got(7L).isEmpty, "a NULL-keyed probe must NOT match a NULL-keyed quote")
+    assert(got(3L).contains(100.0), "non-NULL rows unaffected by NULL-keyed inputs")
+  }
+
   test("tolerance nulls matches older than maxGapDays") {
     val got = AsOfJoin.asOf(probes, quotes, Seq("asset"), "date", "price_date", Seq("price"),
       maxGapDays = Some(3))

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.RangeJoin
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic pseudo-random fixture: points and intervals on a
+  // signed axis with boundary hits, empty intervals, and multi-bin
+  // spans — every (point, interval) relation class represented
+  private def points = (0L until 200L)
+    .map(i => (i, (i * 7919L % 401L) - 200L)) // axis in [-200, 200]
+    .toDF("pid", "x")
+
+  private def intervals = (0L until 60L).map { j =>
+    val lo = (j * 104729L % 379L) - 190L
+    val len = (j * 31L % 45L) - 4L // negative len ⇒ empty interval (lo > hi)
+    (j, lo, lo + len)
+  }.toDF("iid", "lo", "hi")
+
+  private def naive = points.crossJoin(intervals)
+    .where(col("x").between(col("lo"), col("hi")))
+
+  test("equals the naive BETWEEN join — boundaries, negatives, empty intervals") {
+    val got = RangeJoin.pointInInterval(points, intervals, "x", "lo", "hi", binWidth = 10)
+    assert(got.exceptAll(naive).count() == 0 && naive.exceptAll(got).count() == 0,
+      "bin-bucketed range join diverges from the naive BETWEEN join")
+    // no duplicate pairs by construction: pair count equals distinct pair count
+    assert(got.select("pid", "iid").count() == got.select("pid", "iid").distinct().count(),
+      "a (point, interval) pair met in more than one bin")
+  }
+
+  test("binWidth is a physical knob, not a semantic one") {
+    val expected = naive.count()
+    for (w <- Seq(1L, 3L, 50L, 1000L)) {
+      val n = RangeJoin.pointInInterval(points, intervals, "x", "lo", "hi", binWidth = w).count()
+      assert(n == expected, s"binWidth=$w changed the result: $n != $expected")
+    }
+  }
+
+  test("extraKeys partition the match space like an equi-join") {
+    val kp = points.withColumn("k", (col("pid") % 3).cast("int"))
+    val ki = intervals.withColumn("k", (col("iid") % 3).cast("int"))
+    val got = RangeJoin.pointInInterval(kp, ki, "x", "lo", "hi",
+      binWidth = 10, extraKeys = Seq("k"))
+    val want = kp.as("p").join(ki.as("i"),
+        col("p.k") === col("i.k") && col("p.x").between(col("i.lo"), col("i.hi")))
+      .select(col("p.pid"), col("p.x"), col("p.k"), col("i.iid"), col("i.lo"), col("i.hi"))
+    assert(got.select("pid", "iid").exceptAll(want.select("pid", "iid")).count() == 0 &&
+      want.select("pid", "iid").exceptAll(got.select("pid", "iid")).count() == 0,
+      "keyed range join diverges from the keyed BETWEEN join")
+  }
+
+  test("exact binning beyond double's 2^53 mantissa") {
+    // 2^60-magnitude axis: double division would collapse neighboring
+    // bins (ulp at 2^60 is 256), integer/decimal floor-division must not
+    val base = 1L << 60
+    val bigPts = Seq((1L, base + 5L), (2L, base + 15L), (3L, -base - 5L))
+      .toDF("pid", "x")
+    val bigItv = Seq((10L, base + 0L, base + 9L), (11L, -base - 9L, -base - 1L))
+      .toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(bigPts, bigItv, "x", "lo", "hi", binWidth = 10)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (3L, 11L)),
+      s"large-magnitude binning produced wrong pairs: $got")
+  }
+
+  test("an open-ended sentinel interval fails fast with a clear error") {
+    val sentinel = Seq((99L, 0L, Long.MaxValue)).toDF("iid", "lo", "hi")
+    val ex = intercept[Exception] {
+      RangeJoin.pointInInterval(points, sentinel, "x", "lo", "hi", binWidth = 10).count()
+    }
+    val msg = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("spans more than"),
+      s"expected the RangeJoin span guard to fire, got: $ex")
+  }
+
+  test("the plan is an equi-join on the bin key — no nested loop, no cartesian") {
+    val plan = RangeJoin.pointInInterval(points, intervals, "x", "lo", "hi", binWidth = 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"range join fell back to a nested loop:\n$plan")
+  }
+
+  test("q52 equals its own naive form on real testdata") {
+    val got = SparkEntry.q52RangeCampaignJoin(spark, SfDir)
+    val anchor = to_date(lit("2024-01-01"))
+    val cIdx = expr("o_orderkey div 300")
+    val campaigns = Tables.orders(spark, SfDir)
+      .where(col("o_orderkey") % 300 === 0)
+      .select(col("o_orderkey").as("campaign_id"),
+        date_add(anchor, (cIdx % 28).cast("int")).as("lo"),
+        date_add(anchor, (cIdx % 28 + cIdx % 7 + 1).cast("int")).as("hi"))
+    val want = Tables.events(spark, SfDir)
+      .select(col("user_id"), col("value"), to_date(col("ts")).as("d"))
+      .join(campaigns, col("d").between(col("lo"), col("hi")))
+      .groupBy("campaign_id")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"),
+        round(sum("value"), 6).as("total_value"))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "q52 diverges from its naive BETWEEN form")
+    assert(got.count() > 0, "q52 must produce campaigns at sf0.001")
+  }
+}
