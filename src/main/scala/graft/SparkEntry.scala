@@ -683,6 +683,111 @@ object SparkEntry {
         round(sum("value"), 6).as("total_value"))
   }
 
+  /** q53: multi-grain rollup — (type, day), (type), and grand-total
+    * grains in ONE pass via `rollup` + `grouping_id`. The Expand
+    * operator emits one replica per grain BEFORE the partial
+    * aggregate, so map-side combine collapses each grain locally and
+    * the shuffle carries ≤ |grains|·|groups| rows — at 100 TB this
+    * replaces N separate scans of the fact table (the reference
+    * rebuilds daily/coin/total grains as separate queries) with one.
+    * Oracle: DuckDB GROUP BY ROLLUP + GROUPING_ID (verified to share
+    * Spark's bitmask convention). */
+  def q53RollupGrains(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("date"), col("value"))
+      .rollup("event_type", "date")
+      .agg(
+        grouping_id().as("grain"),
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 6).as("sum_value"),
+        round(avg("value"), 6).as("avg_value"))
+
+  /** q54: long→wide pivot of daily per-type value sums (the
+    * reference's whale-chart pivot: dreambot_whale_chart.py pivots
+    * daily balances to one column per bucket before charting). Pivot
+    * values are EXPLICIT — Spark otherwise runs a separate distinct
+    * job to discover them, an extra fact-table scan that matters at
+    * 100 TB; with fixed values the plan is a single groupBy over
+    * conditional aggregates (exactly the oracle's CASE WHEN form). */
+  def q54PivotDaily(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("date"), col("event_type"), col("value"))
+      .groupBy("date")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(round(sum("value"), 6))
+
+  /** q55: deterministic stratified sampling — per-stratum keep rates
+    * (5% of clicks … 100% of signups: downsample the head, keep the
+    * tail, the standard class-rebalance step for training data). The
+    * keep decision is a pure hash predicate on (event_id, user_id) —
+    * no RNG, no `sample()` (whose seed is partition-dependent and
+    * irreproducible under repartitioning), so the sample is stable
+    * across runs, partitionings, AND engines — the DuckDB oracle
+    * evaluates the identical arithmetic. Filter is codegen'd and
+    * pushdown-eligible: at 100 TB the scan itself skips non-sampled
+    * row groups where stats allow. */
+  def q55StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val rate = typedLit(Map(
+      "click" -> 50L, "view" -> 100L, "error" -> 200L,
+      "purchase" -> 500L, "signup" -> 1000L))
+    Tables.events(spark, dir)
+      .where(pmod(col("event_id") * lit(2654435761L) + col("user_id"), lit(1000L)) <
+        coalesce(element_at(rate, col("event_type")), lit(0L)))
+      .select(col("event_id"), col("event_type"), col("user_id"),
+        round(col("value"), 6).as("value"))
+  }
+
+  /** q56: approximate distinct counts per stratum — HyperLogLog++
+    * (`approx_count_distinct`) and a Datasketches HLL sketch column
+    * (`hll_sketch_agg` → estimate). Both are MERGEABLE sketches with
+    * map-side partials: the shuffle carries one ~KB sketch per
+    * (partition, group) instead of the distinct-key set, which is the
+    * only form of COUNT(DISTINCT) that survives 100 TB (exact
+    * count-distinct shuffles every key). Rows-only gate (sketch
+    * estimates are engine-specific); AnalyticsInvariantsSpec bounds
+    * the relative error against the exact count and proves sketch
+    * mergeability (daily sketches unioned ≡ direct sketch). */
+  def q56ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        approx_count_distinct("user_id").as("approx_users"),
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("hll_users"))
+
+  /** q57: the analytic-window function suite over per-asset daily
+    * price series — lag/lead, ntile, percent_rank, cume_dist,
+    * first/nth_value — one window spec, one sort, zero joins (the
+    * reference computes lag/lead/first_value piecemeal across
+    * core_coin_market_data and wallet_profits; this is the
+    * consolidated single-pass form). All functions share ONE
+    * (asset)-hash shuffle + per-partition sort; at 100 TB the only
+    * scaling axis is per-asset series length, same as q3/q36. */
+  def q57WindowSuite(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type").as("asset"), to_date(col("ts")).as("date"))
+      .agg(round(max("value"), 6).as("price"))
+    val w = Window.partitionBy("asset").orderBy("date")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.select(
+      col("asset"), col("date"), col("price"),
+      round(lag("price", 1).over(w), 6).as("prev_price"),
+      round(lead("price", 1).over(w), 6).as("next_price"),
+      ntile(4).over(w).as("quartile"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      round(cume_dist().over(w), 6).as("cume"),
+      round(first("price").over(run), 6).as("first_price"),
+      round(nth_value(col("price"), 2).over(run), 6).as("second_price"))
+  }
+
+  /** q58: sliding-window document chunking (context-window prep) —
+    * every document fanned out into 200-char chunks on a 150-char
+    * stride. See [[text.TextOps.chunkDocs]]; oracle reproduces the
+    * fan-out with DuckDB GENERATE_SERIES + SUBSTRING. */
+  def q58DocChunks(spark: SparkSession, dir: String): DataFrame =
+    TextOps.chunkDocs(Tables.documents(spark, dir), "doc_id", "text",
+      chunkSize = 200, stride = 150)
+
   // ---------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------
@@ -738,7 +843,13 @@ object SparkEntry {
     "q49_embedding_neardup_tiled" -> (q49EmbeddingNeardupTiled _),
     "q50_dedup_simhash_wide"     -> (q50DedupSimhashWide _),
     "q51_asof_price_join"        -> (q51AsofPriceJoin _),
-    "q52_range_campaign_join"    -> (q52RangeCampaignJoin _)
+    "q52_range_campaign_join"    -> (q52RangeCampaignJoin _),
+    "q53_rollup_grains"          -> (q53RollupGrains _),
+    "q54_pivot_daily"            -> (q54PivotDaily _),
+    "q55_stratified_sample"      -> (q55StratifiedSample _),
+    "q56_approx_distinct"        -> (q56ApproxDistinct _),
+    "q57_window_suite"           -> (q57WindowSuite _),
+    "q58_doc_chunks"             -> (q58DocChunks _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -1385,6 +1496,61 @@ object SparkEntry {
         |FROM events e JOIN campaigns c
         |  ON CAST(e.ts AS DATE) BETWEEN c.lo AND c.hi
         |GROUP BY c.campaign_id""".stripMargin,
+
+    "q53_rollup_grains" ->
+      """SELECT event_type, CAST(ts AS DATE) AS date,
+        |  GROUPING_ID(event_type, CAST(ts AS DATE)) AS grain,
+        |  COUNT(*) AS n_events,
+        |  ROUND(SUM(value), 6) AS sum_value,
+        |  ROUND(AVG(value), 6) AS avg_value
+        |FROM events
+        |GROUP BY ROLLUP(event_type, CAST(ts AS DATE))""".stripMargin,
+
+    "q54_pivot_daily" ->
+      """SELECT CAST(ts AS DATE) AS date,
+        |  ROUND(SUM(CASE WHEN event_type = 'click'    THEN value END), 6) AS click,
+        |  ROUND(SUM(CASE WHEN event_type = 'error'    THEN value END), 6) AS error,
+        |  ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase,
+        |  ROUND(SUM(CASE WHEN event_type = 'signup'   THEN value END), 6) AS signup,
+        |  ROUND(SUM(CASE WHEN event_type = 'view'     THEN value END), 6) AS view
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q55_stratified_sample" ->
+      """SELECT event_id, event_type, user_id, ROUND(value, 6) AS value
+        |FROM events
+        |WHERE (event_id * 2654435761 + user_id) % 1000 <
+        |  CASE event_type
+        |    WHEN 'click' THEN 50 WHEN 'view' THEN 100 WHEN 'error' THEN 200
+        |    WHEN 'purchase' THEN 500 WHEN 'signup' THEN 1000 ELSE 0 END""".stripMargin,
+
+    "q57_window_suite" ->
+      """WITH daily AS (
+        |  SELECT event_type AS asset, CAST(ts AS DATE) AS date,
+        |    ROUND(MAX(value), 6) AS price
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT asset, date, price,
+        |  ROUND(LAG(price, 1) OVER w, 6) AS prev_price,
+        |  ROUND(LEAD(price, 1) OVER w, 6) AS next_price,
+        |  NTILE(4) OVER w AS quartile,
+        |  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+        |  ROUND(CUME_DIST() OVER w, 6) AS cume,
+        |  ROUND(FIRST_VALUE(price) OVER wrun, 6) AS first_price,
+        |  ROUND(NTH_VALUE(price, 2) OVER wrun, 6) AS second_price
+        |FROM daily
+        |WINDOW
+        |  w AS (PARTITION BY asset ORDER BY date),
+        |  wrun AS (PARTITION BY asset ORDER BY date
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q58_doc_chunks" ->
+      """SELECT d.doc_id,
+        |  (s.start - 1) // 150 AS chunk_id,
+        |  s.start AS chunk_start,
+        |  SUBSTRING(d.text, s.start::INT, 200) AS chunk_text,
+        |  LENGTH(SUBSTRING(d.text, s.start::INT, 200)) AS chunk_len
+        |FROM documents d,
+        |  UNNEST(GENERATE_SERIES(1, GREATEST(LENGTH(d.text), 1), 150)) AS s(start)""".stripMargin,
 
     "q47_skew_join_salted" ->
       // planted hot key: 30% of rows remapped to wallet 0; the salted

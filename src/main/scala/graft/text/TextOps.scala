@@ -132,4 +132,42 @@ object TextOps {
             when(length(w) > 0, ascii(w)).otherwise(lit(0))).cast("long")),
         lit(0L),
         (acc, x) => (acc * 31L + x) % 1000000007L).as("fingerprint"))
+
+  /** Sliding-window document chunking — the context-window prep step
+    * of a training-data pipeline: each document becomes
+    * ceil(len/stride) overlapping character chunks of `chunkSize`
+    * chars, starts spaced `stride` apart (overlap = chunkSize −
+    * stride). Pure narrow column algebra: `sequence` + `explode`
+    * fan-out, `substring` slicing — codegen'd, shuffle-free, and the
+    * explode multiplies rows ~len/stride per doc, which is the
+    * output's intrinsic size (no intermediate blow-up). Empty docs
+    * yield one empty chunk (totality: every doc_id survives).
+    * Character-grain keeps it oracle-expressible; a token-grain
+    * variant is the same plan over `split(text)` + `slice`+
+    * `array_join` instead of `substring`. */
+  def chunkDocs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int,
+      stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    docs
+      .select(col(idCol), col(textCol),
+        explode(sequence(lit(1), greatest(length(col(textCol)), lit(1)), lit(stride)))
+          .as("chunk_start"))
+      .select(
+        col(idCol),
+        // integral div (starts are 1, 1+stride, … — exactly divisible)
+        expr(s"(chunk_start - 1) div $stride").as("chunk_id"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        substring_index_safe(col(textCol), col("chunk_start"), chunkSize).as("chunk_text"))
+      .withColumn("chunk_len", length(col("chunk_text")))
+  }
+
+  // substring with a Column start (the functions.substring overload
+  // takes only literal positions)
+  private def substring_index_safe(text: Column, start: Column, len: Int): Column =
+    text.substr(start, lit(len))
 }

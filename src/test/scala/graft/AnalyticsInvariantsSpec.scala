@@ -83,4 +83,130 @@ class AnalyticsInvariantsSpec extends SparkSpec {
     assert(bad.count() == 0,
       s"approx percentile rank drift: ${bad.collect().mkString(", ")}")
   }
+
+  test("q53: rollup grains reconcile — each grain sums to the grand total") {
+    val df = SparkEntry.q53RollupGrains(spark, SfDir).cache()
+    val total = Tables.events(spark, SfDir).count()
+    assert(df.select("grain").distinct().as[Long](longEncoder).collect().toSet
+      == Set(0L, 1L, 3L), "rollup must emit exactly grains 0/1/3")
+    val grand = df.where(col("grain") === 3)
+    assert(grand.count() == 1 && grand.head.getAs[Long]("n_events") == total,
+      "grand-total grain must count every event once")
+    val perGrainTotals = df.groupBy("grain").agg(sum("n_events").as("n"))
+      .select("n").as[Long](longEncoder).collect().toSet
+    assert(perGrainTotals == Set(total),
+      s"every grain must partition the fact table: $perGrainTotals != $total")
+    df.unpersist()
+  }
+
+  test("q54: wide pivot reconciles with the long form") {
+    val wide = SparkEntry.q54PivotDaily(spark, SfDir)
+    val cols = Seq("click", "error", "purchase", "signup", "view")
+    val recon = wide.select(col("date"),
+      cols.map(c => coalesce(col(c), lit(0.0))).reduce(_ + _).as("wide_sum"))
+    val long = Tables.events(spark, SfDir)
+      .groupBy(to_date(col("ts")).as("date"))
+      .agg(sum("value").as("long_sum"))
+    val bad = recon.join(long, Seq("date"))
+      // each wide cell was rounded to 6dp before summing 5 cells
+      .where(abs(col("wide_sum") - col("long_sum")) > 3e-6).count()
+    assert(bad == 0, "pivoted row sums diverge from the long-form daily sums")
+    assert(wide.count() == long.count(), "pivot must keep one row per date")
+  }
+
+  test("q55: stratified sample is a deterministic subset at the target rates") {
+    val sample = SparkEntry.q55StratifiedSample(spark, SfDir).cache()
+    val ev = Tables.events(spark, SfDir)
+    assert(sample.join(ev, Seq("event_id"), "left_anti").count() == 0,
+      "sample must be a subset of the input")
+    val rates = Map("click" -> 0.05, "view" -> 0.10, "error" -> 0.20,
+      "purchase" -> 0.50, "signup" -> 1.00)
+    val got = sample.groupBy("event_type").agg(count(lit(1)).as("k"))
+      .join(ev.groupBy("event_type").agg(count(lit(1)).as("n")), Seq("event_type"))
+      .collect()
+    got.foreach { r =>
+      val (t, k, n) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val p = rates(t)
+      // binomial tolerance: 4 sigma + 1 (hash is uniform, not seeded RNG)
+      val tol = 4 * math.sqrt(n * p * (1 - p)) + 1
+      assert(math.abs(k - p * n) <= tol,
+        s"stratum $t sampled $k of $n, expected ~${p * n} ± $tol")
+    }
+    assert(got.find(_.getString(0) == "signup").exists(r => r.getLong(1) == r.getLong(2)),
+      "signup stratum must be kept whole at rate 1.0")
+    // determinism: re-evaluating yields the identical id set
+    val again = SparkEntry.q55StratifiedSample(spark, SfDir)
+    assert(sample.select("event_id").exceptAll(again.select("event_id")).count() == 0)
+    sample.unpersist()
+  }
+
+  test("q56: sketch estimates track exact distincts; sketches merge losslessly") {
+    val df = SparkEntry.q56ApproxDistinct(spark, SfDir)
+    val exact = Tables.events(spark, SfDir)
+      .groupBy("event_type").agg(countDistinct("user_id").as("exact_users"))
+    val bad = df.join(exact, Seq("event_type"))
+      .where(abs(col("approx_users") - col("exact_users")) >
+        col("exact_users") * 0.05 + lit(2) ||
+        abs(col("hll_users") - col("exact_users")) >
+          col("exact_users") * 0.05 + lit(2))
+      .count()
+    assert(bad == 0, "sketch estimate drifted > 5% from the exact distinct count")
+    // mergeability — THE property that makes sketches the 100 TB form:
+    // per-day partial sketches unioned ≡ one direct sketch
+    val ev = Tables.events(spark, SfDir)
+    val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = daily.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_users"))
+    val direct = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("direct_users"))
+    val diverged = merged.join(direct, Seq("event_type"))
+      .where(col("merged_users") =!= col("direct_users")).count()
+    assert(diverged == 0, "unioned daily sketches must equal the direct sketch")
+  }
+
+  test("q57: window suite internal consistency") {
+    val df = SparkEntry.q57WindowSuite(spark, SfDir).cache()
+    assert(df.where(col("quartile") < 1 || col("quartile") > 4).count() == 0)
+    assert(df.where(col("pct_rank") < 0 || col("pct_rank") > 1).count() == 0)
+    assert(df.where(col("cume") <= 0 || col("cume") > 1).count() == 0)
+    // first_price is constant per asset and equals the min-date price
+    val firsts = df.groupBy("asset").agg(
+      countDistinct("first_price").as("n_firsts"),
+      min_by(col("price"), col("date")).as("p0"),
+      min_by(col("first_price"), col("date")).as("f0"))
+    assert(firsts.where(col("n_firsts") =!= 1 || col("p0") =!= col("f0")).count() == 0,
+      "first_price must be the asset's min-date price, constant per asset")
+    // lead/lag are inverse shifts: lead at row i equals price at i+1
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("asset").orderBy("date")
+    val shifted = df.withColumn("__next_actual", lead("price", 1).over(w))
+      .where(col("next_price") =!= col("__next_actual")).count()
+    assert(shifted == 0, "next_price must equal the following row's price")
+    df.unpersist()
+  }
+
+  test("q58: chunks cover every doc and reconstruct the original text") {
+    val docs = Tables.documents(spark, SfDir).select("doc_id", "text")
+    val chunks = SparkEntry.q58DocChunks(spark, SfDir).cache()
+    // chunk count per doc = ceil(max(len,1)/stride)
+    val counts = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      .join(docs, Seq("doc_id"))
+      .withColumn("expect",
+        ceil(greatest(length(col("text")), lit(1)) / lit(150.0)).cast("long"))
+    assert(counts.where(col("n_chunks") =!= col("expect")).count() == 0,
+      "chunk fan-out must be ceil(len/stride) per doc")
+    // reconstruction: first `stride` chars of every chunk, in order,
+    // concatenated = the original text (overlap carries the tail)
+    val rebuilt = chunks
+      .groupBy("doc_id")
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+        s => substring(s.getField("chunk_text"), 1, 150))).as("rebuilt"))
+    val bad = rebuilt.join(docs, Seq("doc_id"))
+      .where(col("rebuilt") =!= col("text")).count()
+    assert(bad == 0, "stride-prefix concatenation must reconstruct the document")
+    chunks.unpersist()
+  }
+
+  private val longEncoder = org.apache.spark.sql.Encoders.scalaLong
 }

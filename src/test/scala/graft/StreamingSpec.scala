@@ -343,4 +343,39 @@ class StreamingSpec extends SparkSpec {
         col("s.max_value") =!= col("b.max_value"))
     assert(bad.count() == 0, "recovered stream diverges from batch")
   }
+
+  test("S9: stream-stream interval join matches the batch join across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val events = Tables.events(spark, SfDir)
+      .select("event_id", "event_type", "user_id", "ts", "value")
+    val rows = events.as[Ev].collect().sortBy(_.ts.getTime)
+
+    val mem = MemoryStream[Ev]
+    val query = graft.streaming.IntervalJoinStream
+      .purchaseAttribution(mem.toDF())
+      .writeStream.format("memory").queryName("s9_interval")
+      .outputMode("append").start()
+    try {
+      // three time-ordered micro-batches: matches must form across
+      // batch boundaries (signup buffered in batch 1, purchase in 3)
+      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        query.processAllAvailable()
+      }
+      val streamed = spark.table("s9_interval")
+      val batch = graft.streaming.IntervalJoinStream.purchaseAttribution(events)
+      assert(streamed.count() == batch.count(),
+        s"stream ${streamed.count()} != batch ${batch.count()} joined rows")
+      assert(streamed.exceptAll(batch).count() == 0 &&
+        batch.exceptAll(streamed).count() == 0,
+        "stream/batch interval-join row sets diverge")
+      assert(batch.count() > 0, "fixture must actually produce matches")
+      // every matched signup is within the lookback window
+      assert(streamed.where(col("s_ts") > col("p_ts") ||
+        col("s_ts") < col("p_ts") - expr("INTERVAL 7 days")).count() == 0,
+        "a match escaped the interval bound")
+    } finally query.stop()
+  }
 }
