@@ -788,6 +788,61 @@ object SparkEntry {
     TextOps.chunkDocs(Tables.documents(spark, dir), "doc_id", "text",
       chunkSize = 200, stride = 150)
 
+  /** q59: deterministic shard assignment — the training-data
+    * interleave/shuffle step. Every document gets a pseudo-random but
+    * REPRODUCIBLE global order (multiplicative scramble of its id, no
+    * RNG, no partition-dependent seed) and from it a shard and a
+    * within-shard position. The write path is
+    * `repartition(shard)` + `sortWithinPartitions(pos)` +
+    * `partitionBy(shard)` — one shuffle, each shard written as one
+    * sorted run; at 100 TB shards stream out in parallel with no
+    * global sort (the scramble IS the shuffle; a total ORDER BY would
+    * serialize). The registry query materializes the assignment; the
+    * oracle replays the identical arithmetic. */
+  def q59ShardAssign(spark: SparkSession, dir: String): DataFrame = {
+    val nShards = 8
+    val scramble = pmod(col("doc_id") * lit(2654435761L), lit(1000000007L))
+    val shard = pmod(col("scramble"), lit(nShards.toLong))
+    val w = Window.partitionBy("shard").orderBy("scramble", "doc_id")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), scramble.as("scramble"))
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
+  /** q60: per-source quota cap ("domain cap") — keep at most K
+    * documents per source, preferring longer documents (the
+    * per-domain page cap every web-scale corpus applies so one site
+    * cannot dominate training). Same WindowGroupLimit shape as q2:
+    * Spark pushes the rank filter into a per-partition top-K before
+    * the shuffle, so the exchange carries ≤ K rows per (partition,
+    * source) — the 100 TB cost is the scan, not the sort. */
+  def q60DomainCap(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("quota_rank", row_number().over(w))
+      .where(col("quota_rank") <= k)
+  }
+
+  /** q61: benchmark decontamination — training docs sharing ≥ 5
+    * distinct 3-gram shingles with the (stand-in) eval set
+    * `doc_id % 20 == 0`. See [[similarity.Dedup.decontaminate]] for
+    * the plan and the n=8..13 production grain; measured here the
+    * real contaminated pairs share 78+ shingles vs ≤ 3 background
+    * overlap, so the threshold has a 25× separation margin. Oracle
+    * joins raw shingle strings (no hash) — pair counts must agree
+    * exactly. */
+  def q61Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.decontaminate(
+      docs.where(col("doc_id") % 20 =!= 0),
+      docs.where(col("doc_id") % 20 === 0),
+      "doc_id", "text", n = 3, minShared = 5)
+  }
+
   // ---------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------
@@ -849,7 +904,10 @@ object SparkEntry {
     "q55_stratified_sample"      -> (q55StratifiedSample _),
     "q56_approx_distinct"        -> (q56ApproxDistinct _),
     "q57_window_suite"           -> (q57WindowSuite _),
-    "q58_doc_chunks"             -> (q58DocChunks _)
+    "q58_doc_chunks"             -> (q58DocChunks _),
+    "q59_shard_assign"           -> (q59ShardAssign _),
+    "q60_domain_cap"             -> (q60DomainCap _),
+    "q61_decontaminate"          -> (q61Decontaminate _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -1551,6 +1609,41 @@ object SparkEntry {
         |  LENGTH(SUBSTRING(d.text, s.start::INT, 200)) AS chunk_len
         |FROM documents d,
         |  UNNEST(GENERATE_SERIES(1, GREATEST(LENGTH(d.text), 1), 150)) AS s(start)""".stripMargin,
+
+    "q59_shard_assign" ->
+      """WITH s AS (
+        |  SELECT doc_id, (doc_id * 2654435761) % 1000000007 AS scramble
+        |  FROM documents
+        |)
+        |SELECT doc_id, scramble, scramble % 8 AS shard,
+        |  ROW_NUMBER() OVER (PARTITION BY scramble % 8
+        |                     ORDER BY scramble, doc_id) AS pos
+        |FROM s""".stripMargin,
+
+    "q60_domain_cap" ->
+      """SELECT doc_id, source, n_chars, quota_rank FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id ASC) AS quota_rank
+        |  FROM documents
+        |) WHERE quota_rank <= 5""".stripMargin,
+
+    "q61_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |),
+        |sh AS (
+        |  SELECT doc_id, UNNEST(list_distinct(list_transform(
+        |    generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+        |  FROM toks
+        |)
+        |SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc,
+        |  COUNT(*) AS shared_shingles
+        |FROM sh t JOIN sh e ON t.shingle = e.shingle
+        |WHERE t.doc_id % 20 != 0 AND e.doc_id % 20 = 0
+        |GROUP BY 1, 2
+        |HAVING COUNT(*) >= 5""".stripMargin,
 
     "q47_skew_join_salted" ->
       // planted hot key: 30% of rows remapped to wallet 0; the salted

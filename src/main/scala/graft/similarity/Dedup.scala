@@ -28,6 +28,41 @@ object Dedup {
         explode(array_distinct(expr(
           s"transform(sequence(1, size(__t) - ${n - 1}), i -> array_join(slice(__t, i, $n), ' '))"))).as("shingle"))
 
+  /** Benchmark decontamination: flag every training document sharing
+    * at least `minShared` distinct word-n-gram shingles with some
+    * eval-set document — the overlap check run before training to
+    * keep benchmark text out of the corpus.
+    *
+    * Plan shape: shingle both sides (narrow, codegen'd), join on the
+    * 64-bit shingle hash (8-byte shuffle keys, same trick as
+    * ngramJaccardPairs — a hash collision needs ~2e-9 odds to create
+    * one phantom shared shingle, and `minShared` makes a phantom PAIR
+    * need several), count per (train, eval) pair, filter. The eval
+    * side is the small one by construction (benchmarks are MBs, the
+    * corpus is TBs), so candidate mass per shingle is
+    * df_train × df_eval with df_eval tiny. At 100 TB run this with
+    * n = 8..13 (the published decontamination grain): long shingles
+    * are selective, which keeps hot-shingle join skew negligible —
+    * n = 3 here only because the synthetic docs are ~100 tokens. For
+    * a corpus whose n must stay small, reuse ngramJaccardPairs'
+    * maxDf rare/hot decomposition on the train side. */
+  def decontaminate(
+      train: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minShared: Long = 5): DataFrame = {
+    val ts = shingles(train, idCol, textCol, n)
+      .select(col(idCol).as("train_doc"), xxhash64(col("shingle")).as("__h"))
+    val es = shingles(evalSet, idCol, textCol, n)
+      .select(col(idCol).as("eval_doc"), xxhash64(col("shingle")).as("__h"))
+    ts.join(es, "__h")
+      .groupBy("train_doc", "eval_doc")
+      .agg(count(lit(1)).as("shared_shingles"))
+      .where(col("shared_shingles") >= minShared)
+  }
+
   /** Exact dedupe: group documents by content hash, keep lowest id.
     * At 100 TB this is the first pass — a single hash-partitioned
     * aggregation, no joins. */

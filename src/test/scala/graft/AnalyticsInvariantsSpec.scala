@@ -208,5 +208,67 @@ class AnalyticsInvariantsSpec extends SparkSpec {
     chunks.unpersist()
   }
 
+  test("q59: shard assignment is a bijection with dense per-shard positions") {
+    val df = SparkEntry.q59ShardAssign(spark, SfDir).cache()
+    val total = Tables.documents(spark, SfDir).count()
+    assert(df.count() == total && df.select("doc_id").distinct().count() == total,
+      "every doc must get exactly one shard slot")
+    assert(df.where(col("shard") < 0 || col("shard") > 7).count() == 0)
+    // positions are dense 1..n within each shard
+    val byShard = df.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"))
+    assert(byShard.where(col("mx") =!= col("n") || col("mn") =!= 1).count() == 0,
+      "per-shard positions must be dense from 1")
+    // the scramble actually interleaves: no shard is ordered by doc_id
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("shard").orderBy("pos")
+    val monotone = df.withColumn("__prev", lag("doc_id", 1).over(w))
+      .groupBy("shard")
+      .agg(sum(when(col("__prev") < col("doc_id"), 1).otherwise(0)).as("asc_steps"),
+        count(lit(1)).as("n"))
+      .where(col("n") >= 3 && col("asc_steps") === col("n") - 1)
+    assert(monotone.count() == 0, "a shard preserved input order — scramble is not mixing")
+    df.unpersist()
+  }
+
+  test("q60: at most K per source, and the kept set dominates the dropped set") {
+    val k = 5
+    val df = SparkEntry.q60DomainCap(spark, SfDir).cache()
+    val perSource = df.groupBy("source").agg(count(lit(1)).as("n"))
+    assert(perSource.where(col("n") > k).count() == 0, "quota exceeded")
+    val totals = Tables.documents(spark, SfDir).groupBy("source").agg(count(lit(1)).as("t"))
+    assert(perSource.join(totals, Seq("source"))
+      .where(col("n") =!= least(col("t"), lit(k))).count() == 0,
+      "a source kept fewer docs than its quota allows")
+    // dominance: every kept doc sorts before every dropped doc of its source
+    val dropped = Tables.documents(spark, SfDir).select("doc_id", "source", "n_chars")
+      .join(df.select("doc_id"), Seq("doc_id"), "left_anti")
+    val worstKept = df.groupBy("source")
+      .agg(min(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("wk"))
+    val bad = dropped.join(worstKept, Seq("source"))
+      .where(struct(col("n_chars"), (-col("doc_id")).as("nid")) > col("wk"))
+    assert(bad.count() == 0, "a dropped doc outranks a kept doc of the same source")
+    df.unpersist()
+  }
+
+  test("q61: hashed-shingle join equals the raw-string join (no collision damage)") {
+    val got = SparkEntry.q61Decontaminate(spark, SfDir).cache()
+    assert(got.count() > 0, "fixture must contain contaminated pairs")
+    assert(got.where(col("train_doc") % 20 === 0 || col("eval_doc") % 20 =!= 0).count() == 0,
+      "membership leak between train and eval sides")
+    assert(got.where(col("shared_shingles") < 5).count() == 0)
+    // recompute with RAW shingle strings as the join key
+    val docs = Tables.documents(spark, SfDir)
+    def sh(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column, out: String) =
+      graft.similarity.Dedup.shingles(
+        docs.where(f(col("doc_id") % 20)), "doc_id", "text", 3)
+        .select(col("doc_id").as(out), col("shingle"))
+    val raw = sh(_ =!= 0, "train_doc").join(sh(_ === 0, "eval_doc"), "shingle")
+      .groupBy("train_doc", "eval_doc").agg(count(lit(1)).as("shared_shingles"))
+      .where(col("shared_shingles") >= 5)
+    assert(got.exceptAll(raw).count() == 0 && raw.exceptAll(got).count() == 0,
+      "hashed join diverges from raw-shingle join")
+    got.unpersist()
+  }
+
   private val longEncoder = org.apache.spark.sql.Encoders.scalaLong
 }
