@@ -61,6 +61,40 @@ object Sinks {
     ws.format("parquet").saveAsTable(table)
   }
 
+  /** Sharded training-data write — q59's write path made concrete:
+    * one shuffle routes every row to its shard, rows are SORTED
+    * WITHIN each shard by the scramble order (no global sort — a
+    * total ORDER BY would funnel 100 TB through one range
+    * partitioner; here each shard streams out as one independent
+    * sorted run), and `partitionBy` lands hive-style
+    * `shard=N/part-*.parquet` directories a training loader can read
+    * shard-parallel. `repartition(n, col)` puts each shard value in
+    * exactly one task (hash partitioning; two shards may share a
+    * task, never split), so each shard directory holds exactly ONE
+    * sorted file — the deterministic, resumable layout a data
+    * loader wants.
+    *
+    * @param orderCols within-shard sort columns (the scramble order)
+    */
+  def writeShards(
+      df: DataFrame,
+      path: String,
+      shardCol: String,
+      nShards: Int,
+      orderCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    // shardCol LEADS the sort: FileFormatWriter requires output rows
+    // ordered by the partition columns and inserts its own (order-
+    // destroying) sort unless the existing ordering already has them
+    // as a prefix — with shardCol first, the writer reuses this sort
+    // and the scramble order survives into the files
+    df.repartition(nShards, col(shardCol))
+      .sortWithinPartitions((shardCol +: orderCols).map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(shardCol)
+      .parquet(path)
+  }
+
   /** Drop a managed table AND its warehouse directory — DROP TABLE
     * alone cannot remove a location orphaned by a previous session
     * (the in-memory catalog never knew about it). */

@@ -67,4 +67,39 @@ class SinksSpec extends SparkSpec {
       Sinks.dropTable(spark, "graft_twb_spec")
     }
   }
+
+  test("writeShards lands one sorted file per shard and loses no rows") {
+    val assigned = SparkEntry.q59ShardAssign(spark, SfDir)
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    try {
+      Sinks.writeShards(assigned, out, "shard", nShards = 8,
+        orderCols = Seq("scramble", "doc_id"))
+      val dirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("shard="))
+      assert(dirs.nonEmpty, "no shard directories written")
+      // exactly one data file per shard directory
+      dirs.foreach { d =>
+        val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+        assert(files.length == 1, s"${d.getName} has ${files.length} files, want 1")
+      }
+      val back = spark.read.parquet(out)
+      assert(back.count() == assigned.count(), "round-trip lost rows")
+      // within each file, rows are physically in scramble order —
+      // read WITHOUT a sort and check monotonicity per file
+      import org.apache.spark.sql.functions.{col, input_file_name, lag, monotonically_increasing_id}
+      // materialize file/row-order first (window specs reject
+      // nondeterministic expressions directly in partitionBy/orderBy)
+      val tagged = back
+        .withColumn("__file", input_file_name())
+        .withColumn("__rid", monotonically_increasing_id())
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("__file").orderBy("__rid")
+      val disordered = tagged
+        .withColumn("__prev", lag("scramble", 1).over(w))
+        .where(col("__prev") > col("scramble"))
+        .count()
+      assert(disordered == 0, "a shard file is not in scramble order")
+    } finally {
+      Sinks.deleteRecursively(java.nio.file.Paths.get(out))
+    }
+  }
 }
