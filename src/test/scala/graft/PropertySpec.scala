@@ -12,6 +12,10 @@ import graft.text.TextOps
 
 case class Obs(k: String, date: Date, v: Double)
 case class Ver(k: Long, ver: Long, payload: Long)
+case class Pt(k: Int, pid: Long, x: Long)
+case class Itv(k: Int, iid: Long, lo: Long, hi: Long)
+case class Probe(k: String, t: Long, id: Long)
+case class Quote(k: String, qt: Long, pay: Long)
 
 /** Property-based checks: operators vs independent in-Scala reference
   * implementations on randomized inputs — coverage the fixed testdata
@@ -163,6 +167,69 @@ class PropertySpec extends SparkSpec {
           i.toLong -> h
         }.toMap
         assert(got == want)
+      }
+    }
+  }
+
+  test("RangeJoin: equals the in-Scala naive BETWEEN join on random keyed inputs") {
+    import spark.implicits._
+    val gen = for {
+      pts <- Gen.listOf(for {
+        k <- Gen.choose(0, 2); x <- Gen.choose(-100L, 100L)
+      } yield (k, x))
+      itv <- Gen.listOf(for {
+        k <- Gen.choose(0, 2); lo <- Gen.choose(-110L, 110L)
+        len <- Gen.choose(-5L, 60L) // negative ⇒ empty interval
+      } yield (k, lo, lo + len))
+      w <- Gen.oneOf(1L, 7L, 64L)
+    } yield (pts, itv, w)
+    forAll(gen) { case (ptsRaw, itvRaw, binWidth) =>
+      val pts = ptsRaw.zipWithIndex.map { case ((k, x), i) => Pt(k, i.toLong, x) }
+      val itv = itvRaw.zipWithIndex.map { case ((k, lo, hi), i) => Itv(k, i.toLong, lo, hi) }
+      whenever(pts.nonEmpty && itv.nonEmpty) {
+        val got = graft.operators.RangeJoin.pointInInterval(
+          pts.toDF(), itv.toDF(),
+          "x", "lo", "hi", binWidth, extraKeys = Seq("k"))
+          .select("pid", "iid").as[(Long, Long)].collect().toSet
+        val want = (for {
+          p <- pts; i <- itv
+          if p.k == i.k && p.x >= i.lo && p.x <= i.hi
+        } yield (p.pid, i.iid)).toSet
+        assert(got == want, s"binWidth=$binWidth: got ${got.size}, want ${want.size}")
+      }
+    }
+  }
+
+  test("AsOfJoin: equals the in-Scala latest-at-or-before lookup on random inputs") {
+    import spark.implicits._
+    val gen = for {
+      probes <- Gen.nonEmptyListOf(for {
+        k <- Gen.oneOf("a", "b", "c"); t <- Gen.choose(0L, 40L)
+      } yield (k, t))
+      quotes <- Gen.listOf(for {
+        k <- Gen.oneOf("a", "b"); t <- Gen.choose(0L, 40L); pay <- Gen.choose(0L, 9L)
+      } yield (k, t, pay))
+    } yield (probes, quotes)
+    forAll(gen) { case (probesRaw, quotesRaw) =>
+      val probes = probesRaw.zipWithIndex.map { case ((k, t), i) => Probe(k, t, i.toLong) }
+      val quotes = quotesRaw.map { case (k, t, p) => Quote(k, t, p) }
+      whenever(quotes.nonEmpty) {
+        // epoch-day longs as dates keeps datediff semantics trivial
+        def d(n: Long) = java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(n))
+        val pdf = probes.map(p => (p.k, d(p.t), p.id)).toDF("k", "t", "id")
+        val qdf = quotes.map(q => (q.k, d(q.qt), q.pay)).toDF("k", "qt", "pay")
+        val got = graft.operators.AsOfJoin
+          .asOf(pdf, qdf, Seq("k"), "t", "qt", Seq("pay"), maxGapDays = Some(10))
+          .select("id", "pay").collect()
+          .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+          .toMap
+        val want = probes.map { p =>
+          val cands = quotes.filter(q => q.k == p.k && q.qt <= p.t && p.t - q.qt <= 10)
+          // tie at max time → greatest payload wins (documented)
+          p.id -> (if (cands.isEmpty) None
+                   else Some(cands.maxBy(q => (q.qt, q.pay)).pay))
+        }.toMap
+        assert(got == want, "as-of join diverges from the reference lookup")
       }
     }
   }
