@@ -843,6 +843,25 @@ object SparkEntry {
       "doc_id", "text", n = 3, minShared = 5)
   }
 
+  /** q62: budget-bounded batch selection — per-wallet activity
+    * totals, a GLOBAL running total ordered smallest-first, and the
+    * prefix that fits a 5000-event ingestion budget (the reference's
+    * Dune batching: retrieve_dune_transfer_data.py:205 computes
+    * `sum(transfer_records) over (order by transfer_records)` and
+    * takes coins until the batch cap). The naive plan is a
+    * single-task global window; [[operators.PrefixSum]] replaces it
+    * with range-repartition + per-partition windows + an exclusive
+    * scan over the ≤32 partition totals — the two-pass parallel
+    * prefix sum. Oracle evaluates the plain global window. */
+  def q62BudgetPrefix(spark: SparkSession, dir: String): DataFrame = {
+    val wallets = Tables.events(spark, dir)
+      .groupBy(col("user_id").as("wallet"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("total_value"))
+    PrefixSum.globalRunningSum(wallets, Seq("n_events", "wallet"),
+        "n_events", "records_running_total")
+      .withColumn("in_batch", col("records_running_total") <= 5000L)
+  }
+
   // ---------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------
@@ -907,7 +926,8 @@ object SparkEntry {
     "q58_doc_chunks"             -> (q58DocChunks _),
     "q59_shard_assign"           -> (q59ShardAssign _),
     "q60_domain_cap"             -> (q60DomainCap _),
-    "q61_decontaminate"          -> (q61Decontaminate _)
+    "q61_decontaminate"          -> (q61Decontaminate _),
+    "q62_budget_prefix"          -> (q62BudgetPrefix _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -1644,6 +1664,20 @@ object SparkEntry {
         |WHERE t.doc_id % 20 != 0 AND e.doc_id % 20 = 0
         |GROUP BY 1, 2
         |HAVING COUNT(*) >= 5""".stripMargin,
+
+    "q62_budget_prefix" ->
+      """WITH w AS (
+        |  SELECT user_id AS wallet, COUNT(*) AS n_events,
+        |    ROUND(SUM(value), 6) AS total_value
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT wallet, n_events, total_value,
+        |  -- CAST: DuckDB widens windowed SUM(BIGINT) to HUGEINT
+        |  CAST(SUM(n_events) OVER (ORDER BY n_events ASC, wallet ASC) AS BIGINT)
+        |    AS records_running_total,
+        |  SUM(n_events) OVER (ORDER BY n_events ASC, wallet ASC) <= 5000
+        |    AS in_batch
+        |FROM w""".stripMargin,
 
     "q47_skew_join_salted" ->
       // planted hot key: 30% of rows remapped to wallet 0; the salted
