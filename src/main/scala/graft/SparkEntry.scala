@@ -862,6 +862,34 @@ object SparkEntry {
       .withColumn("in_batch", col("records_running_total") <= 5000L)
   }
 
+  /** q63: per-label embedding centroids in LONG form (label, dim,
+    * centroid, n_vectors) — the distributed mean-vector build that
+    * seeds IVF cells ([[similarity.Ann]] computes the same shape
+    * internally) and powers class prototypes / nearest-class-mean
+    * classification over a labeled corpus. posexplode fans each
+    * vector into 64 (dim, value) rows, but partial aggregation
+    * collapses them map-side — the shuffle carries ≤ labels × dims
+    * rows per task, NOT rows × dims; at 100 TB the cost is the scan.
+    * Long form keeps the oracle an exact row-set compare (array
+    * columns would turn the check into string-formatting parity). */
+  def q63LabelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg(
+        round(avg("x"), 6).as("centroid"),
+        count(lit(1)).as("n_vectors"))
+
+  /** q64: audio metadata extraction over the media table — REAL
+    * WAV/AIFF/AU header decode via the JDK's javax.sound.sampled
+    * (the testdata's text-backed payloads take the deterministic
+    * stub; OperatorInvariantsSpec round-trips a synthesized WAV
+    * through the real path). Rows-only gate: binary plumbing has no
+    * SQL re-derivation. */
+  def q64AudioMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractAudioMetadata(
+      Multimodal.asMediaTable(Tables.documents(spark, dir), "doc_id", "text"))
+
   // ---------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------
@@ -927,7 +955,9 @@ object SparkEntry {
     "q59_shard_assign"           -> (q59ShardAssign _),
     "q60_domain_cap"             -> (q60DomainCap _),
     "q61_decontaminate"          -> (q61Decontaminate _),
-    "q62_budget_prefix"          -> (q62BudgetPrefix _)
+    "q62_budget_prefix"          -> (q62BudgetPrefix _),
+    "q63_label_centroids"        -> (q63LabelCentroids _),
+    "q64_audio_meta"             -> (q64AudioMeta _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -1678,6 +1708,14 @@ object SparkEntry {
         |  SUM(n_events) OVER (ORDER BY n_events ASC, wallet ASC) <= 5000
         |    AS in_batch
         |FROM w""".stripMargin,
+
+    "q63_label_centroids" ->
+      """SELECT label, g.i - 1 AS dim,
+        |  ROUND(AVG(embedding[g.i]), 6) AS centroid,
+        |  COUNT(*) AS n_vectors
+        |FROM embeddings,
+        |  LATERAL (SELECT UNNEST(generate_series(1, len(embedding))) AS i) g
+        |GROUP BY 1, 2""".stripMargin,
 
     "q47_skew_join_salted" ->
       // planted hot key: 30% of rows remapped to wallet 0; the salted

@@ -12,8 +12,11 @@ import org.apache.spark.sql.functions._
   * wants). The IMAGE codec is REAL: `javax.imageio` ships in the JDK,
   * so PNG/JPEG/GIF/BMP payloads decode to true width/height and a
   * checksum over actual pixel values (OperatorInvariantsSpec decodes
-  * a generated PNG). Audio/video decode and the resize re-encode
-  * remain STUBBED (no media libs in this environment) with a
+  * a generated PNG). The AUDIO header codec is REAL too:
+  * `javax.sound.sampled` (also JDK-resident) parses WAV/AIFF/AU
+  * containers to true sample rate / channels / sample width / frame
+  * count (spec round-trips a synthesized WAV). Video decode and the
+  * resize re-encode remain STUBBED (no video libs in the JDK) with a
   * deterministic fake, so that plumbing — schema, batch iteration,
   * per-partition distribution — is still real and tested.
   */
@@ -112,6 +115,59 @@ object Multimodal {
       .select(col("doc_id"), col("media_type"), col("payload"))
       .as[MediaRow]
       .mapPartitions(it => it.grouped(DecodeBatchSize).flatMap(decodeBatch))
+      .toDF()
+  }
+
+  case class AudioMeta(
+      doc_id: Long,
+      n_bytes: Int,
+      sample_rate: Int,
+      channels: Int,
+      bits_per_sample: Int,
+      n_frames: Long,
+      duration_us: Long,
+      decoded: Boolean)
+
+  /** REAL audio header decode via the JDK's javax.sound.sampled —
+    * WAV/AIFF/AU containers parse to true sample rate, channel count,
+    * sample width, and frame length with zero external dependencies
+    * (the audio sibling of [[decodeImage]]). Non-audio payloads are
+    * rejected by the format sniff (UnsupportedAudioFileException)
+    * without scanning the body. */
+  private def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] =
+    try {
+      val aff = javax.sound.sampled.AudioSystem
+        .getAudioFileFormat(new java.io.ByteArrayInputStream(bytes))
+      val f = aff.getFormat
+      Some((f.getSampleRate.toInt, f.getChannels, f.getSampleSizeInBits,
+        aff.getFrameLength.toLong))
+    } catch { case _: Exception => None }
+
+  /** Audio metadata pass: audio rows only, batched narrow map like
+    * [[extractMetadata]]. Real container headers decode via
+    * [[decodeAudio]] (`decoded = true`); other payloads take the
+    * deterministic stub so the corpus-scale plumbing (schema, batch
+    * shape, totality over mixed data) stays testable either way.
+    * duration_us is integer microseconds = frames · 10⁶ / rate —
+    * integral math, no float drift across engines. */
+  def extractAudioMetadata(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.where(col("media_type") === "audio")
+      .select(col("doc_id"), col("media_type"), col("payload")).as[MediaRow]
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(_.map { r =>
+        val n = r.payload.length
+        decodeAudio(r.payload) match {
+          case Some((rate, ch, bits, frames)) =>
+            AudioMeta(r.doc_id, n, rate, ch, bits, frames,
+              if (rate > 0) frames * 1000000L / rate else 0L, decoded = true)
+          case None =>
+            val rate = 8000 + (n % 8) * 1000
+            val frames = n.toLong
+            AudioMeta(r.doc_id, n, rate, 1 + n % 2, 8 + (n % 3) * 8, frames,
+              frames * 1000000L / rate, decoded = false)
+        }
+      }))
       .toDF()
   }
 

@@ -280,6 +280,57 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(meta(3L).getInt(3) == 16 + png.length % 64, "audio must not take the image codec")
   }
 
+  test("extractAudioMetadata decodes a REAL synthesized WAV; mixed corpus stays total") {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    // synthesize 1600 frames of 16-bit mono PCM at 8 kHz (deterministic
+    // sawtooth), container-encoded as WAV entirely in the JDK
+    val rate = 8000f
+    val nFrames = 1600
+    val pcm = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames) {
+      val v = ((i % 256) - 128) * 100
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+
+    val sess = spark
+    import sess.implicits._
+    val media = Seq(
+      (1L, "audio", wav),                               // real WAV → real decode
+      (2L, "audio", "definitely not audio".getBytes("UTF-8")), // sniff fails → stub
+      (3L, "image", wav)                                // wrong modality → excluded
+    ).toDF("doc_id", "media_type", "payload")
+    val got = graft.multimodal.Multimodal.extractAudioMetadata(media)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(1L, 2L), "audio pass must keep exactly the audio rows")
+    val real = got(1L)
+    assert(real.getInt(2) == 8000 && real.getInt(3) == 1 && real.getInt(4) == 16,
+      s"decoded WAV format wrong: $real")
+    assert(real.getLong(5) == nFrames.toLong, "frame count must come from the container")
+    assert(real.getLong(6) == nFrames.toLong * 1000000L / 8000L, "duration math wrong")
+    assert(real.getBoolean(7), "real WAV must be flagged decoded")
+    assert(!got(2L).getBoolean(7), "non-audio bytes must take the stub")
+    // stub values are deterministic functions of payload length
+    val n2 = "definitely not audio".getBytes("UTF-8").length
+    assert(got(2L).getInt(2) == 8000 + (n2 % 8) * 1000)
+  }
+
+  test("q64: audio metadata is deterministic and total over the audio slice") {
+    val media = graft.multimodal.Multimodal
+      .asMediaTable(Tables.documents(spark, SfDir), "doc_id", "text")
+    val nAudio = media.where(col("media_type") === "audio").count()
+    val a = SparkEntry.q64AudioMeta(spark, SfDir)
+    val b = SparkEntry.q64AudioMeta(spark, SfDir)
+    assert(a.count() == nAudio, "q64 must cover every audio row exactly once")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
   test("q27: stubbed decode is deterministic and total") {
     val a = SparkEntry.q27MultimodalMeta(spark, SfDir)
     val b = SparkEntry.q27MultimodalMeta(spark, SfDir)
