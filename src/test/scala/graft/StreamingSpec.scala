@@ -344,6 +344,42 @@ class StreamingSpec extends SparkSpec {
     assert(bad.count() == 0, "recovered stream diverges from batch")
   }
 
+  test("S10: streaming sketch rollup equals the batch sketch exactly, with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val events = Tables.events(spark, SfDir)
+      .select("event_id", "event_type", "user_id", "ts", "value")
+    val rows = events.as[Ev].collect()
+
+    val mem = MemoryStream[Ev]
+    val query = graft.streaming.SketchRollup.distinctUsers(mem.toDF())
+      .writeStream.format("memory").queryName("s10_sketch")
+      .outputMode("complete").start()
+    try {
+      val (first, second) = rows.splitAt(rows.length / 2)
+      mem.addData(first.toIndexedSeq)
+      query.processAllAvailable()
+      mem.addData(second.toIndexedSeq)
+      query.processAllAvailable()
+
+      val streamed = spark.table("s10_sketch")
+      val batch = graft.streaming.SketchRollup.distinctUsers(events)
+      // register-level sketch union is commutative + idempotent →
+      // incremental micro-batch merging must land on the SAME estimate
+      assert(streamed.exceptAll(batch).count() == 0 &&
+        batch.exceptAll(streamed).count() == 0,
+        "streaming sketch estimate diverges from the batch sketch")
+      // and the estimate actually tracks the exact count
+      val exact = events.groupBy("event_type")
+        .agg(countDistinct("user_id").as("exact_users"))
+      val bad = streamed.join(exact, Seq("event_type"))
+        .where(abs(col("approx_users") - col("exact_users")) >
+          col("exact_users") * 0.05 + lit(2)).count()
+      assert(bad == 0, "sketch estimate drifted > 5% from exact")
+    } finally query.stop()
+  }
+
   test("S9: stream-stream interval join matches the batch join across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
