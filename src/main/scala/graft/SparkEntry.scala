@@ -890,6 +890,22 @@ object SparkEntry {
     Multimodal.extractAudioMetadata(
       Multimodal.asMediaTable(Tables.documents(spark, dir), "doc_id", "text"))
 
+  /** q65: FORWARD as-of join — every transfer priced with the
+    * EARLIEST quote at-or-after its date (the "next available quote"
+    * direction: how a settlement system prices activity that precedes
+    * the first quote — exactly the rows q51's backward walk leaves
+    * null). Same sparsified quote series as q51. Oracle: DuckDB has
+    * no forward ASOF, so it evaluates the time-reversal identity on
+    * negated epoch days with its native backward ASOF — an
+    * independent engine confirming the identity the operator uses. */
+  def q65AsofForwardJoin(spark: SparkSession, dir: String): DataFrame = {
+    val probes = Tables.transfers(spark, dir)
+    val quotes = Tables.prices(spark, dir)
+      .where(dayofmonth(col("date")) % 3 === 0)
+      .select(col("asset"), col("date").as("price_date"), col("price"))
+    AsOfJoin.asOfForward(probes, quotes, Seq("asset"), "date", "price_date", Seq("price"))
+  }
+
   // ---------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------
@@ -957,7 +973,8 @@ object SparkEntry {
     "q61_decontaminate"          -> (q61Decontaminate _),
     "q62_budget_prefix"          -> (q62BudgetPrefix _),
     "q63_label_centroids"        -> (q63LabelCentroids _),
-    "q64_audio_meta"             -> (q64AudioMeta _)
+    "q64_audio_meta"             -> (q64AudioMeta _),
+    "q65_asof_forward_join"      -> (q65AsofForwardJoin _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -1716,6 +1733,23 @@ object SparkEntry {
         |FROM embeddings,
         |  LATERAL (SELECT UNNEST(generate_series(1, len(embedding))) AS i) g
         |GROUP BY 1, 2""".stripMargin,
+
+    "q65_asof_forward_join" ->
+      // DuckDB has no forward ASOF — evaluate the time-reversal
+      // identity (forward on t ≡ backward on −t) with its native
+      // backward ASOF on negated epoch days: an independent engine
+      // checking the same identity the operator is built on
+      s"""WITH $transfersCte, $pricesCte,
+         |quotes AS (
+         |  SELECT asset, date AS price_date, price FROM prices
+         |  WHERE EXTRACT(DAY FROM date) % 3 = 0
+         |),
+         |tn AS (SELECT *, -(date - DATE '1970-01-01') AS negd FROM transfers),
+         |qn AS (SELECT *, -(price_date - DATE '1970-01-01') AS negd FROM quotes)
+         |SELECT tn.asset, tn.wallet, tn.date, tn.net_transfers,
+         |  qn.price_date, qn.price
+         |FROM tn ASOF LEFT JOIN qn
+         |  ON tn.asset = qn.asset AND tn.negd >= qn.negd""".stripMargin,
 
     "q47_skew_join_salted" ->
       // planted hot key: 30% of rows remapped to wallet 0; the salted

@@ -113,4 +113,63 @@ object AsOfJoin {
     val quoteCols = (quoteTime +: payload).map(c => col("__m")(c).as(c))
     out.select(probeCols ++ quoteCols: _*)
   }
+
+  /** Forward-inclusive as-of join — each probe matched to the
+    * EARLIEST quote at-or-after its time, per key (the delivery/
+    * next-quote direction pandas calls `merge_asof(direction=
+    * "forward")`).
+    *
+    * Implemented as the time-reversal identity: forward as-of on t ≡
+    * backward as-of on −t. Dates/timestamps negate through
+    * `unix_date`/`unix_micros` (order-isomorphic, no precision loss);
+    * numerics negate directly. The negated axis exists only inside
+    * this call — emitted quote columns are the originals riding the
+    * payload struct, so the public contract mirrors [[asOf]] exactly.
+    * Same single-shuffle plan, same NULL-key and tie semantics
+    * (greatest payload at an equal quote time wins on the reversed
+    * axis too, keeping results partition-order-independent).
+    *
+    * @param maxGapDays matches farther than this many days AFTER the
+    *                   probe are nulled out (datediff semantics)
+    */
+  def asOfForward(
+      probes: DataFrame,
+      quotes: DataFrame,
+      keys: Seq[String],
+      probeTime: String,
+      quoteTime: String,
+      payload: Seq[String],
+      maxGapDays: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.types._
+    def negate(df: DataFrame, c: String): Column = df.schema(c).dataType match {
+      case DateType => -unix_date(col(c))
+      case TimestampType => -unix_micros(col(c))
+      case _: NumericType => -col(c)
+      case dt => throw new IllegalArgumentException(
+        s"asOfForward cannot reverse a $dt time axis (column '$c')")
+    }
+    require(!(probes.columns ++ quotes.columns).exists(Set("__fwd_t", "__fwd_t2")),
+      "columns '__fwd_t'/'__fwd_t2' are reserved by asOfForward")
+
+    val p2 = probes.withColumn("__fwd_t", negate(probes, probeTime))
+    val q2 = quotes.withColumn("__fwd_t2", negate(quotes, quoteTime))
+    // the ORIGINAL quote time rides as payload; the reversed axis is
+    // the join time and is dropped before returning
+    val joined = asOf(p2, q2, keys, "__fwd_t", "__fwd_t2",
+      quoteTime +: payload, maxGapDays = None)
+
+    val gapFiltered = maxGapDays match {
+      case Some(d) =>
+        // materialize the flag BEFORE nulling: the fold nulls
+        // quoteTime first, and a flag re-reading it would evaluate
+        // null (-> "not too far") for every later payload column
+        val flagged = joined.withColumn("__toofar",
+          datediff(col(quoteTime), col(probeTime)) > d)
+        (quoteTime +: payload).foldLeft(flagged) { (df, c) =>
+          df.withColumn(c, when(col("__toofar"), lit(null)).otherwise(col(c)))
+        }.drop("__toofar")
+      case None => joined
+    }
+    gapFiltered.drop("__fwd_t", "__fwd_t2")
+  }
 }

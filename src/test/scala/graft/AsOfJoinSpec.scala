@@ -88,6 +88,51 @@ class AsOfJoinSpec extends SparkSpec {
       "union+window as-of join diverges from the naive theta-join definition")
   }
 
+  test("forward direction: earliest at-or-after quote, nulls after the last quote") {
+    val got = AsOfJoin.asOfForward(probes, quotes, Seq("asset"), "date", "price_date",
+      Seq("price"))
+      .select("row_id", "price_date", "price")
+      .as[(Long, Option[java.sql.Date], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2.map(_.toString), r._3))).toMap
+    assert(got(1L) == ((Some("2024-01-05"), Some(100.0))), "before first quote → first quote")
+    assert(got(2L) == ((Some("2024-01-05"), Some(100.0))), "same-day quote matches (inclusive)")
+    assert(got(3L) == ((Some("2024-01-10"), Some(110.0))), "between quotes → next quote")
+    assert(got(4L) == ((None, None)), "after the last quote → null")
+    assert(got(5L) == ((None, None)), "eth probe at Jan 9 is past eth's only quote (Jan 8)")
+    assert(got(6L) == ((None, None)), "key with no quotes → null")
+  }
+
+  test("forward tolerance nulls matches farther than maxGapDays ahead") {
+    val got = AsOfJoin.asOfForward(probes, quotes, Seq("asset"), "date", "price_date",
+      Seq("price"), maxGapDays = Some(1))
+      .select("row_id", "price")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got(1L).contains(100.0), "probe Jan 4 → quote Jan 5: gap 1 within tolerance")
+    assert(got(2L).contains(100.0), "gap 0 within tolerance")
+    assert(got(3L).isEmpty, "probe Jan 7 → quote Jan 10 is 3 days ahead, beyond 1")
+  }
+
+  test("forward equals the naive theta-join + min-per-probe definition on real transfers") {
+    val probes = Tables.transfers(spark, SfDir)
+    val quotes = Tables.prices(spark, SfDir)
+      .where(dayofmonth(col("date")) % 3 === 0)
+      .select(col("asset"), col("date").as("price_date"), col("price"))
+    val got = AsOfJoin.asOfForward(probes, quotes, Seq("asset"), "date", "price_date",
+      Seq("price"))
+    val naive = probes.as("p")
+      .join(quotes.as("q"),
+        col("p.asset") === col("q.asset") && col("q.price_date") >= col("p.date"),
+        "left")
+      .groupBy(probes.columns.map(c => col("p." + c)): _*)
+      .agg(min_by(struct(col("q.price_date"), col("q.price")),
+        struct(col("q.price_date"), -col("q.price"))).as("m"))
+      .select(probes.columns.map(c => col(c)) ++
+        Seq(col("m.price_date").as("price_date"), col("m.price").as("price")): _*)
+    assert(got.count() == probes.count(), "forward as-of must preserve probe cardinality")
+    assert(got.exceptAll(naive).count() == 0 && naive.exceptAll(got).count() == 0,
+      "forward as-of diverges from the naive theta-join definition")
+  }
+
   test("the plan shuffles once on the key — no nested-loop join") {
     val plan = AsOfJoin.asOf(probes, quotes, Seq("asset"), "date", "price_date", Seq("price"))
       .queryExecution.executedPlan.toString
