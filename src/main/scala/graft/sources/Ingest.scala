@@ -38,6 +38,25 @@ object Ingest {
       .option("timestampFormat", timestampFormat)
       .csv(path)
 
+  /** Schema-enforced JSON-lines reader — the API-response archive
+    * path (the reference lands raw coingecko/dune responses before
+    * normalizing). Same contract as [[readCsv]]: explicit DDL schema
+    * (no double-scan inference), malformed lines quarantined into
+    * `_corrupt_record` rather than failing a TB-scale ingest, and
+    * JSONL (one object per line) so the file SPLITS — a single
+    * multi-line JSON document is one unsplittable task at any size. */
+  def readJsonl(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      ddl: String,
+      timestampFormat: String = "yyyy-MM-dd HH:mm:ss"): DataFrame =
+    spark.read
+      .schema(ddl + ", _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("timestampFormat", timestampFormat)
+      .json(path)
+
   /** Parse a JSON string column against a DDL schema and lift every
     * top-level field alongside the original columns
     * (coingecko_parse_json's metadata extraction, minus the driver

@@ -34,6 +34,25 @@ class IngestSpec extends SparkSpec {
     assert(clean.schema("value").dataType.typeName == "double")
   }
 
+  test("readJsonl round-trips typed data and quarantines malformed lines") {
+    val dir = Files.createTempDirectory("graft_jsonl").toString
+    val ev = Tables.events(spark, SfDir)
+      .select("event_id", "event_type", "user_id", "value")
+    val rows = ev.collect().map(r =>
+      s"""{"event_id":${r.getLong(0)},"event_type":"${r.getString(1)}","user_id":${r.getLong(2)},"value":${r.getDouble(3)}}""")
+    Files.writeString(java.nio.file.Paths.get(dir, "data.jsonl"),
+      (rows :+ """{"event_id":"BROKEN,"event_type":}""").mkString("", "\n", "\n"))
+
+    val back = Ingest.readJsonl(spark, dir,
+      "event_id BIGINT, event_type STRING, user_id BIGINT, value DOUBLE").cache()
+    assert(back.where(col("_corrupt_record").isNotNull).count() == 1,
+      "exactly the malformed line must be quarantined")
+    val clean = back.where(col("_corrupt_record").isNull).drop("_corrupt_record")
+    assert(clean.count() == ev.count())
+    assert(clean.exceptAll(ev).count() == 0)
+    assert(clean.schema("value").dataType.typeName == "double")
+  }
+
   test("coalesceSources resolves 3 sources in precedence order with lineage") {
     import spark.implicits._
     val s1 = Seq((1L, Option("a1")), (2L, Option.empty[String])).toDF("k", "v")
