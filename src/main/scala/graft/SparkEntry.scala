@@ -408,7 +408,11 @@ object SparkEntry {
     * distinct-count action materializes the cache, so the probe, the
     * join's left side, and its right side all share ONE scan+aggregate
     * of the events fact table (unpersisted plans would scan it three
-    * times — the r4 advice). */
+    * times — the r4 advice). Cache lifecycle: the entry stays resident
+    * until `spark.catalog.clearCache()` (Bench/Verify call it between
+    * queries; a long-lived session embedding this query should do the
+    * same, or accept a warm daily aggregate for repeat invocations —
+    * it is the query's own input, not scratch). */
   def q37PriceCorrelation(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
       .groupBy(col("event_type").as("asset"), to_date(col("ts")).as("date"))
@@ -723,15 +727,22 @@ object SparkEntry {
     * no RNG, no `sample()` (whose seed is partition-dependent and
     * irreproducible under repartitioning), so the sample is stable
     * across runs, partitionings, AND engines — the DuckDB oracle
-    * evaluates the identical arithmetic. Filter is codegen'd and
-    * pushdown-eligible: at 100 TB the scan itself skips non-sampled
-    * row groups where stats allow. */
+    * evaluates the identical arithmetic. Ids are pre-reduced mod a
+    * prime BEFORE the Knuth multiply so the product stays inside
+    * int64 for ANY id (raw id × 2654435761 overflows past id ≈
+    * 3.5e9 — an ANSI ArithmeticException at exactly the 100 TB scale
+    * the predicate must survive; xxhash64 would mix better but has no
+    * DuckDB twin, and the oracle IS the point of this arithmetic).
+    * Filter is codegen'd and pushdown-eligible: at 100 TB the scan
+    * itself skips non-sampled row groups where stats allow. */
   def q55StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
     val rate = typedLit(Map(
       "click" -> 50L, "view" -> 100L, "error" -> 200L,
       "purchase" -> 500L, "signup" -> 1000L))
+    val mix = pmod(col("event_id"), lit(1000003L)) * lit(2654435761L) +
+      pmod(col("user_id"), lit(1000003L))
     Tables.events(spark, dir)
-      .where(pmod(col("event_id") * lit(2654435761L) + col("user_id"), lit(1000L)) <
+      .where(pmod(mix, lit(1000L)) <
         coalesce(element_at(rate, col("event_type")), lit(0L)))
       .select(col("event_id"), col("event_type"), col("user_id"),
         round(col("value"), 6).as("value"))
@@ -801,7 +812,11 @@ object SparkEntry {
     * oracle replays the identical arithmetic. */
   def q59ShardAssign(spark: SparkSession, dir: String): DataFrame = {
     val nShards = 8
-    val scramble = pmod(col("doc_id") * lit(2654435761L), lit(1000000007L))
+    // pre-reduce mod a prime so the multiply can't overflow int64 at
+    // any doc_id (see q55); ids colliding mod 1000003 tie-break on
+    // doc_id, so the order stays total
+    val scramble = pmod(
+      pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L), lit(1000000007L))
     val shard = pmod(col("scramble"), lit(nShards.toLong))
     val w = Window.partitionBy("shard").orderBy("scramble", "doc_id")
     Tables.documents(spark, dir)
@@ -1643,7 +1658,7 @@ object SparkEntry {
     "q55_stratified_sample" ->
       """SELECT event_id, event_type, user_id, ROUND(value, 6) AS value
         |FROM events
-        |WHERE (event_id * 2654435761 + user_id) % 1000 <
+        |WHERE ((event_id % 1000003) * 2654435761 + (user_id % 1000003)) % 1000 <
         |  CASE event_type
         |    WHEN 'click' THEN 50 WHEN 'view' THEN 100 WHEN 'error' THEN 200
         |    WHEN 'purchase' THEN 500 WHEN 'signup' THEN 1000 ELSE 0 END""".stripMargin,
@@ -1679,7 +1694,7 @@ object SparkEntry {
 
     "q59_shard_assign" ->
       """WITH s AS (
-        |  SELECT doc_id, (doc_id * 2654435761) % 1000000007 AS scramble
+        |  SELECT doc_id, ((doc_id % 1000003) * 2654435761) % 1000000007 AS scramble
         |  FROM documents
         |)
         |SELECT doc_id, scramble, scramble % 8 AS shard,

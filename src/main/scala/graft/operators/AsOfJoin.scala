@@ -150,6 +150,12 @@ object AsOfJoin {
     }
     require(!(probes.columns ++ quotes.columns).exists(Set("__fwd_t", "__fwd_t2")),
       "columns '__fwd_t'/'__fwd_t2' are reserved by asOfForward")
+    // the inner asOf joins on the reversed axis, so ITS collision
+    // guard never sees the real quote-time name — re-assert it here
+    // or a probe column named like quoteTime silently duplicates in
+    // the output (the exact failure the backward guard prevents)
+    require(!probes.columns.contains(quoteTime),
+      s"quote time column '$quoteTime' collides with a probe column — rename one side")
 
     val p2 = probes.withColumn("__fwd_t", negate(probes, probeTime))
     val q2 = quotes.withColumn("__fwd_t2", negate(quotes, quoteTime))

@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Distributed GLOBAL running total — `SUM(v) OVER (ORDER BY …)` with
   * no partition key.
@@ -10,27 +10,34 @@ import org.apache.spark.sql.functions._
   * The reference computes exactly this to batch ingestion work under
   * a row budget (retrieve_dune_transfer_data.py:205: running total of
   * per-coin transfer counts ordered ascending, prefix kept under a
-  * batch cap). Spark CAN express it as
-  * `Window.orderBy(...)` with no partitionBy — but that plan moves
-  * the ENTIRE table through one task (Spark even warns), which is the
-  * single worst scale anti-pattern in the window family.
+  * batch cap). Spark CAN express it as `Window.orderBy(...)` with no
+  * partitionBy — but that plan moves the ENTIRE table through one
+  * task (Spark even warns), the single worst scale anti-pattern in
+  * the window family.
   *
-  * The scale-correct form is the classic two-pass parallel prefix
-  * sum, here in pure DataFrame algebra:
+  * This is the classic two-pass parallel prefix sum:
   *
-  *   1. range-repartition on the order key → partition i holds keys
-  *      strictly below partition i+1 (one shuffle, same volume a
-  *      global sort would pay),
-  *   2. per-partition running sum via an ordinary keyed window
-  *      (PARTITION BY spark_partition_id — fully parallel),
-  *   3. per-partition TOTALS (numPartitions rows) go through an
-  *      exclusive scan — the only single-task window left, over
-  *      ≤ numPartitions rows instead of the table,
-  *   4. broadcast-join the offsets back and add.
+  *   1. range-repartition on the order key and sort within
+  *      partitions — ONE exchange, the same volume a global sort
+  *      would pay; partition i holds keys entirely below partition
+  *      i+1,
+  *   2. first pass: per-partition totals — numPartitions scalars to
+  *      the driver (not data rows),
+  *   3. exclusive scan of those totals on the driver (numPartitions
+  *      additions),
+  *   4. second pass over the SAME shuffle output (the RDD is shared,
+  *      so the exchange is written once and read twice): seed each
+  *      partition with its offset and emit the running value per row.
   *
-  * Cost at 100 TB: one range exchange + one ~KB broadcast — the same
-  * shape `SORT BY` + file concatenation would give, with no driver
-  * materialization of data rows.
+  * A pure-DataFrame formulation (window PARTITION BY
+  * spark_partition_id) was measured and rejected: Catalyst cannot
+  * know rows are already clustered by physical partition, so it
+  * inserts a SECOND full-table hash exchange to satisfy the window's
+  * clustering requirement — 2× the shuffle volume for no work. The
+  * per-partition fold here is the same `mapPartitions`-as-last-resort
+  * clause the repo's q9 stable-id assignment (sort + zipWithIndex)
+  * already uses for exactly this "physical partition = logical
+  * group" shape.
   *
   * The order must be TOTAL (include a unique tiebreaker column):
   * with equal keys split across a partition boundary the running
@@ -40,12 +47,14 @@ import org.apache.spark.sql.functions._
   * deterministic ORDER BY the SQL oracle evaluates. Order columns
   * must be non-null (Spark sorts NULLS FIRST, most SQL engines
   * NULLS LAST — don't put the semantics question in the data).
+  * NULL measures contribute nothing, like SQL's SUM OVER.
   */
 object PrefixSum {
 
   /** Append `outCol` = running sum of `valueCol` over the global
     * order given by `orderCols` (ascending, inclusive of the current
-    * row). */
+    * row). Integral measures accumulate in Long (BIGINT sum
+    * semantics), floating-point in Double. */
   def globalRunningSum(
       df: DataFrame,
       orderCols: Seq[String],
@@ -53,33 +62,63 @@ object PrefixSum {
       outCol: String,
       numPartitions: Int = 0): DataFrame = {
     require(orderCols.nonEmpty, "global running sum needs an order")
+    require(!df.columns.contains(outCol),
+      s"output column '$outCol' already exists on the input")
     val spark = df.sparkSession
     val n = if (numPartitions > 0) numPartitions
             else spark.sessionState.conf.numShufflePartitions
 
-    val ranged = df
+    val sorted = df
       .repartitionByRange(n, orderCols.map(col): _*)
-      .withColumn("__pid", spark_partition_id())
-    val within = Window.partitionBy("__pid")
-      .orderBy(orderCols.map(col): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withRun = ranged.withColumn("__run", sum(col(valueCol)).over(within))
+      .sortWithinPartitions(orderCols.map(col): _*)
+    val schema = sorted.schema
+    val vIdx = schema.fieldIndex(valueCol)
+    val integral = schema(valueCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case FloatType | DoubleType => false
+      case dt => throw new IllegalArgumentException(
+        s"globalRunningSum supports integral and floating measures, got $dt for '$valueCol'")
+    }
 
-    // exclusive scan over the ≤ n per-partition totals — the single
-    // remaining unpartitioned window runs on numPartitions rows, not
-    // the table
-    val partTotals = ranged.groupBy("__pid").agg(sum(col(valueCol)).as("__psum"))
-    val zero = lit(0).cast(partTotals.schema("__psum").dataType)
-    val offsets = partTotals
-      .withColumn("__offset",
-        coalesce(
-          sum("__psum").over(Window.orderBy("__pid")
-            .rowsBetween(Window.unboundedPreceding, -1)),
-          zero))
-      .select("__pid", "__offset")
+    // one RDD val: both jobs below share its shuffle dependency, so
+    // the range exchange is WRITTEN once and only re-READ for pass 2
+    val rdd = sorted.rdd
 
-    withRun.join(broadcast(offsets), "__pid")
-      .withColumn(outCol, col("__run") + col("__offset"))
-      .drop("__pid", "__run", "__offset")
+    // pass 1: per-partition totals (numPartitions scalars, not rows)
+    val totals = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var accL = 0L
+      var accD = 0.0
+      it.foreach { r =>
+        if (!r.isNullAt(vIdx)) {
+          if (integral) accL += r.getAs[Number](vIdx).longValue()
+          else accD += r.getAs[Number](vIdx).doubleValue()
+        }
+      }
+      Iterator((pid, accL, accD))
+    }.collect()
+
+    // exclusive scan on the driver — numPartitions additions
+    val offL = new Array[Long](n)
+    val offD = new Array[Double](n)
+    totals.sortBy(_._1).foreach { case (pid, l, d) =>
+      if (pid + 1 < n) { offL(pid + 1) = l; offD(pid + 1) = d }
+    }
+    for (i <- 1 until n) { offL(i) += offL(i - 1); offD(i) += offD(i - 1) }
+
+    // pass 2: seed each partition with its offset, emit running rows
+    val outRows = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var accL = offL(pid)
+      var accD = offD(pid)
+      it.map { r =>
+        if (!r.isNullAt(vIdx)) {
+          if (integral) accL += r.getAs[Number](vIdx).longValue()
+          else accD += r.getAs[Number](vIdx).doubleValue()
+        }
+        Row.fromSeq(r.toSeq :+ (if (integral) accL else accD))
+      }
+    }
+    val outType = if (integral) LongType else DoubleType
+    spark.createDataFrame(outRows,
+      StructType(schema.fields :+ StructField(outCol, outType, nullable = false)))
   }
 }

@@ -73,13 +73,19 @@ object RangeJoin {
     require(overlap.isEmpty,
       s"non-key columns present on both sides would collide: ${overlap.mkString(", ")}")
 
-    // true floor(c / binWidth) in EXACT arithmetic: decimal(38,0)
-    // division cannot round the way double division does past 2^53,
-    // and floor (not `div`'s truncate-toward-zero) keeps bins
-    // uniform across zero for negative axes
-    def bin(c: org.apache.spark.sql.Column) =
-      floor(c.cast(org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0))
-        / lit(binWidth)).cast("long")
+    // true floor(c / binWidth) in EXACT integer arithmetic: integral
+    // `div` truncates toward zero, so subtract 1 when a negative c
+    // leaves a remainder (binWidth > 0 ⇒ remainder sign follows c).
+    // No double division (rounds past 2^53) and no decimal division
+    // (Spark adjusts decimal quotients to scale 6 with HALF_UP — a
+    // value just below a bin boundary would round UP across it for
+    // binWidth > 2e6). Pure long ops: exact and overflow-free for
+    // every (c, binWidth ≥ 1) pair.
+    def bin(c: org.apache.spark.sql.Column) = {
+      val cl = c.cast("long")
+      call_function("div", cl, lit(binWidth)) -
+        when(cl % binWidth < 0, lit(1L)).otherwise(lit(0L))
+    }
 
     val pts = points.withColumn("__bin", bin(col(pointCol)))
     // the guard lives INSIDE __bhi (not a dropped side column Catalyst
@@ -88,7 +94,12 @@ object RangeJoin {
       .where(col(loCol) <= col(hiCol))
       .withColumn("__blo", bin(col(loCol)))
       .withColumn("__bhi",
-        when(bin(col(hiCol)) - col("__blo") < lit(maxBinsPerInterval), bin(col(hiCol)))
+        // span compare in decimal: a long subtraction would WRAP for
+        // a full-range interval at binWidth=1 (span ≈ 2^64 → negative
+        // → guard silently passes), the exact case the guard exists for
+        when(bin(col(hiCol)).cast(org.apache.spark.sql.types.DataTypes
+            .createDecimalType(38, 0)) - col("__blo") < lit(maxBinsPerInterval),
+          bin(col(hiCol)))
           .otherwise(raise_error(concat(
             lit(s"RangeJoin: interval [$loCol="), col(loCol).cast("string"),
             lit(s", $hiCol="), col(hiCol).cast("string"),

@@ -29,7 +29,8 @@ object Ingest {
       path: String,
       ddl: String,
       header: Boolean = true,
-      timestampFormat: String = "yyyy-MM-dd HH:mm:ss"): DataFrame =
+      timestampFormat: String = "yyyy-MM-dd HH:mm:ss"): DataFrame = {
+    requireNoCorruptCol(ddl)
     spark.read
       .schema(ddl + ", _corrupt_record STRING")
       .option("header", header.toString)
@@ -37,6 +38,15 @@ object Ingest {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .option("timestampFormat", timestampFormat)
       .csv(path)
+  }
+
+  // fail at the call site, not with a far-away duplicate-column
+  // AnalysisException — e.g. when re-reading a reader's own
+  // quarantined output to reprocess it
+  private def requireNoCorruptCol(ddl: String): Unit =
+    require(!ddl.toLowerCase.contains("_corrupt_record"),
+      "the caller DDL already declares _corrupt_record — the reader appends its own; " +
+        "rename the field or strip it before re-ingesting quarantined output")
 
   /** Schema-enforced JSON-lines reader — the API-response archive
     * path (the reference lands raw coingecko/dune responses before
@@ -49,13 +59,15 @@ object Ingest {
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       ddl: String,
-      timestampFormat: String = "yyyy-MM-dd HH:mm:ss"): DataFrame =
+      timestampFormat: String = "yyyy-MM-dd HH:mm:ss"): DataFrame = {
+    requireNoCorruptCol(ddl)
     spark.read
       .schema(ddl + ", _corrupt_record STRING")
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .option("timestampFormat", timestampFormat)
       .json(path)
+  }
 
   /** Parse a JSON string column against a DDL schema and lift every
     * top-level field alongside the original columns

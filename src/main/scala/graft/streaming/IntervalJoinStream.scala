@@ -4,8 +4,11 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** S9: stream-stream event-time interval join — each purchase joined
-  * to the same user's most recent signup within a bounded lookback
-  * window.
+  * to EVERY signup of the same user inside a bounded lookback window
+  * (one output row per qualifying (purchase, signup) pair — the raw
+  * interval-join relation; a consumer wanting exactly one attribution
+  * per purchase applies `max_by(s_ts)` per purchase_id downstream,
+  * where it can pick its own tie policy).
   *
   * This is the streaming twin of the batch attribution join (q39's
   * funnel edge / q51's as-of lookup shape) expressed through Spark's

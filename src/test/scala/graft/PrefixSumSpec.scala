@@ -32,19 +32,25 @@ class PrefixSumSpec extends SparkSpec {
     }
   }
 
-  test("the data path range-partitions; only partition TOTALS hit a single task") {
-    val plan = PrefixSum.globalRunningSum(fixture, Seq("v", "id"), "v", "run")
+  test("exactly one exchange: the range repartition (no second hash shuffle, no funnel)") {
+    // the upstream (pre-pass) plan must be range-partitioned...
+    val upstream = fixture.repartitionByRange(32,
+        org.apache.spark.sql.functions.col("v"), org.apache.spark.sql.functions.col("id"))
+      .sortWithinPartitions("v", "id")
       .queryExecution.executedPlan.toString
-    assert(plan.toLowerCase.contains("rangepartitioning"),
-      s"expected a range exchange on the data path:\n$plan")
-    // the one SinglePartition exchange must sit above the per-partition
-    // aggregate (<= numPartitions rows), never above the raw data: in
-    // this plan a data-path funnel would appear as SinglePartition
-    // directly over the range sort with no intervening aggregate
-    val single = plan.linesIterator.count(_.contains("SinglePartition"))
-    assert(single <= 1, s"more than one single-partition exchange:\n$plan")
-    assert(plan.contains("__psum") || single == 0,
-      s"the single-partition exchange is not the partition-totals scan:\n$plan")
+    assert(upstream.toLowerCase.contains("rangepartitioning"),
+      s"expected a range exchange on the data path:\n$upstream")
+    assert(!upstream.contains("SinglePartition") &&
+      !upstream.toLowerCase.contains("hashpartitioning"),
+      s"data path must shuffle exactly once, by range:\n$upstream")
+    // ...and the operator's OUTPUT plan adds no further exchange at
+    // all: the per-partition folds run on the shared shuffle output
+    // (the old Window-PARTITION-BY-spark_partition_id form inserted a
+    // second full-table hash exchange here)
+    val out = PrefixSum.globalRunningSum(fixture, Seq("v", "id"), "v", "run")
+      .queryExecution.executedPlan.toString
+    assert(!out.contains("Exchange"),
+      s"prefix-sum output must add no exchange beyond the range shuffle:\n$out")
   }
 
   test("double-typed measures keep their type through the offset coalesce") {

@@ -68,14 +68,30 @@ class RangeJoinSpec extends SparkSpec {
   }
 
   test("an open-ended sentinel interval fails fast with a clear error") {
-    val sentinel = Seq((99L, 0L, Long.MaxValue)).toDF("iid", "lo", "hi")
-    val ex = intercept[Exception] {
-      RangeJoin.pointInInterval(points, sentinel, "x", "lo", "hi", binWidth = 10).count()
+    for (itv <- Seq(
+        (99L, 0L, Long.MaxValue),            // half-open sentinel
+        (98L, Long.MinValue, Long.MaxValue)  // full-range: span would WRAP a long
+      )) {
+      val sentinel = Seq(itv).toDF("iid", "lo", "hi")
+      val ex = intercept[Exception] {
+        RangeJoin.pointInInterval(points, sentinel, "x", "lo", "hi", binWidth = 1).count()
+      }
+      val msg = Option(ex.getMessage).getOrElse("") +
+        Option(ex.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+      assert(msg.contains("spans more than"),
+        s"expected the RangeJoin span guard to fire for $itv, got: $ex")
     }
-    val msg = Option(ex.getMessage).getOrElse("") +
-      Option(ex.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
-    assert(msg.contains("spans more than"),
-      s"expected the RangeJoin span guard to fire, got: $ex")
+  }
+
+  test("bin boundaries are exact at large binWidths (no decimal HALF_UP drift)") {
+    // with decimal(38,6) division, 99_999_999 / 1e8 = 0.999999 99 →
+    // rounds to 1.000000 → floor = 1: the point would visit bin 1 and
+    // MISS an interval living in bin 0. Integral floor-div must not.
+    val pts = Seq((1L, 99999999L), (2L, -99999999L)).toDF("pid", "x")
+    val itv = Seq((10L, 0L, 99999999L), (11L, -100000000L, -1L)).toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(pts, itv, "x", "lo", "hi", binWidth = 100000000L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (2L, 11L)), s"boundary mis-binning: $got")
   }
 
   test("the plan is an equi-join on the bin key — no nested loop, no cartesian") {
