@@ -921,6 +921,25 @@ object SparkEntry {
     AsOfJoin.asOfForward(probes, quotes, Seq("asset"), "date", "price_date", Seq("price"))
   }
 
+  /** q66: arbitrary GROUPING SETS — the grain combination `rollup`
+    * cannot express: (type, day) detail, per-type totals, AND
+    * per-day totals in one pass, skipping the grand total. Same
+    * Expand→partial-agg plan as q53 (shuffle ≤ grains × groups), one
+    * scan instead of three. The (day)-alone grain is the reference's
+    * "daily across all coins" rollup that a (type, day) rollup
+    * cannot produce. */
+  def q66GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("date"), col("value"))
+    base.groupingSets(
+        Seq(Seq(col("event_type"), col("date")), Seq(col("event_type")), Seq(col("date"))),
+        col("event_type"), col("date"))
+      .agg(
+        grouping_id().as("grain"),
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 6).as("sum_value"))
+  }
+
   // ---------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------
@@ -989,7 +1008,8 @@ object SparkEntry {
     "q62_budget_prefix"          -> (q62BudgetPrefix _),
     "q63_label_centroids"        -> (q63LabelCentroids _),
     "q64_audio_meta"             -> (q64AudioMeta _),
-    "q65_asof_forward_join"      -> (q65AsofForwardJoin _)
+    "q65_asof_forward_join"      -> (q65AsofForwardJoin _),
+    "q66_grouping_sets"          -> (q66GroupingSets _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -1765,6 +1785,15 @@ object SparkEntry {
          |  qn.price_date, qn.price
          |FROM tn ASOF LEFT JOIN qn
          |  ON tn.asset = qn.asset AND tn.negd >= qn.negd""".stripMargin,
+
+    "q66_grouping_sets" ->
+      """SELECT event_type, CAST(ts AS DATE) AS date,
+        |  GROUPING_ID(event_type, CAST(ts AS DATE)) AS grain,
+        |  COUNT(*) AS n_events,
+        |  ROUND(SUM(value), 6) AS sum_value
+        |FROM events
+        |GROUP BY GROUPING SETS (
+        |  (event_type, CAST(ts AS DATE)), (event_type), (CAST(ts AS DATE)))""".stripMargin,
 
     "q47_skew_join_salted" ->
       // planted hot key: 30% of rows remapped to wallet 0; the salted
