@@ -200,6 +200,51 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("PrefixSum: equals an in-Scala scan on random weights with negatives and nulls") {
+    import spark.implicits._
+    val gen = for {
+      rows <- Gen.nonEmptyListOf(for {
+        v <- Gen.choose(-50L, 50L)
+        isNull <- Gen.prob(0.15)
+      } yield if (isNull) Option.empty[Long] else Some(v))
+      n <- Gen.oneOf(1, 3, 32)
+    } yield (rows, n)
+    forAll(gen) { case (values, nParts) =>
+      val df = values.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      val got = graft.operators.PrefixSum
+        .globalRunningSum(df, Seq("id"), "v", "run", nParts)
+        .orderBy("id").select("run").as[Long].collect().toSeq
+      // in-Scala reference: nulls contribute nothing, running value
+      // still emitted for every row (SQL SUM OVER semantics)
+      val want = values.scanLeft(0L)((acc, v) => acc + v.getOrElse(0L)).tail
+      assert(got == want, s"nParts=$nParts prefix sums diverge")
+    }
+  }
+
+  test("chunkDocs: equals an in-Scala chunker on random texts including empties") {
+    import spark.implicits._
+    val textGen = Gen.frequency(
+      1 -> Gen.const(""),
+      5 -> Gen.choose(1, 40).flatMap(len =>
+        Gen.listOfN(len, Gen.alphaLowerChar).map(_.mkString)))
+    forAll(Gen.nonEmptyListOf(textGen)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = TextOps.chunkDocs(df, "doc_id", "text", chunkSize = 12, stride = 7)
+        .select("doc_id", "chunk_id", "chunk_start", "chunk_text", "chunk_len")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getInt(4)))
+        .toSet
+      val want = texts.zipWithIndex.flatMap { case (t, i) =>
+        val starts = 1L to math.max(t.length.toLong, 1L) by 7L
+        starts.zipWithIndex.map { case (s, ci) =>
+          val chunk = t.slice((s - 1).toInt, (s - 1 + 12).toInt)
+          (i.toLong, ci.toLong, s, chunk, chunk.length)
+        }
+      }.toSet
+      assert(got == want, "chunker diverges from the in-Scala reference")
+    }
+  }
+
   test("AsOfJoin: equals the in-Scala latest-at-or-before lookup on random inputs") {
     import spark.implicits._
     val gen = for {
