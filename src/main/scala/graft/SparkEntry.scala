@@ -940,6 +940,45 @@ object SparkEntry {
         round(sum("value"), 6).as("sum_value"))
   }
 
+  /** q67: relational set operations at (user, day) grain — days a
+    * user both viewed AND purchased (INTERSECT), and error days with
+    * no view or purchase (EXCEPT chain); both DISTINCT semantics,
+    * matching the SQL defaults. Spark plans INTERSECT / EXCEPT as
+    * left-semi / left-anti joins over a hash shuffle — the same
+    * single-exchange shape as the joins they sugar, worth pinning
+    * because users reach for the SQL forms directly. (User grain is
+    * degenerate here: every user eventually does everything; the day
+    * grain keeps both cohorts non-trivial at every SF.) */
+  def q67SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), to_date(col("ts")).as("day"))
+    def days(t: String) = ev.where(col("event_type") === t).select("user_id", "day")
+    val engaged = days("purchase").intersect(days("view"))
+    val errorOnly = days("error").distinct()
+      .except(days("purchase")).except(days("view"))
+    engaged.withColumn("cohort", lit("view_and_purchase_day"))
+      .unionByName(errorOnly.withColumn("cohort", lit("error_only_day")))
+      .groupBy("cohort").agg(count(lit(1)).as("n_user_days"))
+  }
+
+  /** q68: structured-string parsing — split the composite
+    * o_orderpriority code ("1-URGENT") into its rank and label and
+    * aggregate per component (the reference parses cohort numbers and
+    * dates out of table-id strings the same way:
+    * ethereum_transfers_updates.py:152 SPLITs table_id and casts the
+    * pieces). Pure codegen'd string ops at scan speed; the parse
+    * NEVER uses a UDF. */
+  def q68PriorityParse(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        split(col("o_orderpriority"), "-").getItem(0).cast("int").as("priority_rank"),
+        split(col("o_orderpriority"), "-").getItem(1).as("priority_label"),
+        col("o_totalprice"))
+      .groupBy("priority_rank", "priority_label")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+
   // ---------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------
@@ -1009,7 +1048,9 @@ object SparkEntry {
     "q63_label_centroids"        -> (q63LabelCentroids _),
     "q64_audio_meta"             -> (q64AudioMeta _),
     "q65_asof_forward_join"      -> (q65AsofForwardJoin _),
-    "q66_grouping_sets"          -> (q66GroupingSets _)
+    "q66_grouping_sets"          -> (q66GroupingSets _),
+    "q67_set_ops"                -> (q67SetOps _),
+    "q68_priority_parse"         -> (q68PriorityParse _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -1794,6 +1835,34 @@ object SparkEntry {
         |FROM events
         |GROUP BY GROUPING SETS (
         |  (event_type, CAST(ts AS DATE)), (event_type), (CAST(ts AS DATE)))""".stripMargin,
+
+    "q67_set_ops" ->
+      """WITH u AS (
+        |  SELECT event_type, user_id, CAST(ts AS DATE) AS day FROM events
+        |),
+        |engaged AS (
+        |  SELECT user_id, day FROM u WHERE event_type = 'purchase'
+        |  INTERSECT
+        |  SELECT user_id, day FROM u WHERE event_type = 'view'
+        |),
+        |error_only AS (
+        |  SELECT DISTINCT user_id, day FROM u WHERE event_type = 'error'
+        |  EXCEPT SELECT user_id, day FROM u WHERE event_type = 'purchase'
+        |  EXCEPT SELECT user_id, day FROM u WHERE event_type = 'view'
+        |)
+        |SELECT cohort, COUNT(*) AS n_user_days FROM (
+        |  SELECT user_id, 'view_and_purchase_day' AS cohort FROM engaged
+        |  UNION ALL
+        |  SELECT user_id, 'error_only_day' AS cohort FROM error_only
+        |) GROUP BY cohort""".stripMargin,
+
+    "q68_priority_parse" ->
+      """SELECT
+        |  CAST(SPLIT_PART(o_orderpriority, '-', 1) AS INT) AS priority_rank,
+        |  SPLIT_PART(o_orderpriority, '-', 2) AS priority_label,
+        |  COUNT(*) AS n_orders,
+        |  ROUND(SUM(o_totalprice), 2) AS total_price
+        |FROM orders GROUP BY 1, 2""".stripMargin,
 
     "q47_skew_join_salted" ->
       // planted hot key: 30% of rows remapped to wallet 0; the salted
