@@ -380,6 +380,46 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("S11: streaming quota admission caps each source across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val quota = 5
+    val docs = Tables.documents(spark, SfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .as[graft.streaming.Doc].collect().sortBy(_.doc_id)
+
+    val mem = MemoryStream[graft.streaming.Doc]
+    val query = graft.streaming.QuotaAdmission(mem.toDS(), quota)
+      .writeStream.format("memory").queryName("s11_quota")
+      .outputMode("append").start()
+    try {
+      // 3 micro-batches: quotas must fill ACROSS batch boundaries
+      docs.grouped(math.max(1, docs.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        query.processAllAvailable()
+      }
+      val got = spark.table("s11_quota").as[graft.streaming.AdmittedDoc]
+        .collect()
+      val bySource = got.groupBy(_.source)
+      val totals = docs.groupBy(_.source).map { case (s, d) => s -> d.length }
+      // per-source: exactly min(quota, available), dense slots 1..k
+      totals.foreach { case (s, n) =>
+        val adm = bySource.getOrElse(s, Array.empty)
+        assert(adm.length == math.min(quota, n),
+          s"source $s admitted ${adm.length} of $n at quota $quota")
+        assert(adm.map(_.slot).sorted.toSeq == (1L to adm.length.toLong),
+          s"source $s slots not dense")
+      }
+      // arrival==doc_id order here, so the admitted set is exactly the
+      // first-K doc_ids per source — replay-deterministic
+      val wantIds = docs.groupBy(_.source).values
+        .flatMap(_.sortBy(_.doc_id).take(quota).map(_.doc_id)).toSet
+      assert(got.map(_.doc_id).toSet == wantIds,
+        "admitted set must be the first K doc_ids per source")
+    } finally query.stop()
+  }
+
   test("S9: stream-stream interval join matches the batch join across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
