@@ -979,6 +979,45 @@ object SparkEntry {
         count(lit(1)).as("n_orders"),
         round(sum("o_totalprice"), 2).as("total_price"))
 
+  /** q69: time-weighted average price over a SPARSE quote series —
+    * each quote weighted by the days it was the live price (lead-date
+    * gap; the final quote holds 1 day). This is the financially
+    * correct mean for irregular series (a plain AVG over-weights
+    * dense quoting periods) and the aggregate the reference's
+    * market-data consumers derive from gap-filled dailies — computed
+    * here WITHOUT materializing the dense calendar: the lead-gap
+    * weighting is algebraically identical to forward-fill-then-AVG
+    * but shuffles |quotes| rows instead of |assets|×|days|. */
+  def q69Twap(spark: SparkSession, dir: String): DataFrame = {
+    val quotes = Tables.prices(spark, dir)
+      .where(dayofmonth(col("date")) % 3 === 0)
+    val w = Window.partitionBy("asset").orderBy("date")
+    quotes
+      .withColumn("hold_days",
+        coalesce(datediff(lead("date", 1).over(w), col("date")), lit(1)).cast("long"))
+      .groupBy("asset")
+      .agg(
+        round(sum(col("price") * col("hold_days")) / sum("hold_days"), 6).as("twap"),
+        count(lit(1)).as("n_quotes"),
+        sum("hold_days").as("days_covered"))
+  }
+
+  /** q70: weekly OHLC candles per asset over the daily price series —
+    * open/close via min_by/max_by on the date (one pass, no
+    * row_number window), high/low plain extrema; the chart-serving
+    * aggregate of the reference's market-data stack. Monday-start
+    * weeks in both engines (verified). */
+  def q70WeeklyOhlc(spark: SparkSession, dir: String): DataFrame =
+    Tables.prices(spark, dir)
+      .groupBy(col("asset"),
+        date_trunc("week", col("date")).cast("date").as("week"))
+      .agg(
+        round(min_by(col("price"), col("date")), 6).as("open"),
+        round(max("price"), 6).as("high"),
+        round(min("price"), 6).as("low"),
+        round(max_by(col("price"), col("date")), 6).as("close"),
+        count(lit(1)).as("n_days"))
+
   // ---------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------
@@ -1050,7 +1089,9 @@ object SparkEntry {
     "q65_asof_forward_join"      -> (q65AsofForwardJoin _),
     "q66_grouping_sets"          -> (q66GroupingSets _),
     "q67_set_ops"                -> (q67SetOps _),
-    "q68_priority_parse"         -> (q68PriorityParse _)
+    "q68_priority_parse"         -> (q68PriorityParse _),
+    "q69_twap"                   -> (q69Twap _),
+    "q70_weekly_ohlc"            -> (q70WeeklyOhlc _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -1863,6 +1904,34 @@ object SparkEntry {
         |  COUNT(*) AS n_orders,
         |  ROUND(SUM(o_totalprice), 2) AS total_price
         |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "q69_twap" ->
+      s"""WITH $pricesCte,
+         |quotes AS (
+         |  SELECT asset, date, price FROM prices
+         |  WHERE EXTRACT(DAY FROM date) % 3 = 0
+         |),
+         |held AS (
+         |  SELECT asset, price,
+         |    CAST(COALESCE(LEAD(date) OVER (PARTITION BY asset ORDER BY date) - date,
+         |                  1) AS BIGINT) AS hold_days
+         |  FROM quotes
+         |)
+         |SELECT asset,
+         |  ROUND(SUM(price * hold_days) / SUM(hold_days), 6) AS twap,
+         |  COUNT(*) AS n_quotes,
+         |  CAST(SUM(hold_days) AS BIGINT) AS days_covered
+         |FROM held GROUP BY asset""".stripMargin,
+
+    "q70_weekly_ohlc" ->
+      s"""WITH $pricesCte
+         |SELECT asset, CAST(date_trunc('week', date) AS DATE) AS week,
+         |  ROUND(arg_min(price, date), 6) AS open,
+         |  ROUND(MAX(price), 6) AS high,
+         |  ROUND(MIN(price), 6) AS low,
+         |  ROUND(arg_max(price, date), 6) AS close,
+         |  COUNT(*) AS n_days
+         |FROM prices GROUP BY 1, 2""".stripMargin,
 
     "q47_skew_join_salted" ->
       // planted hot key: 30% of rows remapped to wallet 0; the salted
