@@ -270,5 +270,37 @@ class AnalyticsInvariantsSpec extends SparkSpec {
     got.unpersist()
   }
 
+  test("q69: TWAP is bounded by the quote extrema and weights cover the span") {
+    val twap = SparkEntry.q69Twap(spark, SfDir)
+    val quotes = Tables.prices(spark, SfDir)
+      .where(dayofmonth(col("date")) % 3 === 0)
+    val ext = quotes.groupBy("asset")
+      .agg(min("price").as("pmin"), max("price").as("pmax"),
+        count(lit(1)).as("n"), min("date").as("d0"), max("date").as("d1"))
+    val joined = twap.join(ext, Seq("asset"))
+    assert(joined.where(col("twap") < col("pmin") - 1e-6 ||
+      col("twap") > col("pmax") + 1e-6).count() == 0,
+      "TWAP must lie within the quote price range")
+    assert(joined.where(col("n_quotes") =!= col("n")).count() == 0)
+    // hold periods tile the span exactly: sum(gaps) + final 1-day hold
+    assert(joined.where(col("days_covered") =!=
+      datediff(col("d1"), col("d0")) + 1).count() == 0,
+      "holding days must tile [first, last] quote span plus the final day")
+  }
+
+  test("q70: candle invariants — low <= open/close <= high, weeks partition days") {
+    val c = SparkEntry.q70WeeklyOhlc(spark, SfDir).cache()
+    assert(c.where(col("low") > col("high") ||
+      col("open") < col("low") || col("open") > col("high") ||
+      col("close") < col("low") || col("close") > col("high")).count() == 0,
+      "OHLC ordering violated")
+    assert(c.where(col("n_days") < 1 || col("n_days") > 7).count() == 0,
+      "a week cannot hold more than 7 daily rows")
+    val totalDays = Tables.prices(spark, SfDir).count()
+    assert(c.agg(sum("n_days")).head.getLong(0) == totalDays,
+      "weekly candles must partition the daily series")
+    c.unpersist()
+  }
+
   private val longEncoder = org.apache.spark.sql.Encoders.scalaLong
 }
