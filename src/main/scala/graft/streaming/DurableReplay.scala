@@ -82,4 +82,63 @@ object DurableReplay {
       quartiled.unpersist(): Unit
     }
   }
+
+  /** Stateful-operator restart harness: stage `first` as time-ordered
+    * files, run `transform` over a file-source stream into a parquet
+    * sink with a checkpoint, drain, STOP, stage `second`, start a NEW
+    * query incarnation on the SAME checkpoint, drain again, return the
+    * sink. flatMapGroupsWithState keeps its per-key state in the
+    * checkpoint's state store — the second incarnation must CONTINUE
+    * that state, and a silent reset (wrong timeout config, state
+    * schema drift) is exactly the failure mode this harness exposes:
+    * it restores an empty store without erroring, so only the OUTPUT
+    * of post-restart batches can reveal it.
+    *
+    * No sentinel/watermark dance here (unlike [[run]]): NoTimeout
+    * append-mode flatMapGroupsWithState emits inside the processing
+    * micro-batch, so processAllAvailable() fully drains the sink.
+    *
+    * @param orderCol column whose ascending order is the required
+    *   cross-batch arrival order (state folds are order-sensitive);
+    *   each half is staged as two files split by ntile over it, with
+    *   increasing mtimes so the file source replays them in order */
+  def runStateful(
+      spark: SparkSession,
+      first: DataFrame,
+      second: DataFrame,
+      orderCol: String,
+      transform: DataFrame => DataFrame): DataFrame = {
+    val inDir = java.nio.file.Files.createTempDirectory("graft_stateful_in").toString
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_stateful_sink").toString + "/out"
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_stateful_ckpt").toString
+
+    def stage(half: DataFrame): Unit = {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(orderCol)
+      val split = half.withColumn("__h", ntile(2).over(w)).cache()
+      (1 to 2).foreach { i =>
+        split.where(col("__h") === i).drop("__h")
+          .coalesce(1).write.mode("append").parquet(inDir)
+        Thread.sleep(50)
+      }
+      split.unpersist(): Unit
+    }
+
+    def mkQuery() = {
+      val stream = spark.readStream.schema(first.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      transform(stream)
+        .writeStream.format("parquet")
+        .option("path", sinkDir).option("checkpointLocation", ckptDir)
+        .outputMode("append").start()
+    }
+
+    stage(first)
+    val q1 = mkQuery()
+    try q1.processAllAvailable() finally q1.stop()
+
+    stage(second)
+    val q2 = mkQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    spark.read.parquet(sinkDir)
+  }
 }

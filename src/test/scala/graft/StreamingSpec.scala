@@ -420,6 +420,88 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("S2r: running-balance state survives a checkpoint restart (continues, not resets)") {
+    import spark.implicits._
+    val transfers = Tables.transfers(spark, SfDir)
+      .select("asset", "wallet", "date", "net_transfers")
+    val dates = transfers.select("date").distinct().orderBy("date")
+      .as[java.sql.Date].collect()
+    val cut = dates(dates.length / 2)
+    val first = transfers.where(col("date") <= lit(cut))
+    val second = transfers.where(col("date") > lit(cut))
+    // fixture sanity: the restart boundary must split live keys, or
+    // the restored state would never be consulted
+    val straddlers = first.select("asset", "wallet").distinct()
+      .intersect(second.select("asset", "wallet").distinct()).count()
+    assert(straddlers > 0, "no key has rows on both sides of the restart")
+
+    val out0 = graft.streaming.DurableReplay.runStateful(spark, first, second, "date",
+      df => { import df.sparkSession.implicits._; RunningBalance(df.as[Transfer]).toDF })
+    val out = out0.cache()
+    try {
+      // direct reset detector: a key with pre-restart rows whose
+      // post-restart sequence restarts at 1 means the state store came
+      // back empty
+      val resetLike = out.where(col("date") > lit(cut) && col("transfer_sequence") === 1)
+        .join(first.select("asset", "wallet").distinct(), Seq("asset", "wallet"), "left_semi")
+        .count()
+      assert(resetLike == 0,
+        "post-restart transfer_sequence restarted at 1 for a pre-restart key — state reset")
+
+      // full equivalence with the batch window twin: balances must
+      // carry ACROSS the restart, exactly-once (no dup rows either)
+      val batch = Tables.transfersWithBalance(spark, SfDir)
+      assert(out.count() == batch.count(), "row count diverges after restart")
+      val joined = out.as("s").join(batch.as("b"), Seq("asset", "wallet", "date"))
+      val bad = joined.where(
+        abs(col("s.balance") - col("b.balance")) > 1e-4 ||
+          col("s.transfer_sequence") =!= col("b.transfer_sequence"))
+      assert(bad.count() == 0, "recovered stream balance diverges from batch window")
+    } finally { out.unpersist(): Unit }
+  }
+
+  test("S11r: quota counters survive a checkpoint restart (fill across, never exceed)") {
+    import spark.implicits._
+    // sf0.001 documents: 20 sources × 25 docs, ids round-robin by
+    // source — a one-third cut leaves each source ~8 admitted, so
+    // quota 12 puts EVERY source mid-quota at the restart boundary
+    val quota = 12
+    val docs = Tables.documents(spark, SfDir).select("doc_id", "source", "n_chars")
+    val ids = docs.select("doc_id").orderBy("doc_id").as[Long].collect()
+    val cut = ids(ids.length / 3)
+    val first = docs.where(col("doc_id") <= cut)
+    val second = docs.where(col("doc_id") > cut)
+    val firstCounts = first.groupBy("source").count().as[(String, Long)].collect().toMap
+    val totals = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    // fixture sanity: some source must be mid-quota at the boundary —
+    // that's the counter whose restored value decides over/under-admission
+    assert(totals.exists { case (s, n) =>
+      val f = firstCounts.getOrElse(s, 0L); f < quota && n > f
+    }, "no source is mid-quota at the restart boundary")
+
+    val out = graft.streaming.DurableReplay.runStateful(spark, first, second, "doc_id",
+      df => { import df.sparkSession.implicits._
+        graft.streaming.QuotaAdmission(df.as[graft.streaming.Doc], quota).toDF })
+      .as[graft.streaming.AdmittedDoc].collect()
+
+    val bySource = out.groupBy(_.source)
+    totals.foreach { case (s, n) =>
+      val adm = bySource.getOrElse(s, Array.empty).toSeq
+      // a reset counter would admit up to `quota` MORE after restart
+      assert(adm.length.toLong == math.min(quota.toLong, n),
+        s"source $s admitted ${adm.length} of $n at quota $quota after restart")
+      // and would hand out duplicate slot numbers
+      assert(adm.map(_.slot).sorted == (1L to adm.length.toLong),
+        s"source $s slots not dense after restart")
+    }
+    // the admitted set stays exactly the first-K doc_ids per source,
+    // straddling the restart boundary
+    val wantIds = docs.as[graft.streaming.Doc].collect().groupBy(_.source).values
+      .flatMap(_.sortBy(_.doc_id).take(quota).map(_.doc_id)).toSet
+    assert(out.map(_.doc_id).toSet == wantIds,
+      "admitted set diverged from first-K per source across the restart")
+  }
+
   test("S9: stream-stream interval join matches the batch join across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
