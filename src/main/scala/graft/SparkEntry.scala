@@ -1018,6 +1018,42 @@ object SparkEntry {
         round(max_by(col("price"), col("date")), 6).as("close"),
         count(lit(1)).as("n_days"))
 
+  /** q71: data-quality check suite — the runtime mirror of the
+    * reference's dbt test artifacts (dbt_dreamsdata/tests; the
+    * per-rule mapping is documented on [[graft.checks.Checks]]). One
+    * (rule, n_violations) row per rule — the audit artifact a
+    * scheduled pipeline records per run. Counts are live, not vacuous:
+    * the synthetic transfer signs produce genuinely negative balances
+    * (the same rows q7 cohorts), and the price calendar has real
+    * per-asset gaps for noDateGaps to find. */
+  def q71QualityChecks(spark: SparkSession, dir: String): DataFrame = {
+    import graft.checks.Checks
+    val balances = Tables.transfersWithBalance(spark, dir)
+    val transfers = Tables.transfers(spark, dir)
+    // derived "total supply" dimension: all inflows ever minted per
+    // asset — an upper bound no single wallet's balance can exceed, so
+    // the rule doubles as an internal-consistency proof
+    val supply = transfers.groupBy(col("asset").as("s_asset"))
+      .agg(sum(when(col("net_transfers") > 0, col("net_transfers")).otherwise(0))
+        .as("total_supply"))
+    val latest = Checks.latestPerKey(balances, Seq("asset", "wallet"), "date")
+    Checks.summarize(Seq(
+      "balance_negative" -> Checks.nonNegative(balances, "balance", 0.1),
+      "balance_over_supply" -> Checks.boundedByDim(
+        latest, "asset", "balance", supply, "s_asset", "total_supply"),
+      "orders_customer_fk" -> Checks.orphans(
+        Tables.orders(spark, dir), Seq("o_custkey"),
+        Tables.customer(spark, dir), Seq("c_custkey")),
+      "price_date_gaps" -> Checks.noDateGaps(
+        Tables.prices(spark, dir), Seq("asset"), "date"),
+      "discount_in_range" -> Checks.expectNone(
+        Tables.lineitem(spark, dir), col("l_discount") < 0 || col("l_discount") > 1),
+      "sequence_increasing" -> Checks.strictlyIncreasing(
+        balances, Seq("asset", "wallet"), "date", "transfer_sequence"),
+      "transfers_unique_key" -> Checks.uniqueKey(
+        transfers, Seq("asset", "wallet", "date"))))
+  }
+
   // ---------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------
@@ -1091,7 +1127,8 @@ object SparkEntry {
     "q67_set_ops"                -> (q67SetOps _),
     "q68_priority_parse"         -> (q68PriorityParse _),
     "q69_twap"                   -> (q69Twap _),
-    "q70_weekly_ohlc"            -> (q70WeeklyOhlc _)
+    "q70_weekly_ohlc"            -> (q70WeeklyOhlc _),
+    "q71_quality_checks"         -> (q71QualityChecks _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -1943,6 +1980,47 @@ object SparkEntry {
         |dim AS (SELECT DISTINCT wallet, wallet % 7 AS tier FROM fact)
         |SELECT tier, COUNT(*) AS n_rows, ROUND(SUM(value), 6) AS total_value
         |FROM fact JOIN dim USING (wallet)
-        |GROUP BY tier""".stripMargin
+        |GROUP BY tier""".stripMargin,
+
+    "q71_quality_checks" ->
+      s"""WITH $transfersCte, $balancesCte, $pricesCte,
+         |latest AS (
+         |  SELECT * FROM (
+         |    SELECT b.*, ROW_NUMBER() OVER (
+         |      PARTITION BY asset, wallet ORDER BY date DESC) AS rn
+         |    FROM balances b) WHERE rn = 1
+         |),
+         |supply AS (
+         |  SELECT asset AS s_asset,
+         |         SUM(CASE WHEN net_transfers > 0 THEN net_transfers ELSE 0 END) AS total_supply
+         |  FROM transfers GROUP BY 1
+         |)
+         |SELECT 'balance_negative' AS rule, COUNT(*) AS n_violations
+         |FROM balances WHERE balance < -0.1
+         |UNION ALL
+         |SELECT 'balance_over_supply', COUNT(*)
+         |FROM latest l JOIN supply s ON s.s_asset = l.asset
+         |WHERE l.balance > s.total_supply
+         |UNION ALL
+         |SELECT 'orders_customer_fk', COUNT(*)
+         |FROM orders o WHERE NOT EXISTS (
+         |  SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+         |UNION ALL
+         |SELECT 'price_date_gaps', COUNT(*) FROM (
+         |  SELECT asset FROM prices GROUP BY asset
+         |  HAVING DATE_DIFF('day', MIN(date), MAX(date)) + 1 <> COUNT(DISTINCT date))
+         |UNION ALL
+         |SELECT 'discount_in_range', COUNT(*)
+         |FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+         |UNION ALL
+         |SELECT 'sequence_increasing', COUNT(*) FROM (
+         |  SELECT transfer_sequence, LAG(transfer_sequence) OVER (
+         |    PARTITION BY asset, wallet ORDER BY date) AS prev
+         |  FROM balances)
+         |WHERE prev IS NOT NULL AND transfer_sequence <= prev
+         |UNION ALL
+         |SELECT 'transfers_unique_key', COUNT(*) FROM (
+         |  SELECT asset, wallet, date FROM transfers
+         |  GROUP BY 1, 2, 3 HAVING COUNT(*) > 1)""".stripMargin
   )
 }

@@ -1,0 +1,137 @@
+package graft.checks
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Declarative data-quality checks — the engine-side mirror of the
+  * reference's dbt test suite (the .sql files under
+  * dbt_dreamsdata/tests). Each check
+  * returns a DataFrame of VIOLATION rows (empty = pass), so a check is
+  * itself a lazily-planned query: compose it, sample it, count it, or
+  * gate a pipeline on it with [[Checks.assertAll]].
+  *
+  * Scale notes: every check is a single shuffle on its key columns
+  * (groupBy or window) or a key-partitioned anti-join — no driver
+  * materialization anywhere; [[Checks.summarize]] reduces each rule to
+  * one count row. Identical sub-plans across rules in one summarize
+  * (e.g. three rules over the same running-balance view) share their
+  * shuffle via Spark's ReuseExchange, so a suite costs roughly its
+  * distinct inputs, not rules × inputs.
+  */
+object Checks {
+
+  /** Rows violating an arbitrary row-level predicate `cond` —
+    * the general form of the reference's single-table tests
+    * (test_cCoinMarketData_volume_is_negative.sql,
+    * test_eCoinMarketDataCoingecko_no_partial_day_records.sql). */
+  def expectNone(df: DataFrame, cond: Column): DataFrame = df.where(cond)
+
+  /** Rows where `valueCol` is below `-tolerance`
+    * (test_cCoinWalletTransfers_balance_is_negative.sql uses 0.1,
+    * test_cCoinWalletProfits_usd_balance_is_negative.sql uses 0.01). */
+  def nonNegative(df: DataFrame, valueCol: String, tolerance: Double = 0.0): DataFrame =
+    df.where(col(valueCol) < -tolerance)
+
+  /** Key groups whose date span (max−min+1 days) disagrees with their
+    * distinct-date count — i.e. the series has holes or duplicate
+    * dates (test_cCoinMarketData_no_date_gaps.sql; that test may
+    * assume key-date uniqueness and count rows, but counting DISTINCT
+    * dates keeps this check self-contained). */
+  def noDateGaps(df: DataFrame, keys: Seq[String], dateCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        (datediff(max(dateCol), min(dateCol)) + 1).as("expected_days"),
+        countDistinct(col(dateCol)).as("actual_days"))
+      .where(col("expected_days") =!= col("actual_days"))
+
+  /** Rows where `valueCol` moved BACKWARD along `orderCol` within a
+    * key group (test_cCoinWalletProfits_usd_inflows_increasing.sql —
+    * cumulative columns must never decrease). Emits the offending row
+    * plus `prev_<valueCol>` for triage. */
+  def nonDecreasing(df: DataFrame, keys: Seq[String], orderCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCol)
+    df.withColumn(s"prev_$valueCol", lag(valueCol, 1).over(w))
+      .where(col(s"prev_$valueCol").isNotNull &&
+        col(valueCol) < col(s"prev_$valueCol"))
+  }
+
+  /** Rows where `valueCol` failed to STRICTLY increase along
+    * `orderCol` (test_cCoinWalletTransfers_transfer_sequence.sql —
+    * sequence numbers must advance on every row). */
+  def strictlyIncreasing(df: DataFrame, keys: Seq[String], orderCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCol)
+    df.withColumn(s"prev_$valueCol", lag(valueCol, 1).over(w))
+      .where(col(s"prev_$valueCol").isNotNull &&
+        col(valueCol) <= col(s"prev_$valueCol"))
+  }
+
+  /** Key combinations appearing more than once — the runtime form of
+    * dbt's unique_combination_of_columns schema test. */
+  def uniqueKey(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .where(col("n_rows") > 1)
+
+  /** Child rows whose key has no match in `parent` — referential
+    * integrity (test_cCoinMarketData_coin_ids.sql). Anti-join on the
+    * key columns; a dimension-sized parent broadcasts under AQE. */
+  def orphans(child: DataFrame, childKeys: Seq[String],
+      parent: DataFrame, parentKeys: Seq[String]): DataFrame = {
+    require(childKeys.length == parentKeys.length, "key arity mismatch")
+    val cond = childKeys.zip(parentKeys)
+      .map { case (c, p) => child(c) === parent(p) }
+      .reduce(_ && _)
+    child.join(parent, cond, "left_anti")
+  }
+
+  /** Newest row per key along `orderCol` (ties broken by the remaining
+    * sort of `orderCol` only — supply a composite ordering via multiple
+    * windows upstream if needed). The rank-1 filter is pushed into the
+    * shuffle by Spark's WindowGroupLimit, so no full-group sort
+    * materializes. Building block for latest-state checks
+    * (test_cCoinWalletTransfers_balance_over_total_supply.sql). */
+  def latestPerKey(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Fact rows whose `valueCol` exceeds the dimension's `boundCol`
+    * after an equi-join on `joinKey`
+    * (test_cCoinWalletTransfers_balance_over_total_supply.sql joins
+    * latest balances to coins and flags balance > total_supply). */
+  def boundedByDim(fact: DataFrame, joinKey: String, valueCol: String,
+      dim: DataFrame, dimKey: String, boundCol: String): DataFrame =
+    fact.join(dim, fact(joinKey) === dim(dimKey))
+      .where(fact(valueCol) > dim(boundCol))
+
+  /** One summary row per rule: (rule, n_violations). The suite-level
+    * artifact a scheduler records per run — each rule collapses to a
+    * single count, so the result is rules-many rows regardless of
+    * input size. */
+  def summarize(rules: Seq[(String, DataFrame)]): DataFrame = {
+    require(rules.nonEmpty, "empty check suite")
+    rules.map { case (name, v) =>
+      v.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("rule"), col("n_violations"))
+    }.reduce(_ union _)
+  }
+
+  /** Runtime gate: throws if any rule has violations, naming every
+    * failing rule with up to `sample` example rows. Each rule costs
+    * one bounded action (`take(sample)` — never a full collect). */
+  def assertAll(rules: Seq[(String, DataFrame)], sample: Int = 5): Unit = {
+    val failures = rules.flatMap { case (name, v) =>
+      val ex = v.take(sample)
+      if (ex.isEmpty) None
+      else Some(s"$name (${ex.length}${if (ex.length == sample) "+" else ""} rows, e.g. ${ex.head})")
+    }
+    if (failures.nonEmpty)
+      throw new IllegalStateException(
+        s"data-quality checks failed: ${failures.mkString("; ")}")
+  }
+}
