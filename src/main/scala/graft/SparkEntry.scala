@@ -285,7 +285,11 @@ object SparkEntry {
   def q26EmbeddingDedup(spark: SparkSession, dir: String): DataFrame =
     Ann.cosinePairs(Tables.embeddings(spark, dir), "vec_id", "embedding", threshold = 0.4)
 
-  /** q27: multimodal binary-column plumbing, stubbed decode (rows-only). */
+  /** q27: multimodal metadata extraction (rows-only). Video rows
+    * carry real AVI containers and decode true header dims via
+    * Riff.parseAvi; image/audio text-backed payloads take the
+    * deterministic stub (their real codecs are spec-proven on
+    * synthesized PNG/WAV payloads). */
   def q27MultimodalMeta(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractMetadata(
       Multimodal.asMediaTable(Tables.documents(spark, dir), "doc_id", "text"))
@@ -539,8 +543,10 @@ object SparkEntry {
   }
 
   /** q46: video frame sampling over the binary media table — one
-    * video row fans out to 4 frame rows (stub codec, deterministic;
-    * the fan-out + per-frame schema are the real scale surface).
+    * video row fans out to 4 frame rows. REAL container path: the
+    * media table muxes video payloads into genuine AVI containers
+    * (Riff.muxMjpeg), and sampling walks the parsed idx1 frame index
+    * to true byte offsets/lengths (RiffSpec round-trips the codec).
     * Rows-only: binary plumbing has no SQL oracle. */
   def q46FrameSample(spark: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(

@@ -15,10 +15,15 @@ import org.apache.spark.sql.functions._
   * a generated PNG). The AUDIO header codec is REAL too:
   * `javax.sound.sampled` (also JDK-resident) parses WAV/AIFF/AU
   * containers to true sample rate / channels / sample width / frame
-  * count (spec round-trips a synthesized WAV). Video decode and the
-  * resize re-encode remain STUBBED (no video libs in the JDK) with a
-  * deterministic fake, so that plumbing — schema, batch iteration,
-  * per-partition distribution — is still real and tested.
+  * count (spec round-trips a synthesized WAV). The VIDEO container
+  * codec is REAL as well: [[Riff]] muxes and parses AVI (RIFF) —
+  * true width/height/frame timing from the `avih` header and true
+  * per-frame byte offsets from the `idx1` index — with no external
+  * dependency (the JDK has no video API, but the container format
+  * needs none). Only pixel-level video DECODE (e.g. of a codec'd
+  * frame payload) and the resize re-encode remain stubbed with a
+  * deterministic fake — except MJPEG frames, whose payloads are
+  * JPEGs and flow through the real [[decodeImage]].
   */
 object Multimodal {
 
@@ -42,8 +47,9 @@ object Multimodal {
   /** Rolling polynomial checksum over payload[from, until) — the ONE
     * stub hash every fake codec in this object uses, so the
     * "deterministic stub" values cannot drift between ops. */
-  private def polyChecksum(bytes: Array[Byte], from: Int, until: Int): Long = {
-    var cs = 0L
+  private def polyChecksum(bytes: Array[Byte], from: Int, until: Int,
+      seed: Long = 0L): Long = {
+    var cs = seed
     var j = from
     while (j < until) { cs = (cs * 131 + (bytes(j) & 0xff)) % 1000000007L; j += 1 }
     cs
@@ -77,15 +83,32 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  /** REAL video container decode via [[Riff.parseAvi]]: true dims
+    * from the avih header, and a checksum folded over the INDEXED
+    * frame payload bytes — proof the frame index was walked to the
+    * actual data, not just the header sniffed. */
+  private def decodeVideoMeta(bytes: Array[Byte]): Option[(Int, Int, Long)] =
+    Riff.parseAvi(bytes).map { info =>
+      val cs = info.frames.foldLeft(0L) { case (acc, (off, len)) =>
+        polyChecksum(bytes, off, off + len, acc)
+      }
+      (info.width, info.height, cs)
+    }
+
   /** Batched decode: image payloads go through the REAL
-    * [[decodeImage]] codec; audio/video (and image payloads that are
-    * not actually encoded images) take the deterministic STUB — dims
-    * derived from payload length, checksum a polynomial over the raw
-    * bytes — so tests can assert exact values on both paths. */
+    * [[decodeImage]] codec and video payloads through the REAL
+    * [[Riff]] container parser; audio (and image/video payloads that
+    * are not actually encoded media) take the deterministic STUB —
+    * dims derived from payload length, checksum a polynomial over the
+    * raw bytes — so tests can assert exact values on both paths. */
   private def decodeBatch(batch: Seq[MediaRow]): Seq[MediaMeta] =
     batch.map { r =>
       val n = r.payload.length
-      val real = if (r.media_type == "image") decodeImage(r.payload) else None
+      val real = r.media_type match {
+        case "image" => decodeImage(r.payload)
+        case "video" => decodeVideoMeta(r.payload)
+        case _       => None
+      }
       real match {
         case Some((w, h, pixelCs)) => MediaMeta(r.doc_id, r.media_type, n, w, h, pixelCs)
         case None =>
@@ -94,15 +117,38 @@ object Multimodal {
       }
     }
 
-  /** Wrap a text table into a binary media table (payload = utf-8
-    * bytes standing in for encoded media; media_type round-robins). */
-  def asMediaTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  /** Wrap a text table into a binary media table (media_type
+    * round-robins on the id). Image/audio payloads are the raw utf-8
+    * bytes standing in for encoded media (their real codecs reject
+    * them into the stub path). VIDEO payloads are muxed into a REAL
+    * AVI container around the text bytes via [[Riff.muxMjpeg]] —
+    * genuine header fields, frame chunks, and idx1 index — so the
+    * container-parsing path (q27 true dims, q46 true frame offsets)
+    * runs the real codec on testdata, with deterministic dims and a
+    * 4–6 frame split derived from the payload length. */
+  def asMediaTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     docs.select(
       col(idCol).cast("long").as("doc_id"),
       element_at(
         array(lit("image"), lit("audio"), lit("video")),
         (col(idCol) % 3 + 1).cast("int")).as("media_type"),
       encode(col(textCol), "UTF-8").as("payload"))
+      .as[MediaRow]
+      .mapPartitions(_.map { r =>
+        if (r.media_type != "video") r
+        else {
+          val n = r.payload.length
+          val k = 4 + n % 3
+          val frames = (0 until k).map(i =>
+            java.util.Arrays.copyOfRange(r.payload, n * i / k, n * (i + 1) / k))
+          r.copy(payload = Riff.muxMjpeg(
+            160 + (n % 8) * 8, 120 + (n % 6) * 8, fps = 24, frames))
+        }
+      })
+      .toDF()
+  }
 
   /** Decode/feature-extract pass: per-partition, batched. The only
     * wide operation a real pipeline adds here is an optional
@@ -173,8 +219,8 @@ object Multimodal {
 
   case class ResizedRow(doc_id: Long, media_type: String, width: Int, height: Int,
       payload: Array[Byte])
-  case class FrameRow(doc_id: Long, frame_idx: Int, byte_offset: Int, n_bytes: Int,
-      frame_checksum: Long)
+  case class FrameRow(doc_id: Long, frame_idx: Int, src_frame: Int, byte_offset: Int,
+      n_bytes: Int, frame_checksum: Long)
 
   /** Resize pass (STUB codec): emits a payload of exactly width×height
     * bytes per row — a real implementation decodes, resamples, and
@@ -201,14 +247,19 @@ object Multimodal {
       .toDF()
   }
 
-  /** Frame sampling (STUB codec): one video row fans out to
-    * `framesPerDoc` frame rows at evenly-spaced byte offsets — the
-    * real op seeks keyframes via the container index. The op itself
-    * is a narrow map (frames stay in their source video's partition);
-    * a downstream consumer feeding per-frame image ops should
-    * repartition the frame table so one long video cannot skew a
-    * partition — that shuffle belongs to the consumer, which knows
-    * its parallelism, not here. */
+  /** Frame sampling: one video row fans out to `framesPerDoc` frame
+    * rows. AVI payloads take the REAL path — [[Riff.parseAvi]] walks
+    * the container's frame index, sampling evenly-spaced TRUE frames:
+    * `src_frame` is the container frame number, `byte_offset`/
+    * `n_bytes` locate the actual frame payload in the blob, and the
+    * checksum covers the full frame bytes (exactly what a keyframe
+    * seek in a real pipeline yields). Non-AVI payloads keep the
+    * deterministic stub (evenly-spaced raw offsets, 16-byte windows)
+    * so mixed corpora stay total. The op is a narrow map (frames stay
+    * in their source video's partition); a downstream consumer
+    * feeding per-frame image ops should repartition the frame table
+    * so one long video cannot skew a partition — that shuffle belongs
+    * to the consumer, which knows its parallelism, not here. */
   def sampleFrames(media: DataFrame, framesPerDoc: Int = 4): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -216,11 +267,22 @@ object Multimodal {
       .select(col("doc_id"), col("media_type"), col("payload")).as[MediaRow]
       .mapPartitions(_.grouped(DecodeBatchSize).flatMap(_.flatMap { r =>
         val n = r.payload.length
-        val k = math.max(1, math.min(framesPerDoc, n))
-        (0 until k).map { i =>
-          val off = (n.toLong * i / k).toInt
-          val end = math.min(off + 16, n)
-          FrameRow(r.doc_id, i, off, end - off, polyChecksum(r.payload, off, end))
+        Riff.parseAvi(r.payload) match {
+          case Some(info) =>
+            val k = math.max(1, math.min(framesPerDoc, info.nFrames))
+            (0 until k).map { i =>
+              val j = info.nFrames * i / k // evenly spaced true frames
+              val (off, len) = info.frames(j)
+              FrameRow(r.doc_id, i, j, off, len,
+                polyChecksum(r.payload, off, off + len))
+            }
+          case None =>
+            val k = math.max(1, math.min(framesPerDoc, n))
+            (0 until k).map { i =>
+              val off = (n.toLong * i / k).toInt
+              val end = math.min(off + 16, n)
+              FrameRow(r.doc_id, i, i, off, end - off, polyChecksum(r.payload, off, end))
+            }
         }
       }))
       .toDF()

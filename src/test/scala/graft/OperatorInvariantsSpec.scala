@@ -331,7 +331,7 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
-  test("q27: stubbed decode is deterministic and total") {
+  test("q27: metadata extraction (real AVI video + stubbed image/audio) is deterministic and total") {
     val a = SparkEntry.q27MultimodalMeta(spark, SfDir)
     val b = SparkEntry.q27MultimodalMeta(spark, SfDir)
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
