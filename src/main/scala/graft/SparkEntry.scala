@@ -853,15 +853,18 @@ object SparkEntry {
     * `doc_id % 20 == 0`. See [[similarity.Dedup.decontaminate]] for
     * the plan and the n=8..13 production grain; measured here the
     * real contaminated pairs share 78+ shingles vs ≤ 3 background
-    * overlap, so the threshold has a 25× separation margin. Oracle
-    * joins raw shingle strings (no hash) — pair counts must agree
-    * exactly. */
+    * overlap, so the threshold has a 25× separation margin.
+    * maxDf=100 engages the train-side rare/hot decomposition (the
+    * small-n safety rail: a stopword shingle joins against candidate
+    * pairs, not the whole eval side); copied benchmark text has low
+    * df, so the pair set — and the exact raw-shingle DuckDB oracle —
+    * is unchanged at every tested SF. */
   def q61Decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     Dedup.decontaminate(
       docs.where(col("doc_id") % 20 =!= 0),
       docs.where(col("doc_id") % 20 === 0),
-      "doc_id", "text", n = 3, minShared = 5)
+      "doc_id", "text", n = 3, minShared = 5, maxDf = 100)
   }
 
   /** q62: budget-bounded batch selection — per-wallet activity

@@ -43,24 +43,67 @@ object Dedup {
     * df_train × df_eval with df_eval tiny. At 100 TB run this with
     * n = 8..13 (the published decontamination grain): long shingles
     * are selective, which keeps hot-shingle join skew negligible —
-    * n = 3 here only because the synthetic docs are ~100 tokens. For
-    * a corpus whose n must stay small, reuse ngramJaccardPairs'
-    * maxDf rare/hot decomposition on the train side. */
+    * n = 3 here only because the synthetic docs are ~100 tokens.
+    *
+    * @param maxDf TRAIN-side shingle document-frequency cap for the
+    *   small-n regime (the q17 rare/hot decomposition, bipartite
+    *   form): pair GENERATION joins eval only against shingles in at
+    *   most `maxDf` train docs — a stopword shingle ("of the and" in
+    *   10⁶ train docs) can no longer put df_train × df_eval rows on
+    *   one shuffle key; per-key mass is bounded by maxDf × df_eval.
+    *   The dropped hot shingles still COUNT toward every generated
+    *   pair: they re-join against the candidate pairs only (mass ≤
+    *   |candidates| × hot-shingles-per-doc), so any pair sharing ≥1
+    *   sub-cap shingle gets its exact uncapped count. Residual
+    *   contract: a (train, eval) pair whose shared shingles are ALL
+    *   hot is missed — at decontamination semantics that pair is
+    *   stopword-only overlap, the band below any sane `minShared`
+    *   threshold; size maxDf well above df of genuinely-copied
+    *   benchmark text (which is rare by definition). Int.MaxValue
+    *   (default) disables the cap and the extra joins entirely. */
   def decontaminate(
       train: DataFrame,
       evalSet: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 3,
-      minShared: Long = 5): DataFrame = {
+      minShared: Long = 5,
+      maxDf: Int = Int.MaxValue): DataFrame = {
     val ts = shingles(train, idCol, textCol, n)
       .select(col(idCol).as("train_doc"), xxhash64(col("shingle")).as("__h"))
     val es = shingles(evalSet, idCol, textCol, n)
       .select(col(idCol).as("eval_doc"), xxhash64(col("shingle")).as("__h"))
-    ts.join(es, "__h")
-      .groupBy("train_doc", "eval_doc")
-      .agg(count(lit(1)).as("shared_shingles"))
-      .where(col("shared_shingles") >= minShared)
+    val counts =
+      if (maxDf == Int.MaxValue) {
+        ts.join(es, "__h")
+          .groupBy("train_doc", "eval_doc")
+          .agg(count(lit(1)).as("shared_shingles"))
+      } else {
+        // three consumers (df table, rare join, hot re-join) — persist
+        // so the train shingle scan runs once; lifecycle follows the
+        // library contract (callers clearCache between runs)
+        val tsP = ts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val byDf = tsP.groupBy("__h").agg(count(lit(1)).as("__df"))
+        val rareCounts = tsP
+          .join(byDf.where(col("__df") <= maxDf).select("__h"), Seq("__h"))
+          .join(es, Seq("__h"))
+          .groupBy("train_doc", "eval_doc")
+          .agg(count(lit(1)).as("__cr"))
+          // consumed twice (hot re-join probe + final sum) — persist so
+          // the rare join runs once
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val hotTs = tsP.join(byDf.where(col("__df") > maxDf).select("__h"), Seq("__h"))
+        val hotCounts = rareCounts.select("train_doc", "eval_doc")
+          .join(hotTs, Seq("train_doc"))
+          .join(es, Seq("eval_doc", "__h"))
+          .groupBy("train_doc", "eval_doc")
+          .agg(count(lit(1)).as("__ch"))
+        rareCounts
+          .join(hotCounts, Seq("train_doc", "eval_doc"), "left")
+          .select(col("train_doc"), col("eval_doc"),
+            (col("__cr") + coalesce(col("__ch"), lit(0L))).as("shared_shingles"))
+      }
+    counts.where(col("shared_shingles") >= minShared)
   }
 
   /** Exact dedupe: group documents by content hash, keep lowest id.

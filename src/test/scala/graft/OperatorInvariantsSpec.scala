@@ -68,6 +68,48 @@ class OperatorInvariantsSpec extends SparkSpec {
       "df-capped pair set diverges from the uncapped result")
   }
 
+  test("q61 maxDf: planted stopword header bounds the hot join; found pairs keep exact counts") {
+    import graft.similarity.Dedup
+    // plant an 8-word header in EVERY doc: its 6 interior 3-gram
+    // shingles get df == corpus size on the train side — the hot-key
+    // shape that floods the bipartite join at small n. A guaranteed
+    // contaminated pair is planted by cloning an eval doc into train.
+    val docs = Tables.documents(spark, SfDir)
+      .withColumn("text",
+        concat(lit("common header phrase planted in every single document "), col("text")))
+      .select("doc_id", "text")
+    val ev = docs.where(col("doc_id") % 20 === 0)
+    val clone = ev.orderBy("doc_id").limit(1)
+      .select((col("doc_id") + 999999L).as("doc_id"), col("text"))
+    val train = docs.where(col("doc_id") % 20 =!= 0).unionByName(clone)
+
+    // minShared=10 sits ABOVE the 6 header shingles: every qualifying
+    // pair needs ≥4 genuinely-shared (rare) shingles, so the capped
+    // path must reproduce the uncapped result EXACTLY
+    val uncapped = Dedup.decontaminate(train, ev, "doc_id", "text", n = 3, minShared = 10)
+    val capped = Dedup.decontaminate(train, ev, "doc_id", "text", n = 3,
+      minShared = 10, maxDf = 20)
+    assert(uncapped.count() > 0, "planted clone must contaminate")
+    assert(capped.exceptAll(uncapped).count() == 0 && uncapped.exceptAll(capped).count() == 0,
+      "df-capped decontaminate diverges where minShared exceeds the hot overlap")
+
+    // residual contract at minShared ≤ header overlap: the uncapped
+    // join admits EVERY (train, eval) pair via the 6 hot shingles;
+    // the capped path keeps only pairs with ≥1 rare shared shingle —
+    // but every pair it keeps carries its exact uncapped count
+    val uncapped5 = Dedup.decontaminate(train, ev, "doc_id", "text", n = 3, minShared = 5)
+    val capped5 = Dedup.decontaminate(train, ev, "doc_id", "text", n = 3,
+      minShared = 5, maxDf = 20)
+    assert(uncapped5.count() == train.count() * ev.count(),
+      "hot header must put every pair over an un-capped minShared=5")
+    assert(capped5.count() < uncapped5.count(),
+      "capped path must drop the stopword-only pairs (documented residual)")
+    val joined = capped5.as("c").join(uncapped5.as("u"), Seq("train_doc", "eval_doc"))
+    assert(joined.count() == capped5.count(), "capped pairs must be a subset")
+    assert(joined.where(col("c.shared_shingles") =!= col("u.shared_shingles")).count() == 0,
+      "a found pair's count must include the hot shingles exactly")
+  }
+
   test("q17 maxDf: an identical-doc cluster larger than the cap keeps all its pairs") {
     import graft.similarity.Dedup
     // 30 byte-identical docs: every shingle they contain has df=30 >
