@@ -10,8 +10,8 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     // the warmup materialized q10/q17/q32's persisted intermediates —
-    // clear them so the FIRST timed run is as cold as the rest
-    spark.catalog.clearCache()
+    // release them so the FIRST timed run is as cold as the rest
+    CacheScope.releaseAll(spark): Unit
     // min of two timed runs per query: local[32] scheduling/GC noise
     // swings single runs by ±50% on the heavy similarity queries
     // a throwing query records -1 (failure marker), never a fast time
@@ -22,12 +22,12 @@ object Bench {
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val a = timeOnce(fn)
-      // clear BETWEEN runs too: queries that persist an intermediate
+      // release BETWEEN runs too: queries that persist an intermediate
       // (q10/q17/q32) would otherwise serve run b from run a's cache
       // and report the warm-read time as the query
-      spark.catalog.clearCache()
+      CacheScope.releaseAll(spark): Unit
       val b = timeOnce(fn)
-      spark.catalog.clearCache()
+      CacheScope.releaseAll(spark): Unit
       val best = if (a < 0 || b < 0) -1.0 else math.min(a, b)
       // heavy tail gets a THIRD sample: local[32] scheduling/GC noise
       // swings multi-second iterative queries the most, and min-of-2
@@ -35,7 +35,7 @@ object Bench {
       // extra run costs seconds only where seconds already dominate)
       val settled = if (best > 2.0) {
         val c = timeOnce(fn)
-        spark.catalog.clearCache()
+        CacheScope.releaseAll(spark): Unit
         if (c < 0) best else math.min(best, c)
       } else best
       name -> settled

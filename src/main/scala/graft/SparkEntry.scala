@@ -412,16 +412,16 @@ object SparkEntry {
     * distinct-count action materializes the cache, so the probe, the
     * join's left side, and its right side all share ONE scan+aggregate
     * of the events fact table (unpersisted plans would scan it three
-    * times — the r4 advice). Cache lifecycle: the entry stays resident
-    * until `spark.catalog.clearCache()` (Bench/Verify call it between
-    * queries; a long-lived session embedding this query should do the
-    * same, or accept a warm daily aggregate for repeat invocations —
-    * it is the query's own input, not scratch). */
+    * times — the r4 advice). Cache lifecycle: the entry registers
+    * with [[CacheScope]]; Bench/Verify release between queries via
+    * CacheScope.releaseAll, and a long-lived session embedding this
+    * query should do the same — or accept a warm daily aggregate for
+    * repeat invocations (it is the query's own input, not scratch). */
   def q37PriceCorrelation(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
       .groupBy(col("event_type").as("asset"), to_date(col("ts")).as("date"))
       .agg(round(max("value"), 6).as("price"))
-      .persist()
+      .transform(CacheScope.persisted(_))
     val assets = daily.select("asset").distinct().count()
     // target ≈ 4096 pair-evaluations per (date, bucket_a, bucket_b) key
     val B = math.max(2, math.ceil(assets / math.sqrt(4096.0)).toInt)

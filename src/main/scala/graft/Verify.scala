@@ -28,8 +28,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries that persist intermediates (q10/q17/q32) must not hold
-      // executor storage under the remaining queries
-      spark.catalog.clearCache()
+      // executor storage under the remaining queries — release through
+      // the library's lifecycle API (clearCache would work too, but
+      // would also evict an embedding application's own caches)
+      CacheScope.releaseAll(spark): Unit
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -185,8 +185,14 @@ object Multimodal {
       val aff = javax.sound.sampled.AudioSystem
         .getAudioFileFormat(new java.io.ByteArrayInputStream(bytes))
       val f = aff.getFormat
-      Some((f.getSampleRate.toInt, f.getChannels, f.getSampleSizeInBits,
-        aff.getFrameLength.toLong))
+      // a container can parse yet omit rate/length (AudioSystem
+      // returns NOT_SPECIFIED = -1): emitting n_frames=-1 and a
+      // negative duration as "decoded" would poison downstream
+      // aggregates — treat header-incomplete audio as undecodable
+      val rate = f.getSampleRate.toInt
+      val frames = aff.getFrameLength.toLong
+      if (rate <= 0 || frames < 0 || f.getChannels <= 0 || f.getSampleSizeInBits <= 0) None
+      else Some((rate, f.getChannels, f.getSampleSizeInBits, frames))
     } catch { case _: Exception => None }
 
   /** Audio metadata pass: audio rows only, batched narrow map like

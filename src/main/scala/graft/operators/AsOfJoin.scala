@@ -130,7 +130,12 @@ object AsOfJoin {
     * axis too, keeping results partition-order-independent).
     *
     * @param maxGapDays matches farther than this many days AFTER the
-    *                   probe are nulled out (datediff semantics)
+    *                   probe are nulled out. Requires date/timestamp
+    *                   time axes (datediff semantics — for timestamp
+    *                   axes the gap is measured in CALENDAR-DAY
+    *                   truncation, so 23:59 → 00:01 next day counts as
+    *                   one day); numeric axes must pass None and
+    *                   filter on their own units
     */
   def asOfForward(
       probes: DataFrame,
@@ -156,6 +161,17 @@ object AsOfJoin {
     // the output (the exact failure the backward guard prevents)
     require(!probes.columns.contains(quoteTime),
       s"quote time column '$quoteTime' collides with a probe column — rename one side")
+    // fail HERE, not deep in the gap filter: datediff over a numeric
+    // axis analyzes to an unrelated cast error far from the call site
+    if (maxGapDays.isDefined) {
+      def dayGrained(df: DataFrame, c: String) = df.schema(c).dataType match {
+        case DateType | TimestampType => true
+        case _ => false
+      }
+      require(dayGrained(probes, probeTime) && dayGrained(quotes, quoteTime),
+        s"maxGapDays needs date/timestamp time axes ('$probeTime'/'$quoteTime'); " +
+          "for a numeric axis filter the gap in its own units after the join")
+    }
 
     val p2 = probes.withColumn("__fwd_t", negate(probes, probeTime))
     val q2 = quotes.withColumn("__fwd_t2", negate(quotes, quoteTime))

@@ -51,13 +51,13 @@ object Profits {
     //      events, which at 100 TB means re-scanning the fact table
     //      per branch. MEMORY_AND_DISK ≈ a pipeline temp table.
     //      Lifecycle: the operator cannot know when its result is
-    //      consumed, so it does not unpersist; long-lived sessions
-    //      should spark.catalog.clearCache() between pipeline runs
-    //      (Bench and Verify do).
+    //      consumed, so it registers with CacheScope instead of
+    //      unpersisting; callers release via CacheScope.releaseAll
+    //      between pipeline runs (Bench and Verify do).
     val withFirst = transfers
       .join(prices, Seq("asset", "date"), "left")
       .join(broadcast(firstPrices), Seq("asset"), "left")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.persisted(_))
 
     // ---- step 3: imputed records for pre-price wallets, extracted
     //      with windows over the SAME (asset, wallet) partitioning as

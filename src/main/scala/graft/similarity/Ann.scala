@@ -530,7 +530,7 @@ object Ann {
     // v feeds bucket generation + both re-rank sides — persist or
     // every consumer re-runs the scan + projections
     val v = prepared(emb, idCol, vecCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.persisted(_))
     // kNN needs DIRECTED candidates: both orientations of the
     // undirected collision pairs
     val und = lshCandidates(v, emb, idCol, vecCol, t, b, multiProbe, seed)
@@ -665,7 +665,7 @@ object Ann {
       multiProbe: Boolean,
       seed: Long): DataFrame = {
     val e = lshBuckets(v, emb, idCol, vecCol, numTables, bitsPerTable, seed)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.persisted(_))
     val probeSide =
       if (!multiProbe) e
       else e.select(col(idCol), col("__table"),
@@ -735,7 +735,7 @@ object Ann {
     // v feeds bucket generation + both verify sides — persist or every
     // consumer re-runs the scan + projections
     val v = prepared(emb, idCol, vecCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.persisted(_))
     lshCandidates(v, emb, idCol, vecCol, t, b, multiProbe, seed)
       .join(v.select(col(idCol).as("vec_a"), col("__e").as("__ea"), col("__norm").as("__na")), Seq("vec_a"))
       .join(v.select(col(idCol).as("vec_b"), col("__e").as("__eb"), col("__norm").as("__nb")), Seq("vec_b"))
@@ -779,7 +779,7 @@ object Ann {
     // consumed by seeding, assignment, centroid aggregation, the probe
     // pass, and both re-rank sides — persist or the scan runs 6×
     val e = prepared(emb, idCol, vecCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.persisted(_))
 
     // seed centroids: the numCells lowest-id vectors (deterministic
     // for ANY id distribution — `id < numCells` would silently seed

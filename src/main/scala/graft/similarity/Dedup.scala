@@ -81,8 +81,8 @@ object Dedup {
       } else {
         // three consumers (df table, rare join, hot re-join) — persist
         // so the train shingle scan runs once; lifecycle follows the
-        // library contract (callers clearCache between runs)
-        val tsP = ts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // library contract (CacheScope.releaseAll between runs)
+        val tsP = ts.transform(graft.CacheScope.persisted(_))
         val byDf = tsP.groupBy("__h").agg(count(lit(1)).as("__df"))
         val rareCounts = tsP
           .join(byDf.where(col("__df") <= maxDf).select("__h"), Seq("__h"))
@@ -91,7 +91,7 @@ object Dedup {
           .agg(count(lit(1)).as("__cr"))
           // consumed twice (hot re-join probe + final sum) — persist so
           // the rare join runs once
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(graft.CacheScope.persisted(_))
         val hotTs = tsP.join(byDf.where(col("__df") > maxDf).select("__h"), Seq("__h"))
         val hotCounts = rareCounts.select("train_doc", "eval_doc")
           .join(hotTs, Seq("train_doc"))
@@ -175,7 +175,7 @@ object Dedup {
     // deterministic, and the cross-engine oracle would catch a merge.
     val sh = shingles(docs, idCol, textCol, n)
       .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.persisted(_))
     val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
     val inter =
       if (maxDf == Int.MaxValue) {
@@ -195,7 +195,7 @@ object Dedup {
         // byDf is cheap to recompute from the persisted sh; interRare
         // (the expensive self-join, one small row per candidate pair)
         // is persisted because three subtrees consume it — lifecycle
-        // follows sh's documented contract (callers clearCache
+        // follows sh's documented contract (CacheScope.releaseAll
         // between pipeline runs; Verify/Bench do)
         val byDf = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
         val candSh = sh.join(byDf.where(col("__df") <= maxDf).select("shingle"), Seq("shingle"))
@@ -204,7 +204,7 @@ object Dedup {
             col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol"))
           .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
           .agg(count(lit(1)).as("__ir"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(graft.CacheScope.persisted(_))
         // the dropped hot shingles still count toward a FOUND pair's
         // intersection: join the (few) >cap shingles against the
         // candidate pairs only — Σ shared-hot-per-pair rows, bounded
@@ -325,10 +325,10 @@ object Dedup {
     // consumed three times (candidate self-join + both verify sides) —
     // persisting removes a silent 3× recompute of the vote aggregation
     // (measured 13.2 s → 3.9 s at the 3× sweep point). Lifecycle
-    // follows the library contract: callers clearCache between
+    // follows the library contract: CacheScope.releaseAll between
     // pipeline runs (Verify/Bench do).
     val bandSigs = simhashBandSigs(docs, idCol, textCol, maxHamming, numBits)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.persisted(_))
     val cands = bandSigs.as("a")
       .join(bandSigs.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -419,7 +419,7 @@ object Dedup {
     // four consumers (minhash signatures, counts, both verification
     // join sides) — persist so the shingle scan runs once
     val sh = shingles(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.persisted(_))
     val cands = minhashLshFromShingles(sh, idCol).select("doc_a", "doc_b")
     val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
     // the verification join needs only shingle equality — feed it the
@@ -466,7 +466,7 @@ object Dedup {
     // subtree once per iteration.
     val edges = verifiedPairs.select("doc_a", "doc_b")
       .unionByName(verifiedPairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.persisted(_))
     var labels = docs.select(col(idCol), col(idCol).as("keeper_id"))
     // convergence detection: labels are per-node NON-INCREASING, so
     // for integral ids the label total strictly decreases until the

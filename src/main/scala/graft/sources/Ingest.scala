@@ -42,9 +42,13 @@ object Ingest {
 
   // fail at the call site, not with a far-away duplicate-column
   // AnalysisException — e.g. when re-reading a reader's own
-  // quarantined output to reprocess it
+  // quarantined output to reprocess it. Parsed field-name equality,
+  // not a substring scan: a legal column that merely CONTAINS the
+  // name (raw_corrupt_record_src) must stay accepted.
   private def requireNoCorruptCol(ddl: String): Unit =
-    require(!ddl.toLowerCase.contains("_corrupt_record"),
+    require(
+      !org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        .fieldNames.exists(_.equalsIgnoreCase("_corrupt_record")),
       "the caller DDL already declares _corrupt_record — the reader appends its own; " +
         "rename the field or strip it before re-ingesting quarantined output")
 

@@ -133,6 +133,22 @@ class AsOfJoinSpec extends SparkSpec {
       "forward as-of diverges from the naive theta-join definition")
   }
 
+  test("forward maxGapDays on a numeric axis fails fast at the call site") {
+    // numeric axes negate fine WITHOUT a gap, but datediff over a
+    // numeric column would analyze to an unrelated cast error deep in
+    // the gap filter — the guard must name the real problem up front
+    val np = Seq(("btc", 100L, 1L)).toDF("asset", "t", "row_id")
+    val nq = Seq(("btc", 105L, 9.0)).toDF("asset", "qt", "price")
+    // no gap: numeric axis is supported
+    assert(AsOfJoin.asOfForward(np, nq, Seq("asset"), "t", "qt", Seq("price"))
+      .count() == 1)
+    val ex = intercept[IllegalArgumentException] {
+      AsOfJoin.asOfForward(np, nq, Seq("asset"), "t", "qt", Seq("price"),
+        maxGapDays = Some(3))
+    }
+    assert(ex.getMessage.contains("maxGapDays"), s"unhelpful error: ${ex.getMessage}")
+  }
+
   test("the plan shuffles once on the key — no nested-loop join") {
     val plan = AsOfJoin.asOf(probes, quotes, Seq("asset"), "date", "price_date", Seq("price"))
       .queryExecution.executedPlan.toString

@@ -53,6 +53,19 @@ class IngestSpec extends SparkSpec {
     assert(clean.schema("value").dataType.typeName == "double")
   }
 
+  test("corrupt-column guard matches field NAMES, not substrings") {
+    val dir = Files.createTempDirectory("graft_ddl_guard").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "d.csv"), "k,raw_corrupt_record_src\n1,x\n")
+    // a legal column merely CONTAINING the reserved name must pass
+    assert(Ingest.readCsv(spark, dir,
+      "k BIGINT, raw_corrupt_record_src STRING").count() == 1)
+    // the reserved name itself must fail fast, case-insensitively
+    val ex = intercept[IllegalArgumentException] {
+      Ingest.readCsv(spark, dir, "k BIGINT, _CORRUPT_RECORD STRING")
+    }
+    assert(ex.getMessage.contains("_corrupt_record"))
+  }
+
   test("coalesceSources resolves 3 sources in precedence order with lineage") {
     import spark.implicits._
     val s1 = Seq((1L, Option("a1")), (2L, Option.empty[String])).toDF("k", "v")

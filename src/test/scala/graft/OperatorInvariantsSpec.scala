@@ -363,6 +363,30 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(got(2L).getInt(2) == 8000 + (n2 % 8) * 1000)
   }
 
+  test("audio containers with NOT_SPECIFIED header length never emit negative frames/duration") {
+    // AU container with dataSize = 0xffffffff ("unknown" per the AU
+    // spec): .snd magic, header size 24, unknown size, encoding 3
+    // (16-bit linear PCM), rate 8000, mono — parses as audio, but the
+    // header declares no length, the AudioSystem.NOT_SPECIFIED path
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    dos.writeBytes(".snd"); dos.writeInt(24); dos.writeInt(-1)
+    dos.writeInt(3); dos.writeInt(8000); dos.writeInt(1)
+    (0 until 64).foreach(i => dos.writeShort(i * 100))
+    val au = bos.toByteArray
+
+    val sess = spark
+    import sess.implicits._
+    val media = Seq((1L, "audio", au)).toDF("doc_id", "media_type", "payload")
+    val row = graft.multimodal.Multimodal.extractAudioMetadata(media).collect().head
+    // whichever path it takes (real decode if the reader derives a
+    // length, stub if the header is treated as incomplete), the
+    // emitted metadata must be sane — never n_frames=-1 or a negative
+    // duration flagged as decoded
+    assert(row.getLong(5) >= 0L, s"negative n_frames: $row")
+    assert(row.getLong(6) >= 0L, s"negative duration_us: $row")
+  }
+
   test("q64: audio metadata is deterministic and total over the audio slice") {
     val media = graft.multimodal.Multimodal
       .asMediaTable(Tables.documents(spark, SfDir), "doc_id", "text")
