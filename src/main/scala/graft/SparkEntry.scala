@@ -1063,6 +1063,40 @@ object SparkEntry {
         transfers, Seq("asset", "wallet", "date"))))
   }
 
+  /** q72: Gopher-style word-level quality gates over documents — see
+    * [[text.TextOps.gopherQuality]]. The keep flag composes the
+    * published thresholds; downstream corpora filter on it the way
+    * q60 caps domains. */
+  def q72QualityGopher(spark: SparkSession, dir: String): DataFrame =
+    TextOps.gopherQuality(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** q73: repetitive-document stats over word 2-grams — see
+    * [[text.TextOps.repetitionStats]]. Duplicate-gram mass and
+    * top-gram share in exact ppm, with the C4/Gopher-style
+    * `repetitive` flag. */
+  def q73RepetitionFilter(spark: SparkSession, dir: String): DataFrame =
+    TextOps.repetitionStats(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** q74: budget-driven mixture sampling — per-source admission rates
+    * DERIVED from the data (rate = char budget / source size, capped
+    * at 1) instead of q55's fixed strata rates; the admission
+    * predicate is the same engine-reproducible mod-prime Knuth mix,
+    * so DuckDB re-derives the exact sample. Plan shape: one tiny
+    * per-source aggregate broadcast back onto the fact scan — at
+    * 100 TB the rates table is KBs and the sample is a single
+    * filtered pass, no shuffle of the corpus. */
+  def q74BudgetMixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "source", "n_chars")
+    val rates = docs.groupBy("source")
+      .agg(sum("n_chars").as("__tot"))
+      .select(col("source"),
+        least(lit(1000000L), expr("(5000 * 1000000L) div __tot")).as("rate_ppm"))
+    docs.join(broadcast(rates), "source")
+      .where(pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L), lit(1000000L)) <
+        col("rate_ppm"))
+      .select("doc_id", "source", "n_chars", "rate_ppm")
+  }
+
   // ---------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------
@@ -1137,7 +1171,10 @@ object SparkEntry {
     "q68_priority_parse"         -> (q68PriorityParse _),
     "q69_twap"                   -> (q69Twap _),
     "q70_weekly_ohlc"            -> (q70WeeklyOhlc _),
-    "q71_quality_checks"         -> (q71QualityChecks _)
+    "q71_quality_checks"         -> (q71QualityChecks _),
+    "q72_quality_gopher"         -> (q72QualityGopher _),
+    "q73_repetition_filter"      -> (q73RepetitionFilter _),
+    "q74_budget_mixture"         -> (q74BudgetMixture _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -2030,6 +2067,68 @@ object SparkEntry {
          |UNION ALL
          |SELECT 'transfers_unique_key', COUNT(*) FROM (
          |  SELECT asset, wallet, date FROM transfers
-         |  GROUP BY 1, 2, 3 HAVING COUNT(*) > 1)""".stripMargin
+         |  GROUP BY 1, 2, 3 HAVING COUNT(*) > 1)""".stripMargin,
+
+    "q72_quality_gopher" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(t) AS n_words,
+        |    CAST(list_sum(list_transform(t, w -> len(w))) AS BIGINT) AS chars,
+        |    len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+        |    len(list_filter(t, w -> NOT regexp_matches(w, '[A-Za-z0-9]'))) AS sym_words,
+        |    len(list_intersect(list_distinct(t),
+        |      ['the','a','an','and','or','of','to','in','is','it'])) AS stop_hits
+        |  FROM t
+        |)
+        |SELECT doc_id, n_words,
+        |  (chars * 100) // greatest(n_words, 1) AS mean_word_len_x100,
+        |  (alpha_words * 1000000) // greatest(n_words, 1) AS alpha_word_ppm,
+        |  (sym_words * 1000000) // greatest(n_words, 1) AS symbol_word_ppm,
+        |  stop_hits,
+        |  (n_words BETWEEN 50 AND 100000)
+        |    AND ((chars * 100) // greatest(n_words, 1) BETWEEN 300 AND 1000)
+        |    AND (alpha_words * 1000000) // greatest(n_words, 1) >= 800000
+        |    AND stop_hits >= 2 AS keep
+        |FROM m""".stripMargin,
+
+    "q73_repetition_filter" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2
+        |),
+        |g AS (
+        |  SELECT doc_id, UNNEST(list_transform(
+        |    generate_series(1, len(t) - 1), i -> array_to_string(t[i:i+1], ' '))) AS gram
+        |  FROM toks
+        |),
+        |gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(c) AS BIGINT) AS total_2grams,
+        |    COUNT(*) AS distinct_2grams,
+        |    CAST(MAX(c) AS BIGINT) AS top_2gram_count
+        |  FROM gc GROUP BY doc_id
+        |)
+        |SELECT doc_id, total_2grams, distinct_2grams, top_2gram_count,
+        |  ((total_2grams - distinct_2grams) * 1000000) // total_2grams AS dup_2gram_ppm,
+        |  (top_2gram_count * 1000000) // total_2grams AS top_2gram_ppm,
+        |  ((top_2gram_count * 1000000) // total_2grams) > 180000
+        |    OR (((total_2grams - distinct_2grams) * 1000000) // total_2grams) > 300000
+        |    AS repetitive
+        |FROM agg""".stripMargin,
+
+    "q74_budget_mixture" ->
+      """WITH tot AS (
+        |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS tot
+        |  FROM documents GROUP BY 1
+        |),
+        |r AS (
+        |  SELECT source, LEAST(1000000, (CAST(5000 AS BIGINT) * 1000000) // tot) AS rate_ppm
+        |  FROM tot
+        |)
+        |SELECT d.doc_id, d.source, d.n_chars, r.rate_ppm
+        |FROM documents d JOIN r USING (source)
+        |WHERE ((d.doc_id % 1000003) * 2654435761) % 1000000 < r.rate_ppm""".stripMargin
   )
 }

@@ -68,6 +68,68 @@ object TextOps {
                | + 2 * (1000000 - digit_ppm) + (1000000 - punct_ppm)) div 10""".stripMargin))
   }
 
+  /** Gopher-style WORD-level quality gates — the published heuristics
+    * complementing [[qualityScore]]'s char-level ratios (Rae et al.
+    * 2021, appendix A1: word-count bounds, mean word length, fraction
+    * of words carrying an alphabetic character, symbol-only word
+    * fraction, minimum distinct-stopword presence). Shuffle-free
+    * narrow map; all ratios are exact integer math (the same
+    * cross-engine halfway-rounding rationale as qualityScore —
+    * mean_word_len is hundredths, fractions are ppm). */
+  def gopherQuality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    docs
+      .select(
+        col(idCol),
+        size(toks).as("n_words"),
+        aggregate(transform(toks, w => length(w).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("__chars"),
+        size(filter(toks, w => w.rlike("[A-Za-z]"))).as("__alpha_words"),
+        size(filter(toks, w => !w.rlike("[A-Za-z0-9]"))).as("__sym_words"),
+        size(array_intersect(array_distinct(toks), typedLit(Stopwords))).as("stop_hits"))
+      .select(
+        col(idCol),
+        col("n_words"),
+        expr("(__chars * 100L) div greatest(n_words, 1)").as("mean_word_len_x100"),
+        expr("(__alpha_words * 1000000L) div greatest(n_words, 1)").as("alpha_word_ppm"),
+        expr("(__sym_words * 1000000L) div greatest(n_words, 1)").as("symbol_word_ppm"),
+        col("stop_hits"))
+      .withColumn("keep",
+        col("n_words").between(50, 100000) &&
+          col("mean_word_len_x100").between(300, 1000) &&
+          col("alpha_word_ppm") >= 800000 &&
+          col("stop_hits") >= 2)
+  }
+
+  /** Repetition stats over raw (non-distinct) word 2-grams — the
+    * Gopher/C4 repetitive-document filters: duplicate-2-gram mass and
+    * the most-frequent-2-gram share, both in exact ppm. Two
+    * hash-partitioned aggregations ((doc, gram) counts, then per-doc
+    * rollup) — the relational form scales where a per-row in-memory
+    * frequency map would not (a pathological doc's gram table is
+    * still distributed). Docs with fewer than 2 tokens have no
+    * 2-grams and are excluded (both engines agree via the same
+    * length guard). */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .where(size(col("__t")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(__t) - 1), i -> array_join(slice(__t, i, 2), ' '))"))
+        .as("gram"))
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(
+        sum("__c").as("total_2grams"),
+        count(lit(1)).as("distinct_2grams"),
+        max("__c").as("top_2gram_count"))
+      .select(col(idCol), col("total_2grams"), col("distinct_2grams"), col("top_2gram_count"),
+        expr("((total_2grams - distinct_2grams) * 1000000L) div total_2grams")
+          .as("dup_2gram_ppm"),
+        expr("(top_2gram_count * 1000000L) div total_2grams").as("top_2gram_ppm"))
+      .withColumn("repetitive",
+        col("top_2gram_ppm") > 180000 || col("dup_2gram_ppm") > 300000)
+
   /** Stopword-marker language ID: score each language by its marker
     * word occurrences in the token stream; argmax with a fixed
     * priority order (en > de > fr > es > zh) as tiebreak. */

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+
+/** Planted-fixture coverage for the Gopher-style quality/repetition
+  * filters (q72/q73) and the budget mixture sampler (q74). */
+class TextQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gopherQuality: exact stats and keep-flag logic on planted docs") {
+    // doc 1: 4 words "aa bb1 ?? the" — 1 symbol-only word, 3 alpha
+    // words, 1 distinct stopword, 10 chars total
+    val docs = Seq(
+      (1L, "aa bb1 ?? the"),
+      (2L, ("the of and " * 20).trim) // 60 words, all stopwords (3 distinct)
+    ).toDF("doc_id", "text")
+    val got = TextOps.gopherQuality(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val d1 = got(1L)
+    assert(d1.getAs[Int]("n_words") == 4)
+    assert(d1.getAs[Long]("mean_word_len_x100") == 10L * 100 / 4) // 250
+    assert(d1.getAs[Long]("alpha_word_ppm") == 3L * 1000000 / 4)
+    assert(d1.getAs[Long]("symbol_word_ppm") == 1L * 1000000 / 4)
+    assert(d1.getAs[Int]("stop_hits") == 1)
+    assert(!d1.getAs[Boolean]("keep"), "4 words is under the 50-word floor")
+
+    val d2 = got(2L)
+    assert(d2.getAs[Int]("n_words") == 60)
+    assert(d2.getAs[Int]("stop_hits") == 3)
+    assert(d2.getAs[Long]("alpha_word_ppm") == 1000000L)
+    // mean word len (3+2+3)/3 = 2.67 chars → below the 3.00 floor
+    assert(d2.getAs[Long]("mean_word_len_x100") == (3L + 2 + 3) * 20 * 100 / 60)
+    assert(!d2.getAs[Boolean]("keep"), "mean word length below floor must fail the gate")
+  }
+
+  test("repetitionStats: exact ppm on a planted repetitive doc; clean doc unflagged") {
+    // "x y x y x y x y" → 7 2-grams: "x y"×4, "y x"×3 → top 4/7,
+    // dup = (7-2)/7
+    val rep = (1L, "x y x y x y x y")
+    // 8 distinct words → 7 distinct 2-grams, top share 1/7
+    val clean = (2L, "a b c d e f g h")
+    val got = TextOps.repetitionStats(Seq(rep, clean).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val r1 = got(1L)
+    assert(r1.getAs[Long]("total_2grams") == 7L)
+    assert(r1.getAs[Long]("distinct_2grams") == 2L)
+    assert(r1.getAs[Long]("top_2gram_count") == 4L)
+    assert(r1.getAs[Long]("dup_2gram_ppm") == 5L * 1000000 / 7)
+    assert(r1.getAs[Long]("top_2gram_ppm") == 4L * 1000000 / 7)
+    assert(r1.getAs[Boolean]("repetitive"))
+
+    val r2 = got(2L)
+    assert(r2.getAs[Long]("distinct_2grams") == 7L && r2.getAs[Long]("total_2grams") == 7L)
+    assert(r2.getAs[Long]("dup_2gram_ppm") == 0L)
+    assert(!r2.getAs[Boolean]("repetitive"))
+
+    // a 1-token doc has no 2-grams and is excluded, not crashed on
+    assert(TextOps.repetitionStats(Seq((3L, "solo")).toDF("doc_id", "text"),
+      "doc_id", "text").count() == 0)
+  }
+
+  test("q74: rates derive from source sizes; admission is deterministic and within-rate") {
+    val out = SparkEntry.q74BudgetMixture(spark, SfDir).cache()
+    try {
+      val docs = Tables.documents(spark, SfDir).select("doc_id", "source", "n_chars")
+      // rate re-derivation: min(1e6, budget*1e6 div total-chars)
+      val want = docs.groupBy("source").agg(sum("n_chars").as("tot"))
+        .select(col("source"),
+          least(lit(1000000L), expr("(5000 * 1000000L) div tot")).as("want_ppm"))
+      val bad = out.select("source", "rate_ppm").distinct()
+        .join(want, "source")
+        .where(col("rate_ppm") =!= col("want_ppm"))
+      assert(bad.count() == 0, "published rate_ppm must equal the derived rate")
+
+      // admitted set is exactly the hash predicate over the input
+      val wantAdmitted = docs.join(want, "source")
+        .where(pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L), lit(1000000L)) <
+          col("want_ppm"))
+      assert(out.count() == wantAdmitted.count())
+      assert(out.select("doc_id").exceptAll(wantAdmitted.select("doc_id")).count() == 0)
+
+      // determinism: rerun is identical
+      val again = SparkEntry.q74BudgetMixture(spark, SfDir)
+      assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
+
+      // and the sample is a real subsample (budget binds at every SF)
+      assert(out.count() > 0 && out.count() < docs.count())
+    } finally { out.unpersist(): Unit }
+  }
+}
