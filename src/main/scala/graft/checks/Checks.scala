@@ -14,10 +14,12 @@ import org.apache.spark.sql.expressions.Window
   * Scale notes: every check is a single shuffle on its key columns
   * (groupBy or window) or a key-partitioned anti-join — no driver
   * materialization anywhere; [[Checks.summarize]] reduces each rule to
-  * one count row. Identical sub-plans across rules in one summarize
-  * (e.g. three rules over the same running-balance view) share their
-  * shuffle via Spark's ReuseExchange, so a suite costs roughly its
-  * distinct inputs, not rules × inputs.
+  * one count row. A suite whose rules share a derived input (e.g.
+  * three rules over one running-balance view) should persist that
+  * input (graft.CacheScope) — Spark's runtime exchange reuse does NOT
+  * dedupe union branches whose operator trees differ above the shared
+  * scan (measured on the q71 suite: zero ReusedQueryStage without the
+  * persist), so without it the suite re-scans the fact table per rule.
   */
 object Checks {
 

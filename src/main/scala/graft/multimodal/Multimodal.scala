@@ -117,15 +117,41 @@ object Multimodal {
       }
     }
 
+  /** Deterministic tiny JPEG: a w×h RGB raster whose pixels mix the
+    * source bytes with the frame index, JDK-encoded. The MJPEG frame
+    * payload generator for [[asMediaTable]] — real JPEGs, so the full
+    * container→frame→pixels pipeline (q75) decodes genuinely. JPEG
+    * encoding is lossy but the BYTES are a pure function of the
+    * raster and encoder, so checksums are reproducible run-to-run. */
+  private[multimodal] def syntheticJpeg(src: Array[Byte], frameIdx: Int,
+      w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val b = if (src.isEmpty) 0 else src((x + y * w + frameIdx) % src.length) & 0xff
+        img.setRGB(x, y, (b << 16) | ((x * 31 + frameIdx * 57) & 0xff) << 8 | (y * 53 & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    baos.toByteArray
+  }
+
   /** Wrap a text table into a binary media table (media_type
     * round-robins on the id). Image/audio payloads are the raw utf-8
     * bytes standing in for encoded media (their real codecs reject
-    * them into the stub path). VIDEO payloads are muxed into a REAL
-    * AVI container around the text bytes via [[Riff.muxMjpeg]] —
-    * genuine header fields, frame chunks, and idx1 index — so the
-    * container-parsing path (q27 true dims, q46 true frame offsets)
-    * runs the real codec on testdata, with deterministic dims and a
-    * 4–6 frame split derived from the payload length. */
+    * them into the stub path). VIDEO payloads are REAL MJPEG AVIs
+    * ([[Riff.muxMjpeg]] around [[syntheticJpeg]] frames seeded from
+    * the text bytes): genuine header fields, idx1 index, AND
+    * JPEG-decodable frame payloads — so the whole container→frame→
+    * pixels pipeline (q27 dims, q46 offsets, q75 frame decode) runs
+    * real codecs on testdata. Frame count (4–6) and frame dims
+    * derive deterministically from the payload length. */
   def asMediaTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -141,8 +167,8 @@ object Multimodal {
         else {
           val n = r.payload.length
           val k = 4 + n % 3
-          val frames = (0 until k).map(i =>
-            java.util.Arrays.copyOfRange(r.payload, n * i / k, n * (i + 1) / k))
+          val (fw, fh) = (8 + n % 5, 6 + n % 4)
+          val frames = (0 until k).map(i => syntheticJpeg(r.payload, i, fw, fh))
           r.copy(payload = Riff.muxMjpeg(
             160 + (n % 8) * 8, 120 + (n % 6) * 8, fps = 24, frames))
         }
@@ -227,6 +253,53 @@ object Multimodal {
       payload: Array[Byte])
   case class FrameRow(doc_id: Long, frame_idx: Int, src_frame: Int, byte_offset: Int,
       n_bytes: Int, frame_checksum: Long)
+
+  case class DecodedFrame(doc_id: Long, frame_idx: Int, src_frame: Int,
+      n_bytes: Int, width: Int, height: Int, pixel_checksum: Long, decoded: Boolean)
+
+  /** Full video→pixels pipeline: parse the AVI container, sample
+    * `framesPerDoc` evenly-spaced TRUE frames from the idx1 index,
+    * and DECODE each frame payload through the real image codec —
+    * MJPEG frames are JPEGs, so width/height/pixel checksum come from
+    * the actual decoded raster. Frames that don't image-decode
+    * (non-MJPEG codecs) and non-AVI payloads (sampled as raw windows)
+    * emit the deterministic stub with decoded=false, keeping mixed
+    * corpora total. Same narrow batched-map scale shape as every
+    * codec pass here. */
+  def decodeFrames(media: DataFrame, framesPerDoc: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.where(col("media_type") === "video")
+      .select(col("doc_id"), col("media_type"), col("payload")).as[MediaRow]
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(_.flatMap { r =>
+        val n = r.payload.length
+        val ranges = Riff.parseAvi(r.payload) match {
+          case Some(info) =>
+            val k = math.max(1, math.min(framesPerDoc, info.nFrames))
+            (0 until k).map { i =>
+              val j = info.nFrames * i / k
+              (i, j, info.frames(j))
+            }
+          case None =>
+            val k = math.max(1, math.min(framesPerDoc, n))
+            (0 until k).map { i =>
+              val off = (n.toLong * i / k).toInt
+              (i, i, (off, math.min(16, n - off)))
+            }
+        }
+        ranges.map { case (i, j, (off, len)) =>
+          val bytes = java.util.Arrays.copyOfRange(r.payload, off, off + len)
+          decodeImage(bytes) match {
+            case Some((w, h, cs)) =>
+              DecodedFrame(r.doc_id, i, j, len, w, h, cs, decoded = true)
+            case None =>
+              DecodedFrame(r.doc_id, i, j, len, 16 + len % 64, 16 + (len / 64) % 64,
+                polyChecksum(bytes, 0, len), decoded = false)
+          }
+        }
+      }))
+      .toDF()
+  }
 
   /** Resize pass (STUB codec): emits a payload of exactly width×height
     * bytes per row — a real implementation decodes, resamples, and

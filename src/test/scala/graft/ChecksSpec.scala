@@ -102,6 +102,29 @@ class ChecksSpec extends SparkSpec {
     Checks.assertAll(Seq("dup_k" -> Checks.uniqueKey(df, Seq("k"))))
   }
 
+  test("q71 plan shape: shared inputs are cached, not re-scanned per rule") {
+    spark.catalog.clearCache()
+    CacheScope.releaseAll(spark)
+    val df = SparkEntry.q71QualityChecks(spark, SfDir)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    // balances feeds 3 rules and transfers 2 — with the CacheScope
+    // persist, those rules read InMemoryTableScan instead of
+    // re-deriving the events subtree (runtime exchange reuse does NOT
+    // dedupe union branches — this spec is what notices if a refactor
+    // drops the persist and silently quintuples the fact scans)
+    val cachedReads = "InMemoryTableScan|TableCacheQueryStage".r.findAllIn(plan).length
+    assert(cachedReads >= 5, s"expected >=5 cached reads across rules, got $cachedReads")
+    CacheScope.releaseAll(spark)
+  }
+
+  test("q74 plan shape: derived rates broadcast onto the scan — no corpus shuffle") {
+    val plan = SparkEntry.q74BudgetMixture(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "rates must broadcast-join; a sort-merge join here shuffles the corpus")
+  }
+
   test("q71 registry suite: structural invariants hold on real tables") {
     val out = SparkEntry.q71QualityChecks(spark, SfDir)
       .as[(String, Long)].collect().toMap

@@ -128,6 +128,49 @@ class RiffSpec extends SparkSpec {
       again.map(_.getAs[Long]("frame_checksum")).toSeq)
   }
 
+  test("decodeFrames: MJPEG frames decode to true rasters; non-AVI payloads stay stub") {
+    val sess = spark
+    import sess.implicits._
+    // real 6×4 JPEGs in the container → decode must recover 6×4
+    val img = new java.awt.image.BufferedImage(6, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 6) img.setRGB(x, y, x * 11 + y * 4000 + 7)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", baos))
+    val jpeg = baos.toByteArray
+    val avi = Riff.muxMjpeg(64, 48, fps = 10, Seq(jpeg, jpeg, jpeg))
+    val media = Seq(
+      (1L, "video", avi),
+      (2L, "video", "not a container".getBytes("UTF-8"))
+    ).toDF("doc_id", "media_type", "payload")
+    val rows = Multimodal.decodeFrames(media, framesPerDoc = 2)
+      .collect().groupBy(_.getLong(0))
+    val real = rows(1L)
+    assert(real.length == 2 && real.forall(_.getAs[Boolean]("decoded")),
+      "every MJPEG frame must decode")
+    assert(real.forall(r => r.getAs[Int]("width") == 6 && r.getAs[Int]("height") == 4),
+      "decoded dims must come from the frame raster, not the container header")
+    val stub = rows(2L)
+    assert(stub.forall(!_.getAs[Boolean]("decoded")), "raw text windows must not decode")
+  }
+
+  test("q75 on testdata: every sampled frame of every video decodes") {
+    val out = SparkEntry.q75FrameDecode(spark, SfDir).cache()
+    try {
+      val nVideos = Multimodal.asMediaTable(Tables.documents(spark, SfDir), "doc_id", "text")
+        .where(col("media_type") === "video").count()
+      assert(out.count() == nVideos, "one rollup row per video")
+      assert(out.where(col("n_decoded") =!= col("n_frames")).count() == 0,
+        "a sampled MJPEG frame failed to decode")
+      // frame dims derive from payload length: width 8..12, height 6..9
+      assert(out.where(col("max_width") < 8 || col("max_width") > 12 ||
+        col("max_height") < 6 || col("max_height") > 9).count() == 0,
+        "decoded dims outside the synthetic frame range — stub values leaked in")
+      // deterministic rerun (JPEG bytes are a pure function of raster+encoder)
+      val again = SparkEntry.q75FrameDecode(spark, SfDir)
+      assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
+    } finally { out.unpersist(): Unit }
+  }
+
   test("q27/q46 on testdata run the real container path for every video row") {
     val media = Multimodal.asMediaTable(Tables.documents(spark, SfDir), "doc_id", "text")
     val videos = media.where(col("media_type") === "video").cache()
