@@ -1104,6 +1104,23 @@ object SparkEntry {
       .select("doc_id", "source", "n_chars", "rate_ppm")
   }
 
+  /** q76: statistical outlier scan — per-asset z-score fences over
+    * daily net transfers (graft.checks.Checks.outliersZScore), the
+    * warn-severity review population of the reference's
+    * balance_over_market_cap test expressed as an operator. The
+    * predicate is float, but the nearest data point sits 4.7e-4
+    * RELATIVE from the z=3 boundary at the gate SFs (measured) while
+    * cross-engine float divergence is ~1e-15 — the oracle is safe by
+    * 11 orders of magnitude. Outputs round for display only; the
+    * boundary is evaluated unrounded on both engines. */
+  def q76OutlierScan(spark: SparkSession, dir: String): DataFrame =
+    graft.checks.Checks.outliersZScore(
+      Tables.transfers(spark, dir), Seq("asset"), "net_transfers", z = 3.0)
+      .select(col("asset"), col("wallet"), col("date"),
+        round(col("net_transfers"), 6).as("net_transfers"),
+        round(col("group_mean"), 6).as("group_mean"),
+        round(col("group_stddev"), 6).as("group_stddev"))
+
   /** q75: the full video→pixels pipeline as one registry query —
     * AVI container parse → idx1-indexed frame extraction at true
     * offsets → REAL JPEG decode of the MJPEG frame payloads →
@@ -1199,7 +1216,8 @@ object SparkEntry {
     "q72_quality_gopher"         -> (q72QualityGopher _),
     "q73_repetition_filter"      -> (q73RepetitionFilter _),
     "q74_budget_mixture"         -> (q74BudgetMixture _),
-    "q75_frame_decode"           -> (q75FrameDecode _)
+    "q75_frame_decode"           -> (q75FrameDecode _),
+    "q76_outlier_scan"           -> (q76OutlierScan _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -2142,6 +2160,20 @@ object SparkEntry {
         |    OR (((total_2grams - distinct_2grams) * 1000000) // total_2grams) > 300000
         |    AS repetitive
         |FROM agg""".stripMargin,
+
+    "q76_outlier_scan" ->
+      s"""WITH $transfersCte,
+         |s AS (
+         |  SELECT asset, AVG(net_transfers) AS m, STDDEV_SAMP(net_transfers) AS sd
+         |  FROM transfers GROUP BY 1
+         |)
+         |SELECT t.asset, t.wallet, t.date,
+         |  ROUND(t.net_transfers, 6) AS net_transfers,
+         |  ROUND(s.m, 6) AS group_mean,
+         |  ROUND(s.sd, 6) AS group_stddev
+         |FROM transfers t JOIN s USING (asset)
+         |WHERE s.sd IS NOT NULL AND s.sd > 0
+         |  AND ABS(t.net_transfers - s.m) > 3.0 * s.sd""".stripMargin,
 
     "q74_budget_mixture" ->
       """WITH tot AS (

@@ -111,6 +111,45 @@ object Checks {
     fact.join(dim, fact(joinKey) === dim(dimKey))
       .where(fact(valueCol) > dim(boundCol))
 
+  /** Rows lying more than `z` sample standard deviations from their
+    * group mean — the statistical sibling of the hard-predicate
+    * checks, covering the reference's warn-severity review tests
+    * (test_cCoinWalletProfits_balance_over_market_cap flags
+    * "usually bad data, could use review" populations rather than
+    * invariant breaches). One aggregation producing a
+    * dimension-sized stats table joined back onto the fact scan
+    * (broadcasts under AQE); constant and singleton groups (stddev
+    * 0 or null) yield no violations by construction. Emits the
+    * offending row plus `group_mean`/`group_stddev` for triage. */
+  def outliersZScore(df: DataFrame, keys: Seq[String], valueCol: String,
+      z: Double = 3.0): DataFrame = {
+    require(z > 0, s"z must be positive, got $z")
+    val stats = df.groupBy(keys.map(col): _*)
+      .agg(avg(valueCol).as("group_mean"), stddev_samp(valueCol).as("group_stddev"))
+    df.join(stats, keys)
+      .where(col("group_stddev").isNotNull && col("group_stddev") > 0 &&
+        abs(col(valueCol) - col("group_mean")) > lit(z) * col("group_stddev"))
+  }
+
+  /** Tukey-fence outliers: rows outside [q1 − k·iqr, q3 + k·iqr] of
+    * their group's exact interpolated quartiles. Exact `percentile`
+    * holds every group value in memory — fine for dimension-grouped
+    * checks; at 100 TB swap `approx_percentile` in (the q45
+    * precedent) and accept sketch-grade fences. Same stats-join
+    * shape as [[outliersZScore]]. */
+  def outliersIqr(df: DataFrame, keys: Seq[String], valueCol: String,
+      k: Double = 1.5): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val stats = df.groupBy(keys.map(col): _*)
+      .agg(
+        expr(s"percentile($valueCol, 0.25)").as("group_q1"),
+        expr(s"percentile($valueCol, 0.75)").as("group_q3"))
+    df.join(stats, keys)
+      .where(
+        col(valueCol) < col("group_q1") - lit(k) * (col("group_q3") - col("group_q1")) ||
+          col(valueCol) > col("group_q3") + lit(k) * (col("group_q3") - col("group_q1")))
+  }
+
   /** One summary row per rule: (rule, n_violations). The suite-level
     * artifact a scheduler records per run — each rule collapses to a
     * single count, so the result is rules-many rows regardless of

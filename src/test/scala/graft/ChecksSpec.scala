@@ -87,6 +87,34 @@ class ChecksSpec extends SparkSpec {
       "only the latest over-bound state is a violation")
   }
 
+  test("outliersZScore: planted spike caught; constant and singleton groups are silent") {
+    // group g: 20 values at ~10 plus one spike at 1000 — the spike is
+    // the only point beyond 3 sigma. group c: constant (stddev 0).
+    // group s: singleton (stddev null). Neither may emit.
+    val g = (1 to 20).map(i => ("g", i.toLong, 10.0 + (i % 5))) :+ (("g", 99L, 1000.0))
+    val rows = (g ++ Seq(("c", 1L, 5.0), ("c", 2L, 5.0), ("s", 1L, 42.0)))
+      .toDF("k", "id", "v")
+    val out = Checks.outliersZScore(rows, Seq("k"), "v", z = 3.0).collect()
+    assert(out.length == 1 && out.head.getAs[Long]("id") == 99L,
+      s"exactly the planted spike must flag, got ${out.toSeq}")
+    assert(out.head.getAs[Double]("group_stddev") > 0)
+    // tighten z until normal points flag too — the dial works
+    assert(Checks.outliersZScore(rows, Seq("k"), "v", z = 0.1).count() > 1)
+  }
+
+  test("outliersIqr: fences from exact quartiles; inliers pass") {
+    // 12 values (1..11 + the spike 100): interpolated ranks 2.75/8.25
+    // → q1=3.75, q3=9.25, iqr=5.5 → fences [-4.5, 17.5]; 100 is out
+    val rows = ((1 to 11).map(i => ("a", i.toLong, i.toDouble)) :+ (("a", 99L, 100.0)))
+      .toDF("k", "id", "v")
+    val out = Checks.outliersIqr(rows, Seq("k"), "v", k = 1.5).collect()
+    assert(out.length == 1 && out.head.getAs[Long]("id") == 99L)
+    assert(out.head.getAs[Double]("group_q1") == 3.75 &&
+      out.head.getAs[Double]("group_q3") == 9.25)
+    // wider fences admit the spike
+    assert(Checks.outliersIqr(rows, Seq("k"), "v", k = 50.0).count() == 0)
+  }
+
   test("summarize yields one count row per rule; assertAll names failing rules") {
     val df = Seq(("a", -5.0), ("b", 1.0)).toDF("k", "v")
     val rules = Seq(
