@@ -420,6 +420,57 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("S2t: TTL balance closes out idle keys, bounds state, and restarts epochs") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.{BalanceEvent, RunningBalanceTtl, TransferTs}
+    def ts(day: Int) = new java.sql.Timestamp(86400000L * day)
+
+    val mem = MemoryStream[TransferTs]
+    val query = RunningBalanceTtl(mem.toDS(), java.time.Duration.ofDays(5),
+      watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("s2t").outputMode("append").start()
+    try {
+      // batch 1: wallets 1 and 2 both active
+      mem.addData(Seq(
+        TransferTs("x", 1L, ts(1), 10.0), TransferTs("x", 2L, ts(1), 5.0),
+        TransferTs("x", 1L, ts(2), -3.0), TransferTs("x", 2L, ts(2), 1.0)))
+      query.processAllAvailable()
+      // batch 2: only wallet 1, 28 days later — the watermark passes
+      // wallet 2's idle horizon (last event day 2 + 5 idle = day 7)
+      mem.addData(Seq(TransferTs("x", 1L, ts(30), 2.0)))
+      query.processAllAvailable()
+      query.processAllAvailable() // let the no-data batch fire timeouts
+
+      val afterClose = spark.table("s2t").as[BalanceEvent].collect()
+      val bClose = afterClose.filter(e => e.wallet == 2L && e.is_closeout)
+      assert(bClose.length == 1, s"idle wallet must close out exactly once: ${afterClose.toSeq}")
+      assert(bClose.head.balance == 6.0 && bClose.head.transfer_sequence == 2L,
+        "close-out must carry the FINAL balance and sequence")
+      assert(bClose.head.ts == ts(2), "close-out rides the key's last event time")
+      assert(!afterClose.exists(e => e.wallet == 1L && e.is_closeout),
+        "an active key must not close out")
+
+      // bounded state, observably: the store grew to 2 keys, then the
+      // eviction dropped it back to the 1 ACTIVE key
+      val stateRows = query.recentProgress.flatMap(_.stateOperators.headOption)
+        .map(_.numRowsTotal)
+      assert(stateRows.max == 2, s"both keys must have held state: ${stateRows.toSeq}")
+      assert(stateRows.last == 1, s"evicted key must leave the store: ${stateRows.toSeq}")
+
+      // the evicted key reappears → FRESH epoch (documented restart)
+      mem.addData(Seq(TransferTs("x", 2L, ts(31), 7.0)))
+      query.processAllAvailable()
+      val reborn = spark.table("s2t").as[BalanceEvent].collect()
+        .filter(e => e.wallet == 2L && !e.is_closeout && e.ts == ts(31))
+      assert(reborn.length == 1 && reborn.head.balance == 7.0 &&
+        reborn.head.transfer_sequence == 1L,
+        "a reappearing key starts a fresh epoch — balance and sequence restart")
+      // and the close-out ledger stitches the epochs: final true balance
+      assert(bClose.head.balance + reborn.head.balance == 13.0)
+    } finally query.stop()
+  }
+
   test("S2r: running-balance state survives a checkpoint restart (continues, not resets)") {
     import spark.implicits._
     val transfers = Tables.transfers(spark, SfDir)
