@@ -1104,6 +1104,34 @@ object SparkEntry {
       .select("doc_id", "source", "n_chars", "rate_ppm")
   }
 
+  /** q77: cross-field reconciliation over the flagship output — the
+    * reference's transfers_and_profits_math test as an operator:
+    * usd_balance must re-derive as prev_usd_balance +
+    * usd_net_transfers + profits_change (the telescoping identity of
+    * the profit math; exact on q10's post-filter rows because the
+    * pre-inflow filter only drops PREFIXES of each pair's history).
+    * Checks.reconciles flags rows beyond BOTH 1¢ absolute and 0.01%
+    * relative tolerance — zero expected, and the per-asset rollup
+    * (n_rows / n_checked / n_violations) is the auditable artifact.
+    * Engine parity: both sides compute the identity from q10's
+    * ROUNDED outputs with the same association, so the oracle is
+    * deterministic. */
+  def q77ProfitReconciliation(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("asset", "wallet").orderBy("date")
+    // consumed twice (rollup + violations) — CacheScope lifecycle
+    val cwp = CacheScope.persisted(
+      q10WalletProfits(spark, dir)
+        .withColumn("prev_usd", lag("usd_balance", 1).over(w)))
+    val expected = (col("prev_usd") + col("usd_net_transfers")) + col("profits_change")
+    val viol = graft.checks.Checks.reconciles(cwp, "usd_balance", expected,
+      tolAbs = 0.01, tolPct = 0.0001)
+    cwp.groupBy("asset")
+      .agg(count(lit(1)).as("n_rows"), count(col("prev_usd")).as("n_checked"))
+      .join(viol.groupBy("asset").agg(count(lit(1)).as("__nv")), Seq("asset"), "left")
+      .select(col("asset"), col("n_rows"), col("n_checked"),
+        coalesce(col("__nv"), lit(0L)).as("n_violations"))
+  }
+
   /** q76: statistical outlier scan — per-asset z-score fences over
     * daily net transfers (graft.checks.Checks.outliersZScore), the
     * warn-severity review population of the reference's
@@ -1217,7 +1245,8 @@ object SparkEntry {
     "q73_repetition_filter"      -> (q73RepetitionFilter _),
     "q74_budget_mixture"         -> (q74BudgetMixture _),
     "q75_frame_decode"           -> (q75FrameDecode _),
-    "q76_outlier_scan"           -> (q76OutlierScan _)
+    "q76_outlier_scan"           -> (q76OutlierScan _),
+    "q77_profit_reconciliation"  -> (q77ProfitReconciliation _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -1233,6 +1262,92 @@ object SparkEntry {
       "q48_skew_join_plain"         -> m("q47_skew_join_salted"),
       "q49_embedding_neardup_tiled" -> m("q26_embedding_dedup"))
   }
+
+  /** q10's full oracle SQL — also embedded as a subquery by q77's
+    * reconciliation oracle (same text, one definition). */
+  private lazy val walletProfitsSql: String =
+    s"""WITH $transfersCte, $balancesCte, $pricesCte,
+         |merged AS (
+         |  SELECT b.asset, b.wallet, b.date, b.net_transfers, b.balance, p.price
+         |  FROM balances b LEFT JOIN prices p ON p.asset = b.asset AND p.date = b.date
+         |),
+         |first_prices AS (
+         |  SELECT p.asset, f.first_price_date, p.price AS first_price
+         |  FROM (SELECT asset, MIN(date) AS first_price_date FROM prices GROUP BY 1) f
+         |  JOIN prices p ON p.asset = f.asset AND p.date = f.first_price_date
+         |),
+         |with_first AS (
+         |  SELECT m.*, f.first_price_date, f.first_price
+         |  FROM merged m LEFT JOIN first_prices f ON f.asset = m.asset
+         |),
+         |pre_price AS (SELECT * FROM with_first WHERE date < first_price_date),
+         |has_pre AS (SELECT DISTINCT asset, wallet FROM pre_price),
+         |active_on_fpd AS (
+         |  SELECT DISTINCT asset, wallet FROM with_first WHERE date = first_price_date
+         |),
+         |needs_imputation AS (
+         |  SELECT h.* FROM has_pre h
+         |  WHERE NOT EXISTS (SELECT 1 FROM active_on_fpd a
+         |                    WHERE a.asset = h.asset AND a.wallet = h.wallet)
+         |),
+         |last_pre_balance AS (
+         |  SELECT asset, wallet, balance FROM (
+         |    SELECT p.asset, p.wallet, p.balance,
+         |           ROW_NUMBER() OVER (PARTITION BY p.asset, p.wallet ORDER BY p.date DESC) AS rn
+         |    FROM pre_price p
+         |    JOIN needs_imputation n ON n.asset = p.asset AND n.wallet = p.wallet
+         |  ) WHERE rn = 1
+         |),
+         |imputed AS (
+         |  SELECT l.asset, l.wallet, f.first_price_date AS date,
+         |         l.balance AS net_transfers, l.balance, f.first_price AS price
+         |  FROM last_pre_balance l JOIN first_prices f ON f.asset = l.asset
+         |),
+         |combined AS (
+         |  SELECT asset, wallet, date, net_transfers, balance, price
+         |  FROM merged WHERE price IS NOT NULL
+         |  UNION ALL
+         |  SELECT asset, wallet, date, net_transfers, balance, price FROM imputed
+         |),
+         |rebased AS (
+         |  SELECT asset, wallet, date,
+         |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY asset, wallet ORDER BY date) = 1
+         |         THEN balance ELSE net_transfers END AS net_transfers,
+         |    balance, price
+         |  FROM combined
+         |),
+         |inflow_filtered AS (
+         |  SELECT * FROM (
+         |    SELECT *,
+         |      SUM(GREATEST(net_transfers, 0.0)) OVER
+         |        (PARTITION BY asset, wallet ORDER BY date) AS inflows_cum
+         |    FROM rebased
+         |  ) WHERE inflows_cum > 0
+         |),
+         |prof AS (
+         |  SELECT asset, wallet, date, net_transfers, balance, price,
+         |    (price - COALESCE(LAG(price) OVER w, price))
+         |      * COALESCE(LAG(balance) OVER w, 0.0) AS profits_change
+         |  FROM inflow_filtered
+         |  WINDOW w AS (PARTITION BY asset, wallet ORDER BY date)
+         |),
+         |prof2 AS (
+         |  SELECT *,
+         |    SUM(profits_change) OVER w AS profits_cumulative,
+         |    balance * price AS usd_balance,
+         |    net_transfers * price AS usd_net_transfers,
+         |    CASE WHEN net_transfers * price > 0 THEN net_transfers * price ELSE 0.0 END AS usd_inflows
+         |  FROM prof
+         |  WINDOW w AS (PARTITION BY asset, wallet ORDER BY date)
+         |)
+         |SELECT asset, wallet, date,
+         |  ROUND(profits_change, 6) AS profits_change,
+         |  ROUND(profits_cumulative, 6) AS profits_cumulative,
+         |  ROUND(usd_balance, 6) AS usd_balance,
+         |  ROUND(usd_net_transfers, 6) AS usd_net_transfers,
+         |  ROUND(usd_inflows, 6) AS usd_inflows,
+         |  ROUND(SUM(usd_inflows) OVER (PARTITION BY asset, wallet ORDER BY date), 6) AS usd_inflows_cumulative
+         |FROM prof2""".stripMargin
 
   private def baseOracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -1383,89 +1498,7 @@ object SparkEntry {
       """SELECT wallet, ROW_NUMBER() OVER (ORDER BY wallet) AS wallet_id
         |FROM (SELECT DISTINCT user_id AS wallet FROM events)""".stripMargin,
 
-    "q10_wallet_profits" ->
-      s"""WITH $transfersCte, $balancesCte, $pricesCte,
-         |merged AS (
-         |  SELECT b.asset, b.wallet, b.date, b.net_transfers, b.balance, p.price
-         |  FROM balances b LEFT JOIN prices p ON p.asset = b.asset AND p.date = b.date
-         |),
-         |first_prices AS (
-         |  SELECT p.asset, f.first_price_date, p.price AS first_price
-         |  FROM (SELECT asset, MIN(date) AS first_price_date FROM prices GROUP BY 1) f
-         |  JOIN prices p ON p.asset = f.asset AND p.date = f.first_price_date
-         |),
-         |with_first AS (
-         |  SELECT m.*, f.first_price_date, f.first_price
-         |  FROM merged m LEFT JOIN first_prices f ON f.asset = m.asset
-         |),
-         |pre_price AS (SELECT * FROM with_first WHERE date < first_price_date),
-         |has_pre AS (SELECT DISTINCT asset, wallet FROM pre_price),
-         |active_on_fpd AS (
-         |  SELECT DISTINCT asset, wallet FROM with_first WHERE date = first_price_date
-         |),
-         |needs_imputation AS (
-         |  SELECT h.* FROM has_pre h
-         |  WHERE NOT EXISTS (SELECT 1 FROM active_on_fpd a
-         |                    WHERE a.asset = h.asset AND a.wallet = h.wallet)
-         |),
-         |last_pre_balance AS (
-         |  SELECT asset, wallet, balance FROM (
-         |    SELECT p.asset, p.wallet, p.balance,
-         |           ROW_NUMBER() OVER (PARTITION BY p.asset, p.wallet ORDER BY p.date DESC) AS rn
-         |    FROM pre_price p
-         |    JOIN needs_imputation n ON n.asset = p.asset AND n.wallet = p.wallet
-         |  ) WHERE rn = 1
-         |),
-         |imputed AS (
-         |  SELECT l.asset, l.wallet, f.first_price_date AS date,
-         |         l.balance AS net_transfers, l.balance, f.first_price AS price
-         |  FROM last_pre_balance l JOIN first_prices f ON f.asset = l.asset
-         |),
-         |combined AS (
-         |  SELECT asset, wallet, date, net_transfers, balance, price
-         |  FROM merged WHERE price IS NOT NULL
-         |  UNION ALL
-         |  SELECT asset, wallet, date, net_transfers, balance, price FROM imputed
-         |),
-         |rebased AS (
-         |  SELECT asset, wallet, date,
-         |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY asset, wallet ORDER BY date) = 1
-         |         THEN balance ELSE net_transfers END AS net_transfers,
-         |    balance, price
-         |  FROM combined
-         |),
-         |inflow_filtered AS (
-         |  SELECT * FROM (
-         |    SELECT *,
-         |      SUM(GREATEST(net_transfers, 0.0)) OVER
-         |        (PARTITION BY asset, wallet ORDER BY date) AS inflows_cum
-         |    FROM rebased
-         |  ) WHERE inflows_cum > 0
-         |),
-         |prof AS (
-         |  SELECT asset, wallet, date, net_transfers, balance, price,
-         |    (price - COALESCE(LAG(price) OVER w, price))
-         |      * COALESCE(LAG(balance) OVER w, 0.0) AS profits_change
-         |  FROM inflow_filtered
-         |  WINDOW w AS (PARTITION BY asset, wallet ORDER BY date)
-         |),
-         |prof2 AS (
-         |  SELECT *,
-         |    SUM(profits_change) OVER w AS profits_cumulative,
-         |    balance * price AS usd_balance,
-         |    net_transfers * price AS usd_net_transfers,
-         |    CASE WHEN net_transfers * price > 0 THEN net_transfers * price ELSE 0.0 END AS usd_inflows
-         |  FROM prof
-         |  WINDOW w AS (PARTITION BY asset, wallet ORDER BY date)
-         |)
-         |SELECT asset, wallet, date,
-         |  ROUND(profits_change, 6) AS profits_change,
-         |  ROUND(profits_cumulative, 6) AS profits_cumulative,
-         |  ROUND(usd_balance, 6) AS usd_balance,
-         |  ROUND(usd_net_transfers, 6) AS usd_net_transfers,
-         |  ROUND(usd_inflows, 6) AS usd_inflows,
-         |  ROUND(SUM(usd_inflows) OVER (PARTITION BY asset, wallet ORDER BY date), 6) AS usd_inflows_cumulative
-         |FROM prof2""".stripMargin,
+    "q10_wallet_profits" -> walletProfitsSql,
 
     "q11_multisource_union" ->
       """WITH source_a AS (
@@ -2160,6 +2193,21 @@ object SparkEntry {
         |    OR (((total_2grams - distinct_2grams) * 1000000) // total_2grams) > 300000
         |    AS repetitive
         |FROM agg""".stripMargin,
+
+    "q77_profit_reconciliation" ->
+      s"""SELECT asset, COUNT(*) AS n_rows,
+         |  COUNT(prev_usd) AS n_checked,
+         |  CAST(SUM(CASE WHEN prev_usd IS NOT NULL
+         |    AND ABS(usd_balance - ((prev_usd + usd_net_transfers) + profits_change)) > 0.01
+         |    AND ABS(usd_balance - ((prev_usd + usd_net_transfers) + profits_change)) >
+         |        0.0001 * ABS((prev_usd + usd_net_transfers) + profits_change)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+         |FROM (
+         |  SELECT asset, wallet, usd_balance, usd_net_transfers, profits_change,
+         |         LAG(usd_balance) OVER (PARTITION BY asset, wallet ORDER BY date) AS prev_usd
+         |  FROM ($walletProfitsSql)
+         |)
+         |GROUP BY asset""".stripMargin,
 
     "q76_outlier_scan" ->
       s"""WITH $transfersCte,

@@ -150,6 +150,22 @@ object Checks {
           col(valueCol) > col("group_q3") + lit(k) * (col("group_q3") - col("group_q1")))
   }
 
+  /** Rows where `actualCol` disagrees with the `expected` expression
+    * beyond BOTH an absolute and a relative tolerance — the
+    * reference's transfers_and_profits_math pattern (flag only
+    * differences > $1 AND > 1%: absolute-only over-fires on huge
+    * magnitudes, relative-only on tiny ones). The expected value is
+    * materialized as `expected_value` on the emitted rows for triage.
+    * Rows where `expected` evaluates to null (e.g. a LAG at a
+    * partition head) are not checkable and never flag. */
+  def reconciles(df: DataFrame, actualCol: String, expected: Column,
+      tolAbs: Double, tolPct: Double): DataFrame = {
+    require(tolAbs >= 0 && tolPct >= 0, "tolerances must be non-negative")
+    val flagged = df.withColumn("expected_value", expected)
+    val diff = abs(col(actualCol) - col("expected_value"))
+    flagged.where(diff > tolAbs && diff > lit(tolPct) * abs(col("expected_value")))
+  }
+
   /** One summary row per rule: (rule, n_violations). The suite-level
     * artifact a scheduler records per run — each rule collapses to a
     * single count, so the result is rules-many rows regardless of

@@ -115,6 +115,34 @@ class ChecksSpec extends SparkSpec {
     assert(Checks.outliersIqr(rows, Seq("k"), "v", k = 50.0).count() == 0)
   }
 
+  test("reconciles flags only dual-tolerance breaches; null expectations never flag") {
+    val df = Seq(
+      (1L, 100.0, Some(100.005)),      // under the absolute tolerance → pass
+      (2L, 100.0, Some(130.0)),        // breaches both tolerances → flag
+      (3L, 1.0e9, Some(1.000000005e9)), // abs diff 5 but relatively tiny → pass
+      (4L, 5.0, Option.empty[Double])  // null expectation → not checkable
+    ).toDF("id", "actual", "exp")
+    val v = Checks.reconciles(df, "actual", col("exp"), tolAbs = 0.01, tolPct = 0.0001)
+    assert(v.select("id").as[Long].collect().toSeq == Seq(2L),
+      "exactly the dual breach must flag")
+    assert(v.columns.contains("expected_value"), "violations must carry the expected value")
+  }
+
+  test("q77: the profit identity reconciles exactly on real data") {
+    val out = SparkEntry.q77ProfitReconciliation(spark, SfDir).collect()
+    try {
+      assert(out.nonEmpty)
+      // the telescoping identity holds on every checkable row — a
+      // violation here means q10's profit math broke
+      assert(out.forall(_.getAs[Long]("n_violations") == 0L),
+        s"profit identity violated: ${out.toSeq}")
+      // and the check is not vacuous: most rows are checkable (only
+      // each pair's first row has no lag)
+      assert(out.forall(r => r.getAs[Long]("n_checked") > 0 &&
+        r.getAs[Long]("n_checked") < r.getAs[Long]("n_rows")))
+    } finally { CacheScope.releaseAll(spark): Unit }
+  }
+
   test("summarize yields one count row per rule; assertAll names failing rules") {
     val df = Seq(("a", -5.0), ("b", 1.0)).toDF("k", "v")
     val rules = Seq(
