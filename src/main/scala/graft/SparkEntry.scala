@@ -1104,6 +1104,41 @@ object SparkEntry {
       .select("doc_id", "source", "n_chars", "rate_ppm")
   }
 
+  /** q78: the END-TO-END curation pipeline as ONE composed query —
+    * the chain a training-corpus build actually runs, proving the
+    * operators compose without materialization cliffs: exact dedup
+    * keepers (q16) → Gopher quality gate (q72) → repetition gate
+    * (q73, survivors must NOT flag) → per-source domain cap (top-15
+    * by q23 quality score) → deterministic shard assignment (the
+    * engine-reproducible mod-prime mix). One declarative plan:
+    * Catalyst fuses the gates into semi/anti joins on doc_id, the
+    * cap is one WindowGroupLimit-pushed rank, and the shard column
+    * is scan-side arithmetic. Each stage's oracle already exists
+    * separately; this one re-derives the whole chain in DuckDB. */
+  def q78CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val keepers = Dedup.exact(docs, "doc_id", "text")
+      .select(col("keeper_doc_id").as("doc_id"))
+    val deduped = docs.join(keepers, Seq("doc_id"), "left_semi")
+    val qualityPass = TextOps.gopherQuality(deduped, "doc_id", "text")
+      .where(col("keep")).select("doc_id")
+    val repetitive = TextOps.repetitionStats(deduped, "doc_id", "text")
+      .where(col("repetitive")).select("doc_id")
+    val gated = deduped
+      .join(qualityPass, Seq("doc_id"), "left_semi")
+      .join(repetitive, Seq("doc_id"), "left_anti")
+    val scored = TextOps.qualityScore(gated, "doc_id", "text")
+      .select(col("doc_id"), col("quality_score_ppm"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("quality_score_ppm").desc, col("doc_id").asc)
+    gated.join(scored, "doc_id")
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= 15)
+      .select(col("doc_id"), col("source"), col("quality_score_ppm"),
+        pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L), lit(8L))
+          .cast("int").as("shard"))
+  }
+
   /** q77: cross-field reconciliation over the flagship output — the
     * reference's transfers_and_profits_math test as an operator:
     * usd_balance must re-derive as prev_usd_balance +
@@ -1246,7 +1281,8 @@ object SparkEntry {
     "q74_budget_mixture"         -> (q74BudgetMixture _),
     "q75_frame_decode"           -> (q75FrameDecode _),
     "q76_outlier_scan"           -> (q76OutlierScan _),
-    "q77_profit_reconciliation"  -> (q77ProfitReconciliation _)
+    "q77_profit_reconciliation"  -> (q77ProfitReconciliation _),
+    "q78_curation_pipeline"      -> (q78CurationPipeline _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -2193,6 +2229,73 @@ object SparkEntry {
         |    OR (((total_2grams - distinct_2grams) * 1000000) // total_2grams) > 300000
         |    AS repetitive
         |FROM agg""".stripMargin,
+
+    "q78_curation_pipeline" ->
+      """WITH keepers AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        |),
+        |deduped AS (
+        |  SELECT d.* FROM documents d JOIN keepers k ON k.doc_id = d.doc_id
+        |),
+        |gates AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, len(t) AS n_words,
+        |      CAST(list_sum(list_transform(t, w -> len(w))) AS BIGINT) AS chars,
+        |      len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+        |      len(list_intersect(list_distinct(t),
+        |        ['the','a','an','and','or','of','to','in','is','it'])) AS stop_hits
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM deduped)
+        |  )
+        |  WHERE n_words BETWEEN 50 AND 100000
+        |    AND (chars * 100) // greatest(n_words, 1) BETWEEN 300 AND 1000
+        |    AND (alpha_words * 1000000) // greatest(n_words, 1) >= 800000
+        |    AND stop_hits >= 2
+        |),
+        |gc AS (
+        |  SELECT doc_id, gram, COUNT(*) AS c FROM (
+        |    SELECT doc_id, UNNEST(list_transform(
+        |      generate_series(1, len(t) - 1), i -> array_to_string(t[i:i+1], ' '))) AS gram
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM deduped
+        |          WHERE len(string_split(text, ' ')) >= 2)
+        |  ) GROUP BY 1, 2
+        |),
+        |rep AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS tot, COUNT(*) AS dis,
+        |           CAST(MAX(c) AS BIGINT) AS top
+        |    FROM gc GROUP BY 1)
+        |  WHERE (top * 1000000) // tot > 180000
+        |     OR ((tot - dis) * 1000000) // tot > 300000
+        |),
+        |gated AS (
+        |  SELECT d.* FROM deduped d
+        |  JOIN gates g ON g.doc_id = d.doc_id
+        |  WHERE NOT EXISTS (SELECT 1 FROM rep r WHERE r.doc_id = d.doc_id)
+        |),
+        |scored AS (
+        |  SELECT doc_id,
+        |    (4 * alpha_ppm + 3 * stopword_ppm
+        |      + 2 * (1000000 - digit_ppm) + (1000000 - punct_ppm)) // 10 AS quality_score_ppm
+        |  FROM (
+        |    SELECT doc_id,
+        |      (len(regexp_extract_all(text, '[A-Za-z]')) * 1000000) // GREATEST(LENGTH(text), 1) AS alpha_ppm,
+        |      (len(regexp_extract_all(text, '[0-9]')) * 1000000) // GREATEST(LENGTH(text), 1) AS digit_ppm,
+        |      (len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 1000000) // GREATEST(LENGTH(text), 1) AS punct_ppm,
+        |      (len(list_filter(string_split(text, ' '),
+        |          w -> w IN ('the','a','an','and','or','of','to','in','is','it'))) * 1000000)
+        |        // GREATEST(len(string_split(text, ' ')), 1) AS stopword_ppm
+        |    FROM gated
+        |  )
+        |)
+        |SELECT doc_id, source, quality_score_ppm,
+        |  CAST(((doc_id % 1000003) * 2654435761) % 8 AS INT) AS shard
+        |FROM (
+        |  SELECT g.doc_id, g.source, s.quality_score_ppm,
+        |    ROW_NUMBER() OVER (PARTITION BY g.source
+        |      ORDER BY s.quality_score_ppm DESC, g.doc_id ASC) AS rk
+        |  FROM gated g JOIN scored s ON s.doc_id = g.doc_id
+        |)
+        |WHERE rk <= 15""".stripMargin,
 
     "q77_profit_reconciliation" ->
       s"""SELECT asset, COUNT(*) AS n_rows,

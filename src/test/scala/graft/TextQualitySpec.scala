@@ -63,6 +63,32 @@ class TextQualitySpec extends SparkSpec {
       "doc_id", "text").count() == 0)
   }
 
+  test("q78: the composed curation pipeline enforces every stage's invariant") {
+    import graft.similarity.Dedup
+    import graft.text.TextOps
+    val out = SparkEntry.q78CurationPipeline(spark, SfDir).cache()
+    try {
+      val docs = Tables.documents(spark, SfDir)
+      assert(out.count() > 0, "pipeline must keep a non-degenerate survivor set")
+      // stage 4: the domain cap binds
+      assert(out.groupBy("source").count().where(col("count") > 15).count() == 0)
+      // stage 1: survivors are exact-dedup keepers (one per content hash)
+      val kept = docs.join(out.select("doc_id"), "doc_id")
+      assert(kept.groupBy(md5(col("text"))).count().where(col("count") > 1).count() == 0,
+        "two surviving docs share identical text")
+      // stages 2+3: every survivor passes the quality gate and is not repetitive
+      assert(TextOps.gopherQuality(kept, "doc_id", "text").where(!col("keep")).count() == 0)
+      assert(TextOps.repetitionStats(kept, "doc_id", "text")
+        .where(col("repetitive")).count() == 0)
+      // stage 5: shard range + determinism
+      assert(out.where(col("shard") < 0 || col("shard") > 7).count() == 0)
+      val again = SparkEntry.q78CurationPipeline(spark, SfDir)
+      assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
+      // and the gates actually filtered something (not a pass-through)
+      assert(out.count() < Dedup.exact(docs, "doc_id", "text").count())
+    } finally { out.unpersist(): Unit }
+  }
+
   test("q74: rates derive from source sizes; admission is deterministic and within-rate") {
     val out = SparkEntry.q74BudgetMixture(spark, SfDir).cache()
     try {
