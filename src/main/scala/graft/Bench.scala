@@ -33,19 +33,28 @@ object Bench {
       // swings multi-second iterative queries the most, and min-of-2
       // leaves them the least-converged numbers in the report (the
       // extra run costs seconds only where seconds already dominate)
+      val samples = collection.mutable.ArrayBuffer(a, b)
       val settled = if (best > 2.0) {
         val c = timeOnce(fn)
         CacheScope.releaseAll(spark): Unit
+        samples += c
         if (c < 0) best else math.min(best, c)
       } else best
-      name -> settled
+      // per-query sample spread (max − min of the valid samples):
+      // lets a reader separate code regressions from scheduler noise
+      // without re-running — a delta smaller than the spread is noise
+      val valid = samples.filter(_ >= 0)
+      val spread = if (valid.isEmpty) -1.0 else valid.max - valid.min
+      name -> ((settled, spread))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val spreads = results.map { case (k, (_, sp)) => s"\"" + k + "\":" + sp }
       .mkString("{", ",", "}")
     // failures (-1 markers) stay visible per-query but must not
     // subtract from (or fake-improve) the headline total
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.map(_._1).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -553,6 +553,54 @@ class StreamingSpec extends SparkSpec {
       "admitted set diverged from first-K per source across the restart")
   }
 
+  test("S13: transformWithState quota admission ≡ the flatMapGroupsWithState form") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val quota = 5
+    val docs = Tables.documents(spark, SfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .as[graft.streaming.Doc].collect().sortBy(_.doc_id)
+
+    // transformWithState needs the RocksDB state store; scope the
+    // provider to this test and restore the default after
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[graft.streaming.Doc]
+      val query = graft.streaming.QuotaAdmissionV2(mem.toDS(), quota)
+        .writeStream.format("memory").queryName("s13_quota")
+        .outputMode("append").start()
+      try {
+        // 3 micro-batches: counters must persist in the v2 state store
+        docs.grouped(math.max(1, docs.length / 3 + 1)).foreach { chunk =>
+          mem.addData(chunk.toIndexedSeq)
+          query.processAllAvailable()
+        }
+        val got = spark.table("s13_quota").as[graft.streaming.AdmittedDoc]
+          .collect().sortBy(d => (d.source, d.slot))
+        // exact equivalence with the v1 (flatMapGroupsWithState)
+        // semantics: first-K doc_ids per source, dense slots — computed
+        // here from the same deterministic contract
+        val want = docs.groupBy(_.source).toSeq.flatMap { case (_, ds) =>
+          ds.sortBy(_.doc_id).take(quota).zipWithIndex.map { case (d, i) =>
+            graft.streaming.AdmittedDoc(d.doc_id, d.source, d.n_chars, i + 1L)
+          }
+        }.sortBy(d => (d.source, d.slot))
+        assert(got.length == want.length,
+          s"v2 admitted ${got.length}, expected ${want.length}")
+        assert(got.toSeq == want.toSeq,
+          "transformWithState admissions diverge from the v1 contract")
+      } finally query.stop()
+    } finally {
+      oldProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("S9: stream-stream interval join matches the batch join across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
