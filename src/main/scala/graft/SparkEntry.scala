@@ -1104,6 +1104,24 @@ object SparkEntry {
       .select("doc_id", "source", "n_chars", "rate_ppm")
   }
 
+  /** q79: WEEKLY-grain calendar fill — the grain-generalized form of
+    * q4 (the reference hardcodes daily; GapFill.fill takes the grain
+    * as a parameter). Weekly closes sparsified deterministically
+    * (~2/3 kept), then filled on the 7-day lattice from each asset's
+    * first kept week to the global max, forward-filling the close
+    * with a periods_imputed streak. Same plan shape as q4 — the
+    * explode is bounded by calendar span, the only shuffle is the
+    * per-key window. */
+  def q79GapFillWeekly(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.prices(spark, dir)
+      .groupBy(col("asset"), date_trunc("week", col("date")).cast("date").as("week"))
+      .agg(round(max_by(col("price"), col("date")), 6).as("close"))
+      .where((dayofmonth(col("week")) + length(col("asset"))) % 3 =!= 0)
+    GapFill.fill(weekly, Seq("asset"), "week", ffillCols = Seq("close"),
+      zeroCols = Nil, grain = "week")
+      .select(col("asset"), col("week"), col("close"), col("periods_imputed"))
+  }
+
   /** q78: the END-TO-END curation pipeline as ONE composed query —
     * the chain a training-corpus build actually runs, proving the
     * operators compose without materialization cliffs: exact dedup
@@ -1282,7 +1300,8 @@ object SparkEntry {
     "q75_frame_decode"           -> (q75FrameDecode _),
     "q76_outlier_scan"           -> (q76OutlierScan _),
     "q77_profit_reconciliation"  -> (q77ProfitReconciliation _),
-    "q78_curation_pipeline"      -> (q78CurationPipeline _)
+    "q78_curation_pipeline"      -> (q78CurationPipeline _),
+    "q79_gap_fill_weekly"        -> (q79GapFillWeekly _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -2229,6 +2248,45 @@ object SparkEntry {
         |    OR (((total_2grams - distinct_2grams) * 1000000) // total_2grams) > 300000
         |    AS repetitive
         |FROM agg""".stripMargin,
+
+    "q79_gap_fill_weekly" ->
+      s"""WITH $pricesCte,
+         |weekly AS (
+         |  SELECT asset, CAST(date_trunc('week', date) AS DATE) AS week,
+         |         ROUND(arg_max(price, date), 6) AS close
+         |  FROM prices GROUP BY 1, 2
+         |),
+         |kept AS (
+         |  SELECT * FROM weekly
+         |  WHERE (DATE_PART('day', week) + LENGTH(asset)) % 3 != 0
+         |),
+         |bounds AS (SELECT asset, MIN(week) AS d0 FROM kept GROUP BY 1),
+         |maxd AS (SELECT MAX(week) AS d1 FROM kept),
+         |cal AS (
+         |  SELECT b.asset, CAST(UNNEST(GENERATE_SERIES(b.d0, (SELECT d1 FROM maxd), INTERVAL 7 DAY)) AS DATE) AS week
+         |  FROM bounds b
+         |),
+         |joined AS (
+         |  SELECT c.asset, c.week, k.close
+         |  FROM cal c LEFT JOIN kept k ON k.asset = c.asset AND k.week = c.week
+         |),
+         |lagged AS (
+         |  SELECT *, LAG(close) OVER (PARTITION BY asset ORDER BY week) AS prev_close
+         |  FROM joined
+         |),
+         |grp AS (
+         |  SELECT *,
+         |    SUM(CASE WHEN close IS NOT NULL OR prev_close IS NOT NULL
+         |        THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY asset ORDER BY week) AS igrp
+         |  FROM lagged
+         |)
+         |SELECT asset, week,
+         |  LAST_VALUE(close IGNORE NULLS) OVER
+         |    (PARTITION BY asset ORDER BY week ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close,
+         |  CASE WHEN close IS NULL
+         |       THEN ROW_NUMBER() OVER (PARTITION BY asset, igrp ORDER BY week) END AS periods_imputed
+         |FROM grp""".stripMargin,
 
     "q78_curation_pipeline" ->
       """WITH keepers AS (

@@ -30,7 +30,40 @@ object GapFill {
       keys: Seq[String],
       dateCol: String,
       ffillCols: Seq[String],
-      zeroCols: Seq[String]): DataFrame = {
+      zeroCols: Seq[String]): DataFrame =
+    fillAtGrain(df, keys, dateCol, ffillCols, zeroCols,
+      step = "interval 1 day", streakCol = "days_imputed")
+
+  /** Grain-generalized calendar fill — the reference hardcodes daily,
+    * but the same plan serves any fixed step: weekly series fill with
+    * `grain = "week"` (7-day steps from each key's first period),
+    * hourly with `"hour"` over timestamp columns. Input must already
+    * be AT the grain (e.g. date_trunc'd) — the step arithmetic
+    * extends the observed lattice, it does not re-bucket. The streak
+    * column is `periods_imputed`. */
+  def fill(
+      df: DataFrame,
+      keys: Seq[String],
+      dateCol: String,
+      ffillCols: Seq[String],
+      zeroCols: Seq[String],
+      grain: String): DataFrame = {
+    val steps = Map("day" -> "interval 1 day", "week" -> "interval 7 day",
+      "hour" -> "interval 1 hour")
+    val step = steps.getOrElse(grain.toLowerCase,
+      throw new IllegalArgumentException(
+        s"unsupported grain '$grain' (supported: ${steps.keys.mkString(", ")})"))
+    fillAtGrain(df, keys, dateCol, ffillCols, zeroCols, step, "periods_imputed")
+  }
+
+  private def fillAtGrain(
+      df: DataFrame,
+      keys: Seq[String],
+      dateCol: String,
+      ffillCols: Seq[String],
+      zeroCols: Seq[String],
+      step: String,
+      streakCol: String): DataFrame = {
     require(ffillCols.nonEmpty,
       "fillDaily needs >= 1 ffill column: its nulls mark which calendar rows are imputed")
     val keyCols = keys.map(col)
@@ -41,7 +74,7 @@ object GapFill {
 
     val calendar = bounds
       .crossJoin(broadcast(maxDate))
-      .select(keyCols :+ explode(sequence(col("__d0"), col("__d1"), expr("interval 1 day"))).as(dateCol): _*)
+      .select(keyCols :+ explode(sequence(col("__d0"), col("__d1"), expr(step))).as(dateCol): _*)
 
     val joined = calendar.join(df, keys :+ dateCol, "left")
 
@@ -58,7 +91,7 @@ object GapFill {
 
     val wGrp = Window.partitionBy(keyCols :+ col("__grp"): _*).orderBy(dateCol)
     val withStreak = grouped.withColumn(
-      "days_imputed",
+      streakCol,
       when(col(marker).isNull, row_number().over(wGrp)).otherwise(lit(null)))
 
     val wFill = Window

@@ -33,6 +33,29 @@ class OperatorInvariantsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("GapFill.fill generalizes the grain: weekly lattice fills, bad grain throws") {
+    import graft.operators.GapFill
+    val sess = spark
+    import sess.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // weeks of Jan 1 and Jan 15 observed; Jan 8 missing
+    val weekly = Seq(("a", d("2024-01-01"), 1.0), ("a", d("2024-01-15"), 3.0))
+      .toDF("asset", "week", "close")
+    val filled = GapFill.fill(weekly, Seq("asset"), "week",
+      ffillCols = Seq("close"), zeroCols = Nil, grain = "week")
+      .orderBy("week").collect()
+    assert(filled.map(_.getDate(1).toString).toSeq ==
+      Seq("2024-01-01", "2024-01-08", "2024-01-15"),
+      "weekly lattice must step 7 days, no daily explosion")
+    assert(filled(1).getDouble(2) == 1.0, "missing week forward-fills the close")
+    assert(filled(1).getAs[Number]("periods_imputed").intValue == 1)
+    assert(filled(0).isNullAt(3) && filled(2).isNullAt(3),
+      "observed weeks must not be marked imputed")
+    intercept[IllegalArgumentException] {
+      GapFill.fill(weekly, Seq("asset"), "week", Seq("close"), Nil, grain = "fortnight")
+    }
+  }
+
   test("q16: exact-dedupe copy counts partition the corpus") {
     val total = Tables.documents(spark, SfDir).count()
     val agg = SparkEntry.q16DedupExact(spark, SfDir).agg(sum("n_copies")).head.getLong(0)
