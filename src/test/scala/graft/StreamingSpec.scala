@@ -471,6 +471,54 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("S14: timer-based close-out balance (v2) ≡ the EventTimeTimeout form (v1)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.{BalanceEvent, RunningBalanceTtl, RunningBalanceTtlV2, TransferTs}
+    def ts(day: Int) = new java.sql.Timestamp(86400000L * day)
+    // same 3-phase scenario as S2t: activity, idle-eviction, rebirth
+    val batches = Seq(
+      Seq(TransferTs("x", 1L, ts(1), 10.0), TransferTs("x", 2L, ts(1), 5.0),
+        TransferTs("x", 1L, ts(2), -3.0), TransferTs("x", 2L, ts(2), 1.0)),
+      Seq(TransferTs("x", 1L, ts(30), 2.0)),
+      Seq(TransferTs("x", 2L, ts(31), 7.0)))
+
+    def run(name: String, f: org.apache.spark.sql.Dataset[TransferTs] =>
+        org.apache.spark.sql.Dataset[BalanceEvent]): Set[BalanceEvent] = {
+      val mem = MemoryStream[TransferTs]
+      val query = f(mem.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        batches.foreach { b =>
+          mem.addData(b.toIndexedSeq)
+          query.processAllAvailable()
+        }
+        query.processAllAvailable()
+        spark.table(name).as[BalanceEvent].collect().toSet
+      } finally query.stop()
+    }
+
+    val v1 = run("s14_v1",
+      ds => RunningBalanceTtl(ds, java.time.Duration.ofDays(5), "0 seconds"))
+
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val v2 = try run("s14_v2",
+      ds => RunningBalanceTtlV2(ds, java.time.Duration.ofDays(5), "0 seconds"))
+    finally oldProvider match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+
+    assert(v1 == v2,
+      s"v2 timer close-out diverges from v1:\n  v1-only=${v1 -- v2}\n  v2-only=${v2 -- v1}")
+    // and the scenario is non-trivial: a close-out AND a rebirth happened
+    assert(v1.exists(_.is_closeout) && v1.exists(e => e.ts == ts(31) &&
+      e.transfer_sequence == 1L))
+  }
+
   test("S2r: running-balance state survives a checkpoint restart (continues, not resets)") {
     import spark.implicits._
     val transfers = Tables.transfers(spark, SfDir)
