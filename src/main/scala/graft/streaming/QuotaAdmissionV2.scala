@@ -54,4 +54,50 @@ object QuotaAdmissionV2 {
       .transformWithState(new QuotaProcessor(quota),
         TimeMode.None(), OutputMode.Append(), implicitly[Encoder[AdmittedDoc]])
   }
+
+  /** Rolling-window variant via NATIVE state TTL (v2-only): the
+    * quota counter itself expires `window` after its last write, so
+    * a source that goes quiet gets a fresh allowance — "at most K
+    * per source per activity window" instead of "K ever". State TTL
+    * is processing-time based and enforced by the store (TTLConfig),
+    * with no timer or timeout code in the processor at all — the
+    * capability flatMapGroupsWithState cannot express. */
+  def rollingWindow(
+      docs: Dataset[Doc],
+      quota: Int,
+      window: java.time.Duration): Dataset[AdmittedDoc] = {
+    require(quota > 0, "quota must be positive")
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.source)
+      .transformWithState(new TtlQuotaProcessor(quota, window),
+        TimeMode.ProcessingTime(), OutputMode.Append(), implicitly[Encoder[AdmittedDoc]])
+  }
+}
+
+/** [[QuotaProcessor]] with a TTL'd counter — see
+  * [[QuotaAdmissionV2.rollingWindow]]. */
+class TtlQuotaProcessor(quota: Int, window: java.time.Duration)
+    extends StatefulProcessor[String, Doc, AdmittedDoc] {
+  @transient private var admitted: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    admitted = getHandle.getValueState[Long](
+      "admitted", Encoders.scalaLong, TTLConfig(window))
+
+  override def handleInputRows(
+      source: String,
+      rows: Iterator[Doc],
+      timerValues: TimerValues): Iterator[AdmittedDoc] = {
+    // an expired value reads as absent — the TTL is the reset
+    var n = if (admitted.exists()) admitted.get() else 0L
+    val out = rows.toSeq.sortBy(_.doc_id).flatMap { d =>
+      if (n < quota) {
+        n += 1
+        Some(AdmittedDoc(d.doc_id, d.source, d.n_chars, n))
+      } else None
+    }
+    admitted.update(n)
+    out.iterator
+  }
 }

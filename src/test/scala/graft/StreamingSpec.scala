@@ -649,6 +649,52 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("S13t: native state TTL resets the quota counter after the window (v2-only)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val docs = (1L to 6L).map(i => graft.streaming.Doc(i, "s", 10L))
+      val mem = MemoryStream[graft.streaming.Doc]
+      // 1 ms TTL: by the time the next micro-batch runs, the counter
+      // has ALWAYS expired — deterministic without sleeps
+      val query = graft.streaming.QuotaAdmissionV2
+        .rollingWindow(mem.toDS(), quota = 2, java.time.Duration.ofMillis(1))
+        .writeStream.format("memory").queryName("s13t_quota")
+        .outputMode("append").start()
+      try {
+        // processing-time mode keeps scheduling maintenance batches, so
+        // processAllAvailable can block indefinitely — poll the sink
+        def waitRows(n: Long): Unit = {
+          val deadline = System.currentTimeMillis + 60000
+          while (spark.table("s13t_quota").count() < n &&
+            System.currentTimeMillis < deadline) Thread.sleep(100)
+        }
+        mem.addData(docs.take(3).toIndexedSeq)
+        waitRows(2)
+        Thread.sleep(5) // strictly exceed the 1 ms TTL between batches
+        mem.addData(docs.drop(3).toIndexedSeq)
+        waitRows(4)
+        val got = spark.table("s13t_quota").as[graft.streaming.AdmittedDoc]
+          .collect().sortBy(_.doc_id)
+        // batch 1 admits docs 1,2 (quota 2); batch 2's EXPIRED counter
+        // admits 4,5 afresh — a non-TTL counter would admit nothing
+        assert(got.map(_.doc_id).toSeq == Seq(1L, 2L, 4L, 5L),
+          s"TTL reset must grant a fresh window allowance, got ${got.toSeq}")
+        assert(got.map(_.slot).toSeq == Seq(1L, 2L, 1L, 2L),
+          "slots must restart with the fresh allowance")
+      } finally query.stop()
+    } finally {
+      oldProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("S9: stream-stream interval join matches the batch join across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
