@@ -107,7 +107,22 @@ object DurableReplay {
       first: DataFrame,
       second: DataFrame,
       orderCol: String,
-      transform: DataFrame => DataFrame): DataFrame = {
+      transform: DataFrame => DataFrame): DataFrame =
+    runEvolving(spark, first, second, orderCol, transform, transform)
+
+  /** [[runStateful]] with a DIFFERENT transform per incarnation — the
+    * state-schema-evolution harness: incarnation 2 restarts the SAME
+    * checkpoint with an operator whose state encoder has changed, so
+    * the store must migrate restored values (Avro encoding) or refuse
+    * the restart (UnsafeRow). Both transforms must emit the same
+    * OUTPUT schema — the parquet sink is shared. */
+  def runEvolving(
+      spark: SparkSession,
+      first: DataFrame,
+      second: DataFrame,
+      orderCol: String,
+      firstTransform: DataFrame => DataFrame,
+      secondTransform: DataFrame => DataFrame): DataFrame = {
     val inDir = java.nio.file.Files.createTempDirectory("graft_stateful_in").toString
     val sinkDir = java.nio.file.Files.createTempDirectory("graft_stateful_sink").toString + "/out"
     val ckptDir = java.nio.file.Files.createTempDirectory("graft_stateful_ckpt").toString
@@ -123,7 +138,7 @@ object DurableReplay {
       split.unpersist(): Unit
     }
 
-    def mkQuery() = {
+    def mkQuery(transform: DataFrame => DataFrame) = {
       val stream = spark.readStream.schema(first.schema)
         .option("maxFilesPerTrigger", "1").parquet(inDir)
       transform(stream)
@@ -133,11 +148,11 @@ object DurableReplay {
     }
 
     stage(first)
-    val q1 = mkQuery()
+    val q1 = mkQuery(firstTransform)
     try q1.processAllAvailable() finally q1.stop()
 
     stage(second)
-    val q2 = mkQuery()
+    val q2 = mkQuery(secondTransform)
     try q2.processAllAvailable() finally q2.stop()
     spark.read.parquet(sinkDir)
   }

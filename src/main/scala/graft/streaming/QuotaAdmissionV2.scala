@@ -75,6 +75,97 @@ object QuotaAdmissionV2 {
   }
 }
 
+/** State-schema EVOLUTION demo pair (v2-only capability): the same
+  * quota gate run first with [[QuotaStateV1]] (counter only), then —
+  * against the SAME checkpoint — with [[QuotaStateV2]], which adds a
+  * `lastDoc` field. With Avro state encoding
+  * (spark.sql.streaming.stateStore.encodingFormat=avro) the store
+  * restores old-schema values with the new field defaulted to None;
+  * under the default UnsafeRow encoding the restart rejects the
+  * changed schema outright. The emitted `prev_doc` makes the
+  * evolution observable per row: -2 = written by the V1 processor
+  * (field not tracked), -1 = first admission over restored V1 state
+  * (None default), otherwise the previous admitted doc_id round-
+  * tripped through the store. */
+case class QuotaStateV1(admitted: Long)
+
+/** Evolved form of [[QuotaStateV1]]: same counter plus the last
+  * admitted doc_id. New fields must be nullable for Avro evolution —
+  * hence Option. */
+case class QuotaStateV2(admitted: Long, lastDoc: Option[Long])
+
+/** Output of the evolution pair — `prev_doc` is the witness column. */
+case class AdmittedTrace(doc_id: Long, source: String, slot: Long, prev_doc: Long)
+
+class EvoQuotaProcessorV1(quota: Int)
+    extends StatefulProcessor[String, Doc, AdmittedTrace] {
+  @transient private var st: ValueState[QuotaStateV1] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[QuotaStateV1](
+      "quota", Encoders.product[QuotaStateV1], TTLConfig.NONE)
+
+  override def handleInputRows(
+      source: String,
+      rows: Iterator[Doc],
+      timerValues: TimerValues): Iterator[AdmittedTrace] = {
+    var n = if (st.exists()) st.get().admitted else 0L
+    val out = rows.toSeq.sortBy(_.doc_id).flatMap { d =>
+      if (n < quota) {
+        n += 1
+        Some(AdmittedTrace(d.doc_id, source, n, -2L))
+      } else None
+    }
+    st.update(QuotaStateV1(n))
+    out.iterator
+  }
+}
+
+class EvoQuotaProcessorV2(quota: Int)
+    extends StatefulProcessor[String, Doc, AdmittedTrace] {
+  @transient private var st: ValueState[QuotaStateV2] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[QuotaStateV2](
+      "quota", Encoders.product[QuotaStateV2], TTLConfig.NONE)
+
+  override def handleInputRows(
+      source: String,
+      rows: Iterator[Doc],
+      timerValues: TimerValues): Iterator[AdmittedTrace] = {
+    val prior = if (st.exists()) st.get() else QuotaStateV2(0L, None)
+    var n = prior.admitted
+    var last = prior.lastDoc
+    val out = rows.toSeq.sortBy(_.doc_id).flatMap { d =>
+      if (n < quota) {
+        n += 1
+        val trace = AdmittedTrace(d.doc_id, source, n, last.getOrElse(-1L))
+        last = Some(d.doc_id)
+        Some(trace)
+      } else None
+    }
+    st.update(QuotaStateV2(n, last))
+    out.iterator
+  }
+}
+
+object QuotaEvolution {
+  private def gate(
+      docs: Dataset[Doc],
+      proc: StatefulProcessor[String, Doc, AdmittedTrace]): Dataset[AdmittedTrace] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .transformWithState(proc, TimeMode.None(), OutputMode.Append(),
+        implicitly[Encoder[AdmittedTrace]])
+  }
+
+  def v1(docs: Dataset[Doc], quota: Int): Dataset[AdmittedTrace] =
+    gate(docs, new EvoQuotaProcessorV1(quota))
+
+  def v2(docs: Dataset[Doc], quota: Int): Dataset[AdmittedTrace] =
+    gate(docs, new EvoQuotaProcessorV2(quota))
+}
+
 /** [[QuotaProcessor]] with a TTL'd counter — see
   * [[QuotaAdmissionV2.rollingWindow]]. */
 class TtlQuotaProcessor(quota: Int, window: java.time.Duration)
