@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AsOfJoin, PrefixSum, Salting, WindowOps}
+import graft.similarity.Dedup
+import graft.tools.Chaos
+
+/** Task-retry determinism, tested by actually killing tasks.
+  *
+  * Every operator here claims bit-identical output under task
+  * re-execution (speculation, preemption, executor loss). These specs
+  * make that happen for real: the suite runs its own session with the
+  * `local[4,2]` master — plain local[N] schedules with maxFailures=1
+  * and fails the whole job on the first throw, so NO spec on the
+  * shared session can ever exercise a retry — and
+  * [[Chaos.failFirstAttempt]] throws on the first attempt of every
+  * task evaluating the wrapped input. Each case asserts (a) the
+  * injection actually fired (retry
+  * accumulator ≥ 1 — a spec that never killed anything proves
+  * nothing) and (b) the output equals the clean run row-for-row.
+  *
+  * The cases are chosen for their failure surface, not coverage bulk:
+  * sort+zipWithIndex (index stability), the two-job partition-total
+  * fold (cross-JOB recompute consistency), salted join (synthetic-key
+  * stability), as-of union+window (state packed into one shuffle),
+  * hash dedup (first-row-per-key tie), and a retry in the RESULT
+  * stage after a shuffle (the exactly-one-commit path).
+  */
+class ChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
+  val SfDir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    // this suite needs a different MASTER, not just different conf:
+    // stop the process-wide session; afterAll stops ours so the next
+    // suite's getOrCreate rebuilds the default local[4]
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(_.stop())
+    spark = GraftSession.build("local[4,2]", 4)
+  }
+
+  override def afterAll(): Unit = {
+    spark.stop()
+    super.afterAll()
+  }
+
+  /** Row-for-row comparison + proof the failure was injected. */
+  private def assertSurvivesRetry(
+      clean: DataFrame, chaotic: DataFrame, acc: LongAccumulator): Unit = {
+    val want = clean.collect().map(_.toString).sorted.toSeq
+    val got = chaotic.collect().map(_.toString).sorted.toSeq
+    assert(acc.value >= 1L,
+      "the injected failure never fired — this run exercised no retry")
+    assert(got.length == want.length,
+      s"retry changed the row count: ${got.length} vs ${want.length}")
+    assert(got == want, {
+      val missing = want.diff(got).take(3)
+      val extra = got.diff(want).take(3)
+      s"retry changed rows; missing=$missing extra=$extra"
+    })
+  }
+
+  test("C1: sort + zipWithIndex id assignment survives a task retry") {
+    val transfers = Tables.transfers(spark, SfDir)
+    val (chaosIn, acc) = Chaos.failFirstAttempt(transfers)
+    assertSurvivesRetry(
+      WindowOps.stableIds(transfers, "wallet", "wallet_id"),
+      WindowOps.stableIds(chaosIn, "wallet", "wallet_id"),
+      acc)
+  }
+
+  test("C2: two-pass global running sum survives a retry in BOTH of its jobs") {
+    // globalRunningSum evaluates its input twice — the partition-total
+    // collect job, then the offset fold — so a first-attempt failure
+    // trips once per job and the recomputed partition must carry the
+    // SAME rows both times, or offsets and folds disagree
+    val docs = Tables.documents(spark, SfDir).select("doc_id", "source", "n_chars")
+    val (chaosIn, acc) = Chaos.failFirstAttempt(docs)
+    assertSurvivesRetry(
+      PrefixSum.globalRunningSum(docs, Seq("doc_id"), "n_chars", "running_chars"),
+      PrefixSum.globalRunningSum(chaosIn, Seq("doc_id"), "n_chars", "running_chars"),
+      acc)
+    assert(acc.value >= 2L,
+      s"expected the injection to fire in both jobs, saw ${acc.value}")
+  }
+
+  test("C3: salted join survives a retry on the salted (large) side") {
+    val orders = Tables.orders(spark, SfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val customer = Tables.customer(spark, SfDir)
+      .select("c_custkey", "c_name").withColumnRenamed("c_custkey", "o_custkey")
+    val (chaosIn, acc) = Chaos.failFirstAttempt(orders)
+    assertSurvivesRetry(
+      Salting.saltedJoin(orders, customer, Seq("o_custkey"), salts = 4),
+      Salting.saltedJoin(chaosIn, customer, Seq("o_custkey"), salts = 4),
+      acc)
+  }
+
+  test("C4: as-of join survives a retry on the probe side") {
+    val probes = Tables.transfers(spark, SfDir)
+    val quotes = Tables.prices(spark, SfDir)
+      .where(dayofmonth(col("date")) % 3 === 0)
+      .select(col("asset"), col("date").as("price_date"), col("price"))
+    val (chaosIn, acc) = Chaos.failFirstAttempt(probes)
+    assertSurvivesRetry(
+      AsOfJoin.asOf(probes, quotes, Seq("asset"), "date", "price_date", Seq("price")),
+      AsOfJoin.asOf(chaosIn, quotes, Seq("asset"), "date", "price_date", Seq("price")),
+      acc)
+  }
+
+  test("C5: exact dedup keeps the same winners across a retry") {
+    val docs = Tables.documents(spark, SfDir)
+    val (chaosIn, acc) = Chaos.failFirstAttempt(docs)
+    assertSurvivesRetry(
+      Dedup.exact(docs, "doc_id", "text"),
+      Dedup.exact(chaosIn, "doc_id", "text"),
+      acc)
+  }
+
+  test("C6: a retry in the result stage (post-shuffle) commits exactly once") {
+    // chaos on the OUTPUT of an aggregation: the killed task is a
+    // shuffle-READ task, so the retry replays reducer input from
+    // shuffle files — the exactly-one-commit path speculation relies on
+    val rollup = Tables.transfers(spark, SfDir)
+      .groupBy("asset").agg(
+        sum("net_transfers").as("net"),
+        countDistinct("wallet").as("wallets"))
+    val clean = rollup.collect().map(_.toString).sorted.toSeq
+    val (chaotic, acc) = Chaos.failFirstAttempt(rollup)
+    val got = chaotic.collect().map(_.toString).sorted.toSeq
+    assert(acc.value >= 1L, "the injected failure never fired")
+    assert(got == clean, "post-shuffle retry changed the aggregate")
+  }
+}
