@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Publish
+
+/** Atomic publication protocol: every case is a failure-ordering
+  * argument — what a reader sees at each point of a publisher's life,
+  * including after a crash between staging and the pointer flip. */
+class PublishSpec extends SparkSpec {
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_publish").resolve("ds").toString
+
+  test("publish → read round-trips, manifest matches the files on disk") {
+    import spark.implicits._
+    val root = freshRoot()
+    assert(Publish.currentVersion(root).isEmpty)
+    intercept[IllegalStateException](Publish.read(spark, root))
+
+    val df = Tables.documents(spark, SfDir).select("doc_id", "source", "n_chars")
+    val v = Publish.publish(df, root)
+    assert(v == 1L)
+    assert(Publish.currentVersion(root).contains(1L))
+    assert(Publish.read(spark, root).count() == df.count())
+
+    val manifest = Publish.currentManifest(root).get
+    assert(manifest.contains(s""""rows":${df.count()}"""))
+    // every file in the manifest exists with the recorded size
+    val dir = Paths.get(root).resolve("v=1")
+    """"name":"([^"]+)","bytes":(\d+)""".r.findAllMatchIn(manifest).foreach { m =>
+      val p = dir.resolve(m.group(1))
+      assert(Files.exists(p) && Files.size(p) == m.group(2).toLong,
+        s"manifest entry ${m.group(1)} diverges from disk")
+    }
+    assert(manifest.contains(""""schema":"doc_id BIGINT"""))
+  }
+
+  test("a second publish flips the pointer; the old version stays for in-flight readers") {
+    import spark.implicits._
+    val root = freshRoot()
+    Publish.publish(Seq((1L, "a")).toDF("id", "s"), root)
+    // a reader that resolved the pointer BEFORE the next publish
+    // keeps reading its immutable version dir
+    val pinned = spark.read.parquet(Paths.get(root).resolve("v=1").toString)
+
+    val v2 = Publish.publish(Seq((2L, "b"), (3L, "c")).toDF("id", "s"), root)
+    assert(v2 == 2L)
+    assert(Publish.read(spark, root).select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    assert(pinned.select("id").as[Long].collect().toSeq == Seq(1L),
+      "the superseded version must stay readable until vacuumed")
+  }
+
+  test("a crash before the pointer flip is invisible to readers and reaped by the next publish") {
+    import spark.implicits._
+    val root = freshRoot()
+    Publish.publish(Seq((1L, "live")).toDF("id", "s"), root)
+
+    // simulate the two crash points: mid-stage (orphan staging dir)
+    // and post-promote/pre-flip (version dir present, pointer not)
+    val rootPath = Paths.get(root)
+    Files.createDirectories(rootPath.resolve(".staging-v7"))
+    Files.write(rootPath.resolve(".staging-v7").resolve("junk"), Array[Byte](1, 2))
+    Seq((9L, "torn")).toDF("id", "s")
+      .write.parquet(rootPath.resolve("v=3").toString)
+
+    // readers resolve the pointer: still v1, the torn v3 never shows
+    assert(Publish.currentVersion(root).contains(1L))
+    assert(Publish.read(spark, root).select("s").head.getString(0) == "live")
+
+    // the next publish reaps staging and must NOT reuse the orphaned
+    // number — max(existing)+1 skips past the crashed attempt
+    val v = Publish.publish(Seq((2L, "next")).toDF("id", "s"), root)
+    assert(v == 4L)
+    assert(!Files.exists(rootPath.resolve(".staging-v7")), "staging orphan survived the reap")
+    assert(Publish.read(spark, root).select("s").head.getString(0) == "next")
+  }
+
+  test("vacuum keeps the live version plus a retention window, never the live one itself") {
+    import spark.implicits._
+    val root = freshRoot()
+    (1 to 4).foreach(i => Publish.publish(Seq((i.toLong, s"v$i")).toDF("id", "s"), root))
+    assert(Publish.currentVersion(root).contains(4L))
+
+    val reaped = Publish.vacuum(root, keep = 1)
+    assert(reaped.sorted == Seq(1L, 2L), s"expected to reap 1,2 — got $reaped")
+    assert(Publish.listVersions(Paths.get(root)).sorted == Seq(3L, 4L))
+    assert(Publish.read(spark, root).select("s").head.getString(0) == "v4")
+
+    // keep=0 still refuses to touch the live version
+    assert(Publish.vacuum(root, keep = 0) == Seq(3L))
+    assert(Publish.listVersions(Paths.get(root)) == Seq(4L))
+    assert(Publish.read(spark, root).count() == 1L)
+  }
+}
