@@ -33,6 +33,14 @@ object Verify {
       // would also evict an embedding application's own caches)
       CacheScope.releaseAll(spark): Unit
     }
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson)
+    spark.stop()
+  }
+
+  /** The registry's oracle map as the JSON the driver consumes — also
+    * what OracleSpec feeds straight to DuckDB inside `sbt test`, so
+    * oracle rot surfaces before the round gate does. */
+  def oracleJson: String = {
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -45,9 +53,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }
