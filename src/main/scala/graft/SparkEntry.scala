@@ -1122,6 +1122,31 @@ object SparkEntry {
       .select(col("asset"), col("week"), col("close"), col("periods_imputed"))
   }
 
+  /** q80: atomic-publication round-trip — the [[sources.Publish]]
+    * surface under the driver's hash gate, as q59 did for
+    * writeShards. Two versions are published to a Scratch-cached root
+    * (a half-corpus decoy first, then the full projection), the decoy
+    * is vacuumed, and the query reads THROUGH the _CURRENT pointer
+    * before aggregating per source. The oracle is the same aggregate
+    * over the source table directly, so it matches only if the staged
+    * files round-trip losslessly AND the pointer resolves to the
+    * latest version — a stale or torn pointer would hash-mismatch on
+    * the decoy's halved counts, and a lossy manifest/validation step
+    * would fail before promotion ever happened. */
+  def q80PublishRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.tools.Scratch.cachedArtifact(
+      "graft_q80", dir, s"$dir/documents.parquet") { (tableDir, _) =>
+      val docs = Tables.documents(spark, dir).select("doc_id", "source", "n_chars")
+      graft.sources.Publish.publish(docs.where(col("doc_id") % 2 === 0), tableDir)
+      graft.sources.Publish.publish(docs, tableDir)
+      // retention: reap the decoy, prove vacuum never touches the live
+      graft.sources.Publish.vacuum(tableDir, keep = 0): Unit
+    }
+    graft.sources.Publish.read(spark, root)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+  }
+
   /** q78: the END-TO-END curation pipeline as ONE composed query —
     * the chain a training-corpus build actually runs, proving the
     * operators compose without materialization cliffs: exact dedup
@@ -1301,7 +1326,8 @@ object SparkEntry {
     "q76_outlier_scan"           -> (q76OutlierScan _),
     "q77_profit_reconciliation"  -> (q77ProfitReconciliation _),
     "q78_curation_pipeline"      -> (q78CurationPipeline _),
-    "q79_gap_fill_weekly"        -> (q79GapFillWeekly _)
+    "q79_gap_fill_weekly"        -> (q79GapFillWeekly _),
+    "q80_publish_roundtrip"      -> (q80PublishRoundtrip _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -2287,6 +2313,11 @@ object SparkEntry {
          |  CASE WHEN close IS NULL
          |       THEN ROW_NUMBER() OVER (PARTITION BY asset, igrp ORDER BY week) END AS periods_imputed
          |FROM grp""".stripMargin,
+
+    "q80_publish_roundtrip" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY source""".stripMargin,
 
     "q78_curation_pipeline" ->
       """WITH keepers AS (
