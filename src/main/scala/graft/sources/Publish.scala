@@ -46,8 +46,14 @@ object Publish {
 
   /** Write `df` as the next version of the dataset at `root` and
     * atomically flip the live pointer to it. Returns the new version
-    * number. */
-  def publish(df: DataFrame, root: String): Long = {
+    * number.
+    *
+    * @param meta caller key/values recorded in the manifest — rides
+    *   the same atomic commit as the data, which is what lets a
+    *   streaming sink make "was this batch already published?"
+    *   crash-safe ([[graft.streaming.PublishStream]] stores the
+    *   micro-batch id here) */
+  def publish(df: DataFrame, root: String, meta: Map[String, String] = Map.empty): Long = {
     val rootPath = Paths.get(root)
     Files.createDirectories(rootPath)
     reapStaging(rootPath)
@@ -62,10 +68,13 @@ object Publish {
     val spark = df.sparkSession
     val rows = spark.read.parquet(staging.toString).count()
     val files = dataFiles(staging)
+    val metaJson = meta.toSeq.sorted
+      .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }.mkString("{", ",", "}")
     val manifest =
       s"""{"version":$version,"rows":$rows,""" +
         s""""schema":${jsonStr(df.schema.toDDL)},""" +
         s""""total_bytes":${files.map(_._2).sum},""" +
+        s""""meta":$metaJson,""" +
         s""""files":[${files.map { case (n, s) => s"""{"name":${jsonStr(n)},"bytes":$s}""" }.mkString(",")}]}"""
     Files.write(staging.resolve(Manifest), manifest.getBytes(StandardCharsets.UTF_8))
 
@@ -100,6 +109,16 @@ object Publish {
     currentVersion(root).map { v =>
       new String(Files.readAllBytes(
         Paths.get(root).resolve(s"v=$v").resolve(Manifest)), StandardCharsets.UTF_8)
+    }
+
+  /** A caller `meta` value from the live manifest — the read side of
+    * publish's `meta` param (exact-key lookup on the JSON publish
+    * wrote; inverse of its escaping). */
+  def currentMetaValue(root: String, key: String): Option[String] =
+    currentManifest(root).flatMap { m =>
+      val k = java.util.regex.Pattern.quote(jsonStr(key))
+      (k + """:"((?:[^"\\]|\\.)*)"""").r.findFirstMatchIn(m)
+        .map(g => g.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
     }
 
   /** Drop every version except the live one and the newest `keep`

@@ -213,6 +213,72 @@ class StreamingSpec extends SparkSpec {
     got.unpersist()
   }
 
+  test("S15: streaming snapshot publication — versions per batch, replay skipped, readers atomic") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.sources.Publish
+    import graft.streaming.PublishStream
+
+    val rows = Tables.events(spark, SfDir)
+      .select("event_id", "event_type", "user_id", "ts", "value")
+      .as[Ev].collect().sortBy(_.ts.getTime)
+    val root = java.nio.file.Files.createTempDirectory("graft_pubstream").resolve("ds").toString
+    val keys = Seq("user_id", "event_type")
+    val version = Seq(col("ts"), col("event_id"))
+
+    val mem = MemoryStream[Ev]
+    val query = PublishStream.start(mem.toDF(), root, keys, version)
+    try {
+      val (first, second) = rows.splitAt(rows.length / 2)
+      mem.addData(first.toIndexedSeq)
+      query.processAllAvailable()
+      val v1 = Publish.currentVersion(root)
+      val afterFirst = Publish.read(spark, root).count()
+      mem.addData(second.toIndexedSeq)
+      query.processAllAvailable()
+      // each non-empty batch commits exactly one new version, with its
+      // batch id riding the manifest's atomic flip
+      assert(v1.isDefined && Publish.currentVersion(root).exists(_ > v1.get),
+        "second batch must publish a new version")
+      assert(PublishStream.lastBatch(root).contains(1L),
+        s"live manifest must record the last batch id, got ${PublishStream.lastBatch(root)}")
+      assert(afterFirst <= Publish.read(spark, root).count(),
+        "snapshot shrank across batches")
+    } finally query.stop()
+
+    // live snapshot ≡ the batch keep-newest upsert over everything
+    val want = graft.operators.WindowOps.dedupeFirst(
+      Tables.events(spark, SfDir), keys, version.map(_.desc))
+      .select("user_id", "event_type", "event_id", "value")
+    def snapshot() = Publish.read(spark, root)
+      .select("user_id", "event_type", "event_id", "value")
+    assert(snapshot().exceptAll(want).count() == 0 &&
+      want.exceptAll(snapshot()).count() == 0,
+      "published snapshot diverges from the batch upsert")
+
+    // exactly-once at the COMMIT level: replaying an already-committed
+    // batch id is REJECTED before any write — no new version appears
+    val vBefore = Publish.currentVersion(root).get
+    val secondBatch = rows.drop(rows.length / 2)
+      .map(e => (e.event_id, e.event_type, e.user_id, e.ts, e.value))
+      .toSeq.toDF("event_id", "event_type", "user_id", "ts", "value")
+    assert(!PublishStream.applyBatch(secondBatch, 1L, root, keys, version),
+      "replayed batch id must be refused")
+    assert(Publish.currentVersion(root).contains(vBefore),
+      "replay minted a new version — commit-level exactly-once broken")
+    // while a NEW batch id (the post-restart continuation) is accepted
+    assert(PublishStream.applyBatch(secondBatch.limit(0), 2L, root, keys, version))
+    assert(Publish.currentVersion(root).contains(vBefore + 1))
+    assert(snapshot().exceptAll(want).count() == 0 &&
+      want.exceptAll(snapshot()).count() == 0,
+      "empty continuation batch changed the snapshot")
+
+    // superseded versions stay readable (time travel until vacuum)
+    val old = spark.read.parquet(
+      java.nio.file.Paths.get(root).resolve(s"v=$vBefore").toString)
+    assert(old.count() == want.count())
+  }
+
   test("S8: streaming ANN index maintenance equals the batch bucket build, replay is a no-op") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
