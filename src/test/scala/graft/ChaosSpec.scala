@@ -122,6 +122,80 @@ class ChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
       acc)
   }
 
+  test("C7: stateful streaming commits exactly once under TASK retries (not just restarts)") {
+    // the restart specs (S2r/S11r/S13e) cover QUERY-level recovery;
+    // this kills tasks INSIDE micro-batches: every task of every
+    // batch fails its first attempt, so the state store's
+    // commit-on-success machinery is exercised on the retry path —
+    // a state update that survived a failed attempt would over-admit
+    val s = spark // stable identifier for the implicits import
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    val quota = 5
+    val docs = Tables.documents(spark, SfDir)
+      .select("doc_id", "source", "n_chars")
+      .as[graft.streaming.Doc].collect().sortBy(_.doc_id)
+
+    val mem = MemoryStream[graft.streaming.Doc]
+    val (chaosIn, acc) = Chaos.failFirstAttempt(mem.toDF())
+    val query = graft.streaming.QuotaAdmission(chaosIn.as[graft.streaming.Doc], quota)
+      .writeStream.format("memory").queryName("c7_quota")
+      .outputMode("append").start()
+    try {
+      docs.grouped(math.max(1, docs.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        query.processAllAvailable()
+      }
+      val got = spark.table("c7_quota").as[graft.streaming.AdmittedDoc]
+        .collect().sortBy(d => (d.source, d.slot))
+      val want = docs.groupBy(_.source).toSeq.flatMap { case (_, ds) =>
+        ds.sortBy(_.doc_id).take(quota).zipWithIndex.map { case (d, i) =>
+          graft.streaming.AdmittedDoc(d.doc_id, d.source, d.n_chars, i + 1L)
+        }
+      }.sortBy(d => (d.source, d.slot))
+      assert(acc.value >= 3L,
+        s"expected a retry per micro-batch at least, saw ${acc.value}")
+      assert(got.toSeq == want.toSeq,
+        "task retries inside micro-batches changed the admitted set")
+    } finally query.stop()
+  }
+
+  test("C8: versioned snapshot publication survives task retries inside its batches") {
+    val s = spark // stable identifier for the implicits import
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    import graft.sources.Publish
+    val docs = Tables.documents(spark, SfDir)
+      .select("doc_id", "source", "n_chars")
+      .as[graft.streaming.Doc].collect().sortBy(_.doc_id)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_chaos_pub").resolve("ds").toString
+
+    val mem = MemoryStream[graft.streaming.Doc]
+    val (chaosIn, acc) = Chaos.failFirstAttempt(mem.toDF())
+    val query = graft.streaming.PublishStream.start(
+      chaosIn, root, keys = Seq("doc_id"), versionCols = Seq(col("n_chars")))
+    try {
+      val (first, second) = docs.splitAt(docs.length / 2)
+      mem.addData(first.toIndexedSeq)
+      query.processAllAvailable()
+      mem.addData(second.toIndexedSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    assert(acc.value >= 2L, s"expected retries in both batches, saw ${acc.value}")
+    // exactly one committed version per batch — a retried task must
+    // never double-publish or tear the manifest
+    assert(Publish.currentVersion(root).contains(2L),
+      s"versions diverged under retry: ${Publish.currentVersion(root)}")
+    val snap = Publish.read(spark, root).select("doc_id", "source", "n_chars")
+      .as[graft.streaming.Doc].collect().sortBy(_.doc_id)
+    assert(snap.toSeq == docs.toSeq,
+      "published snapshot diverges from the input under task retries")
+  }
+
   test("C6: a retry in the result stage (post-shuffle) commits exactly once") {
     // chaos on the OUTPUT of an aggregation: the killed task is a
     // shuffle-READ task, so the retry replays reducer input from
