@@ -196,6 +196,40 @@ class ChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
       "published snapshot diverges from the input under task retries")
   }
 
+  test("C9: EVERY registry query survives a result-stage retry (the blanket)") {
+    // the hand-picked cases above are the argument (chaos on inputs,
+    // specific failure surfaces); this is the blanket: all 80 registry
+    // queries at sf0.001, each evaluated clean and then with every
+    // final-stage task killed once. Doubles are rounded to 1e-6 before
+    // comparing — shuffle-block merge order legitimately reorders
+    // float additions between ANY two runs, and the driver's own gate
+    // applies the same tolerance.
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val rounded = df.select(df.schema.fields.map { f =>
+        f.dataType match {
+          case org.apache.spark.sql.types.DoubleType |
+               org.apache.spark.sql.types.FloatType =>
+            round(col(f.name), 6).as(f.name)
+          case _ => col(f.name)
+        }
+      }.toIndexedSeq: _*)
+      rounded.collect().map(_.toString).sorted.toSeq
+    }
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val clean = canon(fn(spark, SfDir))
+      CacheScope.releaseAll(spark): Unit
+      val (chaotic, acc) = Chaos.failFirstAttempt(fn(spark, SfDir))
+      val got = canon(chaotic)
+      CacheScope.releaseAll(spark): Unit
+      if (acc.value < 1L) failures += s"$name: injection never fired"
+      else if (got != clean)
+        failures += s"$name: retry changed rows (clean=${clean.length}, chaos=${got.length})"
+    }
+    assert(failures.isEmpty, s"${failures.length} queries failed the blanket:\n  " +
+      failures.mkString("\n  "))
+  }
+
   test("C6: a retry in the result stage (post-shuffle) commits exactly once") {
     // chaos on the OUTPUT of an aggregation: the killed task is a
     // shuffle-READ task, so the retry replays reducer input from
