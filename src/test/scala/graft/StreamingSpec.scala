@@ -838,6 +838,69 @@ class StreamingSpec extends SparkSpec {
     }, "no source admitted docs in both post-restart batches — round-trip untested")
   }
 
+  test("S16: TTL'd allowance + idle timer compose in one processor (v2-only)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[graft.streaming.Doc]
+      // window 1 ms: the allowance has ALWAYS expired by the next
+      // micro-batch; idle 250 ms: the digest timer fires once the
+      // source goes quiet
+      val query = graft.streaming.SourceMonitor(
+        mem.toDS(), quota = 2,
+        window = java.time.Duration.ofMillis(1),
+        idle = java.time.Duration.ofMillis(250))
+        .writeStream.format("memory").queryName("s16_monitor")
+        .outputMode("append").start()
+      try {
+        def rows() = spark.table("s16_monitor")
+          .as[graft.streaming.MonitorEvent].collect()
+        def waitFor(pred: () => Boolean): Unit = {
+          val deadline = System.currentTimeMillis + 60000
+          while (!pred() && System.currentTimeMillis < deadline) Thread.sleep(100)
+        }
+        mem.addData(Seq(1L, 2L, 3L).map(i => graft.streaming.Doc(i, "s", 10L)))
+        waitFor(() => rows().length >= 2)
+        Thread.sleep(5) // strictly exceed the 1 ms allowance TTL
+        mem.addData(Seq(4L, 5L, 6L).map(i => graft.streaming.Doc(i, "s", 10L)))
+        waitFor(() => rows().count(!_.is_digest) >= 4)
+
+        // let the idle horizon pass, then nudge with an unrelated
+        // source — its batch fires s's expired timer (maintenance
+        // batches may have fired it already; either path is correct)
+        Thread.sleep(400)
+        mem.addData(Seq(graft.streaming.Doc(100L, "zz", 1L)))
+        waitFor(() => rows().exists(e => e.source == "s" && e.is_digest))
+
+        val s = rows().filter(_.source == "s")
+        val admissions = s.filter(!_.is_digest).sortBy(_.doc_id)
+        // the TTL is load-bearing: the second batch's slots RESTART
+        assert(admissions.map(_.doc_id).toSeq == Seq(1L, 2L, 4L, 5L),
+          s"rolling allowance wrong: ${admissions.toSeq}")
+        assert(admissions.map(_.slot).toSeq == Seq(1L, 2L, 1L, 2L),
+          "slots must restart with each fresh allowance window")
+        // the running total crosses allowance windows (no TTL on it)
+        assert(admissions.map(_.total).toSeq == Seq(1L, 2L, 3L, 4L),
+          "epoch total must survive allowance resets")
+        // the timer is load-bearing: exactly one digest, carrying the
+        // epoch total and the last admitted doc
+        val digests = s.filter(_.is_digest)
+        assert(digests.length == 1, s"expected one digest, got ${digests.toSeq}")
+        assert(digests.head.total == 4L && digests.head.doc_id == 5L,
+          s"digest must carry epoch total + last doc: ${digests.head}")
+      } finally query.stop()
+    } finally {
+      oldProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("S9: stream-stream interval join matches the batch join across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
