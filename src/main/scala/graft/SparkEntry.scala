@@ -1122,6 +1122,25 @@ object SparkEntry {
       .select(col("asset"), col("week"), col("close"), col("periods_imputed"))
   }
 
+  /** q81: exact heavy hitters — top-5 users per event type by event
+    * count (the whale question of dreambot_whale_chart.py as a
+    * generic operator). One hash shuffle compresses the fact table to
+    * (type, user) counts; the rank stays ≤ k via the WindowGroupLimit
+    * pushdown — no global sort, no driver hop. See
+    * [[operators.TopK]] for when the sketch form replaces this. */
+  def q81HeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    TopK.exact(Tables.events(spark, dir), Seq("event_type"), "user_id", 5)
+      .select(col("event_type"), col("user_id"), col("cnt"), col("rk"))
+
+  /** q82: the sketch form of q81 — count-min estimates for the exact
+    * top-k candidates. Deterministic (fixed seed) but rows-only: no
+    * SQL engine re-derives a count-min sketch; TopKSpec proves the
+    * one-sided error bound (cnt ≤ est ≤ cnt + eps·N at the configured
+    * confidence) and partial-merge equality instead. */
+  def q82HeavyHittersSketch(spark: SparkSession, dir: String): DataFrame =
+    TopK.countMinEstimates(Tables.events(spark, dir), "event_type", "user_id", 5)
+      .select("event_type", "user_id", "cnt", "rk", "est_cnt")
+
   /** q80: atomic-publication round-trip — the [[sources.Publish]]
     * surface under the driver's hash gate, as q59 did for
     * writeShards. Two versions are published to a Scratch-cached root
@@ -1327,7 +1346,9 @@ object SparkEntry {
     "q77_profit_reconciliation"  -> (q77ProfitReconciliation _),
     "q78_curation_pipeline"      -> (q78CurationPipeline _),
     "q79_gap_fill_weekly"        -> (q79GapFillWeekly _),
-    "q80_publish_roundtrip"      -> (q80PublishRoundtrip _)
+    "q80_publish_roundtrip"      -> (q80PublishRoundtrip _),
+    "q81_heavy_hitters"          -> (q81HeavyHitters _),
+    "q82_heavy_hitters_sketch"   -> (q82HeavyHittersSketch _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -2318,6 +2339,14 @@ object SparkEntry {
       """SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY source""".stripMargin,
+
+    "q81_heavy_hitters" ->
+      """SELECT event_type, user_id, cnt, rk FROM (
+        |  SELECT event_type, user_id, COUNT(*) AS cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY COUNT(*) DESC, user_id ASC) AS rk
+        |  FROM events GROUP BY 1, 2)
+        |WHERE rk <= 5""".stripMargin,
 
     "q78_curation_pipeline" ->
       """WITH keepers AS (

@@ -28,7 +28,8 @@ class OracleSpec extends AnyFunSuite {
       "q18_dedup_minhash", "q19_dedup_simhash", "q21_lsh_knn",
       "q27_multimodal_meta", "q31_ivf_knn", "q32_neardup_keepers",
       "q45_percentiles_approx", "q46_frame_sample", "q50_dedup_simhash_wide",
-      "q56_approx_distinct", "q64_audio_meta", "q75_frame_decode")
+      "q56_approx_distinct", "q64_audio_meta", "q75_frame_decode",
+      "q82_heavy_hitters_sketch")
     assert(rowsOnly == documented,
       s"rows-only set drifted: new=${rowsOnly -- documented} gone=${documented -- rowsOnly}")
   }

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
+
+import graft.operators.TopK
+
+/** Heavy hitters: the exact form against a naive re-derivation, and
+  * the count-min guarantees the q82 rows-only entry leans on. */
+class TopKSpec extends SparkSpec {
+
+  test("exact top-k equals the naive groupBy-sort-take per group") {
+    import spark.implicits._
+    val ev = Tables.events(spark, SfDir)
+    val got = TopK.exact(ev, Seq("event_type"), "user_id", 5)
+      .select("event_type", "user_id", "cnt", "rk")
+      .as[(String, Long, Long, Int)].collect().toSet
+
+    val want = ev.groupBy("event_type", "user_id").count()
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).toSeq.flatMap { case (t, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(5).zipWithIndex
+          .map { case ((_, u, c), i) => (t, u, c, i + 1) }
+      }.toSet
+    assert(got == want, s"exact top-k diverges: ${got -- want} vs ${want -- got}")
+  }
+
+  test("count-min estimates never undercount and respect the eps·N bound") {
+    import spark.implicits._
+    val ev = Tables.events(spark, SfDir)
+    val eps = 0.001
+    val out = TopK.countMinEstimates(ev, "event_type", "user_id", 5, eps = eps)
+      .as[(String, Long, Long, Int, Long)].collect()
+    assert(out.nonEmpty)
+    val nPerType = ev.groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+    out.foreach { case (t, u, cnt, _, est) =>
+      assert(est >= cnt, s"count-min undercounted ($t, $u): $est < $cnt")
+      // one-sided error: overcount ≤ eps·N(group) at 99% confidence —
+      // with 5 probes per group the union bound stays comfortable
+      assert(est <= cnt + math.ceil(eps * nPerType(t)).toLong,
+        s"($t, $u): est $est exceeds cnt $cnt + eps*N ${nPerType(t)}")
+    }
+  }
+
+  test("count-min partials merge to the whole-data sketch exactly") {
+    // mergeability is what makes the sketch the 100 TB form: map-side
+    // partials union losslessly (same seed/width/depth), so a
+    // distributed build equals a sequential one
+    import spark.implicits._
+    val users = Tables.events(spark, SfDir).select("user_id").as[Long].collect()
+    val (a, b) = users.splitAt(users.length / 2)
+    def sketchOf(xs: Array[Long]) = {
+      val s = CountMinSketch.create(0.001, 0.99, 42)
+      xs.foreach(s.add)
+      s
+    }
+    val whole = sketchOf(users)
+    val merged = sketchOf(a).mergeInPlace(sketchOf(b))
+    val probes = users.distinct.take(50)
+    probes.foreach { u =>
+      assert(merged.estimateCount(u) == whole.estimateCount(u),
+        s"merge changed the estimate for $u")
+    }
+  }
+
+  test("the registry pair agrees: q82's candidates are exactly q81's rows") {
+    val q81 = SparkEntry.queries("q81_heavy_hitters")(spark, SfDir)
+      .collect().map(_.toString).sorted.toSeq
+    val q82 = SparkEntry.queries("q82_heavy_hitters_sketch")(spark, SfDir)
+      .drop("est_cnt").collect().map(_.toString).sorted.toSeq
+    assert(q81 == q82, "sketch query candidates diverge from the exact query")
+  }
+}
