@@ -1141,6 +1141,26 @@ object SparkEntry {
     TopK.countMinEstimates(Tables.events(spark, dir), "event_type", "user_id", 5)
       .select("event_type", "user_id", "cnt", "rk", "est_cnt")
 
+  /** q83: multi-source BFS over the customer–supplier bipartite graph
+    * (edge = "this customer ordered from this supplier", derived by
+    * the orders×lineitem join): minimum hop distance from the seed
+    * customers, bounded at 4 hops. Iterative frontier expansion with
+    * per-round lineage truncation ([[operators.GraphOps]]); oracle =
+    * a bounded recursive CTE re-deriving the same levels — exact
+    * because hop counts are integers, the same reason q43's
+    * connected-components oracle works. */
+  def q83GraphDistance(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .select(concat(lit("c:"), col("o_custkey")).as("src"),
+        concat(lit("s:"), col("l_suppkey")).as("dst"))
+    val seeds = Tables.customer(spark, dir)
+      .where(col("c_custkey") % 50 === 0)
+      .select(concat(lit("c:"), col("c_custkey")).as("node"))
+    GraphOps.hopDistances(edges, seeds, maxHops = 4)
+  }
+
   /** q80: atomic-publication round-trip — the [[sources.Publish]]
     * surface under the driver's hash gate, as q59 did for
     * writeShards. Two versions are published to a Scratch-cached root
@@ -1348,7 +1368,8 @@ object SparkEntry {
     "q79_gap_fill_weekly"        -> (q79GapFillWeekly _),
     "q80_publish_roundtrip"      -> (q80PublishRoundtrip _),
     "q81_heavy_hitters"          -> (q81HeavyHitters _),
-    "q82_heavy_hitters_sketch"   -> (q82HeavyHittersSketch _)
+    "q82_heavy_hitters_sketch"   -> (q82HeavyHittersSketch _),
+    "q83_graph_distance"         -> (q83GraphDistance _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -2347,6 +2368,24 @@ object SparkEntry {
         |      ORDER BY COUNT(*) DESC, user_id ASC) AS rk
         |  FROM events GROUP BY 1, 2)
         |WHERE rk <= 5""".stripMargin,
+
+    "q83_graph_distance" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |),
+        |und AS (
+        |  SELECT src, dst FROM edges
+        |  UNION SELECT dst AS src, src AS dst FROM edges
+        |),
+        |bfs(node, dist) AS (
+        |  SELECT 'c:' || c_custkey, 0 FROM customer WHERE c_custkey % 50 = 0
+        |  UNION
+        |  SELECT u.dst, b.dist + 1
+        |  FROM bfs b JOIN und u ON u.src = b.node
+        |  WHERE b.dist < 4
+        |)
+        |SELECT node, CAST(MIN(dist) AS INT) AS dist FROM bfs GROUP BY node""".stripMargin,
 
     "q78_curation_pipeline" ->
       """WITH keepers AS (
