@@ -848,12 +848,16 @@ class StreamingSpec extends SparkSpec {
     try {
       val mem = MemoryStream[graft.streaming.Doc]
       // window 1 ms: the allowance has ALWAYS expired by the next
-      // micro-batch; idle 250 ms: the digest timer fires once the
-      // source goes quiet
+      // micro-batch; idle 2 s: the digest timer fires once the
+      // source goes quiet. The idle horizon must comfortably exceed
+      // worst-case inter-batch latency (batch time + the 100 ms poll
+      // step below) — at 250 ms a slow batch let a maintenance batch
+      // fire the timer BETWEEN the two data batches, clearing totals
+      // and flaking the epoch-continuation assert
       val query = graft.streaming.SourceMonitor(
         mem.toDS(), quota = 2,
         window = java.time.Duration.ofMillis(1),
-        idle = java.time.Duration.ofMillis(250))
+        idle = java.time.Duration.ofMillis(2000))
         .writeStream.format("memory").queryName("s16_monitor")
         .outputMode("append").start()
       try {
@@ -872,7 +876,7 @@ class StreamingSpec extends SparkSpec {
         // let the idle horizon pass, then nudge with an unrelated
         // source — its batch fires s's expired timer (maintenance
         // batches may have fired it already; either path is correct)
-        Thread.sleep(400)
+        Thread.sleep(2500)
         mem.addData(Seq(graft.streaming.Doc(100L, "zz", 1L)))
         waitFor(() => rows().exists(e => e.source == "s" && e.is_digest))
 
