@@ -1161,6 +1161,23 @@ object SparkEntry {
     GraphOps.hopDistances(edges, seeds, maxHops = 4)
   }
 
+  /** q84: deterministic fixed-point PageRank over the q83
+    * customer↔supplier graph — the reference ranks wallets/coins by
+    * aggregate measures (core_coin_wallet_profits.py's cohort
+    * rankings); centrality over the transaction graph is the
+    * graph-native form of the same question. Integer fixed-point
+    * arithmetic makes the iterative float computation exactly
+    * oracle-able (see [[operators.GraphOps.pageRank]]); the oracle
+    * re-derives all four rounds as chained CTEs. */
+  def q84PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .select(concat(lit("c:"), col("o_custkey")).as("src"),
+        concat(lit("s:"), col("l_suppkey")).as("dst"))
+    GraphOps.pageRank(edges, iterations = 4)
+  }
+
   /** q80: atomic-publication round-trip — the [[sources.Publish]]
     * surface under the driver's hash gate, as q59 did for
     * writeShards. Two versions are published to a Scratch-cached root
@@ -1369,7 +1386,8 @@ object SparkEntry {
     "q80_publish_roundtrip"      -> (q80PublishRoundtrip _),
     "q81_heavy_hitters"          -> (q81HeavyHitters _),
     "q82_heavy_hitters_sketch"   -> (q82HeavyHittersSketch _),
-    "q83_graph_distance"         -> (q83GraphDistance _)
+    "q83_graph_distance"         -> (q83GraphDistance _),
+    "q84_pagerank"               -> (q84PageRank _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -1384,6 +1402,37 @@ object SparkEntry {
       "q44_wallet_profits_bucketed" -> m("q10_wallet_profits"),
       "q48_skew_join_plain"         -> m("q47_skew_join_salted"),
       "q49_embedding_neardup_tiled" -> m("q26_embedding_dedup"))
+  }
+
+  /** q84's oracle: GraphOps.pageRank's integer recurrence unrolled,
+    * iteration i as CTE p_i. DuckDB's `//` floors where Spark's `div`
+    * truncates — every operand here is positive, where the two
+    * coincide, so the oracle re-derives the SAME bits (the point of
+    * the fixed-point variant; a float PageRank could not be oracled
+    * at all). SUM over BIGINT widens to HUGEINT in DuckDB; the CAST
+    * narrows it back to the Long the Spark side carries. */
+  private lazy val pageRankSql: String = {
+    val iters = (1 to 4).map { i =>
+      s"""p$i AS (
+         |  SELECT dg.node,
+         |    CAST(150000000000 + (COALESCE(c.s, 0) * 85) // 100 AS BIGINT) AS r
+         |  FROM deg dg LEFT JOIN (
+         |    SELECT u.dst AS node, SUM(p.r // d2.d) AS s
+         |    FROM p${i - 1} p JOIN deg d2 ON d2.node = p.node
+         |    JOIN und u ON u.src = p.node
+         |    GROUP BY 1
+         |  ) c ON c.node = dg.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |),
+       |und AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+       |deg AS (SELECT src AS node, COUNT(*) AS d FROM und GROUP BY 1),
+       |p0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM deg),
+       |$iters
+       |SELECT node, r AS rank_fp FROM p4""".stripMargin
   }
 
   /** q10's full oracle SQL — also embedded as a subquery by q77's
@@ -2386,6 +2435,8 @@ object SparkEntry {
         |  WHERE b.dist < 4
         |)
         |SELECT node, CAST(MIN(dist) AS INT) AS dist FROM bfs GROUP BY node""".stripMargin,
+
+    "q84_pagerank" -> pageRankSql,
 
     "q78_curation_pipeline" ->
       """WITH keepers AS (

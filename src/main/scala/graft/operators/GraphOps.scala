@@ -63,4 +63,95 @@ object GraphOps {
     }
     dist
   }
+
+  /** Deterministic fixed-point PageRank over an undirected edge list.
+    *
+    * The scaladoc above says a float PageRank cannot be independently
+    * oracled — summation-order drift compounds per iteration. This
+    * variant removes the float: ranks are scaled Longs and every step
+    * is integer arithmetic (`div` truncation), so addition is exact
+    * and commutative and the result is ENGINE-REPRODUCIBLE — the same
+    * bits from Spark at any partition count and from a SQL engine
+    * re-deriving the recurrence (q84's chained-CTE oracle). That is
+    * the same reproducibility posture as the stratified sampler's
+    * pure-hash predicate: at 100 TB you cannot eyeball a diff, so the
+    * spec IS the bit pattern.
+    *
+    * Recurrence, all in Long (mirrored literally by the oracle SQL):
+    * {{{
+    *   r0(v)   = scale
+    *   c_i(v)  = Σ_{u ~ v} r_i(u) div deg(u)
+    *   r_{i+1}(v) = scale·(100−dampingPct) div 100
+    *                + (c_i(v) · dampingPct) div 100
+    * }}}
+    * Truncation loses < 1 unit per div — at scale 10¹² that is a
+    * relative error ~10⁻¹², far below anything a ranking consumer
+    * can observe, and (unlike float rounding) it is the SAME loss in
+    * every engine.
+    *
+    * Overflow is guarded, not hoped away: total mass is ≤ n·scale
+    * (teleport adds at most what damping removed), so the largest
+    * intermediate is maxContrib·dampingPct ≤ n·scale·dampingPct,
+    * checked against Long.MaxValue after counting nodes (one scalar
+    * driver action on a table the loop needs anyway). For a larger
+    * corpus pick a smaller scale: precision degrades gracefully,
+    * overflow would throw (ANSI) mid-job.
+    *
+    * Same iterative-plan hygiene as [[hopDistances]]: each round's
+    * rank table is localCheckpoint'ed so round N does not replay
+    * rounds 1..N−1; the symmetrized edge and degree tables are
+    * persisted once via [[graft.CacheScope]] and re-read per round.
+    *
+    * @param edges (src, dst) pairs; symmetrized, deduplicated
+    * @param iterations fixed round count (fixed, not convergence-
+    *   tested: a data-dependent stop would make the output depend on
+    *   a float tolerance — the thing this variant exists to avoid)
+    * @param scale fixed-point unit (rank 1.0 ≡ `scale`); must divide
+    *   by 100 exactly so the teleport term is exact
+    * @return (node, rank_fp) — rank in `scale` units */
+  def pageRank(
+      edges: DataFrame,
+      iterations: Int,
+      scale: Long = 1000000000000L,
+      dampingPct: Int = 85): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    require(scale >= 100 && scale % 100 == 0,
+      s"scale must be a positive multiple of 100, got $scale")
+    require(dampingPct >= 1 && dampingPct <= 99,
+      s"dampingPct must be in [1,99], got $dampingPct")
+    val und = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .transform(graft.CacheScope.persisted(_))
+    val deg = und.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("d"))
+      .transform(graft.CacheScope.persisted(_))
+
+    val nNodes = deg.count() // also warms the persisted deg/und
+    require(
+      BigInt(nNodes) * scale * dampingPct <= BigInt(Long.MaxValue),
+      s"n·scale·damping would overflow Long ($nNodes nodes at scale $scale); " +
+        "pick a smaller scale for this corpus")
+
+    val teleport = scale / 100 * (100 - dampingPct)
+    var rank = deg.select(col("node"), lit(scale).as("r")).localCheckpoint()
+    var i = 0
+    while (i < iterations) {
+      i += 1
+      val contribs = rank.join(deg, "node")
+        .join(und, col("node") === und("src"))
+        .select(col("dst").as("node"), expr("r div d").as("c"))
+        .groupBy("node").agg(sum("c").as("s"))
+      // every node of an undirected graph has a neighbor, so the left
+      // join never actually nulls here — it is the shape a DIRECTED
+      // caller would need (sinks receive nothing), kept so the
+      // operator and its oracle state the same recurrence
+      rank = deg.select(col("node"))
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) + expr(s"(coalesce(s, 0L) * $dampingPct) div 100")).as("r"))
+        .localCheckpoint()
+    }
+    rank.select(col("node"), col("r").as("rank_fp"))
+  }
 }

@@ -65,4 +65,89 @@ class GraphSpec extends SparkSpec {
       s"extra=${got.toSet -- want.toSet} missing=${want.toSet -- got.toSet}")
     assert(got.valuesIterator.max >= 2, "fixture degenerate: no multi-hop node")
   }
+
+  private def ranks(edges: Seq[(String, String)], iterations: Int,
+      scale: Long = 100L) = {
+    import spark.implicits._
+    GraphOps.pageRank(edges.toDF("src", "dst"), iterations, scale)
+      .as[(String, Long)].collect().toMap
+  }
+
+  test("fixed-point pagerank: hand-computed path graph, exact bits") {
+    // a–b–c at scale 100, damping 85, teleport 15; worked by hand:
+    //   r0 = 100,100,100
+    //   r1: a,c = 15 + (50·85) div 100 = 57; b = 15 + (200·85) div 100 = 185
+    //   r2: a,c = 15 + ((185 div 2)·85) div 100 = 93
+    //       b   = 15 + ((57+57)·85)     div 100 = 111
+    val path = Seq("a" -> "b", "b" -> "c")
+    assert(ranks(path, 1) == Map("a" -> 57L, "b" -> 185L, "c" -> 57L))
+    assert(ranks(path, 2) == Map("a" -> 93L, "b" -> 111L, "c" -> 93L))
+  }
+
+  test("pagerank structure: hubs outrank leaves, symmetry gives equal bits") {
+    val star = Seq("h" -> "l1", "h" -> "l2", "h" -> "l3", "h" -> "l4")
+    val r = ranks(star, 3, scale = 1000000L)
+    val leaves = Seq("l1", "l2", "l3", "l4").map(r)
+    assert(leaves.distinct.size == 1, s"symmetric leaves must tie exactly: $r")
+    assert(r("h") > leaves.head, s"hub must outrank leaves: $r")
+    // total mass never exceeds the initial n·scale (damping only
+    // redistributes; teleport restores at most what damping removed)
+    assert(r.values.sum <= 5 * 1000000L)
+  }
+
+  test("pagerank determinism: partition count does not change the bits") {
+    import spark.implicits._
+    val edges = (1 to 40).map(i => (s"n${i % 7}", s"n${(i * 3) % 11}"))
+      .filter { case (a, b) => a != b }
+    val one = GraphOps.pageRank(edges.toDF("src", "dst").repartition(1), 3)
+      .as[(String, Long)].collect().toMap
+    val many = GraphOps.pageRank(edges.toDF("src", "dst").repartition(13), 3)
+      .as[(String, Long)].collect().toMap
+    assert(one == many, "fixed-point ranks must be partition-invariant")
+  }
+
+  test("pagerank guards: overflow and scale validation fail fast") {
+    import spark.implicits._
+    val df = Seq("a" -> "b").toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      GraphOps.pageRank(df, 1, scale = 101) // not a multiple of 100
+    }
+    intercept[IllegalArgumentException] {
+      // 2 nodes · 4e18 · 85 ≫ Long.MaxValue
+      GraphOps.pageRank(df, 1, scale = 4000000000000000000L)
+    }
+  }
+
+  test("q84 equals a driver-side fixed-point recurrence at sf0.001") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q84_pagerank")(spark, SfDir)
+      .as[(String, Long)].collect().toMap
+
+    val edges = Tables.orders(spark, SfDir)
+      .join(Tables.lineitem(spark, SfDir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c:"), col("o_custkey")).as("a"),
+        concat(lit("s:"), col("l_suppkey")).as("b"))
+      .as[(String, String)].collect().toSet
+    val und = edges ++ edges.map(_.swap)
+    val adj = und.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    val deg = adj.map { case (k, vs) => k -> vs.size.toLong }
+
+    val scale = 1000000000000L
+    var r = deg.map { case (k, _) => k -> scale }
+    (1 to 4).foreach { _ =>
+      val contrib = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      r.foreach { case (u, ru) =>
+        val c = ru / deg(u)
+        adj(u).foreach(v => contrib(v) += c)
+      }
+      r = deg.map { case (k, _) =>
+        k -> (scale / 100 * 15 + contrib(k) * 85 / 100)
+      }
+    }
+    assert(got == r, s"q84 diverges from the reference recurrence: " +
+      s"sample extra=${(got.toSet -- r.toSet).take(3)} " +
+      s"missing=${(r.toSet -- got.toSet).take(3)}")
+  }
 }
