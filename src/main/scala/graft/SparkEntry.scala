@@ -1178,6 +1178,59 @@ object SparkEntry {
     GraphOps.pageRank(edges, iterations = 4)
   }
 
+  /** q85: EXACT trailing-7-day distinct users per observed day — the
+    * rolling form of the reference's daily wallet counts
+    * (dreambot_whale_chart/main.py:386,1014 aggregates per-day wallet
+    * counts by size; product dashboards ask the same question over a
+    * trailing window). The naive form — count(distinct) per day over
+    * a 7-day self-join — multiplies the fact table by the window
+    * width; this form is linear: distinct (user, day) pairs, each
+    * user's [day, day+6] coverage intervals MERGED per user
+    * ([[operators.Intervals.merge]] — one user-keyed window pass),
+    * exploded back to at most 7 days per active day, so every
+    * (user, day) lands exactly once and a plain count finishes it.
+    * The 7-day constant never appears as join fan-out on facts, only
+    * as bounded explode width on deduplicated pairs. */
+  def q85RollingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .transform(CacheScope.persisted(_))
+    val merged = Intervals.merge(
+      pairs.withColumn("cover_end", date_add(col("day"), 6)),
+      keys = Seq("user_id"), startCol = "day", endCol = "cover_end")
+    val covered = merged.select(col("user_id"),
+      explode(sequence(col("day"), col("cover_end"))).as("day"))
+    // trim coverage that extends past the data: report observed days
+    val days = pairs.select("day").distinct()
+    covered.join(days, "day")
+      // islands are disjoint per user, so (user, day) is unique here
+      // and count(*) IS the distinct-user count
+      .groupBy("day").agg(count(lit(1)).as("users_7d"))
+  }
+
+  /** q86: the sketch form of q85 — one fact pass builds a PER-DAY HLL
+    * sketch (map-side partials; the only fact-table shuffle), then
+    * the trailing-7 merge runs entirely on the aggregated daily table
+    * (|days| rows) via a range self-join + `hll_union_agg`. This is
+    * the shape that survives 100 TB: the expensive table is touched
+    * once to produce mergeable partials, and window arithmetic
+    * happens on sketches — same posture as q56/S10, extended from
+    * "one total" to "every trailing window". Approximate by
+    * construction (seeded HLL) → rows-only gate; the spec pins the
+    * estimate to q85's exact counts within HLL's error envelope. */
+  def q86RollingDistinctHll(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .transform(CacheScope.persisted(_))
+    daily.as("d").join(daily.as("s"),
+        col("s.day").between(date_sub(col("d.day"), 6), col("d.day")))
+      .groupBy(col("d.day").as("day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("s.sk")))
+        .as("users_7d_est"))
+  }
+
   /** q80: atomic-publication round-trip — the [[sources.Publish]]
     * surface under the driver's hash gate, as q59 did for
     * writeShards. Two versions are published to a Scratch-cached root
@@ -1387,7 +1440,9 @@ object SparkEntry {
     "q81_heavy_hitters"          -> (q81HeavyHitters _),
     "q82_heavy_hitters_sketch"   -> (q82HeavyHittersSketch _),
     "q83_graph_distance"         -> (q83GraphDistance _),
-    "q84_pagerank"               -> (q84PageRank _)
+    "q84_pagerank"               -> (q84PageRank _),
+    "q85_rolling_distinct"       -> (q85RollingDistinct _),
+    "q86_rolling_distinct_hll"   -> (q86RollingDistinctHll _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -2437,6 +2492,18 @@ object SparkEntry {
         |SELECT node, CAST(MIN(dist) AS INT) AS dist FROM bfs GROUP BY node""".stripMargin,
 
     "q84_pagerank" -> pageRankSql,
+
+    // q85's oracle states the SEMANTICS (users active in the trailing
+    // 7 days, per observed day) in the quadratic day×pair form the
+    // Spark side exists to avoid — small here, the point at scale
+    "q85_rolling_distinct" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |),
+        |days AS (SELECT DISTINCT day FROM pairs)
+        |SELECT d.day, COUNT(DISTINCT p.user_id) AS users_7d
+        |FROM days d JOIN pairs p ON p.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY 1""".stripMargin,
 
     "q78_curation_pipeline" ->
       """WITH keepers AS (
