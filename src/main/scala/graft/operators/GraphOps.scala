@@ -26,6 +26,25 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Undirected edge set from a (src, dst) list: canonicalize each
+    * pair to (least, greatest) BEFORE the dedupe, then re-emit both
+    * directions narrowly (explode — no second shuffle). The naive
+    * union-then-distinct order shuffles every edge twice (both
+    * directions flow through the distinct); this shuffles each
+    * undirected edge once. Self-loops survive as a single row. */
+  private def symmetrize(edges: DataFrame): DataFrame = {
+    val canon = edges.select(
+        least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .distinct()
+    canon.select(explode(when(col("lo") === col("hi"),
+        array(struct(col("lo").as("src"), col("hi").as("dst"))))
+      .otherwise(array(
+        struct(col("lo").as("src"), col("hi").as("dst")),
+        struct(col("hi").as("src"), col("lo").as("dst"))))).as("e"))
+      .select(col("e.src"), col("e.dst"))
+  }
+
   /** Minimum hop distance from any seed to every reachable node, over
     * an undirected edge list, bounded at `maxHops`.
     *
@@ -36,9 +55,7 @@ object GraphOps {
     *   (minimal) hop count; unreachable nodes are absent */
   def hopDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, "maxHops must be non-negative")
-    val undirected = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+    val undirected = symmetrize(edges)
       .transform(graft.CacheScope.persisted(_))
 
     var dist = seeds.select(col("node")).distinct()
@@ -119,15 +136,43 @@ object GraphOps {
       s"scale must be a positive multiple of 100, got $scale")
     require(dampingPct >= 1 && dampingPct <= 99,
       s"dampingPct must be in [1,99], got $dampingPct")
-    val und = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .transform(graft.CacheScope.persisted(_))
+    // shuffle economics: the edge table is the big thing here, and a
+    // naive loop re-shuffles it per round (rank⋈deg, ⋈edges,
+    // groupBy). Instead the degree is pre-joined ONCE into an
+    // explicitly src-partitioned persisted edge table — distinct()
+    // leaves the table hash-partitioned on (src, dst), which does NOT
+    // satisfy a src-keyed join, so without the repartition every
+    // round re-exchanges the edges (measured: it is most of the
+    // query's shuffle mass). With it, each round's rank⋈edges join
+    // lines up for free (rank exits its groupBy hash-partitioned on
+    // node = src; localCheckpoint preserves the partitioning),
+    // leaving ONE shuffle per round — the per-dst contribution
+    // rollup, map-side-combined down to at-most nodes×mappers rows.
+    // tools.CostAudit, q84 at sf0.1: 108 MB naive → 52 MB with the
+    // canonical-pair symmetrize, the static edge partitioning, and
+    // data-sized edge partitions — the residue is the one-time edge
+    // build plus the per-round partial-agg floor.
+    val und = symmetrize(edges)
     val deg = und.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("d"))
       .transform(graft.CacheScope.persisted(_))
-
-    val nNodes = deg.count() // also warms the persisted deg/und
+    val nNodes = deg.count() // also warms the persisted deg
+    // edge partition count sized to the DATA, not the session
+    // default: the per-round rollup's map-side partial emits up to
+    // (nodes × mappers) rows, so over-parallel edge partitions
+    // inflate the one remaining shuffle linearly in the mapper count.
+    // ~1.5M edges/partition keeps partitions comfortably in memory
+    // while holding the partial-agg term near the nodes floor. The
+    // edge count is Σdeg over the already-persisted degree table —
+    // no extra pass over the edges.
+    val nEdges = deg.agg(sum("d")).head.getLong(0)
+    val edgeParts = math.max(
+      math.min(8, edges.sparkSession.sparkContext.defaultParallelism),
+      math.ceil(nEdges / 1500000.0).toInt)
+    val undDeg = und.join(deg, und("src") === deg("node"))
+      .select(col("src"), col("dst"), col("d"))
+      .repartition(edgeParts, col("src"))
+      .transform(graft.CacheScope.persisted(_))
     require(
       BigInt(nNodes) * scale * dampingPct <= BigInt(Long.MaxValue),
       s"n·scale·damping would overflow Long ($nNodes nodes at scale $scale); " +
@@ -138,8 +183,7 @@ object GraphOps {
     var i = 0
     while (i < iterations) {
       i += 1
-      val contribs = rank.join(deg, "node")
-        .join(und, col("node") === und("src"))
+      val contribs = undDeg.join(rank, undDeg("src") === rank("node"))
         .select(col("dst").as("node"), expr("r div d").as("c"))
         .groupBy("node").agg(sum("c").as("s"))
       // every node of an undirected graph has a neighbor, so the left
