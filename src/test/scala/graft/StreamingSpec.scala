@@ -279,6 +279,59 @@ class StreamingSpec extends SparkSpec {
     assert(old.count() == want.count())
   }
 
+  test("S17: streaming sketch-table maintenance equals the batch build, replay is algebraically idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.SketchTableSink
+
+    val eventsDf = Tables.events(spark, SfDir)
+      .select("event_id", "event_type", "user_id", "ts", "value")
+    val rows = eventsDf.as[Ev].collect().sortBy(_.ts.getTime)
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("graft_sktbl").toString + "/t"
+    val stagingDir = java.nio.file.Files
+      .createTempDirectory("graft_sktbl_stage").toString
+
+    val mem = MemoryStream[Ev]
+    val query = SketchTableSink.start(mem.toDF(), tableDir, stagingDir)
+    val chunks = rows.grouped(math.max(1, rows.length / 3)).toSeq
+    try {
+      // three batches with day overlap across the cuts: the merge
+      // path (not just bootstrap) is exercised on touched days
+      chunks.foreach { c =>
+        mem.addData(c.toIndexedSeq); query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    def est(df: org.apache.spark.sql.DataFrame) =
+      df.as[(java.sql.Date, Long)].collect().toMap
+    val streamed = est(SketchTableSink.rollingEstimate(spark, tableDir))
+
+    // batch twin: the SAME dailySketches aggregation over all rows at
+    // once, same read side — register max is order-insensitive, so
+    // estimates match exactly however the stream was chopped
+    val batchDir = java.nio.file.Files
+      .createTempDirectory("graft_sktbl_batch").toString + "/t"
+    graft.sources.Sinks.writePartitioned(
+      SketchTableSink.dailySketches(eventsDf), batchDir, Seq("day"))
+    assert(streamed == est(SketchTableSink.rollingEstimate(spark, batchDir)),
+      "maintained table diverges from the batch-built table")
+
+    // and from the registry's q86 over the same facts
+    assert(streamed ==
+      est(SparkEntry.queries("q86_rolling_distinct_hll")(spark, SfDir)),
+      "maintained table diverges from q86")
+
+    // replay: re-merging an already-absorbed batch is a register-max
+    // no-op — every estimate unchanged, no transaction log involved
+    val replay = chunks.last
+      .map(e => (e.event_id, e.event_type, e.user_id, e.ts, e.value))
+      .toSeq.toDF("event_id", "event_type", "user_id", "ts", "value")
+    SketchTableSink.mergeBatch(replay, tableDir, stagingDir)
+    assert(est(SketchTableSink.rollingEstimate(spark, tableDir)) == streamed,
+      "replayed batch changed estimates — merge is not idempotent")
+  }
+
   test("S8: streaming ANN index maintenance equals the batch bucket build, replay is a no-op") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
