@@ -1231,6 +1231,33 @@ object SparkEntry {
         .as("users_7d_est"))
   }
 
+  /** q87: trailing-7-day value percentiles (p50/p95) per day from a
+    * MERGEABLE quantile sketch table — q86's shape for ranks, which
+    * no Spark built-in provides (`percentile_approx` answers one
+    * query but exposes no storable summary, so every window would
+    * re-scan the facts). One fact pass builds per-day
+    * [[functions.Kll]] sketches (native TypedImperativeAggregate, not
+    * a udaf); the trailing merge + quantile extraction runs on the
+    * |days|-row sketch table. Approximate by construction → rows-only
+    * gate; the spec pins observed rank error against exact windowed
+    * percentiles. */
+  def q87PercentileSketch(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(expr("graft_kll_agg(value, 256)").as("sk"))
+      .transform(CacheScope.persisted(_))
+    daily.as("d").join(daily.as("s"),
+        col("s.day").between(date_sub(col("d.day"), 6), col("d.day")))
+      .groupBy(col("d.day").as("day"))
+      .agg(expr(
+        "graft_kll_quantiles(graft_kll_merge_agg(s.sk), array(0.5d, 0.95d))")
+        .as("qs"))
+      .select(col("day"),
+        col("qs").getItem(0).as("p50_est"),
+        col("qs").getItem(1).as("p95_est"))
+  }
+
   /** q80: atomic-publication round-trip — the [[sources.Publish]]
     * surface under the driver's hash gate, as q59 did for
     * writeShards. Two versions are published to a Scratch-cached root
@@ -1442,7 +1469,8 @@ object SparkEntry {
     "q83_graph_distance"         -> (q83GraphDistance _),
     "q84_pagerank"               -> (q84PageRank _),
     "q85_rolling_distinct"       -> (q85RollingDistinct _),
-    "q86_rolling_distinct_hll"   -> (q86RollingDistinctHll _)
+    "q86_rolling_distinct_hll"   -> (q86RollingDistinctHll _),
+    "q87_percentile_sketch"      -> (q87PercentileSketch _)
   )
 
   // q10 and q44 compute the same result over different physical

@@ -61,7 +61,14 @@ case class DotProduct(left: Expression, right: Expression)
 /** Session registration for graft's native expressions. */
 object GraftFunctions {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_dot" -> (args => DotProduct(args(0), args(1))))
+    "graft_dot" -> (args => DotProduct(args(0), args(1))),
+    "graft_kll_agg" -> (args => {
+      require(args.length == 2 && args(1).foldable,
+        "graft_kll_agg(value, k) needs a literal k")
+      KllAgg(args(0), args(1).eval().asInstanceOf[Number].intValue())
+    }),
+    "graft_kll_merge_agg" -> (args => KllMergeAgg(args(0))),
+    "graft_kll_quantiles" -> (args => KllQuantiles(args(0), args(1))))
 
   /** Idempotent per-session registration (temp functions). */
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>
