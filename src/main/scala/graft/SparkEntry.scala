@@ -1258,6 +1258,48 @@ object SparkEntry {
         col("qs").getItem(1).as("p95_est"))
   }
 
+  /** q88: full Pearson correlation + covariance MATRIX over the
+    * daily price panel (the reference's correlation-heatmap input) in
+    * ONE aggregate pass. q37 answers PAIRWISE-complete correlation by
+    * self-joining the long table — the right shape when the asset
+    * universe is unbounded. The matrix form is different semantics
+    * (LISTWISE deletion: only panel-complete dates, so every cell
+    * shares one n) over a bounded, declared universe, and that bound
+    * is what buys the plan: long → wide pivot (one date-hash shuffle,
+    * |dates| rows out), complete-row filter, then a SINGLE global
+    * Aggregate evaluating all k(k-1)/2 corr+covar cells as sibling
+    * aggregate expressions — partial-aggregated map-side, one row
+    * out, `stack` unpivots it to tidy pair rows. At 100 TB the fact
+    * pass is the only data-sized stage; the matrix math runs on
+    * |dates| rows. No join in the query at all — compare q37's
+    * bucketed pair join, which this deliberately does not reuse.
+    * Rounded at 1e-6: measured cross-engine disagreement at sf0.1 is
+    * ~1e-10 absolute (n=30 panel rows, |cov| ≤ ~1.2e3), the q76
+    * margin posture. */
+  def q88CorrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val assets = Seq("click", "error", "purchase", "signup", "view")
+    val wide = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("date"), col("event_type"), col("value"))
+      .groupBy("date")
+      .pivot("event_type", assets)
+      .agg(round(max("value"), 6))
+      .na.drop(assets)
+    val pairs = for {
+      i <- assets.indices; j <- (i + 1) until assets.size
+    } yield (assets(i), assets(j))
+    val cells: Seq[org.apache.spark.sql.Column] = count(lit(1)).as("n_days") +:
+      pairs.flatMap { case (a, b) => Seq(
+        round(corr(col(a), col(b)), 6).as(s"c_${a}_${b}"),
+        round(covar_samp(col(a), col(b)), 6).as(s"v_${a}_${b}")) }
+    val matrixRow = wide.agg(cells.head, cells.tail: _*)
+    val stackArgs = pairs.map { case (a, b) =>
+      s"'$a', '$b', c_${a}_${b}, v_${a}_${b}" }.mkString(", ")
+    matrixRow.selectExpr(
+        s"stack(${pairs.size}, $stackArgs) AS (asset_a, asset_b, price_corr, price_cov)",
+        "n_days")
+      .select("asset_a", "asset_b", "n_days", "price_corr", "price_cov")
+  }
+
   /** q80: atomic-publication round-trip — the [[sources.Publish]]
     * surface under the driver's hash gate, as q59 did for
     * writeShards. Two versions are published to a Scratch-cached root
@@ -1470,7 +1512,8 @@ object SparkEntry {
     "q84_pagerank"               -> (q84PageRank _),
     "q85_rolling_distinct"       -> (q85RollingDistinct _),
     "q86_rolling_distinct_hll"   -> (q86RollingDistinctHll _),
-    "q87_percentile_sketch"      -> (q87PercentileSketch _)
+    "q87_percentile_sketch"      -> (q87PercentileSketch _),
+    "q88_corr_matrix"            -> (q88CorrMatrix _)
   )
 
   // q10 and q44 compute the same result over different physical
