@@ -1287,9 +1287,21 @@ object SparkEntry {
     val pairs = for {
       i <- assets.indices; j <- (i + 1) until assets.size
     } yield (assets(i), assets(j))
+    // A zero-variance series (a stablecoin) makes built-in corr's
+    // final projection divide by zero — under ANSI mode (this
+    // session's default) that THROWS rather than returning NaN, and
+    // a CASE guard can't save it because the aggregate result
+    // projection evaluates every aggregate's finish expression
+    // unconditionally. So the cell is Pearson's r spelled as
+    // try_divide(cov, sd·sd) — algebraically identical (the (n−1)
+    // factors cancel), sibling aggregates in the same Aggregate node,
+    // and NULL on a constant series, which is DuckDB corr's semantics.
+    def safeCorr(a: String, b: String): org.apache.spark.sql.Column =
+      try_divide(covar_samp(col(a), col(b)),
+        stddev_samp(col(a)) * stddev_samp(col(b)))
     val cells: Seq[org.apache.spark.sql.Column] = count(lit(1)).as("n_days") +:
       pairs.flatMap { case (a, b) => Seq(
-        round(corr(col(a), col(b)), 6).as(s"c_${a}_${b}"),
+        round(safeCorr(a, b), 6).as(s"c_${a}_${b}"),
         round(covar_samp(col(a), col(b)), 6).as(s"v_${a}_${b}")) }
     val matrixRow = wide.agg(cells.head, cells.tail: _*)
     val stackArgs = pairs.map { case (a, b) =>
@@ -2575,6 +2587,43 @@ object SparkEntry {
         |SELECT d.day, COUNT(DISTINCT p.user_id) AS users_7d
         |FROM days d JOIN pairs p ON p.day BETWEEN d.day - 6 AND d.day
         |GROUP BY 1""".stripMargin,
+
+    // q88's oracle re-derives the matrix independently: FILTER-clause
+    // conditional aggregation stands in for Spark's pivot, the
+    // listwise-complete filter is the explicit NOT NULL conjunction,
+    // and the unpivot is a UNION ALL over the same (i<j) pair list the
+    // Spark side enumerates — both sides round values at 1e-6 before
+    // corr/covar and round the cells at 1e-6 after (measured
+    // cross-engine disagreement ~1e-10, the q76 margin posture).
+    "q88_corr_matrix" -> {
+      val assets = Seq("click", "error", "purchase", "signup", "view")
+      val pivot = assets.map(a =>
+        s"""ROUND(MAX(value) FILTER (WHERE event_type = '$a'), 6) AS "$a"""")
+        .mkString(",\n    ")
+      val notNull = assets.map(a => s""""$a" IS NOT NULL""").mkString(" AND ")
+      val pairs = for {
+        i <- assets.indices; j <- (i + 1) until assets.size
+      } yield (assets(i), assets(j))
+      val cells = pairs.map { case (a, b) =>
+        s"""ROUND(corr("$a", "$b"), 6) AS c_${a}_${b},
+           |    ROUND(covar_samp("$a", "$b"), 6) AS v_${a}_${b}""".stripMargin }
+        .mkString(",\n    ")
+      val unpivot = pairs.map { case (a, b) =>
+        s"SELECT '$a' AS asset_a, '$b' AS asset_b, n_days, " +
+          s"c_${a}_${b} AS price_corr, v_${a}_${b} AS price_cov FROM m" }
+        .mkString("\nUNION ALL\n")
+      s"""WITH wide AS (
+         |  SELECT CAST(ts AS DATE) AS date,
+         |    $pivot
+         |  FROM events GROUP BY 1
+         |),
+         |m AS (
+         |  SELECT COUNT(*) AS n_days,
+         |    $cells
+         |  FROM wide WHERE $notNull
+         |)
+         |$unpivot""".stripMargin
+    },
 
     "q78_curation_pipeline" ->
       """WITH keepers AS (

@@ -33,6 +33,49 @@ class AnalyticsInvariantsSpec extends SparkSpec {
     assert(df.where(col("asset_a") >= col("asset_b")).count() == 0)
   }
 
+  test("q88: matrix cells match a hand-computed panel; listwise deletion drops incomplete days") {
+    // 4 complete days with closed-form stats, plus a 5th day where
+    // only 'click' trades (value 100) — LISTWISE deletion must drop
+    // it entirely, so every cell shares n_days = 4 and the click
+    // outlier never contaminates any pair. click = 1..4,
+    // error = 2·click (corr +1), purchase = 5−click (corr −1),
+    // signup constant (corr undefined ⇒ NULL, cov 0), view a
+    // permutation with cov(click,view) = 4/3, corr 0.8.
+    val sql = spark
+    import sql.implicits._
+    val panel = Seq(
+      ("click", 1, 1.0), ("click", 2, 2.0), ("click", 3, 3.0), ("click", 4, 4.0),
+      ("error", 1, 2.0), ("error", 2, 4.0), ("error", 3, 6.0), ("error", 4, 8.0),
+      ("purchase", 1, 4.0), ("purchase", 2, 3.0), ("purchase", 3, 2.0), ("purchase", 4, 1.0),
+      ("signup", 1, 1.0), ("signup", 2, 1.0), ("signup", 3, 1.0), ("signup", 4, 1.0),
+      ("view", 1, 1.0), ("view", 2, 3.0), ("view", 3, 2.0), ("view", 4, 4.0),
+      ("click", 5, 100.0)) // incomplete day: must not survive the panel
+    val dir = java.nio.file.Files.createTempDirectory("graft_q88").toString
+    panel.toDF("event_type", "day", "value")
+      .select(
+        monotonically_increasing_id().as("event_id"),
+        to_timestamp(format_string("2024-01-%02d 12:00:00", col("day"))).as("ts"),
+        lit(1L).as("user_id"), col("event_type"), col("value"),
+        lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val out = SparkEntry.q88CorrMatrix(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.size == 10, "5 assets must yield exactly C(5,2)=10 pair rows")
+    assert(out.values.forall(_.getLong(2) == 4L),
+      "listwise deletion: every cell must share n_days=4 (day 5 dropped)")
+    def cell(a: String, b: String): (Double, Double) = {
+      val r = out((a, b)); (r.getDouble(3), r.getDouble(4))
+    }
+    assert(cell("click", "error") == ((1.0, 3.333333)))       // cov = 2·var(click) = 10/3
+    assert(cell("click", "purchase") == ((-1.0, -1.666667)))  // cov = -var(click) = -5/3
+    assert(cell("click", "view") == ((0.8, 1.333333)))        // cov = 4/3
+    assert(cell("error", "purchase") == ((-1.0, -3.333333)))  // cov = -2·var(click) = -10/3
+    val signupRow = out(("click", "signup"))
+    assert(signupRow.isNullAt(3), "corr against a constant series is NULL")
+    assert(signupRow.getDouble(4) == 0.0, "cov against a constant series is 0")
+  }
+
   test("q38: retained users never exceed the cohort size") {
     val df = SparkEntry.q38Retention(spark, SfDir)
     assert(df.where(col("d1_retained") > col("n_users") ||
