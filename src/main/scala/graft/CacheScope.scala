@@ -34,6 +34,7 @@ object CacheScope {
     * session-scoped release. Returns `df` for chaining. */
   def persisted(df: DataFrame,
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    evictStopped()
     df.persist(level)
     registry.add((df.sparkSession, df))
     df
@@ -43,6 +44,7 @@ object CacheScope {
     * (non-blocking) and drop it from the registry. Returns how many
     * entries were released. Other sessions' entries are untouched. */
   def releaseAll(spark: SparkSession): Int = {
+    evictStopped()
     var n = 0
     val it = registry.iterator()
     while (it.hasNext) {
@@ -54,6 +56,18 @@ object CacheScope {
       }
     }
     n
+  }
+
+  /** Entries whose session has stopped hold dead references forever
+    * in an embedding application that cycles sessions but only ever
+    * calls releaseAll on the live one — reap them on every mutation.
+    * (The stopped context already dropped the cached blocks; only the
+    * registry entry outlives it.) */
+  private def evictStopped(): Unit = {
+    val it = registry.iterator()
+    while (it.hasNext) {
+      if (it.next()._1.sparkContext.isStopped) it.remove()
+    }
   }
 
   /** Registered-but-unreleased entry count for `spark` — lets tests

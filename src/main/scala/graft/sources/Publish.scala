@@ -112,13 +112,15 @@ object Publish {
     }
 
   /** A caller `meta` value from the live manifest — the read side of
-    * publish's `meta` param (exact-key lookup on the JSON publish
-    * wrote; inverse of its escaping). */
+    * publish's `meta` param. Parsed with Jackson (Spark's own JSON
+    * runtime, already on every classpath this library runs on) and
+    * scoped to the `meta` object: a regex over the raw text could
+    * also match the key inside ANOTHER meta value or the schema DDL
+    * string. */
   def currentMetaValue(root: String, key: String): Option[String] =
     currentManifest(root).flatMap { m =>
-      val k = java.util.regex.Pattern.quote(jsonStr(key))
-      (k + """:"((?:[^"\\]|\\.)*)"""").r.findFirstMatchIn(m)
-        .map(g => g.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(m)
+      Option(node.get("meta")).flatMap(o => Option(o.get(key))).map(_.asText)
     }
 
   /** Drop every version except the live one and the newest `keep`
@@ -167,6 +169,17 @@ object Publish {
     finally s.close()
   }
 
+  // full JSON string escape incl. control chars (Verify.oracleJson's
+  // escaper): a newline or tab in a caller meta value must not
+  // produce a manifest json.load rejects
   private def jsonStr(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
 }

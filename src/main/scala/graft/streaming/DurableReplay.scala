@@ -25,6 +25,34 @@ import org.apache.spark.sql.functions._
   */
 object DurableReplay {
 
+  /** The file source replays oldest-mtime-first; on filesystems with
+    * coarse (1 s) timestamp granularity two staged files can TIE and
+    * replay out of order — fatal to the order-sensitive state folds
+    * this harness exists to test. So every staged file gets an
+    * explicit strictly-increasing mtime (2 s apart, starting an hour
+    * in the past so later un-stamped appends — [[run]]'s sentinel —
+    * always sort after the staged backlog) instead of trusting
+    * write-time clocks. */
+  private final class Stamper(dir: String) {
+    private val seen = scala.collection.mutable.Set.empty[String]
+    private var t = System.currentTimeMillis() / 1000 * 1000 - 3600L * 1000
+
+    /** Stamp the data files that appeared since the last call, in
+      * name order (one staged file per call in practice). */
+    def stampNew(): Unit = {
+      val fresh = Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.getName.endsWith(".parquet") && !seen.contains(f.getName))
+        .sortBy(_.getName)
+      fresh.foreach { f =>
+        t += 2000
+        java.nio.file.Files.setLastModifiedTime(f.toPath,
+          java.nio.file.attribute.FileTime.fromMillis(t))
+        seen += f.getName: Unit
+      }
+    }
+  }
+
   /** @param events bounded (event_id, event_type, user_id, ts, value)
     * @param expectRows rows the drained sink must reach (the batch
     *   twin's count) — polled with a deadline after the sentinel
@@ -38,10 +66,11 @@ object DurableReplay {
 
     val w = org.apache.spark.sql.expressions.Window.orderBy("ts")
     val quartiled = events.withColumn("__q", ntile(4).over(w)).cache()
+    val stamper = new Stamper(inDir)
     (1 to 4).foreach { i =>
       quartiled.where(col("__q") === i).drop("__q")
         .coalesce(1).write.mode("append").parquet(inDir)
-      Thread.sleep(50)
+      stamper.stampNew()
     }
 
     def mkQuery() = {
@@ -127,13 +156,16 @@ object DurableReplay {
     val sinkDir = java.nio.file.Files.createTempDirectory("graft_stateful_sink").toString + "/out"
     val ckptDir = java.nio.file.Files.createTempDirectory("graft_stateful_ckpt").toString
 
+    // one stamper across both stage() calls: the second incarnation's
+    // files must sort strictly after the first's
+    val stamper = new Stamper(inDir)
     def stage(half: DataFrame): Unit = {
       val w = org.apache.spark.sql.expressions.Window.orderBy(orderCol)
       val split = half.withColumn("__h", ntile(2).over(w)).cache()
       (1 to 2).foreach { i =>
         split.where(col("__h") === i).drop("__h")
           .coalesce(1).write.mode("append").parquet(inDir)
-        Thread.sleep(50)
+        stamper.stampNew()
       }
       split.unpersist(): Unit
     }

@@ -4,36 +4,46 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.sources.Sinks
+import graft.sources.Publish
 
 /** S17: incremental maintenance of q86's per-day HLL sketch table —
   * the streaming path that makes windowed distinct counts never
   * rescan history.
   *
-  * Each micro-batch is collapsed to per-day sketch PARTIALS and
-  * merged into the stored table with `hll_union` (read-merge-rewrite
-  * of only the touched day partitions — the [[UpsertSink]] /
-  * `Ingest.incrementalRefresh` pruned-refresh idiom, with the
-  * keep-newest rule replaced by register union). The read side
-  * ([[rollingEstimate]]) is exactly q86's aggregated-table range
-  * merge, so a dashboard query touches |days| sketch rows, never the
-  * fact stream.
+  * Each micro-batch is collapsed to per-day sketch PARTIALS, merged
+  * with the live table (`hll_union` on touched days, pass-through on
+  * the rest), and the result is committed through
+  * [[graft.sources.Publish]]: a fresh immutable version directory and
+  * one atomic pointer flip. An earlier revision rewrote only the
+  * touched `day=` partitions in place (the [[UpsertSink]]
+  * pruned-refresh idiom) — O(touched days) of write instead of
+  * O(|days|) — but a dynamic-partition overwrite is not
+  * crash-atomic: die between "old partition files removed" and "new
+  * ones landed" and the day's accumulated registers are simply gone,
+  * after which a replayed batch re-seeds the day with only its own
+  * partial — a silent undercount the register-max idempotency
+  * argument cannot repair, because the damage happened OUTSIDE the
+  * merge algebra. The sketch table is the aggregate itself (|days|
+  * rows, KB-scale sketches — at 100 TB of facts it is still only
+  * |days| rows), so full-version publication costs nothing
+  * measurable and buys a real commit point: readers see the old
+  * version or the new one, never a torn day.
   *
-  * The exactly-once story is ALGEBRAIC here, even stronger than S7's
-  * keep-newest idempotency: HLL union is register-wise max, so
-  * merging a batch's partial into a table that already contains it is
-  * a no-op — at-least-once delivery composes with an idempotent,
-  * commutative merge into exactly-once ESTIMATES, with no transaction
-  * log consulted. And because register max is order-insensitive, the
-  * maintained table reaches the same REGISTER STATE as a batch build
-  * over the same rows regardless of how the stream was chopped into
-  * batches (serialized sketch bytes may differ by representation
-  * mode; the registers, and with them every post-union estimate, do
-  * not) — `StreamingSpec` asserts estimate EQUALITY, not tolerance.
-  * The reference's always-on pullers
-  * (coingecko_market_data.py:317-380) land raw rows and re-aggregate;
-  * this sink lands the aggregate itself, which is what survives an
-  * unbounded stream.
+  * On top of that crash-atomic commit, the exactly-once story stays
+  * ALGEBRAIC, stronger than S7's keep-newest idempotency: HLL union
+  * is register-wise max, so merging a batch's partial into a table
+  * that already contains it is a no-op — at-least-once delivery
+  * composes with an idempotent, commutative merge into exactly-once
+  * ESTIMATES, with no transaction log consulted. And because register
+  * max is order-insensitive, the maintained table reaches the same
+  * REGISTER STATE as a batch build over the same rows regardless of
+  * how the stream was chopped into batches (serialized sketch bytes
+  * may differ by representation mode; the registers, and with them
+  * every post-union estimate, do not) — `StreamingSpec` asserts
+  * estimate EQUALITY, not tolerance. The reference's always-on
+  * pullers (coingecko_market_data.py:317-380) land raw rows and
+  * re-aggregate; this sink lands the aggregate itself, which is what
+  * survives an unbounded stream.
   */
 object SketchTableSink {
 
@@ -46,60 +56,56 @@ object SketchTableSink {
       .groupBy("day")
       .agg(hll_sketch_agg(col("user_id")).as("sk"))
 
-  /** Merge one batch's partials into the sketch table. Public and
-    * directly callable: foreachBatch delegates here, and the replay /
-    * idempotency tests exercise it without streaming machinery. */
-  def mergeBatch(batch: DataFrame, tablePath: String, stagingPath: String): Unit = {
+  /** Merge one batch's partials into the published sketch table and
+    * atomically promote the result. Public and directly callable:
+    * foreachBatch delegates here, and the replay / idempotency tests
+    * exercise it without streaming machinery. */
+  def mergeBatch(batch: DataFrame, tableRoot: String): Unit = {
     val spark = batch.sparkSession
     val partial = dailySketches(batch)
-    val tableRoot = new java.io.File(tablePath)
-    val hasData = tableRoot.isDirectory &&
-      Option(tableRoot.listFiles()).exists(_.exists(f =>
-        f.getName.endsWith(".parquet") || f.getName.contains("=")))
-    if (!hasData) {
-      Sinks.writePartitioned(partial, tablePath, Seq("day"))
-      return
+    Publish.currentVersion(tableRoot) match {
+      case None =>
+        Publish.publish(partial, tableRoot): Unit
+      case Some(_) =>
+        val existing = Publish.read(spark, tableRoot)
+        val merged = existing.as("e")
+          .join(partial.as("p"), Seq("day"), "full_outer")
+          .select(col("day"),
+            when(col("e.sk").isNull, col("p.sk"))
+              .when(col("p.sk").isNull, col("e.sk"))
+              .otherwise(hll_union(col("e.sk"), col("p.sk"))).as("sk"))
+        Publish.publish(merged, tableRoot)
+        // retention: live + one superseded version (the in-flight
+        // reader window); unbounded version growth is the one cost a
+        // per-batch publish could otherwise accumulate
+        Publish.vacuum(tableRoot, keep = 1): Unit
     }
-    val existing = spark.read.parquet(tablePath)
-    // pruned refresh: only the days this batch touches are read back
-    // (broadcast semi-join reaches the scan as a partition filter)
-    val touched = partial.select("day").distinct()
-    val existingTouched =
-      existing.join(broadcast(touched), Seq("day"), "left_semi")
-    val merged = existingTouched.as("e")
-      .join(partial.as("p"), Seq("day"), "full_outer")
-      .select(col("day"),
-        when(col("e.sk").isNull, col("p.sk"))
-          .when(col("p.sk").isNull, col("e.sk"))
-          .otherwise(hll_union(col("e.sk"), col("p.sk"))).as("sk"))
-    // stage before the dynamic overwrite: the merge READS the
-    // partitions the write replaces
-    merged.write.mode("overwrite").parquet(stagingPath)
-    Sinks.writePartitioned(
-      spark.read.parquet(stagingPath), tablePath, Seq("day"))
   }
 
   /** Start maintaining the sketch table from a streaming (ts,
     * user_id) source. Same checkpoint contract as [[UpsertSink]]. */
   def start(
       events: DataFrame,
-      tablePath: String,
-      stagingPath: String,
+      tableRoot: String,
       checkpointLocation: Option[String] = None): StreamingQuery = {
     val writer = events.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeBatch(batch, tablePath, stagingPath)
+        mergeBatch(batch, tableRoot)
       }
     checkpointLocation.fold(writer)(writer.option("checkpointLocation", _)).start()
   }
 
   /** q86's read side over the maintained table: trailing-`windowDays`
     * distinct-user estimates per stored day. Runs entirely on the
-    * aggregated table (|days| rows). */
+    * aggregated table (|days| rows). Accepts either a [[Publish]]
+    * root (resolved through the live pointer) or a plain parquet
+    * table — the batch twin in the spec is the latter. */
   def rollingEstimate(
       spark: SparkSession, tablePath: String, windowDays: Int = 7): DataFrame = {
     require(windowDays >= 1, s"window must be at least one day, got $windowDays")
-    val daily = spark.read.parquet(tablePath)
+    val daily = Publish.currentVersion(tablePath)
+      .map(_ => Publish.read(spark, tablePath))
+      .getOrElse(spark.read.parquet(tablePath))
     daily.as("d").join(daily.as("s"),
         col("s.day").between(date_sub(col("d.day"), windowDays - 1), col("d.day")))
       .groupBy(col("d.day").as("day"))

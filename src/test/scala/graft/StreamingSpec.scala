@@ -289,11 +289,9 @@ class StreamingSpec extends SparkSpec {
     val rows = eventsDf.as[Ev].collect().sortBy(_.ts.getTime)
     val tableDir = java.nio.file.Files
       .createTempDirectory("graft_sktbl").toString + "/t"
-    val stagingDir = java.nio.file.Files
-      .createTempDirectory("graft_sktbl_stage").toString
 
     val mem = MemoryStream[Ev]
-    val query = SketchTableSink.start(mem.toDF(), tableDir, stagingDir)
+    val query = SketchTableSink.start(mem.toDF(), tableDir)
     val chunks = rows.grouped(math.max(1, rows.length / 3)).toSeq
     try {
       // three batches with day overlap across the cuts: the merge
@@ -327,9 +325,28 @@ class StreamingSpec extends SparkSpec {
     val replay = chunks.last
       .map(e => (e.event_id, e.event_type, e.user_id, e.ts, e.value))
       .toSeq.toDF("event_id", "event_type", "user_id", "ts", "value")
-    SketchTableSink.mergeBatch(replay, tableDir, stagingDir)
+    SketchTableSink.mergeBatch(replay, tableDir)
     assert(est(SketchTableSink.rollingEstimate(spark, tableDir)) == streamed,
       "replayed batch changed estimates — merge is not idempotent")
+
+    // crash atomicity: the table commits through Publish, so a merge
+    // that dies before the pointer flip leaves the live version — and
+    // every estimate — untouched (only staging garbage, reaped by the
+    // next publish). Simulate the torn write by staging files and
+    // dying, then assert nothing moved and a subsequent merge heals.
+    val vLive = graft.sources.Publish.currentVersion(tableDir).get
+    val staging = java.nio.file.Paths.get(tableDir)
+      .resolve(s".staging-v${vLive + 1}")
+    java.nio.file.Files.createDirectories(staging)
+    java.nio.file.Files.write(staging.resolve("part-00000.parquet"),
+      Array[Byte](1, 2, 3)): Unit // torn file: not even a parquet footer
+    assert(graft.sources.Publish.currentVersion(tableDir).contains(vLive),
+      "a dead staging dir must not move the live pointer")
+    assert(est(SketchTableSink.rollingEstimate(spark, tableDir)) == streamed,
+      "estimates changed while a torn staging dir was present")
+    SketchTableSink.mergeBatch(replay, tableDir)
+    assert(est(SketchTableSink.rollingEstimate(spark, tableDir)) == streamed,
+      "merge after a torn staging dir diverged")
   }
 
   test("S8: streaming ANN index maintenance equals the batch bucket build, replay is a no-op") {
