@@ -68,7 +68,8 @@ object GraftFunctions {
       KllAgg(args(0), args(1).eval().asInstanceOf[Number].intValue())
     }),
     "graft_kll_merge_agg" -> (args => KllMergeAgg(args(0))),
-    "graft_kll_quantiles" -> (args => KllQuantiles(args(0), args(1))))
+    "graft_kll_quantiles" -> (args => KllQuantiles(args(0), args(1))),
+    "graft_cms_probe" -> (args => CmsProbeAll(args(0), args(1))))
 
   /** Idempotent per-session registration (temp functions). */
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>

@@ -1,9 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.util.sketch.CountMinSketch
 
 /** Heavy hitters: who dominates each group.
   *
@@ -25,10 +24,11 @@ import org.apache.spark.util.sketch.CountMinSketch
   *     for a bounded candidate set. Estimates overcount by at most
   *     eps·N with the configured confidence, never undercount.
   *
-  * The sketches and the candidate set are both tiny by construction
-  * (one sketch per group, k rows per group), so the driver-side probe
-  * is a bounded dim-probe like Ann's limit(1) dimension reads — the
-  * counting and sketch building stay distributed.
+  * Counting, sketch building, AND probing all stay distributed — the
+  * sketch table (one fixed-width sketch per group) is joined against
+  * the packed candidate arrays and probed executor-side, so the
+  * operator scales with the GROUP universe, not with what fits on
+  * the driver.
   */
 object TopK {
 
@@ -48,7 +48,19 @@ object TopK {
   /** Count-min estimates for the exact top-k candidates: emits
     * (groupCol, keyCol, cnt, rk, est_cnt). `est_cnt ≥ cnt` always;
     * `est_cnt ≤ cnt + eps·N(group)` with the configured confidence.
-    * The key column must be integral (the sketch hashes longs). */
+    * The key column must be integral (the sketch hashes longs).
+    *
+    * Fully distributed: an earlier revision collected one sketch PER
+    * GROUP to the driver (eps=0.001 ⇒ ~80 KB each) and rebuilt with
+    * `parallelize` — bounded for a 5-event-type demo, a driver OOM
+    * the day someone groups by `domain` at corpus scale. Now the
+    * sketch table stays on the executors; each group's ≤k candidates
+    * are packed into one array row, joined against its sketch (both
+    * sides exit their aggregation hash-partitioned on the group, so
+    * the join reuses that exchange), and probed by
+    * [[graft.functions.CmsProbeAll graft_cms_probe]], which
+    * deserializes the sketch once per group. Nothing wider than a
+    * plan ever reaches the driver. */
   def countMinEstimates(
       df: DataFrame,
       groupCol: String,
@@ -57,28 +69,22 @@ object TopK {
       eps: Double = 0.001,
       confidence: Double = 0.99,
       seed: Int = 42): DataFrame = {
-    val spark = df.sparkSession
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val candidates = exact(df, Seq(groupCol), keyCol, k)
-    // one fixed-width sketch per group — bounded by the group
-    // universe, collected as a dim probe
-    val sketches: Map[Any, CountMinSketch] =
-      df.groupBy(groupCol)
-        .agg(count_min_sketch(col(keyCol), lit(eps), lit(confidence), lit(seed))
-          .as("cms"))
-        .collect()
-        .map(r => r.get(0) -> CountMinSketch.readFrom(r.getAs[Array[Byte]](1)))
-        .toMap
-    // candidate set is ≤ k per group — probe driver-side, rebuild
-    val probed = candidates.collect().map { r =>
-      val est = sketches(r.getAs[Any](groupCol))
-        .estimateCount(r.getAs[Long](keyCol))
-      Row.fromSeq(r.toSeq :+ est)
-    }
-    val schema = org.apache.spark.sql.types.StructType(
-      candidates.schema.fields :+
-        org.apache.spark.sql.types.StructField(
-          "est_cnt", org.apache.spark.sql.types.LongType, nullable = false))
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(probed.toIndexedSeq, 1), schema)
+    val sketches = df.groupBy(groupCol)
+      .agg(count_min_sketch(col(keyCol), lit(eps), lit(confidence), lit(seed))
+        .as("cms"))
+    val packed = candidates
+      .groupBy(groupCol)
+      .agg(collect_list(struct(col("rk"), col(keyCol), col("cnt"))).as("cands"))
+    packed.join(sketches, Seq(groupCol))
+      .withColumn("ests",
+        expr(s"graft_cms_probe(cms, transform(cands, c -> c.`$keyCol`))"))
+      .select(col(groupCol), explode(arrays_zip(col("cands"), col("ests"))).as("z"))
+      .select(col(groupCol),
+        col(s"z.cands.`$keyCol`").as(keyCol),
+        col("z.cands.cnt").as("cnt"),
+        col("z.cands.rk").as("rk"),
+        col("z.ests").as("est_cnt"))
   }
 }

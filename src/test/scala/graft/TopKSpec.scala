@@ -64,6 +64,30 @@ class TopKSpec extends SparkSpec {
     }
   }
 
+  test("count-min probe stays distributed on a planted high-cardinality group universe") {
+    import spark.implicits._
+    // 15 real users won't stress the group axis — plant ~400 groups
+    // so a driver-side sketch collect would be |groups|·sketch-width
+    val ev = Tables.events(spark, SfDir)
+      .withColumn("g", col("event_id") % 397)
+    val out = TopK.countMinEstimates(ev, "g", "user_id", 2, eps = 0.01)
+
+    // the old shape collected every sketch and rebuilt via
+    // parallelize — visible as a driver-local leaf. The fix's
+    // contract is structural: no driver materialization in the plan.
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("LocalTableScan") && !plan.contains("ExistingRDD"),
+      s"probe plan materializes through the driver:\n$plan")
+
+    val rows = out.as[(Long, Long, Long, Int, Long)].collect()
+    val byGroup = rows.groupBy(_._1)
+    assert(byGroup.size > 300, s"planted universe collapsed: ${byGroup.size} groups")
+    assert(byGroup.values.forall(_.length <= 2), "more than k candidates in a group")
+    rows.foreach { case (g, u, cnt, _, est) =>
+      assert(est >= cnt, s"count-min undercounted ($g, $u): $est < $cnt")
+    }
+  }
+
   test("the registry pair agrees: q82's candidates are exactly q81's rows") {
     val q81 = SparkEntry.queries("q81_heavy_hitters")(spark, SfDir)
       .collect().map(_.toString).sorted.toSeq
