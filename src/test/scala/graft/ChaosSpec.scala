@@ -230,6 +230,55 @@ class ChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
       failures.mkString("\n  "))
   }
 
+  test("C10: the BFS loop survives first-attempt kills in its per-round jobs") {
+    // the C9 blanket wraps each query's RESULT, but q83/q84 run their
+    // rounds as separate driver-side jobs (localCheckpoint per round)
+    // BEFORE the result ever evaluates — chaos must ride the loop
+    // INPUT to reach those jobs: the persisted symmetrized edge
+    // build, each round's frontier-join checkpoint, and the isEmpty
+    // loop-control probes all see first-attempt kills here
+    import graft.operators.GraphOps
+    val o = Tables.orders(spark, SfDir).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, SfDir).select(col("l_orderkey"), col("l_suppkey"))
+    val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .select(concat(lit("c:"), col("o_custkey")).as("src"),
+        concat(lit("s:"), col("l_suppkey")).as("dst"))
+    val seeds = Tables.customer(spark, SfDir)
+      .where(col("c_custkey") % 50 === 0)
+      .select(concat(lit("c:"), col("c_custkey")).as("node"))
+
+    val clean = GraphOps.hopDistances(edges, seeds, maxHops = 4)
+    CacheScope.releaseAll(spark): Unit
+    val (chaosEdges, accE) = Chaos.failFirstAttempt(edges)
+    val (chaosSeeds, accS) = Chaos.failFirstAttempt(seeds)
+    val chaotic = GraphOps.hopDistances(chaosEdges, chaosSeeds, maxHops = 4)
+    assertSurvivesRetry(clean, chaotic, accE)
+    assert(accS.value >= 1L, "the seed-side injection never fired")
+    CacheScope.releaseAll(spark): Unit
+  }
+
+  test("C11: the PageRank loop is bit-identical under first-attempt kills") {
+    // integer fixed-point ranks mean the assertion is exact equality
+    // of Longs — any retry-induced drift in the per-round contribution
+    // rollup or a torn localCheckpoint block would change bits, not
+    // just tolerance. Also exercises the degree/edge persisted tables
+    // materializing under kills (their first evaluation is what trips
+    // the injection; rounds then re-read the cached blocks).
+    import graft.operators.GraphOps
+    val o = Tables.orders(spark, SfDir).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, SfDir).select(col("l_orderkey"), col("l_suppkey"))
+    val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .select(concat(lit("c:"), col("o_custkey")).as("src"),
+        concat(lit("s:"), col("l_suppkey")).as("dst"))
+
+    val clean = GraphOps.pageRank(edges, iterations = 4)
+    CacheScope.releaseAll(spark): Unit
+    val (chaosEdges, acc) = Chaos.failFirstAttempt(edges)
+    val chaotic = GraphOps.pageRank(chaosEdges, iterations = 4)
+    assertSurvivesRetry(clean, chaotic, acc)
+    CacheScope.releaseAll(spark): Unit
+  }
+
   test("C6: a retry in the result stage (post-shuffle) commits exactly once") {
     // chaos on the OUTPUT of an aggregation: the killed task is a
     // shuffle-READ task, so the retry replays reducer input from
