@@ -1312,6 +1312,51 @@ object SparkEntry {
       .select("asset_a", "asset_b", "n_days", "price_corr", "price_cov")
   }
 
+  /** q89: the corr+covariance matrix for an UNBOUNDED asset universe —
+    * q37's PAIRWISE-deletion semantics with q88's matrix output, and
+    * neither of their scale limits. q88's pivot needs the universe
+    * declared up front (k columns, k(k−1)/2 sibling aggregate
+    * expressions — a plan that stops compiling in the thousands);
+    * q37's self-join shuffles the daily table twice and re-keys it by
+    * bare date. Here the fact table is read ONCE, aggregated to daily
+    * grain, regrouped per date, and each date's pairs are generated
+    * IN-ROW (higher-order transform×transform, i<j filter, one
+    * Generate node — no join anywhere in the plan), then a single
+    * groupBy(pair) runs Spark's own co-moment aggregates, partial-
+    * aggregated map-side so the shuffle carries pair PARTIALS, not
+    * pair observations. The quadratic term every pair statistic owns
+    * (|assets-per-date|² candidates) lands in the map stage's
+    * generator, where it pipelines into the partial aggregation
+    * instead of becoming join-shuffle mass. corr is spelled
+    * try_divide(cov, sd·sd) — q88's ANSI-safe Pearson — so constant
+    * series NULL their cells. Pairwise vs listwise is the REAL
+    * semantic fork, not an implementation detail: the spec plants a
+    * date where they must disagree and checks both sides of it
+    * against q88. */
+  def q89CorrMatrixUnbounded(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("date"), col("event_type").as("asset"), col("value"))
+      .groupBy("date", "asset")
+      .agg(round(max("value"), 6).as("price"))
+    val byDate = daily.groupBy("date")
+      .agg(collect_list(struct(col("asset"), col("price"))).as("xs"))
+    val pairRows = byDate.select(explode(expr(
+        """flatten(transform(xs, a ->
+          |  filter(
+          |    transform(xs, b -> if(a.asset < b.asset,
+          |      struct(a.asset as asset_a, b.asset as asset_b,
+          |             a.price as pa, b.price as pb),
+          |      null)),
+          |    p -> p is not null)))""".stripMargin)).as("p"))
+      .select(col("p.asset_a"), col("p.asset_b"), col("p.pa"), col("p.pb"))
+    pairRows.groupBy("asset_a", "asset_b")
+      .agg(
+        count(lit(1)).as("n_days"),
+        round(try_divide(covar_samp(col("pa"), col("pb")),
+          stddev_samp(col("pa")) * stddev_samp(col("pb"))), 6).as("price_corr"),
+        round(covar_samp(col("pa"), col("pb")), 6).as("price_cov"))
+  }
+
   /** q80: atomic-publication round-trip — the [[sources.Publish]]
     * surface under the driver's hash gate, as q59 did for
     * writeShards. Two versions are published to a Scratch-cached root
@@ -1525,7 +1570,8 @@ object SparkEntry {
     "q85_rolling_distinct"       -> (q85RollingDistinct _),
     "q86_rolling_distinct_hll"   -> (q86RollingDistinctHll _),
     "q87_percentile_sketch"      -> (q87PercentileSketch _),
-    "q88_corr_matrix"            -> (q88CorrMatrix _)
+    "q88_corr_matrix"            -> (q88CorrMatrix _),
+    "q89_corr_matrix_unbounded"  -> (q89CorrMatrixUnbounded _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -2624,6 +2670,22 @@ object SparkEntry {
          |)
          |$unpivot""".stripMargin
     },
+
+    // q89's oracle re-derives the pairwise matrix through the JOIN
+    // form the Spark side specifically avoids — a genuinely
+    // independent path to the same cells (and the q37 oracle plus a
+    // covariance column)
+    "q89_corr_matrix_unbounded" ->
+      """WITH daily AS (
+        |  SELECT event_type AS asset, CAST(ts AS DATE) AS date, ROUND(MAX(value), 6) AS price
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT a.asset AS asset_a, b.asset AS asset_b,
+        |  COUNT(*) AS n_days,
+        |  ROUND(corr(a.price, b.price), 6) AS price_corr,
+        |  ROUND(covar_samp(a.price, b.price), 6) AS price_cov
+        |FROM daily a JOIN daily b ON a.date = b.date AND a.asset < b.asset
+        |GROUP BY 1, 2""".stripMargin,
 
     "q78_curation_pipeline" ->
       """WITH keepers AS (

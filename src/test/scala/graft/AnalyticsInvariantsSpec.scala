@@ -33,14 +33,16 @@ class AnalyticsInvariantsSpec extends SparkSpec {
     assert(df.where(col("asset_a") >= col("asset_b")).count() == 0)
   }
 
-  test("q88: matrix cells match a hand-computed panel; listwise deletion drops incomplete days") {
-    // 4 complete days with closed-form stats, plus a 5th day where
-    // only 'click' trades (value 100) — LISTWISE deletion must drop
-    // it entirely, so every cell shares n_days = 4 and the click
-    // outlier never contaminates any pair. click = 1..4,
-    // error = 2·click (corr +1), purchase = 5−click (corr −1),
-    // signup constant (corr undefined ⇒ NULL, cov 0), view a
-    // permutation with cov(click,view) = 4/3, corr 0.8.
+  /** Hand-computed correlation panel shared by the q88/q89 specs:
+    * 4 complete days with closed-form stats; day 5 is click-only
+    * (no pair can use it — dropped under BOTH deletion semantics);
+    * day 6 trades only click and view (5.0 each) — the planted fork
+    * where PAIRWISE deletion (q89) must use it for exactly the
+    * (click, view) pair and LISTWISE deletion (q88) must not.
+    * click = 1..4, error = 2·click (corr +1), purchase = 5−click
+    * (corr −1), signup constant (corr NULL, cov 0), view a
+    * permutation with cov(click,view) = 4/3, corr 0.8. */
+  private lazy val corrPanelDir: String = {
     val sql = spark
     import sql.implicits._
     val panel = Seq(
@@ -49,8 +51,9 @@ class AnalyticsInvariantsSpec extends SparkSpec {
       ("purchase", 1, 4.0), ("purchase", 2, 3.0), ("purchase", 3, 2.0), ("purchase", 4, 1.0),
       ("signup", 1, 1.0), ("signup", 2, 1.0), ("signup", 3, 1.0), ("signup", 4, 1.0),
       ("view", 1, 1.0), ("view", 2, 3.0), ("view", 3, 2.0), ("view", 4, 4.0),
-      ("click", 5, 100.0)) // incomplete day: must not survive the panel
-    val dir = java.nio.file.Files.createTempDirectory("graft_q88").toString
+      ("click", 5, 100.0), // pair-less day: invisible to every semantics
+      ("click", 6, 5.0), ("view", 6, 5.0)) // the pairwise/listwise fork
+    val dir = java.nio.file.Files.createTempDirectory("graft_corrpanel").toString
     panel.toDF("event_type", "day", "value")
       .select(
         monotonically_increasing_id().as("event_id"),
@@ -58,12 +61,15 @@ class AnalyticsInvariantsSpec extends SparkSpec {
         lit(1L).as("user_id"), col("event_type"), col("value"),
         lit("{}").as("props"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
 
-    val out = SparkEntry.q88CorrMatrix(spark, dir)
+  test("q88: matrix cells match a hand-computed panel; listwise deletion drops incomplete days") {
+    val out = SparkEntry.q88CorrMatrix(spark, corrPanelDir)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
     assert(out.size == 10, "5 assets must yield exactly C(5,2)=10 pair rows")
     assert(out.values.forall(_.getLong(2) == 4L),
-      "listwise deletion: every cell must share n_days=4 (day 5 dropped)")
+      "listwise deletion: every cell must share n_days=4 (days 5 and 6 dropped)")
     def cell(a: String, b: String): (Double, Double) = {
       val r = out((a, b)); (r.getDouble(3), r.getDouble(4))
     }
@@ -74,6 +80,35 @@ class AnalyticsInvariantsSpec extends SparkSpec {
     val signupRow = out(("click", "signup"))
     assert(signupRow.isNullAt(3), "corr against a constant series is NULL")
     assert(signupRow.getDouble(4) == 0.0, "cov against a constant series is 0")
+  }
+
+  test("q89: pairwise matrix — one fact scan, no join, and the planted fork from q88") {
+    val df = SparkEntry.q89CorrMatrixUnbounded(spark, corrPanelDir)
+    // the unbounded form's structural contract: the fact table is
+    // scanned ONCE and pair generation is in-row — no join node
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"expected exactly one fact scan:\n$plan")
+    assert(!plan.contains("Join"), s"pair generation must not be a join:\n$plan")
+
+    val out = df.collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.size == 10, "same 10 pair rows as the bounded form")
+    def cell(a: String, b: String): (Long, Double, Double) = {
+      val r = out((a, b)); (r.getLong(2), r.getDouble(3), r.getDouble(4))
+    }
+    // pairs untouched by day 6 agree with q88 (complete-panel case)
+    assert(cell("click", "error") == ((4L, 1.0, 3.333333)))
+    assert(cell("click", "purchase") == ((4L, -1.0, -1.666667)))
+    assert(cell("error", "purchase") == ((4L, -1.0, -3.333333)))
+    // the fork: day 6 (click=5, view=5) joins the (click, view) pair
+    // under PAIRWISE deletion — x=(1,2,3,4,5), y=(1,3,2,4,5):
+    // cov = 9/4 = 2.25, var = 2.5 each, corr = 0.9 — whereas q88's
+    // listwise cell stays (4, 0.8, 1.333333)
+    assert(cell("click", "view") == ((5L, 0.9, 2.25)))
+    val signupRow = out(("click", "signup"))
+    assert(signupRow.getLong(2) == 4L)
+    assert(signupRow.isNullAt(3), "corr against a constant series is NULL")
+    assert(signupRow.getDouble(4) == 0.0)
   }
 
   test("q38: retained users never exceed the cohort size") {
