@@ -867,6 +867,24 @@ object SparkEntry {
       "doc_id", "text", n = 3, minShared = 5, maxDf = 100)
   }
 
+  /** q90: q61's decontamination through the bloom pre-filter — the
+    * eval side's shingle hashes become ONE bounded filter
+    * (graft_bloom_agg), the train scan keeps bloom-positive shingles
+    * only, and the exact join runs on the survivors. Same pairs, same
+    * counts, same oracle SQL as the exact semantics (false positives
+    * die in the join; false negatives are impossible), but the join
+    * shuffle carries |matches| + fpp·|train| rows instead of every
+    * train shingle — at a TB corpus against an MB benchmark that is
+    * the difference between shuffling the corpus and shuffling
+    * (almost) nothing. See [[similarity.Dedup.decontaminateBloom]]. */
+  def q90DecontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.decontaminateBloom(
+      docs.where(col("doc_id") % 20 =!= 0),
+      docs.where(col("doc_id") % 20 === 0),
+      "doc_id", "text", n = 3, minShared = 5)
+  }
+
   /** q62: budget-bounded batch selection — per-wallet activity
     * totals, a GLOBAL running total ordered smallest-first, and the
     * prefix that fits a 5000-event ingestion budget (the reference's
@@ -1571,7 +1589,8 @@ object SparkEntry {
     "q86_rolling_distinct_hll"   -> (q86RollingDistinctHll _),
     "q87_percentile_sketch"      -> (q87PercentileSketch _),
     "q88_corr_matrix"            -> (q88CorrMatrix _),
-    "q89_corr_matrix_unbounded"  -> (q89CorrMatrixUnbounded _)
+    "q89_corr_matrix_unbounded"  -> (q89CorrMatrixUnbounded _),
+    "q90_decontaminate_bloom"    -> (q90DecontaminateBloom _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -1618,6 +1637,27 @@ object SparkEntry {
        |$iters
        |SELECT node, r AS rank_fp FROM p4""".stripMargin
   }
+
+  /** q61/q90's shared oracle: the raw-shingle (unhashed) pair
+    * re-derivation — one definition, two registry keys, because the
+    * bloom filter is pure shuffle-mass pruning and must not change a
+    * single pair or count. */
+  private lazy val decontaminateSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3
+      |),
+      |sh AS (
+      |  SELECT doc_id, UNNEST(list_distinct(list_transform(
+      |    generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+      |  FROM toks
+      |)
+      |SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc,
+      |  COUNT(*) AS shared_shingles
+      |FROM sh t JOIN sh e ON t.shingle = e.shingle
+      |WHERE t.doc_id % 20 != 0 AND e.doc_id % 20 = 0
+      |GROUP BY 1, 2
+      |HAVING COUNT(*) >= 5""".stripMargin
 
   /** q10's full oracle SQL — also embedded as a subquery by q77's
     * reconciliation oracle (same text, one definition). */
@@ -2327,22 +2367,13 @@ object SparkEntry {
         |  FROM documents
         |) WHERE quota_rank <= 5""".stripMargin,
 
-    "q61_decontaminate" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 3
-        |),
-        |sh AS (
-        |  SELECT doc_id, UNNEST(list_distinct(list_transform(
-        |    generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' ')))) AS shingle
-        |  FROM toks
-        |)
-        |SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc,
-        |  COUNT(*) AS shared_shingles
-        |FROM sh t JOIN sh e ON t.shingle = e.shingle
-        |WHERE t.doc_id % 20 != 0 AND e.doc_id % 20 = 0
-        |GROUP BY 1, 2
-        |HAVING COUNT(*) >= 5""".stripMargin,
+    "q61_decontaminate" -> decontaminateSql,
+
+    // q90 is the bloom-pruned path to the SAME pair set: the filter
+    // only moves where non-matching train shingles die (scan-side
+    // probe instead of the join), so the raw-shingle re-derivation is
+    // the oracle for both — the q47/q48 shared-oracle pattern
+    "q90_decontaminate_bloom" -> decontaminateSql,
 
     "q62_budget_prefix" ->
       """WITH w AS (

@@ -106,6 +106,60 @@ object Dedup {
     counts.where(col("shared_shingles") >= minShared)
   }
 
+  /** Bloom-accelerated decontamination: same contract and output as
+    * [[decontaminate]] (uncapped form), different shuffle economics.
+    *
+    * The uncapped exact form shuffles EVERY train shingle into the
+    * join, although almost none of them exist on the eval side
+    * (benchmarks are MBs, the corpus is TBs — overlap is the rare
+    * event the operator exists to find). Here the eval side's hashes
+    * are folded into ONE bloom filter (graft_bloom_agg: distributed
+    * build, bitwise-OR merge, a single bounded binary to the driver —
+    * filter size is set by |eval shingles| and fpp, independent of
+    * corpus size), and the train scan keeps only bloom-POSITIVE
+    * shingles, so the join shuffle carries |matches| + fpp·|train|
+    * rows instead of |train|. The probe
+    * ([[graft.functions.BloomMightContain]]) inlines into the scan's
+    * whole-stage codegen as one mightContainLong per row — the same
+    * machinery as Catalyst's injected runtime filters, made explicit
+    * and composable.
+    *
+    * False positives cannot reach the output: every surviving row
+    * still goes through the exact hash join and the ≥ minShared
+    * count, so the filter changes WHERE rows die (scan vs shuffle),
+    * never which pairs emerge — the operator stays hash-oracle-able
+    * against the same SQL as the exact form, and the spec plants an
+    * fpp high enough to force false positives through and asserts
+    * the output anyway. False negatives cannot happen at all (bloom
+    * filters one-side err). */
+  def decontaminateBloom(
+      train: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minShared: Long = 5,
+      fpp: Double = 0.01): DataFrame = {
+    graft.functions.GraftFunctions.register(train.sparkSession)
+    val es = shingles(evalSet, idCol, textCol, n)
+      .select(col(idCol).as("eval_doc"), xxhash64(col("shingle")).as("__h"))
+      // three consumers: the sizing count, the filter build, the join
+      .transform(graft.CacheScope.persisted(_))
+    // sizing pass doubles as the persist warm-up; the eval side is
+    // the small one by construction, so this action is dim-scale
+    val nEval = math.max(es.count(), 1L)
+    val filterBytes = es
+      .agg(call_function("graft_bloom_agg", col("__h"), lit(nEval), lit(fpp)))
+      .head.getAs[Array[Byte]](0)
+    val ts = shingles(train, idCol, textCol, n)
+      .select(col(idCol).as("train_doc"), xxhash64(col("shingle")).as("__h"))
+      .where(call_function("graft_bloom_contains", lit(filterBytes), col("__h")))
+    ts.join(es, Seq("__h"))
+      .groupBy("train_doc", "eval_doc")
+      .agg(count(lit(1)).as("shared_shingles"))
+      .where(col("shared_shingles") >= minShared)
+  }
+
   /** Exact dedupe: group documents by content hash, keep lowest id.
     * At 100 TB this is the first pass — a single hash-partitioned
     * aggregation, no joins. */

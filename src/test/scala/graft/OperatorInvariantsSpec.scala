@@ -133,6 +133,51 @@ class OperatorInvariantsSpec extends SparkSpec {
       "a found pair's count must include the hot shingles exactly")
   }
 
+  test("q90: bloom pruning changes shuffle mass, never the pair set") {
+    import graft.similarity.Dedup
+    val docs = Tables.documents(spark, SfDir).select("doc_id", "text")
+    val train = docs.where(col("doc_id") % 20 =!= 0)
+    val ev = docs.where(col("doc_id") % 20 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+
+    val exact = rows(Dedup.decontaminate(train, ev, "doc_id", "text", n = 3, minShared = 5))
+    assert(exact.nonEmpty, "fixture must contain contaminated pairs")
+    // production fpp AND an absurd fpp that forces false positives
+    // through the filter — the exact join must kill them all
+    Seq(0.01, 0.5).foreach { fpp =>
+      val got = rows(Dedup.decontaminateBloom(
+        train, ev, "doc_id", "text", n = 3, minShared = 5, fpp = fpp))
+      CacheScope.releaseAll(spark): Unit
+      assert(got == exact, s"bloom path diverged from exact at fpp=$fpp")
+    }
+
+    // the probe itself: no false negatives (every genuinely shared
+    // hash tests positive), real pruning (most non-shared train
+    // shingles test negative at fpp=0.01), deterministic bytes
+    val ts = Dedup.shingles(train, "doc_id", "text", 3)
+      .select(xxhash64(col("shingle")).as("__h"))
+    val es = Dedup.shingles(ev, "doc_id", "text", 3)
+      .select(xxhash64(col("shingle")).as("__h"))
+    graft.functions.GraftFunctions.register(spark)
+    def buildFilter(): Array[Byte] = es
+      .agg(call_function("graft_bloom_agg", col("__h"), lit(es.count()), lit(0.01)))
+      .head.getAs[Array[Byte]](0)
+    val filter = buildFilter()
+    assert(java.util.Arrays.equals(filter, buildFilter()),
+      "filter bytes must be build-deterministic (bitwise-OR merge)")
+    val probed = ts.where(
+      call_function("graft_bloom_contains", lit(filter), col("__h")))
+    val shared = ts.join(es, Seq("__h"), "left_semi")
+    assert(probed.count() >= shared.count(),
+      "bloom filters must never produce a false negative")
+    assert(shared.join(probed, Seq("__h"), "left_anti").count() == 0,
+      "a genuinely shared hash tested negative")
+    val total = ts.count()
+    assert(probed.count() < total / 2,
+      s"filter pruned ${total - probed.count()} of $total — no real pruning happened")
+  }
+
   test("q17 maxDf: an identical-doc cluster larger than the cap keeps all its pairs") {
     import graft.similarity.Dedup
     // 30 byte-identical docs: every shingle they contain has df=30 >
