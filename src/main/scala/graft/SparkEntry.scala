@@ -885,6 +885,49 @@ object SparkEntry {
       "doc_id", "text", n = 3, minShared = 5)
   }
 
+  /** q91: deterministic PRIORITY SAMPLING (Duffield–Lund–Thorup) —
+    * weight-proportional without-replacement draws of k docs per
+    * source, with the scheme's unbiased subset-sum estimator
+    * (est_weight = max(w, τ), τ = the (k+1)-th priority). Priority
+    * q_i = w_i/u_i with u_i hash-uniform; top-k by priority IS the
+    * sample. Two determinism decisions make this hash-oracle-able
+    * where the textbook scheme is not:
+    *   - u_i comes from the engine-reproducible mod-prime mix (the
+    *     q55/q74 posture), not a RNG — same doc, same draw, in any
+    *     engine;
+    *   - the priority is ONE exact integer-valued multiply (w·10⁶ <
+    *     2⁵³) and ONE division — IEEE requires division to be
+    *     correctly rounded, so Spark and DuckDB produce bit-identical
+    *     doubles. The E-S formulation (u^(1/w)) needs pow/ln, which
+    *     no standard requires correctly rounded — a one-ulp libm
+    *     disagreement could flip a rank at the cutoff. Priority
+    *     sampling has the strictly-safer arithmetic profile AND the
+    *     better estimator story, which is why it is the form shipped.
+    * Plan: narrow scan-side arithmetic, one rank window kept ≤ k+1 by
+    * the WindowGroupLimit pushdown (q81's shape), a |sources|-row
+    * broadcast τ table — no data-sized shuffle beyond the window's
+    * own source-hash exchange. */
+  def q91PrioritySample(spark: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val pr = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        greatest(col("n_chars"), lit(1L)).as("weight"),
+        (((col("doc_id") % 1000003L) * 2654435761L) % 1000000L + 1L).as("__m"))
+      .withColumn("priority",
+        col("weight").cast("double") * lit(1000000.0d) / col("__m").cast("double"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("priority").desc, col("doc_id").asc)
+    val kept = pr.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k + 1)
+    val tau = kept.groupBy("source")
+      .agg(when(max("rk") === k + 1, min("priority")).as("tau"))
+    kept.where(col("rk") <= k)
+      .join(broadcast(tau), Seq("source"))
+      .select(col("source"), col("doc_id"), col("weight"), col("priority"),
+        coalesce(greatest(col("weight").cast("double"), col("tau")),
+          col("weight").cast("double")).as("est_weight"))
+  }
+
   /** q62: budget-bounded batch selection — per-wallet activity
     * totals, a GLOBAL running total ordered smallest-first, and the
     * prefix that fits a 5000-event ingestion budget (the reference's
@@ -1590,7 +1633,8 @@ object SparkEntry {
     "q87_percentile_sketch"      -> (q87PercentileSketch _),
     "q88_corr_matrix"            -> (q88CorrMatrix _),
     "q89_corr_matrix_unbounded"  -> (q89CorrMatrixUnbounded _),
-    "q90_decontaminate_bloom"    -> (q90DecontaminateBloom _)
+    "q90_decontaminate_bloom"    -> (q90DecontaminateBloom _),
+    "q91_priority_sample"        -> (q91PrioritySample _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -2374,6 +2418,33 @@ object SparkEntry {
     // probe instead of the join), so the raw-shingle re-derivation is
     // the oracle for both — the q47/q48 shared-oracle pattern
     "q90_decontaminate_bloom" -> decontaminateSql,
+
+    // q91's doubles survive hash comparison because the priority is
+    // one exact multiply + one correctly-rounded IEEE division — see
+    // the operator scaladoc; no ROUND anywhere on purpose (both
+    // engines produce identical bits, and rounding near 1e12 would
+    // be below one ulp anyway)
+    "q91_priority_sample" ->
+      """WITH pr AS (
+        |  SELECT doc_id, source, GREATEST(n_chars, 1) AS weight,
+        |    CAST(GREATEST(n_chars, 1) AS DOUBLE) * 1000000
+        |      / CAST(((doc_id % 1000003) * 2654435761) % 1000000 + 1 AS DOUBLE) AS priority
+        |  FROM documents
+        |),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY priority DESC, doc_id ASC) AS rk
+        |  FROM pr
+        |),
+        |kept AS (SELECT * FROM ranked WHERE rk <= 11),
+        |tau AS (
+        |  SELECT source, CASE WHEN MAX(rk) = 11 THEN MIN(priority) END AS tau
+        |  FROM kept GROUP BY 1
+        |)
+        |SELECT k.source, k.doc_id, k.weight, k.priority,
+        |  COALESCE(GREATEST(CAST(k.weight AS DOUBLE), t.tau), CAST(k.weight AS DOUBLE)) AS est_weight
+        |FROM kept k JOIN tau t USING (source)
+        |WHERE k.rk <= 10""".stripMargin,
 
     "q62_budget_prefix" ->
       """WITH w AS (

@@ -133,6 +133,65 @@ class OperatorInvariantsSpec extends SparkSpec {
       "a found pair's count must include the hot shingles exactly")
   }
 
+  test("q91: priority sample is the exact top-k, scale-invariant, with a threshold estimator") {
+    val df = SparkEntry.q91PrioritySample(spark, SfDir).cache()
+    val k = 10
+
+    // exactly min(k, |source|) rows per source
+    val docs = Tables.documents(spark, SfDir)
+    val sizes = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = df.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == sizes.keySet)
+    got.foreach { case (s, n) => assert(n == math.min(k, sizes(s)), s"source $s: $n rows") }
+
+    // the kept set IS the top-k by the declared priority: no dropped
+    // doc outranks a kept doc within its source (re-derived)
+    val pr = docs.select(col("doc_id"), col("source"),
+        (greatest(col("n_chars"), lit(1L)).cast("double") * lit(1000000.0d) /
+          ((((col("doc_id") % 1000003L) * 2654435761L) % 1000000L) + 1L)
+            .cast("double")).as("p"))
+    val minKept = df.groupBy("source").agg(min("priority").as("floor"))
+    val outranked = pr
+      .join(df.select("source", "doc_id").withColumn("__kept", lit(1)),
+        Seq("source", "doc_id"), "left")
+      .where(col("__kept").isNull)
+      .join(minKept, Seq("source"))
+      .where(col("p") > col("floor"))
+    assert(outranked.count() == 0, "a dropped doc outranks a kept one")
+
+    // estimator shape: est >= weight always; where a (k+1)-th priority
+    // exists, every kept priority exceeds tau (strict: rk ties broke
+    // by doc_id, priority ties cannot occur with distinct doc_id mixes)
+    assert(df.where(col("est_weight") < col("weight").cast("double")).count() == 0)
+
+    // determinism: a fresh evaluation selects the identical sample
+    val rerun = SparkEntry.q91PrioritySample(spark, SfDir)
+      .select("source", "doc_id").collect().map(_.toString).sorted.toSeq
+    val base = df.select("source", "doc_id").collect().map(_.toString).sorted.toSeq
+    assert(rerun == base, "re-run changed the sample (determinism)")
+
+    // weight-scale invariance: priority is linear in w, so scaling
+    // every weight by a constant must select the SAME docs — the
+    // ranking depends only on relative weights, a property the
+    // estimator story relies on
+    def sampleIds(weight: org.apache.spark.sql.Column): Seq[String] = {
+      val p = docs.select(col("doc_id"), col("source"),
+        (weight.cast("double") * lit(1000000.0d) /
+          ((((col("doc_id") % 1000003L) * 2654435761L) % 1000000L) + 1L)
+            .cast("double")).as("p"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("p").desc, col("doc_id").asc)
+      p.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+        .select("source", "doc_id").collect().map(_.toString).sorted.toSeq
+    }
+    assert(sampleIds(greatest(col("n_chars"), lit(1L))) ==
+      sampleIds(greatest(col("n_chars"), lit(1L)) * 3),
+      "scaling all weights changed the selected sample")
+    df.unpersist(): Unit
+  }
+
   test("q90: bloom pruning changes shuffle mass, never the pair set") {
     import graft.similarity.Dedup
     val docs = Tables.documents(spark, SfDir).select("doc_id", "text")
