@@ -928,6 +928,81 @@ object SparkEntry {
           col("weight").cast("double")).as("est_weight"))
   }
 
+  /** q92: trailing-7-day correlation per pair per day from a
+    * MERGEABLE CO-MOMENT TABLE — the q86/q87 sketch-table posture
+    * applied to pair statistics, closing the family: HLL merges
+    * cardinalities, KLL merges ranks, this merges correlations. One
+    * fact pass builds the daily table at (date, pair) grain holding
+    * (n, Σx, Σy, Σxy, Σx², Σy²); any trailing window is then a
+    * |days·pairs|-row range merge that SUMS the moments — never a
+    * fact re-scan, and the window width never multiplies fact-table
+    * work (the naive form re-joins the daily prices per window).
+    *
+    * The moments are DECIMAL, not double, and that is the point: sum
+    * order varies with partitioning, so double partials would make
+    * the stored table's bytes run-dependent — decimal addition is
+    * exact and commutative, giving the same deterministic-bytes
+    * story as q84's integer ranks and the KLL sketch's fixed coins
+    * (prices enter rounded at 1e-6, so decimal(18,6) loses nothing;
+    * products at (37,12) and sums at (38,12) cannot overflow this
+    * panel by ~30 orders of magnitude). Pearson's r then comes out
+    * of the exact sums in double (the only non-exact step), clamped
+    * and NULLed like q88, rounded at 1e-6 — the q37 cross-engine
+    * margin, protecting against the one remaining drift source
+    * (decimal→double casts are correctly rounded per IEEE, but the
+    * few double multiplies after them each round once). Pairwise
+    * semantics per window: a pair contributes a day's moment row
+    * only when both assets traded that day (q89's in-row pair
+    * generation — no join in the build), and the output grain is the
+    * pair's own observed days (q85's per-observed-day posture): a
+    * trailing estimate exists exactly where the pair printed. */
+  def q92CorrWindow(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("date"), col("event_type").as("asset"), col("value"))
+      .groupBy("date", "asset")
+      .agg(round(max("value"), 6).cast("decimal(18,6)").as("price"))
+    val byDate = daily.groupBy("date")
+      .agg(collect_list(struct(col("asset"), col("price"))).as("xs"))
+    // the daily co-moment table — at 100 TB this is what gets STORED
+    val moments = byDate.select(col("date"), explode(expr(
+        """flatten(transform(xs, a ->
+          |  filter(
+          |    transform(xs, b -> if(a.asset < b.asset,
+          |      struct(a.asset as asset_a, b.asset as asset_b,
+          |             a.price as pa, b.price as pb),
+          |      null)),
+          |    p -> p is not null)))""".stripMargin)).as("p"))
+      .select(col("date"), col("p.asset_a"), col("p.asset_b"),
+        lit(1L).as("n"),
+        col("p.pa").as("sx"), col("p.pb").as("sy"),
+        (col("p.pa") * col("p.pb")).as("sxy"),
+        (col("p.pa") * col("p.pa")).as("sxx"),
+        (col("p.pb") * col("p.pb")).as("syy"))
+    // trailing merge on the aggregated table (q86's range-join shape,
+    // keyed by pair): decimal sums are EXACT, so any chop of the
+    // window merges to the same moments
+    val win = moments.as("d")
+      .join(moments.as("s"),
+        col("s.asset_a") === col("d.asset_a") &&
+          col("s.asset_b") === col("d.asset_b") &&
+          col("s.date").between(date_sub(col("d.date"), 6), col("d.date")))
+      .groupBy(col("d.date").as("day"),
+        col("d.asset_a").as("asset_a"), col("d.asset_b").as("asset_b"))
+      .agg(sum(col("s.n")).as("n_days"),
+        sum(col("s.sx")).as("sx"), sum(col("s.sy")).as("sy"),
+        sum(col("s.sxy")).as("sxy"),
+        sum(col("s.sxx")).as("sxx"), sum(col("s.syy")).as("syy"))
+    // Pearson from exact moments; double only here, same op order as
+    // the oracle, variance clamped at 0 so FP residue cannot sqrt(<0)
+    val nd = col("n_days").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val va = greatest(nd * d("sxx") - d("sx") * d("sx"), lit(0.0d))
+    val vb = greatest(nd * d("syy") - d("sy") * d("sy"), lit(0.0d))
+    win.select(col("day"), col("asset_a"), col("asset_b"), col("n_days"),
+      round(try_divide(nd * d("sxy") - d("sx") * d("sy"),
+        sqrt(va) * sqrt(vb)), 6).as("corr7"))
+  }
+
   /** q62: budget-bounded batch selection — per-wallet activity
     * totals, a GLOBAL running total ordered smallest-first, and the
     * prefix that fits a 5000-event ingestion budget (the reference's
@@ -1634,7 +1709,8 @@ object SparkEntry {
     "q88_corr_matrix"            -> (q88CorrMatrix _),
     "q89_corr_matrix_unbounded"  -> (q89CorrMatrixUnbounded _),
     "q90_decontaminate_bloom"    -> (q90DecontaminateBloom _),
-    "q91_priority_sample"        -> (q91PrioritySample _)
+    "q91_priority_sample"        -> (q91PrioritySample _),
+    "q92_corr_window"            -> (q92CorrWindow _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -2418,6 +2494,46 @@ object SparkEntry {
     // probe instead of the join), so the raw-shingle re-derivation is
     // the oracle for both — the q47/q48 shared-oracle pattern
     "q90_decontaminate_bloom" -> decontaminateSql,
+
+    // q92's oracle re-derives the co-moment table through the pair
+    // JOIN (vs the Spark side's in-row generation), sums the same
+    // exact decimals over the same window, and evaluates the SAME
+    // double formula in the same operation order — the decimal sums
+    // are exact in both engines, so only the final few double ops
+    // round, inside the 1e-6 margin
+    "q92_corr_window" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS date, event_type AS asset,
+        |    CAST(ROUND(MAX(value), 6) AS DECIMAL(18,6)) AS price
+        |  FROM events GROUP BY 1, 2
+        |),
+        |pd AS (
+        |  SELECT a.date, a.asset AS asset_a, b.asset AS asset_b,
+        |    CAST(1 AS BIGINT) AS n, a.price AS sx, b.price AS sy,
+        |    a.price * b.price AS sxy, a.price * a.price AS sxx, b.price * b.price AS syy
+        |  FROM daily a JOIN daily b ON a.date = b.date AND a.asset < b.asset
+        |),
+        |win AS (
+        |  SELECT d.date AS day, d.asset_a, d.asset_b,
+        |    CAST(SUM(s.n) AS BIGINT) AS n_days,
+        |    SUM(s.sx) AS sx, SUM(s.sy) AS sy, SUM(s.sxy) AS sxy,
+        |    SUM(s.sxx) AS sxx, SUM(s.syy) AS syy
+        |  FROM pd d JOIN pd s ON s.asset_a = d.asset_a AND s.asset_b = d.asset_b
+        |    AND s.date BETWEEN d.date - 6 AND d.date
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT day, asset_a, asset_b, n_days,
+        |  ROUND(CASE WHEN den = 0 THEN NULL ELSE num / den END, 6) AS corr7
+        |FROM (
+        |  SELECT day, asset_a, asset_b, n_days,
+        |    CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+        |    sqrt(GREATEST(CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0))
+        |      * sqrt(GREATEST(CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE), 0)) AS den
+        |  FROM win
+        |)""".stripMargin,
 
     // q91's doubles survive hash comparison because the priority is
     // one exact multiply + one correctly-rounded IEEE division — see

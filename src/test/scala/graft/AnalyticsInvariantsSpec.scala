@@ -111,6 +111,39 @@ class AnalyticsInvariantsSpec extends SparkSpec {
     assert(signupRow.getDouble(4) == 0.0)
   }
 
+  test("q92: windowed corr from the co-moment table matches hand values and is deterministic") {
+    val df = SparkEntry.q92CorrWindow(spark, corrPanelDir)
+    val out = df.collect()
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getString(2)) -> r).toMap
+
+    // day 4: trailing window covers days 1-4 ⇒ the complete-panel
+    // cells — (click,view) corr 0.8 over 4 obs, (click,error) exactly 1
+    val d4cv = out(("2024-01-04", "click", "view"))
+    assert(d4cv.getLong(3) == 4L && d4cv.getDouble(4) == 0.8)
+    // day 6: window covers days 1-6; (click,view) gains day 6 (5,5) ⇒
+    // x=(1,2,3,4,5), y=(1,3,2,4,5): corr = 0.9 over 5 obs
+    val d6cv = out(("2024-01-06", "click", "view"))
+    assert(d6cv.getLong(3) == 5L && d6cv.getDouble(4) == 0.9)
+    // grain: a pair gets a row only on days IT trades (q85's
+    // per-observed-day posture) — day 6 is (click,view) alone, and
+    // pair-less day 5 produces no rows at all
+    assert(out.keySet.filter(_._1 == "2024-01-06") ==
+      Set(("2024-01-06", "click", "view")))
+    assert(!out.keySet.exists(_._1 == "2024-01-05"))
+    // constant series: NULL corr, never a crash (the q88 ANSI lesson)
+    assert(out(("2024-01-04", "click", "signup")).isNullAt(4))
+
+    // bounds + window cap everywhere
+    assert(df.where(abs(col("corr7")) > 1.000001).count() == 0)
+    assert(df.where(col("n_days") > 7).count() == 0)
+
+    // exact-decimal moments ⇒ bit-deterministic output across runs
+    val a = df.collect().map(_.toString).sorted.toSeq
+    val b = SparkEntry.q92CorrWindow(spark, corrPanelDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b, "re-evaluation changed bits — moment sums are not exact")
+  }
+
   test("q38: retained users never exceed the cohort size") {
     val df = SparkEntry.q38Retention(spark, SfDir)
     assert(df.where(col("d1_retained") > col("n_users") ||
