@@ -1003,6 +1003,129 @@ object SparkEntry {
         sqrt(va) * sqrt(vb)), 6).as("corr7"))
   }
 
+  /** q93: SCD Type-2 dimension history ([[operators.Scd.scd2History]])
+    * — the lineage-keeping sibling of the reference's keep-latest
+    * upsert (dune DELETE+INSERT keeps only the newest state; SCD2
+    * keeps every state with its validity interval). Change stream =
+    * each wallet's CLOSING activity tier per day (daily close via the
+    * q2 row_number dedupe, tier = low/mid/high buckets of the closing
+    * value — coarse on purpose, so the no-op-suppression step does
+    * real work: consecutive same-tier days merge into ONE version
+    * interval). Output: versioned intervals with half-open
+    * [valid_from, valid_to) bounds and the is_current flag. Plan: the
+    * dedupe window shuffles on (wallet, day), then both SCD window
+    * passes share one (wallet) exchange and ONE sort — version
+    * numbering and interval close-out are the same sort order.
+    * Oracle: identical window chain in DuckDB. */
+  def q93Scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val dayW = Window.partitionBy(col("user_id"), to_date(col("ts")))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val closing = ev
+      .withColumn("__rn", row_number().over(dayW))
+      .where(col("__rn") === 1)
+      .select(
+        col("user_id").as("wallet"),
+        to_date(col("ts")).as("date"),
+        when(col("value") < 25, "low")
+          .when(col("value") < 75, "mid")
+          .otherwise("high").as("tier"))
+    Scd.scd2History(closing, Seq("wallet"), "date", Seq("tier"))
+      .select("wallet", "version", "tier", "valid_from", "valid_to", "is_current")
+  }
+
+  /** q94: snapshot differencing / CDC extract
+    * ([[operators.Scd.snapshotDiff]]) — recover the incremental change
+    * feed BETWEEN two full snapshots: per-wallet activity profiles
+    * where the old snapshot misses a planted key range (→ inserts),
+    * the new snapshot drops another (→ deletes), and the odd-id
+    * events only the new snapshot includes shift nearly every shared
+    * profile (→ updates). This is the consumer-side complement of
+    * [[sources.Publish]]: versions are immutable FULL snapshots, so
+    * diffing v=N against v=N+1 (via [[sources.Publish.readVersion]])
+    * yields exactly this feed — storage stays simple (no delta log),
+    * CDC becomes a query. Plan: two fact aggregations + one
+    * full-outer shuffle join on the key; classification is null-safe
+    * column algebra inside codegen. Oracle: FULL OUTER JOIN +
+    * IS DISTINCT FROM classification. */
+  def q94SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def snap(df: DataFrame): DataFrame = df
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("total_value"))
+    val oldSnap = snap(ev.where(col("event_id") % 2 === 0 && col("user_id") % 50 =!= 3))
+    val newSnap = snap(ev.where(col("user_id") % 50 =!= 7))
+    Scd.snapshotDiff(oldSnap, newSnap, Seq("user_id"), Seq("n_events", "total_value"))
+  }
+
+  /** q95: maximum drawdown per asset — the canonical risk statistic
+    * over the daily price series (the chart-serving sibling of q70's
+    * OHLC: the reference's market-data stack feeds exactly this kind
+    * of per-coin risk panel). Running peak via an unbounded-preceding
+    * window max, drawdown = (peak − price)/peak ROUNDED at 1e-6
+    * before the argmax so the trough pick orders on values both
+    * engines agree on bit-for-bit (the rank tie-breaks by date, so
+    * equal-drawdown days resolve deterministically). Plan: ONE hash
+    * exchange on asset serves both window passes (same partition and
+    * sort key — Catalyst reuses the sort), and the WindowGroupLimit
+    * pushdown keeps the rank scan at one row per asset. peak > 0 by
+    * construction here (prices are positive); a library caller with
+    * zero prices would want try_divide. */
+  def q95Drawdown(spark: SparkSession, dir: String): DataFrame = {
+    val prices = Tables.prices(spark, dir)
+    val wRun = Window.partitionBy("asset").orderBy("date")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dd = prices
+      .withColumn("peak", max("price").over(wRun))
+      .withColumn("dd", round((col("peak") - col("price")) / col("peak"), 6))
+    val wPick = Window.partitionBy("asset")
+      .orderBy(col("dd").desc, col("date").asc)
+    dd.withColumn("__rk", row_number().over(wPick))
+      .where(col("__rk") === 1)
+      .select(col("asset"), col("dd").as("max_drawdown"),
+        col("date").as("trough_date"),
+        col("peak").as("peak_price"),
+        col("price").as("trough_price"))
+  }
+
+  /** q96: trailing-28-day rolling anomaly scan — the WINDOWED form of
+    * q76's global z-score fences (a global mean is blind to regime
+    * changes; monitoring flags deviations from the RECENT baseline).
+    * The determinism posture is q92's: the range window sums DECIMAL
+    * price moments (exact, commutative — frame-evaluation order
+    * cannot change the bytes), and mean/stddev/z emerge in double
+    * only at the end, identical operation order both engines, rounded
+    * at 1e-6. The anomaly flag compares the ROUNDED z — both engines
+    * flag from identical inputs. Plan: one fact pass to daily grain,
+    * then the window runs on the |assets·days|-row aggregate with one
+    * (asset) exchange; the 28-day width is a range frame over the
+    * epoch-day integer, never a fact-table fan-out. Windows need ≥ 8
+    * observations before they judge (cold-start suppression). */
+  def q96RollingAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type").as("asset"), to_date(col("ts")).as("date"))
+      .agg(round(max("value"), 6).cast("decimal(18,6)").as("price"))
+      .withColumn("day_i", datediff(col("date"), lit("1970-01-01").cast("date")))
+    val w = Window.partitionBy("asset").orderBy("day_i").rangeBetween(-27, 0)
+    val stats = daily
+      .withColumn("n_window", count(lit(1)).over(w))
+      .withColumn("sx", sum("price").over(w))
+      .withColumn("sxx", sum(col("price") * col("price")).over(w))
+    val nd = col("n_window").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val mean = d("sx") / nd
+    val variance = greatest(
+      (nd * d("sxx") - d("sx") * d("sx")) / (nd * (nd - lit(1.0d))), lit(0.0d))
+    val z = round(try_divide(d("price") - mean, sqrt(variance)), 6)
+    stats.where(col("n_window") >= 8)
+      .select(col("asset"), col("date"), d("price").as("price"),
+        col("n_window"),
+        round(mean, 6).as("mean_28d"),
+        round(sqrt(variance), 6).as("stddev_28d"),
+        z.as("zscore"),
+        (abs(z) > 3.0d).as("is_anomaly"))
+  }
+
   /** q62: budget-bounded batch selection — per-wallet activity
     * totals, a GLOBAL running total ordered smallest-first, and the
     * prefix that fits a 5000-event ingestion budget (the reference's
@@ -1710,7 +1833,11 @@ object SparkEntry {
     "q89_corr_matrix_unbounded"  -> (q89CorrMatrixUnbounded _),
     "q90_decontaminate_bloom"    -> (q90DecontaminateBloom _),
     "q91_priority_sample"        -> (q91PrioritySample _),
-    "q92_corr_window"            -> (q92CorrWindow _)
+    "q92_corr_window"            -> (q92CorrWindow _),
+    "q93_scd2_history"           -> (q93Scd2History _),
+    "q94_snapshot_diff"          -> (q94SnapshotDiff _),
+    "q95_drawdown"               -> (q95Drawdown _),
+    "q96_rolling_anomaly"        -> (q96RollingAnomaly _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -3012,6 +3139,117 @@ object SparkEntry {
         |)
         |SELECT d.doc_id, d.source, d.n_chars, r.rate_ppm
         |FROM documents d JOIN r USING (source)
-        |WHERE ((d.doc_id % 1000003) * 2654435761) % 1000000 < r.rate_ppm""".stripMargin
+        |WHERE ((d.doc_id % 1000003) * 2654435761) % 1000000 < r.rate_ppm""".stripMargin,
+
+    "q93_scd2_history" ->
+      """WITH closing AS (
+        |  SELECT user_id AS wallet, date, value FROM (
+        |    SELECT user_id, CAST(ts AS DATE) AS date, value,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |                         ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |    FROM events)
+        |  WHERE rn = 1
+        |),
+        |tiers AS (
+        |  SELECT wallet, date,
+        |    CASE WHEN value < 25 THEN 'low'
+        |         WHEN value < 75 THEN 'mid'
+        |         ELSE 'high' END AS tier
+        |  FROM closing
+        |),
+        |changed AS (
+        |  SELECT wallet, date, tier FROM (
+        |    SELECT wallet, date, tier,
+        |      LAG(tier) OVER (PARTITION BY wallet ORDER BY date) AS prev_tier
+        |    FROM tiers)
+        |  WHERE prev_tier IS NULL OR tier <> prev_tier
+        |)
+        |SELECT wallet,
+        |  ROW_NUMBER() OVER (PARTITION BY wallet ORDER BY date) AS version,
+        |  tier,
+        |  date AS valid_from,
+        |  LEAD(date) OVER (PARTITION BY wallet ORDER BY date) AS valid_to,
+        |  LEAD(date) OVER (PARTITION BY wallet ORDER BY date) IS NULL AS is_current
+        |FROM changed""".stripMargin,
+
+    "q94_snapshot_diff" ->
+      """WITH old_snap AS (
+        |  SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value
+        |  FROM events WHERE event_id % 2 = 0 AND user_id % 50 <> 3 GROUP BY 1
+        |),
+        |new_snap AS (
+        |  SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value
+        |  FROM events WHERE user_id % 50 <> 7 GROUP BY 1
+        |),
+        |j AS (
+        |  SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+        |    o.user_id IS NOT NULL AS in_old, n.user_id IS NOT NULL AS in_new,
+        |    o.n_events AS old_n_events, n.n_events AS new_n_events,
+        |    o.total_value AS old_total_value, n.total_value AS new_total_value
+        |  FROM old_snap o FULL OUTER JOIN new_snap n ON o.user_id = n.user_id
+        |)
+        |SELECT user_id,
+        |  CASE WHEN NOT in_old THEN 'insert'
+        |       WHEN NOT in_new THEN 'delete'
+        |       ELSE 'update' END AS change_type,
+        |  old_n_events, new_n_events, old_total_value, new_total_value
+        |FROM j
+        |WHERE NOT in_old OR NOT in_new
+        |   OR old_n_events IS DISTINCT FROM new_n_events
+        |   OR old_total_value IS DISTINCT FROM new_total_value""".stripMargin,
+
+    "q95_drawdown" ->
+      s"""WITH $pricesCte,
+         |run AS (
+         |  SELECT asset, date, price,
+         |    MAX(price) OVER (PARTITION BY asset ORDER BY date
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+         |  FROM prices
+         |),
+         |dd AS (
+         |  SELECT asset, date, price, peak,
+         |    ROUND((peak - price) / peak, 6) AS dd
+         |  FROM run
+         |)
+         |SELECT asset, dd AS max_drawdown, date AS trough_date,
+         |  peak AS peak_price, price AS trough_price
+         |FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY asset
+         |    ORDER BY dd DESC, date ASC) AS rk
+         |  FROM dd)
+         |WHERE rk = 1""".stripMargin,
+
+    "q96_rolling_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type AS asset, CAST(ts AS DATE) AS date,
+        |         CAST(ROUND(MAX(value), 6) AS DECIMAL(18,6)) AS price
+        |  FROM events GROUP BY 1, 2
+        |),
+        |di AS (
+        |  SELECT asset, date, price, date - DATE '1970-01-01' AS day_i FROM daily
+        |),
+        |win AS (
+        |  SELECT asset, date, price,
+        |    COUNT(*) OVER w AS n_window,
+        |    SUM(price) OVER w AS sx,
+        |    SUM(price * price) OVER w AS sxx
+        |  FROM di
+        |  WINDOW w AS (PARTITION BY asset ORDER BY day_i
+        |               RANGE BETWEEN 27 PRECEDING AND CURRENT ROW)
+        |),
+        |calc AS (
+        |  SELECT asset, date, CAST(price AS DOUBLE) AS pd, n_window,
+        |    CAST(sx AS DOUBLE) / n_window AS mean,
+        |    SQRT(GREATEST(
+        |      (n_window * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        / (n_window * (n_window - 1.0)), 0.0)) AS sd
+        |  FROM win WHERE n_window >= 8
+        |)
+        |SELECT asset, date, pd AS price, n_window,
+        |  ROUND(mean, 6) AS mean_28d,
+        |  ROUND(sd, 6) AS stddev_28d,
+        |  ROUND((pd - mean) / NULLIF(sd, 0), 6) AS zscore,
+        |  ABS(ROUND((pd - mean) / NULLIF(sd, 0), 6)) > 3.0 AS is_anomaly
+        |FROM calc""".stripMargin
   )
 }

@@ -96,6 +96,18 @@ object Publish {
     spark.read.parquet(Paths.get(root).resolve(s"v=$v").toString)
   }
 
+  /** Time travel: read a specific published version, live or
+    * superseded (it must not have been vacuumed). Pairing two of
+    * these through [[graft.operators.Scd.snapshotDiff]] recovers the
+    * change feed between the versions — CDC as a query over the
+    * immutable snapshot layout. */
+  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val dir = Paths.get(root).resolve(s"v=$version")
+    if (!Files.exists(dir))
+      throw new IllegalStateException(s"version $version not present at $root")
+    spark.read.parquet(dir.toString)
+  }
+
   /** The live version number, if anything was ever published. */
   def currentVersion(root: String): Option[Long] = {
     val p = Paths.get(root).resolve(Current)
