@@ -1126,6 +1126,99 @@ object SparkEntry {
         (abs(z) > 3.0d).as("is_anomaly"))
   }
 
+  /** q97: incremental view maintenance ([[operators.Ivm.applyDiff]])
+    * — maintain a tier-level aggregate (users, events, total value
+    * per activity tier) ACROSS a snapshot change by merging the
+    * change feed into the old aggregate instead of re-aggregating
+    * the new snapshot: retract each changed row's old measures from
+    * its old tier, assert its new measures into its new tier. The
+    * tier is DERIVED from a measure (event count), so the planted
+    * snapshot change (q94's key ranges plus the odd-id events only
+    * the new snapshot includes) migrates most users across tiers —
+    * the feed's group columns do real work, not just its measures.
+    * Exactness: total_value is DECIMAL, so retract/assert is exact
+    * and commutative and the maintained table equals the full
+    * re-aggregation BIT-FOR-BIT. Oracle: DuckDB computes the full
+    * re-aggregation of the new snapshot directly — the hash match IS
+    * the maintenance-correctness proof (the q90 posture: the oracle
+    * states the semantics, the plan earns its shape). Plan: the
+    * merge is a 3-way union (|tiers| base + 2×|changes| feed rows)
+    * into one hash aggregation — the fact table feeds the snapshots
+    * here only because the demo derives them; a maintained
+    * deployment reads base and feed from storage and never re-scans
+    * facts. */
+  def q97IvmAggregate(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def snap(df: DataFrame): DataFrame = df
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value"), 6).cast("decimal(18,6)")).as("total_value"))
+      .withColumn("tier",
+        when(col("n_events") < 60, "small")
+          .when(col("n_events") < 72, "mid")
+          .otherwise("large"))
+    val oldSnap = snap(ev.where(col("event_id") % 2 === 0 && col("user_id") % 50 =!= 3))
+    val newSnap = snap(ev.where(col("user_id") % 50 =!= 7))
+    val base = oldSnap.groupBy("tier").agg(
+      count(lit(1)).as("n_users"),
+      sum("n_events").as("n_events"),
+      sum("total_value").as("total_value"))
+    val feed = Scd.snapshotDiff(oldSnap, newSnap, Seq("user_id"),
+      Seq("tier", "n_events", "total_value"))
+    Ivm.applyDiff(base, feed, Seq("tier"),
+      Seq("n_events", "total_value"), "n_users")
+  }
+
+  /** q98: interval-overlap join + allocation
+    * ([[operators.RangeJoin.intervalOverlap]]) — apportion each
+    * campaign's budget across the wallet activity-tier REGIMES that
+    * overlapped it in time: q93's SCD2 validity intervals (open ones
+    * closed at the day after the last observed date) overlap-joined
+    * against q52's campaign windows, overlap measured in inclusive
+    * days, budget split proportionally. The join has NO equi key —
+    * the naive plan is a BroadcastNestedLoop — so both interval sets
+    * replicate to 8-day bins and meet in an ordinary equi-join; a
+    * pair shares several bins, so the rewrite dedupes STRUCTURALLY
+    * (keep the pair only in the bin holding the overlap's start)
+    * instead of paying a distinct shuffle. Allocation is exact
+    * integer milli-units via floor division (the q23 ppm posture:
+    * DuckDB `//` floors where Spark `div` truncates, coinciding on
+    * the all-positive operands here) — no float division, no
+    * rounding-boundary hazard. Oracle: plain theta join + identical
+    * integer arithmetic. */
+  def q98IntervalAllocation(spark: SparkSession, dir: String): DataFrame = {
+    val hist = q93Scd2History(spark, dir)
+    val maxDay = Tables.events(spark, dir)
+      .agg(max(to_date(col("ts"))).as("max_date"))
+    val tiers = hist.crossJoin(broadcast(maxDay))
+      .select(col("wallet"), col("tier"),
+        unix_date(col("valid_from")).cast("long").as("t_lo"),
+        (unix_date(coalesce(col("valid_to"), date_add(col("max_date"), 1)))
+          .cast("long") - 1).as("t_hi"))
+    val anchor = to_date(lit("2024-01-01"))
+    val cIdx = expr("o_orderkey div 300")
+    val campaigns = Tables.orders(spark, dir)
+      .where(col("o_orderkey") % 300 === 0)
+      .select(
+        col("o_orderkey").as("campaign_id"),
+        unix_date(date_add(anchor, (cIdx % 28).cast("int"))).cast("long").as("c_lo"),
+        unix_date(date_add(anchor, (cIdx % 28 + cIdx % 7 + 1).cast("int"))
+          ).cast("long").as("c_hi"))
+    val pairs = RangeJoin.intervalOverlap(tiers, campaigns,
+        "t_lo", "t_hi", "c_lo", "c_hi", binWidth = 8)
+      .withColumn("od",
+        least(col("t_hi"), col("c_hi")) - greatest(col("t_lo"), col("c_lo")) + lit(1L))
+    val wCampaign = Window.partitionBy("campaign_id")
+    pairs.groupBy("campaign_id", "tier")
+      .agg(count(lit(1)).as("n_intervals"), sum("od").as("overlap_days"))
+      .withColumn("campaign_days", sum("overlap_days").over(wCampaign))
+      .withColumn("budget", (col("campaign_id") % 7 + 1) * lit(1000L))
+      .withColumn("allocated_milli", call_function("div",
+        col("budget") * col("overlap_days") * lit(1000L), col("campaign_days")))
+      .select("campaign_id", "tier", "n_intervals", "overlap_days", "allocated_milli")
+  }
+
   /** q62: budget-bounded batch selection — per-wallet activity
     * totals, a GLOBAL running total ordered smallest-first, and the
     * prefix that fits a 5000-event ingestion budget (the reference's
@@ -1837,7 +1930,9 @@ object SparkEntry {
     "q93_scd2_history"           -> (q93Scd2History _),
     "q94_snapshot_diff"          -> (q94SnapshotDiff _),
     "q95_drawdown"               -> (q95Drawdown _),
-    "q96_rolling_anomaly"        -> (q96RollingAnomaly _)
+    "q96_rolling_anomaly"        -> (q96RollingAnomaly _),
+    "q97_ivm_aggregate"          -> (q97IvmAggregate _),
+    "q98_interval_allocation"    -> (q98IntervalAllocation _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -3250,6 +3345,85 @@ object SparkEntry {
         |  ROUND(sd, 6) AS stddev_28d,
         |  ROUND((pd - mean) / NULLIF(sd, 0), 6) AS zscore,
         |  ABS(ROUND((pd - mean) / NULLIF(sd, 0), 6)) > 3.0 AS is_anomaly
-        |FROM calc""".stripMargin
+        |FROM calc""".stripMargin,
+
+    "q97_ivm_aggregate" ->
+      """WITH new_snap AS (
+        |  SELECT user_id, COUNT(*) AS n_events,
+        |         SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS total_value
+        |  FROM events WHERE user_id % 50 <> 7 GROUP BY 1
+        |),
+        |tiered AS (
+        |  SELECT CASE WHEN n_events < 60 THEN 'small'
+        |              WHEN n_events < 72 THEN 'mid'
+        |              ELSE 'large' END AS tier,
+        |         n_events, total_value
+        |  FROM new_snap
+        |)
+        |SELECT tier, COUNT(*) AS n_users,
+        |  CAST(SUM(n_events) AS BIGINT) AS n_events,
+        |  SUM(total_value) AS total_value
+        |FROM tiered GROUP BY tier""".stripMargin,
+
+    "q98_interval_allocation" ->
+      """WITH closing AS (
+        |  SELECT user_id AS wallet, date, value FROM (
+        |    SELECT user_id, CAST(ts AS DATE) AS date, value,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |                         ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |    FROM events)
+        |  WHERE rn = 1
+        |),
+        |tiers0 AS (
+        |  SELECT wallet, date,
+        |    CASE WHEN value < 25 THEN 'low'
+        |         WHEN value < 75 THEN 'mid'
+        |         ELSE 'high' END AS tier
+        |  FROM closing
+        |),
+        |changed AS (
+        |  SELECT wallet, date, tier FROM (
+        |    SELECT wallet, date, tier,
+        |      LAG(tier) OVER (PARTITION BY wallet ORDER BY date) AS prev_tier
+        |    FROM tiers0)
+        |  WHERE prev_tier IS NULL OR tier <> prev_tier
+        |),
+        |hist AS (
+        |  SELECT wallet, tier, date AS valid_from,
+        |    LEAD(date) OVER (PARTITION BY wallet ORDER BY date) AS valid_to
+        |  FROM changed
+        |),
+        |maxd AS (SELECT MAX(CAST(ts AS DATE)) AS max_date FROM events),
+        |t AS (
+        |  SELECT wallet, tier,
+        |    CAST(valid_from - DATE '1970-01-01' AS BIGINT) AS t_lo,
+        |    CAST(COALESCE(valid_to, (SELECT max_date FROM maxd) + 1)
+        |         - DATE '1970-01-01' AS BIGINT) - 1 AS t_hi
+        |  FROM hist
+        |),
+        |c AS (
+        |  SELECT o_orderkey AS campaign_id,
+        |    CAST(DATE '2024-01-01' + (((o_orderkey // 300) % 28)::INT)
+        |         - DATE '1970-01-01' AS BIGINT) AS c_lo,
+        |    CAST(DATE '2024-01-01' + (((o_orderkey // 300) % 28
+        |                               + (o_orderkey // 300) % 7 + 1)::INT)
+        |         - DATE '1970-01-01' AS BIGINT) AS c_hi
+        |  FROM orders WHERE o_orderkey % 300 = 0
+        |),
+        |p AS (
+        |  SELECT c.campaign_id, t.tier,
+        |    LEAST(t.t_hi, c.c_hi) - GREATEST(t.t_lo, c.c_lo) + 1 AS od
+        |  FROM t JOIN c ON t.t_lo <= c.c_hi AND c.c_lo <= t.t_hi
+        |),
+        |a AS (
+        |  SELECT campaign_id, tier, COUNT(*) AS n_intervals,
+        |    CAST(SUM(od) AS BIGINT) AS overlap_days
+        |  FROM p GROUP BY 1, 2
+        |)
+        |SELECT campaign_id, tier, n_intervals, overlap_days,
+        |  ((campaign_id % 7 + 1) * 1000 * overlap_days * 1000)
+        |    // CAST(SUM(overlap_days) OVER (PARTITION BY campaign_id) AS BIGINT)
+        |    AS allocated_milli
+        |FROM a""".stripMargin
   )
 }

@@ -57,6 +57,49 @@ object RangeJoin {
     *                  descriptive error on the executor instead of
     *                  materializing an unbounded `sequence()`
     */
+  // true floor(c / binWidth) in EXACT integer arithmetic: integral
+  // `div` truncates toward zero, so subtract 1 when a negative c
+  // leaves a remainder (binWidth > 0 ⇒ remainder sign follows c).
+  // No double division (rounds past 2^53) and no decimal division
+  // (Spark adjusts decimal quotients to scale 6 with HALF_UP — a
+  // value just below a bin boundary would round UP across it for
+  // binWidth > 2e6). Pure long ops: exact and overflow-free for
+  // every (c, binWidth ≥ 1) pair.
+  private def bin(c: org.apache.spark.sql.Column, binWidth: Long) = {
+    val cl = c.cast("long")
+    call_function("div", cl, lit(binWidth)) -
+      when(cl % binWidth < 0, lit(1L)).otherwise(lit(0L))
+  }
+
+  // interval side exploded to one row per overlapped bin, with the
+  // fan-out guard folded INSIDE __bhi (not a dropped side column
+  // Catalyst would prune away): sequence() only ever sees a bounded
+  // upper bin
+  private def explodeBins(
+      intervals: DataFrame,
+      loCol: String,
+      hiCol: String,
+      binWidth: Long,
+      maxBinsPerInterval: Long): DataFrame =
+    intervals
+      .where(col(loCol) <= col(hiCol))
+      .withColumn("__blo", bin(col(loCol), binWidth))
+      .withColumn("__bhi",
+        // span compare in decimal: a long subtraction would WRAP for
+        // a full-range interval at binWidth=1 (span ≈ 2^64 → negative
+        // → guard silently passes), the exact case the guard exists for
+        when(bin(col(hiCol), binWidth).cast(org.apache.spark.sql.types.DataTypes
+            .createDecimalType(38, 0)) - col("__blo") < lit(maxBinsPerInterval),
+          bin(col(hiCol), binWidth))
+          .otherwise(raise_error(concat(
+            lit(s"RangeJoin: interval [$loCol="), col(loCol).cast("string"),
+            lit(s", $hiCol="), col(hiCol).cast("string"),
+            lit(s"] spans more than $maxBinsPerInterval bins at binWidth=$binWidth — "
+              + "open-ended sentinel bound or binWidth too small; widen binWidth, "
+              + "cap hi, or raise maxBinsPerInterval"))).cast("long")))
+      .withColumn("__bin", explode(sequence(col("__blo"), col("__bhi"))))
+      .drop("__blo", "__bhi")
+
   def pointInInterval(
       points: DataFrame,
       intervals: DataFrame,
@@ -73,44 +116,55 @@ object RangeJoin {
     require(overlap.isEmpty,
       s"non-key columns present on both sides would collide: ${overlap.mkString(", ")}")
 
-    // true floor(c / binWidth) in EXACT integer arithmetic: integral
-    // `div` truncates toward zero, so subtract 1 when a negative c
-    // leaves a remainder (binWidth > 0 ⇒ remainder sign follows c).
-    // No double division (rounds past 2^53) and no decimal division
-    // (Spark adjusts decimal quotients to scale 6 with HALF_UP — a
-    // value just below a bin boundary would round UP across it for
-    // binWidth > 2e6). Pure long ops: exact and overflow-free for
-    // every (c, binWidth ≥ 1) pair.
-    def bin(c: org.apache.spark.sql.Column) = {
-      val cl = c.cast("long")
-      call_function("div", cl, lit(binWidth)) -
-        when(cl % binWidth < 0, lit(1L)).otherwise(lit(0L))
-    }
-
-    val pts = points.withColumn("__bin", bin(col(pointCol)))
-    // the guard lives INSIDE __bhi (not a dropped side column Catalyst
-    // would prune away): sequence() only ever sees a bounded upper bin
-    val itv = intervals
-      .where(col(loCol) <= col(hiCol))
-      .withColumn("__blo", bin(col(loCol)))
-      .withColumn("__bhi",
-        // span compare in decimal: a long subtraction would WRAP for
-        // a full-range interval at binWidth=1 (span ≈ 2^64 → negative
-        // → guard silently passes), the exact case the guard exists for
-        when(bin(col(hiCol)).cast(org.apache.spark.sql.types.DataTypes
-            .createDecimalType(38, 0)) - col("__blo") < lit(maxBinsPerInterval),
-          bin(col(hiCol)))
-          .otherwise(raise_error(concat(
-            lit(s"RangeJoin: interval [$loCol="), col(loCol).cast("string"),
-            lit(s", $hiCol="), col(hiCol).cast("string"),
-            lit(s"] spans more than $maxBinsPerInterval bins at binWidth=$binWidth — "
-              + "open-ended sentinel bound or binWidth too small; widen binWidth, "
-              + "cap hi, or raise maxBinsPerInterval"))).cast("long")))
-      .withColumn("__bin", explode(sequence(col("__blo"), col("__bhi"))))
-      .drop("__blo", "__bhi")
-
+    val pts = points.withColumn("__bin", bin(col(pointCol), binWidth))
+    val itv = explodeBins(intervals, loCol, hiCol, binWidth, maxBinsPerInterval)
     pts.join(itv, extraKeys :+ "__bin")
       .where(col(pointCol).between(col(loCol), col(hiCol)))
+      .drop("__bin")
+  }
+
+  /** Interval×interval OVERLAP join via the same bin rewrite: each
+    * left row joined to every right row whose [rLo, rHi] intersects
+    * its [lLo, lHi] (inclusive bounds, integral axis), matching
+    * `extraKeys` equal when given. Output = left columns + right
+    * columns.
+    *
+    * Both sides replicate to their overlapped bins; a candidate pair
+    * then meets in EVERY bin the two bin ranges share, so the rewrite
+    * dedupes structurally instead of with a distinct: the pair is
+    * kept only in the bin containing `greatest(lLo, rLo)` — the
+    * overlap's start, which for a true overlap lies in both sides'
+    * bin ranges, so exactly one surviving copy exists and no
+    * post-join dedupe shuffle is needed. Shuffle volume is both
+    * sides' bin replication (span/binWidth + 1 each); pick binWidth
+    * near the typical interval length of the DENSER side.
+    *
+    * Empty intervals (`lo > hi`) match NOTHING — the
+    * [[pointInInterval]] convention; a bare theta condition would
+    * still pair an empty interval whose bounds straddle the other
+    * side's, so a naive-form oracle must filter them explicitly. */
+  def intervalOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      lLoCol: String,
+      lHiCol: String,
+      rLoCol: String,
+      rHiCol: String,
+      binWidth: Long,
+      extraKeys: Seq[String] = Nil,
+      maxBinsPerInterval: Long = 1 << 16): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    require(maxBinsPerInterval > 0, "maxBinsPerInterval must be positive")
+    val overlap = left.columns.toSet
+      .intersect(right.columns.toSet) -- extraKeys
+    require(overlap.isEmpty,
+      s"non-key columns present on both sides would collide: ${overlap.mkString(", ")}")
+
+    val l = explodeBins(left, lLoCol, lHiCol, binWidth, maxBinsPerInterval)
+    val r = explodeBins(right, rLoCol, rHiCol, binWidth, maxBinsPerInterval)
+    l.join(r, extraKeys :+ "__bin")
+      .where(col(lLoCol) <= col(rHiCol) && col(rLoCol) <= col(lHiCol) &&
+        col("__bin") === bin(greatest(col(lLoCol), col(rLoCol)), binWidth))
       .drop("__bin")
   }
 }

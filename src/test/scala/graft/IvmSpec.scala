@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ivm, Scd}
+import graft.sources.Publish
+
+/** Incremental view maintenance (operators/Ivm.scala): a
+  * hand-computed feed pins the retract/assert algebra (insert,
+  * delete-to-empty, measure update, group migration), the q97 wiring
+  * is proven EXACTLY equal to a full re-aggregation of the new
+  * snapshot, and the Publish composition shows the maintained
+  * aggregate tracking published versions without re-scanning them. */
+class IvmSpec extends SparkSpec {
+
+  private def agg(snap: DataFrame): DataFrame = snap
+    .groupBy("g").agg(
+      count(lit(1)).as("n"),
+      sum("v").as("v"))
+
+  private def rows(df: DataFrame): Set[(String, Long, Long)] =
+    df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("applyDiff: insert, delete-to-empty, update, and group migration") {
+    val sess = spark
+    import sess.implicits._
+    val oldSnap = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), // a: two rows
+      (3L, "b", 30L),                 // b: will empty out
+      (4L, "c", 40L))                 // c: row migrates to a
+      .toDF("id", "g", "v")
+    val newSnap = Seq(
+      (1L, "a", 11L), (2L, "a", 20L), // 1 updates in place
+      (4L, "a", 40L),                 // 4 migrates c -> a
+      (5L, "d", 50L))                 // new group d
+      .toDF("id", "g", "v")
+
+    val feed = Scd.snapshotDiff(oldSnap, newSnap, Seq("id"), Seq("g", "v"))
+    val maintained = Ivm.applyDiff(agg(oldSnap), feed, Seq("g"), Seq("v"), "n")
+
+    assert(rows(maintained) == Set(("a", 3L, 71L), ("d", 1L, 50L)))
+    assert(rows(maintained) == rows(agg(newSnap)))
+  }
+
+  test("applyDiff: empty feed returns the base aggregate unchanged") {
+    val sess = spark
+    import sess.implicits._
+    val snap = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "g", "v")
+    val feed = Scd.snapshotDiff(snap, snap, Seq("id"), Seq("g", "v"))
+    assert(feed.isEmpty)
+    assert(rows(Ivm.applyDiff(agg(snap), feed, Seq("g"), Seq("v"), "n"))
+      == rows(agg(snap)))
+  }
+
+  test("q97: incremental maintenance equals full re-aggregation bit-for-bit") {
+    val incremental = SparkEntry.q97IvmAggregate(spark, SfDir)
+    val full = {
+      val ev = Tables.events(spark, SfDir)
+      val newSnap = ev.where(col("user_id") % 50 =!= 7)
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(round(col("value"), 6).cast("decimal(18,6)")).as("total_value"))
+        .withColumn("tier",
+          when(col("n_events") < 60, "small")
+            .when(col("n_events") < 72, "mid")
+            .otherwise("large"))
+      newSnap.groupBy("tier").agg(
+        count(lit(1)).as("n_users"),
+        sum("n_events").as("n_events"),
+        sum("total_value").as("total_value"))
+    }
+    // decimal measures make the identity EXACT — compare as strings
+    // (scale-6 decimals render identically when the bytes agree)
+    def asSet(df: DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDecimal(3).stripTrailingZeros.toPlainString)).toSet
+    assert(asSet(incremental) == asSet(full))
+    assert(incremental.count() == 3) // all tiers populated at sf0.001
+  }
+
+  test("q97's planted change actually migrates groups") {
+    val ev = Tables.events(spark, SfDir)
+    def snap(df: DataFrame) = df.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("tier",
+        when(col("n_events") < 60, "small")
+          .when(col("n_events") < 72, "mid")
+          .otherwise("large"))
+    val feed = Scd.snapshotDiff(
+      snap(ev.where(col("event_id") % 2 === 0 && col("user_id") % 50 =!= 3)),
+      snap(ev.where(col("user_id") % 50 =!= 7)),
+      Seq("user_id"), Seq("tier", "n_events"))
+    assert(feed.where(col("change_type") === "update" &&
+      !(col("old_tier") <=> col("new_tier"))).count() > 0)
+  }
+
+  test("maintained aggregate tracks Publish versions via the diff feed") {
+    val sess = spark
+    import sess.implicits._
+    val root = Files.createTempDirectory("graft_ivm_pub").toString
+    try {
+      val v1Data = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
+        .toDF("id", "g", "v")
+      val v2Data = Seq((1L, "a", 15L), (3L, "a", 30L), (4L, "b", 40L))
+        .toDF("id", "g", "v")
+      Publish.publish(v1Data, root)
+      Publish.publish(v2Data, root)
+      val feed = Scd.snapshotDiff(
+        Publish.readVersion(spark, root, 1L),
+        Publish.readVersion(spark, root, 2L),
+        Seq("id"), Seq("g", "v"))
+      val maintained = Ivm.applyDiff(
+        agg(Publish.readVersion(spark, root, 1L)), feed, Seq("g"), Seq("v"), "n")
+      assert(rows(maintained) == rows(agg(Publish.readVersion(spark, root, 2L))))
+    } finally {
+      graft.sources.Sinks.deleteRecursively(java.nio.file.Paths.get(root))
+    }
+  }
+}

@@ -101,6 +101,73 @@ class RangeJoinSpec extends SparkSpec {
       s"range join fell back to a nested loop:\n$plan")
   }
 
+  // second interval fixture on the same axis for the overlap join:
+  // varied lengths (incl. empty), boundary-touching pairs, multi-bin
+  // spans on both sides
+  private def intervalsB = (0L until 45L).map { j =>
+    val lo = (j * 7907L % 367L) - 180L
+    val len = (j * 17L % 38L) - 3L
+    (j, lo, lo + len)
+  }.toDF("bid", "blo", "bhi")
+
+  // the naive form must state the SAME convention the operator (and
+  // pointInInterval) uses: an empty interval (lo > hi) matches
+  // nothing — the bare theta condition alone would still pair an
+  // empty interval whose bounds straddle the other side
+  private def naiveOverlap = intervals.where(col("lo") <= col("hi"))
+    .crossJoin(intervalsB.where(col("blo") <= col("bhi")))
+    .where(col("lo") <= col("bhi") && col("blo") <= col("hi"))
+
+  test("intervalOverlap equals the naive theta join — touching bounds, empties, multi-bin pairs") {
+    val got = RangeJoin.intervalOverlap(intervals, intervalsB,
+      "lo", "hi", "blo", "bhi", binWidth = 10)
+    assert(got.exceptAll(naiveOverlap).count() == 0 &&
+      naiveOverlap.exceptAll(got).count() == 0,
+      "bin-bucketed overlap join diverges from the naive theta join")
+    // structural dedupe: a pair sharing several bins survives ONCE
+    assert(got.select("iid", "bid").count() ==
+      got.select("iid", "bid").distinct().count(),
+      "an interval pair met in more than one surviving bin")
+  }
+
+  test("intervalOverlap: binWidth is a physical knob, not a semantic one") {
+    val expected = naiveOverlap.count()
+    for (w <- Seq(1L, 3L, 50L, 1000L)) {
+      val n = RangeJoin.intervalOverlap(intervals, intervalsB,
+        "lo", "hi", "blo", "bhi", binWidth = w).count()
+      assert(n == expected, s"binWidth=$w changed the result: $n != $expected")
+    }
+  }
+
+  test("intervalOverlap keeps the equi-join plan shape") {
+    val plan = RangeJoin.intervalOverlap(intervals, intervalsB,
+      "lo", "hi", "blo", "bhi", binWidth = 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"overlap join fell back to a nested loop:\n$plan")
+  }
+
+  test("q98: allocation parts are exact floor shares of the campaign budget") {
+    val df = SparkEntry.q98IntervalAllocation(spark, SfDir).cache()
+    try {
+      assert(df.count() > 0)
+      // every pair contributes at least one day
+      assert(df.where(col("overlap_days") < col("n_intervals")).count() == 0)
+      // per campaign: floor shares sum to within |tiers| millis of the
+      // full budget, and never exceed it
+      val perCampaign = df.groupBy("campaign_id")
+        .agg(sum("allocated_milli").as("alloc"),
+          count(lit(1)).as("n_tiers"),
+          ((first(col("campaign_id")) % 7 + 1) * lit(1000L) * lit(1000L)).as("budget_milli"))
+      assert(perCampaign.where(col("alloc") > col("budget_milli")).count() == 0,
+        "allocation exceeded the budget")
+      assert(perCampaign
+        .where(col("alloc") < col("budget_milli") - col("n_tiers"))
+        .count() == 0,
+        "floor-division loss exceeded one milli per tier")
+    } finally { df.unpersist(): Unit }
+  }
+
   test("q52 equals its own naive form on real testdata") {
     val got = SparkEntry.q52RangeCampaignJoin(spark, SfDir)
     val anchor = to_date(lit("2024-01-01"))

@@ -349,6 +349,77 @@ class StreamingSpec extends SparkSpec {
       "merge after a torn staging dir diverged")
   }
 
+  test("S18: exact aggregate-table maintenance equals the batch build; replay is refused, not absorbed") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.AggTableSink
+    import graft.sources.Publish
+
+    val eventsDf = Tables.events(spark, SfDir)
+      .select("event_id", "event_type", "user_id", "ts", "value")
+    val rows = eventsDf.as[Ev].collect().sortBy(_.event_id)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_aggtbl").toString + "/t"
+    def withDecimal(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("value_d", round(col("value"), 6).cast("decimal(18,6)"))
+
+    val mem = MemoryStream[Ev]
+    val query = AggTableSink.start(withDecimal(mem.toDF()), root,
+      Seq("event_type"), Seq("value_d"), "n_events")
+    val chunks = rows.grouped(math.max(1, rows.length / 3)).toSeq
+    try {
+      chunks.foreach { c =>
+        mem.addData(c.toIndexedSeq); query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    def table(df: org.apache.spark.sql.DataFrame) = df
+      .select("event_type", "n_events", "value_d").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).stripTrailingZeros.toPlainString)).toSet
+
+    val streamed = table(Publish.read(spark, root))
+    // decimal addition is exact and commutative, so however the
+    // stream was chopped the maintained table equals ONE aggregation
+    // over all facts — exact equality, no tolerance
+    val batchBuild = table(AggTableSink.partials(
+      withDecimal(eventsDf), Seq("event_type"), Seq("value_d"), "n_events"))
+    assert(streamed == batchBuild,
+      "maintained aggregate diverges from the batch build")
+
+    // replay: addition is NOT idempotent, so exactly-once must come
+    // from the commit layer — the replayed id is refused before any
+    // arithmetic, and the table (and version pointer) do not move
+    val lastId = AggTableSink.lastBatch(root).get
+    val vLive = Publish.currentVersion(root).get
+    val replay = withDecimal(chunks.last
+      .map(e => (e.event_id, e.event_type, e.user_id, e.ts, e.value))
+      .toSeq.toDF("event_id", "event_type", "user_id", "ts", "value"))
+    assert(!AggTableSink.applyBatch(replay, lastId, root,
+      Seq("event_type"), Seq("value_d"), "n_events"))
+    assert(Publish.currentVersion(root).contains(vLive),
+      "a refused replay must not publish a version")
+    assert(table(Publish.read(spark, root)) == streamed)
+
+    // post-restart continuation: the NEXT id is accepted and merges —
+    // counts double for the replayed rows' groups, proving the
+    // refusal above was the id check, not a content no-op
+    assert(AggTableSink.applyBatch(replay, lastId + 1, root,
+      Seq("event_type"), Seq("value_d"), "n_events"))
+    val after = Publish.read(spark, root)
+      .select("event_type", "n_events").as[(String, Long)].collect().toMap
+    val replayCounts = replay.groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+    val before = streamed.map(t => t._1 -> t._2).toMap
+    assert(replayCounts.forall { case (g, n) => after(g) == before(g) + n },
+      "accepted follow-up batch did not merge additively")
+
+    // stored schema is pinned across versions (no decimal widening)
+    val live = Publish.read(spark, root).schema("value_d").dataType
+    assert(live == org.apache.spark.sql.types.DecimalType(28, 6),
+      s"stored sum type drifted: $live")
+  }
+
   test("S8: streaming ANN index maintenance equals the batch bucket build, replay is a no-op") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
