@@ -1219,6 +1219,43 @@ object SparkEntry {
       .select("campaign_id", "tier", "n_intervals", "overlap_days", "allocated_milli")
   }
 
+  /** q99: PII detection + redaction scan ([[text.TextOps.piiScrub]])
+    * — the scrubbing pass of corpus curation: emails, NANP phone
+    * numbers, and dotted-quad IPv4s counted and replaced with
+    * placeholder tokens in ONE narrow codegen'd pass (`regexp_count`
+    * + `regexp_replace`, no shuffle at any scale). The synthetic
+    * corpus carries no PII, so deterministic spans are PLANTED from
+    * doc_id (the q47/q52 planted-input pattern) — including a decoy
+    * suffix (`ver 1.2 by a@b desk`) that must SURVIVE: a 2-octet
+    * version string is not an IP and a TLD-less `a@b` is not an
+    * email, so the oracle checks precision, not just recall. Every
+    * pattern stays inside the Java-regex ∩ RE2 subset (classes,
+    * bounded quantifiers, `\b`; no lookaround/backreferences), which
+    * is what lets DuckDB re-run the IDENTICAL pattern strings and
+    * hash-match the redacted text itself. Patterns apply in sequence
+    * over progressively redacted text (email before IPv4, so an
+    * email's host-part can't double-count). */
+  def q99PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    def s(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c.cast("string")
+    val planted = Tables.documents(spark, dir).select(d, concat(
+      col("text"),
+      when(d % 3 === 0,
+        concat(lit(" mail u"), s(d), lit("@ex"), s(d % 10), lit(".org")))
+        .otherwise(lit("")),
+      when(d % 5 === 0,
+        concat(lit(" call 415-"), lpad(s(d % 1000), 3, "0"),
+          lit("-"), lpad(s(d % 10000), 4, "0")))
+        .otherwise(lit("")),
+      when(d % 7 === 0,
+        concat(lit(" host 10."), s(d % 256), lit(".0."), s((d * 7) % 256)))
+        .otherwise(lit("")),
+      when(d % 2 === 0, lit(" ver 1.2 by a@b desk")).otherwise(lit("")))
+      .as("text"))
+    TextOps.piiScrub(planted, "doc_id", "text")
+  }
+
   /** q62: budget-bounded batch selection — per-wallet activity
     * totals, a GLOBAL running total ordered smallest-first, and the
     * prefix that fits a 5000-event ingestion budget (the reference's
@@ -1932,7 +1969,8 @@ object SparkEntry {
     "q95_drawdown"               -> (q95Drawdown _),
     "q96_rolling_anomaly"        -> (q96RollingAnomaly _),
     "q97_ivm_aggregate"          -> (q97IvmAggregate _),
-    "q98_interval_allocation"    -> (q98IntervalAllocation _)
+    "q98_interval_allocation"    -> (q98IntervalAllocation _),
+    "q99_pii_scrub"              -> (q99PiiScrub _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -3424,6 +3462,43 @@ object SparkEntry {
         |  ((campaign_id % 7 + 1) * 1000 * overlap_days * 1000)
         |    // CAST(SUM(overlap_days) OVER (PARTITION BY campaign_id) AS BIGINT)
         |    AS allocated_milli
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    "q99_pii_scrub" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' mail u' || CAST(doc_id AS VARCHAR)
+        |         || '@ex' || CAST(doc_id % 10 AS VARCHAR) || '.org' ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' call 415-'
+        |         || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+        |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' host 10.'
+        |         || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+        |         || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END
+        |    || CASE WHEN doc_id % 2 = 0 THEN ' ver 1.2 by a@b desk' ELSE '' END
+        |    AS t0
+        |  FROM documents
+        |),
+        |s1 AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |    regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
+        |  FROM planted
+        |),
+        |s2 AS (
+        |  SELECT doc_id, n_email,
+        |    len(regexp_extract_all(t1, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone,
+        |    regexp_replace(t1, '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g') AS t2
+        |  FROM s1
+        |),
+        |s3 AS (
+        |  SELECT doc_id, n_email, n_phone,
+        |    len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+        |    regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS clean_text
+        |  FROM s2
+        |)
+        |SELECT doc_id, n_email, n_phone, n_ipv4, clean_text,
+        |  (n_email > 0 OR n_phone > 0 OR n_ipv4 > 0) AS has_pii
+        |FROM s3""".stripMargin
   )
 }

@@ -232,4 +232,52 @@ object TextOps {
   // takes only literal positions)
   private def substring_index_safe(text: Column, start: Column, len: Int): Column =
     text.substr(start, lit(len))
+
+  /** Default PII pattern set: email, NANP-style phone, dotted-quad
+    * IPv4. Every pattern stays inside the regex subset Java regex and
+    * RE2 share (character classes, bounded quantifiers, `\b`, no
+    * backreferences/lookaround), so the SAME pattern string runs in
+    * Spark's codegen'd `regexp_*` functions and in a DuckDB oracle —
+    * which is what makes a redaction pass hash-checkable across
+    * engines. Order matters and is part of the contract: email is
+    * scrubbed before IPv4 so a host-part like `u@10.2.3.4` can't be
+    * double-counted (each later pattern sees the previous pattern's
+    * redacted text). */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "[PHONE]"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"))
+
+  /** PII detection + redaction scan — the scrubbing pass of a
+    * training-data pipeline: count each pattern's matches and replace
+    * them with its placeholder token, applying patterns strictly in
+    * sequence over the progressively redacted text. Pure narrow
+    * column algebra (`regexp_count` + `regexp_replace`, both
+    * codegen'd): one pass over the corpus, no shuffle at any scale,
+    * and the counts are computed on exactly the text each pattern
+    * actually sees, so `n_<name>` sums are consistent with the final
+    * redacted output (a redacted span can never match twice).
+    * Output: id, one `n_<name>` count per pattern, `clean_text`, and
+    * `has_pii`. */
+  def piiScrub(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      patterns: Seq[(String, String, String)] = PiiPatterns): DataFrame = {
+    require(patterns.nonEmpty, "need at least one pattern")
+    val names = patterns.map(_._1)
+    require(names.distinct == names, s"duplicate pattern names: $names")
+    val scrubbed = patterns.foldLeft(docs.select(col(idCol), col(textCol).as("__t"))) {
+      case (acc, (name, re, token)) =>
+        acc
+          .withColumn(s"n_$name", regexp_count(col("__t"), lit(re)))
+          .withColumn("__t", regexp_replace(col("__t"), re, token))
+    }
+    scrubbed
+      .withColumn("has_pii",
+        names.map(n => col(s"n_$n") > 0).reduce(_ || _))
+      .withColumnRenamed("__t", "clean_text")
+      .select(col(idCol) +: names.map(n => col(s"n_$n")) :+
+        col("clean_text") :+ col("has_pii"): _*)
+  }
 }

@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import graft.text.TextOps
 
 /** Planted-fixture coverage for the Gopher-style quality/repetition
-  * filters (q72/q73) and the budget mixture sampler (q74). */
+  * filters (q72/q73), the budget mixture sampler (q74), and the PII
+  * scrubber (q99). */
 class TextQualitySpec extends SparkSpec {
   import spark.implicits._
 
@@ -115,6 +116,65 @@ class TextQualitySpec extends SparkSpec {
 
       // and the sample is a real subsample (budget binds at every SF)
       assert(out.count() > 0 && out.count() < docs.count())
+    } finally { out.unpersist(): Unit }
+  }
+
+  test("piiScrub: planted spans redacted and counted exactly; decoys and clean text survive") {
+    val docs = Seq(
+      (1L, "plain words only"),
+      (2L, "reach me at dev.lead+ci@mail.example.org or 555-867-5309 thanks"),
+      (3L, "hosts 10.0.0.1 and 192.168.255.254 but not 1.2 or 1.2.3"),
+      (4L, "decoys: a@b, 12-34-5678, ver 1.2.3, and u@ex.org twice u@ex.org"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val got = TextOps.piiScrub(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    def counts(id: Long) = {
+      val r = got(id)
+      (r.getAs[Int]("n_email"), r.getAs[Int]("n_phone"), r.getAs[Int]("n_ipv4"))
+    }
+    assert(counts(1L) == ((0, 0, 0)) && !got(1L).getAs[Boolean]("has_pii"))
+    assert(got(1L).getAs[String]("clean_text") == "plain words only")
+    assert(counts(2L) == ((1, 1, 0)))
+    assert(got(2L).getAs[String]("clean_text") ==
+      "reach me at [EMAIL] or [PHONE] thanks")
+    assert(counts(3L) == ((0, 0, 2)),
+      "2-octet and 3-octet dotted numbers must NOT count as IPv4")
+    assert(got(3L).getAs[String]("clean_text") ==
+      "hosts [IP] and [IP] but not 1.2 or 1.2.3")
+    // TLD-less a@b is no email; 2-2-4 digits is no NANP phone; but
+    // both planted emails redact (count reflects ALL occurrences)
+    assert(counts(4L) == ((2, 0, 0)))
+    assert(got(4L).getAs[String]("clean_text") ==
+      "decoys: a@b, 12-34-5678, ver 1.2.3, and [EMAIL] twice [EMAIL]")
+    assert(counts(5L) == ((0, 0, 0)))
+
+    // a scrubbed corpus is a fixed point: placeholder tokens carry no
+    // matchable spans, so a second pass counts zero everywhere
+    val again = TextOps.piiScrub(
+      TextOps.piiScrub(docs, "doc_id", "text")
+        .select(col("doc_id"), col("clean_text").as("text")),
+      "doc_id", "text")
+    assert(again.where(col("has_pii")).count() == 0)
+  }
+
+  test("q99: planted corpus counts re-derive from doc_id arithmetic") {
+    val out = SparkEntry.q99PiiScrub(spark, SfDir).cache()
+    try {
+      val docs = Tables.documents(spark, SfDir)
+      assert(out.count() == docs.count(), "scrub must be total: every doc survives")
+      // the synthetic corpus itself carries no PII, so every count is
+      // exactly the plant arithmetic
+      val bad = out.where(
+        col("n_email") =!= when(col("doc_id") % 3 === 0, 1).otherwise(0) ||
+        col("n_phone") =!= when(col("doc_id") % 5 === 0, 1).otherwise(0) ||
+        col("n_ipv4")  =!= when(col("doc_id") % 7 === 0, 1).otherwise(0))
+      assert(bad.count() == 0, "planted counts must re-derive from doc_id")
+      // decoy suffix survives redaction verbatim on every even doc
+      assert(out.where(col("doc_id") % 2 === 0 &&
+        !col("clean_text").endsWith(" ver 1.2 by a@b desk")).count() == 0,
+        "the non-PII decoy must survive the scrub")
     } finally { out.unpersist(): Unit }
   }
 }
