@@ -1256,6 +1256,35 @@ object SparkEntry {
     TextOps.piiScrub(planted, "doc_id", "text")
   }
 
+  /** q100: Z-order data skipping ([[graft.sources.ZOrder]]) — the
+    * lakehouse stats-manifest pattern: events clustered along the
+    * Morton curve of (user_id, value) into ~32 files with a per-file
+    * min/max stats table, then a 2-D box predicate answered by
+    * reading ONLY the files whose stats box intersects it. Pruning is
+    * an optimization, never semantics: the predicate re-applies to
+    * the surviving rows, so the DuckDB oracle (same filter +
+    * aggregate over the WHOLE table) hash-checks that skipping
+    * dropped no needed file — a stats bug cannot pass the gate. The
+    * layout is built once per (session, SF) via the q42/q44 scratch
+    * lifecycle; a recurring 100 TB deployment pays the clustering
+    * shuffle at write time and every box query thereafter reads
+    * O(selectivity) files instead of the table. Decimal-cast sums
+    * keep the aggregate exact cross-engine (the q97 posture). */
+  def q100ZorderPrune(spark: SparkSession, dir: String): DataFrame = {
+    val table = graft.tools.Scratch.cachedArtifact(
+      "graft_zorder", dir, s"$dir/events.parquet") { (tableDir, _) =>
+      graft.sources.ZOrder.writeZOrdered(
+        Tables.events(spark, dir), tableDir,
+        colA = "user_id", colB = "value", bits = 8, numFiles = 32)
+    }
+    graft.sources.ZOrder.prunedRead(spark, table, 3L, 7L, 20.0, 80.0)
+      .where(col("user_id").between(3, 7) && col("value").between(20.0, 80.0))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value"), 6).cast("decimal(18,6)")).as("sum_value"))
+  }
+
   /** q62: budget-bounded batch selection — per-wallet activity
     * totals, a GLOBAL running total ordered smallest-first, and the
     * prefix that fits a 5000-event ingestion budget (the reference's
@@ -1970,7 +1999,8 @@ object SparkEntry {
     "q96_rolling_anomaly"        -> (q96RollingAnomaly _),
     "q97_ivm_aggregate"          -> (q97IvmAggregate _),
     "q98_interval_allocation"    -> (q98IntervalAllocation _),
-    "q99_pii_scrub"              -> (q99PiiScrub _)
+    "q99_pii_scrub"              -> (q99PiiScrub _),
+    "q100_zorder_prune"          -> (q100ZorderPrune _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -3499,6 +3529,14 @@ object SparkEntry {
         |)
         |SELECT doc_id, n_email, n_phone, n_ipv4, clean_text,
         |  (n_email > 0 OR n_phone > 0 OR n_ipv4 > 0) AS has_pii
-        |FROM s3""".stripMargin
+        |FROM s3""".stripMargin,
+
+    "q100_zorder_prune" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS sum_value
+        |FROM events
+        |WHERE user_id BETWEEN 3 AND 7
+        |  AND value >= 20.0 AND value <= 80.0
+        |GROUP BY event_type""".stripMargin
   )
 }

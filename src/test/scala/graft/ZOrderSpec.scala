@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.ZOrder
+
+/** Z-order clustering + file-level min/max skipping (sources/ZOrder):
+  * hand-computed Morton bits, bucket edge cases, pruned-read
+  * correctness on testdata, and the claim the curve exists for —
+  * a 2-D box predicate skips files a 1-D linear layout cannot. */
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zValue: hand-computed bit interleave") {
+    // a=5 (101b) into odd positions -> 100010b = 34
+    // b=3 (011b) into even positions -> 000101b = 5
+    val got = Seq((5L, 3L)).toDF("a", "b")
+      .select(ZOrder.zValue(col("a"), col("b"), 3).as("z"))
+      .collect()(0).getLong(0)
+    assert(got == 39L)
+    // identity checks: zero interleaves to zero; max packs all bits
+    val zz = Seq((0L, 0L), (7L, 7L)).toDF("a", "b")
+      .select(ZOrder.zValue(col("a"), col("b"), 3).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(zz == Seq(0L, 63L))
+  }
+
+  test("affineBucket: bounds land inside [0, 2^bits)") {
+    val df = Seq(0.0, 127.5, 255.0).toDF("v")
+      .select(ZOrder.affineBucket(col("v"), lit(0.0), lit(255.0), 8).as("b"))
+    // midpoint lands at 127, not 128: the +1e-9 guard in the
+    // denominator nudges the exact 0.5 ratio just below the boundary
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(0L, 127L, 255L))
+    // constant column (span 0) must not divide by zero: everything
+    // lands in bucket 0
+    val const = Seq(42.0, 42.0).toDF("v")
+      .select(ZOrder.affineBucket(col("v"), lit(42.0), lit(42.0), 8).as("b"))
+    assert(const.collect().map(_.getLong(0)).toSeq == Seq(0L, 0L))
+  }
+
+  test("prunedRead + re-filter equals the full-scan filter on testdata") {
+    val out = SparkEntry.q100ZorderPrune(spark, SfDir)
+    val want = Tables.events(spark, SfDir)
+      .where(col("user_id").between(3, 7) && col("value").between(20.0, 80.0))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value"), 6).cast("decimal(18,6)")).as("sum_value"))
+    assert(out.exceptAll(want).count() == 0 && want.exceptAll(out).count() == 0,
+      "pruned-read aggregate diverges from the full scan")
+  }
+
+  test("the Z layout skips files for a 2-D box where a linear layout cannot") {
+    // uniform 2-D grid: both dimensions matter, neither is special
+    val n = 20000
+    val data = spark.range(n.toLong).select(
+      (pmod(col("id") * 48271L, lit(104729L)) % 1000).as("a"),
+      (pmod(col("id") * 69621L, lit(104857L)) % 1000).as("b"))
+    val root = Files.createTempDirectory("graft_zorder_spec").toString
+    val zPath = root + "/z"
+    val linPath = root + "/lin"
+    try {
+      ZOrder.writeZOrdered(data, zPath, "a", "b", bits = 8, numFiles = 32)
+      // linear layout: range-clustered on `a` alone, same file count,
+      // same stats machinery
+      data.repartitionByRange(32, col("a")).sortWithinPartitions("a")
+        .write.parquet(linPath)
+      spark.read.parquet(linPath)
+        .groupBy(input_file_name().as("file"))
+        .agg(count(lit(1)).as("n_rows"),
+          min("a").as("min_a"), max("a").as("max_a"),
+          min("b").as("min_b"), max("b").as("max_b"))
+        .write.parquet(ZOrder.statsPath(linPath))
+
+      val nFiles = spark.read.parquet(ZOrder.statsPath(zPath)).count()
+      assert(nFiles >= 16, s"expected ~32 files, got $nFiles")
+
+      // a 10% × 10% box: the Z layout bounds BOTH dims per file
+      val zCand = ZOrder.candidateFiles(spark, zPath, 100L, 199L, 100L, 199L).count()
+      assert(zCand <= nFiles / 2,
+        s"z-order should skip most files for a small box: $zCand of $nFiles")
+
+      // b-only predicate: every linear file spans b's full range, so
+      // linear skips NOTHING; the curve still skips
+      val linFiles = spark.read.parquet(ZOrder.statsPath(linPath)).count()
+      val linCand = spark.read.parquet(ZOrder.statsPath(linPath))
+        .where(col("min_b") <= 199L && col("max_b") >= 100L).count()
+      val zCandB = spark.read.parquet(ZOrder.statsPath(zPath))
+        .where(col("min_b") <= 199L && col("max_b") >= 100L).count()
+      assert(linCand == linFiles,
+        "a 1-D layout should be unable to skip on the unsorted dimension")
+      assert(zCandB < linCand,
+        s"the curve must beat linear on the second dimension: z=$zCandB lin=$linCand")
+
+      // pruning never loses rows: pruned+filter ≡ full filter
+      val got = ZOrder.prunedRead(spark, zPath, 100L, 199L, 100L, 199L)
+        .where(col("a").between(100, 199) && col("b").between(100, 199))
+      val want = data.where(col("a").between(100, 199) && col("b").between(100, 199))
+      assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+
+      // a box fully outside the data range survives as an empty read
+      assert(ZOrder.prunedRead(spark, zPath, 5000L, 6000L, 0L, 10L).count() == 0)
+    } finally {
+      graft.sources.Sinks.deleteRecursively(java.nio.file.Paths.get(root))
+    }
+  }
+}
