@@ -1270,13 +1270,21 @@ object SparkEntry {
     * shuffle at write time and every box query thereafter reads
     * O(selectivity) files instead of the table. Decimal-cast sums
     * keep the aggregate exact cross-engine (the q97 posture). */
-  def q100ZorderPrune(spark: SparkSession, dir: String): DataFrame = {
-    val table = graft.tools.Scratch.cachedArtifact(
-      "graft_zorder", dir, s"$dir/events.parquet") { (tableDir, _) =>
+  // z-ordered + bloom-indexed copy of events, built once per
+  // (session, SF) — shared by q100 (box pruning) and q101 (point
+  // lookup); the curve dims and the bloom key index DIFFERENT
+  // columns on one layout, which is the point of the stats manifest
+  private def zIndexedEvents(spark: SparkSession, dir: String): String =
+    graft.tools.Scratch.cachedArtifact(
+      "graft_zidx", dir, s"$dir/events.parquet") { (tableDir, _) =>
       graft.sources.ZOrder.writeZOrdered(
         Tables.events(spark, dir), tableDir,
-        colA = "user_id", colB = "value", bits = 8, numFiles = 32)
+        colA = "user_id", colB = "value", bits = 8, numFiles = 32,
+        keyCol = Some("event_id"))
     }
+
+  def q100ZorderPrune(spark: SparkSession, dir: String): DataFrame = {
+    val table = zIndexedEvents(spark, dir)
     graft.sources.ZOrder.prunedRead(spark, table, 3L, 7L, 20.0, 80.0)
       .where(col("user_id").between(3, 7) && col("value").between(20.0, 80.0))
       .groupBy("event_type")
@@ -1284,6 +1292,25 @@ object SparkEntry {
         count(lit(1)).as("n_events"),
         sum(round(col("value"), 6).cast("decimal(18,6)")).as("sum_value"))
   }
+
+  /** q101: bloom point-lookup over the same z-ordered layout
+    * ([[graft.sources.ZOrder.prunedReadByKeys]]) — the skipping case
+    * min/max boxes CANNOT serve: after the z-shuffle a sequential
+    * event_id is uncorrelated with the curve dims, so every file's
+    * id range spans nearly the whole domain and box pruning keeps
+    * everything; the per-file bloom column (graft_bloom_agg over
+    * xxhash64(event_id), built into the `_zstats` manifest at write
+    * time) prunes to ~1 file per probed key + fpp stragglers. False
+    * positives only add file reads (the predicate re-applies), false
+    * negatives are impossible — so the full-table DuckDB oracle
+    * hash-checks the pruning, q100's integrity posture. At 100 TB
+    * this is the needle-in-haystack path: O(keys) file reads instead
+    * of a table scan, off a driver-sized manifest. */
+  def q101BloomLookup(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.ZOrder
+      .prunedReadByKeys(spark, zIndexedEvents(spark, dir), Seq(5L, 123L, 456L))
+      .where(col("event_id").isin(5L, 123L, 456L))
+      .select("event_id", "event_type", "user_id", "value")
 
   /** q62: budget-bounded batch selection — per-wallet activity
     * totals, a GLOBAL running total ordered smallest-first, and the
@@ -2000,7 +2027,8 @@ object SparkEntry {
     "q97_ivm_aggregate"          -> (q97IvmAggregate _),
     "q98_interval_allocation"    -> (q98IntervalAllocation _),
     "q99_pii_scrub"              -> (q99PiiScrub _),
-    "q100_zorder_prune"          -> (q100ZorderPrune _)
+    "q100_zorder_prune"          -> (q100ZorderPrune _),
+    "q101_bloom_lookup"          -> (q101BloomLookup _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -3537,6 +3565,11 @@ object SparkEntry {
         |FROM events
         |WHERE user_id BETWEEN 3 AND 7
         |  AND value >= 20.0 AND value <= 80.0
-        |GROUP BY event_type""".stripMargin
+        |GROUP BY event_type""".stripMargin,
+
+    "q101_bloom_lookup" ->
+      """SELECT event_id, event_type, user_id, value
+        |FROM events
+        |WHERE event_id IN (5, 123, 456)""".stripMargin
   )
 }

@@ -1,7 +1,10 @@
 package graft.sources
 
+import java.io.ByteArrayInputStream
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Z-order clustering + file-level min/max data skipping — the
   * lakehouse stats-manifest pattern (Delta/Iceberg Z-ORDER) as a
@@ -78,20 +81,34 @@ object ZOrder {
     * `~numFiles` files at `path`, and a per-file min/max stats table
     * at [[statsPath]]. One range exchange on the z-value (the
     * clustering shuffle — the cost Z-ORDER always pays), one read-back
-    * scan to build the stats (the manifest-build pass). */
+    * scan to build the stats (the manifest-build pass).
+    *
+    * `keyCol` additionally folds each file's values of a
+    * HIGH-CARDINALITY key into a per-file BLOOM column
+    * ([[graft.functions.BloomAgg]] over `xxhash64(key)`): after the
+    * z-shuffle a sequential id is uncorrelated with the curve dims,
+    * so every file's key min/max spans nearly the whole domain and
+    * boxes discriminate nothing — the bloom is what makes point
+    * lookups skip files. False positives only ADD candidate files
+    * (rows are re-filtered after the read); false negatives are
+    * impossible, so pruning never changes results. */
   def writeZOrdered(
       df: DataFrame,
       path: String,
       colA: String,
       colB: String,
       bits: Int = 8,
-      numFiles: Int = 32): Unit = {
+      numFiles: Int = 32,
+      keyCol: Option[String] = None,
+      keyFpp: Double = 0.01): Unit = {
     val spark = df.sparkSession
     val bounds = df.agg(
       min(colA).as("la"), max(colA).as("ha"),
-      min(colB).as("lb"), max(colB).as("hb")).collect()(0)
+      min(colB).as("lb"), max(colB).as("hb"),
+      count(lit(1)).as("n")).collect()(0)
     val la = lit(bounds.get(0)); val ha = lit(bounds.get(1))
     val lb = lit(bounds.get(2)); val hb = lit(bounds.get(3))
+    val nRows = bounds.getLong(4)
     df.withColumn("__z", zValue(
         affineBucket(col(colA), la, ha, bits),
         affineBucket(col(colB), lb, hb, bits), bits))
@@ -99,12 +116,21 @@ object ZOrder {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+    val baseAggs = Seq(
+      count(lit(1)).as("n_rows"),
+      min(colA).as("min_a"), max(colA).as("max_a"),
+      min(colB).as("min_b"), max(colB).as("max_b"))
+    if (keyCol.isDefined) graft.functions.GraftFunctions.register(spark)
+    val aggs = baseAggs ++ keyCol.map { k =>
+      // sized for a file's share of the rows (2× slack for range-
+      // partition imbalance, 64 floor for tiny tables)
+      val expected = math.max(64L, 2L * nRows / math.max(1, numFiles))
+      call_function("graft_bloom_agg",
+        xxhash64(col(k)), lit(expected), lit(keyFpp)).as("key_bloom")
+    }
     spark.read.parquet(path)
       .groupBy(input_file_name().as("file"))
-      .agg(
-        count(lit(1)).as("n_rows"),
-        min(colA).as("min_a"), max(colA).as("max_a"),
-        min(colB).as("min_b"), max(colB).as("max_b"))
+      .agg(aggs.head, aggs.tail: _*)
       .write.mode("overwrite").parquet(statsPath(path))
   }
 
@@ -129,8 +155,51 @@ object ZOrder {
       loA: Any, hiA: Any, loB: Any, hiB: Any): DataFrame = {
     val files = candidateFiles(spark, path, loA, hiA, loB, hiB)
       .select("file").collect().map(_.getString(0))
-    if (files.isEmpty)
-      spark.read.parquet(path).limit(0)
-    else spark.read.parquet(files.toIndexedSeq: _*)
+    readFiles(spark, path, files.toIndexedSeq)
   }
+
+  // driver-side twin of `functions.xxhash64` on a single literal
+  // (same algorithm, same default seed 42), so a probe value hashes
+  // to exactly what the stored blooms were built from
+  private def sparkHash(v: Any): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(v)), 42L)
+      .eval(null).asInstanceOf[Long]
+
+  /** The files whose key bloom might contain ANY of `keys` — the
+    * point-lookup skipping decision. Probing is a driver-side pass
+    * over the |files|-row manifest (each filter deserialized once);
+    * a false positive costs one extra file read, a false negative
+    * cannot happen. Requires the table to have been written with
+    * `keyCol`; key values must carry the key column's type (a Long
+    * for a bigint key) so the literal hash matches the column hash. */
+  def keyCandidateFiles(
+      spark: SparkSession,
+      path: String,
+      keys: Seq[Any]): Seq[String] = {
+    val hs = keys.map(sparkHash)
+    spark.read.parquet(statsPath(path)).select("file", "key_bloom")
+      .collect()
+      .filter { r =>
+        val bf = BloomFilter.readFrom(
+          new ByteArrayInputStream(r.getAs[Array[Byte]]("key_bloom")))
+        hs.exists(bf.mightContainLong)
+      }
+      .map(_.getString(0)).toIndexedSeq
+  }
+
+  /** Read only the files whose bloom might hold one of `keys`.
+    * Callers MUST still filter: blooms over-approximate. */
+  def prunedReadByKeys(
+      spark: SparkSession,
+      path: String,
+      keys: Seq[Any]): DataFrame =
+    readFiles(spark, path, keyCandidateFiles(spark, path, keys))
+
+  private def readFiles(
+      spark: SparkSession,
+      path: String,
+      files: Seq[String]): DataFrame =
+    if (files.isEmpty) spark.read.parquet(path).limit(0)
+    else spark.read.parquet(files: _*)
 }

@@ -106,4 +106,51 @@ class ZOrderSpec extends SparkSpec {
       graft.sources.Sinks.deleteRecursively(java.nio.file.Paths.get(root))
     }
   }
+
+  test("bloom key index: no false negatives, real point-lookup skipping") {
+    // unique sequential key, uncorrelated with the curve dims after
+    // the z-shuffle — the case min/max boxes cannot discriminate
+    val n = 20000
+    val data = spark.range(n.toLong).select(
+      col("id").as("k"),
+      (pmod(col("id") * 48271L, lit(104729L)) % 1000).as("a"),
+      (pmod(col("id") * 69621L, lit(104857L)) % 1000).as("b"))
+    val root = Files.createTempDirectory("graft_zbloom_spec").toString
+    val path = root + "/t"
+    try {
+      ZOrder.writeZOrdered(data, path, "a", "b", bits = 8, numFiles = 32,
+        keyCol = Some("k"))
+      val nFiles = spark.read.parquet(ZOrder.statsPath(path)).count()
+
+      // present keys ALWAYS surface their row (no false negatives)
+      val probes = Seq(0L, 1L, 9999L, 19999L, 777L)
+      val got = ZOrder.prunedReadByKeys(spark, path, probes)
+        .where(col("k").isin(probes: _*))
+        .select("k").collect().map(_.getLong(0)).toSet
+      assert(got == probes.toSet, s"point lookup lost keys: ${probes.toSet -- got}")
+
+      // a unique key lives in ONE file; fpp=0.01 over ~32 files adds
+      // at most a few stragglers — far below reading everything
+      val cand = ZOrder.keyCandidateFiles(spark, path, Seq(777L)).size
+      assert(cand <= math.max(4, nFiles / 4).toInt,
+        s"bloom skipped too little: $cand of $nFiles files")
+
+      // an absent key prunes to ~nothing and reads no matching rows
+      val absent = ZOrder.prunedReadByKeys(spark, path, Seq(987654321L))
+        .where(col("k") === 987654321L)
+      assert(absent.count() == 0)
+    } finally {
+      graft.sources.Sinks.deleteRecursively(java.nio.file.Paths.get(root))
+    }
+  }
+
+  test("q101: pruned point lookup equals the full-scan lookup") {
+    val got = SparkEntry.q101BloomLookup(spark, SfDir)
+    val want = Tables.events(spark, SfDir)
+      .where(col("event_id").isin(5L, 123L, 456L))
+      .select("event_id", "event_type", "user_id", "value")
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "bloom-pruned lookup diverges from the full scan")
+    assert(got.count() == 3)
+  }
 }
