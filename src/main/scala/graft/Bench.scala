@@ -47,14 +47,29 @@ object Bench {
       val spread = if (valid.isEmpty) -1.0 else valid.max - valid.min
       name -> ((settled, spread))
     }
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val spreads = results.map { case (k, (_, sp)) => s"\"" + k + "\":" + sp }
+    // the stdout contract line must survive the driver's bounded tail
+    // capture (~3 KB): r7's full-name, full-precision, two-dict line
+    // was ~7.7 KB and got truncated to parsed:null. Short qNN keys
+    // (every registry name's unique prefix) at millisecond precision
+    // keep the line ~1.2 KB with room for the registry to grow; the
+    // full-name, full-precision timings + spreads go to a sidecar
+    // file that nothing truncates.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def shortKey(k: String): String = k.takeWhile(_ != '_')
+    val qs = results.map { case (k, (v, _)) => "\"" + shortKey(k) + "\":" + f3(v) }
       .mkString("{", ",", "}")
     // failures (-1 markers) stay visible per-query but must not
     // subtract from (or fake-improve) the headline total
     val total = results.values.map(_._1).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"sf":"$sfDir"}""")
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse("0")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":$sfNum}""")
+    val full = results.map { case (k, (v, sp)) =>
+      s""""$k":{"sec":$v,"spread":$sp}""" }.mkString("{", ",", "}")
+    val out = java.nio.file.Paths.get("tools/bench_full_latest.json")
+    Option(out.getParent).foreach(p => java.nio.file.Files.createDirectories(p): Unit)
+    java.nio.file.Files.writeString(out,
+      s"""{"total":$total,"sf":"$sfDir","queries":$full}\n"""): Unit
     spark.stop()
   }
 }

@@ -1136,12 +1136,18 @@ object SparkEntry {
     * snapshot change (q94's key ranges plus the odd-id events only
     * the new snapshot includes) migrates most users across tiers —
     * the feed's group columns do real work, not just its measures.
-    * Exactness: total_value is DECIMAL, so retract/assert is exact
-    * and commutative and the maintained table equals the full
-    * re-aggregation BIT-FOR-BIT. Oracle: DuckDB computes the full
-    * re-aggregation of the new snapshot directly — the hash match IS
-    * the maintenance-correctness proof (the q90 posture: the oracle
-    * states the semantics, the plan earns its shape). Plan: the
+    * Exactness: total_value ACCUMULATES as DECIMAL, so retract/assert
+    * is exact and commutative and the maintained table equals the
+    * full re-aggregation BIT-FOR-BIT; the final column is then
+    * presented as DOUBLE (one correctly-rounded IEEE cast of
+    * identical decimal values on both engines) because the gate's two
+    * read paths stringify a decimal column differently (pyarrow keeps
+    * scale-6 text, DuckDB's df() renders the float) — r7 failed
+    * q97's hash on exactly that, with bytes proven equal. Oracle:
+    * DuckDB computes the full re-aggregation of the new snapshot
+    * directly — the hash match IS the maintenance-correctness proof
+    * (the q90 posture: the oracle states the semantics, the plan
+    * earns its shape). Plan: the
     * merge is a 3-way union (|tiers| base + 2×|changes| feed rows)
     * into one hash aggregation — the fact table feeds the snapshots
     * here only because the demo derives them; a maintained
@@ -1168,6 +1174,7 @@ object SparkEntry {
       Seq("tier", "n_events", "total_value"))
     Ivm.applyDiff(base, feed, Seq("tier"),
       Seq("n_events", "total_value"), "n_users")
+      .withColumn("total_value", col("total_value").cast("double"))
   }
 
   /** q98: interval-overlap join + allocation
@@ -1268,8 +1275,10 @@ object SparkEntry {
     * layout is built once per (session, SF) via the q42/q44 scratch
     * lifecycle; a recurring 100 TB deployment pays the clustering
     * shuffle at write time and every box query thereafter reads
-    * O(selectivity) files instead of the table. Decimal-cast sums
-    * keep the aggregate exact cross-engine (the q97 posture). */
+    * O(selectivity) files instead of the table. Sums accumulate as
+    * decimal (exact, order-independent) and present as double (the
+    * q97 posture — a decimal OUTPUT column trips the gate's
+    * asymmetric decimal stringification, r7's only hash misses). */
   // z-ordered + bloom-indexed copy of events, built once per
   // (session, SF) — shared by q100 (box pruning) and q101 (point
   // lookup); the curve dims and the bloom key index DIFFERENT
@@ -1290,7 +1299,8 @@ object SparkEntry {
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n_events"),
-        sum(round(col("value"), 6).cast("decimal(18,6)")).as("sum_value"))
+        sum(round(col("value"), 6).cast("decimal(18,6)"))
+          .cast("double").as("sum_value"))
   }
 
   /** q101: bloom point-lookup over the same z-ordered layout
@@ -1311,6 +1321,67 @@ object SparkEntry {
       .prunedReadByKeys(spark, zIndexedEvents(spark, dir), Seq(5L, 123L, 456L))
       .where(col("event_id").isin(5L, 123L, 456L))
       .select("event_id", "event_type", "user_id", "value")
+
+  /** q103: quantile-bucketed Z-order
+    * ([[graft.sources.ZOrder.writeZOrderedQuantile]]) — q100's box
+    * pruning over the exact-RANK bucket layout, closing ZOrder's
+    * documented skewed-column trade: rank buckets split row MASS
+    * uniformly (PrefixSum two-pass scan, no single-task window, no
+    * driver quantile array), so a heavy-hitter value can no longer
+    * collapse the table into one giant file. Read paths are shared
+    * with q100 verbatim — stats still store true column min/max — and
+    * the full-scan oracle hash-checks that pruning over the new
+    * layout drops nothing (ZOrderSpec carries the balance proof on a
+    * planted 90%-skew column, where the affine layout degenerates). */
+  private def zqIndexedEvents(spark: SparkSession, dir: String): String =
+    graft.tools.Scratch.cachedArtifact(
+      "graft_zqidx", dir, s"$dir/events.parquet") { (tableDir, _) =>
+      graft.sources.ZOrder.writeZOrderedQuantile(
+        Tables.events(spark, dir), tableDir,
+        colA = "user_id", colB = "value", tieBreaker = "event_id",
+        bits = 8, numFiles = 32)
+    }
+
+  def q103ZorderQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val table = zqIndexedEvents(spark, dir)
+    graft.sources.ZOrder.prunedRead(spark, table, 10L, 20L, 30.0, 60.0)
+      .where(col("user_id").between(10, 20) && col("value").between(30.0, 60.0))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value"), 6).cast("decimal(18,6)"))
+          .cast("double").as("sum_value"))
+  }
+
+  /** q102: funnel INSTANCES — MATCH_RECOGNIZE-lite over the event
+    * stream ([[operators.Sequence.funnelInstances]]). q39 already
+    * answers the USER grain (does a user ever convert?); this is the
+    * instance grain MATCH_RECOGNIZE would give: EVERY signup event
+    * anchors its own chain, binding the first strictly-later view
+    * within 3 days, then the first strictly-later purchase within 7
+    * days of the view — no backtracking, nulls from the first failed
+    * step onward. Plan: one forward as-of join (single keyed shuffle,
+    * the q65 union+window form) per step, so the chain never pays a
+    * per-user cross product. Step times + exact integer microsecond
+    * durations come out; the oracle re-derives each binding with a
+    * min-over-qualifying-events join and the same gap arithmetic. */
+  def q102FunnelInstances(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    Sequence.funnelInstances(
+        ev, Seq("user_id"), "ts",
+        anchorPredicate = col("event_type") === "signup",
+        anchorCols = Seq("event_id"),
+        steps = Seq(
+          Sequence.Step("t1", col("event_type") === "view", 3L * 86400000000L),
+          Sequence.Step("t2", col("event_type") === "purchase", 7L * 86400000000L)))
+      .select(
+        col("event_id").as("anchor_id"), col("user_id"),
+        col("t0"), col("t1"), col("t2"),
+        (unix_micros(col("t1")) - unix_micros(col("t0"))).as("dur01_us"),
+        (unix_micros(col("t2")) - unix_micros(col("t1"))).as("dur12_us"),
+        (lit(1L) + when(col("t1").isNotNull, 1L).otherwise(0L)
+          + when(col("t2").isNotNull, 1L).otherwise(0L)).as("steps_done"))
+  }
 
   /** q62: budget-bounded batch selection — per-wallet activity
     * totals, a GLOBAL running total ordered smallest-first, and the
@@ -2028,7 +2099,9 @@ object SparkEntry {
     "q98_interval_allocation"    -> (q98IntervalAllocation _),
     "q99_pii_scrub"              -> (q99PiiScrub _),
     "q100_zorder_prune"          -> (q100ZorderPrune _),
-    "q101_bloom_lookup"          -> (q101BloomLookup _)
+    "q101_bloom_lookup"          -> (q101BloomLookup _),
+    "q102_funnel_instances"      -> (q102FunnelInstances _),
+    "q103_zorder_quantile"       -> (q103ZorderQuantile _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -3458,7 +3531,7 @@ object SparkEntry {
         |)
         |SELECT tier, COUNT(*) AS n_users,
         |  CAST(SUM(n_events) AS BIGINT) AS n_events,
-        |  SUM(total_value) AS total_value
+        |  CAST(SUM(total_value) AS DOUBLE) AS total_value
         |FROM tiered GROUP BY tier""".stripMargin,
 
     "q98_interval_allocation" ->
@@ -3561,7 +3634,7 @@ object SparkEntry {
 
     "q100_zorder_prune" ->
       """SELECT event_type, COUNT(*) AS n_events,
-        |  SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS sum_value
+        |  CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events
         |WHERE user_id BETWEEN 3 AND 7
         |  AND value >= 20.0 AND value <= 80.0
@@ -3570,6 +3643,54 @@ object SparkEntry {
     "q101_bloom_lookup" ->
       """SELECT event_id, event_type, user_id, value
         |FROM events
-        |WHERE event_id IN (5, 123, 456)""".stripMargin
+        |WHERE event_id IN (5, 123, 456)""".stripMargin,
+
+    "q102_funnel_instances" ->
+      """WITH a AS (
+        |  SELECT event_id AS anchor_id, user_id, CAST(ts AS TIMESTAMP) AS t0
+        |  FROM events WHERE event_type = 'signup'
+        |),
+        |s1 AS (
+        |  SELECT a.anchor_id, MIN(CAST(v.ts AS TIMESTAMP)) AS t1raw
+        |  FROM a JOIN events v
+        |    ON v.user_id = a.user_id AND v.event_type = 'view'
+        |   AND CAST(v.ts AS TIMESTAMP) > a.t0
+        |  GROUP BY 1
+        |),
+        |w1 AS (
+        |  SELECT a.anchor_id, a.user_id, a.t0,
+        |    CASE WHEN date_diff('microseconds', t0, t1raw) <= 259200000000
+        |         THEN t1raw END AS t1
+        |  FROM a LEFT JOIN s1 USING (anchor_id)
+        |),
+        |s2 AS (
+        |  SELECT w1.anchor_id, MIN(CAST(p.ts AS TIMESTAMP)) AS t2raw
+        |  FROM w1 JOIN events p
+        |    ON p.user_id = w1.user_id AND p.event_type = 'purchase'
+        |   AND CAST(p.ts AS TIMESTAMP) > w1.t1
+        |  WHERE w1.t1 IS NOT NULL
+        |  GROUP BY 1
+        |),
+        |w2 AS (
+        |  SELECT w1.*,
+        |    CASE WHEN date_diff('microseconds', t1, t2raw) <= 604800000000
+        |         THEN t2raw END AS t2
+        |  FROM w1 LEFT JOIN s2 USING (anchor_id)
+        |)
+        |SELECT anchor_id, user_id, t0, t1, t2,
+        |  date_diff('microseconds', t0, t1) AS dur01_us,
+        |  date_diff('microseconds', t1, t2) AS dur12_us,
+        |  CAST(1 + CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+        |         + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS steps_done
+        |FROM w2""".stripMargin,
+
+    "q103_zorder_quantile" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE user_id BETWEEN 10 AND 20
+        |  AND value >= 30.0 AND value <= 60.0
+        |GROUP BY event_type""".stripMargin
   )
 }

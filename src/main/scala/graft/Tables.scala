@@ -19,17 +19,29 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Spark has no TIMESTAMP(NANOS) support; with
-    * spark.sql.legacy.parquet.nanosAsLong=true the events.ts column
-    * arrives as epoch-nanos int64 and is converted to a microsecond
-    * timestamp here (ordering- and day-truncation-preserving). */
+  /** Normalize the generator's event-time column to a session-zone
+    * TIMESTAMP whatever physical form the parquet carries:
+    *  - TIMESTAMP(NANOS) (Spark has no nanos type; with
+    *    spark.sql.legacy.parquet.nanosAsLong=true it arrives as
+    *    epoch-nanos int64) → microsecond timestamp, ordering- and
+    *    day-truncation-preserving;
+    *  - µs timestamp WITHOUT isAdjustedToUTC (a regenerated testdata
+    *    vintage) → Spark 4 infers TIMESTAMP_NTZ, which type-strict
+    *    time functions (unix_micros, session_window) reject — cast to
+    *    TIMESTAMP, a pure reinterpretation under the UTC session zone
+    *    (GraftSession pins it) and exactly how the DuckDB oracle
+    *    reads the same bytes (naive timestamp). */
   private def nanosToTs(df: DataFrame, c: String): DataFrame =
-    if (df.schema(c).dataType == org.apache.spark.sql.types.LongType)
-      // integer div, not `/` (double division): epoch-nanos ~1.7e18
-      // exceed double's 2^53 exact range, and a 256ns ulp error could
-      // flip a microsecond (ordering ties, midnight day boundaries)
-      df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
-    else df
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer div, not `/` (double division): epoch-nanos ~1.7e18
+        // exceed double's 2^53 exact range, and a 256ns ulp error could
+        // flip a microsecond (ordering ties, midnight day boundaries)
+        df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(c, col(c).cast("timestamp"))
+      case _ => df
+    }
 
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")

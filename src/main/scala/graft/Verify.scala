@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional trailing args: restrict to the named queries (dev-only
+    // focused repro; the driver always passes exactly two args)
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.build(s"local[$cpus]", cpus.toInt)
     new java.io.File(outDir).mkdirs()
@@ -13,7 +16,9 @@ object Verify {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
       f.delete(): Unit
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only.contains(name) }
+      .foreach { case (name, fn) =>
       val target = new java.io.File(s"$outDir/$name")
       // pre-delete: a failure must never leave a previous run's result
       // in place for the driver's compare to validate as current

@@ -31,10 +31,10 @@ import org.apache.spark.util.sketch.BloomFilter
   * Delta log or Iceberg manifest accepts by design), built in ONE
   * scan at write time, and pruning is a driver-side filter over it.
   * Bucketing is affine on the global min/max (two scalars per
-  * column, one cheap agg) — exact integer arithmetic, deterministic,
-  * documented trade: heavily skewed columns want quantile buckets
-  * instead; the curve and the stats layer are unchanged by that
-  * swap.
+  * column, one cheap agg) — exact integer arithmetic, deterministic;
+  * heavily skewed columns want [[writeZOrderedQuantile]]'s exact-rank
+  * buckets instead, and the curve plus the stats layer are unchanged
+  * by that swap.
   *
   * Pruning is an OPTIMIZATION, never semantics: `prunedRead` callers
   * re-apply the predicate to the surviving files' rows, so a stats
@@ -101,7 +101,6 @@ object ZOrder {
       numFiles: Int = 32,
       keyCol: Option[String] = None,
       keyFpp: Double = 0.01): Unit = {
-    val spark = df.sparkSession
     val bounds = df.agg(
       min(colA).as("la"), max(colA).as("ha"),
       min(colB).as("lb"), max(colB).as("hb"),
@@ -109,9 +108,79 @@ object ZOrder {
     val la = lit(bounds.get(0)); val ha = lit(bounds.get(1))
     val lb = lit(bounds.get(2)); val hb = lit(bounds.get(3))
     val nRows = bounds.getLong(4)
-    df.withColumn("__z", zValue(
-        affineBucket(col(colA), la, ha, bits),
-        affineBucket(col(colB), lb, hb, bits), bits))
+    val withZ = df.withColumn("__z", zValue(
+      affineBucket(col(colA), la, ha, bits),
+      affineBucket(col(colB), lb, hb, bits), bits))
+    clusterAndWrite(withZ, path, colA, colB, numFiles, keyCol, keyFpp, nRows)
+  }
+
+  /** [[writeZOrdered]] with exact-RANK buckets instead of affine ones
+    * — the documented skewed-column trade, closed. An affine bucket
+    * maps the VALUE range uniformly, so a heavy-hitter value (90% of
+    * rows sharing one key) lands 90% of the table in one z-run and the
+    * layout degenerates to a couple of giant files whose boxes span
+    * everything. Rank buckets split the ROW MASS uniformly by
+    * construction: bucket = floor(rank·2^bits / n) over the global
+    * order (column, tiebreaker), computed distributed by the
+    * [[graft.operators.PrefixSum]] two-pass scan — no single-task
+    * window, no driver quantile array, exact integer arithmetic (a
+    * Greenwald-Khanna approximation would also serve the layout, but
+    * exact ranks cost the same one range exchange here and keep file
+    * balance provable rather than probabilistic). The curve, the
+    * stats manifest, and every read/prune path are UNCHANGED — stats
+    * store real column min/max, so `candidateFiles`/`prunedRead`
+    * work identically; ties sharing a value across a bucket boundary
+    * only widen two files' boxes, never break their truthfulness.
+    *
+    * `tieBreaker` must be a unique non-null column ([[PrefixSum]]'s
+    * total-order contract) — it makes bucket assignment deterministic
+    * and partition-count-invariant. Cost: two range exchanges (one
+    * per dimension's rank pass) + the clustering exchange, all
+    * write-time; reads pay nothing new. */
+  def writeZOrderedQuantile(
+      df: DataFrame,
+      path: String,
+      colA: String,
+      colB: String,
+      tieBreaker: String,
+      bits: Int = 8,
+      numFiles: Int = 32,
+      keyCol: Option[String] = None,
+      keyFpp: Double = 0.01): Unit = {
+    import graft.operators.PrefixSum
+    val reserved = Seq("__one", "__ra", "__rb", "__z")
+    require(!reserved.exists(df.columns.contains),
+      s"columns ${reserved.mkString("/")} are reserved by writeZOrderedQuantile")
+    val nRows = df.count()
+    val n = math.max(1L, nRows)
+    val ranked = PrefixSum.globalRunningSum(
+      PrefixSum.globalRunningSum(
+        df.withColumn("__one", lit(1L)),
+        Seq(colA, tieBreaker), "__one", "__ra"),
+      Seq(colB, tieBreaker), "__one", "__rb")
+    // floor((rank-1)·2^bits / n): nonnegative operands, so integer
+    // `div` (truncate) IS floor — no double division anywhere
+    val withZ = ranked.withColumn("__z", zValue(
+        expr(s"((__ra - 1) * ${1L << bits}) div $n"),
+        expr(s"((__rb - 1) * ${1L << bits}) div $n"), bits))
+      .drop("__one", "__ra", "__rb")
+    clusterAndWrite(withZ, path, colA, colB, numFiles, keyCol, keyFpp, nRows)
+  }
+
+  /** Shared clustering write: range-partition on the precomputed
+    * `__z`, drop it, write the data files, then one read-back scan
+    * builds the per-file min/max (+ optional key bloom) manifest. */
+  private def clusterAndWrite(
+      withZ: DataFrame,
+      path: String,
+      colA: String,
+      colB: String,
+      numFiles: Int,
+      keyCol: Option[String],
+      keyFpp: Double,
+      nRows: Long): Unit = {
+    val spark = withZ.sparkSession
+    withZ
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

@@ -71,13 +71,14 @@ class IvmSpec extends SparkSpec {
       newSnap.groupBy("tier").agg(
         count(lit(1)).as("n_users"),
         sum("n_events").as("n_events"),
-        sum("total_value").as("total_value"))
+        sum("total_value").cast("double").as("total_value"))
     }
-    // decimal measures make the identity EXACT — compare as strings
-    // (scale-6 decimals render identically when the bytes agree)
+    // decimal accumulation makes the identity EXACT; both sides take
+    // the same single correctly-rounded decimal→double cast at the
+    // end, so the doubles are bit-equal too
     def asSet(df: DataFrame) = df.collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getDecimal(3).stripTrailingZeros.toPlainString)).toSet
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
     assert(asSet(incremental) == asSet(full))
     assert(incremental.count() == 3) // all tiers populated at sf0.001
   }

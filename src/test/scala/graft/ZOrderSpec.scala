@@ -47,7 +47,8 @@ class ZOrderSpec extends SparkSpec {
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n_events"),
-        sum(round(col("value"), 6).cast("decimal(18,6)")).as("sum_value"))
+        sum(round(col("value"), 6).cast("decimal(18,6)"))
+          .cast("double").as("sum_value"))
     assert(out.exceptAll(want).count() == 0 && want.exceptAll(out).count() == 0,
       "pruned-read aggregate diverges from the full scan")
   }
@@ -105,6 +106,64 @@ class ZOrderSpec extends SparkSpec {
     } finally {
       graft.sources.Sinks.deleteRecursively(java.nio.file.Paths.get(root))
     }
+  }
+
+  test("quantile buckets keep pruning power on a heavy-tailed column") {
+    // a is exponentially distributed (2^(id%30)): an affine bucket
+    // grid over [1, 2^29] drops the bottom ~22 exponents — ~73% of
+    // the rows — into bucket 0, so the a-dimension carries almost no
+    // information and a low-range box reads most of the table. Rank
+    // buckets give every exponent its share of the grid.
+    val n = 21000
+    val data = spark.range(n.toLong).select(
+      col("id").as("k"),
+      expr("shiftleft(cast(1 as bigint), cast(id % 30 as int))").as("a"),
+      (pmod(col("id") * 69621L, lit(104857L)) % 1000).as("b"))
+    val root = Files.createTempDirectory("graft_zq_spec").toString
+    val affPath = root + "/aff"
+    val qPath = root + "/q"
+    try {
+      ZOrder.writeZOrdered(data, affPath, "a", "b", bits = 8, numFiles = 32)
+      ZOrder.writeZOrderedQuantile(data, qPath, "a", "b", tieBreaker = "k",
+        bits = 8, numFiles = 32)
+
+      // quantile layout splits row MASS evenly by construction
+      val q = spark.read.parquet(ZOrder.statsPath(qPath))
+        .select("n_rows").collect().map(_.getLong(0))
+      val qMean = n.toDouble / q.length
+      assert(q.max <= (2.5 * qMean).toLong,
+        s"quantile layout unbalanced: max=${q.max} mean=$qMean files=${q.length}")
+
+      // a low-range box (exponents 0..9, ~1/3 of rows, b-unconstrained):
+      // the affine layout mixes those rows into bucket 0 with the
+      // bottom 22 exponents, the quantile layout isolates them
+      val affCand = ZOrder.candidateFiles(spark, affPath, 1L, 512L, 0L, 999L).count()
+      val qCand = ZOrder.candidateFiles(spark, qPath, 1L, 512L, 0L, 999L).count()
+      assert(qCand * 2 <= affCand,
+        s"rank buckets should at least halve the candidates: q=$qCand aff=$affCand")
+
+      // pruning over the quantile layout stays lossless — stats are
+      // real column min/max regardless of how buckets were drawn
+      val got = ZOrder.prunedRead(spark, qPath, 1L, 512L, 0L, 999L)
+        .where(col("a").between(1, 512) && col("b").between(0, 999))
+      val want = data.where(col("a").between(1, 512) && col("b").between(0, 999))
+      assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    } finally {
+      graft.sources.Sinks.deleteRecursively(java.nio.file.Paths.get(root))
+    }
+  }
+
+  test("q103: quantile-layout pruned read equals the full-scan filter") {
+    val out = SparkEntry.q103ZorderQuantile(spark, SfDir)
+    val want = Tables.events(spark, SfDir)
+      .where(col("user_id").between(10, 20) && col("value").between(30.0, 60.0))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value"), 6).cast("decimal(18,6)"))
+          .cast("double").as("sum_value"))
+    assert(out.exceptAll(want).count() == 0 && want.exceptAll(out).count() == 0,
+      "quantile-layout pruned aggregate diverges from the full scan")
   }
 
   test("bloom key index: no false negatives, real point-lookup skipping") {
