@@ -1353,6 +1353,36 @@ object SparkEntry {
           .cast("double").as("sum_value"))
   }
 
+  /** q104: small-file compaction roundtrip
+    * ([[graft.sources.Compact]]) — the versioned-table maintenance
+    * loop end-to-end: the events table published as a deliberately
+    * fragmented 64-file version, bin-packed into ~target-size files
+    * as a NEW atomic Publish version (one broadcast-join + one range
+    * repartition pass; shuffle = the bytes being compacted), then the
+    * fragmented version vacuumed. The query aggregates the LIVE
+    * (compacted) table; the DuckDB oracle aggregates the ORIGINAL
+    * events — the hash match proves layout maintenance changed not
+    * one row (the q100 posture: maintenance must be invisible to the
+    * gate). Built once per (session, SF) via the scratch lifecycle. */
+  private def compactedEventsRoot(spark: SparkSession, dir: String): String =
+    graft.tools.Scratch.cachedArtifact(
+      "graft_compact", dir, s"$dir/events.parquet") { (tableDir, _) =>
+      graft.sources.Publish.publish(
+        Tables.events(spark, dir).repartition(64), tableDir): Unit
+      graft.sources.Compact.compactPublished(
+        spark, tableDir, targetBytes = 64L * 1024 * 1024): Unit
+      graft.sources.Publish.vacuum(tableDir, keep = 0): Unit
+    }
+
+  def q104CompactRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Publish.read(spark, compactedEventsRoot(spark, dir))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(round(col("value"), 6).cast("decimal(18,6)"))
+          .cast("double").as("sum_value"))
+
   /** q102: funnel INSTANCES — MATCH_RECOGNIZE-lite over the event
     * stream ([[operators.Sequence.funnelInstances]]). q39 already
     * answers the USER grain (does a user ever convert?); this is the
@@ -2101,7 +2131,8 @@ object SparkEntry {
     "q100_zorder_prune"          -> (q100ZorderPrune _),
     "q101_bloom_lookup"          -> (q101BloomLookup _),
     "q102_funnel_instances"      -> (q102FunnelInstances _),
-    "q103_zorder_quantile"       -> (q103ZorderQuantile _)
+    "q103_zorder_quantile"       -> (q103ZorderQuantile _),
+    "q104_compact_roundtrip"     -> (q104CompactRoundtrip _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -3691,6 +3722,13 @@ object SparkEntry {
         |FROM events
         |WHERE user_id BETWEEN 10 AND 20
         |  AND value >= 30.0 AND value <= 60.0
+        |GROUP BY event_type""".stripMargin,
+
+    "q104_compact_roundtrip" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events
         |GROUP BY event_type""".stripMargin
   )
 }

@@ -1,0 +1,115 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction — the operational tail of the sink family.
+  *
+  * Every incremental producer in this library (streaming micro-batch
+  * sinks, per-day refreshes, Publish versions built from small diffs)
+  * accretes files far below a scan-efficient size; at 100 TB the
+  * resulting footer/task overhead — one task per tiny file, one
+  * footer fetch each — dominates the read path long before the bytes
+  * do. Compaction is the standard maintenance answer (Delta OPTIMIZE
+  * bin-packing, Iceberg rewrite_data_files): bin-pack existing data
+  * files toward a target size and rewrite each bin as one file,
+  * changing the LAYOUT and never the rows.
+  *
+  * Shape: the file list + sizes is a driver-side listing (|files|
+  * rows — the same bounded-manifest argument as [[ZOrder]]'s stats
+  * table and every table format's log). Bin assignment is a
+  * deterministic first-fit walk in file-name order (name order, not
+  * size order: parquet writers emit roughly-equal parts, and a stable
+  * order keeps the plan reproducible across runs). The rewrite is ONE
+  * distributed pass: rows pick up their bin via a broadcast join of
+  * the tiny (file → bin) plan against `input_file_name()`, then a
+  * range repartition on the bin id lands each bin in its own write
+  * task — shuffle volume = the bytes being compacted, the floor any
+  * rewrite pays.
+  *
+  * Row identity is the contract: same rows, any order, nothing else —
+  * verified by spec (exceptAll both ways) and, through the q104
+  * wiring, by the full-scan DuckDB oracle over the pre-compaction
+  * data (the q100 posture: layout maintenance must be invisible to
+  * the hash gate).
+  */
+object Compact {
+
+  /** First-fit bin assignment in the given order: close the current
+    * bin when the next file would push it past `targetBytes` (a bin
+    * always takes at least one file, so an oversized file rides
+    * alone). Returns (file, bin) pairs, bins numbered from 0. */
+  def planBins(files: Seq[(String, Long)], targetBytes: Long): Seq[(String, Int)] = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    var bin = 0
+    var acc = 0L
+    files.map { case (name, bytes) =>
+      if (acc > 0 && acc + bytes > targetBytes) { bin += 1; acc = 0L }
+      acc += bytes
+      (name, bin)
+    }
+  }
+
+  /** The parquet data files of `dir` with sizes, name-sorted —
+    * driver-side, |files| entries. */
+  def listDataFiles(dir: String): Seq[(String, Long)] = {
+    val p = Paths.get(dir)
+    if (!Files.exists(p)) Seq.empty
+    else {
+      val s = Files.list(p)
+      try s.iterator().asScala
+        .filter(f => f.getFileName.toString.endsWith(".parquet"))
+        .map(f => (f.getFileName.toString, Files.size(f)))
+        .toSeq.sortBy(_._1)
+      finally s.close()
+    }
+  }
+
+  /** `dir`'s rows re-binned for compaction: the returned frame holds
+    * exactly the input rows, partitioned so each write task emits one
+    * ~`targetBytes` file. Callers write it wherever the new layout
+    * should live ([[compactPublished]] hands it to Publish's
+    * staging→validate→promote path). */
+  def compacted(spark: SparkSession, dir: String, targetBytes: Long): DataFrame = {
+    val plan = planBins(listDataFiles(dir), targetBytes)
+    require(plan.nonEmpty, s"nothing to compact at $dir")
+    val nBins = plan.map(_._2).max + 1
+    import spark.implicits._
+    val planDf = plan.toDF("__file", "__bin")
+    val data = spark.read.parquet(dir)
+    val cols = data.columns
+    data
+      // file NAME, not full URI: the plan listed names, and names are
+      // unique within one directory by parquet-writer construction
+      .withColumn("__file", element_at(split(input_file_name(), "/"), -1))
+      .join(broadcast(planDf), Seq("__file"))
+      // range, not hash, partitioning on the bin id: k distinct ids
+      // into k partitions lands ~one bin per write task, where a hash
+      // would collide bins into double-size files and leave empty tasks
+      .repartitionByRange(nBins, col("__bin"))
+      .select(cols.map(col): _*)
+  }
+
+  /** Compact the LIVE Publish version of `root` into a NEW published
+    * version (same rows, fewer files), riding Publish's atomic
+    * staging→validate→promote — readers flip from the fragmented
+    * layout to the compacted one at the pointer swap, and the old
+    * version stays readable until [[Publish.vacuum]] reaps it. That
+    * composition IS the maintenance loop of a versioned table:
+    * publish small increments, compact when fragmentation accretes,
+    * vacuum past the retention window. Returns the new version. */
+  def compactPublished(spark: SparkSession, root: String, targetBytes: Long): Long = {
+    val live = Publish.currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"nothing published at $root"))
+    val liveDir = Paths.get(root).resolve(s"v=$live").toString
+    Publish.publish(
+      compacted(spark, liveDir, targetBytes), root,
+      meta = Map("compacted_from" -> live.toString))
+  }
+
+  private[sources] def fileCount(dir: Path): Int = listDataFiles(dir.toString).size
+}

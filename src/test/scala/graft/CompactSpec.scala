@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Compact, Publish}
+
+/** Small-file compaction (sources/Compact.scala): hand-computed bin
+  * plans, row identity through the rewrite, and the full maintenance
+  * loop (fragmented publish → compact → vacuum) over Publish's
+  * versioned layout. */
+class CompactSpec extends SparkSpec {
+
+  test("planBins: first-fit in order, oversized files ride alone") {
+    val files = Seq(("a", 5L), ("b", 5L), ("c", 5L), ("d", 9L), ("e", 2L))
+    assert(Compact.planBins(files, targetBytes = 10L) ==
+      Seq(("a", 0), ("b", 0), ("c", 1), ("d", 2), ("e", 3)))
+    // a file larger than the target still gets (its own) bin
+    assert(Compact.planBins(Seq(("big", 100L), ("s", 1L)), 10L) ==
+      Seq(("big", 0), ("s", 1)))
+    // everything fits one bin when the budget allows
+    assert(Compact.planBins(files, targetBytes = 100L).map(_._2).distinct == Seq(0))
+  }
+
+  test("compacted: row identity and real file-count reduction") {
+    val data = spark.range(10000L).select(
+      col("id"), (col("id") % 97).as("k"),
+      concat(lit("v"), col("id")).as("s"))
+    val root = Files.createTempDirectory("graft_compact_spec").toString
+    val fragDir = root + "/frag"
+    val outDir = root + "/out"
+    try {
+      data.repartition(48).write.parquet(fragDir)
+      assert(Compact.listDataFiles(fragDir).size == 48)
+      val totalBytes = Compact.listDataFiles(fragDir).map(_._2).sum
+      // target a quarter of the table: expect ~4 bins, never 48
+      Compact.compacted(spark, fragDir, totalBytes / 4).write.parquet(outDir)
+      val outFiles = Compact.listDataFiles(outDir)
+      assert(outFiles.size < 48 / 4,
+        s"compaction barely reduced files: ${outFiles.size}")
+      val got = spark.read.parquet(outDir)
+      assert(got.exceptAll(data).count() == 0 && data.exceptAll(got).count() == 0,
+        "compaction changed rows")
+    } finally {
+      graft.sources.Sinks.deleteRecursively(Paths.get(root))
+    }
+  }
+
+  test("maintenance loop: fragmented publish → compact → vacuum") {
+    val sess = spark
+    import sess.implicits._
+    val data = (1L to 5000L).map(i => (i, s"g${i % 7}", i * 3L)).toDF("id", "g", "v")
+    val root = Files.createTempDirectory("graft_compact_pub").toString
+    try {
+      val v1 = Publish.publish(data.repartition(32), root)
+      val v1Files = Compact.listDataFiles(
+        Paths.get(root).resolve(s"v=$v1").toString).size
+      assert(v1Files >= 16, s"fragmented publish not fragmented: $v1Files")
+
+      val v2 = Compact.compactPublished(spark, root, targetBytes = 1L << 30)
+      assert(Publish.currentVersion(root).contains(v2))
+      // provenance rides the manifest's atomic commit
+      assert(Publish.currentMetaValue(root, "compacted_from").contains(v1.toString))
+      val v2Files = Compact.listDataFiles(
+        Paths.get(root).resolve(s"v=$v2").toString).size
+      assert(v2Files == 1, s"one-bin compaction wrote $v2Files files")
+      val live = Publish.read(spark, root)
+      assert(live.exceptAll(data).count() == 0 && data.exceptAll(live).count() == 0,
+        "compacted version diverges from the published rows")
+
+      // the fragmented version stays readable until vacuum reaps it
+      assert(Publish.readVersion(spark, root, v1).count() == 5000L)
+      assert(Publish.vacuum(root, keep = 0) == Seq(v1))
+      assert(!Files.exists(Paths.get(root).resolve(s"v=$v1")))
+      assert(Publish.read(spark, root).count() == 5000L)
+      intercept[IllegalStateException] {
+        Publish.readVersion(spark, root, v1)
+      }
+    } finally {
+      graft.sources.Sinks.deleteRecursively(Paths.get(root))
+    }
+  }
+
+  test("q104: the live compacted table matches the source aggregate") {
+    val got = SparkEntry.q104CompactRoundtrip(spark, SfDir)
+    val want = Tables.events(spark, SfDir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(round(col("value"), 6).cast("decimal(18,6)"))
+          .cast("double").as("sum_value"))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "compaction roundtrip diverges from the source table")
+  }
+}
