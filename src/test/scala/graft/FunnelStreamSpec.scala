@@ -75,6 +75,77 @@ class FunnelStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("S19r: buffered chains survive a kill-and-restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val inDir = java.nio.file.Files.createTempDirectory("graft_s19r_in").toString
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_s19r_sink").toString + "/out"
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_s19r_ckpt").toString
+
+    // explicit strictly-increasing mtimes (the DurableReplay rule):
+    // the file source replays oldest-first, and 1s-granularity clocks
+    // would let staged files tie
+    var mtime = System.currentTimeMillis() / 1000 * 1000 - 3600L * 1000
+    def stage(evs: Seq[FunnelEv]): Unit = {
+      val before = Option(new java.io.File(inDir).listFiles())
+        .getOrElse(Array.empty).map(_.getName).toSet
+      evs.toDS().coalesce(1).write.mode("append").parquet(inDir)
+      Option(new java.io.File(inDir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(".parquet") && !before(f.getName))
+        .sortBy(_.getName).foreach { f =>
+          mtime += 2000
+          java.nio.file.Files.setLastModifiedTime(f.toPath,
+            java.nio.file.attribute.FileTime.fromMillis(mtime))
+        }
+    }
+    def mkQuery() = {
+      val stream = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[FunnelEv]].schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      FunnelStream(stream.as[FunnelEv], "A",
+          steps = Seq(("B", 5 * S), ("C", 5 * S)), watermarkDelay = "10 seconds")
+        .writeStream.format("parquet")
+        .option("path", sinkDir).option("checkpointLocation", ckptDir)
+        .outputMode("append").start()
+    }
+
+    // incarnation 1: u1's anchor+B and u2's anchor — ALL still
+    // buffered in state (watermark has not passed them)
+    stage(Seq(FunnelEv(1L, ts(1 * S), 1L, "A"), FunnelEv(1L, ts(3 * S), 2L, "B"),
+      FunnelEv(2L, ts(2 * S), 3L, "A")))
+    val q1 = mkQuery()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // incarnation 2 on the SAME checkpoint: u1's C completes the
+    // chain ONLY if the buffered state was restored; u2's late B
+    // fail-fasts; sentinels advance the watermark and force the
+    // settling batch
+    stage(Seq(FunnelEv(1L, ts(5 * S), 4L, "C"), FunnelEv(2L, ts(30 * S), 5L, "B")))
+    stage(Seq(FunnelEv(99L, ts(1000 * S), 6L, "noop")))
+    stage(Seq(FunnelEv(99L, ts(1001 * S), 7L, "noop")))
+    val q2 = mkQuery()
+    try {
+      q2.processAllAvailable()
+      def sunk() = spark.read.parquet(sinkDir)
+      val deadline = System.currentTimeMillis + 60000
+      while (scala.util.Try(sunk().count()).getOrElse(0L) < 2 &&
+        System.currentTimeMillis < deadline) Thread.sleep(200)
+      val got = sunk().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2), r.getInt(3)))
+        .toSet
+      assert(got == Set(
+        (1L, 1 * S, Seq(3 * S, 5 * S), 3),
+        (2L, 2 * S, Seq.empty[Long], 1)),
+        "restart lost or reset the buffered chain state")
+    } finally {
+      q2.stop()
+      graft.sources.Sinks.deleteRecursively(java.nio.file.Paths.get(inDir))
+      graft.sources.Sinks.deleteRecursively(java.nio.file.Paths.get(sinkDir).getParent)
+      graft.sources.Sinks.deleteRecursively(java.nio.file.Paths.get(ckptDir))
+    }
+  }
+
   test("S19 ≡ batch q102 on testdata, chopped mid-stream") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
