@@ -1383,6 +1383,46 @@ object SparkEntry {
         sum(round(col("value"), 6).cast("decimal(18,6)"))
           .cast("double").as("sum_value"))
 
+  /** q105: INCREMENTAL compaction roundtrip
+    * ([[graft.sources.Compact.compactPublishedIncremental]]) — the
+    * Delta-OPTIMIZE cost model on q104's maintenance loop: a mixed
+    * layout (2 well-sized files + 30 fragments, staged through
+    * `publishStaged`) is compacted by carrying the big files
+    * BYTE-IDENTICALLY and rewriting only the fragments — maintenance
+    * cost ∝ fragmentation, not table size; at 100 TB with 0.1% daily
+    * fragmentation that is a 1000× scan difference. The assembled
+    * version rides the same validate→promote path, the fragmented
+    * version is vacuumed, and the live table's aggregate is
+    * hash-checked against a full-scan oracle over the ORIGINAL
+    * events (the q104 posture). CompactSpec carries the
+    * byte-identity (SHA-256) and carried/rewritten-count proofs. */
+  private def incCompactRoot(spark: SparkSession, dir: String): String =
+    graft.tools.Scratch.cachedArtifact(
+      "graft_icompact", dir, s"$dir/events.parquet") { (tableDir, _) =>
+      val ev = Tables.events(spark, dir)
+      graft.sources.Publish.publishStaged(spark, tableDir) { staging =>
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(staging)): Unit
+        ev.where(col("event_id") % 10 =!= 0).repartition(2)
+          .write.mode("append").parquet(staging)
+        ev.where(col("event_id") % 10 === 0).repartition(30)
+          .write.mode("append").parquet(staging)
+      }: Unit
+      graft.sources.Compact.compactPublishedIncremental(
+        spark, tableDir, targetBytes = 256L * 1024): Unit
+      graft.sources.Publish.vacuum(tableDir, keep = 0): Unit
+    }
+
+  def q105IncrementalCompact(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Publish.read(spark, incCompactRoot(spark, dir))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(min("value"), 6).as("min_value"),
+        round(max("value"), 6).as("max_value"),
+        sum(round(col("value"), 6).cast("decimal(18,6)"))
+          .cast("double").as("sum_value"))
+
   /** q102: funnel INSTANCES — MATCH_RECOGNIZE-lite over the event
     * stream ([[operators.Sequence.funnelInstances]]). q39 already
     * answers the USER grain (does a user ever convert?); this is the
@@ -2132,7 +2172,8 @@ object SparkEntry {
     "q101_bloom_lookup"          -> (q101BloomLookup _),
     "q102_funnel_instances"      -> (q102FunnelInstances _),
     "q103_zorder_quantile"       -> (q103ZorderQuantile _),
-    "q104_compact_roundtrip"     -> (q104CompactRoundtrip _)
+    "q104_compact_roundtrip"     -> (q104CompactRoundtrip _),
+    "q105_incremental_compact"   -> (q105IncrementalCompact _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -3727,6 +3768,14 @@ object SparkEntry {
     "q104_compact_roundtrip" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY event_type""".stripMargin,
+
+    "q105_incremental_compact" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  ROUND(MIN(value), 6) AS min_value,
+        |  ROUND(MAX(value), 6) AS max_value,
         |  CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY event_type""".stripMargin

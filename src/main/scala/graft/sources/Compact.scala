@@ -74,13 +74,22 @@ object Compact {
     * ~`targetBytes` file. Callers write it wherever the new layout
     * should live ([[compactPublished]] hands it to Publish's
     * staging→validate→promote path). */
-  def compacted(spark: SparkSession, dir: String, targetBytes: Long): DataFrame = {
-    val plan = planBins(listDataFiles(dir), targetBytes)
+  def compacted(spark: SparkSession, dir: String, targetBytes: Long): DataFrame =
+    compactedFiles(spark, dir, listDataFiles(dir), targetBytes)
+
+  /** [[compacted]] over an explicit file subset — the incremental
+    * path reads ONLY the fragments it rewrites. */
+  private def compactedFiles(
+      spark: SparkSession,
+      dir: String,
+      files: Seq[(String, Long)],
+      targetBytes: Long): DataFrame = {
+    val plan = planBins(files, targetBytes)
     require(plan.nonEmpty, s"nothing to compact at $dir")
     val nBins = plan.map(_._2).max + 1
     import spark.implicits._
     val planDf = plan.toDF("__file", "__bin")
-    val data = spark.read.parquet(dir)
+    val data = spark.read.parquet(files.map(f => s"$dir/${f._1}"): _*)
     val cols = data.columns
     data
       // file NAME, not full URI: the plan listed names, and names are
@@ -109,6 +118,46 @@ object Compact {
     Publish.publish(
       compacted(spark, liveDir, targetBytes), root,
       meta = Map("compacted_from" -> live.toString))
+  }
+
+  /** INCREMENTAL [[compactPublished]] — the Delta-OPTIMIZE cost
+    * model: maintenance proportional to FRAGMENTATION, not table
+    * size. Files already at-or-above `minBytes` (default half the
+    * target — the bin-packer can never beat that) are carried into
+    * the new version BYTE-IDENTICALLY (a local-FS copy here; an
+    * object store hard-links or server-side-copies the same
+    * manifest entries — the protocol doesn't change); only the
+    * fragments below the threshold are read, re-binned, and
+    * rewritten. On a 100 TB table where daily increments fragment
+    * 0.1% of the bytes, the full rewrite scans 1000× more than this
+    * does. Rides [[Publish.publishStaged]], so validation (footer
+    * read-back of the ASSEMBLED version, carried files included),
+    * the manifest, and the atomic pointer flip are exactly
+    * [[compactPublished]]'s. Returns (newVersion, carried,
+    * rewritten). */
+  def compactPublishedIncremental(
+      spark: SparkSession,
+      root: String,
+      targetBytes: Long,
+      minBytes: Long = -1L): (Long, Int, Int) = {
+    val live = Publish.currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"nothing published at $root"))
+    val liveDir = Paths.get(root).resolve(s"v=$live")
+    val threshold = if (minBytes > 0) minBytes else math.max(1L, targetBytes / 2)
+    val (keep, frags) = listDataFiles(liveDir.toString).partition(_._2 >= threshold)
+    val version = Publish.publishStaged(spark, root, meta = Map(
+      "compacted_from" -> live.toString,
+      "carried" -> keep.size.toString,
+      "rewritten" -> frags.size.toString)) { staging =>
+      Files.createDirectories(Paths.get(staging))
+      keep.foreach { case (name, _) =>
+        Files.copy(liveDir.resolve(name), Paths.get(staging).resolve(name)): Unit
+      }
+      if (frags.nonEmpty)
+        compactedFiles(spark, liveDir.toString, frags, targetBytes)
+          .write.mode("append").parquet(staging)
+    }
+    (version, keep.size, frags.size)
   }
 
   private[sources] def fileCount(dir: Path): Int = listDataFiles(dir.toString).size

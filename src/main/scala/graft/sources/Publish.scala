@@ -53,26 +53,40 @@ object Publish {
     *   streaming sink make "was this batch already published?"
     *   crash-safe ([[graft.streaming.PublishStream]] stores the
     *   micro-batch id here) */
-  def publish(df: DataFrame, root: String, meta: Map[String, String] = Map.empty): Long = {
+  def publish(df: DataFrame, root: String, meta: Map[String, String] = Map.empty): Long =
+    publishStaged(df.sparkSession, root, meta) { staging =>
+      df.write.parquet(staging)
+    }
+
+  /** The staging→validate→promote protocol with a CALLER-POPULATED
+    * staging directory — the lower-level form [[publish]] rides, and
+    * what lets a version be assembled from mixed sources (e.g.
+    * [[Compact.compactPublishedIncremental]] byte-copies well-sized
+    * files and rewrites only fragments into the same version). The
+    * caller's `stage(dir)` must leave ONLY the version's parquet data
+    * files under `dir`; validation (a full footer-checked read-back
+    * count), the manifest, and the atomic promotion are unchanged. */
+  def publishStaged(spark: SparkSession, root: String,
+      meta: Map[String, String] = Map.empty)(stage: String => Unit): Long = {
     val rootPath = Paths.get(root)
     Files.createDirectories(rootPath)
     reapStaging(rootPath)
 
     val version = listVersions(rootPath).maxOption.getOrElse(0L) + 1L
     val staging = rootPath.resolve(s".staging-v$version")
-    df.write.parquet(staging.toString)
+    stage(staging.toString)
 
     // validate before promoting: re-read through the parquet footers;
     // a truncated or corrupt file fails HERE, with the live version
     // still untouched
-    val spark = df.sparkSession
-    val rows = spark.read.parquet(staging.toString).count()
+    val staged = spark.read.parquet(staging.toString)
+    val rows = staged.count()
     val files = dataFiles(staging)
     val metaJson = meta.toSeq.sorted
       .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }.mkString("{", ",", "}")
     val manifest =
       s"""{"version":$version,"rows":$rows,""" +
-        s""""schema":${jsonStr(df.schema.toDDL)},""" +
+        s""""schema":${jsonStr(staged.schema.toDDL)},""" +
         s""""total_bytes":${files.map(_._2).sum},""" +
         s""""meta":$metaJson,""" +
         s""""files":[${files.map { case (n, s) => s"""{"name":${jsonStr(n)},"bytes":$s}""" }.mkString(",")}]}"""

@@ -82,6 +82,70 @@ class CompactSpec extends SparkSpec {
     }
   }
 
+  test("incremental compaction: carries big files byte-identically, rewrites only fragments") {
+    val sess = spark
+    import sess.implicits._
+    def sha(p: java.nio.file.Path): String = {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+      java.util.Base64.getEncoder.encodeToString(d.digest(java.nio.file.Files.readAllBytes(p)))
+    }
+    val big = (1L to 20000L).map(i => (i, s"g${i % 7}", i * 3L)).toDF("id", "g", "v")
+    val small = (20001L to 21000L).map(i => (i, s"g${i % 7}", i * 3L)).toDF("id", "g", "v")
+    val root = Files.createTempDirectory("graft_icompact_spec").toString
+    try {
+      val v1 = Publish.publishStaged(spark, root) { staging =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(staging)): Unit
+        big.repartition(2).write.mode("append").parquet(staging)
+        small.repartition(24).write.mode("append").parquet(staging)
+      }
+      val v1Dir = Paths.get(root).resolve(s"v=$v1")
+      val v1Files = Compact.listDataFiles(v1Dir.toString)
+      // threshold between the planted sizes: big ≥ min, fragments below
+      val bigFiles = v1Files.filter(_._2 >= 10000L)
+      assert(bigFiles.size == 2 && v1Files.size >= 20,
+        s"planted layout wrong: ${v1Files.size} files, ${bigFiles.size} big")
+      val bigHashes = bigFiles.map { case (n, _) => n -> sha(v1Dir.resolve(n)) }.toMap
+
+      val (v2, carried, rewritten) = Compact.compactPublishedIncremental(
+        spark, root, targetBytes = 1L << 20, minBytes = 10000L)
+      val v2Dir = Paths.get(root).resolve(s"v=$v2")
+      assert(carried == 2 && rewritten == v1Files.size - 2)
+      assert(Publish.currentMetaValue(root, "carried").contains("2"))
+
+      // the carried files are THE SAME BYTES under the same names —
+      // maintenance touched only the fragments
+      bigHashes.foreach { case (name, h) =>
+        assert(sha(v2Dir.resolve(name)) == h, s"carried file $name rewritten")
+      }
+      // fragments collapsed: total files = 2 carried + ~1 bin
+      val v2Files = Compact.listDataFiles(v2Dir.toString)
+      assert(v2Files.size < v1Files.size / 2,
+        s"fragments not collapsed: ${v2Files.size} of ${v1Files.size}")
+
+      // and not one row changed
+      val live = Publish.read(spark, root)
+      val want = big.unionByName(small)
+      assert(live.exceptAll(want).count() == 0 && want.exceptAll(live).count() == 0,
+        "incremental compaction changed rows")
+    } finally {
+      graft.sources.Sinks.deleteRecursively(Paths.get(root))
+    }
+  }
+
+  test("q105: the incrementally compacted live table matches the source aggregate") {
+    val got = SparkEntry.q105IncrementalCompact(spark, SfDir)
+    val want = Tables.events(spark, SfDir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(min("value"), 6).as("min_value"),
+        round(max("value"), 6).as("max_value"),
+        sum(round(col("value"), 6).cast("decimal(18,6)"))
+          .cast("double").as("sum_value"))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "incremental compaction roundtrip diverges from the source table")
+  }
+
   test("q104: the live compacted table matches the source aggregate") {
     val got = SparkEntry.q104CompactRoundtrip(spark, SfDir)
     val want = Tables.events(spark, SfDir)
