@@ -1423,6 +1423,41 @@ object SparkEntry {
         sum(round(col("value"), 6).cast("decimal(18,6)"))
           .cast("double").as("sum_value"))
 
+  /** q106: generic per-file stats pruning
+    * ([[graft.sources.FileStats]]) — the skipping layer detached from
+    * the Z curve: a plain TIME-CLUSTERED events layout (range
+    * partition on ts — the layout event data lands in naturally) gets
+    * a schema-driven `_fstats` manifest (min/max/null-count per named
+    * column, bloom per named key) built in one read-back scan, and a
+    * week-range query reads only the files whose ts-range intersects
+    * it. Same integrity posture as q100/q101: the predicate
+    * re-applies, the full-scan oracle hash-checks that pruning
+    * dropped nothing. FileStatsSpec carries the stat-correctness,
+    * all-null-file, bloom, and conjunction proofs. */
+  private def statsIndexedEvents(spark: SparkSession, dir: String): String =
+    graft.tools.Scratch.cachedArtifact(
+      "graft_fstats", dir, s"$dir/events.parquet") { (tableDir, _) =>
+      Tables.events(spark, dir)
+        .repartitionByRange(16, col("ts")).sortWithinPartitions("ts")
+        .write.parquet(tableDir)
+      graft.sources.FileStats.build(spark, tableDir,
+        cols = Seq("ts", "value"), keyCols = Seq("event_id"))
+    }
+
+  def q106StatsPrune(spark: SparkSession, dir: String): DataFrame = {
+    val table = statsIndexedEvents(spark, dir)
+    val lo = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2024-01-17 00:00:00")
+    graft.sources.FileStats
+      .prunedRead(spark, table, Seq(graft.sources.FileStats.Between("ts", lo, hi)))
+      .where(col("ts") >= lit(lo) && col("ts") <= lit(hi))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value"), 6).cast("decimal(18,6)"))
+          .cast("double").as("sum_value"))
+  }
+
   /** q102: funnel INSTANCES — MATCH_RECOGNIZE-lite over the event
     * stream ([[operators.Sequence.funnelInstances]]). q39 already
     * answers the USER grain (does a user ever convert?); this is the
@@ -2173,7 +2208,8 @@ object SparkEntry {
     "q102_funnel_instances"      -> (q102FunnelInstances _),
     "q103_zorder_quantile"       -> (q103ZorderQuantile _),
     "q104_compact_roundtrip"     -> (q104CompactRoundtrip _),
-    "q105_incremental_compact"   -> (q105IncrementalCompact _)
+    "q105_incremental_compact"   -> (q105IncrementalCompact _),
+    "q106_stats_prune"           -> (q106StatsPrune _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -3778,6 +3814,14 @@ object SparkEntry {
         |  ROUND(MAX(value), 6) AS max_value,
         |  CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events
+        |GROUP BY event_type""".stripMargin,
+
+    "q106_stats_prune" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-17 00:00:00'
         |GROUP BY event_type""".stripMargin
   )
 }

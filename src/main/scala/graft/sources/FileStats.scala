@@ -1,0 +1,120 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Generic per-file statistics manifest — the skipping layer as a
+  * reusable sidecar for ANY layout.
+  *
+  * [[ZOrder]]'s `_zstats` hardcodes its two curve dimensions and one
+  * key bloom; every other sink in the library (Compact output,
+  * Publish versions, a plain time-clustered write) would want the
+  * same file-level pruning without adopting the curve. This is the
+  * schema-driven form — exactly what Delta/Iceberg store per data
+  * file in their logs: for each named column its per-file min / max /
+  * null count, plus an optional bloom over each named key column.
+  * Built in ONE read-back scan (groupBy `input_file_name`), stored as
+  * a hidden `_fstats` table inside the table directory (the
+  * underscore convention keeps plain readers blind to it; |files|
+  * rows — the driver-sized manifest bound every table format accepts
+  * by design).
+  *
+  * Pruning contract (shared with ZOrder, q100's posture): skipping is
+  * an OPTIMIZATION, never semantics. A file is a candidate unless its
+  * stats PROVE no row can match; callers re-apply the predicate to
+  * surviving rows, so a stats bug can only surface as a hash mismatch
+  * against a full-scan oracle. Stat semantics under nulls follow SQL
+  * comparison rules: a range can only match non-null values, so an
+  * all-null file (null min/max) IS prunable for a range predicate;
+  * `isNull` prunes on the stored null count.
+  *
+  * At 100 TB: stats build cost is one column-pruned scan at write
+  * time; every selective query thereafter reads O(matching files)
+  * instead of the table, and the manifest evaluation is a driver-side
+  * filter over |files| rows.
+  */
+object FileStats {
+
+  def statsPath(path: String): String = path + "/_fstats"
+
+  /** One skipping predicate, evaluated against the manifest. */
+  sealed trait Pred { def col: String }
+  /** Rows with `col` in [lo, hi] — prunes on min/max. */
+  final case class Between(col: String, lo: Any, hi: Any) extends Pred
+  /** Rows with `col` IN keys — prunes on the key bloom (the column
+    * must be listed in `keyCols` at build time). */
+  final case class KeyIn(col: String, keys: Seq[Any]) extends Pred
+  /** Rows where `col` IS NULL — prunes on the null count. */
+  final case class IsNull(col: String) extends Pred
+
+  /** Build (or rebuild) the manifest for the parquet table at `path`:
+    * per file `n_rows` and, per entry of `cols`, `min_<c>` /
+    * `max_<c>` / `nulls_<c>`; per entry of `keyCols`, `bloom_<k>`
+    * over xxhash64(k) sized for the file's row share. */
+  def build(
+      spark: SparkSession,
+      path: String,
+      cols: Seq[String],
+      keyCols: Seq[String] = Nil,
+      fpp: Double = 0.01): Unit = {
+    require(cols.nonEmpty || keyCols.nonEmpty, "nothing to collect stats for")
+    val data = spark.read.parquet(path)
+    val nRows = data.count()
+    val nFiles = math.max(1L, data.select(input_file_name()).distinct().count())
+    if (keyCols.nonEmpty) graft.functions.GraftFunctions.register(spark)
+    val aggs =
+      Seq(count(lit(1)).as("n_rows")) ++
+        cols.flatMap { c =>
+          Seq(min(c).as(s"min_$c"), max(c).as(s"max_$c"),
+            count(when(col(c).isNull, 1)).as(s"nulls_$c"))
+        } ++
+        keyCols.map { k =>
+          val expected = math.max(64L, 2L * nRows / nFiles)
+          call_function("graft_bloom_agg",
+            xxhash64(col(k)), lit(expected), lit(fpp)).as(s"bloom_$k")
+        }
+    data.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").parquet(statsPath(path))
+  }
+
+  /** The files whose stats cannot RULE OUT every predicate — the
+    * conjunction's candidate set (intersection over preds). Range and
+    * null-count predicates evaluate as one filter over the manifest
+    * DataFrame; key blooms probe driver-side with the catalyst-eval
+    * hash twin (ZOrder's mechanism). */
+  def candidateFiles(spark: SparkSession, path: String, preds: Seq[Pred]): Seq[String] = {
+    require(preds.nonEmpty, "no predicates — read the table directly")
+    val stats = spark.read.parquet(statsPath(path))
+    val rangeCond = preds.collect {
+      case Between(c, lo, hi) =>
+        // a range matches only non-null values, so null min/max
+        // (an all-null file) proves non-matching — prunable
+        col(s"min_$c").isNotNull &&
+          col(s"min_$c") <= lit(hi) && col(s"max_$c") >= lit(lo)
+      case IsNull(c) => col(s"nulls_$c") > 0L
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    val keyPreds = preds.collect { case k: KeyIn => k }
+    val bloomCols = keyPreds.map(k => col(s"bloom_${k.col}"))
+    val rows = stats.where(rangeCond)
+      .select(col("file") +: bloomCols: _*).collect()
+    rows.filter { r =>
+      keyPreds.zipWithIndex.forall { case (k, i) =>
+        val bf = BloomFilter.readFrom(
+          new ByteArrayInputStream(r.getAs[Array[Byte]](i + 1)))
+        k.keys.map(ZOrder.sparkHash).exists(bf.mightContainLong)
+      }
+    }.map(_.getString(0)).toIndexedSeq
+  }
+
+  /** Read only the candidate files. Callers MUST still apply the
+    * predicates — stats over-approximate. */
+  def prunedRead(spark: SparkSession, path: String, preds: Seq[Pred]): DataFrame = {
+    val files = candidateFiles(spark, path, preds)
+    if (files.isEmpty) spark.read.parquet(path).limit(0)
+    else spark.read.parquet(files: _*)
+  }
+}

@@ -229,8 +229,9 @@ object ZOrder {
 
   // driver-side twin of `functions.xxhash64` on a single literal
   // (same algorithm, same default seed 42), so a probe value hashes
-  // to exactly what the stored blooms were built from
-  private def sparkHash(v: Any): Long =
+  // to exactly what the stored blooms were built from; shared with
+  // FileStats' generic key-bloom probe
+  private[sources] def sparkHash(v: Any): Long =
     org.apache.spark.sql.catalyst.expressions.XxHash64(
       Seq(org.apache.spark.sql.catalyst.expressions.Literal(v)), 42L)
       .eval(null).asInstanceOf[Long]

@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.FileStats
+import graft.sources.FileStats.{Between, IsNull, KeyIn}
+
+/** Generic per-file stats manifest (sources/FileStats.scala): stat
+  * correctness against global aggregates, range/null/bloom pruning
+  * losslessness, all-null-file semantics, predicate conjunction, and
+  * the q106 wiring over a time-clustered layout. */
+class FileStatsSpec extends SparkSpec {
+
+  test("stats reconcile with global aggregates; pruning is lossless both ways") {
+    val n = 20000
+    // a: range-clustered (prunable); b: uncorrelated with layout
+    // (every file spans it); planted nulls in b
+    val data = spark.range(n.toLong).select(
+      col("id").as("k"),
+      col("id").as("a"),
+      when(col("id") % 100 === 0, lit(null).cast("long"))
+        .otherwise(pmod(col("id") * 69621L, lit(104857L)) % 1000).as("b"))
+    val root = Files.createTempDirectory("graft_fstats_spec").toString
+    val path = root + "/t"
+    try {
+      data.repartitionByRange(16, col("a")).sortWithinPartitions("a")
+        .write.parquet(path)
+      FileStats.build(spark, path, cols = Seq("a", "b"), keyCols = Seq("k"))
+
+      val stats = spark.read.parquet(FileStats.statsPath(path))
+      val g = stats.agg(
+        sum("n_rows"), min("min_a"), max("max_a"), sum("nulls_b")).collect()(0)
+      assert(g.getLong(0) == n && g.getLong(1) == 0L &&
+        g.getLong(2) == n - 1L && g.getLong(3) == n / 100L,
+        "per-file stats do not reconcile with the table's global aggregates")
+
+      // clustered column prunes; candidates still hold every match
+      val nFiles = stats.count()
+      val aPreds = Seq(Between("a", 1000L, 2000L))
+      assert(FileStats.candidateFiles(spark, path, aPreds).size < nFiles / 2)
+      val gotA = FileStats.prunedRead(spark, path, aPreds)
+        .where(col("a").between(1000L, 2000L))
+      val wantA = data.where(col("a").between(1000L, 2000L))
+      assert(gotA.exceptAll(wantA).count() == 0 && wantA.exceptAll(gotA).count() == 0)
+
+      // uncorrelated column cannot prune — and must not lose rows
+      val bPreds = Seq(Between("b", 100L, 200L))
+      assert(FileStats.candidateFiles(spark, path, bPreds).size == nFiles)
+      val gotB = FileStats.prunedRead(spark, path, bPreds)
+        .where(col("b").between(100L, 200L))
+      val wantB = data.where(col("b").between(100L, 200L))
+      assert(gotB.exceptAll(wantB).count() == 0 && wantB.exceptAll(gotB).count() == 0)
+
+      // IsNull prunes to files that actually hold nulls, losslessly
+      val nullFiles = FileStats.candidateFiles(spark, path, Seq(IsNull("b")))
+      assert(nullFiles.nonEmpty && nullFiles.size <= nFiles)
+      assert(FileStats.prunedRead(spark, path, Seq(IsNull("b")))
+        .where(col("b").isNull).count() == n / 100L)
+
+      // key bloom: every probed present key survives; real skipping;
+      // conjunction INTERSECTS (range + key)
+      val keys = Seq(5L, 4321L, 19999L)
+      val got = FileStats.prunedRead(spark, path, Seq(KeyIn("k", keys)))
+        .where(col("k").isin(keys: _*)).select("k").collect().map(_.getLong(0)).toSet
+      assert(got == keys.toSet, s"bloom lost keys: ${keys.toSet -- got}")
+      assert(FileStats.candidateFiles(spark, path, Seq(KeyIn("k", Seq(5L)))).size
+        <= math.max(4, nFiles / 4))
+      val conj = FileStats.candidateFiles(spark, path,
+        Seq(Between("a", 0L, 100L), KeyIn("k", Seq(19999L))))
+      // k=19999 lives only in the top a-range file; a∈[0,100] only in
+      // the bottom one — the conjunction's candidate set is EMPTY
+      assert(conj.isEmpty, s"conjunction should intersect to nothing: $conj")
+    } finally {
+      graft.sources.Sinks.deleteRecursively(Paths.get(root))
+    }
+  }
+
+  test("an all-null file is prunable for a range and kept for IsNull") {
+    val sess = spark
+    import sess.implicits._
+    val root = Files.createTempDirectory("graft_fstats_null").toString
+    val path = root + "/t"
+    try {
+      // two files: one real-valued, one entirely null in c
+      Seq((1L, Some(10L)), (2L, Some(20L))).toDF("id", "c")
+        .coalesce(1).write.mode("append").parquet(path)
+      Seq((3L, None: Option[Long]), (4L, None: Option[Long])).toDF("id", "c")
+        .coalesce(1).write.mode("append").parquet(path)
+      FileStats.build(spark, path, cols = Seq("c"))
+
+      // a range predicate can NEVER match a null — the all-null file
+      // is proven non-matching and skipped
+      val cand = FileStats.candidateFiles(spark, path, Seq(Between("c", 0L, 100L)))
+      assert(cand.size == 1, s"all-null file not pruned: $cand")
+      val got = FileStats.prunedRead(spark, path, Seq(Between("c", 0L, 100L)))
+        .where(col("c").between(0L, 100L))
+      assert(got.count() == 2)
+      // IsNull keeps exactly the all-null file
+      assert(FileStats.candidateFiles(spark, path, Seq(IsNull("c"))).size == 1)
+    } finally {
+      graft.sources.Sinks.deleteRecursively(Paths.get(root))
+    }
+  }
+
+  test("q106: stats-pruned week range equals the full-scan filter") {
+    val out = SparkEntry.q106StatsPrune(spark, SfDir)
+    val lo = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2024-01-17 00:00:00")
+    val want = Tables.events(spark, SfDir)
+      .where(col("ts") >= lit(lo) && col("ts") <= lit(hi))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value"), 6).cast("decimal(18,6)"))
+          .cast("double").as("sum_value"))
+    assert(out.count() > 0, "the planted week range matched no testdata rows")
+    assert(out.exceptAll(want).count() == 0 && want.exceptAll(out).count() == 0,
+      "stats-pruned aggregate diverges from the full scan")
+  }
+}
