@@ -1458,6 +1458,67 @@ object SparkEntry {
           .cast("double").as("sum_value"))
   }
 
+  /** q107: quantified sequence measures — the `A B* C` MATCH_RECOGNIZE
+    * shape with aggregates over the quantified middle: every signup
+    * anchor binds its first purchase within 10 days (q102's one-step
+    * chain), and the instance MEASURES the views strictly between
+    * anchor and purchase — count, first, last — with nulls for
+    * unmatched instances (no purchase in gap). The Spark-first trick
+    * is that `count(B) in (t0, tC)` needs NO per-anchor interval
+    * join: build the per-user RUNNING view count once (one keyed
+    * window), then two backward as-of lookups against that series
+    * (at tC−1µs and at t0) difference to the exact interval count —
+    * and the tC−1µs lookup's payload is simultaneously the LAST view
+    * in the interval, while one forward as-of at t0+1µs (capped
+    * below tC) is the FIRST. Four keyed shuffles total, each the
+    * union+window as-of plan — nothing fans out per instance. Oracle
+    * re-derives with a direct interval join + COUNT/MIN/MAX. */
+  def q107FunnelMeasures(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val inst = Sequence.funnelInstances(
+        ev, Seq("user_id"), "ts",
+        anchorPredicate = col("event_type") === "signup",
+        anchorCols = Seq("event_id"),
+        steps = Seq(Sequence.Step("tc", col("event_type") === "purchase",
+          10L * 86400000000L)))
+      .withColumnRenamed("event_id", "anchor_id")
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("vts"))
+    val vcount = views.withColumn("cnt",
+      count(lit(1)).over(Window.partitionBy("user_id").orderBy("vts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+
+    val matched = inst.where(col("tc").isNotNull)
+    val dead = inst.where(col("tc").isNull).select(
+      col("anchor_id"), col("user_id"), col("t0"), col("tc"),
+      lit(null).cast("long").as("views_between"),
+      lit(null).cast("timestamp").as("first_view"),
+      lit(null).cast("timestamp").as("last_view"))
+
+    // views ≤ tC−1µs ≡ views < tC; the same lookup's time payload is
+    // the last view in the open interval (nulled below if ≤ t0)
+    val atC = AsOfJoin.asOf(
+        matched.withColumn("__pc", col("tc") - expr("INTERVAL 1 MICROSECOND")),
+        vcount, Seq("user_id"), "__pc", "vts", Seq("cnt"))
+      .withColumnRenamed("vts", "lv").withColumnRenamed("cnt", "cntC")
+    val at0 = AsOfJoin.asOf(
+        atC.withColumn("__p0", col("t0")),
+        vcount, Seq("user_id"), "__p0", "vts", Seq("cnt"))
+      .withColumnRenamed("vts", "v0").withColumnRenamed("cnt", "cnt0")
+    val fwd = AsOfJoin.asOfForward(
+      at0.withColumn("__pf", col("t0") + expr("INTERVAL 1 MICROSECOND")),
+      views.withColumnRenamed("vts", "fv"),
+      Seq("user_id"), "__pf", "fv", Nil)
+
+    fwd.select(
+        col("anchor_id"), col("user_id"), col("t0"), col("tc"),
+        (coalesce(col("cntC"), lit(0L)) - coalesce(col("cnt0"), lit(0L)))
+          .as("views_between"),
+        when(col("fv") < col("tc"), col("fv")).as("first_view"),
+        when(col("lv") > col("t0"), col("lv")).as("last_view"))
+      .unionByName(dead)
+  }
+
   /** q102: funnel INSTANCES — MATCH_RECOGNIZE-lite over the event
     * stream ([[operators.Sequence.funnelInstances]]). q39 already
     * answers the USER grain (does a user ever convert?); this is the
@@ -2209,7 +2270,8 @@ object SparkEntry {
     "q103_zorder_quantile"       -> (q103ZorderQuantile _),
     "q104_compact_roundtrip"     -> (q104CompactRoundtrip _),
     "q105_incremental_compact"   -> (q105IncrementalCompact _),
-    "q106_stats_prune"           -> (q106StatsPrune _)
+    "q106_stats_prune"           -> (q106StatsPrune _),
+    "q107_funnel_measures"       -> (q107FunnelMeasures _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -3822,6 +3884,38 @@ object SparkEntry {
         |FROM events
         |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-17 00:00:00'
-        |GROUP BY event_type""".stripMargin
+        |GROUP BY event_type""".stripMargin,
+
+    "q107_funnel_measures" ->
+      """WITH a AS (
+        |  SELECT event_id AS anchor_id, user_id, CAST(ts AS TIMESTAMP) AS t0
+        |  FROM events WHERE event_type = 'signup'
+        |),
+        |c AS (
+        |  SELECT a.anchor_id, MIN(CAST(p.ts AS TIMESTAMP)) AS tcraw
+        |  FROM a JOIN events p
+        |    ON p.user_id = a.user_id AND p.event_type = 'purchase'
+        |   AND CAST(p.ts AS TIMESTAMP) > a.t0
+        |  GROUP BY 1
+        |),
+        |m AS (
+        |  SELECT a.anchor_id, a.user_id, a.t0,
+        |    CASE WHEN date_diff('microseconds', t0, tcraw) <= 864000000000
+        |         THEN tcraw END AS tc
+        |  FROM a LEFT JOIN c USING (anchor_id)
+        |),
+        |v AS (
+        |  SELECT m.anchor_id, COUNT(*) AS n,
+        |    MIN(CAST(v.ts AS TIMESTAMP)) AS f, MAX(CAST(v.ts AS TIMESTAMP)) AS l
+        |  FROM m JOIN events v
+        |    ON v.user_id = m.user_id AND v.event_type = 'view'
+        |   AND CAST(v.ts AS TIMESTAMP) > m.t0 AND CAST(v.ts AS TIMESTAMP) < m.tc
+        |  WHERE m.tc IS NOT NULL
+        |  GROUP BY 1
+        |)
+        |SELECT m.anchor_id, m.user_id, m.t0, m.tc,
+        |  CASE WHEN m.tc IS NOT NULL THEN COALESCE(v.n, 0) END AS views_between,
+        |  v.f AS first_view, v.l AS last_view
+        |FROM m LEFT JOIN v USING (anchor_id)""".stripMargin
   )
 }

@@ -61,6 +61,47 @@ class SequenceSpec extends SparkSpec {
       (3L, 1000L, 1200L, -1L)))
   }
 
+  test("q107: as-of count-difference measures equal the interval join") {
+    val ev = Tables.events(spark, SfDir)
+    val got = SparkEntry.q107FunnelMeasures(spark, SfDir)
+
+    // independent re-derivation: the direct per-anchor interval join
+    // the operator's running-count trick avoids
+    val a = ev.where(col("event_type") === "signup")
+      .select(col("event_id").as("anchor_id"), col("user_id"), col("ts").as("t0"))
+    val cRaw = a.join(
+        ev.where(col("event_type") === "purchase").select(col("user_id"), col("ts").as("__c")),
+        Seq("user_id"), "left")
+      .groupBy("anchor_id", "user_id", "t0")
+      .agg(min(when(col("__c") > col("t0"), col("__c"))).as("__m"))
+      .withColumn("tc",
+        when(unix_micros(col("__m")) - unix_micros(col("t0")) <= 10L * DAY, col("__m")))
+      .drop("__m")
+    val v = cRaw.where(col("tc").isNotNull).join(
+        ev.where(col("event_type") === "view").select(col("user_id"), col("ts").as("__v")),
+        Seq("user_id"), "left")
+      .groupBy("anchor_id")
+      .agg(
+        count(when(col("__v") > col("t0") && col("__v") < col("tc"), 1)).as("n"),
+        min(when(col("__v") > col("t0") && col("__v") < col("tc"), col("__v"))).as("f"),
+        max(when(col("__v") > col("t0") && col("__v") < col("tc"), col("__v"))).as("l"))
+    val want = cRaw.join(v, Seq("anchor_id"), "left")
+      .select(col("anchor_id"), col("user_id"), col("t0"), col("tc"),
+        when(col("tc").isNotNull, coalesce(col("n"), lit(0L))).as("views_between"),
+        col("f").as("first_view"), col("l").as("last_view"))
+
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "count-difference measures diverge from the interval join")
+    // internal consistency: zero views ⇔ no first/last; both depths occur
+    assert(got.where(col("views_between") === 0 &&
+      (col("first_view").isNotNull || col("last_view").isNotNull)).count() == 0)
+    assert(got.where(col("views_between") > 0 &&
+      (col("first_view").isNull || col("last_view").isNull)).count() == 0)
+    assert(got.where(col("views_between") > 0).count() > 0)
+    assert(got.where(col("tc").isNull).count() > 0)
+  }
+
   test("q102 equals the independent join+min re-derivation") {
     val ev = Tables.events(spark, SfDir)
     val a = ev.where(col("event_type") === "signup")
