@@ -17,7 +17,16 @@ for line in open(path):
         line = line[len("[info] "):]
     runs.append(json.loads(line))
 assert len(runs) == 3, f"want 3 bench lines, got {len(runs)}"
-q001, q01, q3x = (r["queries"] for r in runs)
+
+
+def flat(queries):
+    # r8+: Bench's sidecar stores {"sec": t, "spread": s} per query;
+    # earlier sweeps stored the bare seconds
+    return {k: (v["sec"] if isinstance(v, dict) else v)
+            for k, v in queries.items()}
+
+
+q001, q01, q3x = (flat(r["queries"]) for r in runs)
 
 rows = []
 for k in sorted(q3x):
