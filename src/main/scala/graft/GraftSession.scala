@@ -22,6 +22,10 @@ object GraftSession {
       .builder()
       .master(master)
       .appName("graft")
+      // the full extension surface (functions + optimizer rules), the
+      // same path an embedding application gets via
+      // spark.sql.extensions=graft.functions.GraftExtensions
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1519,6 +1519,45 @@ object SparkEntry {
       .unionByName(dead)
   }
 
+  /** q108: DECLARED-SQL range join under the injected optimizer rule
+    * ([[graft.plans.IntervalOverlapRewrite]]) — the q98 shape written
+    * the way a SQL user writes it: a bare interval-overlap theta join
+    * (`t.lo <= c.hi AND c.lo <= t.hi`, no equi key) over temp views,
+    * which vanilla Spark can only plan as BroadcastNestedLoop. The
+    * injected pre-CBO rule rewrites it into the bin equi-join with
+    * exact compensation branches, so the DECLARED query gets the
+    * operator's scale plan — and this registry entry hash-checks the
+    * rewrite against a DuckDB oracle running the same theta join
+    * verbatim (the strongest form of "the rule is semantics-
+    * preserving"). Intervals: per-user activity span in epoch days;
+    * campaigns: q98's order-derived windows. */
+  def q108DeclaredRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(col("user_id").as("wallet"))
+      .agg(
+        unix_date(min(to_date(col("ts")))).cast("long").as("w_lo"),
+        unix_date(max(to_date(col("ts")))).cast("long").as("w_hi"))
+      .createOrReplaceTempView("graft_q108_spans")
+    val anchor = to_date(lit("2024-01-01"))
+    val cIdx = expr("o_orderkey div 300")
+    Tables.orders(spark, dir)
+      .where(col("o_orderkey") % 300 === 0)
+      .select(
+        col("o_orderkey").as("campaign_id"),
+        unix_date(date_add(anchor, (cIdx % 28).cast("int"))).cast("long").as("c_lo"),
+        unix_date(date_add(anchor, (cIdx % 28 + cIdx % 7 + 1).cast("int"))
+          ).cast("long").as("c_hi"))
+      .createOrReplaceTempView("graft_q108_campaigns")
+    spark.sql(
+      """SELECT campaign_id,
+        |  COUNT(*) AS n_wallets,
+        |  SUM(LEAST(w_hi, c_hi) - GREATEST(w_lo, c_lo) + 1) AS overlap_days
+        |FROM graft_q108_spans w
+        |JOIN graft_q108_campaigns c
+        |  ON w.w_lo <= c.c_hi AND c.c_lo <= w.w_hi
+        |GROUP BY campaign_id""".stripMargin)
+  }
+
   /** q102: funnel INSTANCES — MATCH_RECOGNIZE-lite over the event
     * stream ([[operators.Sequence.funnelInstances]]). q39 already
     * answers the USER grain (does a user ever convert?); this is the
@@ -2271,7 +2310,8 @@ object SparkEntry {
     "q104_compact_roundtrip"     -> (q104CompactRoundtrip _),
     "q105_incremental_compact"   -> (q105IncrementalCompact _),
     "q106_stats_prune"           -> (q106StatsPrune _),
-    "q107_funnel_measures"       -> (q107FunnelMeasures _)
+    "q107_funnel_measures"       -> (q107FunnelMeasures _),
+    "q108_declared_range_join"   -> (q108DeclaredRangeJoin _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -3916,6 +3956,28 @@ object SparkEntry {
         |SELECT m.anchor_id, m.user_id, m.t0, m.tc,
         |  CASE WHEN m.tc IS NOT NULL THEN COALESCE(v.n, 0) END AS views_between,
         |  v.f AS first_view, v.l AS last_view
-        |FROM m LEFT JOIN v USING (anchor_id)""".stripMargin
+        |FROM m LEFT JOIN v USING (anchor_id)""".stripMargin,
+
+    "q108_declared_range_join" ->
+      """WITH w AS (
+        |  SELECT user_id AS wallet,
+        |    CAST(MIN(CAST(ts AS DATE)) - DATE '1970-01-01' AS BIGINT) AS w_lo,
+        |    CAST(MAX(CAST(ts AS DATE)) - DATE '1970-01-01' AS BIGINT) AS w_hi
+        |  FROM events GROUP BY 1
+        |),
+        |c AS (
+        |  SELECT o_orderkey AS campaign_id,
+        |    CAST(DATE '2024-01-01' + (((o_orderkey // 300) % 28)::INT)
+        |         - DATE '1970-01-01' AS BIGINT) AS c_lo,
+        |    CAST(DATE '2024-01-01' + (((o_orderkey // 300) % 28
+        |                               + (o_orderkey // 300) % 7 + 1)::INT)
+        |         - DATE '1970-01-01' AS BIGINT) AS c_hi
+        |  FROM orders WHERE o_orderkey % 300 = 0
+        |)
+        |SELECT campaign_id, COUNT(*) AS n_wallets,
+        |  CAST(SUM(LEAST(w_hi, c_hi) - GREATEST(w_lo, c_lo) + 1) AS BIGINT)
+        |    AS overlap_days
+        |FROM w JOIN c ON w.w_lo <= c.c_hi AND c.c_lo <= w.w_hi
+        |GROUP BY campaign_id""".stripMargin
   )
 }

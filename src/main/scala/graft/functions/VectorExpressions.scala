@@ -87,13 +87,17 @@ object GraftFunctions {
 
 /** `spark.sql.extensions`-style injection for sessions built outside
   * graft's own entry points: builds the same registry entries at
-  * session-construction time. */
+  * session-construction time, plus graft's optimizer rules
+  * ([[graft.plans.IntervalOverlapRewrite]] — interval-overlap theta
+  * joins become the bin equi-join, pre-CBO, conf-gated). */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       ext.injectFunction((
         new FunctionIdentifier(name),
         new ExpressionInfo(classOf[DotProduct].getName, name),
         builder))
     }
+    ext.injectPreCBORule(session => graft.plans.IntervalOverlapRewrite(session))
+  }
 }
