@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.operators._
-import graft.similarity.{Ann, Dedup}
+import graft.similarity.{Ann, Dedup, Overlap}
 import graft.text.TextOps
 import graft.multimodal.Multimodal
 import graft.sources.Ingest
@@ -1558,6 +1558,32 @@ object SparkEntry {
         |GROUP BY campaign_id""".stripMargin)
   }
 
+  /** q109: cross-dataset overlap estimation from KMV sketch tables
+    * ([[similarity.Overlap]]) — the set-operation cardinality HLL
+    * cannot answer: "how much of corpus B is already in corpus A?",
+    * estimated from |sets|·k sketch rows instead of the exact
+    * cross-corpus join. Three overlapping datasets are carved from
+    * the 20 sources (A = src0–9, B = src5–14, C = src10–19 — B
+    * genuinely shares half its documents with each neighbor), k = 64.
+    * Unlike seeded-sketch designs, the WHOLE pipeline is
+    * deterministic and cross-engine (md5-derived 60-bit content
+    * hash, integer ranks, estimate divisions in identical IEEE
+    * order), so union/Jaccard/intersection ESTIMATES themselves sit
+    * under the hash gate — DuckDB re-derives them bit-for-bit.
+    * OverlapSpec carries the mergeability and accuracy proofs. */
+  def q109KmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val idx = substring(col("source"), 4, 10).cast("int")
+    val members = Tables.documents(spark, dir)
+      .select(idx.as("i"), col("text"))
+      .select(explode(array(
+        when(col("i") < 10, "A"),
+        when(col("i") >= 5 && col("i") < 15, "B"),
+        when(col("i") >= 10, "C"))).as("set_id"), col("text"))
+      .where(col("set_id").isNotNull)
+    Overlap.pairwiseOverlap(
+      Overlap.kmvTable(members, "set_id", "text", 64), 64)
+  }
+
   /** q102: funnel INSTANCES — MATCH_RECOGNIZE-lite over the event
     * stream ([[operators.Sequence.funnelInstances]]). q39 already
     * answers the USER grain (does a user ever convert?); this is the
@@ -2311,7 +2337,8 @@ object SparkEntry {
     "q105_incremental_compact"   -> (q105IncrementalCompact _),
     "q106_stats_prune"           -> (q106StatsPrune _),
     "q107_funnel_measures"       -> (q107FunnelMeasures _),
-    "q108_declared_range_join"   -> (q108DeclaredRangeJoin _)
+    "q108_declared_range_join"   -> (q108DeclaredRangeJoin _),
+    "q109_kmv_overlap"           -> (q109KmvOverlap _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -3978,6 +4005,62 @@ object SparkEntry {
         |  CAST(SUM(LEAST(w_hi, c_hi) - GREATEST(w_lo, c_lo) + 1) AS BIGINT)
         |    AS overlap_days
         |FROM w JOIN c ON w.w_lo <= c.c_hi AND c.c_lo <= w.w_hi
-        |GROUP BY campaign_id""".stripMargin
+        |GROUP BY campaign_id""".stripMargin,
+
+    "q109_kmv_overlap" ->
+      """WITH base AS (
+        |  SELECT CAST(substring(source, 4) AS INT) AS i, text FROM documents
+        |),
+        |m AS (
+        |  SELECT 'A' AS set_id, text FROM base WHERE i < 10
+        |  UNION ALL SELECT 'B', text FROM base WHERE i >= 5 AND i < 15
+        |  UNION ALL SELECT 'C', text FROM base WHERE i >= 10
+        |),
+        |hs AS (
+        |  SELECT DISTINCT set_id,
+        |    ('0x' || substring(md5(text), 1, 15))::BIGINT AS h
+        |  FROM m
+        |),
+        |sk AS (
+        |  SELECT set_id, h,
+        |    row_number() OVER (PARTITION BY set_id ORDER BY h) AS rk
+        |  FROM hs QUALIFY rk <= 64
+        |),
+        |p AS (
+        |  SELECT a.set_id AS set_a, b.set_id AS set_b
+        |  FROM (SELECT DISTINCT set_id FROM sk) a
+        |  JOIN (SELECT DISTINCT set_id FROM sk) b ON a.set_id < b.set_id
+        |),
+        |u0 AS (
+        |  SELECT p.set_a, p.set_b, s.h, 1 AS in_a, 0 AS in_b
+        |  FROM p JOIN sk s ON s.set_id = p.set_a
+        |  UNION ALL
+        |  SELECT p.set_a, p.set_b, s.h, 0, 1
+        |  FROM p JOIN sk s ON s.set_id = p.set_b
+        |),
+        |u AS (
+        |  SELECT set_a, set_b, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+        |  FROM u0 GROUP BY 1, 2, 3
+        |),
+        |ku AS (
+        |  SELECT *, row_number() OVER (PARTITION BY set_a, set_b ORDER BY h) AS rk
+        |  FROM u QUALIFY rk <= 64
+        |),
+        |agg AS (
+        |  SELECT set_a, set_b, COUNT(*) AS n_kept,
+        |    MAX(CASE WHEN rk = 64 THEN h END) AS hk,
+        |    CAST(SUM(in_a * in_b) AS BIGINT) AS n_common
+        |  FROM ku GROUP BY 1, 2
+        |)
+        |SELECT set_a, set_b, n_common,
+        |  ROUND(CAST(n_common AS DOUBLE) / CAST(n_kept AS DOUBLE), 6) AS jaccard_est,
+        |  ROUND(CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+        |        ELSE 63.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE) END, 6)
+        |    AS est_union,
+        |  ROUND((CAST(n_common AS DOUBLE) / CAST(n_kept AS DOUBLE)) *
+        |        (CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+        |         ELSE 63.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE) END), 6)
+        |    AS est_intersection
+        |FROM agg""".stripMargin
   )
 }
