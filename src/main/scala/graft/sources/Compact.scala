@@ -139,13 +139,17 @@ object Compact {
       spark: SparkSession,
       root: String,
       targetBytes: Long,
-      minBytes: Long = -1L): (Long, Int, Int) = {
+      minBytes: Long = -1L,
+      extraMeta: Map[String, String] = Map.empty): (Long, Int, Int) = {
     val live = Publish.currentVersion(root).getOrElse(
       throw new IllegalStateException(s"nothing published at $root"))
     val liveDir = Paths.get(root).resolve(s"v=$live")
     val threshold = if (minBytes > 0) minBytes else math.max(1L, targetBytes / 2)
     val (keep, frags) = listDataFiles(liveDir.toString).partition(_._2 >= threshold)
-    val version = Publish.publishStaged(spark, root, meta = Map(
+    // extraMeta lets a streaming caller carry ITS commit markers (the
+    // micro-batch id) through a maintenance version — compaction must
+    // never reset the sink's replay-refusal state
+    val version = Publish.publishStaged(spark, root, meta = extraMeta ++ Map(
       "compacted_from" -> live.toString,
       "carried" -> keep.size.toString,
       "rewritten" -> frags.size.toString)) { staging =>

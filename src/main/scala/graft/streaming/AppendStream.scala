@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.sources.{Compact, Publish}
+
+/** S20: append-only versioned ingest with the full table-service loop
+  * — the streaming composition of the r8 storage-maintenance family.
+  *
+  * [[PublishStream]] (S15) and [[AggTableSink]] (S18) REWRITE their
+  * whole snapshot every micro-batch — right for bounded serving
+  * tables, wrong for an append-only fact table where each batch is a
+  * sliver of the total. This sink makes append O(batch), the way a
+  * real table format commits: a new version CARRIES the live
+  * version's data files as hard links (zero bytes moved, byte
+  * identity by construction — the local-FS stand-in for a manifest
+  * re-referencing the same objects) and writes ONLY the batch's rows
+  * as new files. Readers still resolve one atomic, footer-validated
+  * snapshot per version.
+  *
+  * Appending one file-set per batch is exactly how small-file
+  * fragmentation accretes, so the MAINTENANCE loop rides the same
+  * cadence: every `compactEvery` batches the sink runs
+  * [[Compact.compactPublishedIncremental]] (well-sized files carried
+  * byte-identically, fragments re-binned) and then vacuums versions
+  * past the retention window. Compaction passes the sink's batch-id
+  * marker through `extraMeta` — a maintenance version must never
+  * reset replay refusal.
+  *
+  * Exactly-once is S18's commit-level argument: append is not
+  * idempotent, so the micro-batch id rides the manifest inside the
+  * atomic pointer flip and a replayed batch is refused BEFORE any
+  * link or write. A crash mid-stage leaves the old version live
+  * (garbage staging reaped by the next publish); a crash after the
+  * flip makes the replay a no-op.
+  */
+object AppendStream {
+
+  private val BatchKey = "graft.batchId"
+
+  /** The last micro-batch id committed at `root`, if any. */
+  def lastBatch(root: String): Option[Long] =
+    Publish.currentMetaValue(root, BatchKey).map(_.toLong)
+
+  /** Append one micro-batch as a new version (hard-linked carry +
+    * batch files), then run the maintenance loop on cadence. Returns
+    * false (no writes at all) for an already-committed batch id. */
+  def applyBatch(
+      batch: DataFrame,
+      batchId: Long,
+      root: String,
+      compactEvery: Int = 0,
+      targetBytes: Long = 128L * 1024 * 1024,
+      retain: Int = 1): Boolean = {
+    if (lastBatch(root).exists(_ >= batchId)) false
+    else {
+      val spark = batch.sparkSession
+      val live = Publish.currentVersion(root)
+      Publish.publishStaged(spark, root,
+        meta = Map(BatchKey -> batchId.toString)) { staging =>
+        Files.createDirectories(Paths.get(staging)): Unit
+        live.foreach { v =>
+          val vDir = Paths.get(root).resolve(s"v=$v")
+          Compact.listDataFiles(vDir.toString).foreach { case (name, _) =>
+            Files.createLink(Paths.get(staging).resolve(name), vDir.resolve(name)): Unit
+          }
+        }
+        batch.write.mode("append").parquet(staging)
+      }: Unit
+      if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+        Compact.compactPublishedIncremental(spark, root, targetBytes,
+          extraMeta = Map(BatchKey -> batchId.toString)): Unit
+        Publish.vacuum(root, keep = retain): Unit
+      }
+      true
+    }
+  }
+
+  /** Start appending a fact stream at `root` with the maintenance
+    * loop on `compactEvery` cadence. checkpointLocation required for
+    * real restartability (the [[UpsertSink.start]] argument). */
+  def start(
+      facts: DataFrame,
+      root: String,
+      compactEvery: Int,
+      targetBytes: Long,
+      retain: Int = 1,
+      checkpointLocation: Option[String] = None): StreamingQuery = {
+    val writer = facts.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, batchId, root, compactEvery, targetBytes, retain): Unit
+      }
+    checkpointLocation.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
+}
