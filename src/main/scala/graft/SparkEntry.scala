@@ -1584,6 +1584,57 @@ object SparkEntry {
       Overlap.kmvTable(members, "set_id", "text", 64), 64)
   }
 
+  /** q110: stats-manifest maintenance through compaction
+    * ([[graft.sources.FileStats.buildIncremental]]) — the manifest
+    * twin of q105: after an incremental compaction, stat rows whose
+    * data files were CARRIED re-point to the new version dir with
+    * values untouched and nothing re-read; only the re-binned
+    * fragments are scanned. Manifest upkeep thereby costs what the
+    * compaction cost — ∝ fragmentation, not table size — and the old
+    * version can be vacuumed because nothing references its paths
+    * anymore. The query proves the loop end-to-end: fragmented
+    * publish → stats → incremental compact → incremental stats
+    * refresh → vacuum → a value-range pruned aggregate over the
+    * refreshed manifest, hash-checked against a full-scan oracle. */
+  private def statsMaintRoot(spark: SparkSession, dir: String): String =
+    graft.tools.Scratch.cachedArtifact(
+      "graft_smaint", dir, s"$dir/events.parquet") { (tableDir, _) =>
+      val ev = Tables.events(spark, dir)
+      graft.sources.Publish.publishStaged(spark, tableDir) { staging =>
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(staging)): Unit
+        ev.where(col("event_id") % 10 =!= 0).repartition(2)
+          .write.mode("append").parquet(staging)
+        ev.where(col("event_id") % 10 === 0).repartition(30)
+          .write.mode("append").parquet(staging)
+      }: Unit
+      val v1 = graft.sources.Publish.currentVersion(tableDir).get
+      val v1Dir = s"$tableDir/v=$v1"
+      graft.sources.FileStats.build(spark, v1Dir,
+        cols = Seq("value"), keyCols = Seq("event_id"))
+      graft.sources.Compact.compactPublishedIncremental(
+        spark, tableDir, targetBytes = 256L * 1024): Unit
+      val v2 = graft.sources.Publish.currentVersion(tableDir).get
+      graft.sources.FileStats.buildIncremental(spark, s"$tableDir/v=$v2",
+        cols = Seq("value"), keyCols = Seq("event_id"),
+        priorFrom = Some(v1Dir)): Unit
+      graft.sources.Publish.vacuum(tableDir, keep = 0): Unit
+    }
+
+  def q110StatsMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val root = statsMaintRoot(spark, dir)
+    val live = s"$root/v=${graft.sources.Publish.currentVersion(root).get}"
+    graft.sources.FileStats
+      .prunedRead(spark, live,
+        Seq(graft.sources.FileStats.Between("value", 20.0, 60.0)))
+      .where(col("value") >= 20.0 && col("value") <= 60.0)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value"), 6).cast("decimal(18,6)"))
+          .cast("double").as("sum_value"))
+  }
+
   /** q102: funnel INSTANCES — MATCH_RECOGNIZE-lite over the event
     * stream ([[operators.Sequence.funnelInstances]]). q39 already
     * answers the USER grain (does a user ever convert?); this is the
@@ -2338,7 +2389,8 @@ object SparkEntry {
     "q106_stats_prune"           -> (q106StatsPrune _),
     "q107_funnel_measures"       -> (q107FunnelMeasures _),
     "q108_declared_range_join"   -> (q108DeclaredRangeJoin _),
-    "q109_kmv_overlap"           -> (q109KmvOverlap _)
+    "q109_kmv_overlap"           -> (q109KmvOverlap _),
+    "q110_stats_maintenance"     -> (q110StatsMaintenance _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -4061,6 +4113,13 @@ object SparkEntry {
         |        (CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
         |         ELSE 63.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE) END), 6)
         |    AS est_intersection
-        |FROM agg""".stripMargin
+        |FROM agg""".stripMargin,
+
+    "q110_stats_maintenance" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE value >= 20.0 AND value <= 60.0
+        |GROUP BY event_type""".stripMargin
   )
 }

@@ -54,6 +54,34 @@ object FileStats {
     * per file `n_rows` and, per entry of `cols`, `min_<c>` /
     * `max_<c>` / `nulls_<c>`; per entry of `keyCols`, `bloom_<k>`
     * over xxhash64(k) sized for the file's row share. */
+  private def statAggs(
+      cols: Seq[String],
+      keyCols: Seq[String],
+      expectedPerFile: Long,
+      fpp: Double): Seq[org.apache.spark.sql.Column] =
+    Seq(count(lit(1)).as("n_rows")) ++
+      cols.flatMap { c =>
+        Seq(min(c).as(s"min_$c"), max(c).as(s"max_$c"),
+          count(when(col(c).isNull, 1)).as(s"nulls_$c"))
+      } ++
+      keyCols.map { k =>
+        call_function("graft_bloom_agg",
+          xxhash64(col(k)), lit(expectedPerFile), lit(fpp)).as(s"bloom_$k")
+      }
+
+  private def statsOf(
+      data: org.apache.spark.sql.DataFrame,
+      cols: Seq[String],
+      keyCols: Seq[String],
+      fpp: Double): org.apache.spark.sql.DataFrame = {
+    if (keyCols.nonEmpty)
+      graft.functions.GraftFunctions.register(data.sparkSession)
+    val nRows = data.count()
+    val nFiles = math.max(1L, data.select(input_file_name()).distinct().count())
+    val aggs = statAggs(cols, keyCols, math.max(64L, 2L * nRows / nFiles), fpp)
+    data.groupBy(input_file_name().as("file")).agg(aggs.head, aggs.tail: _*)
+  }
+
   def build(
       spark: SparkSession,
       path: String,
@@ -61,24 +89,64 @@ object FileStats {
       keyCols: Seq[String] = Nil,
       fpp: Double = 0.01): Unit = {
     require(cols.nonEmpty || keyCols.nonEmpty, "nothing to collect stats for")
-    val data = spark.read.parquet(path)
-    val nRows = data.count()
-    val nFiles = math.max(1L, data.select(input_file_name()).distinct().count())
-    if (keyCols.nonEmpty) graft.functions.GraftFunctions.register(spark)
-    val aggs =
-      Seq(count(lit(1)).as("n_rows")) ++
-        cols.flatMap { c =>
-          Seq(min(c).as(s"min_$c"), max(c).as(s"max_$c"),
-            count(when(col(c).isNull, 1)).as(s"nulls_$c"))
-        } ++
-        keyCols.map { k =>
-          val expected = math.max(64L, 2L * nRows / nFiles)
-          call_function("graft_bloom_agg",
-            xxhash64(col(k)), lit(expected), lit(fpp)).as(s"bloom_$k")
-        }
-    data.groupBy(input_file_name().as("file"))
-      .agg(aggs.head, aggs.tail: _*)
+    statsOf(spark.read.parquet(path), cols, keyCols, fpp)
       .write.mode("overwrite").parquet(statsPath(path))
+  }
+
+  /** Incremental manifest refresh after a layout change (the
+    * [[Compact.compactPublishedIncremental]] twin): stat rows whose
+    * data file is STILL PRESENT are carried — re-pointed at the
+    * current directory, values untouched, nothing re-read — and only
+    * files the manifest has never seen are scanned. Manifest
+    * maintenance cost tracks fragmentation, exactly like the
+    * compaction it follows; a carried file's stats stay valid because
+    * the file's BYTES are identical (Compact's carry contract).
+    * Returns (carried, scanned). */
+  def buildIncremental(
+      spark: SparkSession,
+      path: String,
+      cols: Seq[String],
+      keyCols: Seq[String] = Nil,
+      fpp: Double = 0.01,
+      priorFrom: Option[String] = None): (Int, Int) = {
+    require(cols.nonEmpty || keyCols.nonEmpty, "nothing to collect stats for")
+    val statsDir = statsPath(path)
+    // prior manifest: this directory's own by default; a PREVIOUS
+    // version's when the layout moved (Publish compaction creates a
+    // new version dir — its carried files' stats live with the old
+    // version until this refresh re-points them)
+    val priorDir = statsPath(priorFrom.getOrElse(path))
+    val onDisk = Compact.listDataFiles(path).map(_._1)
+    val havePrior = java.nio.file.Files.exists(java.nio.file.Paths.get(priorDir))
+    if (!havePrior) {
+      build(spark, path, cols, keyCols, fpp)
+      return (0, onDisk.size)
+    }
+    val base = "file:" + java.nio.file.Paths.get(path).toAbsolutePath + "/"
+    val prior = spark.read.parquet(priorDir)
+      .withColumn("__name", element_at(split(col("file"), "/"), -1))
+    val carried = prior
+      .where(col("__name").isin(onDisk: _*))
+      .withColumn("file", concat(lit(base), col("__name")))
+    val carriedNames = carried.select("__name").collect().map(_.getString(0)).toSet
+    val fresh = onDisk.filterNot(carriedNames)
+    val unioned =
+      if (fresh.isEmpty) carried.drop("__name")
+      else {
+        val freshStats = statsOf(
+          spark.read.parquet(fresh.map(n => s"$path/$n"): _*), cols, keyCols, fpp)
+        carried.drop("__name").unionByName(freshStats)
+      }
+    // the refreshed manifest is DERIVED from the one it replaces —
+    // stage, then swap (an overwrite of a table being read is a
+    // self-referential write Spark refuses, the q42 lesson)
+    val staging = statsDir + ".refresh"
+    unioned.write.mode("overwrite").parquet(staging)
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(statsDir)))
+      Sinks.deleteRecursively(java.nio.file.Paths.get(statsDir))
+    java.nio.file.Files.move(java.nio.file.Paths.get(staging),
+      java.nio.file.Paths.get(statsDir)): Unit
+    (carriedNames.size, fresh.size)
   }
 
   /** The files whose stats cannot RULE OUT every predicate — the

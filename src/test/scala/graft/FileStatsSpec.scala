@@ -104,6 +104,77 @@ class FileStatsSpec extends SparkSpec {
     }
   }
 
+  test("incremental refresh carries stat rows untouched and scans only new files") {
+    val sess = spark
+    import sess.implicits._
+    import graft.sources.{Compact, Publish}
+    val big = (1L to 20000L).map(i => (i, i * 3 % 997)).toDF("k", "v")
+    val small = (20001L to 21000L).map(i => (i, i * 3 % 997)).toDF("k", "v")
+    val root = Files.createTempDirectory("graft_fstats_inc").toString
+    try {
+      Publish.publishStaged(spark, root) { staging =>
+        Files.createDirectories(Paths.get(staging)): Unit
+        big.repartition(2).write.mode("append").parquet(staging)
+        small.repartition(24).write.mode("append").parquet(staging)
+      }: Unit
+      val v1 = Publish.currentVersion(root).get
+      val v1Dir = s"$root/v=$v1"
+      FileStats.build(spark, v1Dir, cols = Seq("v"), keyCols = Seq("k"))
+      val v1Stats = spark.read.parquet(FileStats.statsPath(v1Dir))
+        .select(element_at(split(col("file"), "/"), -1).as("name"),
+          col("n_rows"), col("min_v"), col("max_v"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+
+      val (_, carriedFiles, rewritten) = Compact.compactPublishedIncremental(
+        spark, root, targetBytes = 1L << 20, minBytes = 10000L)
+      val v2Dir = s"$root/v=${Publish.currentVersion(root).get}"
+      val (carried, scanned) = FileStats.buildIncremental(spark, v2Dir,
+        cols = Seq("v"), keyCols = Seq("k"), priorFrom = Some(v1Dir))
+      assert(carried == carriedFiles && carried == 2,
+        s"expected the 2 big files carried, got $carried")
+      assert(scanned < rewritten, s"scanned $scanned ≥ rewritten $rewritten")
+
+      // carried rows: same stat VALUES under the same file names,
+      // re-pointed at the new version dir
+      val v2Stats = spark.read.parquet(FileStats.statsPath(v2Dir))
+        .select(col("file"), element_at(split(col("file"), "/"), -1).as("name"),
+          col("n_rows"), col("min_v"), col("max_v")).collect()
+      v2Stats.filter(r => v1Stats.contains(r.getString(1))).foreach { r =>
+        assert(v1Stats(r.getString(1)) == ((r.getLong(2), r.getLong(3), r.getLong(4))),
+          s"carried stat row changed for ${r.getString(1)}")
+        assert(r.getString(0).contains(s"v=${Publish.currentVersion(root).get}"),
+          s"carried row not re-pointed: ${r.getString(0)}")
+      }
+
+      // after vacuuming the OLD version, pruning over the refreshed
+      // manifest still works and stays lossless — nothing references
+      // the dead paths
+      Publish.vacuum(root, keep = 0): Unit
+      val got = FileStats.prunedRead(spark, v2Dir, Seq(Between("v", 100L, 200L)))
+        .where(col("v").between(100L, 200L))
+      val want = big.unionByName(small).where(col("v").between(100L, 200L))
+      assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+      // key bloom carried over too: a present key must surface
+      assert(FileStats.prunedRead(spark, v2Dir, Seq(KeyIn("k", Seq(20500L))))
+        .where(col("k") === 20500L).count() == 1)
+    } finally {
+      graft.sources.Sinks.deleteRecursively(Paths.get(root))
+    }
+  }
+
+  test("q110: pruned aggregate over the maintained manifest equals the full scan") {
+    val out = SparkEntry.q110StatsMaintenance(spark, SfDir)
+    val want = Tables.events(spark, SfDir)
+      .where(col("value") >= 20.0 && col("value") <= 60.0)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value"), 6).cast("decimal(18,6)"))
+          .cast("double").as("sum_value"))
+    assert(out.exceptAll(want).count() == 0 && want.exceptAll(out).count() == 0,
+      "maintained-manifest pruned aggregate diverges from the full scan")
+  }
+
   test("q106: stats-pruned week range equals the full-scan filter") {
     val out = SparkEntry.q106StatsPrune(spark, SfDir)
     val lo = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
