@@ -57,6 +57,13 @@ import graft.operators.RangeJoin
   * Session confs: `spark.graft.rangeJoin.auto` (default true),
   * `spark.graft.rangeJoin.binWidth` (default 64),
   * `spark.graft.rangeJoin.maxBinsPerInterval` (default 4096).
+  *
+  * Degeneracy bound: binWidth must suit the axis (64 fits epoch-day
+  * and epoch-second data; a microsecond axis wants a conf bump). If
+  * EVERY interval overflows maxBins, the split routes both sides to
+  * the compensation join — i.e., the plan degenerates to the
+  * ORIGINAL nested loop plus empty bin/filter branches, never
+  * asymptotically worse than not rewriting.
   */
 case class IntervalOverlapRewrite(spark: SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper {
