@@ -1635,6 +1635,42 @@ object SparkEntry {
           .cast("double").as("sum_value"))
   }
 
+  /** q111: nearest-centroid label screening — the label-quality
+    * check a training-data pipeline runs before trusting its labels:
+    * classify every embedding by the nearest class mean (squared
+    * euclidean via ‖x‖² − 2x·c + ‖c‖², the q63 centroids in wide
+    * form) and emit the (label, predicted) confusion matrix; off-
+    * diagonal mass IS the mislabel-screen review population. Plan:
+    * centroids are |labels| rows → broadcast; the scan is one pass
+    * with the codegen'd graft_dot; argmin = min(struct(score, cand))
+    * — no window, no shuffle beyond the final tiny aggregate.
+    * Cross-engine exactness: centroids round at 1e-6 FIRST (the q63
+    * posture — identical inputs), then float→double widening is
+    * exact and both engines run the same index-order dot loops, so
+    * scores are bit-identical and the (score, cand) argmin needs no
+    * tolerance. */
+  def q111LabelScreen(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cent = emb
+      .select(col("label").as("cand"), posexplode(col("embedding")))
+      .groupBy("cand", "pos").agg(round(avg("col"), 6).as("c"))
+      .groupBy("cand").agg(
+        expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
+          .as("cv"))
+      .withColumn("cc", call_function("graft_dot", col("cv"), col("cv")))
+    val x = emb.select(col("vec_id"), col("label"),
+        expr("transform(embedding, v -> cast(v as double))").as("xd"))
+      .withColumn("xx", call_function("graft_dot", col("xd"), col("xd")))
+    x.crossJoin(broadcast(cent))
+      .withColumn("score",
+        col("xx") - lit(2.0d) * call_function("graft_dot", col("xd"), col("cv"))
+          + col("cc"))
+      .groupBy("vec_id", "label")
+      .agg(min(struct(col("score"), col("cand"))).as("m"))
+      .groupBy(col("label"), col("m.cand").as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** q102: funnel INSTANCES — MATCH_RECOGNIZE-lite over the event
     * stream ([[operators.Sequence.funnelInstances]]). q39 already
     * answers the USER grain (does a user ever convert?); this is the
@@ -2390,7 +2426,8 @@ object SparkEntry {
     "q107_funnel_measures"       -> (q107FunnelMeasures _),
     "q108_declared_range_join"   -> (q108DeclaredRangeJoin _),
     "q109_kmv_overlap"           -> (q109KmvOverlap _),
-    "q110_stats_maintenance"     -> (q110StatsMaintenance _)
+    "q110_stats_maintenance"     -> (q110StatsMaintenance _),
+    "q111_label_screen"          -> (q111LabelScreen _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -4120,6 +4157,40 @@ object SparkEntry {
         |  CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events
         |WHERE value >= 20.0 AND value <= 60.0
-        |GROUP BY event_type""".stripMargin
+        |GROUP BY event_type""".stripMargin,
+
+    "q111_label_screen" ->
+      """WITH cdim AS (
+        |  SELECT label AS cand, g.i AS i, ROUND(AVG(embedding[g.i]), 6) AS c
+        |  FROM embeddings,
+        |    LATERAL (SELECT UNNEST(generate_series(1, len(embedding))) AS i) g
+        |  GROUP BY 1, 2
+        |),
+        |cent AS (
+        |  SELECT cand, list(c ORDER BY i) AS cv FROM cdim GROUP BY 1
+        |),
+        |centc AS (
+        |  SELECT cand, cv, list_dot_product(cv, cv) AS cc FROM cent
+        |),
+        |x AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd
+        |  FROM embeddings
+        |),
+        |xx AS (
+        |  SELECT vec_id, label, xd, list_dot_product(xd, xd) AS xx FROM x
+        |),
+        |scored AS (
+        |  SELECT xx.vec_id, xx.label, centc.cand,
+        |    xx.xx - 2.0 * list_dot_product(xx.xd, centc.cv) + centc.cc AS score
+        |  FROM xx CROSS JOIN centc
+        |),
+        |pred AS (
+        |  SELECT vec_id, label, cand AS pred_label,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY score, cand) AS rk
+        |  FROM scored QUALIFY rk = 1
+        |)
+        |SELECT label, pred_label, COUNT(*) AS n
+        |FROM pred GROUP BY 1, 2""".stripMargin
   )
 }
