@@ -1671,6 +1671,60 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** q112: 3-dimensional z-order + the generic stats manifest
+    * ([[graft.sources.ZOrder.zValueN]] + [[graft.sources.FileStats]])
+    * — the two r8 skipping layers COMPOSED: events clustered along
+    * the k=3 Morton curve of (user bucket, value bucket, epoch-day
+    * bucket), with pruning served by FileStats' schema-driven
+    * `_fstats` sidecar instead of ZOrder's bespoke 2-D `_zstats` —
+    * one manifest format across layouts (the r9-ranked adapter,
+    * closed). A 3-D box (user × value × week) then reads only files
+    * whose three stat ranges all intersect it; the same full-scan
+    * oracle posture as q100/q106 hash-checks losslessness. At 100 TB
+    * this is the dashboard-slice shape: every dimension selective,
+    * no single dimension selective ENOUGH — the curve bounds all
+    * three per file where any linear layout bounds one. */
+  private def z3IndexedEvents(spark: SparkSession, dir: String): String =
+    graft.tools.Scratch.cachedArtifact(
+      "graft_z3idx", dir, s"$dir/events.parquet") { (tableDir, _) =>
+      val ev = Tables.events(spark, dir)
+      val bounds = ev.agg(
+        min("user_id").as("lu"), max("user_id").as("hu"),
+        min("value").as("lv"), max("value").as("hv"),
+        min(unix_date(to_date(col("ts")))).as("ld"),
+        max(unix_date(to_date(col("ts")))).as("hd")).collect()(0)
+      import graft.sources.ZOrder.{affineBucket, zValueN}
+      ev.withColumn("__z", zValueN(Seq(
+          affineBucket(col("user_id"), lit(bounds.get(0)), lit(bounds.get(1)), 6),
+          affineBucket(col("value"), lit(bounds.get(2)), lit(bounds.get(3)), 6),
+          affineBucket(unix_date(to_date(col("ts"))).cast("long"),
+            lit(bounds.get(4)), lit(bounds.get(5)), 6)), 6))
+        .repartitionByRange(32, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.parquet(tableDir)
+      graft.sources.FileStats.build(spark, tableDir,
+        cols = Seq("user_id", "value", "ts"))
+    }
+
+  def q112Zorder3Prune(spark: SparkSession, dir: String): DataFrame = {
+    val table = z3IndexedEvents(spark, dir)
+    val lo = java.sql.Timestamp.valueOf("2024-01-08 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    import graft.sources.FileStats.Between
+    graft.sources.FileStats.prunedRead(spark, table, Seq(
+        Between("user_id", 5L, 40L),
+        Between("value", 25.0, 75.0),
+        Between("ts", lo, hi)))
+      .where(col("user_id").between(5, 40) && col("value").between(25.0, 75.0)
+        && col("ts") >= lit(lo) && col("ts") <= lit(hi))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value"), 6).cast("decimal(18,6)"))
+          .cast("double").as("sum_value"))
+  }
+
   /** q102: funnel INSTANCES — MATCH_RECOGNIZE-lite over the event
     * stream ([[operators.Sequence.funnelInstances]]). q39 already
     * answers the USER grain (does a user ever convert?); this is the
@@ -2427,7 +2481,8 @@ object SparkEntry {
     "q108_declared_range_join"   -> (q108DeclaredRangeJoin _),
     "q109_kmv_overlap"           -> (q109KmvOverlap _),
     "q110_stats_maintenance"     -> (q110StatsMaintenance _),
-    "q111_label_screen"          -> (q111LabelScreen _)
+    "q111_label_screen"          -> (q111LabelScreen _),
+    "q112_zorder3_prune"         -> (q112Zorder3Prune _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -4191,6 +4246,16 @@ object SparkEntry {
         |  FROM scored QUALIFY rk = 1
         |)
         |SELECT label, pred_label, COUNT(*) AS n
-        |FROM pred GROUP BY 1, 2""".stripMargin
+        |FROM pred GROUP BY 1, 2""".stripMargin,
+
+    "q112_zorder3_prune" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE user_id BETWEEN 5 AND 40
+        |  AND value >= 25.0 AND value <= 75.0
+        |  AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-08 00:00:00'
+        |  AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY event_type""".stripMargin
   )
 }

@@ -46,12 +46,25 @@ object ZOrder {
   /** Morton/Z-value: interleave the low `bits` bits of two bucket
     * ids (`a` into odd positions, `b` into even). Pure column
     * algebra — shifts and masks, codegen'd, no UDF. */
-  def zValue(a: Column, b: Column, bits: Int): Column = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
-    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
-        .bitwiseOR(shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i))
+  def zValue(a: Column, b: Column, bits: Int): Column =
+    zValueN(Seq(a, b), bits)
+
+  /** k-ary Morton interleave — the N-dimensional curve: bit `i` of
+    * dimension `j` lands at position `i·k + (k−1−j)`, so the FIRST
+    * listed column owns the most-significant bit of every group
+    * (k = 2 reproduces [[zValue]]'s odd/even layout exactly). Same
+    * pure column algebra; `bits·k` must fit a long. */
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    val k = cols.length
+    require(k >= 1, "zValueN needs at least one column")
+    require(bits >= 1 && bits * k <= 63,
+      s"bits·dims must fit a long: bits=$bits dims=$k")
+    cols.zipWithIndex.foldLeft(lit(0L)) { case (acc, (c, j)) =>
+      (0 until bits).foldLeft(acc) { (a, i) =>
+        a.bitwiseOR(shiftleft(
+          shiftright(c.cast("long"), i).bitwiseAND(lit(1L)),
+          i * k + (k - 1 - j)))
+      }
     }
   }
 

@@ -27,6 +27,44 @@ class ZOrderSpec extends SparkSpec {
     assert(zz == Seq(0L, 63L))
   }
 
+  test("zValueN: hand-computed 3-ary interleave; k=2 reproduces zValue") {
+    // a=1,b=1,c=1 at bits=2: bit 0 of each lands at positions 2,1,0
+    // (a most significant within the group) → 0b111 = 7
+    val got = Seq((1L, 1L, 1L)).toDF("a", "b", "c")
+      .select(ZOrder.zValueN(Seq(col("a"), col("b"), col("c")), 2).as("z"))
+      .collect()(0).getLong(0)
+    assert(got == 7L)
+    // a=2 (10b), b=0, c=1: a's bit1 → pos 1*3+2=5, c's bit0 → pos 0
+    // → 100001b = 33
+    val got2 = Seq((2L, 0L, 1L)).toDF("a", "b", "c")
+      .select(ZOrder.zValueN(Seq(col("a"), col("b"), col("c")), 2).as("z"))
+      .collect()(0).getLong(0)
+    assert(got2 == 33L)
+    // delegation: zValue(a,b) ≡ zValueN(Seq(a,b)) on a sweep
+    val eq = spark.range(256L).select(
+        (col("id") % 16).as("a"), (col("id") / 16).cast("long").as("b"))
+      .where(ZOrder.zValue(col("a"), col("b"), 4) =!=
+        ZOrder.zValueN(Seq(col("a"), col("b")), 4))
+      .count()
+    assert(eq == 0L, "k=2 zValueN diverged from zValue")
+  }
+
+  test("q112: 3-D box over the z3 layout equals the full-scan filter, and skips") {
+    val out = SparkEntry.q112Zorder3Prune(spark, SfDir)
+    val lo = java.sql.Timestamp.valueOf("2024-01-08 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val want = Tables.events(spark, SfDir)
+      .where(col("user_id").between(5, 40) && col("value").between(25.0, 75.0)
+        && col("ts") >= lit(lo) && col("ts") <= lit(hi))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value"), 6).cast("decimal(18,6)"))
+          .cast("double").as("sum_value"))
+    assert(out.exceptAll(want).count() == 0 && want.exceptAll(out).count() == 0,
+      "z3 pruned aggregate diverges from the full scan")
+  }
+
   test("affineBucket: bounds land inside [0, 2^bits)") {
     val df = Seq(0.0, 127.5, 255.0).toDF("v")
       .select(ZOrder.affineBucket(col("v"), lit(0.0), lit(255.0), 8).as("b"))
