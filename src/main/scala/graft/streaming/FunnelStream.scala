@@ -69,21 +69,33 @@ object FunnelStream {
   private def tsUs(t: java.sql.Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000L + (t.getNanos / 1000L) % 1000000L
 
-  /** One group invocation — new data and timeout wake-ups share the
-    * same path: merge, order, process the ≤-watermark prefix, settle
-    * deadline failures, re-arm. */
-  private[streaming] def update(anchorType: String, steps: List[(String, Long)])(
+  /** One settled step of the automaton, API-agnostic: what settled,
+    * what stays buffered, what stays open, and the earliest
+    * microsecond the watermark must pass to make more progress. */
+  private[streaming] final case class Advance(
+      settled: List[FunnelMatch],
+      hold: Seq[FunnelBuf],
+      alive: List[FunnelOpen],
+      wakeUs: Option[Long])
+
+  /** The binding automaton — shared verbatim by the
+    * flatMapGroupsWithState form (S19) and the transformWithState
+    * form (S21), so the two APIs cannot drift semantically: merge,
+    * order, process the <-watermark prefix, settle deadline
+    * failures, report the next wake point. */
+  private[streaming] def advance(
+      anchorType: String,
+      steps: List[(String, Long)],
       userId: Long,
-      rows: Iterator[FunnelEv],
-      state: GroupState[FunnelState]): Iterator[FunnelMatch] = {
-    val prev = state.getOption.getOrElse(FunnelState(Nil, Nil))
-    val incoming = rows.map(e => FunnelBuf(tsUs(e.ts), e.event_id, e.event_type))
-    val cutoffUs = state.getCurrentWatermarkMs * 1000L
-    val (ready, hold) = (prev.buffer ++ incoming)
+      buffered: Seq[FunnelBuf],
+      incoming: Seq[FunnelBuf],
+      prevOpen: Seq[FunnelOpen],
+      cutoffUs: Long): Advance = {
+    val (ready, hold) = (buffered ++ incoming)
       .sortBy(b => (b.tsUs, b.eventId))
       .partition(_.tsUs < cutoffUs)
 
-    var open = prev.open.toList
+    var open = prevOpen.toList
     val settled = List.newBuilder[FunnelMatch]
     def pending(o: FunnelOpen): Int = o.boundUs.length
     def prevT(o: FunnelOpen): Long = o.boundUs.lastOption.getOrElse(o.t0Us)
@@ -113,21 +125,40 @@ object FunnelStream {
     val (dead, alive) = open.partition(o => prevT(o) + steps(pending(o))._2 < cutoffUs)
     dead.foreach(settle)
 
-    if (alive.isEmpty && hold.isEmpty) {
+    // wake at the earliest thing the watermark can settle: a pending
+    // deadline (failure emission) OR the earliest BUFFERED event (a
+    // group whose chain exists only in the buffer gets no more
+    // data-driven invocations — without this wake it would sleep
+    // forever)
+    val wake = (alive.map(o => prevT(o) + steps(pending(o))._2) ++
+      hold.headOption.map(_.tsUs)).minOption
+    Advance(settled.result(), hold, alive, wake)
+  }
+
+  /** One group invocation — new data and timeout wake-ups share the
+    * same path. */
+  private[streaming] def update(anchorType: String, steps: List[(String, Long)])(
+      userId: Long,
+      rows: Iterator[FunnelEv],
+      state: GroupState[FunnelState]): Iterator[FunnelMatch] = {
+    val prev = state.getOption.getOrElse(FunnelState(Nil, Nil))
+    val incoming = rows.map(e => FunnelBuf(tsUs(e.ts), e.event_id, e.event_type)).toSeq
+    val cutoffUs = state.getCurrentWatermarkMs * 1000L
+    val a = advance(anchorType, steps, userId, prev.buffer, incoming, prev.open, cutoffUs)
+
+    if (a.alive.isEmpty && a.hold.isEmpty) {
       if (state.exists) state.remove()
     } else {
-      state.update(FunnelState(hold, alive))
-      // wake at the earliest thing the watermark can settle: a
-      // pending deadline (failure emission) OR the earliest BUFFERED
-      // event (a group whose chain exists only in the buffer gets no
-      // more data-driven invocations — without this wake it would
-      // sleep forever); clamp above the watermark (Spark rejects a
-      // timeout at-or-behind it)
-      val wake = (alive.map(o => prevT(o) + steps(pending(o))._2) ++
-        hold.headOption.map(_.tsUs)).min
-      state.setTimeoutTimestamp(
-        math.max(wake / 1000L + 1L, state.getCurrentWatermarkMs + 1L))
+      state.update(FunnelState(a.hold, a.alive))
+      // clamp above the watermark (Spark rejects a timeout at-or-behind it)
+      a.wakeUs.foreach { w =>
+        state.setTimeoutTimestamp(
+          math.max(w / 1000L + 1L, state.getCurrentWatermarkMs + 1L))
+      }
     }
-    settled.result().iterator
+    a.settled.iterator
   }
+
+  private[streaming] def toBuf(e: FunnelEv): FunnelBuf =
+    FunnelBuf(tsUs(e.ts), e.event_id, e.event_type)
 }

@@ -75,6 +75,57 @@ class FunnelStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("S21: the transformWithState port settles the panel identically") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    var id = 0L
+    def ev(u: Long, us: Long, t: String): FunnelEv = {
+      id += 1; FunnelEv(u, ts(us), id, t)
+    }
+    val chop1 = Seq(
+      ev(1L, 1 * S, "A"), ev(1L, 4 * S, "C"),
+      ev(2L, 1 * S, "A"), ev(2L, 8 * S, "B"),
+      ev(3L, 1 * S, "A"), ev(3L, 2 * S, "B"),
+      ev(4L, 1 * S, "A"), ev(4L, 2 * S, "B"),
+      ev(5L, 1 * S, "B"),
+      ev(6L, 1 * S, "A"), ev(6L, 1 * S, "B"), ev(6L, 2 * S, "B"))
+    val chop2 = Seq(ev(1L, 3 * S, "B"), ev(3L, 9 * S, "C"))
+    val sentinels = Seq(Seq(ev(99L, 1000 * S, "noop")),
+      Seq(ev(99L, 1001 * S, "noop")))
+
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[FunnelEv]
+      val query = graft.streaming.FunnelStreamV2(mem.toDS(), "A",
+          steps = Seq(("B", 5 * S), ("C", 5 * S)), watermarkDelay = "10 seconds")
+        .writeStream.format("memory").queryName("s21_panel")
+        .outputMode("append").start()
+      try {
+        mem.addData(chop1)
+        query.processAllAvailable()
+        mem.addData(chop2)
+        query.processAllAvailable()
+        sentinels.foreach { s => mem.addData(s); query.processAllAvailable() }
+
+        // identical settle set to the S19 panel expectation — the
+        // shared automaton leaves the APIs nothing to disagree on
+        assert(collectMatches("s21_panel") == Seq(
+          (1L, 1 * S, Seq(3 * S, 4 * S), 3),
+          (2L, 1 * S, Nil, 1),
+          (3L, 1 * S, Seq(2 * S), 2),
+          (4L, 1 * S, Seq(2 * S), 2),
+          (6L, 1 * S, Seq(2 * S), 2)))
+      } finally query.stop()
+    } finally {
+      oldProvider.fold(spark.conf.unset(providerKey))(
+        spark.conf.set(providerKey, _))
+    }
+  }
+
   test("S19r: buffered chains survive a kill-and-restart") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
