@@ -1725,6 +1725,57 @@ object SparkEntry {
           .cast("double").as("sum_value"))
   }
 
+  /** q113: sequence ALTERNATION — the `(B|C) then C` chain: step
+    * predicates are arbitrary Columns, so alternation is just an
+    * isin() predicate; this registry entry exercises it under the
+    * hash gate (the operator supported it from day one — q102 only
+    * demoed type equality). An engagement event (view OR purchase)
+    * within 3 days, then a purchase within 7 days of it — note a
+    * purchase may legally bind BOTH steps' roles across different
+    * instances, and the strictly-after rule keeps one event from
+    * binding both steps of the same instance. */
+  def q113FunnelAlternation(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    Sequence.funnelInstances(
+        ev, Seq("user_id"), "ts",
+        anchorPredicate = col("event_type") === "signup",
+        anchorCols = Seq("event_id"),
+        steps = Seq(
+          Sequence.Step("t1", col("event_type").isin("view", "purchase"),
+            3L * 86400000000L),
+          Sequence.Step("t2", col("event_type") === "purchase",
+            7L * 86400000000L)))
+      .select(
+        col("event_id").as("anchor_id"), col("user_id"),
+        col("t0"), col("t1"), col("t2"),
+        (lit(1L) + when(col("t1").isNotNull, 1L).otherwise(0L)
+          + when(col("t2").isNotNull, 1L).otherwise(0L)).as("steps_done"))
+  }
+
+  /** q114: LONGEST-match sequence binding
+    * ([[operators.Sequence.funnelInstancesLongest]]) — the greedy
+    * counterpart of q102: each step binds the LAST qualifying event
+    * in its window `(prev, prev+gap]` (one BACKWARD as-of at the
+    * window deadline per step — still a single keyed shuffle each),
+    * and an out-of-window qualifier cannot fail an instance that has
+    * an in-window one. Oracle: MAX over the window in SQL, the
+    * mirror of q102's MIN-then-gate. */
+  def q114FunnelLongest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    Sequence.funnelInstancesLongest(
+        ev, Seq("user_id"), "ts",
+        anchorPredicate = col("event_type") === "signup",
+        anchorCols = Seq("event_id"),
+        steps = Seq(
+          Sequence.Step("t1", col("event_type") === "view", 3L * 86400000000L),
+          Sequence.Step("t2", col("event_type") === "purchase", 7L * 86400000000L)))
+      .select(
+        col("event_id").as("anchor_id"), col("user_id"),
+        col("t0"), col("t1"), col("t2"),
+        (lit(1L) + when(col("t1").isNotNull, 1L).otherwise(0L)
+          + when(col("t2").isNotNull, 1L).otherwise(0L)).as("steps_done"))
+  }
+
   /** q102: funnel INSTANCES — MATCH_RECOGNIZE-lite over the event
     * stream ([[operators.Sequence.funnelInstances]]). q39 already
     * answers the USER grain (does a user ever convert?); this is the
@@ -2482,7 +2533,9 @@ object SparkEntry {
     "q109_kmv_overlap"           -> (q109KmvOverlap _),
     "q110_stats_maintenance"     -> (q110StatsMaintenance _),
     "q111_label_screen"          -> (q111LabelScreen _),
-    "q112_zorder3_prune"         -> (q112Zorder3Prune _)
+    "q112_zorder3_prune"         -> (q112Zorder3Prune _),
+    "q113_funnel_alternation"    -> (q113FunnelAlternation _),
+    "q114_funnel_longest"        -> (q114FunnelLongest _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -4256,6 +4309,80 @@ object SparkEntry {
         |  AND value >= 25.0 AND value <= 75.0
         |  AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-08 00:00:00'
         |  AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-15 00:00:00'
-        |GROUP BY event_type""".stripMargin
+        |GROUP BY event_type""".stripMargin,
+
+    "q113_funnel_alternation" ->
+      """WITH a AS (
+        |  SELECT event_id AS anchor_id, user_id, CAST(ts AS TIMESTAMP) AS t0
+        |  FROM events WHERE event_type = 'signup'
+        |),
+        |s1 AS (
+        |  SELECT a.anchor_id, MIN(CAST(v.ts AS TIMESTAMP)) AS t1raw
+        |  FROM a JOIN events v
+        |    ON v.user_id = a.user_id AND v.event_type IN ('view', 'purchase')
+        |   AND CAST(v.ts AS TIMESTAMP) > a.t0
+        |  GROUP BY 1
+        |),
+        |w1 AS (
+        |  SELECT a.anchor_id, a.user_id, a.t0,
+        |    CASE WHEN date_diff('microseconds', t0, t1raw) <= 259200000000
+        |         THEN t1raw END AS t1
+        |  FROM a LEFT JOIN s1 USING (anchor_id)
+        |),
+        |s2 AS (
+        |  SELECT w1.anchor_id, MIN(CAST(p.ts AS TIMESTAMP)) AS t2raw
+        |  FROM w1 JOIN events p
+        |    ON p.user_id = w1.user_id AND p.event_type = 'purchase'
+        |   AND CAST(p.ts AS TIMESTAMP) > w1.t1
+        |  WHERE w1.t1 IS NOT NULL
+        |  GROUP BY 1
+        |),
+        |w2 AS (
+        |  SELECT w1.*,
+        |    CASE WHEN date_diff('microseconds', t1, t2raw) <= 604800000000
+        |         THEN t2raw END AS t2
+        |  FROM w1 LEFT JOIN s2 USING (anchor_id)
+        |)
+        |SELECT anchor_id, user_id, t0, t1, t2,
+        |  CAST(1 + CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+        |         + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS steps_done
+        |FROM w2""".stripMargin,
+
+    "q114_funnel_longest" ->
+      """WITH a AS (
+        |  SELECT event_id AS anchor_id, user_id, CAST(ts AS TIMESTAMP) AS t0
+        |  FROM events WHERE event_type = 'signup'
+        |),
+        |w1 AS (
+        |  SELECT a.anchor_id, a.user_id, a.t0, s1.t1
+        |  FROM a LEFT JOIN (
+        |    SELECT a.anchor_id, MAX(CAST(v.ts AS TIMESTAMP)) AS t1
+        |    FROM a JOIN events v
+        |      ON v.user_id = a.user_id AND v.event_type = 'view'
+        |     AND CAST(v.ts AS TIMESTAMP) > a.t0
+        |     AND date_diff('microseconds', a.t0, CAST(v.ts AS TIMESTAMP))
+        |         <= 259200000000
+        |    GROUP BY 1
+        |  ) s1 USING (anchor_id)
+        |),
+        |w2 AS (
+        |  SELECT w1.*, s2.t2
+        |  FROM w1 LEFT JOIN (
+        |    SELECT w1.anchor_id, MAX(CAST(p.ts AS TIMESTAMP)) AS t2
+        |    FROM w1 JOIN events p
+        |      ON p.user_id = w1.user_id AND p.event_type = 'purchase'
+        |     AND w1.t1 IS NOT NULL
+        |     AND CAST(p.ts AS TIMESTAMP) > w1.t1
+        |     AND date_diff('microseconds', w1.t1, CAST(p.ts AS TIMESTAMP))
+        |         <= 604800000000
+        |    GROUP BY 1
+        |  ) s2 USING (anchor_id)
+        |)
+        |SELECT anchor_id, user_id, t0, t1, t2,
+        |  CAST(1 + CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+        |         + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS steps_done
+        |FROM w2""".stripMargin
   )
 }

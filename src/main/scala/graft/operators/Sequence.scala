@@ -85,4 +85,48 @@ object Sequence {
         step.outCol)
     }._1
   }
+
+  /** LONGEST-match variant: each step binds the LAST qualifying
+    * event inside its window `(prev, prev + maxGap]` — the greedy
+    * tail MATCH_RECOGNIZE's `B*` reluctant/greedy distinction is
+    * about. Semantics differ from [[funnelInstances]] in two ways:
+    * the bound time is the window's last qualifier (not its first),
+    * and an out-of-gap qualifier can never fail-fast an instance
+    * that has an in-window qualifier (there is no "first candidate
+    * arrived too late" — only "no candidate in the window"). Same
+    * plan shape: one BACKWARD as-of join per step, probing at the
+    * window's deadline — a single keyed shuffle each. */
+  def funnelInstancesLongest(
+      events: DataFrame,
+      keys: Seq[String],
+      timeCol: String,
+      anchorPredicate: Column,
+      anchorCols: Seq[String],
+      steps: Seq[Step]): DataFrame = {
+    require(steps.nonEmpty, "a sequence needs at least one step")
+    val stepCols = steps.map(_.outCol)
+    require(stepCols.distinct == stepCols, "step output columns must be distinct")
+
+    val anchors = events.where(anchorPredicate)
+      .select((keys ++ anchorCols).map(col) :+ col(timeCol).as("t0"): _*)
+
+    steps.foldLeft((anchors, "t0")) { case ((acc, prevT), step) =>
+      val live = acc.where(col(prevT).isNotNull)
+        .withColumn("__probe_t",
+          timestamp_micros(unix_micros(col(prevT)) + step.maxGapMicros))
+      val dead = acc.where(col(prevT).isNull)
+        .withColumn(step.outCol, lit(null).cast("timestamp"))
+      val quotes = events.where(step.predicate)
+        .select(keys.map(col) :+ col(timeCol).as(step.outCol): _*)
+      // backward-inclusive as-of at the deadline = the LAST qualifier
+      // ≤ prev + gap; strictly-after enforced by nulling ≤ prev
+      val joined = AsOfJoin.asOf(
+          live, quotes, keys, "__probe_t", step.outCol, payload = Nil)
+        .withColumn(step.outCol,
+          when(col(step.outCol) > col(prevT), col(step.outCol)))
+        .drop("__probe_t")
+      (joined.unionByName(dead.drop("__probe_t"), allowMissingColumns = false),
+        step.outCol)
+    }._1
+  }
 }

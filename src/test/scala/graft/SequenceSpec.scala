@@ -61,6 +61,57 @@ class SequenceSpec extends SparkSpec {
       (3L, 1000L, 1200L, -1L)))
   }
 
+  test("longest-match: binds the window's LAST qualifier, never fail-fasts in-window") {
+    val sess = spark
+    import sess.implicits._
+    val ev = Seq(
+      // u1: two Bs in window → longest binds the later (3000), first
+      // binds the earlier (2000); C after either
+      (1L, 1000L, "A"), (1L, 2000L, "B"), (1L, 3000L, "B"), (1L, 3500L, "C"),
+      // u2: in-window B at 1500 AND out-of-window B at 9000 — FIRST
+      // would bind 1500 (in gap, fine); make the contrast real: the
+      // first qualifier is OUT of window (u3) vs longest still binds
+      (2L, 1000L, "A"), (2L, 1500L, "B"),
+      // u3: first qualifying B is past the gap (fail-fast under
+      // first-match), but NO in-window B exists → both forms null
+      (3L, 1000L, "A"), (3L, 9000L, "B"))
+      .toDF("user_id", "us", "event_type")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"), col("event_type"))
+
+    def run(longest: Boolean) = {
+      val steps = Seq(
+        Sequence.Step("t1", col("event_type") === "B", 2500L),
+        Sequence.Step("t2", col("event_type") === "C", 2000L))
+      val out =
+        if (longest) Sequence.funnelInstancesLongest(
+          ev, Seq("user_id"), "ts", col("event_type") === "A", Nil, steps)
+        else Sequence.funnelInstances(
+          ev, Seq("user_id"), "ts", col("event_type") === "A", Nil, steps)
+      out.select(col("user_id"), unix_micros(col("t1")).as("b1"),
+          unix_micros(col("t2")).as("b2"))
+        .collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    }
+    assert(run(longest = false) == Set(
+      (1L, 2000L, 3500L), (2L, 1500L, -1L), (3L, -1L, -1L)))
+    assert(run(longest = true) == Set(
+      (1L, 3000L, 3500L), (2L, 1500L, -1L), (3L, -1L, -1L)))
+  }
+
+  test("q114 longest bind times are ≥ q102's wherever both bind") {
+    val first = SparkEntry.q102FunnelInstances(spark, SfDir)
+      .select(col("anchor_id"), col("t1").as("f1"))
+    val longest = SparkEntry.q114FunnelLongest(spark, SfDir)
+      .select(col("anchor_id"), col("t1").as("l1"))
+    val both = first.join(longest, "anchor_id")
+      .where(col("f1").isNotNull && col("l1").isNotNull)
+    assert(both.count() > 0)
+    assert(both.where(col("l1") < col("f1")).count() == 0,
+      "longest bound earlier than first")
+  }
+
   test("q107: as-of count-difference measures equal the interval join") {
     val ev = Tables.events(spark, SfDir)
     val got = SparkEntry.q107FunnelMeasures(spark, SfDir)
