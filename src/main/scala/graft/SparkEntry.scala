@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.operators._
-import graft.similarity.{Ann, Dedup, Overlap}
+import graft.similarity.{Ann, Dedup, Overlap, Pq}
 import graft.text.TextOps
 import graft.multimodal.Multimodal
 import graft.sources.Ingest
@@ -26,6 +26,79 @@ object SparkEntry {
   // ---------------------------------------------------------------
   // shared oracle CTEs (events → transfers/prices mapping)
   // ---------------------------------------------------------------
+  /** The PQ training loop (q115/q116 oracles): stride-seeded init +
+    * TWO Lloyd rounds, each an assign/update CTE block — the full
+    * iterative algorithm re-derived by DuckDB (the q84 chained-CTE
+    * posture applied to k-means). */
+  private val pqTrainingCte =
+    """v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings
+      |),
+      |sv AS (
+      |  SELECT vec_id, CAST(g.s AS INT) AS sub,
+      |    e[g.s*8+1 : g.s*8+8] AS subvec
+      |  FROM v, LATERAL (SELECT UNNEST(generate_series(0, 7)) AS s) g
+      |),
+      |seeds AS (
+      |  SELECT vec_id, CAST(rk - 1 AS INT) AS code FROM (
+      |    SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rk
+      |    FROM embeddings)
+      |  WHERE rk <= 16
+      |),
+      |cb0 AS (
+      |  SELECT sub, code, list_transform(subvec, x -> round(x, 6)) AS cvec
+      |  FROM sv JOIN seeds USING (vec_id)
+      |),
+      |sc0 AS (
+      |  SELECT s.vec_id, s.sub, c.code,
+      |    round(list_dot_product(s.subvec, s.subvec)
+      |      - 2.0 * list_dot_product(s.subvec, c.cvec)
+      |      + list_dot_product(c.cvec, c.cvec), 6) AS d
+      |  FROM sv s JOIN cb0 c USING (sub)
+      |),
+      |as0 AS (
+      |  SELECT vec_id, sub, code FROM (
+      |    SELECT vec_id, sub, code,
+      |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rk
+      |    FROM sc0) WHERE rk = 1
+      |),
+      |up0 AS (
+      |  SELECT a.sub, a.code, g.i AS pos, round(AVG(s.subvec[g.i]), 6) AS c
+      |  FROM as0 a JOIN sv s ON s.vec_id = a.vec_id AND s.sub = a.sub,
+      |    LATERAL (SELECT UNNEST(generate_series(1, 8)) AS i) g
+      |  GROUP BY 1, 2, 3
+      |),
+      |uv0 AS (SELECT sub, code, list(c ORDER BY pos) AS newvec FROM up0 GROUP BY 1, 2),
+      |cb1 AS (
+      |  SELECT c.sub, c.code, COALESCE(u.newvec, c.cvec) AS cvec
+      |  FROM cb0 c LEFT JOIN uv0 u USING (sub, code)
+      |),
+      |sc1 AS (
+      |  SELECT s.vec_id, s.sub, c.code,
+      |    round(list_dot_product(s.subvec, s.subvec)
+      |      - 2.0 * list_dot_product(s.subvec, c.cvec)
+      |      + list_dot_product(c.cvec, c.cvec), 6) AS d
+      |  FROM sv s JOIN cb1 c USING (sub)
+      |),
+      |as1 AS (
+      |  SELECT vec_id, sub, code FROM (
+      |    SELECT vec_id, sub, code,
+      |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rk
+      |    FROM sc1) WHERE rk = 1
+      |),
+      |up1 AS (
+      |  SELECT a.sub, a.code, g.i AS pos, round(AVG(s.subvec[g.i]), 6) AS c
+      |  FROM as1 a JOIN sv s ON s.vec_id = a.vec_id AND s.sub = a.sub,
+      |    LATERAL (SELECT UNNEST(generate_series(1, 8)) AS i) g
+      |  GROUP BY 1, 2, 3
+      |),
+      |uv1 AS (SELECT sub, code, list(c ORDER BY pos) AS newvec FROM up1 GROUP BY 1, 2),
+      |cb2 AS (
+      |  SELECT c.sub, c.code, COALESCE(u.newvec, c.cvec) AS cvec
+      |  FROM cb1 c LEFT JOIN uv1 u USING (sub, code)
+      |)""".stripMargin
+
   private val transfersCte =
     """transfers AS (
       |  SELECT event_type AS asset, user_id AS wallet, CAST(ts AS DATE) AS date,
@@ -1776,6 +1849,48 @@ object SparkEntry {
           + when(col("t2").isNotNull, 1L).otherwise(0L)).as("steps_done"))
   }
 
+  /** q115: product-quantization codebook ([[similarity.Pq]]) — the
+    * compressed-domain embedding index's training step: d=64 vectors
+    * split into m=8 sub-spaces, K=16 centroids each, TWO Lloyd
+    * rounds from a vec_id-stride init. The q111 determinism posture
+    * extended to an ITERATIVE algorithm: no RNG, index-order dot
+    * products, argmin on (round(dist,6), code), centroids rounded at
+    * 1e-6 between rounds — so DuckDB re-derives the entire training
+    * loop (chained CTEs, one block per Lloyd round) and the CODEBOOK
+    * ITSELF is hash-gated, where PQ implementations normally settle
+    * for recall specs. Emitted long-form (sub, code, dim, c). */
+  private val PqM = 8
+  private val PqDsub = 8
+  private val PqK = 16
+
+  private def pqCodebook(spark: SparkSession, dir: String): DataFrame =
+    Pq.trainCodebook(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      m = PqM, dsub = PqDsub, k = PqK, iters = 2)
+
+  def q115PqCodebook(spark: SparkSession, dir: String): DataFrame =
+    pqCodebook(spark, dir)
+      .select(col("sub"), col("code"), posexplode(col("cvec")))
+      .select(col("sub"), col("code"), col("pos").as("dim"), col("col").as("c"))
+
+  /** q116: PQ asymmetric-distance kNN — the search step over q115's
+    * codebook: every vector stored as m=8 one-byte codes, each probe
+    * building its |m·K| lookup table once and scanning CODES, never
+    * vectors (64 floats → 8 bytes is what lets an embedding index
+    * fit memory at corpus scale). ADC distances round at 1e-6 (the
+    * r1 rule: sum order differs across engines), rank ties break on
+    * vec_id — the top-5 lists are hash-gated end-to-end through the
+    * same chained-CTE oracle. */
+  def q116PqAdcKnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val codebook = pqCodebook(spark, dir)
+    val codes = Pq.assign(
+      Pq.subVectors(emb, "vec_id", "embedding", PqM, PqDsub), codebook, "vec_id")
+    val probes = emb.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    Pq.adcKnn(probes, "probe_id", "embedding", codes, "vec_id",
+      codebook, PqM, PqDsub, topK = 5)
+  }
+
   /** q102: funnel INSTANCES — MATCH_RECOGNIZE-lite over the event
     * stream ([[operators.Sequence.funnelInstances]]). q39 already
     * answers the USER grain (does a user ever convert?); this is the
@@ -2535,7 +2650,9 @@ object SparkEntry {
     "q111_label_screen"          -> (q111LabelScreen _),
     "q112_zorder3_prune"         -> (q112Zorder3Prune _),
     "q113_funnel_alternation"    -> (q113FunnelAlternation _),
-    "q114_funnel_longest"        -> (q114FunnelLongest _)
+    "q114_funnel_longest"        -> (q114FunnelLongest _),
+    "q115_pq_codebook"           -> (q115PqCodebook _),
+    "q116_pq_adc_knn"            -> (q116PqAdcKnn _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -4383,6 +4500,47 @@ object SparkEntry {
         |  CAST(1 + CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
         |         + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
         |    AS steps_done
-        |FROM w2""".stripMargin
+        |FROM w2""".stripMargin,
+
+    "q115_pq_codebook" ->
+      s"""WITH $pqTrainingCte
+         |SELECT sub, code, CAST(g.i - 1 AS INT) AS dim, cvec[g.i] AS c
+         |FROM cb2, LATERAL (SELECT UNNEST(generate_series(1, 8)) AS i) g""".stripMargin,
+
+    "q116_pq_adc_knn" ->
+      s"""WITH $pqTrainingCte,
+         |sc2 AS (
+         |  SELECT s.vec_id, s.sub, c.code,
+         |    round(list_dot_product(s.subvec, s.subvec)
+         |      - 2.0 * list_dot_product(s.subvec, c.cvec)
+         |      + list_dot_product(c.cvec, c.cvec), 6) AS d
+         |  FROM sv s JOIN cb2 c USING (sub)
+         |),
+         |codes AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT vec_id, sub, code,
+         |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rk
+         |    FROM sc2) WHERE rk = 1
+         |),
+         |psv AS (
+         |  SELECT vec_id AS probe_id, sub, subvec FROM sv WHERE vec_id % 100 = 0
+         |),
+         |lut AS (
+         |  SELECT p.probe_id, p.sub, c.code,
+         |    list_dot_product(p.subvec, p.subvec)
+         |      - 2.0 * list_dot_product(p.subvec, c.cvec)
+         |      + list_dot_product(c.cvec, c.cvec) AS pd
+         |  FROM psv p JOIN cb2 c USING (sub)
+         |),
+         |ad AS (
+         |  SELECT l.probe_id, k.vec_id, round(SUM(l.pd), 6) AS adist
+         |  FROM codes k JOIN lut l ON l.sub = k.sub AND l.code = k.code
+         |  GROUP BY 1, 2
+         |)
+         |SELECT probe_id, CAST(rk AS INT) AS rank, vec_id, adist FROM (
+         |  SELECT probe_id, vec_id, adist,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rk
+         |  FROM ad)
+         |WHERE rk <= 5""".stripMargin
   )
 }

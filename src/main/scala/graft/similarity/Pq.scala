@@ -1,0 +1,120 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization — compressed-domain kNN for embedding
+  * corpora, the memory-side complement of IVF: split each d-dim
+  * vector into `m` sub-vectors, learn a small codebook (K centroids)
+  * per sub-space with Lloyd's algorithm, store each vector as `m`
+  * one-byte codes, and answer kNN with ASYMMETRIC distances (exact
+  * query sub-vector vs quantized database sub-vector) summed from a
+  * per-query lookup table — Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search" (TPAMI 2011). At 100 TB this is what
+  * makes an embedding index FIT: 64 floats become 8 bytes, and the
+  * scan reads codes, not vectors.
+  *
+  * Everything here is DETERMINISTIC and cross-engine — the repo's
+  * q111 posture extended to an iterative algorithm: initial
+  * centroids are a vec_id-stride sample (no RNG), every distance is
+  * the ‖x‖²−2x·c+‖c‖² form over index-order dot products
+  * (`graft_dot` / DuckDB `list_dot_product` — identical IEEE
+  * sums), assignments argmin on (round(dist,6), code), and updated
+  * centroids round at 1e-6 before the next iteration so both
+  * engines re-derive bit-identical codebooks, codes, and ADC
+  * distances — the whole PQ family sits under the hash gate instead
+  * of a recall-only spec.
+  *
+  * Plan shape: the codebook is |m·K| rows (a broadcast everywhere it
+  * joins); training and encoding are one |vectors·m|-row long-form
+  * pass per Lloyd iteration (sub-vector slices, NOT per-dim
+  * explosion, so dot products stay inside codegen); nothing is ever
+  * collected to the driver.
+  */
+object Pq {
+
+  /** Sub-vector slices in long form: (idCol, sub, subvec) with
+    * `subvec` = dims [sub·dsub, (sub+1)·dsub) widened to double. */
+  def subVectors(vecs: DataFrame, idCol: String, vecCol: String,
+      m: Int, dsub: Int): DataFrame = {
+    val subs = (0 until m).map { s =>
+      struct(lit(s).as("sub"),
+        expr(s"transform(slice($vecCol, ${s * dsub + 1}, $dsub), v -> cast(v as double))")
+          .as("subvec"))
+    }
+    vecs.select(col(idCol), explode(array(subs: _*)).as("sv"))
+      .select(col(idCol), col("sv.sub").as("sub"), col("sv.subvec").as("subvec"))
+  }
+
+  private def dist(x: Column, c: Column): Column =
+    call_function("graft_dot", x, x) -
+      lit(2.0d) * call_function("graft_dot", x, c) +
+      call_function("graft_dot", c, c)
+
+  /** Assign each sub-vector its nearest code from `codebook`
+    * (sub, code, cvec): returns (idCol, sub, code). */
+  def assign(sv: DataFrame, codebook: DataFrame, idCol: String): DataFrame =
+    sv.join(broadcast(codebook), Seq("sub"))
+      .withColumn("d", round(dist(col("subvec"), col("cvec")), 6))
+      .groupBy(col(idCol), col("sub"))
+      .agg(min(struct(col("d"), col("code"))).as("m"))
+      .select(col(idCol), col("sub"), col("m.code").as("code"))
+
+  /** Train a PQ codebook: stride-sampled init, `iters` Lloyd rounds.
+    * Returns (sub, code, cvec) with centroid components rounded at
+    * 1e-6 (the cross-engine determinism contract). Empty clusters
+    * keep their previous centroid. */
+  def trainCodebook(vecs: DataFrame, idCol: String, vecCol: String,
+      m: Int, dsub: Int, k: Int, iters: Int): DataFrame = {
+    val sv = graft.CacheScope.persisted(subVectors(vecs, idCol, vecCol, m, dsub))
+    // deterministic init: the k smallest vec_ids' sub-vectors, code =
+    // rank − 1 (same k seed vectors for every sub-space). orderBy +
+    // limit plans as a distributed TakeOrdered — the global
+    // row_number window only ever sees the k-row result
+    val seeds = vecs.select(col(idCol)).orderBy(col(idCol)).limit(k)
+      .withColumn("code",
+        (row_number().over(Window.orderBy(col(idCol))) - 1).cast("int"))
+    var codebook = sv.join(seeds, Seq(idCol))
+      .select(col("sub"), col("code"),
+        expr("transform(subvec, v -> round(v, 6))").as("cvec"))
+
+    for (_ <- 0 until iters) {
+      val assigned = assign(sv, codebook, idCol)
+      // element-wise mean per (sub, code), rounded; empty clusters
+      // fall back to the previous centroid via the right join
+      val updated = sv.join(assigned, Seq(idCol, "sub"))
+        .select(col("sub"), col("code"), posexplode(col("subvec")))
+        .groupBy("sub", "code", "pos").agg(round(avg("col"), 6).as("c"))
+        .groupBy("sub", "code").agg(
+          expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
+            .as("newvec"))
+      codebook = codebook.join(updated, Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"),
+          coalesce(col("newvec"), col("cvec")).as("cvec"))
+    }
+    codebook
+  }
+
+  /** Asymmetric-distance kNN: for each probe (exact sub-vectors),
+    * ADC(q, x) = Σ_sub dist(q_sub, centroid(code(x, sub))) — the
+    * probe-side distances to every centroid form the |m·K| lookup
+    * table, then a join against the CODES, never the vectors.
+    * Returns (probeIdCol, rank, idCol, adist). */
+  def adcKnn(
+      probes: DataFrame, probeIdCol: String, vecCol: String,
+      codes: DataFrame, idCol: String,
+      codebook: DataFrame, m: Int, dsub: Int, topK: Int): DataFrame = {
+    val qsv = subVectors(probes, probeIdCol, vecCol, m, dsub)
+    val lut = qsv.join(broadcast(codebook), Seq("sub"))
+      .select(col(probeIdCol), col("sub"), col("code"),
+        dist(col("subvec"), col("cvec")).as("pd"))
+    val adist = codes.join(lut, Seq("sub", "code"))
+      .groupBy(col(probeIdCol), col(idCol))
+      .agg(round(sum("pd"), 6).as("adist"))
+    adist.withColumn("rank", row_number().over(
+        Window.partitionBy(probeIdCol).orderBy(col("adist"), col(idCol))))
+      .where(col("rank") <= topK)
+      .select(col(probeIdCol), col("rank"), col(idCol), col("adist"))
+  }
+}

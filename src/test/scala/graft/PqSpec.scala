@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Pq
+
+/** Product quantization (similarity/Pq.scala): the ADC identity
+  * (lookup-table sums ≡ explicit reconstructed distances), training
+  * progress (quantization error non-increasing across Lloyd rounds),
+  * code completeness, determinism, and perfect retrieval on planted
+  * separable clusters. */
+class PqSpec extends SparkSpec {
+
+  private val M = 8
+  private val D = 8
+  private val K = 16
+
+  test("ADC distance equals the explicit reconstructed distance") {
+    val emb = Tables.embeddings(spark, SfDir)
+    val cb = Pq.trainCodebook(emb, "vec_id", "embedding", M, D, K, iters = 2)
+    val codes = Pq.assign(
+      Pq.subVectors(emb, "vec_id", "embedding", M, D), cb, "vec_id")
+    val probes = emb.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val adc = Pq.adcKnn(probes, "probe_id", "embedding",
+      codes, "vec_id", cb, M, D, topK = 5)
+
+    // re-derive: distance from the probe to the RECONSTRUCTED
+    // (per-sub centroid) vector, summed per sub-space explicitly
+    val qsv = Pq.subVectors(probes, "probe_id", "embedding", M, D)
+    val explicit = codes.join(cb, Seq("sub", "code"))
+      .join(qsv, Seq("sub"))
+      .withColumn("pd",
+        call_function("graft_dot", col("subvec"), col("subvec"))
+          - lit(2.0d) * call_function("graft_dot", col("subvec"), col("cvec"))
+          + call_function("graft_dot", col("cvec"), col("cvec")))
+      .groupBy("probe_id", "vec_id")
+      .agg(round(sum("pd"), 6).as("edist"))
+    val joined = adc.join(explicit, Seq("probe_id", "vec_id"))
+    assert(joined.count() == adc.count())
+    assert(joined.where(abs(col("adist") - col("edist")) > 1e-5).count() == 0,
+      "ADC lookup sum diverges from the reconstructed distance")
+  }
+
+  test("Lloyd rounds do not increase quantization error; codes complete") {
+    val emb = Tables.embeddings(spark, SfDir)
+    val sv = Pq.subVectors(emb, "vec_id", "embedding", M, D)
+    def qerr(iters: Int): Double = {
+      val cb = Pq.trainCodebook(emb, "vec_id", "embedding", M, D, K, iters)
+      Pq.assign(sv, cb, "vec_id")
+        .join(cb, Seq("sub", "code")).join(sv, Seq("vec_id", "sub"))
+        .select((call_function("graft_dot", col("subvec"), col("subvec"))
+          - lit(2.0d) * call_function("graft_dot", col("subvec"), col("cvec"))
+          + call_function("graft_dot", col("cvec"), col("cvec"))).as("d"))
+        .agg(sum("d")).collect()(0).getDouble(0)
+    }
+    val (e0, e1, e2) = (qerr(0), qerr(1), qerr(2))
+    assert(e1 <= e0 + 1e-6 && e2 <= e1 + 1e-6,
+      s"quantization error increased: $e0 -> $e1 -> $e2")
+    // every (vector, sub) has exactly one code in [0, K)
+    val codes = Pq.assign(sv, Pq.trainCodebook(
+      emb, "vec_id", "embedding", M, D, K, 2), "vec_id")
+    assert(codes.count() == emb.count() * M)
+    assert(codes.where(col("code") < 0 || col("code") >= K).count() == 0)
+    // determinism: training twice yields the identical codebook
+    val a = Pq.trainCodebook(emb, "vec_id", "embedding", M, D, K, 2)
+    val b = Pq.trainCodebook(emb, "vec_id", "embedding", M, D, K, 2)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  test("planted separable clusters retrieve their own members") {
+    val sess = spark
+    import sess.implicits._
+    // 4 tight 64-dim clusters far apart; PQ must rank own-cluster
+    // vectors above all others for every probe
+    val rows = (0 until 64).map { i =>
+      val cluster = i % 4
+      val base = cluster * 1000.0f
+      (i.toLong, Array.tabulate(64)(d => base + ((i * 7 + d) % 5) * 0.1f))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val cb = Pq.trainCodebook(emb, "vec_id", "embedding", M, D, K, 2)
+    val codes = Pq.assign(Pq.subVectors(emb, "vec_id", "embedding", M, D), cb, "vec_id")
+    val probes = emb.where(col("vec_id") < 4)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val top = Pq.adcKnn(probes, "probe_id", "embedding", codes, "vec_id",
+      cb, M, D, topK = 10)
+    // probe i belongs to cluster i; all 10 neighbors must share it
+    assert(top.where(col("vec_id") % 4 =!= col("probe_id") % 4).count() == 0,
+      "cross-cluster vector ranked into a separable cluster's top-10")
+  }
+}
