@@ -99,6 +99,68 @@ object SparkEntry {
       |  FROM cb1 c LEFT JOIN uv1 u USING (sub, code)
       |)""".stripMargin
 
+  /** The COARSE quantizer for q117's oracle: the same two-round
+    * Lloyd loop as [[pqTrainingCte]] at m=1 over the full dimension
+    * (plain k-means, K=8 cells) — seeds shared with the fine loop's
+    * stride sample (codes 0..7 are the 8 smallest vec_ids). */
+  private val pqCoarseCte =
+    """sv1 AS (
+      |  SELECT vec_id, CAST(0 AS INT) AS sub, e[1:64] AS subvec FROM v
+      |),
+      |cseeds AS (SELECT vec_id, code FROM seeds WHERE code < 8),
+      |ccb0 AS (
+      |  SELECT sub, code, list_transform(subvec, x -> round(x, 6)) AS cvec
+      |  FROM sv1 JOIN cseeds USING (vec_id)
+      |),
+      |csc0 AS (
+      |  SELECT s.vec_id, s.sub, c.code,
+      |    round(list_dot_product(s.subvec, s.subvec)
+      |      - 2.0 * list_dot_product(s.subvec, c.cvec)
+      |      + list_dot_product(c.cvec, c.cvec), 6) AS d
+      |  FROM sv1 s JOIN ccb0 c USING (sub)
+      |),
+      |cas0 AS (
+      |  SELECT vec_id, sub, code FROM (
+      |    SELECT vec_id, sub, code,
+      |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rk
+      |    FROM csc0) WHERE rk = 1
+      |),
+      |cup0 AS (
+      |  SELECT a.sub, a.code, g.i AS pos, round(AVG(s.subvec[g.i]), 6) AS c
+      |  FROM cas0 a JOIN sv1 s ON s.vec_id = a.vec_id AND s.sub = a.sub,
+      |    LATERAL (SELECT UNNEST(generate_series(1, 64)) AS i) g
+      |  GROUP BY 1, 2, 3
+      |),
+      |cuv0 AS (SELECT sub, code, list(c ORDER BY pos) AS newvec FROM cup0 GROUP BY 1, 2),
+      |ccb1 AS (
+      |  SELECT c.sub, c.code, COALESCE(u.newvec, c.cvec) AS cvec
+      |  FROM ccb0 c LEFT JOIN cuv0 u USING (sub, code)
+      |),
+      |csc1 AS (
+      |  SELECT s.vec_id, s.sub, c.code,
+      |    round(list_dot_product(s.subvec, s.subvec)
+      |      - 2.0 * list_dot_product(s.subvec, c.cvec)
+      |      + list_dot_product(c.cvec, c.cvec), 6) AS d
+      |  FROM sv1 s JOIN ccb1 c USING (sub)
+      |),
+      |cas1 AS (
+      |  SELECT vec_id, sub, code FROM (
+      |    SELECT vec_id, sub, code,
+      |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rk
+      |    FROM csc1) WHERE rk = 1
+      |),
+      |cup1 AS (
+      |  SELECT a.sub, a.code, g.i AS pos, round(AVG(s.subvec[g.i]), 6) AS c
+      |  FROM cas1 a JOIN sv1 s ON s.vec_id = a.vec_id AND s.sub = a.sub,
+      |    LATERAL (SELECT UNNEST(generate_series(1, 64)) AS i) g
+      |  GROUP BY 1, 2, 3
+      |),
+      |cuv1 AS (SELECT sub, code, list(c ORDER BY pos) AS newvec FROM cup1 GROUP BY 1, 2),
+      |ccb2 AS (
+      |  SELECT c.sub, c.code, COALESCE(u.newvec, c.cvec) AS cvec
+      |  FROM ccb1 c LEFT JOIN cuv1 u USING (sub, code)
+      |)""".stripMargin
+
   private val transfersCte =
     """transfers AS (
       |  SELECT event_type AS asset, user_id AS wallet, CAST(ts AS DATE) AS date,
@@ -1891,6 +1953,42 @@ object SparkEntry {
       codebook, PqM, PqDsub, topK = 5)
   }
 
+  /** q117: IVF-PQ kNN — the production ANN composition: a COARSE
+    * quantizer (plain k-means = [[similarity.Pq.trainCodebook]] with
+    * m=1 over the full dimension, K=8 cells) routes each probe to
+    * its nprobe=2 nearest cells, and q116's ADC machinery ranks only
+    * the CANDIDATES living in those cells — the scan touches codes
+    * of a cell subset instead of the corpus, which is the
+    * IVF(ADC) recall/latency dial every production vector index
+    * exposes. Both quantizers, the routing, and the restricted ADC
+    * rank are the same deterministic cross-engine algebra, so the
+    * composed top-5 lists hash-gate through an oracle that re-runs
+    * BOTH k-means loops (coarse + fine) in chained CTEs. */
+  def q117IvfPqKnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val coarse = Pq.trainCodebook(emb, "vec_id", "embedding",
+      m = 1, dsub = PqM * PqDsub, k = 8, iters = 2)
+    val cells = Pq.assign(
+        Pq.subVectors(emb, "vec_id", "embedding", 1, PqM * PqDsub),
+        coarse, "vec_id")
+      .select(col("vec_id"), col("code").as("cell"))
+    val fine = pqCodebook(spark, dir)
+    val codes = Pq.assign(
+      Pq.subVectors(emb, "vec_id", "embedding", PqM, PqDsub), fine, "vec_id")
+    val probes = emb.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val pcells = Pq.subVectors(probes, "probe_id", "embedding", 1, PqM * PqDsub)
+      .join(broadcast(coarse), Seq("sub"))
+      .withColumn("d", round(Pq.sqDist(col("subvec"), col("cvec")), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("d"), col("code"))))
+      .where(col("rk") <= 2)
+      .select(col("probe_id"), col("code").as("cell"))
+    val cand = pcells.join(cells, Seq("cell")).select("probe_id", "vec_id")
+    Pq.adcRankWithin(cand, probes, "probe_id", "embedding",
+      codes, "vec_id", fine, PqM, PqDsub, topK = 5)
+  }
+
   /** q102: funnel INSTANCES — MATCH_RECOGNIZE-lite over the event
     * stream ([[operators.Sequence.funnelInstances]]). q39 already
     * answers the USER grain (does a user ever convert?); this is the
@@ -2652,7 +2750,8 @@ object SparkEntry {
     "q113_funnel_alternation"    -> (q113FunnelAlternation _),
     "q114_funnel_longest"        -> (q114FunnelLongest _),
     "q115_pq_codebook"           -> (q115PqCodebook _),
-    "q116_pq_adc_knn"            -> (q116PqAdcKnn _)
+    "q116_pq_adc_knn"            -> (q116PqAdcKnn _),
+    "q117_ivfpq_knn"             -> (q117IvfPqKnn _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -4541,6 +4640,67 @@ object SparkEntry {
          |  SELECT probe_id, vec_id, adist,
          |    row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rk
          |  FROM ad)
+         |WHERE rk <= 5""".stripMargin,
+
+    "q117_ivfpq_knn" ->
+      s"""WITH $pqTrainingCte,
+         |$pqCoarseCte,
+         |cells AS (
+         |  SELECT vec_id, code AS cell FROM (
+         |    SELECT s.vec_id, c.code,
+         |      row_number() OVER (PARTITION BY s.vec_id ORDER BY
+         |        round(list_dot_product(s.subvec, s.subvec)
+         |          - 2.0 * list_dot_product(s.subvec, c.cvec)
+         |          + list_dot_product(c.cvec, c.cvec), 6), c.code) AS rk
+         |    FROM sv1 s JOIN ccb2 c USING (sub)) WHERE rk = 1
+         |),
+         |sc2 AS (
+         |  SELECT s.vec_id, s.sub, c.code,
+         |    round(list_dot_product(s.subvec, s.subvec)
+         |      - 2.0 * list_dot_product(s.subvec, c.cvec)
+         |      + list_dot_product(c.cvec, c.cvec), 6) AS d
+         |  FROM sv s JOIN cb2 c USING (sub)
+         |),
+         |codes AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT vec_id, sub, code,
+         |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rk
+         |    FROM sc2) WHERE rk = 1
+         |),
+         |pc AS (
+         |  SELECT probe_id, code AS cell FROM (
+         |    SELECT s.vec_id AS probe_id, c.code,
+         |      row_number() OVER (PARTITION BY s.vec_id ORDER BY
+         |        round(list_dot_product(s.subvec, s.subvec)
+         |          - 2.0 * list_dot_product(s.subvec, c.cvec)
+         |          + list_dot_product(c.cvec, c.cvec), 6), c.code) AS rk
+         |    FROM sv1 s JOIN ccb2 c USING (sub)
+         |    WHERE s.vec_id % 100 = 0) WHERE rk <= 2
+         |),
+         |cand AS (
+         |  SELECT pc.probe_id, cells.vec_id FROM pc JOIN cells USING (cell)
+         |),
+         |psv AS (
+         |  SELECT vec_id AS probe_id, sub, subvec FROM sv WHERE vec_id % 100 = 0
+         |),
+         |lut AS (
+         |  SELECT p.probe_id, p.sub, c.code,
+         |    list_dot_product(p.subvec, p.subvec)
+         |      - 2.0 * list_dot_product(p.subvec, c.cvec)
+         |      + list_dot_product(c.cvec, c.cvec) AS pd
+         |  FROM psv p JOIN cb2 c USING (sub)
+         |),
+         |adr AS (
+         |  SELECT cd.probe_id, cd.vec_id, round(SUM(l.pd), 6) AS adist
+         |  FROM cand cd
+         |  JOIN codes k ON k.vec_id = cd.vec_id
+         |  JOIN lut l ON l.probe_id = cd.probe_id AND l.sub = k.sub AND l.code = k.code
+         |  GROUP BY 1, 2
+         |)
+         |SELECT probe_id, CAST(rk AS INT) AS rank, vec_id, adist FROM (
+         |  SELECT probe_id, vec_id, adist,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rk
+         |  FROM adr)
          |WHERE rk <= 5""".stripMargin
   )
 }

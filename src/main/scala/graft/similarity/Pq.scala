@@ -47,10 +47,14 @@ object Pq {
       .select(col(idCol), col("sv.sub").as("sub"), col("sv.subvec").as("subvec"))
   }
 
-  private def dist(x: Column, c: Column): Column =
+  /** ‖x−c‖² via index-order dot products — the cross-engine-exact
+    * distance every PQ stage uses. */
+  def sqDist(x: Column, c: Column): Column =
     call_function("graft_dot", x, x) -
       lit(2.0d) * call_function("graft_dot", x, c) +
       call_function("graft_dot", c, c)
+
+  private def dist(x: Column, c: Column): Column = sqDist(x, c)
 
   /** Assign each sub-vector its nearest code from `codebook`
     * (sub, code, cvec): returns (idCol, sub, code). */
@@ -110,6 +114,29 @@ object Pq {
       .select(col(probeIdCol), col("sub"), col("code"),
         dist(col("subvec"), col("cvec")).as("pd"))
     val adist = codes.join(lut, Seq("sub", "code"))
+      .groupBy(col(probeIdCol), col(idCol))
+      .agg(round(sum("pd"), 6).as("adist"))
+    adist.withColumn("rank", row_number().over(
+        Window.partitionBy(probeIdCol).orderBy(col("adist"), col(idCol))))
+      .where(col("rank") <= topK)
+      .select(col(probeIdCol), col("rank"), col(idCol), col("adist"))
+  }
+
+  /** [[adcKnn]] restricted to CANDIDATE pairs (probeIdCol, idCol) —
+    * the IVF-PQ search step: a coarse quantizer has already routed
+    * each probe to its cells, so the ADC join touches only the
+    * candidates' codes instead of the whole table. */
+  def adcRankWithin(
+      pairs: DataFrame,
+      probes: DataFrame, probeIdCol: String, vecCol: String,
+      codes: DataFrame, idCol: String,
+      codebook: DataFrame, m: Int, dsub: Int, topK: Int): DataFrame = {
+    val qsv = subVectors(probes, probeIdCol, vecCol, m, dsub)
+    val lut = qsv.join(broadcast(codebook), Seq("sub"))
+      .select(col(probeIdCol), col("sub"), col("code"),
+        dist(col("subvec"), col("cvec")).as("pd"))
+    val adist = pairs.join(codes, Seq(idCol))
+      .join(lut, Seq(probeIdCol, "sub", "code"))
       .groupBy(col(probeIdCol), col(idCol))
       .agg(round(sum("pd"), 6).as("adist"))
     adist.withColumn("rank", row_number().over(

@@ -68,6 +68,21 @@ class PqSpec extends SparkSpec {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
+  test("q117: IVF routing prunes candidates and agrees with full ADC on them") {
+    val got = SparkEntry.q117IvfPqKnn(spark, SfDir)
+    val full = SparkEntry.q116PqAdcKnn(spark, SfDir)
+      .withColumnRenamed("adist", "full_adist").drop("rank")
+    // every IVF-PQ result that full ADC also ranked carries the SAME
+    // asymmetric distance — routing restricts the candidate set, it
+    // never changes a distance
+    val joined = got.join(full, Seq("probe_id", "vec_id"))
+    assert(joined.where(abs(col("adist") - col("full_adist")) > 1e-9).count() == 0,
+      "IVF-restricted ADC distance diverged from the full scan's")
+    // and the probes all answered
+    assert(got.select("probe_id").distinct().count() ==
+      Tables.embeddings(spark, SfDir).where(col("vec_id") % 100 === 0).count())
+  }
+
   test("planted separable clusters retrieve their own members") {
     val sess = spark
     import sess.implicits._
