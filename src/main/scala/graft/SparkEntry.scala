@@ -1989,6 +1989,31 @@ object SparkEntry {
       codes, "vec_id", fine, PqM, PqDsub, topK = 5)
   }
 
+  /** q118: incremental PQ re-encode under codebook drift
+    * ([[similarity.Pq.driftReencode]]) — the q110 maintenance story
+    * applied to an ML index: a codebook retrain (here: the SECOND
+    * Lloyd round refining the first round's codebook — genuine
+    * drift, same seeds, so cell identities are comparable) must not
+    * force a corpus re-encode. Cells whose centroid moved ≤ τ=0.002
+    * (‖Δc‖² at 1e-6, the measured cb1→cb2 movement median splits
+    * ~26–55% of cells across SFs) carry their codes BIT-IDENTICALLY
+    * with no vector read; only members of moved cells re-enter
+    * assignment, per (vector, sub-space) pair. Output = the complete
+    * refreshed codes table + provenance flag, hash-gated through an
+    * oracle that re-derives movement, carry, and re-assignment from
+    * the training loop's own cb1/as1/cb2 CTEs. PqSpec pins the τ=0
+    * (≡ full re-encode) and τ=∞ (≡ carry-everything) edges. */
+  def q118PqDriftReencode(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val oldCb = Pq.trainCodebook(emb, "vec_id", "embedding",
+      PqM, PqDsub, PqK, iters = 1)
+    val newCb = pqCodebook(spark, dir)
+    val oldCodes = Pq.assign(
+      Pq.subVectors(emb, "vec_id", "embedding", PqM, PqDsub), oldCb, "vec_id")
+    Pq.driftReencode(emb, "vec_id", "embedding", oldCodes, oldCb, newCb,
+      PqM, PqDsub, tau = 0.002)
+  }
+
   /** q102: funnel INSTANCES — MATCH_RECOGNIZE-lite over the event
     * stream ([[operators.Sequence.funnelInstances]]). q39 already
     * answers the USER grain (does a user ever convert?); this is the
@@ -2751,7 +2776,8 @@ object SparkEntry {
     "q114_funnel_longest"        -> (q114FunnelLongest _),
     "q115_pq_codebook"           -> (q115PqCodebook _),
     "q116_pq_adc_knn"            -> (q116PqAdcKnn _),
-    "q117_ivfpq_knn"             -> (q117IvfPqKnn _)
+    "q117_ivfpq_knn"             -> (q117IvfPqKnn _),
+    "q118_pq_drift_reencode"     -> (q118PqDriftReencode _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -4701,6 +4727,39 @@ object SparkEntry {
          |  SELECT probe_id, vec_id, adist,
          |    row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rk
          |  FROM adr)
-         |WHERE rk <= 5""".stripMargin
+         |WHERE rk <= 5""".stripMargin,
+
+    // drift maintenance re-derived from the training loop's own
+    // round-1/round-2 CTEs: movement per cell, stable codes carried
+    // from as1 verbatim, moved-cell members re-assigned against cb2
+    "q118_pq_drift_reencode" ->
+      s"""WITH $pqTrainingCte,
+         |mv AS (
+         |  SELECT o.sub, o.code,
+         |    (round(list_dot_product(o.cvec, o.cvec)
+         |      - 2.0 * list_dot_product(o.cvec, n.cvec)
+         |      + list_dot_product(n.cvec, n.cvec), 6) > 0.002) AS moved
+         |  FROM cb1 o JOIN cb2 n USING (sub, code)
+         |),
+         |carried AS (
+         |  SELECT a.vec_id, a.sub, a.code, FALSE AS reencoded
+         |  FROM as1 a JOIN mv USING (sub, code) WHERE NOT mv.moved
+         |),
+         |dirty AS (
+         |  SELECT a.vec_id, a.sub
+         |  FROM as1 a JOIN mv USING (sub, code) WHERE mv.moved
+         |),
+         |re AS (
+         |  SELECT vec_id, sub, code, TRUE AS reencoded FROM (
+         |    SELECT s.vec_id, s.sub, c.code,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+         |        round(list_dot_product(s.subvec, s.subvec)
+         |          - 2.0 * list_dot_product(s.subvec, c.cvec)
+         |          + list_dot_product(c.cvec, c.cvec), 6), c.code) AS rk
+         |    FROM sv s
+         |    JOIN dirty d ON d.vec_id = s.vec_id AND d.sub = s.sub
+         |    JOIN cb2 c ON c.sub = s.sub) WHERE rk = 1
+         |)
+         |SELECT * FROM carried UNION ALL SELECT * FROM re""".stripMargin
   )
 }

@@ -122,6 +122,66 @@ object Pq {
       .select(col(probeIdCol), col("rank"), col(idCol), col("adist"))
   }
 
+  /** Incremental re-encode under codebook drift — the q110 storage-
+    * maintenance story applied to an ML index: after a codebook
+    * retrain, the work to refresh the CODES table should cost what
+    * the drift cost, not a corpus re-encode. Cells whose centroid
+    * moved at most `tau` (‖c_new − c_old‖², rounded at 1e-6 — the
+    * same cross-engine distance every PQ stage uses) are STABLE:
+    * codes assigned to them are carried bit-identically, never
+    * re-reading the vector. Only (vector, sub) pairs whose assigned
+    * cell moved re-enter [[assign]] against the new codebook — so
+    * the refresh touches Σ_sub |members of moved cells of sub|
+    * sub-vectors, per-SUBSPACE granularity (one vector can carry
+    * sub 0's code while re-encoding sub 3's).
+    *
+    * The carried code is exact when the stable cell is still the
+    * argmin under the new codebook; a foreign centroid moving CLOSER
+    * can in principle steal a member without the member's own cell
+    * moving — the documented approximation every drift-threshold
+    * index maintenance makes (tau = 0 forces every cell dirty and
+    * degenerates to the full re-encode; the spec pins both edges).
+    * The rule itself is deterministic relational algebra, so unlike
+    * recall-spec'd ANN maintenance it sits under the cross-engine
+    * hash gate (q118).
+    *
+    * Plan shape: the movement table is |m·K| rows — a broadcast on
+    * both the carry filter and the dirty filter — so the only
+    * full-width pass is over the DIRTY sub-vectors; stable codes
+    * flow straight from the codes table to the output with one
+    * broadcast-hash semi-join and no shuffle.
+    *
+    * @param oldCodes (idCol, sub, code) under `oldCb`
+    * @param oldCb,newCb (sub, code, cvec) codebooks; a cell missing
+    *   from either side counts as moved
+    * @return (idCol, sub, code, reencoded) — complete over oldCodes'
+    *   (idCol, sub) pairs
+    */
+  def driftReencode(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      oldCodes: DataFrame, oldCb: DataFrame, newCb: DataFrame,
+      m: Int, dsub: Int, tau: Double): DataFrame = {
+    val movement = oldCb.select(col("sub"), col("code"), col("cvec").as("ocv"))
+      .join(newCb.select(col("sub"), col("code"), col("cvec").as("ncv")),
+        Seq("sub", "code"), "full")
+      .select(col("sub"), col("code"),
+        (col("ocv").isNull || col("ncv").isNull ||
+          round(sqDist(col("ocv"), col("ncv")), 6) > tau).as("moved"))
+    val stableCells = movement.where(!col("moved")).select("sub", "code")
+    val movedCells = movement.where(col("moved")).select("sub", "code")
+    val carried = oldCodes.join(broadcast(stableCells), Seq("sub", "code"),
+        "left_semi")
+      .select(col(idCol), col("sub"), col("code"), lit(false).as("reencoded"))
+    val dirtyPairs = oldCodes.join(broadcast(movedCells), Seq("sub", "code"),
+        "left_semi")
+      .select(col(idCol), col("sub"))
+    val dirtySv = subVectors(vecs, idCol, vecCol, m, dsub)
+      .join(dirtyPairs, Seq(idCol, "sub"), "left_semi")
+    val reassigned = assign(dirtySv, newCb, idCol)
+      .select(col(idCol), col("sub"), col("code"), lit(true).as("reencoded"))
+    carried.unionByName(reassigned)
+  }
+
   /** [[adcKnn]] restricted to CANDIDATE pairs (probeIdCol, idCol) —
     * the IVF-PQ search step: a coarse quantizer has already routed
     * each probe to its cells, so the ADC join touches only the

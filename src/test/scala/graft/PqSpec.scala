@@ -83,6 +83,47 @@ class PqSpec extends SparkSpec {
       Tables.embeddings(spark, SfDir).where(col("vec_id") % 100 === 0).count())
   }
 
+  test("q118: drift re-encode — edges pin full re-encode and full carry; " +
+      "the split partitions the code space") {
+    val emb = Tables.embeddings(spark, SfDir)
+    val sv = Pq.subVectors(emb, "vec_id", "embedding", M, D)
+    val oldCb = Pq.trainCodebook(emb, "vec_id", "embedding", M, D, K, iters = 1)
+    val newCb = Pq.trainCodebook(emb, "vec_id", "embedding", M, D, K, iters = 2)
+    val oldCodes = Pq.assign(sv, oldCb, "vec_id")
+    val fresh = Pq.assign(sv, newCb, "vec_id")
+
+    // tau = -1: every cell moved — output ≡ the full re-encode, all flagged
+    val all = Pq.driftReencode(emb, "vec_id", "embedding",
+      oldCodes, oldCb, newCb, M, D, tau = -1.0)
+    assert(all.where(!col("reencoded")).count() == 0)
+    assert(all.drop("reencoded").exceptAll(fresh).count() == 0 &&
+      fresh.exceptAll(all.drop("reencoded")).count() == 0,
+      "tau=-1 did not reproduce the full re-encode")
+
+    // tau = ∞: no cell moved — codes carried bit-identically, none flagged
+    val none = Pq.driftReencode(emb, "vec_id", "embedding",
+      oldCodes, oldCb, newCb, M, D, tau = Double.MaxValue)
+    assert(none.where(col("reencoded")).count() == 0)
+    assert(none.drop("reencoded").exceptAll(oldCodes).count() == 0 &&
+      oldCodes.exceptAll(none.drop("reencoded")).count() == 0,
+      "tau=MaxValue did not carry the old codes verbatim")
+
+    // the registry tau: output complete over (vec, sub); carried rows
+    // are bit-equal to the old codes; re-encoded rows equal the fresh
+    // assignment for exactly those pairs
+    val got = SparkEntry.q118PqDriftReencode(spark, SfDir)
+    assert(got.count() == emb.count() * M)
+    assert(got.select("vec_id", "sub").distinct().count() == emb.count() * M)
+    val carried = got.where(!col("reencoded")).drop("reencoded")
+    assert(carried.exceptAll(oldCodes.join(carried.select("vec_id", "sub"),
+      Seq("vec_id", "sub"), "left_semi")).count() == 0,
+      "a carried code differs from the stored old code")
+    val re = got.where(col("reencoded")).drop("reencoded")
+    assert(re.exceptAll(fresh.join(re.select("vec_id", "sub"),
+      Seq("vec_id", "sub"), "left_semi")).count() == 0,
+      "a re-encoded code differs from the fresh assignment")
+  }
+
   test("planted separable clusters retrieve their own members") {
     val sess = spark
     import sess.implicits._

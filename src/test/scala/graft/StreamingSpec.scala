@@ -489,6 +489,89 @@ class StreamingSpec extends SparkSpec {
       "re-embedded vector kept stale bucket rows after sink restart")
   }
 
+  test("S22: streaming ADC search — codes table equals the batch encode, " +
+      "search equals q116, re-embed replaces, replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val embDf = Tables.embeddings(spark, SfDir)
+    val emb = embDf
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as embedding")
+      .as[(Long, Seq[Double])].collect()
+    val cb = graft.similarity.Pq.trainCodebook(
+      embDf, "vec_id", "embedding", 8, 8, 16, iters = 2)
+    val tableDir = java.nio.file.Files.createTempDirectory("graft_adc_table").toString
+    val stagingDir = java.nio.file.Files.createTempDirectory("graft_adc_stage").toString
+
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val query = graft.streaming.AdcSearchStream.start(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      cb, 8, 8, tableDir, stagingDir)
+    try {
+      val (first, second) = emb.splitAt(emb.length / 2)
+      mem.addData(first.toIndexedSeq)
+      query.processAllAvailable()
+      mem.addData(second.toIndexedSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    def tableState() = spark.read.parquet(tableDir)
+      .select(col("vec_id"), col("sub").cast("int"), col("code"))
+    val want = graft.similarity.Pq.assign(
+      graft.similarity.Pq.subVectors(embDf, "vec_id", "embedding", 8, 8),
+      cb, "vec_id")
+    val got = tableState().cache()
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "stream-maintained codes table diverges from the batch encode")
+
+    // serving: top-5 from the maintained table ≡ the q116 registry
+    // answer (same probes, same codebook, codes never re-derived)
+    val probes = embDf.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val served = graft.streaming.AdcSearchStream.search(
+      spark, tableDir, probes, "probe_id", "embedding", "vec_id", cb, 8, 8, topK = 5)
+    val q116 = SparkEntry.q116PqAdcKnn(spark, SfDir)
+    assert(served.exceptAll(q116).count() == 0 && q116.exceptAll(served).count() == 0,
+      "ADC search over the maintained table diverges from the q116 answer")
+
+    // replay the second half at its original sequence: keep-newest
+    // upsert re-derives identical codes — a content-level no-op
+    val secondBatch = emb.drop(emb.length / 2).toSeq.toDF("vec_id", "embedding")
+    val replayCodes = graft.similarity.Pq.assign(
+        graft.similarity.Pq.subVectors(secondBatch, "vec_id", "embedding", 8, 8),
+        cb, "vec_id")
+      .withColumn("batch_seq", lit(1L))
+    graft.sources.Ingest.incrementalRefresh(tableDir, replayCodes,
+      Seq("vec_id", "sub"), Seq(col("batch_seq")), Seq("sub"), stagingDir)
+    val replayed = tableState()
+    assert(replayed.exceptAll(want).count() == 0 && want.exceptAll(replayed).count() == 0,
+      "replaying a vector batch changed the codes table")
+    got.unpersist()
+
+    // re-embed one vector through a RESTARTED sink: its m code rows
+    // must be replaced (table-derived sequence beats every persisted
+    // version even though the new stream's batchId resets to 0)
+    val (uid, uvec) = emb.head
+    val updBatch = Seq((uid, uvec.map(x => -x)))
+    val mem2 = MemoryStream[(Long, Seq[Double])]
+    val query2 = graft.streaming.AdcSearchStream.start(
+      mem2.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      cb, 8, 8, tableDir, stagingDir)
+    try {
+      mem2.addData(updBatch.toIndexedSeq)
+      query2.processAllAvailable()
+    } finally query2.stop()
+    val afterUpd = tableState().where(col("vec_id") === uid)
+    val wantUpd = graft.similarity.Pq.assign(
+      graft.similarity.Pq.subVectors(
+        updBatch.toDF("vec_id", "embedding"), "vec_id", "embedding", 8, 8),
+      cb, "vec_id")
+    assert(afterUpd.count() == 8)
+    assert(afterUpd.exceptAll(wantUpd).count() == 0 && wantUpd.exceptAll(afterUpd).count() == 0,
+      "re-embedded vector kept stale code rows after sink restart")
+  }
+
   test("S8: conflicting same-id updates in one batch resolve deterministically; seq read failures abort") {
     import spark.implicits._
     // two DIFFERENT embeddings for one id in a single micro-batch: the
