@@ -8,7 +8,7 @@ import graft.operators._
 import graft.similarity.{Ann, Dedup, Overlap, Pq}
 import graft.text.TextOps
 import graft.multimodal.Multimodal
-import graft.sources.Ingest
+import graft.sources.{Ingest, LayoutAdvisor}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -2014,6 +2014,78 @@ object SparkEntry {
       PqM, PqDsub, tau = 0.002)
   }
 
+  /** q119: DECLARED-SQL as-of join under the injected optimizer rule
+    * ([[graft.plans.AsOfRewrite]]) — the q51 price lookup written
+    * the way a SQL user without ASOF JOIN writes it: self-join on
+    * the key with `p.pdate <= t.date`, then per-group `max(pdate)` +
+    * `max_by(price, pdate)`. Vanilla Spark plans the join as a hash
+    * join whose probe rows pair with their key's ENTIRE earlier
+    * quote history before the aggregate discards all but one row —
+    * the per-key cross product that kills long quote series. The
+    * injected pre-CBO rule rewrites the whole Aggregate-over-Join
+    * into AsOfJoin's single-shuffle union+window plan; this entry
+    * hash-checks the rewrite against DuckDB running the SAME
+    * antipattern SQL verbatim (the q108 posture: the strongest form
+    * of "the rule preserves semantics"). Quote times are unique per
+    * (asset, date) by construction, so max_by is tie-free and
+    * deterministic on both engines. */
+  def q119DeclaredAsOf(spark: SparkSession, dir: String): DataFrame = {
+    Tables.transfers(spark, dir)
+      .select(col("asset"), col("wallet"), col("date"))
+      .createOrReplaceTempView("graft_q119_transfers")
+    Tables.prices(spark, dir)
+      .select(col("asset"), col("date").as("pdate"), col("price"))
+      .createOrReplaceTempView("graft_q119_prices")
+    spark.sql(
+      """SELECT t.asset, t.wallet, t.date,
+        |  max(p.pdate) AS price_date,
+        |  max_by(p.price, p.pdate) AS price
+        |FROM graft_q119_transfers t
+        |JOIN graft_q119_prices p
+        |  ON p.asset = t.asset AND p.pdate <= t.date
+        |GROUP BY t.asset, t.wallet, t.date""".stripMargin)
+  }
+
+  /** q120: workload-driven layout advisor
+    * ([[sources.LayoutAdvisor]]) — pick the z-order/clustering
+    * dimension set from a MEASURED workload instead of a guess: a
+    * deterministic order-key-derived workload sample (range
+    * predicates over user/value/day, each query predicating a
+    * different dim subset) is scored against every candidate layout
+    * by measured per-dim selectivity, cost = multiplicative box
+    * pruning over clustered dims. All ranking algebra is integer
+    * (exact counts, shared denominator N³, decimal sums) so the full
+    * advisor output — scores AND ranks — hash-gates against DuckDB
+    * re-deriving the cost model; the lone float op is the presented
+    * fraction (one division, round 6). LayoutAdvisorSpec validates
+    * the model EMPIRICALLY: files actually read under FileStats
+    * pruning follow the advisor's ranking on a materialized layout. */
+  def q120LayoutAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir).where(col("o_orderkey") % 997 === 0)
+      .select(col("o_orderkey").as("query_id"),
+        expr("o_orderkey div 997").as("k"))
+    val epoch0 = lit(19723L) // unix_date(2024-01-01), the events epoch
+    val wU = base.where(col("k") % 2 === 0).select(col("query_id"),
+      lit("user").as("dim"),
+      ((col("k") * 13) % 120).cast("double").as("lo"),
+      ((col("k") * 13) % 120 + 3 + col("k") % 12).cast("double").as("hi"))
+    val wV = base.where(col("k") % 3 > 0).select(col("query_id"),
+      lit("value").as("dim"),
+      ((col("k") * 7) % 480).cast("double").as("lo"),
+      ((col("k") * 7) % 480 + 10 + col("k") % 40).cast("double").as("hi"))
+    val wD = base.where(col("k") % 5 > 0).select(col("query_id"),
+      lit("day").as("dim"),
+      (epoch0 + col("k") % 24).cast("double").as("lo"),
+      (epoch0 + col("k") % 24 + col("k") % 6).cast("double").as("hi"))
+    LayoutAdvisor.advise(
+      Tables.events(spark, dir),
+      Seq("user" -> col("user_id"), "value" -> col("value"),
+        "day" -> unix_date(to_date(col("ts")))),
+      wU.unionByName(wV).unionByName(wD),
+      Seq(Seq("user"), Seq("value"), Seq("day"), Seq("user", "value"),
+        Seq("user", "day"), Seq("value", "day"), Seq("user", "value", "day")))
+  }
+
   /** q102: funnel INSTANCES — MATCH_RECOGNIZE-lite over the event
     * stream ([[operators.Sequence.funnelInstances]]). q39 already
     * answers the USER grain (does a user ever convert?); this is the
@@ -2777,7 +2849,9 @@ object SparkEntry {
     "q115_pq_codebook"           -> (q115PqCodebook _),
     "q116_pq_adc_knn"            -> (q116PqAdcKnn _),
     "q117_ivfpq_knn"             -> (q117IvfPqKnn _),
-    "q118_pq_drift_reencode"     -> (q118PqDriftReencode _)
+    "q118_pq_drift_reencode"     -> (q118PqDriftReencode _),
+    "q119_declared_asof"         -> (q119DeclaredAsOf _),
+    "q120_layout_advisor"        -> (q120LayoutAdvisor _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -4760,6 +4834,93 @@ object SparkEntry {
          |    JOIN dirty d ON d.vec_id = s.vec_id AND d.sub = s.sub
          |    JOIN cb2 c ON c.sub = s.sub) WHERE rk = 1
          |)
-         |SELECT * FROM carried UNION ALL SELECT * FROM re""".stripMargin
+         |SELECT * FROM carried UNION ALL SELECT * FROM re""".stripMargin,
+
+    // the SAME antipattern SQL the Spark side declares, run verbatim
+    // by DuckDB's optimizer — whatever plan each engine picks (Spark:
+    // the injected as-of rewrite; DuckDB: its own), the results must
+    // hash-match. max_by ≡ DuckDB arg_max; tie-free by construction.
+    "q119_declared_asof" ->
+      s"""WITH $transfersCte, $pricesCte,
+         |t AS (SELECT asset, wallet, date FROM transfers),
+         |p AS (SELECT asset, date AS pdate, price FROM prices)
+         |SELECT t.asset, t.wallet, t.date,
+         |  max(p.pdate) AS price_date,
+         |  max_by(p.price, p.pdate) AS price
+         |FROM t JOIN p
+         |  ON p.asset = t.asset AND p.pdate <= t.date
+         |GROUP BY t.asset, t.wallet, t.date""".stripMargin,
+
+    // the advisor's cost model re-derived end-to-end: measured per-dim
+    // selectivities, integer box-pruning costs over the shared N^3
+    // denominator, exact decimal totals, rank on the exact total —
+    // only the presented fraction is float (one division, round 6)
+    "q120_layout_advisor" ->
+      """WITH ks AS (
+        |  SELECT o_orderkey AS query_id, o_orderkey // 997 AS k
+        |  FROM orders WHERE o_orderkey % 997 = 0
+        |),
+        |w AS (
+        |  SELECT query_id, 'user' AS dim,
+        |    CAST((k*13)%120 AS DOUBLE) AS lo,
+        |    CAST((k*13)%120 + 3 + k%12 AS DOUBLE) AS hi
+        |  FROM ks WHERE k%2 = 0
+        |  UNION ALL
+        |  SELECT query_id, 'value',
+        |    CAST((k*7)%480 AS DOUBLE), CAST((k*7)%480 + 10 + k%40 AS DOUBLE)
+        |  FROM ks WHERE k%3 > 0
+        |  UNION ALL
+        |  SELECT query_id, 'day',
+        |    CAST(19723 + k%24 AS DOUBLE), CAST(19723 + k%24 + k%6 AS DOUBLE)
+        |  FROM ks WHERE k%5 > 0
+        |),
+        |e AS (
+        |  SELECT 'user' AS dim, CAST(user_id AS DOUBLE) AS v FROM events
+        |  UNION ALL
+        |  SELECT 'value', value FROM events
+        |  UNION ALL
+        |  SELECT 'day', CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS DOUBLE)
+        |  FROM events
+        |),
+        |cnt AS (
+        |  SELECT w.query_id, w.dim, count(*) AS n
+        |  FROM e JOIN w ON e.dim = w.dim AND e.v BETWEEN w.lo AND w.hi
+        |  GROUP BY 1, 2
+        |),
+        |m AS (
+        |  SELECT wd.query_id,
+        |    max(CASE WHEN wd.dim='user' THEN COALESCE(c.n, 0) END) AS nu,
+        |    max(CASE WHEN wd.dim='value' THEN COALESCE(c.n, 0) END) AS nv,
+        |    max(CASE WHEN wd.dim='day' THEN COALESCE(c.n, 0) END) AS nd
+        |  FROM (SELECT DISTINCT query_id, dim FROM w) wd
+        |  LEFT JOIN cnt c ON c.query_id = wd.query_id AND c.dim = wd.dim
+        |  GROUP BY 1
+        |),
+        |nn AS (SELECT count(*) AS N FROM events),
+        |lay(layout_id, fu, fv, fd) AS (VALUES
+        |  ('user', true, false, false), ('value', false, true, false),
+        |  ('day', false, false, true), ('user+value', true, true, false),
+        |  ('user+day', true, false, true), ('value+day', false, true, true),
+        |  ('user+value+day', true, true, true)
+        |),
+        |sc AS (
+        |  SELECT l.layout_id,
+        |    (CASE WHEN l.fu AND m.nu IS NOT NULL THEN m.nu ELSE nn.N END)
+        |    * (CASE WHEN l.fv AND m.nv IS NOT NULL THEN m.nv ELSE nn.N END)
+        |    * (CASE WHEN l.fd AND m.nd IS NOT NULL THEN m.nd ELSE nn.N END)
+        |      AS cost,
+        |    CAST(nn.N AS DOUBLE) * CAST(nn.N AS DOUBLE) * CAST(nn.N AS DOUBLE)
+        |      AS den
+        |  FROM m, nn, lay l
+        |),
+        |tot AS (
+        |  SELECT layout_id, count(*) AS n_queries, SUM(cost) AS total,
+        |    max(den) AS den
+        |  FROM sc GROUP BY 1
+        |)
+        |SELECT layout_id, n_queries,
+        |  round(CAST(total AS DOUBLE) / (den * n_queries), 6) AS avg_scan_frac,
+        |  CAST(row_number() OVER (ORDER BY total, layout_id) AS INT) AS rank
+        |FROM tot""".stripMargin
   )
 }

@@ -99,5 +99,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         builder))
     }
     ext.injectPreCBORule(session => graft.plans.IntervalOverlapRewrite(session))
+    ext.injectPreCBORule(session => graft.plans.AsOfRewrite(session))
   }
 }

@@ -1,0 +1,123 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Workload-driven layout advisor — turn the storage layer's knobs
+  * (which dimensions to cluster/z-order on) into a MEASURED
+  * recommendation instead of a guess.
+  *
+  * Input: a workload sample in long form — one row per (query,
+  * predicated dimension) with the predicate's [lo, hi] range — plus
+  * the data itself. For every candidate layout (a dimension subset),
+  * the advisor estimates the fraction of rows a perfectly-clustered
+  * layout would scan per query: clustering on a dimension makes a
+  * range predicate on it prune ∝ its selectivity, and a conjunctive
+  * box prunes multiplicatively across clustered dimensions (the
+  * independence estimate every multi-dim clustering model uses —
+  * the same model behind z-order effectiveness analyses).
+  * Selectivities are MEASURED from the data, not assumed: one
+  * long-form pass over (dim, value) rows, range-joined against the
+  * broadcast workload, counts matching rows per (query, dim).
+  *
+  * Exactness/cross-engine: per-(query,dim) counts are exact longs;
+  * a query×layout cost is the integer product Π factor_i with
+  * factor_i = n_i when the layout clusters a predicated dim, N
+  * otherwise (so every cost shares the denominator N^|dims|); layout
+  * totals sum those products as DECIMAL(38,0) — all integer algebra,
+  * so ranking is EXACT and the only float op is the final presented
+  * fraction (one division + round(6), identical IEEE on both
+  * engines). That is what lets q120 hash-gate a cost-model's full
+  * output where advisors normally ship as heuristics.
+  *
+  * Scale: the data pass is one scan producing |dims| narrow rows per
+  * input row, collapsed map-side by the (query, dim) aggregate; the
+  * workload and layout tables broadcast; the scoring cross join is
+  * |queries|·|layouts| tiny rows. At 100 TB you run the advisor on a
+  * row SAMPLE — selectivity estimates converge at modest sample
+  * sizes and nothing downstream depends on N being the full count.
+  * The long-product bound (N^|dims| within int64, N ≲ 2.1e6 at 3
+  * dims) is asserted; past it, sample down or widen to decimal
+  * multiplication.
+  */
+object LayoutAdvisor {
+
+  /** Score candidate layouts against a measured workload.
+    *
+    * @param data     the table (or a row sample of it)
+    * @param dims     (name, value column) per candidate dimension;
+    *                 values compare as double
+    * @param workload (query_id: long, dim: string, lo: double,
+    *                 hi: double) — one row per predicated dimension;
+    *                 dims must come from `dims` names
+    * @param layouts  candidate dimension subsets
+    * @return one row per layout: (layout_id, n_queries,
+    *         avg_scan_frac, rank) — rank 1 is the recommendation,
+    *         ties broken on layout_id
+    */
+  def advise(
+      data: DataFrame,
+      dims: Seq[(String, Column)],
+      workload: DataFrame,
+      layouts: Seq[Seq[String]]): DataFrame = {
+    require(dims.nonEmpty && layouts.nonEmpty)
+    val spark = data.sparkSession
+    import spark.implicits._
+
+    // one pass: long-form (dim, value) against the broadcast workload
+    val longForm = data.select(explode(array(dims.map { case (n, c) =>
+      struct(lit(n).as("dim"), c.cast("double").as("v"))
+    }: _*)).as("dv")).select(col("dv.dim").as("dim"), col("dv.v").as("v"))
+    val w = workload.select(col("query_id"), col("dim").as("wdim"),
+      col("lo"), col("hi"))
+    val counts = longForm
+      .join(broadcast(w),
+        col("dim") === col("wdim") && col("v") >= col("lo") && col("v") <= col("hi"))
+      .groupBy(col("query_id"), col("dim"))
+      .agg(count(lit(1)).as("n"))
+
+    // per-query selectivity matrix; a predicated dim with ZERO
+    // matching rows must surface as 0, not null — left join from the
+    // workload's own (query, dim) pairs
+    val dimNames = dims.map(_._1)
+    val matrix = w.select(col("query_id"), col("wdim").as("dim")).distinct()
+      .join(counts, Seq("query_id", "dim"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .groupBy("query_id")
+      .pivot("dim", dimNames)
+      .agg(first("n"))
+
+    val layoutDf = layouts.map { ls =>
+      require(ls.nonEmpty && ls.forall(dimNames.contains),
+        s"unknown layout dims: $ls")
+      (ls.mkString("+"), dimNames.map(ls.contains))
+    }.toDF("layout_id", "flags")
+
+    val nDf = data.agg(count(lit(1)).as("N"))
+    val scored = matrix
+      .crossJoin(broadcast(nDf))
+      .crossJoin(broadcast(layoutDf))
+    // integer cost: Π over dims of (n_dim if clustered-and-predicated
+    // else N); shared denominator N^|dims| keeps the sum exact
+    val cost = dimNames.zipWithIndex.map { case (d, i) =>
+      when(col("flags")(i) && col(d).isNotNull, col(d)).otherwise(col("N"))
+    }.reduce(_ * _)
+    val nD = dimNames.indices.map(_ => col("N").cast("double")).reduce(_ * _)
+
+    scored
+      .select(col("layout_id"), cost.as("cost"), nD.as("den"))
+      .groupBy("layout_id")
+      .agg(
+        count(lit(1)).as("n_queries"),
+        sum(col("cost").cast("decimal(38,0)")).as("total"),
+        max("den").as("den"))
+      .select(col("layout_id"), col("n_queries"),
+        round(col("total").cast("double") / (col("den") * col("n_queries")), 6)
+          .as("avg_scan_frac"),
+        col("total"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("total").asc, col("layout_id").asc)))
+      .drop("total")
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{FileStats, LayoutAdvisor}
+import graft.sources.FileStats.Between
+
+/** Workload-driven layout advisor (sources/LayoutAdvisor.scala): the
+  * cost model against a hand-computed panel, and EMPIRICAL validation
+  * — files actually read under FileStats pruning on materialized
+  * layouts must follow the advisor's ranking. */
+class LayoutAdvisorSpec extends SparkSpec {
+
+  test("hand panel: measured selectivities, multiplicative costs, exact ranking") {
+    val sess = spark
+    import sess.implicits._
+    // 10 rows: x = 0..9, y = parity
+    val data = (0 until 10).map(i => (i.toLong, (i % 2).toLong)).toDF("x", "y")
+    val workload = Seq(
+      (1L, "x", 0.0, 4.0),            // q1: x only, 5/10
+      (2L, "x", 0.0, 1.0),            // q2: x 2/10 AND y 5/10
+      (2L, "y", 0.0, 0.0))
+      .toDF("query_id", "dim", "lo", "hi")
+    val got = LayoutAdvisor.advise(data,
+        Seq("x" -> col("x"), "y" -> col("y")), workload,
+        Seq(Seq("x"), Seq("y"), Seq("x", "y")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getInt(3)))).toMap
+    // N = 10, denominator N^2 = 100 per query:
+    //   x:   (5*10 + 2*10) / 200 = 0.35
+    //   y:   (10*10 + 10*5) / 200 = 0.75
+    //   x+y: (5*10 + 2*5)  / 200 = 0.30
+    assert(got("x") == ((2L, 0.35, 2)))
+    assert(got("y") == ((2L, 0.75, 3)))
+    assert(got("x+y") == ((2L, 0.3, 1)))
+  }
+
+  test("empirical: FileStats files-read on materialized layouts follows the ranking") {
+    val ev = Tables.events(spark, SfDir)
+      .select(col("user_id"), col("value"),
+        unix_date(to_date(col("ts"))).as("day"))
+    // narrow user predicates (strong pruning if clustered on user),
+    // wide value predicates (weak even when clustered)
+    val sess = spark
+    import sess.implicits._
+    val qs = (0 until 8).map { i =>
+      (i.toLong, (i * 2 % 14).toLong, (i * 37 % 200).toLong)
+    }
+    val workload =
+      qs.map { case (q, ulo, vlo) => (q, "user", ulo.toDouble, ulo + 1.0) }
+        .union(qs.map { case (q, _, vlo) => (q, "value", vlo.toDouble, vlo + 300.0) })
+        .toDF("query_id", "dim", "lo", "hi")
+    val advice = LayoutAdvisor.advise(ev,
+        Seq("user" -> col("user_id"), "value" -> col("value")), workload,
+        Seq(Seq("user"), Seq("value")))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(2), r.getInt(3)))).toMap
+    assert(advice("user")._2 == 1 && advice("value")._2 == 2,
+      s"expected the narrow-predicate dim to win: $advice")
+
+    // materialize both layouts, measure files actually read per query
+    val root = Files.createTempDirectory("graft_advisor_spec").toString
+    def measure(layoutDim: String): Int = {
+      val path = s"$root/$layoutDim"
+      ev.repartitionByRange(8, col(layoutDim))
+        .sortWithinPartitions(layoutDim).write.parquet(path)
+      FileStats.build(spark, path, cols = Seq("user_id", "value"))
+      qs.map { case (_, ulo, vlo) =>
+        FileStats.candidateFiles(spark, path, Seq(
+          Between("user_id", ulo, ulo + 1L),
+          Between("value", vlo.toDouble, vlo + 300.0))).size
+      }.sum
+    }
+    val (userFiles, valueFiles) = (measure("user_id"), measure("value"))
+    assert(userFiles < valueFiles,
+      s"advisor ranked 'user' first but measured files-read disagrees: " +
+        s"user=$userFiles value=$valueFiles")
+  }
+}
