@@ -99,6 +99,59 @@ object SparkEntry {
       |  FROM cb1 c LEFT JOIN uv1 u USING (sub, code)
       |)""".stripMargin
 
+  /** Parametric form of [[pqTrainingCte]]'s Lloyd chain for oracles
+    * that train on a DERIVED vector relation (q122 trains the fine
+    * codebook on coarse-cell RESIDUALS): emits `{p}sv`, `{p}seeds`,
+    * `{p}cb0..cb2` over `src(vec_id, e)` with the exact same
+    * arithmetic (stride seeds, round-6 init and updates, argmin on
+    * (round(d,6), code), empty cells keep their centroid). */
+  private def pqTrainCteGen(p: String, src: String, m: Int, dsub: Int, k: Int): String = {
+    def dist(s: String, c: String) =
+      s"round(list_dot_product($s, $s) - 2.0 * list_dot_product($s, $c)" +
+        s" + list_dot_product($c, $c), 6)"
+    val rounds = (0 until 2).map { i =>
+      s"""${p}sc$i AS (
+         |  SELECT s.vec_id, s.sub, c.code, ${dist("s.subvec", "c.cvec")} AS d
+         |  FROM ${p}sv s JOIN ${p}cb$i c USING (sub)
+         |),
+         |${p}as$i AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT vec_id, sub, code,
+         |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rk
+         |    FROM ${p}sc$i) WHERE rk = 1
+         |),
+         |${p}up$i AS (
+         |  SELECT a.sub, a.code, g.i AS pos, round(AVG(s.subvec[g.i]), 6) AS c
+         |  FROM ${p}as$i a JOIN ${p}sv s ON s.vec_id = a.vec_id AND s.sub = a.sub,
+         |    LATERAL (SELECT UNNEST(generate_series(1, $dsub)) AS i) g
+         |  GROUP BY 1, 2, 3
+         |),
+         |${p}uv$i AS (
+         |  SELECT sub, code, list(c ORDER BY pos) AS newvec FROM ${p}up$i GROUP BY 1, 2
+         |),
+         |${p}cb${i + 1} AS (
+         |  SELECT c.sub, c.code, COALESCE(u.newvec, c.cvec) AS cvec
+         |  FROM ${p}cb$i c LEFT JOIN ${p}uv$i u USING (sub, code)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""${p}sv AS (
+       |  SELECT vec_id, CAST(g.s AS INT) AS sub,
+       |    e[g.s*$dsub+1 : g.s*$dsub+$dsub] AS subvec
+       |  FROM $src, LATERAL (SELECT UNNEST(generate_series(0, ${m - 1})) AS s) g
+       |),
+       |${p}seeds AS (
+       |  SELECT vec_id, CAST(rk - 1 AS INT) AS code FROM (
+       |    SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rk
+       |    FROM $src)
+       |  WHERE rk <= $k
+       |),
+       |${p}cb0 AS (
+       |  SELECT sub, code, list_transform(subvec, x -> round(x, 6)) AS cvec
+       |  FROM ${p}sv JOIN ${p}seeds USING (vec_id)
+       |),
+       |$rounds""".stripMargin
+  }
+
   /** The COARSE quantizer for q117's oracle: the same two-round
     * Lloyd loop as [[pqTrainingCte]] at m=1 over the full dimension
     * (plain k-means, K=8 cells) — seeds shared with the fine loop's
@@ -2086,6 +2139,110 @@ object SparkEntry {
         Seq("user", "day"), Seq("value", "day"), Seq("user", "value", "day")))
   }
 
+  /** q122: IVF-PQ with RESIDUAL encoding — the standard accuracy
+    * refinement over q117 (Jégou et al. §IV): the fine codebook is
+    * trained on x − c_cell(x) instead of raw vectors (residuals
+    * concentrate around the origin, so the same 8×16 code budget
+    * quantizes them with far less error), and each probe builds a
+    * PER-PROBED-CELL lookup table from ITS residual against that
+    * cell. Everything stays the repo's deterministic cross-engine
+    * algebra — the residual subtraction is one IEEE op per element
+    * over the float-exact cast and 1e-6-rounded centroids — so BOTH
+    * Lloyd loops (coarse on raw vectors, fine on residuals), the
+    * routing, the per-cell LUTs, and the composed top-5 lists
+    * hash-gate through an oracle whose fine chain is generated
+    * parametrically over the residual relation
+    * ([[pqTrainCteGen]]). Plan: identical shuffle shape to q117 plus
+    * one broadcast (coarse centroids into the residual map) — the
+    * candidate scan still touches codes of probed cells only. */
+  def q122ResidualIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val D = PqM * PqDsub
+    val coarse = Pq.trainCodebook(emb, "vec_id", "embedding", 1, D, 8, 2)
+    val cells = Pq.assign(
+        Pq.subVectors(emb, "vec_id", "embedding", 1, D), coarse, "vec_id")
+      .select(col("vec_id"), col("code").as("cell"))
+    val resid = Pq.residuals(emb, "vec_id", "embedding", cells, coarse)
+    val fine = Pq.trainCodebook(resid, "vec_id", "e", PqM, PqDsub, PqK, 2)
+    val codes = Pq.assign(
+      Pq.subVectors(resid, "vec_id", "e", PqM, PqDsub), fine, "vec_id")
+
+    val probes = emb.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val pcells = Pq.subVectors(probes, "probe_id", "embedding", 1, D)
+      .join(broadcast(coarse), Seq("sub"))
+      .withColumn("d", round(Pq.sqDist(col("subvec"), col("cvec")), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("d"), col("code"))))
+      .where(col("rk") <= 2)
+      .select(col("probe_id"), col("code").as("cell"))
+    val presid = Pq.residuals(probes, "probe_id", "embedding", pcells, coarse)
+      .select(struct(col("probe_id"), col("cell")).as("pc"), col("e"))
+    val lut = Pq.subVectors(presid, "pc", "e", PqM, PqDsub)
+      .join(broadcast(fine), Seq("sub"))
+      .select(col("pc.probe_id").as("probe_id"), col("pc.cell").as("cell"),
+        col("sub"), col("code"),
+        Pq.sqDist(col("subvec"), col("cvec")).as("pd"))
+    val cand = pcells.join(cells, Seq("cell"))
+      .select("probe_id", "cell", "vec_id")
+    cand.join(codes, Seq("vec_id"))
+      .join(lut, Seq("probe_id", "cell", "sub", "code"))
+      .groupBy("probe_id", "vec_id")
+      .agg(round(sum("pd"), 6).as("adist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("adist"), col("vec_id"))))
+      .where(col("rank") <= 5)
+      .select(col("probe_id"), col("rank"), col("vec_id"), col("adist"))
+  }
+
+  /** q121: multi-table snapshot-consistent publication
+    * ([[sources.Catalog]], S23's batch face) — two derived tables
+    * (per-asset and per-wallet totals over the same facts) published
+    * through TWO catalog snapshots, with a TORN third publish
+    * planted (a by_asset version with doubled totals lands via
+    * Publish but no catalog flip — the crash window) and a vacuum
+    * reaping it plus the old snapshot. The query reads BOTH tables
+    * through the live catalog and emits a cross-table
+    * reconciliation: per-asset rows plus the by_wallet grand total
+    * and an exact-decimal consistency flag. If the catalog ever
+    * exposed the torn version, the stale snapshot, or tables at
+    * different horizons, totals and flag diverge and the hash
+    * catches it — the oracle re-derives everything from events
+    * directly (the q80 pointer-resolution posture, lifted to N
+    * tables). Sums accumulate as DECIMAL (chop-invariant, the q97
+    * posture), presented double. */
+  def q121CatalogRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    def facts(): DataFrame = Tables.events(spark, dir).select(
+      col("event_type").as("asset"), col("user_id").as("wallet"),
+      round(col("value"), 6).cast("decimal(18,6)").as("v"))
+    def byAsset(f: DataFrame): DataFrame = f.groupBy("asset")
+      .agg(count(lit(1)).as("n_events"), sum("v").as("t"))
+    def byWallet(f: DataFrame): DataFrame = f.groupBy("wallet")
+      .agg(count(lit(1)).as("n_events"), sum("v").as("t"))
+    val root = graft.tools.Scratch.cachedArtifact(
+      "graft_q121", dir, s"$dir/events.parquet") { (tableDir, _) =>
+      val part = facts().where(col("wallet") % 2 === 0)
+      graft.sources.Catalog.publishAll(spark, tableDir,
+        Map("by_asset" -> byAsset(part), "by_wallet" -> byWallet(part))): Unit
+      graft.sources.Catalog.publishAll(spark, tableDir,
+        Map("by_asset" -> byAsset(facts()), "by_wallet" -> byWallet(facts()))): Unit
+      // the crash window: a garbage by_asset version lands, no flip
+      graft.sources.Publish.publish(
+        byAsset(facts()).withColumn("t", col("t") * 2),
+        java.nio.file.Paths.get(tableDir, "tables", "by_asset").toString): Unit
+      graft.sources.Catalog.vacuum(tableDir, keep = 1): Unit
+    }
+    val a = graft.sources.Catalog.read(spark, root, "by_asset")
+    val w = graft.sources.Catalog.read(spark, root, "by_wallet")
+    val grands = w.agg(sum("t").as("wt"))
+      .crossJoin(a.agg(sum("t").as("at")))
+    a.crossJoin(broadcast(grands))
+      .select(col("asset"), col("n_events"),
+        col("t").cast("double").as("total_value"),
+        col("wt").cast("double").as("wallet_total"),
+        (col("wt") === col("at")).as("consistent"))
+  }
+
   /** q102: funnel INSTANCES — MATCH_RECOGNIZE-lite over the event
     * stream ([[operators.Sequence.funnelInstances]]). q39 already
     * answers the USER grain (does a user ever convert?); this is the
@@ -2851,7 +3008,9 @@ object SparkEntry {
     "q117_ivfpq_knn"             -> (q117IvfPqKnn _),
     "q118_pq_drift_reencode"     -> (q118PqDriftReencode _),
     "q119_declared_asof"         -> (q119DeclaredAsOf _),
-    "q120_layout_advisor"        -> (q120LayoutAdvisor _)
+    "q120_layout_advisor"        -> (q120LayoutAdvisor _),
+    "q121_catalog_roundtrip"     -> (q121CatalogRoundtrip _),
+    "q122_residual_ivfpq"        -> (q122ResidualIvfPq _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -4921,6 +5080,110 @@ object SparkEntry {
         |SELECT layout_id, n_queries,
         |  round(CAST(total AS DOUBLE) / (den * n_queries), 6) AS avg_scan_frac,
         |  CAST(row_number() OVER (ORDER BY total, layout_id) AS INT) AS rank
-        |FROM tot""".stripMargin
+        |FROM tot""".stripMargin,
+
+    // the expected FINAL catalog state re-derived from events — any
+    // torn-version exposure, stale snapshot, or cross-table horizon
+    // skew on the Spark side diverges the totals or the flag
+    "q121_catalog_roundtrip" ->
+      """WITH f AS (
+        |  SELECT event_type AS asset, user_id AS wallet,
+        |    CAST(round(value, 6) AS DECIMAL(18,6)) AS v
+        |  FROM events
+        |),
+        |a AS (SELECT asset, count(*) AS n_events, SUM(v) AS t FROM f GROUP BY 1),
+        |w AS (SELECT wallet, SUM(v) AS t FROM f GROUP BY 1),
+        |g AS (SELECT (SELECT SUM(t) FROM w) AS wt, (SELECT SUM(t) FROM a) AS at)
+        |SELECT a.asset, a.n_events, CAST(a.t AS DOUBLE) AS total_value,
+        |  CAST(g.wt AS DOUBLE) AS wallet_total,
+        |  (g.wt = g.at) AS consistent
+        |FROM a, g""".stripMargin,
+
+    // residual IVF-PQ: the coarse loop verbatim, residuals as one
+    // IEEE subtraction per element, the FINE loop generated over the
+    // residual relation, per-probed-cell LUTs, candidate-restricted
+    // ADC — the whole two-quantizer composition re-derived
+    "q122_residual_ivfpq" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings
+         |),
+         |seeds AS (
+         |  SELECT vec_id, CAST(rk - 1 AS INT) AS code FROM (
+         |    SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rk
+         |    FROM embeddings)
+         |  WHERE rk <= 16
+         |),
+         |$pqCoarseCte,
+         |cells AS (
+         |  SELECT vec_id, code AS cell FROM (
+         |    SELECT s.vec_id, c.code,
+         |      row_number() OVER (PARTITION BY s.vec_id ORDER BY
+         |        round(list_dot_product(s.subvec, s.subvec)
+         |          - 2.0 * list_dot_product(s.subvec, c.cvec)
+         |          + list_dot_product(c.cvec, c.cvec), 6), c.code) AS rk
+         |    FROM sv1 s JOIN ccb2 c USING (sub)) WHERE rk = 1
+         |),
+         |rv AS (
+         |  SELECT v.vec_id,
+         |    list_transform(generate_series(1, 64), i -> v.e[i] - c.cvec[i]) AS e
+         |  FROM v JOIN cells USING (vec_id) JOIN ccb2 c ON c.code = cells.cell
+         |),
+         |${pqTrainCteGen("r", "rv", 8, 8, 16)},
+         |rcodes AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT vec_id, sub, code,
+         |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rk
+         |    FROM (
+         |      SELECT s.vec_id, s.sub, c.code,
+         |        round(list_dot_product(s.subvec, s.subvec)
+         |          - 2.0 * list_dot_product(s.subvec, c.cvec)
+         |          + list_dot_product(c.cvec, c.cvec), 6) AS d
+         |      FROM rsv s JOIN rcb2 c USING (sub))) WHERE rk = 1
+         |),
+         |pc AS (
+         |  SELECT probe_id, code AS cell FROM (
+         |    SELECT s.vec_id AS probe_id, c.code,
+         |      row_number() OVER (PARTITION BY s.vec_id ORDER BY
+         |        round(list_dot_product(s.subvec, s.subvec)
+         |          - 2.0 * list_dot_product(s.subvec, c.cvec)
+         |          + list_dot_product(c.cvec, c.cvec), 6), c.code) AS rk
+         |    FROM sv1 s JOIN ccb2 c USING (sub)
+         |    WHERE s.vec_id % 100 = 0) WHERE rk <= 2
+         |),
+         |prv AS (
+         |  SELECT pc.probe_id, pc.cell,
+         |    list_transform(generate_series(1, 64), i -> v.e[i] - c.cvec[i]) AS e
+         |  FROM pc JOIN v ON v.vec_id = pc.probe_id
+         |  JOIN ccb2 c ON c.code = pc.cell
+         |),
+         |psv AS (
+         |  SELECT probe_id, cell, CAST(g.s AS INT) AS sub,
+         |    e[g.s*8+1 : g.s*8+8] AS subvec
+         |  FROM prv, LATERAL (SELECT UNNEST(generate_series(0, 7)) AS s) g
+         |),
+         |lut AS (
+         |  SELECT p.probe_id, p.cell, p.sub, c.code,
+         |    list_dot_product(p.subvec, p.subvec)
+         |      - 2.0 * list_dot_product(p.subvec, c.cvec)
+         |      + list_dot_product(c.cvec, c.cvec) AS pd
+         |  FROM psv p JOIN rcb2 c USING (sub)
+         |),
+         |cand AS (
+         |  SELECT pc.probe_id, pc.cell, cells.vec_id FROM pc JOIN cells USING (cell)
+         |),
+         |ad AS (
+         |  SELECT cd.probe_id, cd.vec_id, round(SUM(l.pd), 6) AS adist
+         |  FROM cand cd
+         |  JOIN rcodes k ON k.vec_id = cd.vec_id
+         |  JOIN lut l ON l.probe_id = cd.probe_id AND l.cell = cd.cell
+         |    AND l.sub = k.sub AND l.code = k.code
+         |  GROUP BY 1, 2
+         |)
+         |SELECT probe_id, CAST(rk AS INT) AS rank, vec_id, adist FROM (
+         |  SELECT probe_id, vec_id, adist,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rk
+         |  FROM ad)
+         |WHERE rk <= 5""".stripMargin
   )
 }

@@ -122,6 +122,23 @@ object Pq {
       .select(col(probeIdCol), col("rank"), col(idCol), col("adist"))
   }
 
+  /** Residual vectors for IVF-PQ: each vector minus its coarse cell's
+    * centroid, element-wise ((vec_id, cell, e) with `e` double). The
+    * standard accuracy refinement (Jégou et al. §IV): residuals
+    * concentrate around the origin, so the SAME fine-codebook budget
+    * quantizes them with far less error than raw vectors. Exact
+    * cross-engine: the subtraction is one IEEE op per element over
+    * the float-exact cast and the 1e-6-rounded centroid. */
+  def residuals(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      cells: DataFrame, coarse: DataFrame): DataFrame =
+    vecs.select(col(idCol),
+        expr(s"transform($vecCol, x -> cast(x as double))").as("__e"))
+      .join(cells, Seq(idCol))
+      .join(broadcast(coarse.select(col("code").as("cell"), col("cvec"))), Seq("cell"))
+      .select(col(idCol), col("cell"),
+        expr("zip_with(__e, cvec, (a, b) -> a - b)").as("e"))
+
   /** Incremental re-encode under codebook drift — the q110 storage-
     * maintenance story applied to an ML index: after a codebook
     * retrain, the work to refresh the CODES table should cost what

@@ -1,0 +1,205 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Snapshot-consistent MULTI-table publication — one atomic pointer
+  * flip covering N tables.
+  *
+  * [[Publish]] makes a single table's refresh atomic; a serving layer
+  * usually reads SEVERAL derived tables that must agree (the
+  * reference's core_* update loop refreshes market data, transfers,
+  * and profits in one orchestrated pass — a reader joining profits
+  * against last cycle's market data reconciles to garbage). With
+  * per-table pointers alone there is always a window where table A is
+  * new and table B is old. The catalog closes it the way table
+  * formats' multi-table transactions do: tables still publish
+  * immutable `v=M` directories through [[Publish]]'s full
+  * staging→validate→promote protocol, but readers route through a
+  * CATALOG version — a manifest pinning one version per table —
+  * whose pointer flips once, atomically, after every member table
+  * has durably landed.
+  *
+  * Crash anatomy: each member table publishes first (its own pointer
+  * flip is now an implementation detail catalog readers ignore); a
+  * crash between table publishes or before the catalog flip leaves
+  * new table versions on disk UNREFERENCED — catalog readers still
+  * resolve the previous snapshot, every table at its old pinned
+  * version, mutually consistent. The orphaned versions are reaped by
+  * [[vacuum]], which keeps exactly the versions the retained catalog
+  * snapshots reference (a table version may be pinned by several
+  * snapshots when it didn't change — publishAll carries unchanged
+  * tables by reference, zero bytes rewritten).
+  *
+  * Exactly-once for streams rides the same manifest: caller meta
+  * (e.g. a micro-batch id) commits inside the catalog flip, so a
+  * replayed batch is refused before any table write
+  * ([[graft.streaming.CatalogStream]], the S15/S18 argument lifted
+  * to N tables).
+  *
+  * Scale: the catalog file is |tables| lines of JSON; the flip is one
+  * rename. Nothing here touches data paths — table bytes move
+  * through Publish exactly as before, and a 1000-executor writer
+  * parallelizes inside each table's stage step.
+  */
+object Catalog {
+
+  private val Current = "_CATALOG_CURRENT"
+
+  private def catDir(root: String): Path = Paths.get(root, "_catalog")
+  private def tableRoot(root: String, table: String): String =
+    Paths.get(root, "tables", table).toString
+
+  /** Publish a consistent snapshot: stage every table as a fresh
+    * Publish version (validated, immutable), then flip the ONE
+    * catalog pointer. Tables absent from `tables` but present in the
+    * live snapshot are CARRIED at their pinned version (zero bytes
+    * moved). Returns the new catalog version. */
+  def publishAll(
+      spark: SparkSession,
+      root: String,
+      tables: Map[String, DataFrame],
+      meta: Map[String, String] = Map.empty): Long = {
+    require(tables.nonEmpty, "empty snapshot")
+    tables.keys.foreach { t =>
+      require(t.matches("[A-Za-z0-9_][A-Za-z0-9_.-]*"), s"unsafe table name '$t'")
+    }
+    val carried = currentTableVersions(root) -- tables.keys
+    val fresh = tables.toSeq.sortBy(_._1).map { case (t, df) =>
+      t -> Publish.publish(df, tableRoot(root, t), meta)
+    }
+    commit(root, (carried.toSeq ++ fresh).sortBy(_._1), meta)
+  }
+
+  /** The commit step alone — pin the given (table, version) set and
+    * flip the pointer. Exposed for callers that stage table versions
+    * themselves; versions must already exist under `tables/<t>/v=V`. */
+  def commit(
+      root: String,
+      pins: Seq[(String, Long)],
+      meta: Map[String, String] = Map.empty): Long = {
+    val dir = catDir(root)
+    Files.createDirectories(dir)
+    val version = listSnapshots(root).maxOption.getOrElse(0L) + 1L
+    def jsonStr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => "\\u%04x".format(c.toInt)
+        case c => c.toString
+      } + "\""
+    val metaJson = meta.toSeq.sorted
+      .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }.mkString("{", ",", "}")
+    val pinsJson = pins.sortBy(_._1)
+      .map { case (t, v) => s"${jsonStr(t)}:$v" }.mkString("{", ",", "}")
+    val manifest =
+      s"""{"version":$version,"tables":$pinsJson,"meta":$metaJson}"""
+    // manifest is durable BEFORE the pointer references it; the flip
+    // is the only observable step (Publish's exact protocol)
+    Files.write(dir.resolve(s"snap-$version.json"),
+      manifest.getBytes(StandardCharsets.UTF_8))
+    val tmp = dir.resolve(s".$Current.tmp")
+    Files.write(tmp, version.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve(Current),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    version
+  }
+
+  /** The live catalog version, if any. */
+  def currentVersion(root: String): Option[Long] = {
+    val p = catDir(root).resolve(Current)
+    if (Files.exists(p))
+      Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong)
+    else None
+  }
+
+  /** The live snapshot's pinned (table → Publish version). */
+  def currentTableVersions(root: String): Map[String, Long] =
+    currentVersion(root).map(tableVersions(root, _)).getOrElse(Map.empty)
+
+  /** Caller meta recorded in the live snapshot's manifest. */
+  def currentMetaValue(root: String, key: String): Option[String] =
+    currentVersion(root).flatMap { v =>
+      val m = manifestText(root, v)
+      // same minimal extraction Publish uses: flat JSON authored here
+      val pat = ("\"" + java.util.regex.Pattern.quote(key) + "\":\"((?:[^\"\\\\]|\\\\.)*)\"").r
+      pat.findFirstMatchIn(m).map(g =>
+        g.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+    }
+
+  /** Read `table` at the LIVE snapshot's pinned version — never the
+    * table's own (possibly newer) pointer. */
+  def read(spark: SparkSession, root: String, table: String): DataFrame = {
+    val pins = currentTableVersions(root)
+    val v = pins.getOrElse(table,
+      throw new IllegalStateException(s"table '$table' not in the live snapshot at $root"))
+    Publish.readVersion(spark, tableRoot(root, table), v)
+  }
+
+  /** Drop catalog snapshots beyond the newest `keep`, then drop every
+    * table version no retained snapshot references (incl. versions a
+    * crashed publishAll left unreferenced). Returns removed table
+    * version dirs as (table, version). */
+  def vacuum(root: String, keep: Int = 1): Seq[(String, Long)] = {
+    val live = currentVersion(root).getOrElse(return Nil)
+    val snaps = listSnapshots(root).sorted.reverse
+    val (kept, dropped) = snaps.partition(s => s > live - keep && s <= live)
+    dropped.foreach(s => Files.deleteIfExists(catDir(root).resolve(s"snap-$s.json")))
+    val referenced: Map[String, Set[Long]] = kept
+      .flatMap(s => tableVersions(root, s).toSeq)
+      .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).toSet }
+    val tablesDir = Paths.get(root, "tables")
+    if (!Files.exists(tablesDir)) return Nil
+    Files.list(tablesDir).iterator().asScala.toSeq.filter(Files.isDirectory(_))
+      .flatMap { tDir =>
+        val t = tDir.getFileName.toString
+        val keepVs = referenced.getOrElse(t, Set.empty)
+        Publish.listVersions(tDir).filterNot(keepVs.contains).map { v =>
+          deleteRecursively(tDir.resolve(s"v=$v"))
+          // the member table's own pointer may now dangle; repoint it
+          // at its newest retained version so direct Publish readers
+          // stay valid
+          keepVs.maxOption.foreach { mv =>
+            val tmp = tDir.resolve("._CURRENT.tmp")
+            Files.write(tmp, mv.toString.getBytes(StandardCharsets.UTF_8))
+            Files.move(tmp, tDir.resolve("_CURRENT"),
+              StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+          }
+          t -> v
+        }
+      }
+  }
+
+  private def listSnapshots(root: String): Seq[Long] = {
+    val dir = catDir(root)
+    if (!Files.exists(dir)) Nil
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("snap-") && s.endsWith(".json") =>
+        s.stripPrefix("snap-").stripSuffix(".json").toLong }
+      .toSeq
+  }
+
+  private def manifestText(root: String, version: Long): String =
+    new String(Files.readAllBytes(catDir(root).resolve(s"snap-$version.json")),
+      StandardCharsets.UTF_8)
+
+  private def tableVersions(root: String, version: Long): Map[String, Long] = {
+    val m = manifestText(root, version)
+    val tablesJson = """"tables":\{([^}]*)\}""".r
+      .findFirstMatchIn(m).map(_.group(1)).getOrElse("")
+    """"((?:[^"\\]|\\.)*)":(\d+)""".r.findAllMatchIn(tablesJson)
+      .map(g => g.group(1).replace("\\\"", "\"").replace("\\\\", "\\") -> g.group(2).toLong)
+      .toMap
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    Files.deleteIfExists(p): Unit
+  }
+}

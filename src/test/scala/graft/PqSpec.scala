@@ -124,6 +124,33 @@ class PqSpec extends SparkSpec {
       "a re-encoded code differs from the fresh assignment")
   }
 
+  test("q122: residual encoding answers every probe and refines quantization " +
+      "error vs raw-vector IVF-PQ") {
+    val emb = Tables.embeddings(spark, SfDir)
+    val nProbes = emb.where(col("vec_id") % 100 === 0).count()
+    val res = SparkEntry.q122ResidualIvfPq(spark, SfDir).cache()
+    assert(res.select("probe_id").distinct().count() == nProbes)
+    assert(res.groupBy("probe_id").count().where(col("count") =!= 5).count() == 0)
+
+    // each probe's own vector lives in its top-routed cell, so its
+    // self-match ADC distance is PURE quantization error; residual
+    // encoding must not quantize worse than raw-vector encoding on
+    // average (the Jégou refinement claim), compared on the probes
+    // where both variants ranked the self-match
+    val raw = SparkEntry.q117IvfPqKnn(spark, SfDir)
+    val selfR = res.where(col("probe_id") === col("vec_id"))
+      .select(col("probe_id"), col("adist").as("resid_err"))
+    val selfQ = raw.where(col("probe_id") === col("vec_id"))
+      .select(col("probe_id"), col("adist").as("raw_err"))
+    val both = selfR.join(selfQ, "probe_id").cache()
+    assert(both.count() > 0, "no self-matches to compare")
+    val Array(re, qe) = both.agg(avg("resid_err"), avg("raw_err"))
+      .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
+    assert(re <= qe + 1e-9,
+      s"residual encoding quantized WORSE than raw: resid=$re raw=$qe")
+    both.unpersist(); res.unpersist()
+  }
+
   test("planted separable clusters retrieve their own members") {
     val sess = spark
     import sess.implicits._
