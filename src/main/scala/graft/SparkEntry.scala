@@ -2243,6 +2243,32 @@ object SparkEntry {
         (col("wt") === col("at")).as("consistent"))
   }
 
+  /** q124: DECLARED-SQL keep-one-per-group dedupe under the injected
+    * optimizer rule ([[graft.plans.TopRowRewrite]]) — q2's dedupe
+    * written the way every SQL user writes it: `row_number() OVER
+    * (PARTITION BY … ORDER BY …)` in a subquery, `WHERE rn = 1`
+    * outside. Vanilla Spark plans a full window sort — every event
+    * row crosses the exchange and gets sorted by (keys, ts, id); at
+    * 100 TB the sort IS the query. The injected pre-CBO rule
+    * rewrites Filter-over-Window into a `min_by(struct(payload),
+    * struct(order))` aggregation with map-side PARTIAL aggregation:
+    * the exchange carries one candidate row per (mapper, group) and
+    * the reduce side touches |groups| rows — Flink's `Deduplicate`
+    * operator, arrived at from declared Spark SQL. The (ts,
+    * event_id) tiebreak is unique, so the pick is deterministic and
+    * this entry hash-checks against DuckDB running the SAME
+    * antipattern SQL verbatim (the q119 posture — the strongest form
+    * of "the rule preserves semantics"). */
+  def q124DeclaredDedupe(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("graft_q124_events")
+    spark.sql(
+      """SELECT user_id, event_type, event_id, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |                               ORDER BY ts, event_id) AS rn
+        |  FROM graft_q124_events
+        |) WHERE rn = 1""".stripMargin)
+  }
+
   /** q102: funnel INSTANCES — MATCH_RECOGNIZE-lite over the event
     * stream ([[operators.Sequence.funnelInstances]]). q39 already
     * answers the USER grain (does a user ever convert?); this is the
@@ -3010,7 +3036,8 @@ object SparkEntry {
     "q119_declared_asof"         -> (q119DeclaredAsOf _),
     "q120_layout_advisor"        -> (q120LayoutAdvisor _),
     "q121_catalog_roundtrip"     -> (q121CatalogRoundtrip _),
-    "q122_residual_ivfpq"        -> (q122ResidualIvfPq _)
+    "q122_residual_ivfpq"        -> (q122ResidualIvfPq _),
+    "q124_declared_dedupe"       -> (q124DeclaredDedupe _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -5184,6 +5211,21 @@ object SparkEntry {
          |  SELECT probe_id, vec_id, adist,
          |    row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rk
          |  FROM ad)
-         |WHERE rk <= 5""".stripMargin
+         |WHERE rk <= 5""".stripMargin,
+
+    // the SAME antipattern SQL the Spark side declares, run verbatim
+    // by DuckDB — Spark's side goes through the injected TopRowRewrite
+    // (window → min_by aggregation), DuckDB plans its own window;
+    // (ts, event_id) is a unique tiebreak so both picks are
+    // deterministic and must hash-match. CAST(ts AS TIMESTAMP)
+    // truncates DuckDB's nanoseconds to Spark's microsecond axis
+    // (the q2 caveat).
+    "q124_declared_dedupe" ->
+      """SELECT user_id, event_type, event_id, value FROM (
+        |  SELECT user_id, event_type, event_id, value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |  FROM events
+        |) WHERE rn = 1""".stripMargin
   )
 }

@@ -100,5 +100,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     }
     ext.injectPreCBORule(session => graft.plans.IntervalOverlapRewrite(session))
     ext.injectPreCBORule(session => graft.plans.AsOfRewrite(session))
+    ext.injectPreCBORule(session => graft.plans.TopRowRewrite(session))
   }
 }
