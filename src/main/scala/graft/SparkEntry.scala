@@ -2113,7 +2113,10 @@ object SparkEntry {
     * fraction (one division, round 6). LayoutAdvisorSpec validates
     * the model EMPIRICALLY: files actually read under FileStats
     * pruning follow the advisor's ranking on a materialized layout. */
-  def q120LayoutAdvisor(spark: SparkSession, dir: String): DataFrame = {
+  // the measured workload q120/q123 share: an order-key-derived panel
+  // of range predicates over user/value/day, each query predicating a
+  // different dim subset
+  private def advisorWorkload(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.orders(spark, dir).where(col("o_orderkey") % 997 === 0)
       .select(col("o_orderkey").as("query_id"),
         expr("o_orderkey div 997").as("k"))
@@ -2130,13 +2133,89 @@ object SparkEntry {
       lit("day").as("dim"),
       (epoch0 + col("k") % 24).cast("double").as("lo"),
       (epoch0 + col("k") % 24 + col("k") % 6).cast("double").as("hi"))
+    wU.unionByName(wV).unionByName(wD)
+  }
+
+  private val advisorDims = Seq(
+    "user" -> col("user_id"), "value" -> col("value"),
+    "day" -> unix_date(to_date(col("ts"))))
+
+  /** Test-only accessor: LayoutAdvisorSpec re-derives q123's choice. */
+  private[graft] def advisorWorkloadForTest(
+      spark: SparkSession, dir: String): DataFrame = advisorWorkload(spark, dir)
+
+  def q120LayoutAdvisor(spark: SparkSession, dir: String): DataFrame =
     LayoutAdvisor.advise(
-      Tables.events(spark, dir),
-      Seq("user" -> col("user_id"), "value" -> col("value"),
-        "day" -> unix_date(to_date(col("ts")))),
-      wU.unionByName(wV).unionByName(wD),
+      Tables.events(spark, dir), advisorDims, advisorWorkload(spark, dir),
       Seq(Seq("user"), Seq("value"), Seq("day"), Seq("user", "value"),
         Seq("user", "day"), Seq("value", "day"), Seq("user", "value", "day")))
+
+  /** q123: the advisor DRIVING the layout — q120's recommendation fed
+    * straight into the z-order writer, closing the loop from measured
+    * workload to physical bytes. Candidate layouts are capped at TWO
+    * curve dimensions (each added dim halves the interleave bits — and
+    * under q120's multiplicative cost model the full dim set is a
+    * degenerate always-winner; the cap is both the practical z-order
+    * guidance and what makes the choice DATA-DRIVEN), the rank-1
+    * layout_id is a one-row driver probe (the q61 bounded-collect
+    * posture), and events are clustered along the Morton curve of the
+    * CHOSEN dims with the generic `_fstats` manifest built over all
+    * three predicate columns. The registry query then answers a 3-D
+    * box off the advised layout via stats pruning and carries the
+    * chosen layout_id in its output — so the DuckDB oracle re-derives
+    * BOTH the advisor's exact integer ranking (q120's CTE chain over
+    * the 6 capped layouts) AND the full-scan aggregate: a wrong
+    * choice, a lossy prune, or a drifted cost model all break the
+    * hash. At 100 TB this is the nightly re-layout decision run as a
+    * query: advisor on a sample, one clustering shuffle at write
+    * time, every box query thereafter reads O(selectivity) files. */
+  def q123AdvisedLayout(spark: SparkSession, dir: String): DataFrame = {
+    val capped = Seq(Seq("user"), Seq("value"), Seq("day"),
+      Seq("user", "value"), Seq("user", "day"), Seq("value", "day"))
+    val best = LayoutAdvisor.advise(
+        Tables.events(spark, dir), advisorDims, advisorWorkload(spark, dir),
+        capped)
+      .where(col("rank") === 1).select("layout_id")
+      .collect()(0).getString(0)
+
+    val table = graft.tools.Scratch.cachedArtifact(
+      s"graft_q123_${best.replace("+", "_")}", dir, s"$dir/events.parquet") {
+      (tableDir, _) =>
+        val ev = Tables.events(spark, dir)
+        val dimCols = advisorDims.toMap.view.mapValues(_.cast("double")).toMap
+        val chosen = best.split('+').toSeq
+        val aggs = chosen.flatMap(d =>
+          Seq(min(dimCols(d)).as(s"lo_$d"), max(dimCols(d)).as(s"hi_$d")))
+        val b = ev.agg(aggs.head, aggs.tail: _*).collect()(0)
+        import graft.sources.ZOrder.{affineBucket, zValueN}
+        val bits = if (chosen.length == 1) 12 else 9
+        val zcols = chosen.zipWithIndex.map { case (d, i) =>
+          affineBucket(dimCols(d), lit(b.get(2 * i)), lit(b.get(2 * i + 1)), bits)
+        }
+        ev.withColumn("__z", zValueN(zcols, bits))
+          .repartitionByRange(32, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z")
+          .write.parquet(tableDir)
+        graft.sources.FileStats.build(spark, tableDir,
+          cols = Seq("user_id", "value", "ts"))
+    }
+
+    val lo = java.sql.Timestamp.valueOf("2024-01-08 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2024-01-21 00:00:00")
+    import graft.sources.FileStats.Between
+    graft.sources.FileStats.prunedRead(spark, table, Seq(
+        Between("user_id", 5L, 40L),
+        Between("value", 25.0, 75.0),
+        Between("ts", lo, hi)))
+      .where(col("user_id").between(5, 40) && col("value").between(25.0, 75.0)
+        && col("ts") >= lit(lo) && col("ts") <= lit(hi))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value"), 6).cast("decimal(18,6)"))
+          .cast("double").as("sum_value"))
+      .withColumn("layout_id", lit(best))
   }
 
   /** q122: IVF-PQ with RESIDUAL encoding — the standard accuracy
@@ -3037,6 +3116,7 @@ object SparkEntry {
     "q120_layout_advisor"        -> (q120LayoutAdvisor _),
     "q121_catalog_roundtrip"     -> (q121CatalogRoundtrip _),
     "q122_residual_ivfpq"        -> (q122ResidualIvfPq _),
+    "q123_advised_layout"        -> (q123AdvisedLayout _),
     "q124_declared_dedupe"       -> (q124DeclaredDedupe _)
   )
 
@@ -5212,6 +5292,83 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rk
          |  FROM ad)
          |WHERE rk <= 5""".stripMargin,
+
+    // the advisor loop closed under one hash: q120's cost-model CTEs
+    // over the 2-dim-capped candidate set pick the SAME rank-1 layout
+    // the Spark side materialized (a wrong choice breaks the
+    // layout_id column), and the box aggregate re-derives over the
+    // WHOLE table (a lossy prune breaks the measures)
+    "q123_advised_layout" ->
+      """WITH ks AS (
+        |  SELECT o_orderkey AS query_id, o_orderkey // 997 AS k
+        |  FROM orders WHERE o_orderkey % 997 = 0
+        |),
+        |w AS (
+        |  SELECT query_id, 'user' AS dim,
+        |    CAST((k*13)%120 AS DOUBLE) AS lo,
+        |    CAST((k*13)%120 + 3 + k%12 AS DOUBLE) AS hi
+        |  FROM ks WHERE k%2 = 0
+        |  UNION ALL
+        |  SELECT query_id, 'value',
+        |    CAST((k*7)%480 AS DOUBLE), CAST((k*7)%480 + 10 + k%40 AS DOUBLE)
+        |  FROM ks WHERE k%3 > 0
+        |  UNION ALL
+        |  SELECT query_id, 'day',
+        |    CAST(19723 + k%24 AS DOUBLE), CAST(19723 + k%24 + k%6 AS DOUBLE)
+        |  FROM ks WHERE k%5 > 0
+        |),
+        |e AS (
+        |  SELECT 'user' AS dim, CAST(user_id AS DOUBLE) AS v FROM events
+        |  UNION ALL
+        |  SELECT 'value', value FROM events
+        |  UNION ALL
+        |  SELECT 'day', CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS DOUBLE)
+        |  FROM events
+        |),
+        |cnt AS (
+        |  SELECT w.query_id, w.dim, count(*) AS n
+        |  FROM e JOIN w ON e.dim = w.dim AND e.v BETWEEN w.lo AND w.hi
+        |  GROUP BY 1, 2
+        |),
+        |m AS (
+        |  SELECT wd.query_id,
+        |    max(CASE WHEN wd.dim='user' THEN COALESCE(c.n, 0) END) AS nu,
+        |    max(CASE WHEN wd.dim='value' THEN COALESCE(c.n, 0) END) AS nv,
+        |    max(CASE WHEN wd.dim='day' THEN COALESCE(c.n, 0) END) AS nd
+        |  FROM (SELECT DISTINCT query_id, dim FROM w) wd
+        |  LEFT JOIN cnt c ON c.query_id = wd.query_id AND c.dim = wd.dim
+        |  GROUP BY 1
+        |),
+        |nn AS (SELECT count(*) AS N FROM events),
+        |lay(layout_id, fu, fv, fd) AS (VALUES
+        |  ('user', true, false, false), ('value', false, true, false),
+        |  ('day', false, false, true), ('user+value', true, true, false),
+        |  ('user+day', true, false, true), ('value+day', false, true, true)
+        |),
+        |sc AS (
+        |  SELECT l.layout_id,
+        |    (CASE WHEN l.fu AND m.nu IS NOT NULL THEN m.nu ELSE nn.N END)
+        |    * (CASE WHEN l.fv AND m.nv IS NOT NULL THEN m.nv ELSE nn.N END)
+        |    * (CASE WHEN l.fd AND m.nd IS NOT NULL THEN m.nd ELSE nn.N END)
+        |      AS cost
+        |  FROM m, nn, lay l
+        |),
+        |best AS (
+        |  SELECT layout_id FROM sc GROUP BY layout_id
+        |  ORDER BY SUM(cost), layout_id LIMIT 1
+        |),
+        |agg AS (
+        |  SELECT event_type, COUNT(*) AS n_events,
+        |    CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |  FROM events
+        |  WHERE user_id BETWEEN 5 AND 40
+        |    AND value >= 25.0 AND value <= 75.0
+        |    AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-08 00:00:00'
+        |    AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-21 00:00:00'
+        |  GROUP BY event_type
+        |)
+        |SELECT agg.event_type, agg.n_events, agg.sum_value, best.layout_id
+        |FROM agg, best""".stripMargin,
 
     // the SAME antipattern SQL the Spark side declares, run verbatim
     // by DuckDB — Spark's side goes through the injected TopRowRewrite

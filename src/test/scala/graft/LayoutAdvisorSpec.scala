@@ -77,4 +77,46 @@ class LayoutAdvisorSpec extends SparkSpec {
       s"advisor ranked 'user' first but measured files-read disagrees: " +
         s"user=$userFiles value=$valueFiles")
   }
+
+  test("q123 loop: the advised layout is materialized, prunes, and loses nothing") {
+    val out = SparkEntry.q123AdvisedLayout(spark, SfDir)
+    val layouts = out.select("layout_id").distinct().collect().map(_.getString(0))
+    assert(layouts.length == 1, s"one chosen layout expected: ${layouts.toSeq}")
+
+    // the chosen id is the advisor's exact rank-1 over the capped set
+    val capped = Seq(Seq("user"), Seq("value"), Seq("day"),
+      Seq("user", "value"), Seq("user", "day"), Seq("value", "day"))
+    val expected = LayoutAdvisor.advise(
+        Tables.events(spark, SfDir),
+        Seq("user" -> col("user_id"), "value" -> col("value"),
+          "day" -> unix_date(to_date(col("ts")))),
+        SparkEntry.advisorWorkloadForTest(spark, SfDir), capped)
+      .where(col("rank") === 1).collect()(0).getString(0)
+    assert(layouts(0) == expected, s"materialized ${layouts(0)}, advisor says $expected")
+
+    // the materialized table prunes the box to a strict file subset...
+    val table = sys.props("java.io.tmpdir") +
+      java.io.File.separator + new java.io.File(sys.props("java.io.tmpdir"))
+        .listFiles().map(_.getName)
+        .filter(n => n.startsWith(s"graft_q123_${layouts(0).replace("+", "_")}_table_") &&
+          n.contains("sf0_001")).head
+    val lo = java.sql.Timestamp.valueOf("2024-01-08 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2024-01-21 00:00:00")
+    val all = new java.io.File(table).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val kept = FileStats.candidateFiles(spark, table, Seq(
+      Between("user_id", 5L, 40L), Between("value", 25.0, 75.0),
+      Between("ts", lo, hi))).size
+    assert(kept < all, s"no pruning on the advised layout: $kept of $all files")
+
+    // ...and the pruned aggregate loses nothing vs the full scan
+    val full = Tables.events(spark, SfDir)
+      .where(col("user_id").between(5, 40) && col("value").between(25.0, 75.0)
+        && col("ts") >= lit(lo) && col("ts") <= lit(hi))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == full, s"pruned=$got full=$full")
+  }
 }
