@@ -2338,6 +2338,53 @@ object SparkEntry {
     * this entry hash-checks against DuckDB running the SAME
     * antipattern SQL verbatim (the q119 posture — the strongest form
     * of "the rule preserves semantics"). */
+  /** q125: automatic materialized-view matching
+    * ([[graft.plans.ViewMatchRewrite]] + [[sources.MatViews]]) — the
+    * dashboard query written against the FACTS answers from a
+    * registered |groups|-row rollup. A view at the (event_type,
+    * user_id) grain — decimal value sums, counts, max — is built once
+    * and registered for the raw events path; the declared SQL then
+    * groups by event_type alone with a user slice, and the injected
+    * rule rewrites it to the view: subset grouping re-aggregates the
+    * grain rows, the slice predicate re-applies verbatim (it touches
+    * grain columns only), count compensates as sum-of-counts, the
+    * decimal sum as sum-of-sums (exact — the posture that keeps this
+    * under the hash gate), max as max-of-maxes; the 100 TB fact scan
+    * vanishes from the plan. This is Calcite/BigQuery/Snowflake's
+    * automatic view matching composed with graft's own maintenance
+    * story — [[streaming.AggTableSink]] maintains exactly this table
+    * shape incrementally, so facts are scanned once per tick and
+    * every contained rollup thereafter costs O(|view|). The DuckDB
+    * oracle computes straight from events: a stale view, a wrong
+    * compensation, or a dropped NULL group all break the hash. */
+  def q125ViewMatch(spark: SparkSession, dir: String): DataFrame = {
+    val src = s"$dir/events.parquet"
+    val sumExpr = round(col("value"), 6).cast("decimal(18,6)")
+    val mvPath = graft.tools.Scratch.cachedArtifact(
+      "graft_q125_mv", dir, src) { (tableDir, _) =>
+      graft.sources.MatViews.build(spark, src, tableDir,
+        groupCols = Seq("event_type", "user_id"),
+        sums = Map("sum_v" -> sumExpr),
+        countCol = Some("cnt"),
+        maxs = Map("max_v" -> col("value"))): Unit
+    }
+    // the registry is JVM-memory: re-assert on every call (a cache
+    // hit skips the build closure, and build also registers)
+    graft.sources.MatViews.register(spark, src, mvPath,
+      groupCols = Seq("event_type", "user_id"),
+      sums = Map("sum_v" -> sumExpr),
+      countCol = Some("cnt"),
+      maxs = Map("max_v" -> col("value"))): Unit
+    spark.read.parquet(src).createOrReplaceTempView("graft_q125_events")
+    spark.sql(
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  max(value) AS max_value
+        |FROM graft_q125_events
+        |WHERE user_id BETWEEN 10 AND 60
+        |GROUP BY event_type""".stripMargin)
+  }
+
   def q124DeclaredDedupe(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir).createOrReplaceTempView("graft_q124_events")
     spark.sql(
@@ -3117,7 +3164,8 @@ object SparkEntry {
     "q121_catalog_roundtrip"     -> (q121CatalogRoundtrip _),
     "q122_residual_ivfpq"        -> (q122ResidualIvfPq _),
     "q123_advised_layout"        -> (q123AdvisedLayout _),
-    "q124_declared_dedupe"       -> (q124DeclaredDedupe _)
+    "q124_declared_dedupe"       -> (q124DeclaredDedupe _),
+    "q125_view_match"            -> (q125ViewMatch _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -5383,6 +5431,18 @@ object SparkEntry {
         |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
         |                            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
         |  FROM events
-        |) WHERE rn = 1""".stripMargin
+        |) WHERE rn = 1""".stripMargin,
+
+    // straight from the facts — the Spark side answers from the
+    // registered (event_type, user_id) view via the injected
+    // ViewMatchRewrite; a stale view, wrong compensation, or dropped
+    // NULL group breaks the hash
+    "q125_view_match" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  max(value) AS max_value
+        |FROM events
+        |WHERE user_id BETWEEN 10 AND 60
+        |GROUP BY event_type""".stripMargin
   )
 }

@@ -101,5 +101,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectPreCBORule(session => graft.plans.IntervalOverlapRewrite(session))
     ext.injectPreCBORule(session => graft.plans.AsOfRewrite(session))
     ext.injectPreCBORule(session => graft.plans.TopRowRewrite(session))
+    ext.injectPreCBORule(session => graft.plans.ViewMatchRewrite(session))
   }
 }

@@ -1,0 +1,147 @@
+package graft.sources
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.functions._
+
+/** Materialized-aggregate-view registry — the metadata side of
+  * automatic view matching ([[graft.plans.ViewMatchRewrite]]).
+  *
+  * A registered view asserts: "the parquet table at `mvPath` holds
+  * `SELECT groupCols, sum(e_i) AS s_i…, count(*) AS cnt, min/max(…)
+  * FROM sourcePath GROUP BY groupCols`, and it is CURRENT." The
+  * rewrite rule then answers any aggregate whose grouping is a subset
+  * of `groupCols`, whose filters touch only `groupCols`, and whose
+  * measures are derivable from the registered ones — without ever
+  * scanning the facts. Keeping the view current is the registrant's
+  * contract, and graft already ships both halves of it:
+  * [[graft.streaming.AggTableSink]] maintains exactly this table
+  * shape incrementally from an append-only stream (batch id inside
+  * the atomic publish), and [[build]] is the batch (re)build.
+  *
+  * Measures are matched STRUCTURALLY: at registration each measure's
+  * defining expression is resolved against the source schema and
+  * stored as its canonical SQL string; at match time the query's
+  * aggregate argument is printed the same way and compared. That
+  * makes `sum(CAST(round(value, 6) AS DECIMAL(18,6)))` in a query
+  * find the `sum_v` column registered with the same expression, while
+  * `sum(value)` (a DIFFERENT aggregate) correctly misses.
+  *
+  * Exactness of the compensation algebra: sum-of-group-sums ≡ the
+  * direct sum only when addition is associative-and-exact — DECIMAL
+  * or integral measures, the repo's standard posture (a double sum
+  * would drift by accumulation order and could not sit under the
+  * hash gate). min/max are idempotent-semigroup measures (exact for
+  * any type), count compensates as sum-of-counts.
+  *
+  * Scale: this is the 100 TB dashboard story — the facts are scanned
+  * once per maintenance tick (or never, streaming); every matching
+  * rollup/slice query thereafter reads a |groups|-row table. The
+  * registry itself is driver-side metadata (a handful of strings per
+  * view).
+  */
+object MatViews {
+
+  /** One registered view over one source table. */
+  final case class MvDef(
+      sourcePath: String,
+      mvPath: String,
+      groupCols: Seq[String],
+      /** mv column name -> canonical SQL of the summed expression */
+      sums: Map[String, String],
+      /** mv column holding count(*), if materialized */
+      countCol: Option[String],
+      /** mv column name -> canonical SQL of the min'd expression */
+      mins: Map[String, String],
+      /** mv column name -> canonical SQL of the max'd expression */
+      maxs: Map[String, String])
+
+  private val registry = TrieMap.empty[String, MvDef]
+
+  private[graft] def normalize(path: String): String =
+    new org.apache.hadoop.fs.Path(path).toUri.getPath
+
+  /** Canonical SQL for `expr` resolved against the source schema —
+    * the string both registration and the rewrite rule compare. */
+  private[graft] def canonicalSql(
+      spark: SparkSession, sourcePath: String, c: Column): String =
+    canon(resolvedExpr(spark, sourcePath, c))
+
+  /** Qualifier-free SQL print — a query resolving the same column
+    * through a view alias must produce the same string. */
+  private[graft] def canon(e: Expression): String =
+    e.transform {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        a.withQualifier(Seq.empty)
+    }.sql
+
+  // resolved AND optimizer-normalized (constant folding, cast
+  // simplification) — the rewrite rule runs pre-CBO, so the query
+  // expressions it compares against have been through the same
+  // normalization
+  private def resolvedExpr(
+      spark: SparkSession, sourcePath: String, c: Column): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    spark.read.parquet(sourcePath).select(c.as("__m"))
+      .queryExecution.optimizedPlan match {
+      case Project(Seq(Alias(e, _)), _) => e
+      case p => p.expressions.head
+    }
+  }
+
+  /** Build the view's table: one aggregation pass over the source,
+    * written to `mvPath` (overwrite). Returns the registered def. */
+  def build(
+      spark: SparkSession,
+      sourcePath: String,
+      mvPath: String,
+      groupCols: Seq[String],
+      sums: Map[String, Column] = Map.empty,
+      countCol: Option[String] = Some("cnt"),
+      mins: Map[String, Column] = Map.empty,
+      maxs: Map[String, Column] = Map.empty): MvDef = {
+    require(groupCols.nonEmpty, "grouped views only")
+    val aggs =
+      sums.map { case (n, c) => sum(c).as(n) } ++
+        countCol.map(n => count(lit(1)).as(n)) ++
+        mins.map { case (n, c) => min(c).as(n) } ++
+        maxs.map { case (n, c) => max(c).as(n) }
+    require(aggs.nonEmpty, "a view needs at least one measure")
+    spark.read.parquet(sourcePath)
+      .groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail.toSeq: _*)
+      .write.mode("overwrite").parquet(mvPath)
+    register(spark, sourcePath, mvPath, groupCols, sums, countCol, mins, maxs)
+  }
+
+  /** Register an EXISTING view table (e.g. one
+    * [[graft.streaming.AggTableSink]] maintains). Asserting currency
+    * is the caller's contract. */
+  def register(
+      spark: SparkSession,
+      sourcePath: String,
+      mvPath: String,
+      groupCols: Seq[String],
+      sums: Map[String, Column] = Map.empty,
+      countCol: Option[String] = Some("cnt"),
+      mins: Map[String, Column] = Map.empty,
+      maxs: Map[String, Column] = Map.empty): MvDef = {
+    val d = MvDef(
+      normalize(sourcePath), mvPath, groupCols,
+      sums.map { case (n, c) => n -> canonicalSql(spark, sourcePath, c) },
+      countCol,
+      mins.map { case (n, c) => n -> canonicalSql(spark, sourcePath, c) },
+      maxs.map { case (n, c) => n -> canonicalSql(spark, sourcePath, c) })
+    registry.put(d.sourcePath, d): Unit
+    d
+  }
+
+  def lookup(sourcePath: String): Option[MvDef] =
+    registry.get(normalize(sourcePath))
+
+  def deregister(sourcePath: String): Unit =
+    registry.remove(normalize(sourcePath)): Unit
+}
