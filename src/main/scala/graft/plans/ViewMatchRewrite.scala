@@ -152,7 +152,9 @@ case class ViewMatchRewrite(spark: SparkSession)
     val outs = agg.aggregateExpressions.map(ne => ne -> classify(ne).getOrElse(return None))
 
     // ---- build the replacement over the view table ----
-    val mvDf0 = spark.read.parquet(mv.mvPath)
+    val mvDf0 =
+      if (mv.publish) graft.sources.Publish.read(spark, mv.mvPath)
+      else spark.read.parquet(mv.mvPath)
     val mvAttr = mvDf0.queryExecution.analyzed.output.map(a => a.name -> a).toMap
     // every grain column exists on the view by construction, so the
     // by-name rebase of the (grain-only) filters is total

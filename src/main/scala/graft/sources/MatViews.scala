@@ -56,7 +56,13 @@ object MatViews {
       /** mv column name -> canonical SQL of the min'd expression */
       mins: Map[String, String],
       /** mv column name -> canonical SQL of the max'd expression */
-      maxs: Map[String, String])
+      maxs: Map[String, String],
+      /** true when `mvPath` is a [[Publish]] root (e.g. an
+        * [[graft.streaming.AggTableSink]]-maintained table): reads
+        * resolve the CURRENT version at rewrite time, so a matched
+        * query always answers at the latest committed tick — the
+        * continuous-MV loop. */
+      publish: Boolean = false)
 
   private val registry = TrieMap.empty[String, MvDef]
 
@@ -128,13 +134,15 @@ object MatViews {
       sums: Map[String, Column] = Map.empty,
       countCol: Option[String] = Some("cnt"),
       mins: Map[String, Column] = Map.empty,
-      maxs: Map[String, Column] = Map.empty): MvDef = {
+      maxs: Map[String, Column] = Map.empty,
+      publish: Boolean = false): MvDef = {
     val d = MvDef(
       normalize(sourcePath), mvPath, groupCols,
       sums.map { case (n, c) => n -> canonicalSql(spark, sourcePath, c) },
       countCol,
       mins.map { case (n, c) => n -> canonicalSql(spark, sourcePath, c) },
-      maxs.map { case (n, c) => n -> canonicalSql(spark, sourcePath, c) })
+      maxs.map { case (n, c) => n -> canonicalSql(spark, sourcePath, c) },
+      publish)
     registry.put(d.sourcePath, d): Unit
     d
   }

@@ -128,6 +128,56 @@ class ViewMatchRewriteSpec extends SparkSpec {
     assert(df.collect().map(_.toString).sorted.toSeq == direct)
   }
 
+  test("continuous view: an AggTableSink-maintained table answers declared SQL at each tick") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.AggTableSink
+    implicit val sqlCtx = spark.sqlContext
+    val sess = spark
+    import sess.implicits._
+
+    val root = Files.createTempDirectory("graft_mv_stream").toString
+    val liveFacts = s"$root/facts.parquet"
+    val viewRoot = s"$root/view"
+    val mem = MemoryStream[(String, Double)]
+    val query = AggTableSink.start(
+      mem.toDF().toDF("asset", "v")
+        .withColumn("v_d", round(col("v"), 6).cast("decimal(18,6)")),
+      viewRoot, Seq("asset"), Seq("v_d"), "cnt")
+    val sql =
+      """SELECT asset, count(*) AS n,
+        |  CAST(sum(CAST(round(v, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sv
+        |FROM mv_live_facts GROUP BY asset""".stripMargin
+    val ticks = Seq(
+      Seq(("a", 1.5), ("b", 2.0), ("a", 3.25)),
+      Seq(("b", 4.0), ("c", 0.5)))
+    try {
+      var registered = false
+      ticks.foreach { t =>
+        // one ingest feeds both: facts land in the lake, the sink
+        // maintains the rollup — the continuous-MV loop
+        t.toDF("asset", "v").write.mode("append").parquet(liveFacts)
+        mem.addData(t); query.processAllAvailable()
+        if (!registered) {
+          MatViews.register(spark, liveFacts, viewRoot, Seq("asset"),
+            sums = Map("v_d" -> round(col("v"), 6).cast("decimal(18,6)")),
+            countCol = Some("cnt"), publish = true): Unit
+          registered = true
+        }
+        // re-resolve the file listing each tick (a cached temp view
+        // would pin the first tick's files on the DIRECT path too)
+        spark.read.parquet(liveFacts).createOrReplaceTempView("mv_live_facts")
+        val on = spark.sql(sql)
+        assert(!scans(on).contains("facts.parquet"),
+          s"matched query still scans the facts:\n${scans(on)}")
+        val got = on.collect().map(_.toString).sorted.toSeq
+        val direct = withRuleOff(
+          spark.sql(sql).collect().map(_.toString).sorted.toSeq)
+        assert(got == direct, s"tick diverged: view=$got facts=$direct")
+      }
+    } finally query.stop()
+    MatViews.deregister(liveFacts)
+  }
+
   test("the view stays matched after AggTableSink-style re-publication") {
     setup()
     // a maintenance tick rewrites the view bytes; the registration —
