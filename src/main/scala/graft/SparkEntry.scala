@@ -2385,6 +2385,54 @@ object SparkEntry {
         |GROUP BY event_type""".stripMargin)
   }
 
+  /** q126: JOIN-aware view matching ([[graft.plans.ViewMatchRewrite]]
+    * + [[sources.MatViews.buildJoin]]) — the star-schema rollup:
+    * a view over orders ⋈ customer pre-joined and pre-aggregated at
+    * the (mktsegment, nationkey) grain answers the declared
+    * revenue-by-segment dashboard query with BOTH scans AND the join
+    * gone from the plan. Matching is Calcite's join-derivability in
+    * its conservative form: inner equi-join on exactly the
+    * registered key pairs (either orientation; implied IsNotNull(key)
+    * conjuncts dropped — the view materialized inner semantics),
+    * disjoint pruned output names, filters and grouping over grain
+    * columns (a slice mirrored across the join by constraint
+    * propagation maps back through the key-pair alias). At 100 TB
+    * the win compounds: the fact scan AND the dimension shuffle/
+    * broadcast both disappear — the query costs O(|segments ×
+    * nations|). Oracle: DuckDB runs the join + aggregate verbatim
+    * over the base tables; a wrong join match, dropped inner-join
+    * row, or bad compensation breaks the hash. */
+  def q126JoinViewMatch(spark: SparkSession, dir: String): DataFrame = {
+    val ordersPath = s"$dir/orders.parquet"
+    val custPath = s"$dir/customer.parquet"
+    val priceExpr = round(col("o_totalprice"), 2).cast("decimal(18,2)")
+    val mvPath = graft.tools.Scratch.cachedArtifact(
+      "graft_q126_mv", dir, ordersPath) { (tableDir, _) =>
+      graft.sources.MatViews.buildJoin(spark, ordersPath, custPath,
+        leftKeys = Seq("o_custkey"), rightKeys = Seq("c_custkey"),
+        mvPath = tableDir,
+        groupCols = Seq("c_mktsegment", "c_nationkey"),
+        sums = Map("sum_price" -> priceExpr),
+        countCol = Some("cnt")): Unit
+    }
+    graft.sources.MatViews.registerJoin(spark, ordersPath, custPath,
+      leftKeys = Seq("o_custkey"), rightKeys = Seq("c_custkey"),
+      mvPath = mvPath,
+      groupCols = Seq("c_mktsegment", "c_nationkey"),
+      sums = Map("sum_price" -> priceExpr),
+      countCol = Some("cnt")): Unit
+    spark.read.parquet(ordersPath).createOrReplaceTempView("graft_q126_orders")
+    spark.read.parquet(custPath).createOrReplaceTempView("graft_q126_customer")
+    spark.sql(
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM graft_q126_orders JOIN graft_q126_customer
+        |  ON o_custkey = c_custkey
+        |WHERE c_nationkey <= 12
+        |GROUP BY c_mktsegment""".stripMargin)
+  }
+
   def q124DeclaredDedupe(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir).createOrReplaceTempView("graft_q124_events")
     spark.sql(
@@ -3165,7 +3213,8 @@ object SparkEntry {
     "q122_residual_ivfpq"        -> (q122ResidualIvfPq _),
     "q123_advised_layout"        -> (q123AdvisedLayout _),
     "q124_declared_dedupe"       -> (q124DeclaredDedupe _),
-    "q125_view_match"            -> (q125ViewMatch _)
+    "q125_view_match"            -> (q125ViewMatch _),
+    "q126_join_view_match"       -> (q126JoinViewMatch _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -5443,6 +5492,17 @@ object SparkEntry {
         |  max(value) AS max_value
         |FROM events
         |WHERE user_id BETWEEN 10 AND 60
-        |GROUP BY event_type""".stripMargin
+        |GROUP BY event_type""".stripMargin,
+
+    // the join + aggregate run verbatim over the base tables — the
+    // Spark side answers from the registered star rollup with both
+    // scans and the join gone from the plan
+    "q126_join_view_match" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_nationkey <= 12
+        |GROUP BY c_mktsegment""".stripMargin
   )
 }

@@ -3,7 +3,8 @@ package graft.plans
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions.{col, max, min, sum}
@@ -11,11 +12,11 @@ import org.apache.spark.sql.graftglue.GraftBridge
 
 import graft.sources.MatViews
 
-/** Injected optimizer rule: aggregates over a fact scan are answered
-  * from a registered materialized view ([[MatViews]]) — the automatic
-  * view-matching engines like Calcite, BigQuery, and Snowflake ship,
-  * here for the [[graft.streaming.AggTableSink]]-maintained table
-  * shape.
+/** Injected optimizer rule: aggregates over a fact scan — or over a
+  * star-schema facts ⋈ dim join — are answered from a registered
+  * materialized view ([[MatViews]]) — the automatic view-matching
+  * engines like Calcite, BigQuery, and Snowflake ship, here for the
+  * [[graft.streaming.AggTableSink]]-maintained table shape.
   *
   * A dashboard writes
   *
@@ -35,7 +36,7 @@ import graft.sources.MatViews
   * any type). The fact scan disappears from the plan entirely; the
   * query's cost becomes O(|view|), independent of the facts.
   *
-  * Eligibility (conservative — anything else left untouched):
+  * Single-table eligibility (conservative — anything else untouched):
   *   - `Aggregate` over `[Filter]`/attribute-only-`Project` chains
   *     ending in a V1 parquet scan whose root path has a registered
   *     view (the path IS the match key — no table catalog needed);
@@ -51,13 +52,26 @@ import graft.sources.MatViews
   *     qualifier-free SQL of `e` ([[MatViews.canonicalSql]]'s
   *     structural match, so `sum(CAST(round(value, 6) AS
   *     DECIMAL(18,6)))` finds its measure and `sum(value)` — a
-  *     different aggregate — correctly misses).
+  *     different aggregate — correctly misses); a presentation Cast
+  *     around the aggregate compensates inside and casts after.
+  *
+  * Join eligibility adds ([[MatViews.JoinMvDef]] — the star-schema
+  * rollup, Calcite's join-derivability in its conservative form):
+  *   - the aggregate's child is an INNER `Join` of two eligible scans
+  *     (either orientation) whose paths have a registered join view;
+  *   - the join condition is exactly the registered equi-key pairs
+  *     (matched by column name per side) plus, tolerated and dropped,
+  *     `IsNotNull(key)` conjuncts — implied by the inner equi-join
+  *     the view already materialized;
+  *   - pruned output names of the two sides are disjoint, so grain
+  *     names resolve unambiguously; filters (above the join or
+  *     pushed into either side) reference grain columns only.
   *
   * Exactness: group universes agree (a view-grain group exists iff a
-  * fact row exists; re-grouping a subset grain produces exactly the
-  * groups the direct aggregate would); NULL group keys are one group
-  * on both routes; compensated sums re-cast to the direct aggregate's
-  * result type (wider partials, same values). Compensation types
+  * fact/join row exists; re-grouping a subset grain produces exactly
+  * the groups the direct aggregate would); NULL group keys are one
+  * group on both routes; a pushed-down grain slice filters exactly
+  * the join rows the view's grain rows represent. Compensation types
   * widen (`sum` over a view `sum` column) and are cast back to the
   * original attribute's type, preserving exprIds, so parents resolve
   * unchanged. Currency of the view is the registrant's contract —
@@ -75,7 +89,7 @@ case class ViewMatchRewrite(spark: SparkSession)
     if (!on) plan
     else plan.transformUp {
       case a @ Aggregate(_, _, child, _) =>
-        rewrite(a, child).getOrElse(a)
+        rewriteSingle(a, child).orElse(rewriteJoin(a, child)).getOrElse(a)
     }
   }
 
@@ -91,26 +105,102 @@ case class ViewMatchRewrite(spark: SparkSession)
       case _ => None
     }
 
-  private def rewrite(agg: Aggregate, child: LogicalPlan): Option[LogicalPlan] = {
-    val (conds, scan) = unwrap(child, Nil).getOrElse(return None)
-    val srcPath = scan.relation match {
+  /** Same, stopping at an inner Join instead of a scan. */
+  private def unwrapToJoin(plan: LogicalPlan,
+      conds: Seq[Expression]): Option[(Seq[Expression], Join)] =
+    plan match {
+      case Filter(c, child) =>
+        unwrapToJoin(child, conds ++ splitConjunctivePredicates(c))
+      case Project(list, child) if list.forall(_.isInstanceOf[AttributeReference]) =>
+        unwrapToJoin(child, conds)
+      case j: Join if j.joinType == Inner => Some((conds, j))
+      case _ => None
+    }
+
+  private def scanPath(scan: LogicalRelation): Option[String] =
+    scan.relation match {
       case fs: HadoopFsRelation if fs.location.rootPaths.length == 1 =>
-        fs.location.rootPaths.head.toUri.getPath
+        Some(fs.location.rootPaths.head.toUri.getPath)
+      case _ => None
+    }
+
+  private def rewriteSingle(agg: Aggregate, child: LogicalPlan): Option[LogicalPlan] = {
+    val (conds, scan) = unwrap(child, Nil).getOrElse(return None)
+    val srcPath = scanPath(scan).getOrElse(return None)
+    val mv = MatViews.lookup(srcPath).getOrElse(return None)
+    compensate(agg, mv, conds)
+  }
+
+  private def rewriteJoin(agg: Aggregate, child: LogicalPlan): Option[LogicalPlan] = {
+    val (topConds, j) = unwrapToJoin(child, Nil).getOrElse(return None)
+    val (lConds, lScan) = unwrap(j.left, Nil).getOrElse(return None)
+    val (rConds, rScan) = unwrap(j.right, Nil).getOrElse(return None)
+    val lPath = scanPath(lScan).getOrElse(return None)
+    val rPath = scanPath(rScan).getOrElse(return None)
+    val (mv, swapped) = MatViews.lookupJoin(lPath, rPath).getOrElse(return None)
+
+    // unambiguous name resolution across the two (pruned) sides
+    val lNames = lScan.output.map(_.name)
+    val rNames = rScan.output.map(_.name)
+    if (lNames.intersect(rNames).nonEmpty) return None
+
+    // join condition = exactly the registered equi pairs (+ implied
+    // IsNotNull(key) conjuncts, dropped)
+    val wantPairs =
+      (if (swapped) mv.rightKeys.zip(mv.leftKeys) else mv.leftKeys.zip(mv.rightKeys)).toSet
+    val keyNames = wantPairs.flatMap(p => Seq(p._1, p._2))
+    val cond = j.condition.getOrElse(return None)
+    val gotPairs = scala.collection.mutable.Set.empty[(String, String)]
+    splitConjunctivePredicates(cond).foreach {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if lScan.outputSet.contains(a) && rScan.outputSet.contains(b) =>
+        gotPairs += ((a.name, b.name))
+      case EqualTo(b: AttributeReference, a: AttributeReference)
+          if lScan.outputSet.contains(a) && rScan.outputSet.contains(b) =>
+        gotPairs += ((a.name, b.name))
+      case IsNotNull(a: AttributeReference) if keyNames.contains(a.name) => ()
       case _ => return None
     }
-    val mv = MatViews.lookup(srcPath).getOrElse(return None)
-    val groupSet = mv.groupCols.toSet
+    if (gotPairs.toSet != wantPairs) return None
 
-    // grouping: plain attributes on view grain columns
+    // side filters: grain columns only (IsNotNull(key) implied — drop)
+    val conds = (topConds ++ lConds ++ rConds).filterNot {
+      case IsNotNull(a: AttributeReference) if keyNames.contains(a.name) => true
+      case _ => false
+    }
+    // the join equates each key pair, so a predicate (or grouping) on
+    // a key NAME outside the grain is equivalent to one on its grain
+    // partner — constraint propagation mirrors slices across the join
+    // and this maps them back
+    val alias = wantPairs.toSeq.flatMap { case (lk, rk) =>
+      (if (mv.groupCols.contains(lk)) Seq(rk -> lk) else Nil) ++
+        (if (mv.groupCols.contains(rk)) Seq(lk -> rk) else Nil)
+    }.toMap
+    compensate(agg, mv, conds, alias)
+  }
+
+  /** The shared tail: check grouping/filters against the view grain,
+    * classify every output, and build the compensating aggregate over
+    * the view table. */
+  private def compensate(
+      agg: Aggregate,
+      mv: MatViews.ViewMeasures,
+      conds: Seq[Expression],
+      alias: Map[String, String] = Map.empty): Option[LogicalPlan] = {
+    val groupSet = mv.groupCols.toSet
+    // the grain column a query-side name resolves to, if any
+    def grainOf(name: String): Option[String] =
+      if (groupSet.contains(name)) Some(name)
+      else alias.get(name).filter(groupSet.contains)
+
     val groups = agg.groupingExpressions.map {
-      case a: AttributeReference if groupSet.contains(a.name) => a
+      case a: AttributeReference => a -> grainOf(a.name).getOrElse(return None)
       case _ => return None
     }
     if (groups.isEmpty) return None // grouped views answer grouped queries
-    if (groups.map(_.name).distinct.length != groups.length) return None
-    // filters: grain columns only
+    if (groups.map(_._2).distinct.length != groups.length) return None
     if (!conds.forall(_.references.forall {
-      case a: AttributeReference => groupSet.contains(a.name)
+      case a: AttributeReference => grainOf(a.name).isDefined
       case _ => false
     })) return None
 
@@ -121,7 +211,8 @@ case class ViewMatchRewrite(spark: SparkSession)
     case class CountOf(mvCol: String) extends Comp
     case class MinOf(mvCol: String) extends Comp
     case class MaxOf(mvCol: String) extends Comp
-    val groupAttrSet = AttributeSet(groups)
+    val groupAttrSet = AttributeSet(groups.map(_._1))
+    val grainByExprId = groups.map { case (a, g) => a.exprId -> g }.toMap
     def classifyAgg(f: AggregateFunction): Option[Comp] = f match {
       case Count(Seq(Literal(1, _))) => mv.countCol.map(CountOf.apply)
       case Sum(e, _) =>
@@ -136,9 +227,10 @@ case class ViewMatchRewrite(spark: SparkSession)
       case _ => None
     }
     def classify(ne: NamedExpression): Option[Comp] = ne match {
-      case a: AttributeReference if groupAttrSet.contains(a) => Some(GroupCol(a.name))
+      case a: AttributeReference if groupAttrSet.contains(a) =>
+        Some(GroupCol(grainByExprId(a.exprId)))
       case Alias(a: AttributeReference, _) if groupAttrSet.contains(a) =>
-        Some(GroupCol(a.name))
+        Some(GroupCol(grainByExprId(a.exprId)))
       case Alias(AggregateExpression(f, Complete, false, None, _), _) =>
         classifyAgg(f)
       // a presentation Cast around the aggregate (the CAST(sum(…) AS
@@ -159,7 +251,7 @@ case class ViewMatchRewrite(spark: SparkSession)
     // every grain column exists on the view by construction, so the
     // by-name rebase of the (grain-only) filters is total
     def rebase(e: Expression): Expression = e.transform {
-      case a: AttributeReference => mvAttr(a.name)
+      case a: AttributeReference => mvAttr(grainOf(a.name).get)
     }
     val filtered = conds.foldLeft(mvDf0)((df, c) =>
       df.where(GraftBridge.column(rebase(c))))
@@ -171,7 +263,7 @@ case class ViewMatchRewrite(spark: SparkSession)
       case (ne, MaxOf(n))   => max(col(n)).cast(ne.dataType).as(s"__c_${ne.exprId.id}")
     }
     if (compCols.isEmpty) return None // pure-distinct grain listing: not this rule's shape
-    val groupNames = groups.map(_.name)
+    val groupNames = groups.map(_._2)
     val comp = filtered
       .groupBy(groupNames.map(col): _*)
       .agg(compCols.head, compCols.tail: _*)

@@ -44,6 +44,19 @@ import org.apache.spark.sql.functions._
   */
 object MatViews {
 
+  /** What the rewrite rule needs from any registered view, single-
+    * table or join-rooted: where the table lives, its grain, and the
+    * measure catalog (mv column -> canonical defining SQL). */
+  sealed trait ViewMeasures {
+    def mvPath: String
+    def groupCols: Seq[String]
+    def sums: Map[String, String]
+    def countCol: Option[String]
+    def mins: Map[String, String]
+    def maxs: Map[String, String]
+    def publish: Boolean
+  }
+
   /** One registered view over one source table. */
   final case class MvDef(
       sourcePath: String,
@@ -62,7 +75,25 @@ object MatViews {
         * resolve the CURRENT version at rewrite time, so a matched
         * query always answers at the latest committed tick — the
         * continuous-MV loop. */
-      publish: Boolean = false)
+      publish: Boolean = false) extends ViewMeasures
+
+  /** One registered view over an inner equi-join of two tables (the
+    * star-schema rollup: facts ⋈ dim pre-joined and pre-aggregated).
+    * `leftKeys(i)` joins to `rightKeys(i)`; every non-key column name
+    * must be unique across the two inputs so grain columns and
+    * measure SQL resolve unambiguously. */
+  final case class JoinMvDef(
+      leftPath: String,
+      rightPath: String,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      mvPath: String,
+      groupCols: Seq[String],
+      sums: Map[String, String],
+      countCol: Option[String],
+      mins: Map[String, String],
+      maxs: Map[String, String],
+      publish: Boolean = false) extends ViewMeasures
 
   private val registry = TrieMap.empty[String, MvDef]
 
@@ -152,4 +183,95 @@ object MatViews {
 
   def deregister(sourcePath: String): Unit =
     registry.remove(normalize(sourcePath)): Unit
+
+  // ---- join views -------------------------------------------------
+
+  private val joinRegistry = TrieMap.empty[(String, String), JoinMvDef]
+
+  private def joined(
+      spark: SparkSession,
+      leftPath: String, rightPath: String,
+      leftKeys: Seq[String], rightKeys: Seq[String]): DataFrame = {
+    val l = spark.read.parquet(leftPath)
+    val r = spark.read.parquet(rightPath)
+    val cond = leftKeys.zip(rightKeys)
+      .map { case (lk, rk) => l(lk) === r(rk) }.reduce(_ && _)
+    l.join(r, cond)
+  }
+
+  /** Canonical SQL for a measure over the JOINED schema. */
+  private def canonicalJoinSql(
+      spark: SparkSession,
+      leftPath: String, rightPath: String,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      c: Column): String = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    joined(spark, leftPath, rightPath, leftKeys, rightKeys)
+      .select(c.as("__m")).queryExecution.optimizedPlan match {
+      case Project(Seq(Alias(e, _)), _) => canon(e)
+      case p => canon(p.expressions.head)
+    }
+  }
+
+  /** Build a join view's table: one pass over facts ⋈ dim, written
+    * to `mvPath` (overwrite), then registered. */
+  def buildJoin(
+      spark: SparkSession,
+      leftPath: String, rightPath: String,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      mvPath: String,
+      groupCols: Seq[String],
+      sums: Map[String, Column] = Map.empty,
+      countCol: Option[String] = Some("cnt"),
+      mins: Map[String, Column] = Map.empty,
+      maxs: Map[String, Column] = Map.empty): JoinMvDef = {
+    require(groupCols.nonEmpty, "grouped views only")
+    require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length)
+    val aggs =
+      sums.map { case (n, c) => sum(c).as(n) } ++
+        countCol.map(n => count(lit(1)).as(n)) ++
+        mins.map { case (n, c) => min(c).as(n) } ++
+        maxs.map { case (n, c) => max(c).as(n) }
+    require(aggs.nonEmpty, "a view needs at least one measure")
+    joined(spark, leftPath, rightPath, leftKeys, rightKeys)
+      .groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail.toSeq: _*)
+      .write.mode("overwrite").parquet(mvPath)
+    registerJoin(spark, leftPath, rightPath, leftKeys, rightKeys, mvPath,
+      groupCols, sums, countCol, mins, maxs)
+  }
+
+  /** Register an EXISTING join-view table. */
+  def registerJoin(
+      spark: SparkSession,
+      leftPath: String, rightPath: String,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      mvPath: String,
+      groupCols: Seq[String],
+      sums: Map[String, Column] = Map.empty,
+      countCol: Option[String] = Some("cnt"),
+      mins: Map[String, Column] = Map.empty,
+      maxs: Map[String, Column] = Map.empty,
+      publish: Boolean = false): JoinMvDef = {
+    def canonM(m: Map[String, Column]) = m.map { case (n, c) =>
+      n -> canonicalJoinSql(spark, leftPath, rightPath, leftKeys, rightKeys, c)
+    }
+    val d = JoinMvDef(
+      normalize(leftPath), normalize(rightPath), leftKeys, rightKeys,
+      mvPath, groupCols, canonM(sums), countCol, canonM(mins), canonM(maxs),
+      publish)
+    joinRegistry.put((d.leftPath, d.rightPath), d): Unit
+    d
+  }
+
+  /** Join views registered for this (unordered) pair of paths. */
+  def lookupJoin(pathA: String, pathB: String): Option[(JoinMvDef, Boolean)] = {
+    val (a, b) = (normalize(pathA), normalize(pathB))
+    joinRegistry.get((a, b)).map((_, false))
+      .orElse(joinRegistry.get((b, a)).map((_, true)))
+  }
+
+  def deregisterJoin(leftPath: String, rightPath: String): Unit =
+    joinRegistry.remove((normalize(leftPath), normalize(rightPath))): Unit
 }

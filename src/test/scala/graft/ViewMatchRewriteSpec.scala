@@ -128,6 +128,96 @@ class ViewMatchRewriteSpec extends SparkSpec {
     assert(df.collect().map(_.toString).sorted.toSeq == direct)
   }
 
+  private var jFactsPath: String = _
+  private var jDimPath: String = _
+  private var jMvPath: String = _
+
+  private def setupJoin(): Unit = {
+    if (jFactsPath != null) return
+    val root = Files.createTempDirectory("graft_mv_join_spec").toString
+    jFactsPath = s"$root/jfacts.parquet"
+    jDimPath = s"$root/jdim.parquet"
+    jMvPath = s"$root/jmv.parquet"
+    val sess = spark
+    import sess.implicits._
+    Seq((1L, 10L), (1L, 20L), (2L, 5L), (3L, 7L), (4L, 100L)) // fk=4: no dim
+      .toDF("fk", "v").write.mode("overwrite").parquet(jFactsPath)
+    Seq((1L, "east"), (2L, "east"), (3L, "west"), (5L, "north")) // dk=5: no facts
+      .toDF("dk", "region").write.mode("overwrite").parquet(jDimPath)
+    MatViews.buildJoin(spark, jFactsPath, jDimPath,
+      leftKeys = Seq("fk"), rightKeys = Seq("dk"),
+      mvPath = jMvPath, groupCols = Seq("region", "dk"),
+      sums = Map("sum_v" -> col("v")), countCol = Some("cnt")): Unit
+    spark.read.parquet(jFactsPath).createOrReplaceTempView("jmv_facts")
+    spark.read.parquet(jDimPath).createOrReplaceTempView("jmv_dim")
+  }
+
+  test("join view: a star rollup answers the facts-joins-dim aggregate") {
+    setupJoin()
+    val sql =
+      """SELECT region, count(*) AS n, sum(v) AS sv
+        |FROM jmv_facts JOIN jmv_dim ON fk = dk
+        |WHERE region <> 'north' GROUP BY region""".stripMargin
+    agree(sql)
+    val got = spark.sql(sql).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // inner join drops fk=4 (no dim) and dk=5 (no facts)
+    assert(got == Map("east" -> ((3L, 35L)), "west" -> ((1L, 7L))), s"got=$got")
+    val plan = scans(spark.sql(sql))
+    assert(!plan.contains("jfacts.parquet") && !plan.contains("jdim.parquet")
+      && plan.contains("jmv.parquet"),
+      s"join view not matched:\n$plan")
+  }
+
+  test("join view: the swapped orientation and a dim-key slice also match") {
+    setupJoin()
+    val sql =
+      """SELECT region, sum(v) AS sv
+        |FROM jmv_dim JOIN jmv_facts ON dk = fk
+        |WHERE dk <= 2 GROUP BY region""".stripMargin
+    agree(sql)
+    val got = spark.sql(sql).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("east" -> 35L), s"got=$got")
+    assert(!scans(spark.sql(sql)).contains("jfacts.parquet"))
+  }
+
+  test("join view guards: wrong keys, outer joins, non-grain filters keep the scans") {
+    setupJoin()
+    def keepsFacts(sql: String): Unit = {
+      assert(scans(spark.sql(sql)).contains("jfacts.parquet"),
+        s"unexpected rewrite for:\n$sql")
+      agree(sql)
+    }
+    // join on a non-registered key pair
+    keepsFacts(
+      """SELECT region, sum(v) AS sv FROM jmv_facts JOIN jmv_dim ON v = dk
+        |GROUP BY region""".stripMargin)
+    // outer join: the view materialized INNER semantics
+    keepsFacts(
+      """SELECT region, sum(v) AS sv FROM jmv_facts LEFT JOIN jmv_dim ON fk = dk
+        |GROUP BY region""".stripMargin)
+    // filter on a fact measure column (not grain)
+    keepsFacts(
+      """SELECT region, sum(v) AS sv FROM jmv_facts JOIN jmv_dim ON fk = dk
+        |WHERE v > 6 GROUP BY region""".stripMargin)
+    // an extra non-equi join condition
+    keepsFacts(
+      """SELECT region, sum(v) AS sv FROM jmv_facts JOIN jmv_dim ON fk = dk AND v > dk
+        |GROUP BY region""".stripMargin)
+  }
+
+  test("q126: the registry query answers from the star rollup, scans and join gone") {
+    val df = SparkEntry.q126JoinViewMatch(spark, SfDir)
+    val plan = scans(df)
+    assert(!plan.contains("orders.parquet") && !plan.contains("customer.parquet")
+      && plan.contains("graft_q126_mv") && !plan.contains("Join"),
+      s"q126 still scans/joins the base tables:\n$plan")
+    val direct = withRuleOff(SparkEntry.q126JoinViewMatch(spark, SfDir)
+      .collect().map(_.toString).sorted.toSeq)
+    assert(df.collect().map(_.toString).sorted.toSeq == direct)
+  }
+
   test("continuous view: an AggTableSink-maintained table answers declared SQL at each tick") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.AggTableSink
