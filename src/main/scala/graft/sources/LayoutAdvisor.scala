@@ -76,11 +76,72 @@ object LayoutAdvisor {
         col("dim") === col("wdim") && col("v") >= col("lo") && col("v") <= col("hi"))
       .groupBy(col("query_id"), col("dim"))
       .agg(count(lit(1)).as("n"))
+    score(w, counts, dims.map(_._1), layouts, data.agg(count(lit(1)).as("N")))
+  }
+
+  /** Score candidate layouts from a [[FileStats]] manifest instead of
+    * a data pass — the advisor's own input served by the skipping
+    * layer it advises. Per-(query, dim) matching rows are ESTIMATED
+    * from per-file (min, max, n_rows) under a uniform-within-file
+    * assumption: overlap-fraction × rows, floored per file (a file
+    * whose stat range misses the predicate contributes exactly 0 —
+    * the same geometry [[FileStats.candidateFiles]] prunes by). The
+    * estimate is deterministic but NOT exact, so this variant backs
+    * capacity planning and re-layout decisions, not hash-gated
+    * results; [[LayoutAdvisorSpec]] validates that on separated
+    * workloads it ranks layouts identically to the measured pass. At
+    * 100 TB the difference is the whole point: the manifest is
+    * O(files) driver-friendly rows — re-scoring a workload costs a
+    * sidecar read, not a table scan.
+    *
+    * @param tablePath parquet table with a built `_fstats` sidecar
+    * @param dims      (dim name, stats column name) — the column must
+    *                  be in the manifest and numerically comparable
+    */
+  def adviseFromStats(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePath: String,
+      dims: Seq[(String, String)],
+      workload: DataFrame,
+      layouts: Seq[Seq[String]]): DataFrame = {
+    require(dims.nonEmpty && layouts.nonEmpty)
+    val st = spark.read.parquet(FileStats.statsPath(tablePath))
+    val longForm = st.select(col("n_rows"), explode(array(dims.map {
+      case (n, sc) => struct(lit(n).as("dim"),
+        col(s"min_$sc").cast("double").as("mn"),
+        col(s"max_$sc").cast("double").as("mx"))
+    }: _*)).as("d")).select(col("n_rows"), col("d.*"))
+    val w = workload.select(col("query_id"), col("dim").as("wdim"),
+      col("lo"), col("hi"))
+    val est = longForm
+      .join(broadcast(w), col("dim") === col("wdim"))
+      .withColumn("ov",
+        least(col("hi"), col("mx")) - greatest(col("lo"), col("mn")))
+      .withColumn("est",
+        when(col("mx") < col("lo") || col("mn") > col("hi"), lit(0L))
+          .when(col("mx") <= col("mn"), col("n_rows"))
+          .otherwise(floor(col("n_rows") * col("ov") / (col("mx") - col("mn")))))
+    val counts = est.groupBy(col("query_id"), col("dim"))
+      .agg(sum("est").as("n"))
+    score(w, counts, dims.map(_._1), layouts,
+      st.agg(sum("n_rows").as("N")))
+  }
+
+  /** The shared scoring tail: selectivity matrix → integer
+    * multiplicative costs → exact ranking. `counts` carries
+    * (query_id, dim, n); `nDf` one row with the total N. */
+  private def score(
+      w: DataFrame,
+      counts: DataFrame,
+      dimNames: Seq[String],
+      layouts: Seq[Seq[String]],
+      nDf: DataFrame): DataFrame = {
+    val spark = w.sparkSession
+    import spark.implicits._
 
     // per-query selectivity matrix; a predicated dim with ZERO
     // matching rows must surface as 0, not null — left join from the
     // workload's own (query, dim) pairs
-    val dimNames = dims.map(_._1)
     val matrix = w.select(col("query_id"), col("wdim").as("dim")).distinct()
       .join(counts, Seq("query_id", "dim"), "left")
       .withColumn("n", coalesce(col("n"), lit(0L)))
@@ -94,7 +155,6 @@ object LayoutAdvisor {
       (ls.mkString("+"), dimNames.map(ls.contains))
     }.toDF("layout_id", "flags")
 
-    val nDf = data.agg(count(lit(1)).as("N"))
     val scored = matrix
       .crossJoin(broadcast(nDf))
       .crossJoin(broadcast(layoutDf))

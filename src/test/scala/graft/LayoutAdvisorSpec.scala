@@ -78,6 +78,40 @@ class LayoutAdvisorSpec extends SparkSpec {
         s"user=$userFiles value=$valueFiles")
   }
 
+  test("manifest-scored advisor ranks like the data pass and reads only the sidecar") {
+    val ev = Tables.events(spark, SfDir)
+      .select(col("user_id"), col("value"))
+    val sess = spark
+    import sess.implicits._
+    val qs = (0 until 8).map { i =>
+      (i.toLong, (i * 2 % 14).toLong, (i * 37 % 200).toLong)
+    }
+    val workload =
+      qs.map { case (q, ulo, _) => (q, "user", ulo.toDouble, ulo + 1.0) }
+        .union(qs.map { case (q, _, vlo) => (q, "value", vlo.toDouble, vlo + 300.0) })
+        .toDF("query_id", "dim", "lo", "hi")
+    val layouts = Seq(Seq("user"), Seq("value"), Seq("user", "value"))
+
+    val measured = LayoutAdvisor.advise(ev,
+        Seq("user" -> col("user_id"), "value" -> col("value")),
+        workload, layouts)
+      .collect().map(r => r.getString(0) -> r.getInt(3)).toMap
+
+    val path = Files.createTempDirectory("graft_advisor_stats").toString + "/t"
+    ev.repartitionByRange(8, col("user_id"))
+      .sortWithinPartitions("user_id").write.parquet(path)
+    FileStats.build(spark, path, cols = Seq("user_id", "value"))
+    val fromStats = LayoutAdvisor.adviseFromStats(spark, path,
+      Seq("user" -> "user_id", "value" -> "value"), workload, layouts)
+    val statsPlan = fromStats.queryExecution.executedPlan.toString
+    assert(statsPlan.contains("_fstats") && !statsPlan.contains("/t]"),
+      s"manifest scoring must read the sidecar, not the data table:\n$statsPlan")
+    val estimated = fromStats
+      .collect().map(r => r.getString(0) -> r.getInt(3)).toMap
+    assert(estimated == measured,
+      s"manifest ranking diverged: est=$estimated measured=$measured")
+  }
+
   test("q123 loop: the advised layout is materialized, prunes, and loses nothing") {
     val out = SparkEntry.q123AdvisedLayout(spark, SfDir)
     val layouts = out.select("layout_id").distinct().collect().map(_.getString(0))
