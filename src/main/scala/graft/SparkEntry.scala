@@ -2433,6 +2433,44 @@ object SparkEntry {
         |GROUP BY c_mktsegment""".stripMargin)
   }
 
+  /** q127: deletion vectors ([[graft.sources.Deletes]]) — row-level
+    * deletes on a published table WITHOUT rewriting data files, the
+    * lake answer to the reference's BigQuery DELETE+INSERT refresh
+    * (core_coin_wallet_profits' update loop) when the doomed rows
+    * are scattered across immutable files. Two stacked deletes (a
+    * takedown-shaped predicate, then a user purge) each commit a NEW
+    * Publish version whose data files are carried BY IDENTITY —
+    * DeletesSpec proves the SHA-256s — with only the `_deletes`
+    * position sidecar growing; the read path streams untouched files
+    * join-free and anti-joins only sidecar-listed files against the
+    * broadcast vector. At 100 TB a 1%-scattered compliance delete is
+    * a sidecar write instead of a full-table rewrite, and
+    * [[graft.sources.Deletes.materialize]] folds the vector back in
+    * at a cost ∝ touched files when maintenance chooses. The oracle
+    * re-derives the post-delete aggregate from a full scan with the
+    * predicates negated — a position off by one, a file carried
+    * wrong, or a delete leaking across versions breaks the hash. */
+  private def deletedEventsRoot(spark: SparkSession, dir: String): String =
+    graft.tools.Scratch.cachedArtifact(
+      "graft_dvevents", dir, s"$dir/events.parquet") { (tableDir, _) =>
+      graft.sources.Publish.publish(
+        Tables.events(spark, dir).repartition(8), tableDir): Unit
+      graft.sources.Deletes.deleteFromPublished(spark, tableDir,
+        col("event_type") === "error" && col("value") > 50.0): Unit
+      graft.sources.Deletes.deleteFromPublished(spark, tableDir,
+        col("user_id") % 100 === 37): Unit
+    }
+
+  def q127DeleteVectors(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Deletes
+      .readPublished(spark, deletedEventsRoot(spark, dir))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(round(col("value"), 6).cast("decimal(18,6)"))
+          .cast("double").as("sum_value"))
+
   def q124DeclaredDedupe(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir).createOrReplaceTempView("graft_q124_events")
     spark.sql(
@@ -3214,7 +3252,8 @@ object SparkEntry {
     "q123_advised_layout"        -> (q123AdvisedLayout _),
     "q124_declared_dedupe"       -> (q124DeclaredDedupe _),
     "q125_view_match"            -> (q125ViewMatch _),
-    "q126_join_view_match"       -> (q126JoinViewMatch _)
+    "q126_join_view_match"       -> (q126JoinViewMatch _),
+    "q127_delete_vectors"        -> (q127DeleteVectors _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -5503,6 +5542,18 @@ object SparkEntry {
         |    AS total_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_nationkey <= 12
-        |GROUP BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    // full scan with the two delete predicates NEGATED — the Spark
+    // side reads the published table through its deletion vector
+    // (position sidecar anti-join, data files never rewritten)
+    "q127_delete_vectors" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE NOT (event_type = 'error' AND value > 50.0)
+        |  AND NOT (user_id % 100 = 37)
+        |GROUP BY event_type""".stripMargin
   )
 }

@@ -1,0 +1,193 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deletion vectors — row-level deletes WITHOUT rewriting data files.
+  *
+  * The reference's serving refresh is DELETE+INSERT inside BigQuery
+  * (core_coin_wallet_profits' update loop); on an immutable-file lake
+  * the naive translation rewrites every file that contains a doomed
+  * row. At 100 TB a compliance delete (one user's rows, a recalled
+  * document set — the LLM-training-data case is takedown requests)
+  * touching 1% of rows can intersect EVERY file; copy-on-write pays a
+  * full-table rewrite for a 1% logical change. Deletion vectors are
+  * the standard answer (Delta DVs, Iceberg position deletes): record
+  * the deleted POSITIONS in a tiny `_deletes` sidecar and apply them
+  * at read time; rewrite files only when maintenance chooses to
+  * ([[materialize]] — the same cost-follows-fragmentation policy as
+  * [[Compact.compactPublishedIncremental]]).
+  *
+  * Positions come from the parquet scanner's own row numbering
+  * (`_metadata.row_index`, stable physical order within an immutable
+  * file) keyed by file NAME — valid exactly as long as the file's
+  * bytes, which is what Publish/Compact's carry-by-copy contract
+  * preserves. The sidecar is parquet like everything else: (file,
+  * pos) rows, hidden from plain readers by the underscore convention.
+  *
+  * Read-time application is file-local and pruned: files with no
+  * recorded deletes stream through UNTOUCHED (no join, no metadata
+  * columns — the common case at scale); only files present in the
+  * sidecar pay a broadcast anti-join on (file, pos). The sidecar is
+  * |deleted rows| ≥ driver-manifest-sized only in pathology — a
+  * delete that large should have been a filtered rewrite, and
+  * [[materialize]] is exactly that escape hatch.
+  *
+  * Correctness posture: deletes are SEMANTICS, not optimization — so
+  * unlike the skipping manifests the sidecar cannot over-approximate.
+  * The q127 wiring hash-checks a post-delete aggregate against a
+  * DuckDB full scan with the predicate negated; DeletesSpec carries
+  * the byte-identity (data files untouched), idempotence, versioned
+  * carry, and materialization proofs.
+  */
+object Deletes {
+
+  def deletesPath(dir: String): String = dir + "/_deletes"
+
+  private def hasDeletes(dir: String): Boolean =
+    Files.exists(Paths.get(deletesPath(dir)))
+
+  private def fileNameCol: Column =
+    element_at(split(col("_metadata.file_path"), "/"), -1)
+
+  /** Record every CURRENTLY-LIVE row of `dir` matching `predicate` as
+    * deleted, merging into the existing sidecar (set semantics — a
+    * position is deleted once, so re-issuing a delete is a no-op).
+    * Data files are never touched. Returns the sidecar's total
+    * position count after the merge. */
+  def delete(spark: SparkSession, dir: String, predicate: Column): Long = {
+    val hits = spark.read.parquet(dir)
+      .where(predicate)
+      .select(fileNameCol.as("file"), col("_metadata.row_index").as("pos"))
+    val dp = deletesPath(dir)
+    val merged =
+      if (hasDeletes(dir)) hits.unionByName(spark.read.parquet(dp)).distinct()
+      else hits.distinct()
+    // stage → swap: the merge READS the sidecar it replaces (the q42
+    // self-referential-write lesson); count from the staged copy so
+    // the returned number is what readers will see
+    val staging = dp + ".merge"
+    merged.write.mode("overwrite").parquet(staging)
+    if (hasDeletes(dir))
+      Sinks.deleteRecursively(Paths.get(dp))
+    Files.move(Paths.get(staging), Paths.get(dp))
+    spark.read.parquet(dp).count()
+  }
+
+  /** The table with its deletion vector applied — the ONLY read path
+    * that sees delete semantics. Untouched files (no sidecar entry)
+    * are read directly, no join and no metadata columns; touched
+    * files anti-join their positions against the broadcast sidecar.
+    * The touched-file list is a driver-side |files|-bounded probe of
+    * the sidecar, the same manifest bound as [[FileStats]]. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val data = spark.read.parquet(dir)
+    if (!hasDeletes(dir)) return data
+    val dels = spark.read.parquet(deletesPath(dir))
+    val touched = dels.select("file").distinct().collect().map(_.getString(0))
+    if (touched.isEmpty) return data
+    val touchedSet = touched.toSet
+    val all = Compact.listDataFiles(dir).map(_._1)
+    val clean = all.filterNot(touchedSet)
+    val cols = data.columns.map(col)
+    val touchedDf = spark.read.parquet(touched.map(n => s"$dir/$n").toIndexedSeq: _*)
+      .withColumn("__file", fileNameCol)
+      .withColumn("__pos", col("_metadata.row_index"))
+      .join(
+        broadcast(dels.withColumnRenamed("file", "__file")
+          .withColumnRenamed("pos", "__pos")),
+        Seq("__file", "__pos"), "left_anti")
+      .select(cols: _*)
+    if (clean.isEmpty) touchedDf
+    else spark.read.parquet(clean.map(n => s"$dir/$n"): _*)
+      .select(cols: _*).unionByName(touchedDf)
+  }
+
+  /** Delete from the LIVE Publish version of `root` into a NEW
+    * version: data files carried byte-identically (the Compact carry
+    * contract — on an object store these are manifest references, not
+    * copies), prior sidecar carried, new positions merged — so the
+    * delete commits through the same atomic pointer flip as every
+    * other change, old versions keep their own delete state for
+    * time travel, and a crash mid-delete is invisible. Returns the
+    * new version number. */
+  def deleteFromPublished(spark: SparkSession, root: String, predicate: Column): Long = {
+    val live = Publish.currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"nothing published at $root"))
+    val liveDir = Paths.get(root).resolve(s"v=$live")
+    val version = Publish.publishStaged(spark, root, meta = Map(
+      "deleted_from" -> live.toString)) { staging =>
+      val stagingPath = Paths.get(staging)
+      Files.createDirectories(stagingPath)
+      Compact.listDataFiles(liveDir.toString).foreach { case (name, _) =>
+        Files.copy(liveDir.resolve(name), stagingPath.resolve(name)): Unit
+      }
+      val priorDels = deletesPath(liveDir.toString)
+      if (Files.exists(Paths.get(priorDels)))
+        spark.read.parquet(priorDels)
+          .write.parquet(deletesPath(staging))
+      delete(spark, staging, predicate): Unit
+    }
+    version
+  }
+
+  /** [[Publish.read]] with the live version's deletion vector
+    * applied. */
+  def readPublished(spark: SparkSession, root: String): DataFrame = {
+    val v = Publish.currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no published version at $root"))
+    read(spark, Paths.get(root).resolve(s"v=$v").toString)
+  }
+
+  /** Fold the deletion vector back into the data — publish a NEW
+    * version where touched files are rewritten WITHOUT their deleted
+    * rows and untouched files are carried byte-identically; the new
+    * version has no sidecar. This is the DV maintenance policy:
+    * deletes accumulate cheaply, materialization runs when read-side
+    * join cost outweighs a rewrite of the touched subset — cost ∝
+    * files-with-deletes, never table size. Returns (newVersion,
+    * carried, rewritten). */
+  def materialize(spark: SparkSession, root: String): (Long, Int, Int) = {
+    val live = Publish.currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"nothing published at $root"))
+    val liveDir = Paths.get(root).resolve(s"v=$live")
+    val dp = deletesPath(liveDir.toString)
+    if (!Files.exists(Paths.get(dp)))
+      throw new IllegalStateException(s"no deletion vector at $root v=$live")
+    val dels = spark.read.parquet(dp)
+    val touched = dels.select("file").distinct().collect()
+      .map(_.getString(0)).toIndexedSeq.sorted
+    val touchedSet = touched.toSet
+    val carried = Compact.listDataFiles(liveDir.toString)
+      .map(_._1).filterNot(touchedSet)
+    val version = Publish.publishStaged(spark, root, meta = Map(
+      "materialized_from" -> live.toString,
+      "carried" -> carried.size.toString,
+      "rewritten" -> touched.size.toString)) { staging =>
+      val stagingPath = Paths.get(staging)
+      Files.createDirectories(stagingPath)
+      carried.foreach { name =>
+        Files.copy(liveDir.resolve(name), stagingPath.resolve(name)): Unit
+      }
+      if (touched.nonEmpty) {
+        val full = spark.read.parquet(touched.map(n => s"$liveDir/$n"): _*)
+        val cols = full.columns.map(col)
+        full
+          .withColumn("__file", fileNameCol)
+          .withColumn("__pos", col("_metadata.row_index"))
+          .join(
+            broadcast(dels.withColumnRenamed("file", "__file")
+              .withColumnRenamed("pos", "__pos")),
+            Seq("__file", "__pos"), "left_anti")
+          .select(cols: _*)
+          // one write task per rewritten input file keeps output file
+          // sizes tracking input sizes (minus the deleted rows)
+          .repartition(touched.size)
+          .write.mode("append").parquet(staging)
+      }
+    }
+    (version, carried.size, touched.size)
+  }
+}
