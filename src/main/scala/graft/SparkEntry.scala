@@ -2471,6 +2471,52 @@ object SparkEntry {
         sum(round(col("value"), 6).cast("decimal(18,6)"))
           .cast("double").as("sum_value"))
 
+  /** q128: MERGE INTO ([[graft.sources.Merge]]) — the reference's
+    * DELETE+INSERT refresh (dune_transfers_updates stages a delta,
+    * then replaces matched keys inside BigQuery) as a copy-on-write
+    * version commit: a delta with all three MERGE actions (updates
+    * doubling matched values, a matched-delete for low-value rows,
+    * inserts minting new event ids) lands by rewriting ONLY the
+    * files holding a matched key — candidates come from q106's
+    * `_fstats` bloom manifest probed driver-side, the exact overlap
+    * reads just the key column of the candidates, and untouched
+    * files carry byte-identically (MergeSpec proves the SHA-256s and
+    * the pruning). At 100 TB a 1 GB delta costs O(delta ∩ files),
+    * never a table scan. The oracle re-derives the same MERGE
+    * relationally (left join + CASE + anti-union) — a wrong match, a
+    * resurrected delete, or a dropped carried file breaks the hash. */
+  private def mergedEventsRoot(spark: SparkSession, dir: String): String =
+    graft.tools.Scratch.cachedArtifact(
+      "graft_mergeevents", dir, s"$dir/events.parquet") { (tableDir, _) =>
+      val ev = Tables.events(spark, dir)
+      val v1 = graft.sources.Publish.publish(ev.repartition(8), tableDir)
+      graft.sources.FileStats.build(spark,
+        java.nio.file.Paths.get(tableDir).resolve(s"v=$v1").toString,
+        cols = Seq("event_id"), keyCols = Seq("event_id"))
+      val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+      val updates = ev.where(col("event_id") % 11 === 0)
+        .withColumn("value", round(col("value"), 6) * 2)
+        .select(cols.map(col): _*)
+      val inserts = ev.where(col("event_id") % 13 === 0)
+        .withColumn("event_id", col("event_id") + 100000000L)
+        .withColumn("user_id", col("user_id") + 1000000L)
+        .select(cols.map(col): _*)
+      graft.sources.Merge.mergeIntoPublished(spark, tableDir,
+        updates.unionByName(inserts),
+        keys = Seq("event_id"),
+        set = Map("value" -> graft.sources.Merge.s("value")),
+        deleteWhen = Some(col("value") < 10.0)): Unit
+    }
+
+  def q128MergeInto(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Publish.read(spark, mergedEventsRoot(spark, dir))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(round(col("value"), 6).cast("decimal(18,6)"))
+          .cast("double").as("sum_value"))
+
   def q124DeclaredDedupe(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir).createOrReplaceTempView("graft_q124_events")
     spark.sql(
@@ -3253,7 +3299,8 @@ object SparkEntry {
     "q124_declared_dedupe"       -> (q124DeclaredDedupe _),
     "q125_view_match"            -> (q125ViewMatch _),
     "q126_join_view_match"       -> (q126JoinViewMatch _),
-    "q127_delete_vectors"        -> (q127DeleteVectors _)
+    "q127_delete_vectors"        -> (q127DeleteVectors _),
+    "q128_merge_into"            -> (q128MergeInto _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -5554,6 +5601,32 @@ object SparkEntry {
         |FROM events
         |WHERE NOT (event_type = 'error' AND value > 50.0)
         |  AND NOT (user_id % 100 = 37)
-        |GROUP BY event_type""".stripMargin
+        |GROUP BY event_type""".stripMargin,
+
+    // the MERGE re-derived relationally: matched keys left-join to
+    // their update, matched low-value rows drop, unmatched source
+    // rows append — the Spark side committed the same semantics as a
+    // copy-on-write file rewrite
+    "q128_merge_into" ->
+      """WITH up AS (
+        |  SELECT event_id, ROUND(value, 6) * 2 AS new_value
+        |  FROM events WHERE event_id % 11 = 0
+        |),
+        |kept AS (
+        |  SELECT t.event_type, t.user_id,
+        |    CASE WHEN u.event_id IS NOT NULL THEN u.new_value ELSE t.value END AS value,
+        |    (u.event_id IS NOT NULL AND t.value < 10.0) AS doomed
+        |  FROM events t LEFT JOIN up u USING (event_id)
+        |),
+        |merged AS (
+        |  SELECT event_type, user_id, value FROM kept WHERE NOT doomed
+        |  UNION ALL
+        |  SELECT event_type, user_id + 1000000 AS user_id, value
+        |  FROM events WHERE event_id % 13 = 0
+        |)
+        |SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM merged GROUP BY event_type""".stripMargin
   )
 }

@@ -82,27 +82,43 @@ object Deletes {
     * files anti-join their positions against the broadcast sidecar.
     * The touched-file list is a driver-side |files|-bounded probe of
     * the sidecar, the same manifest bound as [[FileStats]]. */
-  def read(spark: SparkSession, dir: String): DataFrame = {
-    val data = spark.read.parquet(dir)
-    if (!hasDeletes(dir)) return data
-    val dels = spark.read.parquet(deletesPath(dir))
-    val touched = dels.select("file").distinct().collect().map(_.getString(0))
-    if (touched.isEmpty) return data
-    val touchedSet = touched.toSet
-    val all = Compact.listDataFiles(dir).map(_._1)
-    val clean = all.filterNot(touchedSet)
-    val cols = data.columns.map(col)
-    val touchedDf = spark.read.parquet(touched.map(n => s"$dir/$n").toIndexedSeq: _*)
+  def read(spark: SparkSession, dir: String): DataFrame =
+    readFiles(spark, dir, Compact.listDataFiles(dir).map(_._1))
+
+  /** DV-applied read of a NAMED file subset of `dir` — the unit
+    * [[read]] and [[graft.sources.Merge]]'s copy-on-write rewrite
+    * share: subset files with no sidecar entry stream through
+    * join-free; the rest anti-join their positions. */
+  def readFiles(spark: SparkSession, dir: String, names: Seq[String]): DataFrame =
+    readFilesLineage(spark, dir, names).drop("__file", "__pos")
+
+  /** [[readFiles]] keeping the lineage columns `__file` (file name)
+    * and `__pos` (row index) — consumers that need provenance after
+    * DV application (Merge's touched-file discovery) can't reach for
+    * `_metadata` themselves once the anti-join has projected it
+    * away. */
+  def readFilesLineage(spark: SparkSession, dir: String, names: Seq[String]): DataFrame = {
+    require(names.nonEmpty, s"empty file subset of $dir")
+    def withLineage(df: DataFrame): DataFrame = df
       .withColumn("__file", fileNameCol)
       .withColumn("__pos", col("_metadata.row_index"))
-      .join(
-        broadcast(dels.withColumnRenamed("file", "__file")
-          .withColumnRenamed("pos", "__pos")),
-        Seq("__file", "__pos"), "left_anti")
-      .select(cols: _*)
+    val data = withLineage(spark.read.parquet(names.map(n => s"$dir/$n"): _*))
+    if (!hasDeletes(dir)) return data
+    val dels = spark.read.parquet(deletesPath(dir))
+    val touched = dels.select("file").distinct().collect()
+      .map(_.getString(0)).filter(names.toSet)
+    if (touched.isEmpty) return data
+    val touchedSet = touched.toSet
+    val clean = names.filterNot(touchedSet)
+    val touchedDf =
+      withLineage(spark.read.parquet(touched.map(n => s"$dir/$n").toIndexedSeq: _*))
+        .join(
+          broadcast(dels.withColumnRenamed("file", "__file")
+            .withColumnRenamed("pos", "__pos")),
+          Seq("__file", "__pos"), "left_anti")
     if (clean.isEmpty) touchedDf
-    else spark.read.parquet(clean.map(n => s"$dir/$n"): _*)
-      .select(cols: _*).unionByName(touchedDf)
+    else withLineage(spark.read.parquet(clean.map(n => s"$dir/$n"): _*))
+      .unionByName(touchedDf)
   }
 
   /** Delete from the LIVE Publish version of `root` into a NEW

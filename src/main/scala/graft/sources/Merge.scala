@@ -1,0 +1,191 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MERGE INTO for published tables — copy-on-write upsert with
+  * file-level pruning.
+  *
+  * The reference's entire refresh stack is this statement in BigQuery
+  * clothing: its transfer updaters stage a delta then DELETE+INSERT
+  * the matched keys (reference: etl_pipelines dune_transfers_updates,
+  * core_coin_wallet_profits' update loop). On an immutable-file lake
+  * the same semantics are a version commit: rewrite ONLY the files
+  * that contain a matched key, carry every other file by identity,
+  * append unmatched source rows as fresh files, and flip the pointer
+  * atomically ([[Publish.publishStaged]] — a crash anywhere leaves
+  * the old version live).
+  *
+  * Matched-file discovery is the scale hinge. A 100 TB target with a
+  * 1 GB daily delta must not scan itself to find the overlap: when
+  * the target carries a [[FileStats]] manifest with a bloom over the
+  * merge key, candidate files come from a driver-side manifest probe
+  * (|files| rows); the exact overlap then reads the KEY COLUMN of the
+  * candidates only (column-pruned scan joined against the delta).
+  * Without a manifest the exact pass runs over all files — still
+  * column-pruned, never the full width.
+  *
+  * Semantics are SQL-standard MERGE, deterministic by construction:
+  *   - source keys must be UNIQUE (checked — an ambiguous multi-match
+  *     MERGE is refused loudly, the standard's behavior);
+  *   - `deleteWhen` (target columns by name, source via [[s]]) picks
+  *     matched rows to drop;
+  *   - remaining matched rows apply `set` (target column :=
+  *     expression over target columns and [[s]]-wrapped source
+  *     columns);
+  *   - unmatched source rows insert (source must carry the target's
+  *     columns).
+  *
+  * Deletion vectors compose: matched-row discovery and the rewrite
+  * both read through the live version's `_deletes` sidecar (a
+  * DV-deleted row is NOT a match — its source row inserts, which is
+  * the SQL-visible state's answer), rewritten files fold their
+  * deletions in, and carried files keep their sidecar slice. q128
+  * hash-checks the merged table against DuckDB re-deriving the same
+  * MERGE relationally; MergeSpec carries byte-identity, pruning,
+  * ambiguity and DV-composition proofs.
+  */
+object Merge {
+
+  private val SrcPrefix = "__s_"
+
+  /** Reference a SOURCE column inside `set` / `deleteWhen`
+    * expressions (unqualified names bind to the target). */
+  def s(name: String): Column = col(SrcPrefix + name)
+
+  /** What a merge did: version + row and file accounting. */
+  final case class MergeStats(
+      version: Long,
+      updated: Long,
+      deleted: Long,
+      inserted: Long,
+      carriedFiles: Int,
+      rewrittenFiles: Int,
+      candidateFiles: Int)
+
+  /** MERGE `source` INTO the live Publish version of `root` ON
+    * equality of `keys`. Returns [[MergeStats]]; the new version is
+    * live on return.
+    *
+    * @param maxBloomProbeKeys bloom-manifest pruning collects the
+    *   source key set to the driver to probe the per-file blooms —
+    *   sound only while the delta is driver-sized, so sources larger
+    *   than this fall back to the exact column-pruned scan. */
+  def mergeIntoPublished(
+      spark: SparkSession,
+      root: String,
+      source: DataFrame,
+      keys: Seq[String],
+      set: Map[String, Column],
+      deleteWhen: Option[Column] = None,
+      maxBloomProbeKeys: Int = 100000): MergeStats = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val live = Publish.currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"nothing published at $root"))
+    val liveDir = Paths.get(root).resolve(s"v=$live").toString
+
+    // ambiguity guard: a key matched by two source rows has no
+    // deterministic MERGE result — refuse, like the SQL standard
+    val dup = source.groupBy(keys.map(col): _*).count()
+      .where(col("count") > 1).limit(1).count()
+    require(dup == 0, s"source has duplicate keys on (${keys.mkString(", ")})")
+
+    val allFiles = Compact.listDataFiles(liveDir).map(_._1)
+    val targetCols = spark.read.parquet(liveDir).columns
+
+    // ---- candidate files: bloom-manifest probe when available ----
+    val statsDir = FileStats.statsPath(liveDir)
+    val bloomEligible = keys.size == 1 && Files.exists(Paths.get(statsDir)) &&
+      spark.read.parquet(statsDir).columns.contains(s"bloom_${keys.head}")
+    val candidates: Seq[String] =
+      if (!bloomEligible) allFiles
+      else {
+        val srcKeys = source.select(keys.head).limit(maxBloomProbeKeys + 1).collect()
+        if (srcKeys.length > maxBloomProbeKeys) allFiles
+        else FileStats.candidateFiles(spark, liveDir,
+          Seq(FileStats.KeyIn(keys.head, srcKeys.map(_.get(0)).toIndexedSeq)))
+          .map(f => f.substring(f.lastIndexOf('/') + 1))
+      }
+
+    // ---- exact overlap: key column of the candidates only ----
+    val touched: Seq[String] =
+      if (candidates.isEmpty) Seq.empty
+      else Deletes.readFilesLineage(spark, liveDir, candidates)
+        .select((col("__file") +: keys.map(col)): _*)
+        .join(source.select(keys.map(col): _*), keys, "left_semi")
+        .select("__file").distinct().collect().map(_.getString(0)).toIndexedSeq.sorted
+    val touchedSet = touched.toSet
+    val carried = allFiles.filterNot(touchedSet)
+
+    // source with every column under the __s_ prefix plus a match
+    // marker — unqualified names in caller expressions stay target's
+    val srcRenamed = source.columns.foldLeft(source) { (df, c) =>
+      df.withColumnRenamed(c, SrcPrefix + c)
+    }.withColumn(SrcPrefix + "exists", lit(true))
+    val matchedFlag = coalesce(col(SrcPrefix + "exists"), lit(false))
+
+    var updated = 0L; var deleted = 0L; var inserted = 0L
+    val version = Publish.publishStaged(spark, root, meta = Map(
+      "merged_from" -> live.toString,
+      "carried" -> carried.size.toString,
+      "rewritten" -> touched.size.toString)) { staging =>
+      val stagingPath = Paths.get(staging)
+      Files.createDirectories(stagingPath)
+      carried.foreach { name =>
+        Files.copy(Paths.get(liveDir).resolve(name), stagingPath.resolve(name)): Unit
+      }
+      // carried files keep their deletion-vector slice; rewritten
+      // files fold theirs in below (readFiles applies it)
+      val priorDels = Deletes.deletesPath(liveDir)
+      if (Files.exists(Paths.get(priorDels)) && carried.nonEmpty) {
+        val slice = spark.read.parquet(priorDels)
+          .where(col("file").isin(carried: _*))
+        if (slice.limit(1).count() > 0)
+          slice.write.parquet(Deletes.deletesPath(staging))
+      }
+
+      if (touched.nonEmpty) {
+        val tgt = Deletes.readFiles(spark, liveDir, touched)
+        val joinCond = keys.map(k => col(k) === col(SrcPrefix + k)).reduce(_ && _)
+        val doomed = matchedFlag && deleteWhen.getOrElse(lit(false))
+        val outCols = targetCols.map { c =>
+          set.get(c) match {
+            case Some(e) => when(matchedFlag, e).otherwise(col(c)).as(c)
+            case None => col(c)
+          }
+        }
+        val joined = tgt.join(srcRenamed, joinCond, "left_outer")
+          .withColumn("__matched", matchedFlag)
+          .withColumn("__doomed", doomed)
+        joined.cache()
+        try {
+          updated = joined.where(col("__matched") && !col("__doomed")).count()
+          deleted = joined.where(col("__doomed")).count()
+          joined.where(!col("__doomed"))
+            .select(outCols: _*)
+            // one write task per rewritten input file keeps output
+            // sizes tracking input sizes
+            .repartition(touched.size)
+            .write.mode("append").parquet(staging)
+        } finally joined.unpersist(): Unit
+      }
+
+      // inserts: a source row matching ANY live target row would have
+      // made its file touched, so anti-joining the touched slice IS
+      // the global not-matched set
+      val ins =
+        if (touched.isEmpty) source.select(targetCols.map(col): _*)
+        else source.join(
+          Deletes.readFiles(spark, liveDir, touched).select(keys.map(col): _*),
+          keys, "left_anti")
+          .select(targetCols.map(col): _*)
+      inserted = ins.count()
+      if (inserted > 0)
+        ins.write.mode("append").parquet(staging)
+    }
+    MergeStats(version, updated, deleted, inserted,
+      carried.size, touched.size, candidates.size)
+  }
+}
