@@ -2517,6 +2517,56 @@ object SparkEntry {
         sum(round(col("value"), 6).cast("decimal(18,6)"))
           .cast("double").as("sum_value"))
 
+  /** q129: join-view IVM ([[operators.Ivm.applyJoinDiff]]) — the
+    * maintained star rollup (orders ⋈ customer, grouped by market
+    * segment) kept exact while BOTH sides change: order deletes and
+    * price updates on the fact, plus a dimension-attribute rewrite
+    * that migrates every joined fact row between groups. The delta
+    * identity L₁⋈R₁ − L₀⋈R₀ = ΔL⋈R₀ + L₁⋈ΔR means the unchanged fact
+    * mass is never re-joined — two delta-sized keyed joins plus one
+    * |groups|-row merge, against DECIMAL measures so the maintained
+    * table equals a full recompute BIT-FOR-BIT. The oracle IS that
+    * recompute over the new snapshots: a missed cross term, a wrong
+    * sign, or an unmigrated group breaks the hash. At 100 TB the
+    * fact table re-joins only against the broadcastable dimension
+    * delta; the nightly full re-join this replaces scans everything. */
+  def q129JoinIvm(spark: SparkSession, dir: String): DataFrame = {
+    val price = round(col("o_totalprice"), 2).cast("decimal(18,2)")
+    val lOld = Tables.orders(spark, dir)
+      .where(col("o_orderkey") % 4 =!= 1)
+      .select(col("o_orderkey"), col("o_custkey"), price.as("price"))
+    val lNew = Tables.orders(spark, dir)
+      .where(col("o_orderkey") % 17 =!= 3)
+      .select(col("o_orderkey"), col("o_custkey"),
+        // ×2 on the DECIMAL, not ×1.5 on the double: a .xx5 tie under
+        // float ROUND breaks cross-engine parity; decimal doubling is
+        // exact on both engines
+        when(col("o_orderkey") % 10 === 0,
+          (price * lit(2)).cast("decimal(18,2)"))
+          .otherwise(price).as("price"))
+    val rOld = Tables.customer(spark, dir)
+      .where(col("c_custkey") % 9 =!= 4)
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+    val rNew = Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 15 === 0, lit("MIGRATED"))
+          .otherwise(col("c_mktsegment")).as("seg"))
+    def agg(l: DataFrame, r: DataFrame): DataFrame =
+      l.join(r, col("o_custkey") === col("c_custkey"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n_orders"), sum("price").as("price"))
+    Ivm.applyJoinDiff(
+        agg(lOld, rOld),
+        Scd.snapshotDiff(lOld, lNew, Seq("o_orderkey"), Seq("o_custkey", "price")),
+        lNew,
+        Scd.snapshotDiff(rOld, rNew, Seq("c_custkey"), Seq("seg")),
+        rOld,
+        leftKey = "o_custkey", rightKey = "c_custkey",
+        groupCols = Seq("seg"), sumCols = Seq("price"), countCol = "n_orders")
+      .select(col("seg"), col("n_orders"),
+        col("price").cast("double").as("total_price"))
+  }
+
   def q124DeclaredDedupe(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir).createOrReplaceTempView("graft_q124_events")
     spark.sql(
@@ -3300,7 +3350,8 @@ object SparkEntry {
     "q125_view_match"            -> (q125ViewMatch _),
     "q126_join_view_match"       -> (q126JoinViewMatch _),
     "q127_delete_vectors"        -> (q127DeleteVectors _),
-    "q128_merge_into"            -> (q128MergeInto _)
+    "q128_merge_into"            -> (q128MergeInto _),
+    "q129_join_ivm"              -> (q129JoinIvm _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -5627,6 +5678,28 @@ object SparkEntry {
         |SELECT event_type, COUNT(*) AS n_events,
         |  COUNT(DISTINCT user_id) AS n_users,
         |  CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-        |FROM merged GROUP BY event_type""".stripMargin
+        |FROM merged GROUP BY event_type""".stripMargin,
+
+    // the full recompute over the NEW snapshots — the Spark side
+    // maintained the rollup incrementally from the old one via the
+    // delta-join identity and must agree bit-for-bit
+    "q129_join_ivm" ->
+      """WITH lnew AS (
+        |  SELECT o_custkey,
+        |    CASE WHEN o_orderkey % 10 = 0
+        |         THEN CAST(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)) * 2
+        |              AS DECIMAL(18,2))
+        |         ELSE CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)) END AS price
+        |  FROM orders WHERE o_orderkey % 17 <> 3
+        |),
+        |rnew AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 15 = 0 THEN 'MIGRATED' ELSE c_mktsegment END AS seg
+        |  FROM customer
+        |)
+        |SELECT seg, COUNT(*) AS n_orders,
+        |  CAST(SUM(price) AS DOUBLE) AS total_price
+        |FROM lnew JOIN rnew ON o_custkey = c_custkey
+        |GROUP BY seg""".stripMargin
   )
 }

@@ -70,4 +70,94 @@ object Ivm {
         sumCols.map(s => sum(s).as(s)): _*)
       .where(col(countCol) =!= 0)
   }
+
+  /** A [[Scd.snapshotDiff]] feed as SIGNED rows: deletes and the old
+    * halves of updates carry `__sign` −1, inserts and new halves +1 —
+    * the multiset-delta form join maintenance algebra works in. */
+  def signedDelta(diff: DataFrame, cols: Seq[String]): DataFrame = {
+    // snapshotDiff leaves its KEY columns unprefixed (coalesced across
+    // sides); only value columns carry old_/new_ halves
+    val prefixed = diff.columns.toSet
+    def side(prefix: String, types: Seq[String], sign: Long) =
+      diff.where(col("change_type").isin(types: _*))
+        .select(cols.map { c =>
+          if (prefixed(s"${prefix}_$c")) col(s"${prefix}_$c").as(c) else col(c)
+        } :+ lit(sign).as("__sign"): _*)
+    side("old", Seq("update", "delete"), -1L)
+      .unionByName(side("new", Seq("update", "insert"), 1L))
+  }
+
+  /** Incrementally maintain an aggregate over an INNER EQUI-JOIN when
+    * BOTH inputs change — the join extension of [[applyDiff]], the
+    * textbook delta-join identity:
+    *
+    *   L₁⋈R₁ − L₀⋈R₀  =  ΔL⋈R₀ + L₁⋈ΔR
+    *
+    * (expand L₁ = L₀+ΔL, R₁ = R₀+ΔR and the ΔL⋈ΔR cross term lands in
+    * the second join exactly once). Each delta-joined row contributes
+    * its sign (product of sides — the non-delta side is +1) to the
+    * maintained count and sign-adjusted measures to the sums; one
+    * union + hash aggregation merges them into the base, `applyDiff`'s
+    * plan shape.
+    *
+    * Exactness: DECIMAL measures make retract/assert commutative and
+    * exact, so the maintained table equals a full re-aggregation of
+    * L₁⋈R₁ bit-for-bit — IvmSpec asserts the identity, q129
+    * hash-checks it against DuckDB running the recompute. Group
+    * columns may come from EITHER side (a dimension attribute
+    * changing migrates every joined fact row between groups — the
+    * feed's update rows carry both halves, so migration is one
+    * retraction plus one assertion per affected pair).
+    *
+    * Scale: the two delta joins shuffle |ΔL|+|ΔR| rows against ONE
+    * pass over the other side's snapshot each — at 100 TB the fact
+    * table is re-joined only against the (broadcastable) dimension
+    * delta, never re-scanned for the unchanged mass, and the final
+    * merge touches |groups| + |delta-joined| rows.
+    *
+    * `leftDiff` must carry old_/new_ values for `leftKey` and every
+    * group/measure column owned by the left side; `rightDiff`
+    * likewise for the right. Column names across the two sides must
+    * be disjoint (the join output would otherwise be ambiguous).
+    */
+  def applyJoinDiff(
+      base: DataFrame,
+      leftDiff: DataFrame,
+      leftNew: DataFrame,
+      rightDiff: DataFrame,
+      rightOld: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      groupCols: Seq[String],
+      sumCols: Seq[String],
+      countCol: String): DataFrame = {
+    val leftSide = leftNew.columns.toSet
+    val rightSide = rightOld.columns.toSet
+    val joinedCols = groupCols ++ sumCols
+    val lCols = leftKey +: joinedCols.filter(leftSide)
+    val rCols = rightKey +: joinedCols.filter(rightSide)
+    require(joinedCols.forall(c => leftSide(c) ^ rightSide(c)),
+      "every group/measure column must live on exactly one side")
+
+    val dLxR = signedDelta(leftDiff, lCols)
+      .join(rightOld.select(rCols.map(col): _*), col(leftKey) === col(rightKey))
+    val LxdR = leftNew.select(lCols.map(col): _*)
+      .join(signedDelta(rightDiff, rCols), col(leftKey) === col(rightKey))
+    val contribs = dLxR.unionByName(LxdR)
+      .select(
+        groupCols.map(col) ++
+          (col("__sign").as(countCol) +:
+            sumCols.map { s =>
+              // negate() keeps exact decimal scale (applyDiff's rule)
+              when(col("__sign") < 0, negate(col(s))).otherwise(col(s)).as(s)
+            }): _*)
+
+    base.select((groupCols ++ (countCol +: sumCols)).map(col): _*)
+      .unionByName(contribs)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(countCol).as(countCol),
+        sumCols.map(s => sum(s).as(s)): _*)
+      .where(col(countCol) =!= 0)
+  }
 }

@@ -121,4 +121,67 @@ class IvmSpec extends SparkSpec {
       graft.sources.Sinks.deleteRecursively(java.nio.file.Paths.get(root))
     }
   }
+
+  test("applyJoinDiff: hand-computed panel — both sides change, dim attribute migrates groups") {
+    val sess = spark
+    import sess.implicits._
+    // facts (id, k → dim, v measure); dims (k, seg group)
+    val l0 = Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 20L, 300L), (4L, 30L, 400L))
+      .toDF("id", "k", "v")
+    val l1 = Seq((1L, 10L, 150L),              // measure update
+                 (2L, 10L, 200L),
+                 (4L, 30L, 400L),              // 3 deleted
+                 (5L, 20L, 500L))              // insert into k=20
+      .toDF("id", "k", "v")
+    val r0 = Seq((10L, "x"), (20L, "y"), (30L, "y")).toDF("ck", "seg")
+    val r1 = Seq((10L, "x"), (20L, "x"),          // 20 migrates y -> x
+                 (40L, "z")).toDF("ck", "seg")    // 30 deleted, 40 inserted (no facts)
+
+    def full(l: DataFrame, r: DataFrame): DataFrame =
+      l.join(r, col("k") === col("ck"))
+        .groupBy("seg").agg(count(lit(1)).as("n"), sum("v").as("v"))
+    val feedL = Scd.snapshotDiff(l0, l1, Seq("id"), Seq("k", "v"))
+    val feedR = Scd.snapshotDiff(r0, r1, Seq("ck"), Seq("seg"))
+    val maintained = Ivm.applyJoinDiff(
+      full(l0, r0), feedL, l1, feedR, r0,
+      leftKey = "k", rightKey = "ck",
+      groupCols = Seq("seg"), sumCols = Seq("v"), countCol = "n")
+
+    // hand-derived: L1⋈R1 = {(1,x,150),(2,x,200),(5,x,500)} — k=30's
+    // fact lost its dim (30 deleted), k=20's fact now lands in x
+    assert(rows(maintained.select("seg", "n", "v")) == Set(("x", 3L, 850L)))
+    assert(rows(maintained.select("seg", "n", "v")) ==
+      rows(full(l1, r1).select("seg", "n", "v")))
+  }
+
+  test("applyJoinDiff: one-sided deltas reduce to the classic identities") {
+    val sess = spark
+    import sess.implicits._
+    val l0 = Seq((1L, 10L, 100L), (2L, 20L, 200L)).toDF("id", "k", "v")
+    val l1 = Seq((1L, 10L, 100L), (2L, 20L, 250L), (3L, 10L, 300L)).toDF("id", "k", "v")
+    val r = Seq((10L, "x"), (20L, "y")).toDF("ck", "seg")
+    def full(l: DataFrame, rr: DataFrame): DataFrame =
+      l.join(rr, col("k") === col("ck"))
+        .groupBy("seg").agg(count(lit(1)).as("n"), sum("v").as("v"))
+    // right unchanged: empty right feed must be a no-op on that term
+    val emptyR = Scd.snapshotDiff(r, r, Seq("ck"), Seq("seg"))
+    val m = Ivm.applyJoinDiff(
+      full(l0, r), Scd.snapshotDiff(l0, l1, Seq("id"), Seq("k", "v")), l1,
+      emptyR, r, "k", "ck", Seq("seg"), Seq("v"), "n")
+    assert(rows(m.select("seg", "n", "v")) == rows(full(l1, r).select("seg", "n", "v")))
+  }
+
+  test("applyJoinDiff refuses ambiguous column ownership") {
+    val sess = spark
+    import sess.implicits._
+    val l = Seq((1L, 10L, 5L)).toDF("id", "k", "v")
+    val r = Seq((10L, 7L)).toDF("ck", "v") // v on BOTH sides
+    val feed = Scd.snapshotDiff(l, l, Seq("id"), Seq("k", "v"))
+    val feedR = Scd.snapshotDiff(r, r, Seq("ck"), Seq("v"))
+    intercept[IllegalArgumentException] {
+      Ivm.applyJoinDiff(
+        l.limit(0).select(col("k").as("seg"), col("v"), col("id").as("n")),
+        feed, l, feedR, r, "k", "ck", Seq("seg"), Seq("v"), "n")
+    }
+  }
 }
