@@ -36,7 +36,9 @@ import org.apache.spark.sql.functions._
   *     expression over target columns and [[s]]-wrapped source
   *     columns);
   *   - unmatched source rows insert (source must carry the target's
-  *     columns).
+  *     columns); `insertWhen` gates insertion — the NOT MATCHED
+  *     ... AND clause, which is what makes a CDC delete tombstone
+  *     for an absent key a no-op instead of an insert.
   *
   * Deletion vectors compose: matched-row discovery and the rewrite
   * both read through the live version's `_deletes` sidecar (a
@@ -80,6 +82,8 @@ object Merge {
       keys: Seq[String],
       set: Map[String, Column],
       deleteWhen: Option[Column] = None,
+      insertWhen: Option[Column] = None,
+      extraMeta: Map[String, String] = Map.empty,
       maxBloomProbeKeys: Int = 100000): MergeStats = {
     require(keys.nonEmpty, "merge needs at least one key column")
     val live = Publish.currentVersion(root).getOrElse(
@@ -127,7 +131,7 @@ object Merge {
     val matchedFlag = coalesce(col(SrcPrefix + "exists"), lit(false))
 
     var updated = 0L; var deleted = 0L; var inserted = 0L
-    val version = Publish.publishStaged(spark, root, meta = Map(
+    val version = Publish.publishStaged(spark, root, meta = extraMeta ++ Map(
       "merged_from" -> live.toString,
       "carried" -> carried.size.toString,
       "rewritten" -> touched.size.toString)) { staging =>
@@ -174,10 +178,13 @@ object Merge {
 
       // inserts: a source row matching ANY live target row would have
       // made its file touched, so anti-joining the touched slice IS
-      // the global not-matched set
+      // the global not-matched set; `insertWhen` (plain source
+      // columns) gates which unmatched rows insert — a CDC delete
+      // tombstone for an absent key must be a no-op, not an insert
+      val insEligible = insertWhen.fold(source)(source.where)
       val ins =
-        if (touched.isEmpty) source.select(targetCols.map(col): _*)
-        else source.join(
+        if (touched.isEmpty) insEligible.select(targetCols.map(col): _*)
+        else insEligible.join(
           Deletes.readFiles(spark, liveDir, touched).select(keys.map(col): _*),
           keys, "left_anti")
           .select(targetCols.map(col): _*)
