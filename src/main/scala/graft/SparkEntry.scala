@@ -2567,6 +2567,27 @@ object SparkEntry {
         col("price").cast("double").as("total_price"))
   }
 
+  /** q130: image near-dup ([[graft.multimodal.ImageDedup]]) — the
+    * curation family's perceptual-image side: every video doc's first
+    * frame decodes through the REAL container+JPEG path (Riff walk,
+    * the q75 machinery), block-averages into a 9×8 grid, and emits a
+    * 64-bit dHash; pairs come from simhash-style banding (exact
+    * recall at the hamming threshold by pigeonhole — proven vs brute
+    * force in ImageDedupSpec) plus one xor+bit_count verify per
+    * candidate. Rows-only (no SQL engine decodes JPEG); the spec
+    * pins gradient semantics, brightness invariance, re-encode
+    * robustness, and that the corpus's exact-dup documents collapse
+    * to hamming-0 pairs through the real codec. At 100 TB the decode
+    * is a narrow batched map and the pair join moves 4 (id, long)
+    * rows per image — raster bytes never shuffle. */
+  def q130ImageNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMediaTable(
+      Tables.documents(spark, dir), "doc_id", "text")
+    graft.multimodal.ImageDedup.dHashPairs(
+      graft.multimodal.ImageDedup.imageDHashes(media),
+      "doc_id", "dhash", maxHamming = 2)
+  }
+
   def q124DeclaredDedupe(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir).createOrReplaceTempView("graft_q124_events")
     spark.sql(
@@ -3351,7 +3372,8 @@ object SparkEntry {
     "q126_join_view_match"       -> (q126JoinViewMatch _),
     "q127_delete_vectors"        -> (q127DeleteVectors _),
     "q128_merge_into"            -> (q128MergeInto _),
-    "q129_join_ivm"              -> (q129JoinIvm _)
+    "q129_join_ivm"              -> (q129JoinIvm _),
+    "q130_image_neardup"         -> (q130ImageNeardup _)
   )
 
   // q10 and q44 compute the same result over different physical
