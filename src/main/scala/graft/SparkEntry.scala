@@ -2588,6 +2588,32 @@ object SparkEntry {
       "doc_id", "dhash", maxHamming = 2)
   }
 
+  /** q131: HTML → text extraction ([[text.TextOps.stripHtml]]) — the
+    * boilerplate strip every web-crawl corpus runs before quality
+    * scoring and dedup. The synthetic corpus is plain text, so half
+    * the docs get a deterministic HTML wrap (head with style+script
+    * blocks, heading, paragraph markup, a comment, and entity-escaped
+    * tail — the q99 planted-input pattern) and the other half pass
+    * through as the plain-text case. Every pattern lives in the
+    * Java-regex ∩ RE2 subset, so the oracle re-runs the IDENTICAL
+    * strip pipeline and the hash covers the EXTRACTED TEXT itself —
+    * a leaked script body, a double-unescaped entity, or a
+    * mis-ordered stage breaks it. Narrow codegen'd column algebra:
+    * one corpus pass, no shuffle at any scale. */
+  def q131HtmlStrip(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val planted = Tables.documents(spark, dir).select(d,
+      when(d % 2 === 0, concat(
+        lit("<html><head><style>p{color:red}</style>" +
+          "<script src=\"x.js\">var x=1;</script></head><body><h1>Doc "),
+        d.cast("string"),
+        lit("</h1><p class=\"lead\">"), col("text"),
+        lit("</p><!-- footer --><p>&amp; &lt;tag&gt; B&#39;s&nbsp;end</p>" +
+          "</body></html>")))
+        .otherwise(col("text")).as("text"))
+    TextOps.stripHtml(planted, "doc_id", "text")
+  }
+
   def q124DeclaredDedupe(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir).createOrReplaceTempView("graft_q124_events")
     spark.sql(
@@ -3373,7 +3399,8 @@ object SparkEntry {
     "q127_delete_vectors"        -> (q127DeleteVectors _),
     "q128_merge_into"            -> (q128MergeInto _),
     "q129_join_ivm"              -> (q129JoinIvm _),
-    "q130_image_neardup"         -> (q130ImageNeardup _)
+    "q130_image_neardup"         -> (q130ImageNeardup _),
+    "q131_html_strip"            -> (q131HtmlStrip _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -5722,6 +5749,32 @@ object SparkEntry {
         |SELECT seg, COUNT(*) AS n_orders,
         |  CAST(SUM(price) AS DOUBLE) AS total_price
         |FROM lnew JOIN rnew ON o_custkey = c_custkey
-        |GROUP BY seg""".stripMargin
+        |GROUP BY seg""".stripMargin,
+
+    // the identical strip pipeline re-run stage by stage — the hash
+    // covers the extracted text itself (q99's posture)
+    "q131_html_strip" ->
+      """WITH planted AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN
+        |    '<html><head><style>p{color:red}</style><script src="x.js">var x=1;</script></head><body><h1>Doc '
+        |    || CAST(doc_id AS VARCHAR) || '</h1><p class="lead">' || text
+        |    || '</p><!-- footer --><p>&amp; &lt;tag&gt; B&#39;s&nbsp;end</p></body></html>'
+        |  ELSE text END AS t FROM documents
+        |),
+        |b1 AS (SELECT doc_id, regexp_replace(t, '(?s)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM planted),
+        |b2 AS (SELECT doc_id, regexp_replace(t, '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM b1),
+        |b3 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM b2),
+        |tg AS (SELECT doc_id, len(regexp_extract_all(t, '<[^>]+>')) AS n_tags,
+        |       regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM b3),
+        |e1 AS (SELECT doc_id, n_tags, regexp_replace(t, '&lt;', '<', 'g') AS t FROM tg),
+        |e2 AS (SELECT doc_id, n_tags, regexp_replace(t, '&gt;', '>', 'g') AS t FROM e1),
+        |e3 AS (SELECT doc_id, n_tags, regexp_replace(t, '&quot;', '"', 'g') AS t FROM e2),
+        |e4 AS (SELECT doc_id, n_tags, regexp_replace(t, '&#39;', '''', 'g') AS t FROM e3),
+        |e5 AS (SELECT doc_id, n_tags, regexp_replace(t, '&nbsp;', ' ', 'g') AS t FROM e4),
+        |e6 AS (SELECT doc_id, n_tags, regexp_replace(t, '&amp;', '&', 'g') AS t FROM e5),
+        |fin AS (SELECT doc_id, n_tags,
+        |        trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean_text FROM e6)
+        |SELECT doc_id, n_tags, clean_text, len(clean_text) AS n_chars
+        |FROM fin""".stripMargin
   )
 }

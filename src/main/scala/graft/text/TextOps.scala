@@ -280,4 +280,54 @@ object TextOps {
       .select(col(idCol) +: names.map(n => col(s"n_$n")) :+
         col("clean_text") :+ col("has_pii"): _*)
   }
+
+  /** Script/style/comment blocks removed before tag stripping — a
+    * `<script>` body is NOT content, and stripping its tags alone
+    * would leak `var x=1;` into the "text". `(?s)` + non-greedy live
+    * in the Java-regex ∩ RE2 subset (the piiScrub contract), so an
+    * oracle engine re-runs the IDENTICAL strings. Lowercase tags
+    * only — the well-formed-corpus contract, documented loudly. */
+  val HtmlBlockPatterns: Seq[String] = Seq(
+    "(?s)<script[^>]*>.*?</script>",
+    "(?s)<style[^>]*>.*?</style>",
+    "(?s)<!--.*?-->")
+
+  /** Entity unescapes applied AFTER tag stripping, `&amp;` strictly
+    * last — earlier would double-unescape `&amp;lt;` into `<`. */
+  val HtmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** HTML → text extraction — the boilerplate-strip pass every
+    * web-crawl training corpus runs before quality scoring and dedup
+    * (tags and scripts would otherwise dominate shingles and token
+    * counts). Pipeline, strictly ordered: drop script/style/comment
+    * BLOCKS, count + strip remaining tags (replaced by a space so
+    * `</p><p>` keeps a token boundary), unescape the six standard
+    * entities (`&amp;` last), collapse whitespace, trim. Plain text
+    * passes through unchanged (zero tags, whitespace-normalized).
+    * Pure narrow column algebra (`regexp_count`/`regexp_replace`,
+    * codegen'd) — one pass, no shuffle at any scale; every pattern
+    * stays in the Java-regex ∩ RE2 subset so a DuckDB oracle
+    * hash-checks the EXTRACTED TEXT itself (q131).
+    * Output: id, `n_tags`, `clean_text`, `n_chars`. */
+  def stripHtml(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val blocksGone = HtmlBlockPatterns.foldLeft(
+      docs.select(col(idCol), col(textCol).as("__t"))) {
+      (acc, re) => acc.withColumn("__t", regexp_replace(col("__t"), re, " "))
+    }
+    val tagsGone = blocksGone
+      .withColumn("n_tags", regexp_count(col("__t"), lit("<[^>]+>")))
+      .withColumn("__t", regexp_replace(col("__t"), "<[^>]+>", " "))
+    val unescaped = HtmlEntities.foldLeft(tagsGone) {
+      case (acc, (ent, ch)) =>
+        acc.withColumn("__t",
+          regexp_replace(col("__t"), ent, java.util.regex.Matcher.quoteReplacement(ch)))
+    }
+    unescaped
+      .withColumn("clean_text",
+        trim(regexp_replace(col("__t"), "\\s+", " ")))
+      .withColumn("n_chars", length(col("clean_text")))
+      .select(col(idCol), col("n_tags"), col("clean_text"), col("n_chars"))
+  }
 }

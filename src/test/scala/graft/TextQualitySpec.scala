@@ -177,4 +177,26 @@ class TextQualitySpec extends SparkSpec {
         "the non-PII decoy must survive the scrub")
     } finally { out.unpersist(): Unit }
   }
+
+  test("stripHtml: blocks dropped whole, tags counted, entities ordered, plain text normalized") {
+    val sess = spark
+    import sess.implicits._
+    val docs = Seq(
+      (1L, "<html><body><script>var leak=1;</script><p>Hello <b>world</b></p>" +
+        "<!-- secret --><style>p{}</style></body></html>"),
+      // entity order: double-escaped &amp;lt; must come out as the
+      // LITERAL string "&lt;", never double-unescape to "<"
+      (2L, "<p>A &amp; B &lt;tag&gt; C&#39;s &quot;q&quot; &amp;lt; end</p>"),
+      // multi-line script body: (?s) must span the newline
+      (3L, "<script>\nvar a=1;\nvar b=2;\n</script>after"),
+      // plain text: passes through, whitespace-normalized only
+      (4L, "  no   markup\there  "))
+      .toDF("doc_id", "text")
+    val out = graft.text.TextOps.stripHtml(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    assert(out(1L) == ((8, "Hello world")), s"got ${out(1L)}")
+    assert(out(2L) == ((2, "A & B <tag> C's \"q\" &lt; end")), s"got ${out(2L)}")
+    assert(out(3L) == ((0, "after")), s"got ${out(3L)}")
+    assert(out(4L) == ((0, "no markup here")), s"got ${out(4L)}")
+  }
 }
