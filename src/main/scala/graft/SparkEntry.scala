@@ -2614,6 +2614,42 @@ object SparkEntry {
     TextOps.stripHtml(planted, "doc_id", "text")
   }
 
+  /** q132: write-audit-publish ([[graft.sources.Wap]]) — the
+    * reference's dbt tests run AFTER its BigQuery refreshes (red
+    * means readers already saw the bad rows); here the same
+    * predicates gate the pointer flip itself. A planted corruption
+    * (every 41st event's value forced negative) meets three
+    * severities: a fail expectation that holds (type present), a
+    * warn expectation counted into the manifest, and a drop
+    * expectation that quarantines the corrupted rows to a `_rejects`
+    * sidecar while the clean slice publishes — audit counts riding
+    * the SAME atomic commit as the data. The oracle re-derives the
+    * clean-slice aggregate (planted predicate negated): a leaked
+    * reject, a dropped clean row, or a pointer flip on red breaks
+    * the hash. WapSpec carries abort/quarantine/manifest proofs.
+    * One audit pass (all counts in one aggregate), one filtered
+    * write each side — no shuffle beyond the final fold at any
+    * scale. */
+  private def wapEventsRoot(spark: SparkSession, dir: String): String =
+    graft.tools.Scratch.cachedArtifact(
+      "graft_wapevents", dir, s"$dir/events.parquet") { (tableDir, _) =>
+      val planted = Tables.events(spark, dir)
+        .withColumn("value",
+          when(col("event_id") % 41 === 0, lit(-1.0)).otherwise(col("value")))
+      graft.sources.Wap.publishWithExpectations(spark, tableDir, planted, Seq(
+        graft.sources.Wap.Expectation.fail("has_type", col("event_type").isNotNull),
+        graft.sources.Wap.Expectation.warn("value_cap", col("value") <= 95.0),
+        graft.sources.Wap.Expectation.drop("nonneg", col("value") >= 0.0))): Unit
+    }
+
+  def q132WapPublish(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Publish.read(spark, wapEventsRoot(spark, dir))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value"), 6).cast("decimal(18,6)"))
+          .cast("double").as("sum_value"))
+
   def q124DeclaredDedupe(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir).createOrReplaceTempView("graft_q124_events")
     spark.sql(
@@ -3400,7 +3436,8 @@ object SparkEntry {
     "q128_merge_into"            -> (q128MergeInto _),
     "q129_join_ivm"              -> (q129JoinIvm _),
     "q130_image_neardup"         -> (q130ImageNeardup _),
-    "q131_html_strip"            -> (q131HtmlStrip _)
+    "q131_html_strip"            -> (q131HtmlStrip _),
+    "q132_wap_publish"           -> (q132WapPublish _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -5775,6 +5812,16 @@ object SparkEntry {
         |fin AS (SELECT doc_id, n_tags,
         |        trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean_text FROM e6)
         |SELECT doc_id, n_tags, clean_text, len(clean_text) AS n_chars
-        |FROM fin""".stripMargin
+        |FROM fin""".stripMargin,
+
+    // the clean slice re-derived by negating the planted corruption —
+    // the Spark side published THROUGH the audit gate (drop-severity
+    // quarantine, counts in the manifest)
+    "q132_wap_publish" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE event_id % 41 <> 0
+        |GROUP BY event_type""".stripMargin
   )
 }
