@@ -2650,6 +2650,51 @@ object SparkEntry {
         sum(round(col("value"), 6).cast("decimal(18,6)"))
           .cast("double").as("sum_value"))
 
+  /** q133: layout evolution under one manifest
+    * ([[graft.sources.FileStats]] over a MIXED-clustering version) —
+    * the Iceberg partition-evolution story on graft's sidecar
+    * machinery: a table whose clustering changed mid-life (half the
+    * files time-clustered, half user-clustered — the layout history
+    * append-heavy tables actually accrete) served by ONE read path,
+    * because `_fstats` is per-FILE geometry with no layout schema to
+    * outgrow. A (ts × user) box prunes each epoch by ITS OWN
+    * clustering dimension and the conjunction intersects
+    * (FileStatsSpec's evolution case proves both epochs prune); the
+    * predicate re-applies, so the full-scan oracle hash-checks that
+    * serving two layouts through one manifest drops nothing. At
+    * 100 TB this is what makes re-clustering a ROLLING operation —
+    * no stop-the-world rewrite before the new layout can be
+    * queried. */
+  private def evoEventsTable(spark: SparkSession, dir: String): String =
+    graft.tools.Scratch.cachedArtifact(
+      "graft_evoevents", dir, s"$dir/events.parquet") { (tableDir, _) =>
+      val ev = Tables.events(spark, dir)
+      ev.where(col("event_id") % 2 === 0)
+        .repartitionByRange(8, col("ts")).sortWithinPartitions("ts")
+        .write.mode("append").parquet(tableDir)
+      ev.where(col("event_id") % 2 === 1)
+        .repartitionByRange(8, col("user_id")).sortWithinPartitions("user_id")
+        .write.mode("append").parquet(tableDir)
+      graft.sources.FileStats.build(spark, tableDir,
+        cols = Seq("ts", "user_id", "value"))
+    }
+
+  def q133LayoutEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val table = evoEventsTable(spark, dir)
+    val lo = java.sql.Timestamp.valueOf("2024-01-08 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2024-01-22 00:00:00")
+    graft.sources.FileStats.prunedRead(spark, table, Seq(
+        graft.sources.FileStats.Between("ts", lo, hi),
+        graft.sources.FileStats.Between("user_id", 40L, 90L)))
+      .where(col("ts") >= lit(lo) && col("ts") <= lit(hi) &&
+        col("user_id").between(40, 90))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value"), 6).cast("decimal(18,6)"))
+          .cast("double").as("sum_value"))
+  }
+
   def q124DeclaredDedupe(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir).createOrReplaceTempView("graft_q124_events")
     spark.sql(
@@ -3437,7 +3482,8 @@ object SparkEntry {
     "q129_join_ivm"              -> (q129JoinIvm _),
     "q130_image_neardup"         -> (q130ImageNeardup _),
     "q131_html_strip"            -> (q131HtmlStrip _),
-    "q132_wap_publish"           -> (q132WapPublish _)
+    "q132_wap_publish"           -> (q132WapPublish _),
+    "q133_layout_evolution"      -> (q133LayoutEvolution _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -5822,6 +5868,18 @@ object SparkEntry {
         |  CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events
         |WHERE event_id % 41 <> 0
+        |GROUP BY event_type""".stripMargin,
+
+    // full scan with the same box — the Spark side served a version
+    // whose files carry TWO different clusterings through one stats
+    // manifest
+    "q133_layout_evolution" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-08 00:00:00'
+        |  AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-22 00:00:00'
+        |  AND user_id BETWEEN 40 AND 90
         |GROUP BY event_type""".stripMargin
   )
 }

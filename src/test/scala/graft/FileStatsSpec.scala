@@ -190,4 +190,53 @@ class FileStatsSpec extends SparkSpec {
     assert(out.exceptAll(want).count() == 0 && want.exceptAll(out).count() == 0,
       "stats-pruned aggregate diverges from the full scan")
   }
+
+  test("layout evolution: one manifest prunes each epoch by ITS OWN clustering") {
+    val sess = spark
+    import sess.implicits._
+    // epoch A: id-clustered (8 files on disjoint id ranges); epoch B:
+    // k-clustered (8 files on disjoint k ranges) — the layout changed
+    // mid-table, as under Iceberg partition evolution
+    val root = java.nio.file.Files.createTempDirectory("graft_fstats_evo").toString
+    val dir = root + "/t"
+    try {
+      val a = (1L to 8000L).map(i => (i, i % 100, "A")).toDF("id", "k", "epoch")
+      val b = (8001L to 16000L).map(i => (i, i % 100, "B")).toDF("id", "k", "epoch")
+      a.repartitionByRange(8, col("id")).sortWithinPartitions("id")
+        .write.mode("append").parquet(dir)
+      b.repartitionByRange(8, col("k")).sortWithinPartitions("k")
+        .write.mode("append").parquet(dir)
+      val total = graft.sources.Compact.listDataFiles(dir).size
+      assert(total == 16)
+      graft.sources.FileStats.build(spark, dir, cols = Seq("id", "k"))
+
+      // id predicate spanning the epoch boundary: prunes epoch A hard
+      // (disjoint id ranges), keeps all of epoch B (every B file
+      // spans B's whole id range)
+      val idCand = graft.sources.FileStats.candidateFiles(spark, dir,
+        Seq(graft.sources.FileStats.Between("id", 7500L, 8500L)))
+      assert(idCand.size <= 1 + 8, s"id pruning ineffective: ${idCand.size}/$total")
+      // k predicate: the mirror — epoch B prunes, epoch A survives
+      val kCand = graft.sources.FileStats.candidateFiles(spark, dir,
+        Seq(graft.sources.FileStats.Between("k", 10L, 19L)))
+      assert(kCand.size <= 8 + 2, s"k pruning ineffective: ${kCand.size}/$total")
+      // conjunction: both epochs prune — the manifest serves BOTH
+      // layouts without knowing either existed
+      val both = graft.sources.FileStats.candidateFiles(spark, dir, Seq(
+        graft.sources.FileStats.Between("id", 7500L, 8500L),
+        graft.sources.FileStats.Between("k", 10L, 19L)))
+      assert(both.size < idCand.size && both.size < kCand.size,
+        s"conjunction did not tighten: ${both.size} vs ${idCand.size}/${kCand.size}")
+      // losslessness under the mixed layout
+      val want = spark.read.parquet(dir)
+        .where(col("id").between(7500L, 8500L) && col("k").between(10L, 19L))
+      val got = graft.sources.FileStats.prunedRead(spark, dir, Seq(
+          graft.sources.FileStats.Between("id", 7500L, 8500L),
+          graft.sources.FileStats.Between("k", 10L, 19L)))
+        .where(col("id").between(7500L, 8500L) && col("k").between(10L, 19L))
+      assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    } finally {
+      graft.sources.Sinks.deleteRecursively(java.nio.file.Paths.get(root))
+    }
+  }
 }
