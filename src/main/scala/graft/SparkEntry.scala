@@ -2683,16 +2683,166 @@ object SparkEntry {
     val table = evoEventsTable(spark, dir)
     val lo = java.sql.Timestamp.valueOf("2024-01-08 00:00:00")
     val hi = java.sql.Timestamp.valueOf("2024-01-22 00:00:00")
+    // box bounds valid at EVERY SF (sf0.001's user universe is 0–14;
+    // a 40–90 box returns zero rows there and fails the rows>0 gate —
+    // the q88 late-addition lesson, relearned)
     graft.sources.FileStats.prunedRead(spark, table, Seq(
         graft.sources.FileStats.Between("ts", lo, hi),
-        graft.sources.FileStats.Between("user_id", 40L, 90L)))
+        graft.sources.FileStats.Between("user_id", 4L, 11L)))
       .where(col("ts") >= lit(lo) && col("ts") <= lit(hi) &&
-        col("user_id").between(40, 90))
+        col("user_id").between(4, 11))
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n_events"),
         sum(round(col("value"), 6).cast("decimal(18,6)"))
           .cast("double").as("sum_value"))
+  }
+
+  /** q134: snapshot expiration / time-travel retention
+    * ([[graft.sources.Publish.expireVersions]]) — the lake's history
+    * is USEFUL state (time travel, CDC via snapshot-diff) but not
+    * free state; the first-class policy is Iceberg's expireSnapshots
+    * contract: keep the live version, the newest keepLast, anything
+    * inside the keepWithin time window, and anything a catalog
+    * snapshot pins. Here a three-version history (two dated slices,
+    * then the full table) expires under keepLast=2: v1 reaps, v2
+    * SURVIVES as time-travel history, and the query exercises exactly
+    * what retention must preserve — the live read, a version-pinned
+    * historical read, and their version-over-version delta — plus the
+    * on-disk version count folded in as a column, so a policy that
+    * reaps too little (v1 alive → 3) or too much (v2 gone → the read
+    * throws) breaks the gate either way. Oracle re-derives both
+    * slices from the raw events. RetentionSpec carries the
+    * keepWithin window, pinned-set, and catalog-integration proofs.
+    * At 100 TB: expiration is pointer/manifest work — the only data
+    * I/O is deleting unreferenced version dirs. */
+  private def retentionRoot(spark: SparkSession, dir: String): String =
+    graft.tools.Scratch.cachedArtifact(
+      "graft_retention", dir, s"$dir/events.parquet") { (tableDir, _) =>
+      val ev = Tables.events(spark, dir)
+      def cut(ts: String): DataFrame =
+        ev.where(col("ts") < lit(java.sql.Timestamp.valueOf(ts)))
+      graft.sources.Publish.publish(cut("2024-01-10 00:00:00"), tableDir): Unit
+      graft.sources.Publish.publish(cut("2024-01-20 00:00:00"), tableDir): Unit
+      graft.sources.Publish.publish(ev, tableDir): Unit
+      val reaped = graft.sources.Publish.expireVersions(tableDir, keepLast = 2)
+      require(reaped == Seq(1L), s"retention policy reaped $reaped, expected [1]")
+    }
+
+  def q134Retention(spark: SparkSession, dir: String): DataFrame = {
+    val root = retentionRoot(spark, dir)
+    val live = graft.sources.Publish.read(spark, root)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_live"),
+        sum(round(col("value"), 6).cast("decimal(18,6)"))
+          .cast("double").as("sum_live"))
+    val prior = graft.sources.Publish.readVersion(spark, root, 2L)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_prior"))
+    val nVersions = graft.sources.Publish
+      .listVersions(java.nio.file.Paths.get(root)).size.toLong
+    live.join(prior, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_live"), col("sum_live"),
+        coalesce(col("n_prior"), lit(0L)).as("n_prior"),
+        (col("n_live") - coalesce(col("n_prior"), lit(0L))).as("n_new"),
+        lit(nVersions).as("n_versions"))
+  }
+
+  /** q135: MERGE schema evolution ([[graft.sources.Merge]] with
+    * `evolveSchema` + [[graft.sources.Publish.readConformed]]) — the
+    * Delta autoMerge story: a source delta carrying a column the
+    * target never had (an upstream API adding a field mid-life, the
+    * reference's coingecko payloads growing keys) WIDENS the table in
+    * the same copy-on-write commit. The design decision is the carry
+    * strategy: untouched files stay byte-identical at the OLD width
+    * (a 1 GB delta must not rewrite 100 TB to add a column), the
+    * version manifest — written under mergeSchema — records the
+    * widened schema as the authority, and reads conform to it
+    * (missing columns surface as NULL, union-by-name). Matched-ness,
+    * not file membership, decides values: matched rows take the
+    * source's new-column value, everything else reads NULL — so the
+    * semantics are file-layout-independent and the oracle is purely
+    * relational (left join + CASE + anti-union, the q128 posture).
+    * MergeSpec carries the byte-identity-at-old-width, manifest
+    * schema, and conformed-read proofs. */
+  private def mergeEvoRoot(spark: SparkSession, dir: String): String =
+    graft.tools.Scratch.cachedArtifact(
+      "graft_mergeevo", dir, s"$dir/orders.parquet") { (tableDir, _) =>
+      val o = Tables.orders(spark, dir)
+      val price = round(col("o_totalprice"), 2).cast("decimal(18,2)")
+      val target = o.where(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"), price.as("price"))
+      graft.sources.Publish.publish(target.repartition(4), tableDir): Unit
+      val source = o.where(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (price * 2).cast("decimal(18,2)").as("price"),
+          col("o_orderpriority").as("prio"))
+      graft.sources.Merge.mergeIntoPublished(spark, tableDir, source,
+        keys = Seq("o_orderkey"),
+        set = Map("price" -> graft.sources.Merge.s("price"),
+          "prio" -> graft.sources.Merge.s("prio")),
+        evolveSchema = true): Unit
+    }
+
+  def q135MergeEvolution(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Publish.readConformed(spark, mergeEvoRoot(spark, dir))
+      .groupBy(coalesce(col("prio"), lit("(none)")).as("prio"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("price")).cast("double").as("sum_price"))
+
+  /** q136: categorical layout advice from KMV distinct-count sketches
+    * ([[sources.FileStats]] `kmvCols` +
+    * [[sources.LayoutAdvisor.adviseFromStats]] `catDims`) — the range
+    * cost model (q120/q123) is blind to STRING/dictionary dimensions:
+    * a workload slicing `domain = 'x'` has no [lo, hi] to intersect.
+    * The manifest now carries a per-file KMV sketch (the file's k
+    * smallest distinct 60-bit content hashes — [[similarity.Overlap]]'s
+    * estimator brought to the skipping layer), and an equality
+    * predicate on a clustered categorical dim scores as
+    * n_rows/ndv per file under uniform key frequency. Everything in
+    * the chain is cross-engine re-derivable — md5-derived hashes,
+    * integer ranks, the estimate division in identical IEEE order —
+    * so unlike the range variant (deterministic but estimate-bound to
+    * Spark's file split), the artifact here pins file boundaries to a
+    * deterministic partition column (`part = user_id % 4`, one file
+    * per part) and the FULL advisor output — per-file ndv sketches
+    * through exact integer ranking — hash-gates against DuckDB
+    * re-deriving it from the raw events (the q120 CTE chain with KMV
+    * selectivities). The single-dim ranking is genuinely data-driven:
+    * the user dim out-ranks the 5-value event_type exactly where the
+    * per-file user population outnumbers the type dictionary (sf0.01
+    * up; at sf0.001's 15 users the types win) — both engines agree
+    * because both derive it from the data. At 100 TB: re-scoring a
+    * workload over string dims costs a |files|·k-row manifest read,
+    * never a table scan. */
+  private def catStatsRoot(spark: SparkSession, dir: String): String =
+    graft.tools.Scratch.cachedArtifact(
+      "graft_catstats", dir, s"$dir/events.parquet") { (tableDir, _) =>
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("event_type").as("etype"),
+          col("user_id"), (col("user_id") % 4).as("part"))
+        .repartition(4, col("part"))
+        .write.partitionBy("part").parquet(tableDir)
+      graft.sources.FileStats.build(spark, tableDir,
+        cols = Nil, kmvCols = Seq("etype", "user_id"))
+    }
+
+  def q136CatAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    val table = catStatsRoot(spark, dir)
+    val sess = spark
+    import sess.implicits._
+    // equality-predicate workload: which dim each query slices on
+    // (the uniform-frequency estimate is value-independent)
+    val workload = Seq(
+      (1L, "etype"), (2L, "uid"), (3L, "etype"), (3L, "uid"), (4L, "uid"))
+      .toDF("query_id", "dim")
+      .withColumn("lo", lit(0.0)).withColumn("hi", lit(0.0))
+    LayoutAdvisor.adviseFromStats(spark, table,
+      dims = Nil, workload = workload,
+      layouts = Seq(Seq("etype"), Seq("uid"), Seq("etype", "uid")),
+      catDims = Seq("etype" -> "etype", "uid" -> "user_id"))
   }
 
   def q124DeclaredDedupe(spark: SparkSession, dir: String): DataFrame = {
@@ -3483,7 +3633,10 @@ object SparkEntry {
     "q130_image_neardup"         -> (q130ImageNeardup _),
     "q131_html_strip"            -> (q131HtmlStrip _),
     "q132_wap_publish"           -> (q132WapPublish _),
-    "q133_layout_evolution"      -> (q133LayoutEvolution _)
+    "q133_layout_evolution"      -> (q133LayoutEvolution _),
+    "q134_retention"             -> (q134Retention _),
+    "q135_merge_evolution"       -> (q135MergeEvolution _),
+    "q136_cat_advisor"           -> (q136CatAdvisor _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -5879,7 +6032,133 @@ object SparkEntry {
         |FROM events
         |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-08 00:00:00'
         |  AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-22 00:00:00'
-        |  AND user_id BETWEEN 40 AND 90
-        |GROUP BY event_type""".stripMargin
+        |  AND user_id BETWEEN 4 AND 11
+        |GROUP BY event_type""".stripMargin,
+
+    // both retained slices re-derived from raw events; n_versions is
+    // the policy's on-disk outcome (live + keepLast survivor = 2) —
+    // the Spark side computed it by listing the expired version root
+    "q134_retention" ->
+      """WITH live AS (
+        |  SELECT event_type, COUNT(*) AS n_live,
+        |    CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_live
+        |  FROM events GROUP BY event_type
+        |),
+        |prior AS (
+        |  SELECT event_type, COUNT(*) AS n_prior FROM events
+        |  WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20 00:00:00'
+        |  GROUP BY event_type
+        |)
+        |SELECT l.event_type, l.n_live, l.sum_live,
+        |  COALESCE(p.n_prior, 0) AS n_prior,
+        |  l.n_live - COALESCE(p.n_prior, 0) AS n_new,
+        |  CAST(2 AS BIGINT) AS n_versions
+        |FROM live l LEFT JOIN prior p USING (event_type)""".stripMargin,
+
+    // the MERGE re-derived relationally (left join + CASE +
+    // anti-union, the q128 posture) — the new column exists only
+    // where a source row matched or inserted; everything the Spark
+    // side served from carried OLD-WIDTH files must read NULL
+    "q135_merge_evolution" ->
+      """WITH tgt AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderkey % 3 <> 0
+        |),
+        |src AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)) * 2
+        |         AS DECIMAL(18,2)) AS price,
+        |    o_orderpriority AS prio
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |),
+        |merged AS (
+        |  SELECT t.o_orderkey,
+        |    CASE WHEN s.o_orderkey IS NOT NULL THEN s.price ELSE t.price END AS price,
+        |    CASE WHEN s.o_orderkey IS NOT NULL THEN s.prio END AS prio
+        |  FROM tgt t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+        |  UNION ALL
+        |  SELECT s.o_orderkey, s.price, s.prio
+        |  FROM src s
+        |  WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey)
+        |)
+        |SELECT COALESCE(prio, '(none)') AS prio, COUNT(*) AS n_rows,
+        |  CAST(SUM(price) AS DOUBLE) AS sum_price
+        |FROM merged GROUP BY 1""".stripMargin,
+
+    // the whole categorical advisor re-derived from raw events: file
+    // boundaries are the deterministic part column, per-part KMV
+    // sketches rebuild as rank-ordered distinct md5-hashes, the ndv
+    // estimator and scoring chain run in identical arithmetic order
+    // (the q120 CTE chain with equality selectivities)
+    "q136_cat_advisor" ->
+      """WITH base AS (
+        |  SELECT user_id % 4 AS part, event_type, user_id FROM events
+        |),
+        |pn AS (SELECT part, COUNT(*) AS n_rows FROM base GROUP BY 1),
+        |hh AS (
+        |  SELECT DISTINCT part, 'etype' AS dim,
+        |    CAST(('0x' || substr(md5(event_type), 1, 15)) AS BIGINT) AS h
+        |  FROM base
+        |  UNION ALL
+        |  SELECT DISTINCT part, 'uid',
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |  FROM base
+        |),
+        |rk AS (
+        |  SELECT part, dim, h,
+        |    row_number() OVER (PARTITION BY part, dim ORDER BY h) AS rk
+        |  FROM hh
+        |),
+        |ndv AS (
+        |  SELECT part, dim, COUNT(*) AS n,
+        |    max(CASE WHEN rk = 64 THEN h END) AS hk
+        |  FROM rk WHERE rk <= 64 GROUP BY 1, 2
+        |),
+        |fest AS (
+        |  SELECT ndv.dim,
+        |    CAST(floor(CAST(pn.n_rows AS DOUBLE) /
+        |      round(CASE WHEN ndv.n < 64 THEN CAST(ndv.n AS DOUBLE)
+        |            ELSE 63.0 * 1152921504606846976.0 / CAST(ndv.hk AS DOUBLE)
+        |            END, 6)) AS BIGINT) AS est
+        |  FROM ndv JOIN pn ON pn.part = ndv.part
+        |),
+        |dimn AS (SELECT dim, SUM(est) AS n FROM fest GROUP BY 1),
+        |w(query_id, dim) AS (VALUES
+        |  (1, 'etype'), (2, 'uid'), (3, 'etype'), (3, 'uid'), (4, 'uid')
+        |),
+        |cnt AS (
+        |  SELECT w.query_id, w.dim, d.n
+        |  FROM w JOIN dimn d ON d.dim = w.dim
+        |),
+        |m AS (
+        |  SELECT wd.query_id,
+        |    max(CASE WHEN wd.dim='etype' THEN COALESCE(c.n, 0) END) AS ne,
+        |    max(CASE WHEN wd.dim='uid' THEN COALESCE(c.n, 0) END) AS nu
+        |  FROM (SELECT DISTINCT query_id, dim FROM w) wd
+        |  LEFT JOIN cnt c ON c.query_id = wd.query_id AND c.dim = wd.dim
+        |  GROUP BY 1
+        |),
+        |nn AS (SELECT COUNT(*) AS N FROM events),
+        |lay(layout_id, fe, fu) AS (VALUES
+        |  ('etype', true, false), ('uid', false, true), ('etype+uid', true, true)
+        |),
+        |sc AS (
+        |  SELECT l.layout_id,
+        |    (CASE WHEN l.fe AND m.ne IS NOT NULL THEN m.ne ELSE nn.N END)
+        |    * (CASE WHEN l.fu AND m.nu IS NOT NULL THEN m.nu ELSE nn.N END)
+        |      AS cost,
+        |    CAST(nn.N AS DOUBLE) * CAST(nn.N AS DOUBLE) AS den
+        |  FROM m, nn, lay l
+        |),
+        |tot AS (
+        |  SELECT layout_id, COUNT(*) AS n_queries, SUM(cost) AS total,
+        |    max(den) AS den
+        |  FROM sc GROUP BY 1
+        |)
+        |SELECT layout_id, n_queries,
+        |  round(CAST(total AS DOUBLE) / (den * n_queries), 6) AS avg_scan_frac,
+        |  CAST(row_number() OVER (ORDER BY total, layout_id) AS INT) AS rank
+        |FROM tot""".stripMargin
   )
 }

@@ -97,7 +97,8 @@ object Catalog {
     val pinsJson = pins.sortBy(_._1)
       .map { case (t, v) => s"${jsonStr(t)}:$v" }.mkString("{", ",", "}")
     val manifest =
-      s"""{"version":$version,"tables":$pinsJson,"meta":$metaJson}"""
+      s"""{"version":$version,"committed_at":${System.currentTimeMillis()},""" +
+        s""""tables":$pinsJson,"meta":$metaJson}"""
     // manifest is durable BEFORE the pointer references it; the flip
     // is the only observable step (Publish's exact protocol)
     Files.write(dir.resolve(s"snap-$version.json"),
@@ -148,10 +149,62 @@ object Catalog {
     val live = currentVersion(root).getOrElse(return Nil)
     val snaps = listSnapshots(root).sorted.reverse
     val (kept, dropped) = snaps.partition(s => s > live - keep && s <= live)
-    dropped.foreach(s => Files.deleteIfExists(catDir(root).resolve(s"snap-$s.json")))
+    reap(root, kept, dropped)
+  }
+
+  /** When snapshot `version` committed, in epoch millis (manifest
+    * `committed_at`, manifest-file mtime for pre-field snapshots). */
+  def snapshotTimeMs(root: String, version: Long): Long = {
+    val mf = catDir(root).resolve(s"snap-$version.json")
+    Option(new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(manifestText(root, version)).get("committed_at"))
+      .map(_.asLong)
+      .getOrElse(Files.getLastModifiedTime(mf).toMillis)
+  }
+
+  /** Every member version of `table` that some snapshot manifest
+    * still on disk references — the pin set a member table's own
+    * [[Publish.expireVersions]] must respect: reaping a version a
+    * retained snapshot pins would tear that snapshot for time-travel
+    * readers even though the table's local policy is done with it. */
+  def pinnedVersions(root: String, table: String): Set[Long] =
+    listSnapshots(root)
+      .flatMap(s => tableVersions(root, s).get(table)).toSet
+
+  /** Snapshot-level retention — [[Publish.expireVersions]] lifted to
+    * the catalog: a snapshot survives if it is the live one, among the
+    * newest `keepLast`, or committed within `keepWithinMs` of `now`;
+    * expired snapshots lose their manifests, then every member table
+    * version no SURVIVING snapshot references is reaped (the
+    * referenced-set sweep [[vacuum]] runs, under the richer policy).
+    * Returns removed table version dirs as (table, version). */
+  def expireSnapshots(
+      root: String,
+      keepLast: Int,
+      keepWithinMs: Long = 0L,
+      now: Long = System.currentTimeMillis()): Seq[(String, Long)] = {
+    require(keepLast >= 1, "keepLast must retain at least the newest snapshot")
+    val live = currentVersion(root).getOrElse(return Nil)
+    val snaps = listSnapshots(root).sorted.reverse
+    val newest = snaps.take(keepLast).toSet
+    val (kept, dropped) = snaps.partition { s =>
+      s == live || newest.contains(s) ||
+        now - snapshotTimeMs(root, s) <= keepWithinMs
+    }
+    reap(root, kept, dropped)
+  }
+
+  /** Shared sweep: drop `dropped` snapshot manifests, then reap every
+    * member version the `kept` snapshots don't reference. */
+  private def reap(
+      root: String, kept: Seq[Long], dropped: Seq[Long]): Seq[(String, Long)] = {
+    // referenced set FIRST: a crash after manifest deletion but before
+    // the version sweep must leave extra versions (reaped next run),
+    // never a kept snapshot missing members
     val referenced: Map[String, Set[Long]] = kept
       .flatMap(s => tableVersions(root, s).toSeq)
       .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).toSet }
+    dropped.foreach(s => Files.deleteIfExists(catDir(root).resolve(s"snap-$s.json")))
     val tablesDir = Paths.get(root, "tables")
     if (!Files.exists(tablesDir)) return Nil
     Files.list(tablesDir).iterator().asScala.toSeq.filter(Files.isDirectory(_))

@@ -57,10 +57,27 @@ object Deletes {
     * position is deleted once, so re-issuing a delete is a no-op).
     * Data files are never touched. Returns the sidecar's total
     * position count after the merge. */
-  def delete(spark: SparkSession, dir: String, predicate: Column): Long = {
-    val hits = spark.read.parquet(dir)
-      .where(predicate)
-      .select(fileNameCol.as("file"), col("_metadata.row_index").as("pos"))
+  def delete(spark: SparkSession, dir: String, predicate: Column): Long =
+    deleteWhere(spark, dir, _.where(predicate))
+
+  /** [[delete]] with the doomed rows chosen by an arbitrary
+    * DataFrame transform instead of a single predicate Column — what
+    * a TOMBSTONE FEED needs: "delete these keys" is a semi-join
+    * against the feed, not a predicate (an `isin` over a collected
+    * key list caps at driver size; the join form scales with the
+    * feed). `doomed` receives the live rows WITH lineage already
+    * captured and must only filter/join them — the returned rows'
+    * `__file`/`__pos` drive the sidecar merge. */
+  def deleteWhere(
+      spark: SparkSession, dir: String, doomed: DataFrame => DataFrame): Long = {
+    // lineage is captured BEFORE the caller's transform: metadata
+    // columns resolve against the scan relation only, so a caller
+    // joining first would find no `_metadata` to select
+    val base = spark.read.parquet(dir)
+      .withColumn("__file", fileNameCol)
+      .withColumn("__pos", col("_metadata.row_index"))
+    val hits = doomed(base)
+      .select(col("__file").as("file"), col("__pos").as("pos"))
     val dp = deletesPath(dir)
     val merged =
       if (hasDeletes(dir)) hits.unionByName(spark.read.parquet(dp)).distinct()
@@ -88,21 +105,31 @@ object Deletes {
   /** DV-applied read of a NAMED file subset of `dir` — the unit
     * [[read]] and [[graft.sources.Merge]]'s copy-on-write rewrite
     * share: subset files with no sidecar entry stream through
-    * join-free; the rest anti-join their positions. */
-  def readFiles(spark: SparkSession, dir: String, names: Seq[String]): DataFrame =
-    readFilesLineage(spark, dir, names).drop("__file", "__pos")
+    * join-free; the rest anti-join their positions.
+    *
+    * @param schema conform every file to this schema (columns a file
+    *   lacks read as NULL) — required when the subset spans a
+    *   schema-evolution boundary (a [[Merge]] with `evolveSchema`
+    *   carried old-width files; the manifest schema is the
+    *   authority) */
+  def readFiles(spark: SparkSession, dir: String, names: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    readFilesLineage(spark, dir, names, schema).drop("__file", "__pos")
 
   /** [[readFiles]] keeping the lineage columns `__file` (file name)
     * and `__pos` (row index) — consumers that need provenance after
     * DV application (Merge's touched-file discovery) can't reach for
     * `_metadata` themselves once the anti-join has projected it
     * away. */
-  def readFilesLineage(spark: SparkSession, dir: String, names: Seq[String]): DataFrame = {
+  def readFilesLineage(spark: SparkSession, dir: String, names: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     require(names.nonEmpty, s"empty file subset of $dir")
+    def readPaths(paths: Seq[String]): DataFrame =
+      schema.fold(spark.read)(spark.read.schema).parquet(paths: _*)
     def withLineage(df: DataFrame): DataFrame = df
       .withColumn("__file", fileNameCol)
       .withColumn("__pos", col("_metadata.row_index"))
-    val data = withLineage(spark.read.parquet(names.map(n => s"$dir/$n"): _*))
+    val data = withLineage(readPaths(names.map(n => s"$dir/$n")))
     if (!hasDeletes(dir)) return data
     val dels = spark.read.parquet(deletesPath(dir))
     val touched = dels.select("file").distinct().collect()
@@ -111,13 +138,13 @@ object Deletes {
     val touchedSet = touched.toSet
     val clean = names.filterNot(touchedSet)
     val touchedDf =
-      withLineage(spark.read.parquet(touched.map(n => s"$dir/$n").toIndexedSeq: _*))
+      withLineage(readPaths(touched.map(n => s"$dir/$n").toIndexedSeq))
         .join(
           broadcast(dels.withColumnRenamed("file", "__file")
             .withColumnRenamed("pos", "__pos")),
           Seq("__file", "__pos"), "left_anti")
     if (clean.isEmpty) touchedDf
-    else withLineage(spark.read.parquet(clean.map(n => s"$dir/$n"): _*))
+    else withLineage(readPaths(clean.map(n => s"$dir/$n")))
       .unionByName(touchedDf)
   }
 
@@ -129,11 +156,37 @@ object Deletes {
     * other change, old versions keep their own delete state for
     * time travel, and a crash mid-delete is invisible. Returns the
     * new version number. */
-  def deleteFromPublished(spark: SparkSession, root: String, predicate: Column): Long = {
+  def deleteFromPublished(
+      spark: SparkSession, root: String, predicate: Column,
+      extraMeta: Map[String, String] = Map.empty): Long =
+    deleteFromPublishedWhere(spark, root, _.where(predicate), extraMeta)
+
+  /** [[deleteFromPublished]] for a TOMBSTONE FEED: doomed rows are the
+    * semi-join of the live table against `tombstones` on `keyCols` —
+    * the delete-stream shape ([[graft.streaming.DeleteStream]]), where
+    * the feed is a DataFrame of retired keys, never a predicate. */
+  def deleteKeysFromPublished(
+      spark: SparkSession, root: String, tombstones: DataFrame,
+      keyCols: Seq[String],
+      extraMeta: Map[String, String] = Map.empty): Long = {
+    require(keyCols.nonEmpty, "tombstone delete needs key columns")
+    deleteFromPublishedWhere(spark, root,
+      _.join(broadcast(tombstones.select(keyCols.map(col): _*).distinct()),
+        keyCols, "left_semi"),
+      extraMeta)
+  }
+
+  /** The publish-level carry protocol under an arbitrary doomed-row
+    * transform ([[deleteWhere]]'s form). `extraMeta` rides the version
+    * manifest's atomic commit — a streaming caller stores its batch id
+    * here, making replayed tombstone batches refusable. */
+  def deleteFromPublishedWhere(
+      spark: SparkSession, root: String, doomed: DataFrame => DataFrame,
+      extraMeta: Map[String, String] = Map.empty): Long = {
     val live = Publish.currentVersion(root).getOrElse(
       throw new IllegalStateException(s"nothing published at $root"))
     val liveDir = Paths.get(root).resolve(s"v=$live")
-    val version = Publish.publishStaged(spark, root, meta = Map(
+    val version = Publish.publishStaged(spark, root, meta = extraMeta ++ Map(
       "deleted_from" -> live.toString)) { staging =>
       val stagingPath = Paths.get(staging)
       Files.createDirectories(stagingPath)
@@ -144,7 +197,7 @@ object Deletes {
       if (Files.exists(Paths.get(priorDels)))
         spark.read.parquet(priorDels)
           .write.parquet(deletesPath(staging))
-      delete(spark, staging, predicate): Unit
+      deleteWhere(spark, staging, doomed): Unit
     }
     version
   }
@@ -165,7 +218,8 @@ object Deletes {
     * join cost outweighs a rewrite of the touched subset — cost ∝
     * files-with-deletes, never table size. Returns (newVersion,
     * carried, rewritten). */
-  def materialize(spark: SparkSession, root: String): (Long, Int, Int) = {
+  def materialize(spark: SparkSession, root: String,
+      extraMeta: Map[String, String] = Map.empty): (Long, Int, Int) = {
     val live = Publish.currentVersion(root).getOrElse(
       throw new IllegalStateException(s"nothing published at $root"))
     val liveDir = Paths.get(root).resolve(s"v=$live")
@@ -178,7 +232,7 @@ object Deletes {
     val touchedSet = touched.toSet
     val carried = Compact.listDataFiles(liveDir.toString)
       .map(_._1).filterNot(touchedSet)
-    val version = Publish.publishStaged(spark, root, meta = Map(
+    val version = Publish.publishStaged(spark, root, meta = extraMeta ++ Map(
       "materialized_from" -> live.toString,
       "carried" -> carried.size.toString,
       "rewritten" -> touched.size.toString)) { staging =>

@@ -53,10 +53,16 @@ object FileStats {
   /** Build (or rebuild) the manifest for the parquet table at `path`:
     * per file `n_rows` and, per entry of `cols`, `min_<c>` /
     * `max_<c>` / `nulls_<c>`; per entry of `keyCols`, `bloom_<k>`
-    * over xxhash64(k) sized for the file's row share. */
+    * over xxhash64(k) sized for the file's row share; per entry of
+    * `kmvCols`, `kmv_<c>` — the file's `kmvK` smallest DISTINCT
+    * 60-bit content hashes of the column (a per-file KMV
+    * distinct-count sketch, [[graft.similarity.Overlap]]'s hash and
+    * estimator, so [[ndvEstimate]] is cross-engine re-derivable). */
   private def statAggs(
       cols: Seq[String],
       keyCols: Seq[String],
+      kmvCols: Seq[String],
+      kmvK: Int,
       expectedPerFile: Long,
       fpp: Double): Seq[org.apache.spark.sql.Column] =
     Seq(count(lit(1)).as("n_rows")) ++
@@ -67,18 +73,31 @@ object FileStats {
       keyCols.map { k =>
         call_function("graft_bloom_agg",
           xxhash64(col(k)), lit(expectedPerFile), lit(fpp)).as(s"bloom_$k")
+      } ++
+      kmvCols.map { c =>
+        // collect_set per (file, column): bounded by the file's
+        // distinct count — the right treatment for DICTIONARY /
+        // categorical dims (the columns this sketch is FOR);
+        // near-unique columns belong to min/max ranges and blooms,
+        // not ndv sketches
+        slice(array_sort(collect_set(
+          graft.similarity.Overlap.contentHash(col(c).cast("string")))),
+          1, kmvK).as(s"kmv_$c")
       }
 
   private def statsOf(
       data: org.apache.spark.sql.DataFrame,
       cols: Seq[String],
       keyCols: Seq[String],
+      kmvCols: Seq[String],
+      kmvK: Int,
       fpp: Double): org.apache.spark.sql.DataFrame = {
     if (keyCols.nonEmpty)
       graft.functions.GraftFunctions.register(data.sparkSession)
     val nRows = data.count()
     val nFiles = math.max(1L, data.select(input_file_name()).distinct().count())
-    val aggs = statAggs(cols, keyCols, math.max(64L, 2L * nRows / nFiles), fpp)
+    val aggs = statAggs(cols, keyCols, kmvCols, kmvK,
+      math.max(64L, 2L * nRows / nFiles), fpp)
     data.groupBy(input_file_name().as("file")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -87,11 +106,26 @@ object FileStats {
       path: String,
       cols: Seq[String],
       keyCols: Seq[String] = Nil,
-      fpp: Double = 0.01): Unit = {
-    require(cols.nonEmpty || keyCols.nonEmpty, "nothing to collect stats for")
-    statsOf(spark.read.parquet(path), cols, keyCols, fpp)
+      fpp: Double = 0.01,
+      kmvCols: Seq[String] = Nil,
+      kmvK: Int = 64): Unit = {
+    require(cols.nonEmpty || keyCols.nonEmpty || kmvCols.nonEmpty,
+      "nothing to collect stats for")
+    statsOf(spark.read.parquet(path), cols, keyCols, kmvCols, kmvK, fpp)
       .write.mode("overwrite").parquet(statsPath(path))
   }
+
+  /** Per-file distinct-count estimate from a `kmv_<c>` manifest
+    * column: exact when the file held fewer than `k` distinct values,
+    * (k−1)·2^60/h_k otherwise — [[graft.similarity.Overlap]]'s
+    * estimator verbatim (identical op order, round 6), which is what
+    * lets an advisor built on these estimates sit under the DuckDB
+    * hash gate. */
+  def ndvEstimate(kmv: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+    round(
+      when(size(kmv) < k, size(kmv).cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(graft.similarity.Overlap.Space) /
+          element_at(kmv, k).cast("double")), 6)
 
   /** Incremental manifest refresh after a layout change (the
     * [[Compact.compactPublishedIncremental]] twin): stat rows whose
@@ -108,8 +142,11 @@ object FileStats {
       cols: Seq[String],
       keyCols: Seq[String] = Nil,
       fpp: Double = 0.01,
-      priorFrom: Option[String] = None): (Int, Int) = {
-    require(cols.nonEmpty || keyCols.nonEmpty, "nothing to collect stats for")
+      priorFrom: Option[String] = None,
+      kmvCols: Seq[String] = Nil,
+      kmvK: Int = 64): (Int, Int) = {
+    require(cols.nonEmpty || keyCols.nonEmpty || kmvCols.nonEmpty,
+      "nothing to collect stats for")
     val statsDir = statsPath(path)
     // prior manifest: this directory's own by default; a PREVIOUS
     // version's when the layout moved (Publish compaction creates a
@@ -119,7 +156,7 @@ object FileStats {
     val onDisk = Compact.listDataFiles(path).map(_._1)
     val havePrior = java.nio.file.Files.exists(java.nio.file.Paths.get(priorDir))
     if (!havePrior) {
-      build(spark, path, cols, keyCols, fpp)
+      build(spark, path, cols, keyCols, fpp, kmvCols, kmvK)
       return (0, onDisk.size)
     }
     val base = "file:" + java.nio.file.Paths.get(path).toAbsolutePath + "/"
@@ -134,7 +171,8 @@ object FileStats {
       if (fresh.isEmpty) carried.drop("__name")
       else {
         val freshStats = statsOf(
-          spark.read.parquet(fresh.map(n => s"$path/$n"): _*), cols, keyCols, fpp)
+          spark.read.parquet(fresh.map(n => s"$path/$n"): _*),
+          cols, keyCols, kmvCols, kmvK, fpp)
         carried.drop("__name").unionByName(freshStats)
       }
     // the refreshed manifest is DERIVED from the one it replaces —

@@ -97,33 +97,69 @@ object LayoutAdvisor {
     * @param tablePath parquet table with a built `_fstats` sidecar
     * @param dims      (dim name, stats column name) — the column must
     *                  be in the manifest and numerically comparable
+    * @param catDims   (dim name, stats column name) CATEGORICAL dims —
+    *                  the column must have a `kmv_<c>` sketch in the
+    *                  manifest ([[FileStats.build]]'s `kmvCols`);
+    *                  workload rows for these dims are EQUALITY
+    *                  predicates (`dim = v`; lo/hi ignored), estimated
+    *                  per file as n_rows/ndv under uniform key
+    *                  frequency — how a dictionary/string dimension a
+    *                  range model is blind to gets ranked by its
+    *                  clustering selectivity. Unlike the range
+    *                  estimate, the KMV chain is cross-engine
+    *                  re-derivable ([[FileStats.ndvEstimate]]), so a
+    *                  catDims-only advisor sits under the hash gate
+    *                  (q136)
     */
   def adviseFromStats(
       spark: org.apache.spark.sql.SparkSession,
       tablePath: String,
       dims: Seq[(String, String)],
       workload: DataFrame,
-      layouts: Seq[Seq[String]]): DataFrame = {
-    require(dims.nonEmpty && layouts.nonEmpty)
+      layouts: Seq[Seq[String]],
+      catDims: Seq[(String, String)] = Nil,
+      kmvK: Int = 64): DataFrame = {
+    require((dims.nonEmpty || catDims.nonEmpty) && layouts.nonEmpty)
+    require(dims.map(_._1).intersect(catDims.map(_._1)).isEmpty,
+      "a dim cannot be both ranged and categorical")
     val st = spark.read.parquet(FileStats.statsPath(tablePath))
-    val longForm = st.select(col("n_rows"), explode(array(dims.map {
-      case (n, sc) => struct(lit(n).as("dim"),
-        col(s"min_$sc").cast("double").as("mn"),
-        col(s"max_$sc").cast("double").as("mx"))
-    }: _*)).as("d")).select(col("n_rows"), col("d.*"))
     val w = workload.select(col("query_id"), col("dim").as("wdim"),
       col("lo"), col("hi"))
-    val est = longForm
-      .join(broadcast(w), col("dim") === col("wdim"))
-      .withColumn("ov",
-        least(col("hi"), col("mx")) - greatest(col("lo"), col("mn")))
-      .withColumn("est",
-        when(col("mx") < col("lo") || col("mn") > col("hi"), lit(0L))
-          .when(col("mx") <= col("mn"), col("n_rows"))
-          .otherwise(floor(col("n_rows") * col("ov") / (col("mx") - col("mn")))))
-    val counts = est.groupBy(col("query_id"), col("dim"))
+
+    val rangeCounts = if (dims.isEmpty) None else Some {
+      val longForm = st.select(col("n_rows"), explode(array(dims.map {
+        case (n, sc) => struct(lit(n).as("dim"),
+          col(s"min_$sc").cast("double").as("mn"),
+          col(s"max_$sc").cast("double").as("mx"))
+      }: _*)).as("d")).select(col("n_rows"), col("d.*"))
+      longForm
+        .join(broadcast(w), col("dim") === col("wdim"))
+        .withColumn("ov",
+          least(col("hi"), col("mx")) - greatest(col("lo"), col("mn")))
+        .withColumn("est",
+          when(col("mx") < col("lo") || col("mn") > col("hi"), lit(0L))
+            .when(col("mx") <= col("mn"), col("n_rows"))
+            .otherwise(floor(col("n_rows") * col("ov") / (col("mx") - col("mn")))))
+        .select(col("query_id"), col("dim"), col("est"))
+    }
+    val catCounts = if (catDims.isEmpty) None else Some {
+      val longForm = st.select(col("n_rows"), explode(array(catDims.map {
+        case (n, sc) => struct(lit(n).as("dim"), col(s"kmv_$sc").as("kmv"))
+      }: _*)).as("d")).select(col("n_rows"), col("d.*"))
+      longForm
+        .join(broadcast(w), col("dim") === col("wdim"))
+        // equality selectivity under uniform key frequency: a
+        // clustered equality predicate reads ~1/ndv of each file
+        .withColumn("est",
+          floor(col("n_rows").cast("double") /
+            FileStats.ndvEstimate(col("kmv"), kmvK)))
+        .select(col("query_id"), col("dim"), col("est"))
+    }
+    val counts = (rangeCounts.toSeq ++ catCounts.toSeq)
+      .reduce(_ unionByName _)
+      .groupBy(col("query_id"), col("dim"))
       .agg(sum("est").as("n"))
-    score(w, counts, dims.map(_._1), layouts,
+    score(w, counts, dims.map(_._1) ++ catDims.map(_._1), layouts,
       st.agg(sum("n_rows").as("N")))
   }
 

@@ -74,7 +74,21 @@ object Merge {
     * @param maxBloomProbeKeys bloom-manifest pruning collects the
     *   source key set to the driver to probe the per-file blooms —
     *   sound only while the delta is driver-sized, so sources larger
-    *   than this fall back to the exact column-pruned scan. */
+    *   than this fall back to the exact column-pruned scan.
+    * @param evolveSchema the Delta `autoMerge` story: source columns
+    *   absent from the target WIDEN it. Rewritten files carry the new
+    *   columns (matched rows take their `set` expression, or the
+    *   source value when unset; unmatched neighbours in the same file
+    *   take NULL — matched-ness, not file membership, decides, so the
+    *   semantics stay file-layout-independent); inserts carry their
+    *   source values; UNTOUCHED files carry byte-identically WITHOUT
+    *   the columns — the design decision — and conform at read time
+    *   via [[Publish.readConformed]] (the version manifest, written
+    *   under `mergeSchema`, records the widened schema as the
+    *   authority; missing columns read as NULL). The alternative —
+    *   rewriting every file to the new width — would turn a 1 GB
+    *   delta into a table rewrite, exactly what this operator exists
+    *   to avoid. */
   def mergeIntoPublished(
       spark: SparkSession,
       root: String,
@@ -84,7 +98,8 @@ object Merge {
       deleteWhen: Option[Column] = None,
       insertWhen: Option[Column] = None,
       extraMeta: Map[String, String] = Map.empty,
-      maxBloomProbeKeys: Int = 100000): MergeStats = {
+      maxBloomProbeKeys: Int = 100000,
+      evolveSchema: Boolean = false): MergeStats = {
     require(keys.nonEmpty, "merge needs at least one key column")
     val live = Publish.currentVersion(root).getOrElse(
       throw new IllegalStateException(s"nothing published at $root"))
@@ -97,7 +112,28 @@ object Merge {
     require(dup == 0, s"source has duplicate keys on (${keys.mkString(", ")})")
 
     val allFiles = Compact.listDataFiles(liveDir).map(_._1)
-    val targetCols = spark.read.parquet(liveDir).columns
+    // the manifest schema, not a sampled footer, is the target-width
+    // authority: after a PRIOR evolution the live version legitimately
+    // mixes widths, and a footer-sampled schema would silently drop
+    // the evolved columns from this merge's rewrites
+    val targetSchema: org.apache.spark.sql.types.StructType =
+      Publish.currentManifest(root)
+        .map { m =>
+          org.apache.spark.sql.types.StructType.fromDDL(
+            new com.fasterxml.jackson.databind.ObjectMapper()
+              .readTree(m).get("schema").asText)
+        }
+        .getOrElse(spark.read.parquet(liveDir).schema)
+    val targetCols = targetSchema.fieldNames
+    // schema evolution: source columns the target lacks, in source
+    // order; without the flag they are ignored (inserts project the
+    // target's columns), the strict-MERGE behavior
+    val newCols: Seq[String] =
+      if (evolveSchema) source.columns.toSeq.filterNot(targetCols.contains)
+      else Seq.empty
+    require(newCols.forall(c => !keys.contains(c)),
+      "a merge key cannot be a new column")
+    val outColNames = targetCols.toSeq ++ newCols
 
     // ---- candidate files: bloom-manifest probe when available ----
     val statsDir = FileStats.statsPath(liveDir)
@@ -116,7 +152,7 @@ object Merge {
     // ---- exact overlap: key column of the candidates only ----
     val touched: Seq[String] =
       if (candidates.isEmpty) Seq.empty
-      else Deletes.readFilesLineage(spark, liveDir, candidates)
+      else Deletes.readFilesLineage(spark, liveDir, candidates, Some(targetSchema))
         .select((col("__file") +: keys.map(col)): _*)
         .join(source.select(keys.map(col): _*), keys, "left_semi")
         .select("__file").distinct().collect().map(_.getString(0)).toIndexedSeq.sorted
@@ -134,7 +170,12 @@ object Merge {
     val version = Publish.publishStaged(spark, root, meta = extraMeta ++ Map(
       "merged_from" -> live.toString,
       "carried" -> carried.size.toString,
-      "rewritten" -> touched.size.toString)) { staging =>
+      "rewritten" -> touched.size.toString),
+      // carried old-width files can sit next to widened rewrites —
+      // from THIS merge's evolution or a prior one whose narrow files
+      // this merge carries again — so the manifest must always record
+      // the UNION schema, never a sampled footer's
+      mergeSchema = true) { staging =>
       val stagingPath = Paths.get(staging)
       Files.createDirectories(stagingPath)
       carried.foreach { name =>
@@ -151,7 +192,7 @@ object Merge {
       }
 
       if (touched.nonEmpty) {
-        val tgt = Deletes.readFiles(spark, liveDir, touched)
+        val tgt = Deletes.readFiles(spark, liveDir, touched, Some(targetSchema))
         val joinCond = keys.map(k => col(k) === col(SrcPrefix + k)).reduce(_ && _)
         val doomed = matchedFlag && deleteWhen.getOrElse(lit(false))
         val outCols = targetCols.map { c =>
@@ -159,6 +200,11 @@ object Merge {
             case Some(e) => when(matchedFlag, e).otherwise(col(c)).as(c)
             case None => col(c)
           }
+        } ++ newCols.map { c =>
+          // a NEW column exists only where a source row supplied it:
+          // matched rows take their set expression (source value when
+          // unset), pre-existing unmatched rows stay NULL
+          when(matchedFlag, set.getOrElse(c, col(SrcPrefix + c))).as(c)
         }
         val joined = tgt.join(srcRenamed, joinCond, "left_outer")
           .withColumn("__matched", matchedFlag)
@@ -183,11 +229,12 @@ object Merge {
       // tombstone for an absent key must be a no-op, not an insert
       val insEligible = insertWhen.fold(source)(source.where)
       val ins =
-        if (touched.isEmpty) insEligible.select(targetCols.map(col): _*)
+        if (touched.isEmpty) insEligible.select(outColNames.map(col): _*)
         else insEligible.join(
-          Deletes.readFiles(spark, liveDir, touched).select(keys.map(col): _*),
+          Deletes.readFiles(spark, liveDir, touched, Some(targetSchema))
+            .select(keys.map(col): _*),
           keys, "left_anti")
-          .select(targetCols.map(col): _*)
+          .select(outColNames.map(col): _*)
       inserted = ins.count()
       if (inserted > 0)
         ins.write.mode("append").parquet(staging)

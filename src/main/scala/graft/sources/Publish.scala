@@ -65,9 +65,17 @@ object Publish {
     * files and rewrites only fragments into the same version). The
     * caller's `stage(dir)` must leave ONLY the version's parquet data
     * files under `dir`; validation (a full footer-checked read-back
-    * count), the manifest, and the atomic promotion are unchanged. */
+    * count), the manifest, and the atomic promotion are unchanged.
+    *
+    * @param mergeSchema union the staged files' schemas by name for
+    *   the validation read and the manifest's recorded schema —
+    *   REQUIRED when the staged files legitimately differ (a
+    *   schema-evolving [[Merge]] carries old-schema files next to
+    *   widened rewrites); without it the manifest records whichever
+    *   footer the reader sampled */
   def publishStaged(spark: SparkSession, root: String,
-      meta: Map[String, String] = Map.empty)(stage: String => Unit): Long = {
+      meta: Map[String, String] = Map.empty,
+      mergeSchema: Boolean = false)(stage: String => Unit): Long = {
     val rootPath = Paths.get(root)
     Files.createDirectories(rootPath)
     reapStaging(rootPath)
@@ -79,13 +87,16 @@ object Publish {
     // validate before promoting: re-read through the parquet footers;
     // a truncated or corrupt file fails HERE, with the live version
     // still untouched
-    val staged = spark.read.parquet(staging.toString)
+    val staged = spark.read
+      .option("mergeSchema", mergeSchema.toString)
+      .parquet(staging.toString)
     val rows = staged.count()
     val files = dataFiles(staging)
     val metaJson = meta.toSeq.sorted
       .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }.mkString("{", ",", "}")
     val manifest =
       s"""{"version":$version,"rows":$rows,""" +
+        s""""committed_at":${System.currentTimeMillis()},""" +
         s""""schema":${jsonStr(staged.schema.toDDL)},""" +
         s""""total_bytes":${files.map(_._2).sum},""" +
         s""""meta":$metaJson,""" +
@@ -148,6 +159,72 @@ object Publish {
       val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(m)
       Option(node.get("meta")).flatMap(o => Option(o.get(key))).map(_.asText)
     }
+
+  /** [[read]] CONFORMED to the live manifest's recorded schema — the
+    * read path for tables whose files legitimately differ in width
+    * (a schema-evolving [[Merge]] carries pre-evolution files
+    * byte-identically; their missing columns read as NULL, the
+    * union-by-name contract every table format's evolution story
+    * rests on). The manifest, not a sampled footer, is the schema
+    * authority. */
+  def readConformed(spark: SparkSession, root: String): DataFrame = {
+    val v = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no published version at $root"))
+    val manifest = currentManifest(root).get
+    val ddl = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(manifest).get("schema").asText
+    spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      .parquet(Paths.get(root).resolve(s"v=$v").toString)
+  }
+
+  /** When `version` committed, in epoch millis — the manifest's
+    * `committed_at`, falling back to the version directory's mtime for
+    * manifests written before the field existed. */
+  def commitTimeMs(root: String, version: Long): Long = {
+    val dir = Paths.get(root).resolve(s"v=$version")
+    val mf = dir.resolve(Manifest)
+    val fromManifest =
+      if (Files.exists(mf))
+        Option(new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(Files.readString(mf)).get("committed_at")).map(_.asLong)
+      else None
+    fromManifest.getOrElse(Files.getLastModifiedTime(dir).toMillis)
+  }
+
+  /** Snapshot-expiration retention policy — the first-class form of
+    * [[vacuum]], the Iceberg `expireSnapshots` contract: a version
+    * survives if it is ANY of
+    *   - the live version (readers resolving the pointer must always
+    *     land on data),
+    *   - one of the newest `keepLast` versions (history depth),
+    *   - committed within `keepWithinMs` of `now` (time-travel
+    *     window — an auditor replaying "as of yesterday" needs
+    *     yesterday's commits regardless of how many landed since),
+    *   - explicitly `pinned` (catalog integration: a version a
+    *     retained [[Catalog]] snapshot references must outlive this
+    *     table's own policy — pass [[Catalog.pinnedVersions]]).
+    * Everything else is reaped. Returns the reaped versions. Time
+    * comes from each version's committed_at manifest field, so the
+    * policy is replayable: same `now`, same outcome. */
+  def expireVersions(
+      root: String,
+      keepLast: Int,
+      keepWithinMs: Long = 0L,
+      pinned: Set[Long] = Set.empty,
+      now: Long = System.currentTimeMillis()): Seq[Long] = {
+    require(keepLast >= 1, "keepLast must retain at least the newest version")
+    val rootPath = Paths.get(root)
+    val all = listVersions(rootPath).sorted(Ordering[Long].reverse)
+    val live = currentVersion(root)
+    val newest = all.take(keepLast).toSet
+    val victims = all.filterNot { v =>
+      live.contains(v) || newest.contains(v) || pinned.contains(v) ||
+        now - commitTimeMs(root, v) <= keepWithinMs
+    }
+    victims.foreach(v => Sinks.deleteRecursively(rootPath.resolve(s"v=$v")))
+    victims
+  }
 
   /** Drop every version except the live one and the newest `keep`
     * others. Returns the reaped version numbers. Old versions are what

@@ -239,4 +239,68 @@ class FileStatsSpec extends SparkSpec {
       graft.sources.Sinks.deleteRecursively(java.nio.file.Paths.get(root))
     }
   }
+
+  test("KMV sketches: exact ndv below k, bounded estimate above, deterministic rebuild, incremental carry") {
+    val root = Files.createTempDirectory("graft_fstats_kmv").toString
+    val path = root + "/t"
+    try {
+      // 4 files; cat has 3 values everywhere, id is near-unique
+      // (~2000 distinct per file)
+      val data = spark.range(8000L).select(
+        col("id"),
+        concat(lit("c"), (col("id") % 3).cast("string")).as("cat"))
+      data.repartition(4, col("id")).write.parquet(path)
+      FileStats.build(spark, path, cols = Nil,
+        kmvCols = Seq("cat", "id"), kmvK = 64)
+
+      val stats = spark.read.parquet(FileStats.statsPath(path))
+      assert(stats.count() == 4)
+      val ndvs = stats.select(
+        FileStats.ndvEstimate(col("kmv_cat"), 64).as("nc"),
+        FileStats.ndvEstimate(col("kmv_id"), 64).as("ni"),
+        size(col("kmv_cat")).as("sc"), size(col("kmv_id")).as("si"))
+        .collect()
+      ndvs.foreach { r =>
+        // below k: the sketch IS the distinct set — estimate exact
+        assert(r.getAs[Int]("sc") == 3 && r.getDouble(0) == 3.0,
+          s"cat ndv not exact: $r")
+        // above k: sketch caps at k, estimate within the KMV error
+        // envelope of the true 2000 (k=64 → σ≈ndv/√(k−2)≈254; ±45%
+        // is >3.5σ — and the md5 chain is deterministic, so this is
+        // a fixed number, not a flake)
+        assert(r.getAs[Int]("si") == 64, s"id sketch not capped: $r")
+        val ni = r.getDouble(1)
+        assert(ni > 1100 && ni < 2900, s"id ndv estimate off: $ni")
+      }
+
+      // deterministic rebuild: same bytes in, same sketches out
+      val before = stats.select("file", "kmv_id").collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      FileStats.build(spark, path, cols = Nil,
+        kmvCols = Seq("cat", "id"), kmvK = 64)
+      val after = spark.read.parquet(FileStats.statsPath(path))
+        .select("file", "kmv_id").collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      assert(before == after, "KMV rebuild not deterministic")
+
+      // incremental: a new file is scanned, old sketches carry untouched
+      spark.range(8000L, 9000L).select(
+          col("id"),
+          concat(lit("c"), (col("id") % 3).cast("string")).as("cat"))
+        .coalesce(1).write.mode("append").parquet(path)
+      val (carried, scanned) = FileStats.buildIncremental(spark, path,
+        cols = Nil, kmvCols = Seq("cat", "id"), kmvK = 64)
+      assert(carried == 4 && scanned == 1, s"carried=$carried scanned=$scanned")
+      val refreshed = spark.read.parquet(FileStats.statsPath(path))
+        .select("file", "kmv_id").collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      before.foreach { case (f, kmv) =>
+        val name = f.substring(f.lastIndexOf('/'))
+        val kept = refreshed.collect { case (f2, v) if f2.endsWith(name) => v }
+        assert(kept.size == 1 && kept.head == kmv, s"carried sketch changed for $name")
+      }
+    } finally {
+      graft.sources.Sinks.deleteRecursively(java.nio.file.Paths.get(root))
+    }
+  }
 }

@@ -37,6 +37,42 @@ class LayoutAdvisorSpec extends SparkSpec {
     assert(got("x+y") == ((2L, 0.3, 1)))
   }
 
+  test("categorical dims: KMV selectivity ranks the more-distinct dim first; hand-exact below k") {
+    val sess = spark
+    import sess.implicits._
+    // 2 files of 1000 rows; dim a has 2 values per file, dim b has 40 —
+    // an equality slice on b reads 1/40 of a b-clustered table, on a
+    // only 1/2: the advisor must rank b above a, and b+a above both
+    val root = Files.createTempDirectory("graft_advisor_cat").toString
+    val path = root + "/t"
+    (0L until 2000L).map(i => (i, s"a${i % 2}", s"b${i % 40}"))
+      .toDF("id", "a", "b")
+      .repartition(2, col("id")).write.parquet(path)
+    FileStats.build(spark, path, cols = Nil, kmvCols = Seq("a", "b"), kmvK = 64)
+
+    val workload = Seq((1L, "a"), (2L, "b"))
+      .toDF("query_id", "dim")
+      .withColumn("lo", lit(0.0)).withColumn("hi", lit(0.0))
+    val got = LayoutAdvisor.adviseFromStats(spark, path,
+        dims = Nil, workload = workload,
+        layouts = Seq(Seq("a"), Seq("b"), Seq("a", "b")),
+        catDims = Seq("a" -> "a", "b" -> "b"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getInt(3)))).toMap
+
+    // both dims are below k=64 per file → ndv EXACT, costs hand-derive:
+    // per file est_a = floor(n/2), est_b = floor(n/40); N = 2000.
+    // With n0+n1 = 2000: est_a sums to 1000, est_b to 50 exactly when
+    // both file sizes are even/divisible — assert the ranking and the
+    // a-layout's exact fraction (robust to the file split)
+    assert(got("b")._3 < got("a")._3, s"b must out-rank a: $got")
+    assert(got("a+b")._3 == 1, s"the two-dim layout must win: $got")
+    // a-layout: (est_a·N + N·N) / (N²·2) with est_a = Σ floor(n_f/2)
+    // ∈ {999, 1000} depending on the file split → 0.74975 or 0.75
+    assert(math.abs(got("a")._2 - 0.75) < 0.001, s"a fraction off: ${got("a")}")
+    graft.sources.Sinks.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
   test("empirical: FileStats files-read on materialized layouts follows the ranking") {
     val ev = Tables.events(spark, SfDir)
       .select(col("user_id"), col("value"),

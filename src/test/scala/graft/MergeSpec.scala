@@ -119,6 +119,66 @@ class MergeSpec extends SparkSpec {
     }
   }
 
+  test("schema evolution: new source columns widen the table; carried files stay old-width bytes") {
+    val sess = spark
+    import sess.implicits._
+    val root = Files.createTempDirectory("graft_merge_evo").toString
+    // two files on known id ranges: source hits file 2 only
+    val v1 = Publish.publishStaged(spark, root) { staging =>
+      Files.createDirectories(Paths.get(staging)): Unit
+      Seq(1L to 1000L, 1001L to 2000L).foreach { r =>
+        r.map(i => (i, i * 2)).toDF("id", "v")
+          .coalesce(1).write.mode("append").parquet(staging)
+      }
+    }
+    try {
+      val v1Dir = Paths.get(root).resolve(s"v=$v1")
+      val v1Hashes = Compact.listDataFiles(v1Dir.toString)
+        .map { case (n, _) => n -> sha(v1Dir.resolve(n)) }.toMap
+
+      // updates 1500..1510 carry a NEW column; insert 9001 carries it too
+      val source = ((1500L to 1510L).map(i => (i, -i, s"tag$i")) :+
+        ((9001L, 1L, "tag9001"))).toDF("id", "v", "tag")
+      val stats = Merge.mergeIntoPublished(spark, root, source,
+        keys = Seq("id"),
+        set = Map("v" -> Merge.s("v"), "tag" -> Merge.s("tag")),
+        evolveSchema = true)
+      assert(stats.updated == 11 && stats.inserted == 1, s"accounting: $stats")
+      assert(stats.rewrittenFiles == 1 && stats.carriedFiles == 1, s"files: $stats")
+
+      // the carried file is the SAME BYTES — old width, untouched
+      val v2Dir = Paths.get(root).resolve(s"v=${stats.version}")
+      val carriedSame = Compact.listDataFiles(v2Dir.toString)
+        .count { case (n, _) => v1Hashes.get(n).contains(sha(v2Dir.resolve(n))) }
+      assert(carriedSame == 1, "expected the untouched file carried byte-identically")
+
+      // the manifest records the WIDENED schema (mergeSchema validation)
+      val manifest = Publish.currentManifest(root).get
+      assert(manifest.contains("tag"), "manifest schema lacks the new column")
+
+      // conformed read: matched/inserted rows carry tag, the rest NULL —
+      // including every row of the carried old-width file
+      val got = Publish.readConformed(spark, root)
+      assert(got.columns.toSeq == Seq("id", "v", "tag"))
+      val tagged = got.where(col("tag").isNotNull)
+        .select("id").as[Long].collect().toSet
+      assert(tagged == ((1500L to 1510L).toSet + 9001L), s"tagged=$tagged")
+      assert(got.where(col("tag").isNull).count() == 2000 - 11)
+      val updated = got.where(col("id") === 1500L)
+        .select("v", "tag").as[(Long, String)].collect().toSeq
+      assert(updated == Seq((-1500L, "tag1500")))
+
+      // without the flag, extra source columns are ignored (strict MERGE)
+      val stats2 = Merge.mergeIntoPublished(spark, root,
+        Seq((1L, 0L, "x")).toDF("id", "v", "tag"),
+        keys = Seq("id"), set = Map("v" -> Merge.s("v")))
+      assert(Publish.readConformed(spark, root).columns.length == 3,
+        s"strict merge changed the width: $stats2")
+    } finally {
+      graft.sources.Sinks.deleteRecursively(Paths.get(root))
+    }
+  }
+
   test("deletion vectors compose: DV-deleted rows are not matches and do not resurrect") {
     val sess = spark
     import sess.implicits._
