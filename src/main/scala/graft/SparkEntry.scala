@@ -2845,6 +2845,107 @@ object SparkEntry {
       catDims = Seq("etype" -> "etype", "uid" -> "user_id"))
   }
 
+  /** q137: time travel BY TIMESTAMP, snapshot-consistent
+    * ([[graft.sources.Catalog.readAsOf]] over the `committed_at`
+    * manifests that q134's retention machinery made first-class) —
+    * the AS OF query every lakehouse exposes, at the CATALOG grain:
+    * one `asOfMs` resolves every table against the SAME snapshot, so
+    * an as-of join across tables is consistent by construction
+    * (per-table timestamp resolution could pair a pre-flip facts
+    * table with a post-flip rates table when their publishes
+    * straddled the commit — exactly the reconciliation hazard the
+    * catalog exists to close, q121's argument extended to the time
+    * axis). The artifact publishes two snapshots whose RATES dim
+    * doubles between them; the query reads (facts, rates) as-of
+    * snapshot 1's commit time and currently, emitting rate-weighted
+    * sums — a resolver that mixed snapshots (old facts, new rates)
+    * doubles wsum_old and breaks the hash. Oracle re-derives both
+    * consistent states relationally. RetentionSpec covers the
+    * boundary semantics (before-first throws, between-commits picks
+    * the earlier, expiration shrinks the answerable horizon). */
+  private def asOfCatalogRoot(spark: SparkSession, dir: String): String =
+    graft.tools.Scratch.cachedArtifact(
+      "graft_asofcat", dir, s"$dir/events.parquet") { (tableDir, _) =>
+      val ev = Tables.events(spark, dir)
+      val cut = ev.where(
+        col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00")))
+      val types = ev.select("event_type").distinct()
+      graft.sources.Catalog.publishAll(spark, tableDir, Map(
+        "facts" -> cut, "rates" -> types.withColumn("rate", lit(1)))): Unit
+      // commit times are ms-resolution; keep the two snapshots
+      // strictly ordered so as-of at t1 can never see snapshot 2
+      Thread.sleep(30)
+      graft.sources.Catalog.publishAll(spark, tableDir, Map(
+        "facts" -> ev, "rates" -> types.withColumn("rate", lit(2)))): Unit
+    }
+
+  def q137CatalogAsOf(spark: SparkSession, dir: String): DataFrame = {
+    val root = asOfCatalogRoot(spark, dir)
+    val t1 = graft.sources.Catalog.snapshotTimeMs(root, 1L)
+    def weighted(facts: DataFrame, rates: DataFrame,
+        nCol: String, wCol: String): DataFrame =
+      facts.join(broadcast(rates), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as(nCol),
+          sum(round(col("value"), 6).cast("decimal(18,6)") * col("rate"))
+            .cast("double").as(wCol))
+    val old = weighted(
+      graft.sources.Catalog.readAsOf(spark, root, "facts", t1),
+      graft.sources.Catalog.readAsOf(spark, root, "rates", t1),
+      "n_old", "wsum_old")
+    val cur = weighted(
+      graft.sources.Catalog.read(spark, root, "facts"),
+      graft.sources.Catalog.read(spark, root, "rates"),
+      "n_new", "wsum_new")
+    old.join(cur, Seq("event_type"))
+  }
+
+  /** q138: change-data-feed reader ([[operators.Scd.changeFeedBetween]])
+    * — the CONSUMER API for everything the write path produces: a
+    * three-commit history mixing the write paths (a plain publish, a
+    * MERGE with updates + an insert gate + matched-deletes, then a
+    * deletion-vector version) read back as ONE feed of
+    * insert/update/delete rows with `from_version`/`to_version`
+    * lineage — Delta's `table_changes` recovered from the immutable
+    * snapshot layout alone, DV versions read through their sidecar so
+    * a DV-deleted row surfaces as the delete it semantically is.
+    * Each step is one full-outer key join; lineage is what makes the
+    * feed resumable one step per downstream tick at 100 TB. Prices
+    * present as double (the q97 decimal-output lesson). Oracle
+    * re-derives all three states and both diffs relationally. */
+  private def changeFeedRoot(spark: SparkSession, dir: String): String =
+    graft.tools.Scratch.cachedArtifact(
+      "graft_cdfeed", dir, s"$dir/orders.parquet") { (tableDir, _) =>
+      val o = Tables.orders(spark, dir)
+      val price = round(col("o_totalprice"), 2).cast("decimal(18,2)")
+      graft.sources.Publish.publish(
+        o.where(col("o_orderkey") % 3 =!= 0)
+          .select(col("o_orderkey"), price.as("price"))
+          .repartition(4), tableDir): Unit
+      val source = o.where(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"),
+          (price * 2).cast("decimal(18,2)").as("price"),
+          (col("o_orderkey") % 10 === 5).as("doom"))
+      graft.sources.Merge.mergeIntoPublished(spark, tableDir, source,
+        keys = Seq("o_orderkey"),
+        set = Map("price" -> graft.sources.Merge.s("price")),
+        deleteWhen = Some(graft.sources.Merge.s("doom")),
+        insertWhen = Some(!col("doom"))): Unit
+      graft.sources.Deletes.deleteFromPublished(spark, tableDir,
+        col("o_orderkey") % 11 === 0): Unit
+    }
+
+  def q138ChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val root = changeFeedRoot(spark, dir)
+    Scd.changeFeedBetween(spark, root, 1L, 3L,
+        keys = Seq("o_orderkey"), valueCols = Seq("price"))
+      .select(col("o_orderkey"), col("change_type"),
+        col("old_price").cast("double").as("old_price"),
+        col("new_price").cast("double").as("new_price"),
+        col("from_version"), col("to_version"))
+  }
+
   def q124DeclaredDedupe(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir).createOrReplaceTempView("graft_q124_events")
     spark.sql(
@@ -3636,7 +3737,9 @@ object SparkEntry {
     "q133_layout_evolution"      -> (q133LayoutEvolution _),
     "q134_retention"             -> (q134Retention _),
     "q135_merge_evolution"       -> (q135MergeEvolution _),
-    "q136_cat_advisor"           -> (q136CatAdvisor _)
+    "q136_cat_advisor"           -> (q136CatAdvisor _),
+    "q137_catalog_asof"          -> (q137CatalogAsOf _),
+    "q138_change_feed"           -> (q138ChangeFeed _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -6159,6 +6262,82 @@ object SparkEntry {
         |SELECT layout_id, n_queries,
         |  round(CAST(total AS DOUBLE) / (den * n_queries), 6) AS avg_scan_frac,
         |  CAST(row_number() OVER (ORDER BY total, layout_id) AS INT) AS rank
-        |FROM tot""".stripMargin
+        |FROM tot""".stripMargin,
+
+    // both snapshot states re-derived relationally — the Spark side
+    // resolved them through catalog as-of timestamps; a resolver
+    // mixing snapshots (old facts with the doubled rates) breaks
+    // wsum_old
+    "q137_catalog_asof" ->
+      """WITH old AS (
+        |  SELECT event_type, COUNT(*) AS n_old,
+        |    CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6)) * 1) AS DOUBLE)
+        |      AS wsum_old
+        |  FROM events
+        |  WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15 00:00:00'
+        |  GROUP BY event_type
+        |),
+        |cur AS (
+        |  SELECT event_type, COUNT(*) AS n_new,
+        |    CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6)) * 2) AS DOUBLE)
+        |      AS wsum_new
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT o.event_type, o.n_old, o.wsum_old, c.n_new, c.wsum_new
+        |FROM old o JOIN cur c USING (event_type)""".stripMargin,
+
+    // all three commit states re-derived relationally (base publish →
+    // MERGE with update/insert-gate/matched-delete → DV delete), then
+    // both consecutive diffs with IS DISTINCT FROM classification and
+    // version lineage — the Spark side read the SAME feed off the
+    // version directories through the DV sidecar
+    "q138_change_feed" ->
+      """WITH s1 AS (
+        |  SELECT o_orderkey,
+        |    CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderkey % 3 <> 0
+        |),
+        |src AS (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)) * 2
+        |         AS DECIMAL(18,2)) AS price,
+        |    (o_orderkey % 10 = 5) AS doom
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |),
+        |s2 AS (
+        |  SELECT t.o_orderkey,
+        |    CASE WHEN s.o_orderkey IS NOT NULL THEN s.price ELSE t.price END AS price
+        |  FROM s1 t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+        |  WHERE s.o_orderkey IS NULL OR NOT s.doom
+        |  UNION ALL
+        |  SELECT s.o_orderkey, s.price FROM src s
+        |  WHERE NOT s.doom
+        |    AND NOT EXISTS (SELECT 1 FROM s1 t WHERE t.o_orderkey = s.o_orderkey)
+        |),
+        |s3 AS (SELECT * FROM s2 WHERE o_orderkey % 11 <> 0),
+        |d1 AS (
+        |  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |    CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+        |         WHEN b.o_orderkey IS NULL THEN 'delete'
+        |         WHEN a.price IS DISTINCT FROM b.price THEN 'update'
+        |         ELSE 'unchanged' END AS change_type,
+        |    CAST(a.price AS DOUBLE) AS old_price,
+        |    CAST(b.price AS DOUBLE) AS new_price,
+        |    CAST(1 AS BIGINT) AS from_version, CAST(2 AS BIGINT) AS to_version
+        |  FROM s1 a FULL OUTER JOIN s2 b ON a.o_orderkey = b.o_orderkey
+        |),
+        |d2 AS (
+        |  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |    CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+        |         WHEN b.o_orderkey IS NULL THEN 'delete'
+        |         WHEN a.price IS DISTINCT FROM b.price THEN 'update'
+        |         ELSE 'unchanged' END AS change_type,
+        |    CAST(a.price AS DOUBLE) AS old_price,
+        |    CAST(b.price AS DOUBLE) AS new_price,
+        |    CAST(2 AS BIGINT) AS from_version, CAST(3 AS BIGINT) AS to_version
+        |  FROM s2 a FULL OUTER JOIN s3 b ON a.o_orderkey = b.o_orderkey
+        |)
+        |SELECT * FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+        |WHERE change_type <> 'unchanged'""".stripMargin
   )
 }

@@ -105,4 +105,50 @@ object Scd {
       keys.map(col) :+ col("change_type") :++
         valueCols.flatMap(v => Seq(col(s"old_$v"), col(s"new_$v"))): _*)
   }
+
+  /** The CHANGE DATA FEED across a published table's version history
+    * — the consumer API for everything the write path produces
+    * (Publish versions, MERGE commits, deletion-vector versions,
+    * streaming CDC applies): one DataFrame of insert/update/delete
+    * rows for every commit step in (fromVersion, toVersion], each row
+    * carrying its `from_version`/`to_version` lineage. This is the
+    * Delta `table_changes` / Iceberg changelog-scan shape recovered
+    * from the immutable snapshot layout alone — no delta log needed,
+    * because consecutive full snapshots determine the feed (and
+    * DV-carrying versions are read through their sidecar, so a
+    * DV-deleted row surfaces as the `delete` it semantically is).
+    *
+    * Each consecutive pair costs one full-outer key join
+    * ([[snapshotDiff]]); a k-step feed is k independent joins
+    * unioned — at 100 TB you read it incrementally (one step per
+    * downstream tick), which is exactly what the lineage columns make
+    * resumable. Requires every version in the range to still be on
+    * disk ([[graft.sources.Publish.expireVersions]]' keepWithin is
+    * the feed's retention contract — the same horizon trade Delta's
+    * CDF has). */
+  def changeFeedBetween(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      fromVersion: Long,
+      toVersion: Long,
+      keys: Seq[String],
+      valueCols: Seq[String]): DataFrame = {
+    require(fromVersion < toVersion,
+      s"empty feed range: $fromVersion ≥ $toVersion")
+    val dirOf = (vv: Long) => {
+      val d = java.nio.file.Paths.get(root).resolve(s"v=$vv")
+      if (!java.nio.file.Files.exists(d)) throw new IllegalStateException(
+        s"version $vv not present at $root — expired past the feed's retention horizon?")
+      d.toString
+    }
+    val steps = (fromVersion until toVersion).map { v =>
+      snapshotDiff(
+          graft.sources.Deletes.read(spark, dirOf(v)),
+          graft.sources.Deletes.read(spark, dirOf(v + 1)),
+          keys, valueCols)
+        .withColumn("from_version", lit(v))
+        .withColumn("to_version", lit(v + 1))
+    }
+    steps.reduce(_ unionByName _)
+  }
 }

@@ -132,6 +132,31 @@ object Catalog {
         g.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
     }
 
+  /** The newest snapshot committed ≤ `asOfMs`, if any — resolution
+    * over the snapshot manifests still on disk, so the answerable
+    * horizon is what [[expireSnapshots]] retained. */
+  def snapshotAsOf(root: String, asOfMs: Long): Option[Long] =
+    listSnapshots(root)
+      .filter(s => snapshotTimeMs(root, s) <= asOfMs)
+      .maxOption
+
+  /** Time travel BY TIMESTAMP across the WHOLE catalog: read `table`
+    * at the version pinned by the newest snapshot committed ≤
+    * `asOfMs`. The point over per-table [[Publish.readAsOf]]: every
+    * table read through one `asOfMs` resolves against the SAME
+    * snapshot, so an as-of join across tables is consistent by
+    * construction — per-table timestamp resolution could pair a
+    * pre-flip table with a post-flip one when their publishes
+    * straddled the commit. */
+  def readAsOf(spark: SparkSession, root: String, table: String, asOfMs: Long): DataFrame = {
+    val s = snapshotAsOf(root, asOfMs).getOrElse(throw new IllegalStateException(
+      s"no catalog snapshot at $root committed at or before $asOfMs"))
+    val pins = tableVersions(root, s)
+    val v = pins.getOrElse(table, throw new IllegalStateException(
+      s"table '$table' not in snapshot $s at $root"))
+    Publish.readVersion(spark, tableRoot(root, table), v)
+  }
+
   /** Read `table` at the LIVE snapshot's pinned version — never the
     * table's own (possibly newer) pointer. */
   def read(spark: SparkSession, root: String, table: String): DataFrame = {

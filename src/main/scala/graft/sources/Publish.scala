@@ -178,6 +178,26 @@ object Publish {
       .parquet(Paths.get(root).resolve(s"v=$v").toString)
   }
 
+  /** Time travel BY TIMESTAMP: read the newest version committed at
+    * or before `asOfMs` — the reader the `committed_at` manifest
+    * field exists for (AS OF queries; an auditor replaying
+    * "yesterday's table" without knowing version numbers). Resolution
+    * is over the versions still on disk, so the answerable horizon is
+    * exactly what [[expireVersions]]' keepWithin retained — ask past
+    * it and this throws rather than silently serving a newer
+    * version. */
+  def readAsOf(spark: SparkSession, root: String, asOfMs: Long): DataFrame = {
+    val v = versionAsOf(root, asOfMs).getOrElse(throw new IllegalStateException(
+      s"no version at $root committed at or before $asOfMs"))
+    readVersion(spark, root, v)
+  }
+
+  /** The newest on-disk version committed ≤ `asOfMs`, if any. */
+  def versionAsOf(root: String, asOfMs: Long): Option[Long] =
+    listVersions(Paths.get(root))
+      .filter(v => commitTimeMs(root, v) <= asOfMs)
+      .maxOption
+
   /** When `version` committed, in epoch millis — the manifest's
     * `committed_at`, falling back to the version directory's mtime for
     * manifests written before the field existed. */

@@ -94,6 +94,49 @@ class RetentionSpec extends SparkSpec {
     } finally graft.sources.Sinks.deleteRecursively(Paths.get(root))
   }
 
+  test("readAsOf: timestamp resolves to the newest version committed ≤ t; expiration shrinks the horizon") {
+    val root = Files.createTempDirectory("graft_ret_asof").toString
+    try {
+      Publish.publish(df(1), root): Unit
+      Thread.sleep(60)
+      Publish.publish(df(2), root): Unit
+      Thread.sleep(60)
+      Publish.publish(df(3), root): Unit
+      val t1 = Publish.commitTimeMs(root, 1L)
+      val t2 = Publish.commitTimeMs(root, 2L)
+      // exactly at a commit → that commit; between commits → the earlier
+      assert(Publish.readAsOf(spark, root, t1).count() == 1L)
+      assert(Publish.readAsOf(spark, root, (t1 + t2) / 2).count() == 1L)
+      assert(Publish.readAsOf(spark, root, t2).count() == 2L)
+      assert(Publish.readAsOf(spark, root, System.currentTimeMillis()).count() == 3L)
+      // before the first commit: no version existed — loud refusal
+      intercept[IllegalStateException](Publish.readAsOf(spark, root, t1 - 1))
+      // expiration shrinks the answerable horizon: asking for a
+      // reaped version's time must throw, never silently serve newer
+      Publish.expireVersions(root, keepLast = 2): Unit
+      intercept[IllegalStateException](Publish.readAsOf(spark, root, t1))
+      assert(Publish.readAsOf(spark, root, t2).count() == 2L)
+    } finally graft.sources.Sinks.deleteRecursively(Paths.get(root))
+  }
+
+  test("catalog readAsOf: one timestamp pins every table to the SAME snapshot") {
+    val root = Files.createTempDirectory("graft_ret_catasof").toString
+    try {
+      Catalog.publishAll(spark, root, Map("a" -> df(1), "b" -> df(10))): Unit
+      Thread.sleep(60)
+      // snapshot 2 changes only `a`; `b` carries at its v1
+      Catalog.publishAll(spark, root, Map("a" -> df(2))): Unit
+      val t1 = Catalog.snapshotTimeMs(root, 1L)
+      assert(Catalog.readAsOf(spark, root, "a", t1).count() == 1L)
+      assert(Catalog.readAsOf(spark, root, "b", t1).count() == 10L)
+      val now = System.currentTimeMillis()
+      assert(Catalog.readAsOf(spark, root, "a", now).count() == 2L)
+      // carried table resolves through the new snapshot's pin (still v1)
+      assert(Catalog.readAsOf(spark, root, "b", now).count() == 10L)
+      intercept[IllegalStateException](Catalog.readAsOf(spark, root, "a", t1 - 1))
+    } finally graft.sources.Sinks.deleteRecursively(Paths.get(root))
+  }
+
   test("expireSnapshots keepWithin retains recent snapshots beyond keepLast") {
     val root = Files.createTempDirectory("graft_ret_catwin").toString
     try {

@@ -167,4 +167,37 @@ class ScdSpec extends SparkSpec {
       graft.sources.Sinks.deleteRecursively(java.nio.file.Paths.get(root))
     }
   }
+
+  test("changeFeedBetween: multi-step feed with lineage; DV versions surface as deletes") {
+    val sess = spark
+    import sess.implicits._
+    val root = Files.createTempDirectory("graft_scd_feed").toString
+    try {
+      Publish.publish(Seq((1L, 10L), (2L, 20L)).toDF("id", "n"), root): Unit
+      Publish.publish(Seq((1L, 10L), (2L, 25L), (3L, 30L)).toDF("id", "n"), root): Unit
+      // v3 is a DELETION-VECTOR version: bytes carry, sidecar marks id=1
+      graft.sources.Deletes.deleteFromPublished(spark, root, col("id") === 1L): Unit
+
+      val feed = Scd.changeFeedBetween(spark, root, 1L, 3L, Seq("id"), Seq("n"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          Option(r.get(2)).map(_.toString).orNull,
+          Option(r.get(3)).map(_.toString).orNull,
+          r.getLong(4), r.getLong(5)))
+        .sortBy(t => (t._5, t._1)).toSeq
+      assert(feed == Seq(
+        (2L, "update", "20", "25", 1L, 2L),
+        (3L, "insert", null, "30", 1L, 2L),
+        (1L, "delete", "10", null, 2L, 3L)), s"feed=$feed")
+
+      // a reaped version inside the range refuses loudly — the
+      // retention horizon IS the feed's retention contract
+      Publish.expireVersions(root, keepLast = 2): Unit
+      intercept[IllegalStateException] {
+        Scd.changeFeedBetween(spark, root, 1L, 3L, Seq("id"), Seq("n"))
+      }
+    } finally {
+      graft.sources.Sinks.deleteRecursively(java.nio.file.Paths.get(root))
+    }
+  }
 }
