@@ -2946,6 +2946,57 @@ object SparkEntry {
         col("from_version"), col("to_version"))
   }
 
+  /** q139: optimistic concurrency under a REAL race
+    * ([[graft.sources.Txn]] + [[graft.sources.Publish.publishStagedIf]])
+    * — the multi-writer story: every mutation here is
+    * read-modify-write (derive from live, stage, commit), and the
+    * plain protocol loses updates under concurrency (writer B derives
+    * from v5 while A commits v6; B's blind commit takes v7 and A's
+    * change is gone — the rename race only catches same-number
+    * collisions). The CAS commits iff the live pointer still reads
+    * the transaction's base; conflicts rebase by RE-DERIVATION
+    * (always sound — every transform re-reads live), the
+    * Delta/Iceberg commit loop with the conflict analysis it can't
+    * get wrong. The artifact races THREE concurrent appenders over
+    * disjoint event slices through Txn.append: whatever the
+    * interleaving, the serialized outcome is deterministic — base ∪
+    * all three slices, exactly 4 versions — so the race itself sits
+    * under the hash gate: a lost update drops a slice's rows, a
+    * double-commit inflates the version count, either breaks it.
+    * TxnSpec adds the CAS refusal, the bootstrap race, the
+    * lost-update negative control (latched interleave of the
+    * UNCHECKED path, proving the hazard is real), and stale-lock
+    * breaking. */
+  private def txnRaceRoot(spark: SparkSession, dir: String): String =
+    graft.tools.Scratch.cachedArtifact(
+      "graft_txnrace", dir, s"$dir/events.parquet") { (tableDir, _) =>
+      val ev = Tables.events(spark, dir)
+      def slice(r: Int): DataFrame = ev
+        .where(col("event_id") % 4 === r)
+        .select("event_id", "event_type", "value")
+      graft.sources.Publish.publish(slice(0), tableDir): Unit
+      val threads = (1 to 3).map { r =>
+        new Thread(() => { graft.sources.Txn.append(spark, tableDir, slice(r)): Unit })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      require(graft.sources.Publish.currentVersion(tableDir).contains(4L),
+        s"expected 4 committed versions, found ${graft.sources.Publish.currentVersion(tableDir)}")
+    }
+
+  def q139TxnAppends(spark: SparkSession, dir: String): DataFrame = {
+    val root = txnRaceRoot(spark, dir)
+    val nVersions = graft.sources.Publish
+      .listVersions(java.nio.file.Paths.get(root)).size.toLong
+    graft.sources.Publish.read(spark, root)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value"), 6).cast("decimal(18,6)"))
+          .cast("double").as("sum_value"))
+      .withColumn("n_versions", lit(nVersions))
+  }
+
   def q124DeclaredDedupe(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir).createOrReplaceTempView("graft_q124_events")
     spark.sql(
@@ -3739,7 +3790,8 @@ object SparkEntry {
     "q135_merge_evolution"       -> (q135MergeEvolution _),
     "q136_cat_advisor"           -> (q136CatAdvisor _),
     "q137_catalog_asof"          -> (q137CatalogAsOf _),
-    "q138_change_feed"           -> (q138ChangeFeed _)
+    "q138_change_feed"           -> (q138ChangeFeed _),
+    "q139_txn_appends"           -> (q139TxnAppends _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -6338,6 +6390,17 @@ object SparkEntry {
         |  FROM s2 a FULL OUTER JOIN s3 b ON a.o_orderkey = b.o_orderkey
         |)
         |SELECT * FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
-        |WHERE change_type <> 'unchanged'""".stripMargin
+        |WHERE change_type <> 'unchanged'""".stripMargin,
+
+    // the race's SERIALIZED outcome is deterministic whatever the
+    // interleaving: base ∪ all three appended slices (= all events)
+    // and exactly 4 commits — a lost update or double-commit on the
+    // Spark side breaks counts or n_versions
+    "q139_txn_appends" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  CAST(4 AS BIGINT) AS n_versions
+        |FROM events
+        |GROUP BY event_type""".stripMargin
   )
 }

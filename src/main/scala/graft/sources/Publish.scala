@@ -43,6 +43,19 @@ object Publish {
   // underscore prefix: parquet readers skip metadata-convention files,
   // so the manifest can live inside the version dir it describes
   private val Manifest = "_manifest.json"
+  private val CommitLock = "_COMMIT_LOCK"
+  // a crashed writer's lock must not wedge the table forever: any
+  // writer may break a lock older than this (local-FS pragmatics; an
+  // object store replaces the whole lock with a conditional put)
+  private val LockStaleMs = 60000L
+
+  /** A conditional commit found the table moved past its expected
+    * base — the caller's staged change was derived from a superseded
+    * version and must be RE-DERIVED, not force-committed
+    * ([[graft.sources.Txn.retry]] is that loop). */
+  final class CommitConflict(val expected: Option[Long], val found: Option[Long])
+    extends RuntimeException(
+      s"live version is $found, transaction expected $expected — rebase and retry")
 
   /** Write `df` as the next version of the dataset at `root` and
     * atomically flip the live pointer to it. Returns the new version
@@ -78,8 +91,74 @@ object Publish {
       mergeSchema: Boolean = false)(stage: String => Unit): Long = {
     val rootPath = Paths.get(root)
     Files.createDirectories(rootPath)
-    reapStaging(rootPath)
+    // unchecked last-wins (the historical single-writer behavior) —
+    // but still under the commit lock, so interleaved writers can
+    // never corrupt the version sequence itself
+    withCommitLock(rootPath) {
+      reapStaging(rootPath)
+      publishLocked(spark, rootPath, meta, mergeSchema)(stage)
+    }
+  }
 
+  /** [[publishStaged]] with OPTIMISTIC CONCURRENCY: commit only if the
+    * live pointer still reads `expectedLive` (`None` = the table is
+    * expected still UNPUBLISHED — two bootstrap writers race too),
+    * else throw [[CommitConflict]] with nothing committed — the CAS
+    * every read-modify-write transform (MERGE, delete, compact,
+    * append all re-derive from the live version) needs to avoid the
+    * LOST UPDATE the plain last-wins protocol permits: writer B
+    * derives from v5 while writer A commits v6; B's unconditional
+    * commit takes v7 and silently drops A's change (the rename race
+    * only catches two writers landing on the SAME number).
+    * [[Txn.retry]] wraps the conflict in the rebase-by-re-derivation
+    * loop.
+    *
+    * Commit critical section: a `_COMMIT_LOCK` file taken with an
+    * atomic create (stale locks older than 60 s are broken — a
+    * crashed writer must not wedge the table); the expected-version
+    * check, staging, validation, rename, and pointer flip all run
+    * under it. Holding the lock across the staged WRITE serializes
+    * writers — the simple, correct local trade; an object store
+    * replaces the lock with a conditional put of the pointer and
+    * stages outside the critical section, re-validating on the put. */
+  def publishStagedIf(spark: SparkSession, root: String,
+      expectedLive: Option[Long],
+      meta: Map[String, String] = Map.empty,
+      mergeSchema: Boolean = false)(stage: String => Unit): Long = {
+    val rootPath = Paths.get(root)
+    Files.createDirectories(rootPath)
+    withCommitLock(rootPath) {
+      val live = currentVersion(root)
+      if (live != expectedLive) throw new CommitConflict(expectedLive, live)
+      reapStaging(rootPath)
+      publishLocked(spark, rootPath, meta, mergeSchema)(stage)
+    }
+  }
+
+  private def withCommitLock[T](rootPath: Path)(body: => T): T = {
+    val lock = rootPath.resolve(CommitLock)
+    var held = false
+    val deadline = System.currentTimeMillis() + LockStaleMs
+    while (!held) {
+      try { Files.createFile(lock); held = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val age = try System.currentTimeMillis() -
+            Files.getLastModifiedTime(lock).toMillis
+          catch { case _: java.nio.file.NoSuchFileException => -1L }
+          if (age > LockStaleMs) Files.deleteIfExists(lock): Unit
+          else if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"commit lock at $rootPath held past the stale horizon")
+          else Thread.sleep(20)
+      }
+    }
+    try body finally Files.deleteIfExists(lock): Unit
+  }
+
+  private def publishLocked(spark: SparkSession, rootPath: Path,
+      meta: Map[String, String],
+      mergeSchema: Boolean)(stage: String => Unit): Long = {
     val version = listVersions(rootPath).maxOption.getOrElse(0L) + 1L
     val staging = rootPath.resolve(s".staging-v$version")
     stage(staging.toString)
