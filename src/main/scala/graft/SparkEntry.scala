@@ -2997,6 +2997,22 @@ object SparkEntry {
       .withColumn("n_versions", lit(nVersions))
   }
 
+  /** q140: verbatim-span (substring-granular) dedup
+    * ([[similarity.Dedup.verbatimSpans]]) — the curation tier
+    * document-level dedup can't express: per document, every maximal
+    * token span whose 8-gram windows all recur verbatim in another
+    * document, merged to islands via [[operators.Intervals.merge]]
+    * and measured as a dup fraction — the span-removal population of
+    * Lee et al.'s training-data dedup, over the corpus's planted
+    * copy clusters. One corpus pass to (doc, pos, hash) rows, one
+    * 8-byte-key shuffle for the cross-doc test, islands over the
+    * surviving minority — and unlike every other dedup DETECTOR in
+    * the registry, the whole chain is md5/integer-exact, so the
+    * spans themselves hash-gate against DuckDB re-deriving shingles,
+    * recurrence, and the island merge. */
+  def q140VerbatimSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.verbatimSpans(Tables.documents(spark, dir), "doc_id", "text", n = 8)
+
   def q124DeclaredDedupe(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir).createOrReplaceTempView("graft_q124_events")
     spark.sql(
@@ -3791,7 +3807,8 @@ object SparkEntry {
     "q136_cat_advisor"           -> (q136CatAdvisor _),
     "q137_catalog_asof"          -> (q137CatalogAsOf _),
     "q138_change_feed"           -> (q138ChangeFeed _),
-    "q139_txn_appends"           -> (q139TxnAppends _)
+    "q139_txn_appends"           -> (q139TxnAppends _),
+    "q140_verbatim_spans"        -> (q140VerbatimSpans _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -6401,6 +6418,56 @@ object SparkEntry {
         |  CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
         |  CAST(4 AS BIGINT) AS n_versions
         |FROM events
-        |GROUP BY event_type""".stripMargin
+        |GROUP BY event_type""".stripMargin,
+
+    // shingles, cross-doc recurrence, and the island merge all
+    // re-derived: string_split ↔ split, list slice ↔ slice (1-based
+    // inclusive ↔ (start, length)), md5 60-bit ↔ contentHash, and the
+    // gaps-and-islands break condition mirrors Intervals.merge
+    // (new island when s > prev-max-end + adjacency)
+    "q140_verbatim_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t,
+        |    len(string_split(text, ' ')) AS nt
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 8
+        |),
+        |sh AS (
+        |  SELECT doc_id, nt, i - 1 AS pos,
+        |    CAST(('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))
+        |         AS BIGINT) AS h
+        |  FROM (SELECT doc_id, t, nt, unnest(generate_series(1, nt - 7)) AS i
+        |        FROM toks)
+        |),
+        |dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+        |pos AS (
+        |  SELECT doc_id, nt, pos AS s, pos + 7 AS e FROM sh
+        |  WHERE h IN (SELECT h FROM dup)
+        |),
+        |brk AS (
+        |  SELECT doc_id, nt, s, e,
+        |    CASE WHEN s > COALESCE(MAX(e) OVER (
+        |        PARTITION BY doc_id ORDER BY s
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+        |      THEN 1 ELSE 0 END AS new_island
+        |  FROM pos
+        |),
+        |isl AS (
+        |  SELECT doc_id, nt, s, e, SUM(new_island) OVER (
+        |    PARTITION BY doc_id ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM brk
+        |),
+        |agg AS (
+        |  SELECT doc_id, nt, island, MIN(s) AS ms, MAX(e) AS me
+        |  FROM isl GROUP BY 1, 2, 3
+        |),
+        |perdoc AS (
+        |  SELECT doc_id, nt AS total_tokens, COUNT(*) AS n_spans,
+        |    CAST(SUM(me - ms + 1) AS BIGINT) AS dup_tokens
+        |  FROM agg GROUP BY 1, 2
+        |)
+        |SELECT doc_id, total_tokens, n_spans, dup_tokens,
+        |  round(CAST(dup_tokens AS DOUBLE) / total_tokens, 6) AS dup_frac
+        |FROM perdoc""".stripMargin
   )
 }

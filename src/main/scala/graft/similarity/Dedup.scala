@@ -592,4 +592,65 @@ object Dedup {
     }
     labels.withColumn("is_keeper", col("keeper_id") === col(idCol))
   }
+
+  /** VERBATIM-SPAN dedup — the substring-granular tier the document-
+    * granular tiers above can't express (the "Deduplicating Training
+    * Data Makes Language Models Better" shape): find every maximal
+    * token span whose `n`-gram windows ALL recur verbatim in some
+    * other document, per document. Document-level dedup keeps one of
+    * two near-identical docs; span-level finds the boilerplate
+    * header both docs share with a thousand others and measures how
+    * much of each doc is duplicated text — the removal populations a
+    * corpus curation pass actually edits.
+    *
+    * Plan, shuffle-bounded at every step: one corpus pass explodes
+    * (doc, pos, 60-bit shingle hash) rows; the cross-doc test is one
+    * hash-keyed groupBy (8-byte keys, map-side combined — never a
+    * pair join); surviving positions (usually a small fraction)
+    * semi-join back and merge to maximal islands via
+    * [[graft.operators.Intervals.merge]] (adjacency=1 fuses touching
+    * windows: positions p and p+n of one duplicated passage). Output
+    * is one row per document WITH duplicated spans: total/dup token
+    * counts, span count, dup fraction. The whole chain is md5-derived
+    * and integer-exact, so it sits under the DuckDB hash gate
+    * (q140) — no other dedup tier's DETECTOR is itself oracle-able
+    * at the value level.
+    *
+    * Suffix-array implementations find spans ≥ n directly; the
+    * shingle form finds the same spans as unions of length-n windows
+    * (identical islands for any span ≥ n, nothing for shorter — the
+    * standard trade for a shuffle-only distributed form). */
+  def verbatimSpans(
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"shingle width must be ≥ 2, got $n")
+    val toks = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+      .withColumn("total_tokens", size(col("toks")))
+      .where(col("total_tokens") >= n)
+    val shingled = toks
+      .select(col("doc_id"), col("total_tokens"),
+        posexplode(expr(
+          s"transform(sequence(0, total_tokens - $n), i -> array_join(slice(toks, i + 1, $n), ' '))")))
+      .select(col("doc_id"), col("total_tokens"), col("pos"),
+        Overlap.contentHash(col("col")).as("h"))
+    // cross-doc recurrence: one 8-byte-key shuffle, partial-aggregated
+    val dupHashes = shingled.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2).select("h")
+    val dupPos = shingled.join(dupHashes, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("total_tokens"),
+        col("pos").as("s"), (col("pos") + n - 1).as("e"))
+    val islands = graft.operators.Intervals.merge(
+      dupPos, Seq("doc_id", "total_tokens"), "s", "e", adjacency = 1)
+    islands.groupBy("doc_id", "total_tokens")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"))
+      // size() is int32; present long so the cross-engine schema
+      // (DuckDB len() = BIGINT) agrees without widening at compare
+      .select(col("doc_id"), col("total_tokens").cast("long").as("total_tokens"),
+        col("n_spans"), col("dup_tokens"),
+        round(col("dup_tokens").cast("double") / col("total_tokens"), 6)
+          .as("dup_frac"))
+  }
 }

@@ -554,4 +554,39 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(frames.exceptAll(again).count() == 0 && again.exceptAll(frames).count() == 0)
     resized.unpersist(); frames.unpersist()
   }
+
+  test("verbatimSpans: hand panel — shared passages island exactly, adjacency fuses, disjoint docs absent") {
+    import graft.similarity.Dedup
+    val sess = spark
+    import sess.implicits._
+    def words(r: Range, p: String) = r.map(i => s"$p$i").mkString(" ")
+    // docs 1 and 2 share a 10-token passage (positions differ); doc 3
+    // shares nothing; doc 4 repeats the passage twice with a one-token
+    // gap SHORTER than the shingle width, so its windows never span
+    // the gap but the islands stay separate (gap of 1 un-shingled
+    // token between span ends still breaks: positions are not
+    // adjacent)
+    val shared = words(0 until 10, "s")
+    val docs = Seq(
+      (1L, shared + " " + words(0 until 20, "a")),
+      (2L, words(0 until 5, "b") + " " + shared + " " + words(0 until 7, "c")),
+      (3L, words(0 until 40, "z")),
+      (4L, shared + " x " + shared)
+    ).toDF("doc_id", "text")
+
+    val got = Dedup.verbatimSpans(docs, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+    // doc 1: windows at pos 0..2 (the 10-token passage) → one island
+    // [0, 9] = 10 dup tokens of 30 total
+    assert(got(1L) == ((30L, 1L, 10L)), s"doc1=${got.get(1L)}")
+    // doc 2: same passage at pos 5 → island [5, 14]
+    assert(got(2L) == ((22L, 1L, 10L)), s"doc2=${got.get(2L)}")
+    // doc 3: no cross-doc 8-gram — absent from the output
+    assert(!got.contains(3L), s"doc3 leaked: ${got.get(3L)}")
+    // doc 4: both copies of the passage recur cross-doc; the 'x' gap
+    // token is covered by NO window, so two islands of 10
+    assert(got(4L) == ((21L, 2L, 20L)), s"doc4=${got.get(4L)}")
+  }
 }
