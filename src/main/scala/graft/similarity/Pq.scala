@@ -79,9 +79,25 @@ object Pq {
     val seeds = vecs.select(col(idCol)).orderBy(col(idCol)).limit(k)
       .withColumn("code",
         (row_number().over(Window.orderBy(col(idCol))) - 1).cast("int"))
-    var codebook = sv.join(seeds, Seq(idCol))
-      .select(col("sub"), col("code"),
-        expr("transform(subvec, v -> round(v, 6))").as("cvec"))
+    // EVERY codebook state is LOCALIZED — collected (|m·K| ≤ a few
+    // hundred rows, the bounded dim-probe posture) and rebuilt as a
+    // LocalRelation. Without this, each downstream reference — the
+    // next Lloyd round, every assign/residual/LUT consumer in an
+    // IVF-PQ composition — re-runs the ENTIRE training DAG (q122
+    // measured 443 stages / 13× the input bytes re-scanned), and
+    // persisting instead of localizing trades that recompute for
+    // cache-materialization barriers that cost MORE wall at every
+    // scale measured (TimeQ head-to-head: no-persist 25 s, persisted
+    // 33–92 s). A literal leaf makes every broadcast free and every
+    // downstream plan independent of the training lineage — the
+    // measured best of both.
+    def localized(df: DataFrame): DataFrame =
+      df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(df.collect(): _*), df.schema)
+    var codebook = localized(
+      sv.join(seeds, Seq(idCol))
+        .select(col("sub"), col("code"),
+          expr("transform(subvec, v -> round(v, 6))").as("cvec")))
 
     for (_ <- 0 until iters) {
       val assigned = assign(sv, codebook, idCol)
@@ -93,9 +109,10 @@ object Pq {
         .groupBy("sub", "code").agg(
           expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
             .as("newvec"))
-      codebook = codebook.join(updated, Seq("sub", "code"), "left")
-        .select(col("sub"), col("code"),
-          coalesce(col("newvec"), col("cvec")).as("cvec"))
+      codebook = localized(
+        codebook.join(updated, Seq("sub", "code"), "left")
+          .select(col("sub"), col("code"),
+            coalesce(col("newvec"), col("cvec")).as("cvec")))
     }
     codebook
   }

@@ -68,11 +68,47 @@ object Catalog {
     tables.keys.foreach { t =>
       require(t.matches("[A-Za-z0-9_][A-Za-z0-9_.-]*"), s"unsafe table name '$t'")
     }
-    val carried = currentTableVersions(root) -- tables.keys
     val fresh = tables.toSeq.sortBy(_._1).map { case (t, df) =>
       t -> Publish.publish(df, tableRoot(root, t), meta)
     }
-    commit(root, (carried.toSeq ++ fresh).sortBy(_._1), meta)
+    // the q139 lost-update hazard at the CATALOG grain: two racing
+    // publishAlls of DIFFERENT tables each carry the OTHER's pin from
+    // the snapshot they started at — the later flip would resurrect a
+    // stale pin and silently lose the earlier writer's table. The
+    // member publishes above stay valid whatever the interleaving
+    // (immutable versions), so the rebase is cheap: re-read the
+    // carried pins against the NEW live snapshot and re-commit.
+    var attempts = 0
+    while (true) {
+      val base = currentVersion(root)
+      val carried = currentTableVersions(root) -- tables.keys
+      try return commitIf(root, (carried.toSeq ++ fresh).sortBy(_._1), base, meta)
+      catch {
+        case _: Publish.CommitConflict =>
+          attempts += 1
+          if (attempts >= 8) throw new IllegalStateException(
+            s"catalog publish at $root conflicted $attempts times")
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** [[commit]] with OPTIMISTIC CONCURRENCY: flip only if the live
+    * snapshot is still `expectedLive` (None = no snapshot yet), else
+    * throw [[Publish.CommitConflict]] — the commit-lock + CAS
+    * protocol of [[Publish.publishStagedIf]] at the catalog grain. */
+  def commitIf(
+      root: String,
+      pins: Seq[(String, Long)],
+      expectedLive: Option[Long],
+      meta: Map[String, String] = Map.empty): Long = {
+    val dir = catDir(root)
+    Files.createDirectories(dir)
+    Publish.withCommitLock(dir) {
+      val live = currentVersion(root)
+      if (live != expectedLive) throw new Publish.CommitConflict(expectedLive, live)
+      commitLocked(root, pins, meta)
+    }
   }
 
   /** The commit step alone — pin the given (table, version) set and
@@ -84,6 +120,16 @@ object Catalog {
       meta: Map[String, String] = Map.empty): Long = {
     val dir = catDir(root)
     Files.createDirectories(dir)
+    // unchecked last-wins, but serialized under the same lock so
+    // interleaved committers can never corrupt the snapshot sequence
+    Publish.withCommitLock(dir)(commitLocked(root, pins, meta))
+  }
+
+  private def commitLocked(
+      root: String,
+      pins: Seq[(String, Long)],
+      meta: Map[String, String]): Long = {
+    val dir = catDir(root)
     val version = listSnapshots(root).maxOption.getOrElse(0L) + 1L
     def jsonStr(s: String): String =
       "\"" + s.flatMap {

@@ -149,7 +149,11 @@ object Compact {
     // extraMeta lets a streaming caller carry ITS commit markers (the
     // micro-batch id) through a maintenance version — compaction must
     // never reset the sink's replay-refusal state
-    val version = Publish.publishStaged(spark, root, meta = extraMeta ++ Map(
+    // CAS on the version this compaction DERIVED from: racing a
+    // writer must conflict (Txn.retry re-derives), never be lost
+    val version = Publish.publishStagedIf(spark, root,
+      expectedLive = Some(live),
+      meta = Publish.carryReplayMarker(root, extraMeta) ++ extraMeta ++ Map(
       "compacted_from" -> live.toString,
       "carried" -> keep.size.toString,
       "rewritten" -> frags.size.toString)) { staging =>

@@ -186,7 +186,10 @@ object Deletes {
     val live = Publish.currentVersion(root).getOrElse(
       throw new IllegalStateException(s"nothing published at $root"))
     val liveDir = Paths.get(root).resolve(s"v=$live")
-    val version = Publish.publishStaged(spark, root, meta = extraMeta ++ Map(
+    // CAS on the derived-from version (the Merge/Compact posture)
+    val version = Publish.publishStagedIf(spark, root,
+      expectedLive = Some(live),
+      meta = Publish.carryReplayMarker(root, extraMeta) ++ extraMeta ++ Map(
       "deleted_from" -> live.toString)) { staging =>
       val stagingPath = Paths.get(staging)
       Files.createDirectories(stagingPath)
@@ -232,7 +235,10 @@ object Deletes {
     val touchedSet = touched.toSet
     val carried = Compact.listDataFiles(liveDir.toString)
       .map(_._1).filterNot(touchedSet)
-    val version = Publish.publishStaged(spark, root, meta = extraMeta ++ Map(
+    // CAS on the derived-from version (the Merge/Compact posture)
+    val version = Publish.publishStagedIf(spark, root,
+      expectedLive = Some(live),
+      meta = Publish.carryReplayMarker(root, extraMeta) ++ extraMeta ++ Map(
       "materialized_from" -> live.toString,
       "carried" -> carried.size.toString,
       "rewritten" -> touched.size.toString)) { staging =>

@@ -167,7 +167,12 @@ object Merge {
     val matchedFlag = coalesce(col(SrcPrefix + "exists"), lit(false))
 
     var updated = 0L; var deleted = 0L; var inserted = 0L
-    val version = Publish.publishStaged(spark, root, meta = extraMeta ++ Map(
+    // CAS on the version this merge DERIVED from: a concurrent
+    // commit between discovery and flip must conflict (wrap in
+    // Txn.retry to rebase by re-running the merge), never be lost
+    val version = Publish.publishStagedIf(spark, root,
+      expectedLive = Some(live),
+      meta = Publish.carryReplayMarker(root, extraMeta) ++ extraMeta ++ Map(
       "merged_from" -> live.toString,
       "carried" -> carried.size.toString,
       "rewritten" -> touched.size.toString),

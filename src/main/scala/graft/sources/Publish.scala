@@ -135,7 +135,7 @@ object Publish {
     }
   }
 
-  private def withCommitLock[T](rootPath: Path)(body: => T): T = {
+  private[sources] def withCommitLock[T](rootPath: Path)(body: => T): T = {
     val lock = rootPath.resolve(CommitLock)
     var held = false
     val deadline = System.currentTimeMillis() + LockStaleMs
@@ -324,6 +324,25 @@ object Publish {
     victims.foreach(v => Sinks.deleteRecursively(rootPath.resolve(s"v=$v")))
     victims
   }
+
+  /** The manifest key streaming sinks commit their micro-batch id
+    * under (AppendStream/CdcApplyStream/DeleteStream/PublishStream's
+    * replay refusal). Public so MAINTENANCE commits can preserve it. */
+  val ReplayMarker = "graft.batchId"
+
+  /** The replay marker to CARRY onto a derived version: the live
+    * manifest's, unless the caller's `extraMeta` overrides it. Every
+    * derived-version transform (Compact, Deletes, Merge) folds this
+    * in — without it, an EXTERNAL maintenance job (a nightly
+    * compactor that knows nothing about the stream writing the table)
+    * would publish a marker-less version and silently RESET a
+    * streaming sink's exactly-once refusal: the next replayed batch
+    * would re-commit. Only the marker is carried — operational meta
+    * ("carried", audit counts) describes its own version and must
+    * never leak forward. */
+  def carryReplayMarker(root: String, extraMeta: Map[String, String]): Map[String, String] =
+    if (extraMeta.contains(ReplayMarker)) Map.empty
+    else currentMetaValue(root, ReplayMarker).map(ReplayMarker -> _).toMap
 
   /** Drop every version except the live one and the newest `keep`
     * others. Returns the reaped version numbers. Old versions are what

@@ -58,17 +58,23 @@ object AppendStream {
     if (lastBatch(root).exists(_ >= batchId)) false
     else {
       val spark = batch.sparkSession
-      val live = Publish.currentVersion(root)
-      Publish.publishStaged(spark, root,
-        meta = Map(BatchKey -> batchId.toString)) { staging =>
-        Files.createDirectories(Paths.get(staging)): Unit
-        live.foreach { v =>
-          val vDir = Paths.get(root).resolve(s"v=$v")
-          Compact.listDataFiles(vDir.toString).foreach { case (name, _) =>
-            Files.createLink(Paths.get(staging).resolve(name), vDir.resolve(name)): Unit
+      // CAS + rebase (graft.sources.Txn): the carry list is derived
+      // from the live version, so a maintenance job (or any other
+      // writer) committing between derivation and flip must force a
+      // re-derivation against ITS result — never lose the batch, and
+      // never resurrect the pre-maintenance file set
+      graft.sources.Txn.retry(root) { live =>
+        Publish.publishStagedIf(spark, root, expectedLive = live,
+          meta = Map(BatchKey -> batchId.toString)) { staging =>
+          Files.createDirectories(Paths.get(staging)): Unit
+          live.foreach { v =>
+            val vDir = Paths.get(root).resolve(s"v=$v")
+            Compact.listDataFiles(vDir.toString).foreach { case (name, _) =>
+              Files.createLink(Paths.get(staging).resolve(name), vDir.resolve(name)): Unit
+            }
           }
+          batch.write.mode("append").parquet(staging)
         }
-        batch.write.mode("append").parquet(staging)
       }: Unit
       if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
         Compact.compactPublishedIncremental(spark, root, targetBytes,

@@ -62,12 +62,16 @@ object CdcApplyStream {
         latest.where(col(OpCol) =!= DeleteOp).drop(OpCol),
         root, Map(BatchKey -> batchId.toString)): Unit
     } else {
-      Merge.mergeIntoPublished(batch.sparkSession, root, latest,
-        keys = keys,
-        set = dataCols.map(c => c -> Merge.s(c)).toMap,
-        deleteWhen = Some(Merge.s(OpCol) === DeleteOp),
-        insertWhen = Some(col(OpCol) =!= DeleteOp),
-        extraMeta = Map(BatchKey -> batchId.toString)): Unit
+      // Merge commits CAS on its derived-from version; retry rebases
+      // against any concurrent maintenance commit (the S20 posture)
+      graft.sources.Txn.retry(root) { _ =>
+        Merge.mergeIntoPublished(batch.sparkSession, root, latest,
+          keys = keys,
+          set = dataCols.map(c => c -> Merge.s(c)).toMap,
+          deleteWhen = Some(Merge.s(OpCol) === DeleteOp),
+          insertWhen = Some(col(OpCol) =!= DeleteOp),
+          extraMeta = Map(BatchKey -> batchId.toString)).version
+      }: Unit
     }
     true
   }

@@ -59,8 +59,12 @@ object DeleteStream {
       materializeEvery: Int = 0): Boolean = {
     if (lastBatch(root).exists(_ >= batchId)) return false
     val spark = batch.sparkSession
-    Deletes.deleteKeysFromPublished(spark, root, batch, keyCols,
-      extraMeta = Map(BatchKey -> batchId.toString)): Unit
+    // Deletes commits CAS on its derived-from version; retry rebases
+    // against any concurrent maintenance commit (the S20 posture)
+    graft.sources.Txn.retry(root) { _ =>
+      Deletes.deleteKeysFromPublished(spark, root, batch, keyCols,
+        extraMeta = Map(BatchKey -> batchId.toString))
+    }: Unit
     if (materializeEvery > 0 && (batchId + 1) % materializeEvery == 0) {
       val liveDir = java.nio.file.Paths.get(root)
         .resolve(s"v=${Publish.currentVersion(root).get}")

@@ -137,6 +137,40 @@ class RetentionSpec extends SparkSpec {
     } finally graft.sources.Sinks.deleteRecursively(Paths.get(root))
   }
 
+  test("catalog CAS: racing publishAlls of different tables never lose a pin") {
+    val root = Files.createTempDirectory("graft_cat_race").toString
+    try {
+      Catalog.publishAll(spark, root, Map("a" -> df(1), "b" -> df(1))): Unit
+      // two writers, each bumping a DIFFERENT table, racing the flip:
+      // stale carried pins would resurrect the other table's old
+      // version — the CAS + carried-pin rebase must keep both streams
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val wa = new Thread(() => {
+        start.await()
+        (2L to 4L).foreach(i => Catalog.publishAll(spark, root, Map("a" -> df(i))): Unit)
+      })
+      val wb = new Thread(() => {
+        start.await()
+        (2L to 4L).foreach(i => Catalog.publishAll(spark, root, Map("b" -> df(i * 10))): Unit)
+      })
+      wa.start(); wb.start(); start.countDown()
+      wa.join(120000); wb.join(120000)
+      // both tables at their final versions, whatever the interleave
+      assert(Catalog.read(spark, root, "a").count() == 4L,
+        s"lost a-update: pins=${Catalog.currentTableVersions(root)}")
+      assert(Catalog.read(spark, root, "b").count() == 40L,
+        s"lost b-update: pins=${Catalog.currentTableVersions(root)}")
+      // one snapshot per publishAll — nothing double-committed
+      assert(Catalog.currentVersion(root).contains(7L))
+
+      // commitIf refuses a stale expected snapshot with nothing flipped
+      intercept[graft.sources.Publish.CommitConflict] {
+        Catalog.commitIf(root, Seq("a" -> 1L), expectedLive = Some(1L))
+      }
+      assert(Catalog.currentVersion(root).contains(7L))
+    } finally graft.sources.Sinks.deleteRecursively(Paths.get(root))
+  }
+
   test("expireSnapshots keepWithin retains recent snapshots beyond keepLast") {
     val root = Files.createTempDirectory("graft_ret_catwin").toString
     try {

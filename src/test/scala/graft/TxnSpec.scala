@@ -102,6 +102,44 @@ class TxnSpec extends SparkSpec {
     } finally graft.sources.Sinks.deleteRecursively(Paths.get(root))
   }
 
+  test("stream appends race an EXTERNAL compactor: no lost batch, replay refusal survives maintenance") {
+    import graft.streaming.AppendStream
+    import graft.sources.Compact
+    val sess = spark
+    import sess.implicits._
+    val root = Files.createTempDirectory("graft_txn_maint").toString
+    try {
+      def batch(i: Long) = ((i * 100 + 1) to (i * 100 + 20)).map(j => (j, j)).toDF("id", "n")
+      assert(AppendStream.applyBatch(batch(0), 0L, root))
+      val start = new CountDownLatch(1)
+      // the maintainer knows NOTHING about the stream — no extraMeta:
+      // the replay marker must survive through carryReplayMarker
+      val maintainer = new Thread(() => {
+        start.await()
+        (1 to 3).foreach { _ =>
+          Txn.retry(root, maxAttempts = 20) { _ =>
+            Compact.compactPublishedIncremental(spark, root, targetBytes = 1L << 20)._1
+          }: Unit
+          Thread.sleep(30)
+        }
+      })
+      val appender = new Thread(() => {
+        start.await()
+        (1L to 5L).foreach(i => assert(AppendStream.applyBatch(batch(i), i, root)))
+      })
+      maintainer.start(); appender.start(); start.countDown()
+      maintainer.join(180000); appender.join(180000)
+
+      val got = Publish.read(spark, root).select("id").as[Long].collect().toSet
+      val expect = (0L to 5L).flatMap(i => (i * 100 + 1) to (i * 100 + 20)).toSet
+      assert(got == expect, s"lost rows: missing=${expect -- got} extra=${got -- expect}")
+      // the marker survived three marker-less maintenance commits
+      assert(AppendStream.lastBatch(root).contains(5L),
+        s"replay marker reset by maintenance: ${AppendStream.lastBatch(root)}")
+      assert(!AppendStream.applyBatch(batch(3), 3L, root), "replay must refuse")
+    } finally graft.sources.Sinks.deleteRecursively(Paths.get(root))
+  }
+
   test("a crashed writer's stale commit lock is broken, not a wedge") {
     val root = Files.createTempDirectory("graft_txn_stale").toString
     try {
