@@ -3013,6 +3013,24 @@ object SparkEntry {
   def q140VerbatimSpans(spark: SparkSession, dir: String): DataFrame =
     Dedup.verbatimSpans(Tables.documents(spark, dir), "doc_id", "text", n = 8)
 
+  /** q141: semantic dedup ([[similarity.Dedup.semanticDedup]] —
+    * SemDeDup, Abbas et al.): k-means-cluster the embedding space
+    * (the VERIFIED deterministic Lloyd loop, m=1, K=8, 2 rounds),
+    * then prune near-duplicates WITHIN each cluster by cosine ≥ 0.4,
+    * keeping the lowest id per dominated vector — the pair workload
+    * drops from n² to Σ|cell|², the paper's trade (a cross-cluster
+    * near-dup pair is missed by design). Every stage is
+    * engine-reproducible — the training CTEs are q117's coarse loop
+    * verbatim, cosine is the q26 parity, the keep rule is one
+    * EXISTS — so cluster assignments AND the keeper verdicts
+    * themselves hash-gate against DuckDB re-deriving the whole
+    * chain. At 100 TB this is the curation pass document-level and
+    * span-level dedup can't make: re-phrased copies with no shared
+    * tokens collapse in embedding space. */
+  def q141SemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedup(Tables.embeddings(spark, dir),
+      "vec_id", "embedding", d = PqM * PqDsub, kCells = 8, tau = 0.4)
+
   def q124DeclaredDedupe(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir).createOrReplaceTempView("graft_q124_events")
     spark.sql(
@@ -3808,7 +3826,8 @@ object SparkEntry {
     "q137_catalog_asof"          -> (q137CatalogAsOf _),
     "q138_change_feed"           -> (q138ChangeFeed _),
     "q139_txn_appends"           -> (q139TxnAppends _),
-    "q140_verbatim_spans"        -> (q140VerbatimSpans _)
+    "q140_verbatim_spans"        -> (q140VerbatimSpans _),
+    "q141_semantic_dedup"        -> (q141SemanticDedup _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -6468,6 +6487,38 @@ object SparkEntry {
         |)
         |SELECT doc_id, total_tokens, n_spans, dup_tokens,
         |  round(CAST(dup_tokens AS DOUBLE) / total_tokens, 6) AS dup_frac
-        |FROM perdoc""".stripMargin
+        |FROM perdoc""".stripMargin,
+
+    // the whole SemDeDup chain re-derived: q117's coarse k-means
+    // loop verbatim (sv1/ccb2), within-cell pairs at the q26 cosine
+    // parity, dominated = lower-id in-cell neighbor at ≥ τ
+    "q141_semantic_dedup" ->
+      s"""WITH $pqTrainingCte,
+         |$pqCoarseCte,
+         |cells AS (
+         |  SELECT vec_id, code AS cell FROM (
+         |    SELECT s.vec_id, c.code,
+         |      row_number() OVER (PARTITION BY s.vec_id ORDER BY
+         |        round(list_dot_product(s.subvec, s.subvec)
+         |          - 2.0 * list_dot_product(s.subvec, c.cvec)
+         |          + list_dot_product(c.cvec, c.cvec), 6), c.code) AS rk
+         |    FROM sv1 s JOIN ccb2 c USING (sub)) WHERE rk = 1
+         |),
+         |nz AS (
+         |  SELECT v.vec_id, cells.cell, v.e
+         |  FROM v JOIN cells USING (vec_id)
+         |  WHERE sqrt(list_dot_product(v.e, v.e)) > 0
+         |),
+         |dominated AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM nz a JOIN nz b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4
+         |)
+         |SELECT v.vec_id, cells.cell,
+         |  (d.vec_id IS NULL) AS is_keeper
+         |FROM v
+         |JOIN cells USING (vec_id)
+         |LEFT JOIN dominated d ON d.vec_id = v.vec_id""".stripMargin
   )
 }

@@ -593,6 +593,60 @@ object Dedup {
     labels.withColumn("is_keeper", col("keeper_id") === col(idCol))
   }
 
+  /** SEMANTIC dedup — SemDeDup (Abbas et al., "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"):
+    * k-means-cluster the embedding space, then prune near-duplicates
+    * WITHIN each cluster by cosine, keeping one representative per
+    * dup group. The scale argument is the clustering: the pair
+    * workload drops from n² to Σ|cell|² — the trade the paper makes
+    * is that a near-dup pair split across a cluster boundary is
+    * missed, and that is the accepted semantics (choose kCells ~ √n).
+    *
+    * Built from VERIFIED pieces: the deterministic Lloyd loop
+    * ([[Pq.trainCodebook]] at m=1 — stride seeds, 1e-6-rounded
+    * centroids, argmin on (round(dist,6), code)) and the q26 cosine
+    * parity (round(dot/(‖a‖‖b‖), 6) ≡ DuckDB list_cosine_similarity
+    * rounded). The keep rule is deliberately NOT connected
+    * components: a vector is dropped iff a LOWER-id in-cell neighbor
+    * sits at cosine ≥ τ — one EXISTS per vector, engine-reproducible,
+    * no iteration (q32's pointer jumping covers the transitive-
+    * closure semantics when a pipeline wants it). Zero vectors have
+    * no cosine; they are keepers by definition (both engines exclude
+    * them from pair generation, the q26 posture).
+    *
+    * Returns every input id with (cell, is_keeper) — the keeper
+    * predicate feeds a curation pipeline's semi-join, the dropped
+    * complement is the review population. The whole chain sits under
+    * the DuckDB hash gate (q141). */
+  def semanticDedup(
+      emb: DataFrame, idCol: String, vecCol: String,
+      d: Int, kCells: Int, tau: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      call_function("graft_dot", a, b)
+    val cb = Pq.trainCodebook(emb, idCol, vecCol, m = 1, dsub = d, k = kCells, iters = 2)
+    val cells = Pq.assign(Pq.subVectors(emb, idCol, vecCol, 1, d), cb, idCol)
+      .select(col(idCol), col("code").as("cell"))
+    val e = emb
+      .select(col(idCol), expr(s"transform($vecCol, x -> cast(x as double))").as("__e"))
+      .withColumn("__norm", sqrt(dot(col("__e"), col("__e"))))
+      .join(cells, Seq(idCol))
+    val nz = e.where(col("__norm") > 0)
+    val a = nz.select(col("cell"), col(idCol).as("__ida"),
+      col("__e").as("__ea"), col("__norm").as("__na"))
+    val b = nz.select(col("cell"), col(idCol).as("__idb"),
+      col("__e").as("__eb"), col("__norm").as("__nb"))
+    // the within-cell pair join: ONE equi-join on the cell key — the
+    // quadratic mass is bounded per cell, never global
+    val dominated = a.join(b, Seq("cell"))
+      .where(col("__ida") < col("__idb") &&
+        round(dot(col("__ea"), col("__eb")) / (col("__na") * col("__nb")), 6)
+          >= tau)
+      .select(col("__idb").as(idCol)).distinct()
+    e.join(dominated.withColumn("__dom", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cell"), col("__dom").isNull.as("is_keeper"))
+  }
+
   /** VERBATIM-SPAN dedup — the substring-granular tier the document-
     * granular tiers above can't express (the "Deduplicating Training
     * Data Makes Language Models Better" shape): find every maximal

@@ -555,6 +555,40 @@ class OperatorInvariantsSpec extends SparkSpec {
     resized.unpersist(); frames.unpersist()
   }
 
+  test("semanticDedup: hand panel — within-cluster domination, cross-cluster blindness, zero-vector keeper") {
+    import graft.similarity.Dedup
+    val sess = spark
+    import sess.implicits._
+    // seeds are the 2 smallest ids → id1 seeds cluster A, id2 cluster
+    // B; 3≈1 and 4≈2 must be dominated; 5 sits near A's axis but
+    // BELOW τ of id1; 6 is the zero vector (no cosine — keeper)
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0.99f, 0.05f, 0f, 0f)),
+      (4L, Array(0.02f, 0.97f, 0f, 0f)),
+      (5L, Array(0.6f, 0f, 0.8f, 0f)),
+      (6L, Array(0f, 0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+        d = 4, kCells = 2, tau = 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    assert(got.keySet == (1L to 6L).toSet)
+    // same cell for each near-dup pair; dominated = higher id
+    assert(got(1L)._1 == got(3L)._1 && got(2L)._1 == got(4L)._1)
+    assert(got(1L)._2 && got(2L)._2, "cluster representatives keep")
+    assert(!got(3L)._2 && !got(4L)._2, s"near-dups must be dominated: $got")
+    // 5's cosine to 1 is 0.6 < τ — kept despite sharing a cell
+    assert(got(5L)._2, s"below-threshold member wrongly dominated: $got")
+    assert(got(6L)._2, "zero vector has no cosine — keeper by definition")
+    // domination is cell-LOCAL: re-run with τ low enough that 1 and 2
+    // would pair globally (cos(1,2)=0) — still keepers, different cells
+    val loose = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+        d = 4, kCells = 2, tau = 0.05)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(loose(1L) && loose(2L), "cross-cluster pairs must be invisible")
+  }
+
   test("verbatimSpans: hand panel — shared passages island exactly, adjacency fuses, disjoint docs absent") {
     import graft.similarity.Dedup
     val sess = spark
