@@ -47,14 +47,26 @@ object AppendStream {
 
   /** Append one micro-batch as a new version (hard-linked carry +
     * batch files), then run the maintenance loop on cadence. Returns
-    * false (no writes at all) for an already-committed batch id. */
+    * false (no writes at all) for an already-committed batch id.
+    *
+    * @param statsCols when non-empty, the compaction cadence also
+    *   refreshes the new version's [[graft.sources.FileStats]]
+    *   `_fstats` manifest INCREMENTALLY (carried files re-point their
+    *   stat rows, only re-binned fragments are scanned — the q110
+    *   cost model riding the stream's own cadence), so selective
+    *   readers keep file-skipping against a table that never stops
+    *   ingesting. Between compactions the manifest lags the newest
+    *   appends — skipping is an optimization, and a reader that wants
+    *   the manifest's horizon pins the version it describes. */
   def applyBatch(
       batch: DataFrame,
       batchId: Long,
       root: String,
       compactEvery: Int = 0,
       targetBytes: Long = 128L * 1024 * 1024,
-      retain: Int = 1): Boolean = {
+      retain: Int = 1,
+      statsCols: Seq[String] = Nil,
+      statsKeyCols: Seq[String] = Nil): Boolean = {
     if (lastBatch(root).exists(_ >= batchId)) false
     else {
       val spark = batch.sparkSession
@@ -79,6 +91,27 @@ object AppendStream {
       if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
         Compact.compactPublishedIncremental(spark, root, targetBytes,
           extraMeta = Map(BatchKey -> batchId.toString)): Unit
+        if (statsCols.nonEmpty || statsKeyCols.nonEmpty) {
+          val newLive = Publish.currentVersion(root).get
+          val newDir = Paths.get(root).resolve(s"v=$newLive").toString
+          // the prior MANIFEST lives at the last cadence's version
+          // (intermediate append versions carry no `_fstats`) — the
+          // newest older version that has one is the carry source;
+          // stat rows re-point by NAME, valid because both the
+          // hard-link append carry and the compaction carry keep the
+          // file's bytes (and name) identical
+          val priorDir = Publish.listVersions(Paths.get(root))
+            .filter(_ < newLive).sorted(Ordering[Long].reverse)
+            .map(v => Paths.get(root).resolve(s"v=$v").toString)
+            .find(d => Files.exists(
+              Paths.get(graft.sources.FileStats.statsPath(d))))
+          graft.sources.FileStats.buildIncremental(spark, newDir,
+            cols = statsCols, keyCols = statsKeyCols,
+            priorFrom = priorDir): Unit
+        }
+        // vacuum AFTER the stats refresh: buildIncremental re-points
+        // carried rows from the prior version's manifest, which must
+        // still exist when it reads it
         Publish.vacuum(root, keep = retain): Unit
       }
       true
@@ -94,10 +127,13 @@ object AppendStream {
       compactEvery: Int,
       targetBytes: Long,
       retain: Int = 1,
-      checkpointLocation: Option[String] = None): StreamingQuery = {
+      checkpointLocation: Option[String] = None,
+      statsCols: Seq[String] = Nil,
+      statsKeyCols: Seq[String] = Nil): StreamingQuery = {
     val writer = facts.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, batchId, root, compactEvery, targetBytes, retain): Unit
+        applyBatch(batch, batchId, root, compactEvery, targetBytes, retain,
+          statsCols, statsKeyCols): Unit
       }
     checkpointLocation.fold(writer)(writer.option("checkpointLocation", _)).start()
   }

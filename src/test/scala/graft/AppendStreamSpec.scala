@@ -97,4 +97,51 @@ class AppendStreamSpec extends SparkSpec {
       graft.sources.Sinks.deleteRecursively(Paths.get(root))
     }
   }
+
+  test("stats cadence: the `_fstats` manifest rides compaction — carried rows re-point, pruning stays lossless") {
+    implicit val sqlCtx = spark.sqlContext
+    val sess = spark
+    import sess.implicits._
+    val root = Files.createTempDirectory("graft_s20_stats").toString
+    try {
+      val mem = MemoryStream[(Long, Long)]
+      // small target: early batches' files survive later compactions
+      // at full size, so their stat rows must CARRY (re-point), not
+      // re-scan
+      val query = AppendStream.start(
+        mem.toDF().toDF("k", "x"), root,
+        compactEvery = 2, targetBytes = 8L * 1024, retain = 2,
+        statsCols = Seq("k"))
+      try {
+        (0 until 6).foreach { i =>
+          mem.addData(((i * 1000L + 1) to (i * 1000L + 500)).map(j => (j, j % 7)))
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+
+      val live = Publish.currentVersion(root).get
+      val liveDir = s"$root/v=$live"
+      assert(Files.exists(Paths.get(graft.sources.FileStats.statsPath(liveDir))),
+        "stats manifest missing from the live compacted version")
+
+      // manifest covers exactly the live files, and pruning a k-range
+      // is lossless vs the full scan
+      val stats = spark.read.parquet(graft.sources.FileStats.statsPath(liveDir))
+      val onDisk = Compact.listDataFiles(liveDir).map(_._1).toSet
+      val inManifest = stats.select("file").collect()
+        .map(r => r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1)).toSet
+      assert(inManifest == onDisk,
+        s"manifest drift: missing=${onDisk -- inManifest} stale=${inManifest -- onDisk}")
+      val pruned = graft.sources.FileStats.prunedRead(spark, liveDir,
+          Seq(graft.sources.FileStats.Between("k", 2001L, 3200L)))
+        .where(col("k").between(2001L, 3200L))
+      val full = Publish.read(spark, root).where(col("k").between(2001L, 3200L))
+      assert(pruned.count() == full.count(), "stats pruning lost rows mid-stream")
+      assert(graft.sources.FileStats.candidateFiles(spark, liveDir,
+        Seq(graft.sources.FileStats.Between("k", 2001L, 3200L))).size < onDisk.size,
+        "clustered-by-batch key ranges should prune some files")
+    } finally {
+      graft.sources.Sinks.deleteRecursively(Paths.get(root))
+    }
+  }
 }
