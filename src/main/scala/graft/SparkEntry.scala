@@ -3031,6 +3031,46 @@ object SparkEntry {
     Dedup.semanticDedup(Tables.embeddings(spark, dir),
       "vec_id", "embedding", d = PqM * PqDsub, kCells = 8, tau = 0.4)
 
+  /** q142: semi-structured VARIANT extraction (Spark 4 VariantType —
+    * `parse_json` / `variant_get` / `try_variant_get`): the modern
+    * lakehouse answer to JSON columns (the reference's coingecko
+    * payloads, q28's `props`): parse ONCE into the shredded binary
+    * encoding, then typed path access at column speed — no
+    * per-access string re-parse, no schema lock-in. The corpus's
+    * props is a single int key, so a nested document (object +
+    * array + the planted-input posture of q131) is constructed
+    * deterministically from base columns, parsed to variant, and
+    * read back through typed paths: nested object fields, array
+    * indexing, a missing path through try_variant_get (NULL, never
+    * throw). The oracle needs no JSON at all — it re-derives every
+    * extracted value from the base columns, so the hash covers the
+    * WHOLE variant round-trip: a mis-parse, wrong path navigation,
+    * or type-coercion drift breaks the sums. One codegen'd pass, no
+    * shuffle before the final |types|-row aggregate. */
+  def q142VariantExtract(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val doc = concat(
+      lit("{\"meta\":{\"type\":\""), col("event_type"),
+      lit("\",\"day\":"), dayofmonth(col("ts")),
+      lit("},\"vals\":["), round(col("value"), 2),
+      lit(","), col("user_id") % 10,
+      lit("]}"))
+    ev.withColumn("v", parse_json(doc))
+      .select(
+        expr("variant_get(v, '$.meta.type', 'string')").as("vtype"),
+        expr("variant_get(v, '$.meta.day', 'int')").as("day"),
+        expr("variant_get(v, '$.vals[0]', 'double')").as("v0"),
+        expr("variant_get(v, '$.vals[1]', 'long')").as("v1"),
+        expr("try_variant_get(v, '$.absent.path', 'long')").as("miss"))
+      .groupBy("vtype")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum("day").as("sum_day"),
+        sum(col("v0").cast("decimal(18,2)")).cast("double").as("sum_v0"),
+        sum("v1").as("sum_v1"),
+        count(col("miss")).as("n_missing"))
+  }
+
   def q124DeclaredDedupe(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir).createOrReplaceTempView("graft_q124_events")
     spark.sql(
@@ -3827,7 +3867,8 @@ object SparkEntry {
     "q138_change_feed"           -> (q138ChangeFeed _),
     "q139_txn_appends"           -> (q139TxnAppends _),
     "q140_verbatim_spans"        -> (q140VerbatimSpans _),
-    "q141_semantic_dedup"        -> (q141SemanticDedup _)
+    "q141_semantic_dedup"        -> (q141SemanticDedup _),
+    "q142_variant_extract"       -> (q142VariantExtract _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -6492,6 +6533,17 @@ object SparkEntry {
     // the whole SemDeDup chain re-derived: q117's coarse k-means
     // loop verbatim (sv1/ccb2), within-cell pairs at the q26 cosine
     // parity, dominated = lower-id in-cell neighbor at ≥ τ
+    // no JSON on the oracle side at all: every variant-extracted
+    // value re-derives from base columns, so the hash covers the
+    // parse→shred→typed-path round-trip end to end
+    "q142_variant_extract" ->
+      """SELECT event_type AS vtype, COUNT(*) AS n_events,
+        |  CAST(SUM(EXTRACT(day FROM CAST(ts AS TIMESTAMP))) AS BIGINT) AS sum_day,
+        |  CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sum_v0,
+        |  CAST(SUM(user_id % 10) AS BIGINT) AS sum_v1,
+        |  CAST(0 AS BIGINT) AS n_missing
+        |FROM events GROUP BY event_type""".stripMargin,
+
     "q141_semantic_dedup" ->
       s"""WITH $pqTrainingCte,
          |$pqCoarseCte,
