@@ -3071,6 +3071,46 @@ object SparkEntry {
         count(col("miss")).as("n_missing"))
   }
 
+  /** q143: the SQL front door with standard time-travel syntax
+    * ([[graft.sources.GraftCatalog]] — a DSv2 TableCatalog over the
+    * Publish version layout): the q134 retention table queried as
+    * PLAIN SQL — live pointer, `VERSION AS OF 2`, and `TIMESTAMP AS
+    * OF` at v2's commit instant all through one registered catalog,
+    * joined into the version-over-version delta. Resolution maps
+    * straight onto readVersion/readAsOf (manifest `committed_at`);
+    * the scan is Spark's native ParquetTable (vectorized, pushed
+    * filters) under the MANIFEST schema. The version and timestamp
+    * legs must agree with each other and with the oracle re-deriving
+    * both slices from raw events — a resolver drift on either axis
+    * breaks the hash. GraftCatalogSpec carries evolution-schema
+    * conformance, DV refusal, SHOW TABLES, and write refusal. */
+  def q143SqlTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val root = retentionRoot(spark, dir)
+    val parent = java.nio.file.Paths.get(root).getParent.toString
+    val tname = java.nio.file.Paths.get(root).getFileName.toString
+    // catalog instances cache their root at first reference — key the
+    // name on the artifact identity so a regenerated fingerprint gets
+    // a fresh catalog
+    val cat = "gtt" + (tname.hashCode.toLong & 0xffffffffL)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", parent)
+    val t2 = java.time.Instant
+      .ofEpochMilli(graft.sources.Publish.commitTimeMs(root, 2L))
+      .toString.replace("T", " ").stripSuffix("Z")
+    spark.sql(
+      s"""SELECT l.event_type, l.n_live, p.n_prior,
+         |  l.n_live - p.n_prior AS n_new, ts.n_at_ts
+         |FROM (SELECT event_type, count(*) AS n_live
+         |      FROM $cat.`$tname` GROUP BY event_type) l
+         |JOIN (SELECT event_type, count(*) AS n_prior
+         |      FROM $cat.`$tname` VERSION AS OF 2 GROUP BY event_type) p
+         |  USING (event_type)
+         |JOIN (SELECT event_type, count(*) AS n_at_ts
+         |      FROM $cat.`$tname` TIMESTAMP AS OF '$t2' GROUP BY event_type) ts
+         |  USING (event_type)""".stripMargin)
+  }
+
   def q124DeclaredDedupe(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir).createOrReplaceTempView("graft_q124_events")
     spark.sql(
@@ -3868,7 +3908,8 @@ object SparkEntry {
     "q139_txn_appends"           -> (q139TxnAppends _),
     "q140_verbatim_spans"        -> (q140VerbatimSpans _),
     "q141_semantic_dedup"        -> (q141SemanticDedup _),
-    "q142_variant_extract"       -> (q142VariantExtract _)
+    "q142_variant_extract"       -> (q142VariantExtract _),
+    "q143_sql_time_travel"       -> (q143SqlTimeTravel _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -6533,6 +6574,23 @@ object SparkEntry {
     // the whole SemDeDup chain re-derived: q117's coarse k-means
     // loop verbatim (sv1/ccb2), within-cell pairs at the q26 cosine
     // parity, dominated = lower-id in-cell neighbor at ≥ τ
+    // both retained slices re-derived from raw events (the q134
+    // posture) — the Spark side resolved them through the SQL
+    // catalog's live / VERSION AS OF / TIMESTAMP AS OF paths, which
+    // must agree with each other and with this
+    "q143_sql_time_travel" ->
+      """WITH live AS (
+        |  SELECT event_type, COUNT(*) AS n_live FROM events GROUP BY event_type
+        |),
+        |prior AS (
+        |  SELECT event_type, COUNT(*) AS n_prior FROM events
+        |  WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20 00:00:00'
+        |  GROUP BY event_type
+        |)
+        |SELECT l.event_type, l.n_live, p.n_prior,
+        |  l.n_live - p.n_prior AS n_new, p.n_prior AS n_at_ts
+        |FROM live l JOIN prior p USING (event_type)""".stripMargin,
+
     // no JSON on the oracle side at all: every variant-extracted
     // value re-derives from base columns, so the hash covers the
     // parse→shred→typed-path round-trip end to end

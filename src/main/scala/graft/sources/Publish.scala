@@ -249,12 +249,20 @@ object Publish {
   def readConformed(spark: SparkSession, root: String): DataFrame = {
     val v = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no published version at $root"))
-    val manifest = currentManifest(root).get
-    val ddl = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(manifest).get("schema").asText
+    val ddl = manifestSchemaDdl(root, v).getOrElse(
+      throw new IllegalStateException(s"version $v at $root has no manifest schema"))
     spark.read
       .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
       .parquet(Paths.get(root).resolve(s"v=$v").toString)
+  }
+
+  /** The schema DDL `version`'s manifest records — the width
+    * authority [[readConformed]] and the SQL catalog conform to. */
+  def manifestSchemaDdl(root: String, version: Long): Option[String] = {
+    val mf = Paths.get(root).resolve(s"v=$version").resolve(Manifest)
+    if (!Files.exists(mf)) None
+    else Option(new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(mf)).get("schema")).map(_.asText)
   }
 
   /** Time travel BY TIMESTAMP: read the newest version committed at

@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Deletes, GraftCatalog, Merge, Publish}
+
+/** The SQL front door (sources/GraftCatalog): published tables served
+  * to plain SQL through a DSv2 TableCatalog — live pointer, VERSION
+  * AS OF, TIMESTAMP AS OF — with manifest-schema conformance for
+  * evolved tables, deletion-vector refusal, listTables, and the
+  * read-only write refusals. */
+class GraftCatalogSpec extends SparkSpec {
+
+  private var n = 0
+  /** Fresh catalog per test: instances cache their root at first
+    * reference, so each test registers a uniquely-named catalog. */
+  private def catalogFor(root: String): String = {
+    n += 1
+    val cat = s"gcat$n"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    cat
+  }
+
+  test("live, VERSION AS OF, and TIMESTAMP AS OF resolve through the version layout") {
+    val sess = spark
+    import sess.implicits._
+    val root = Files.createTempDirectory("graft_cat_sql").toString
+    try {
+      val tdir = Paths.get(root, "t").toString
+      Publish.publish((1L to 10L).toDF("x"), tdir): Unit
+      Thread.sleep(60)
+      Publish.publish((1L to 25L).toDF("x"), tdir): Unit
+      val cat = catalogFor(root)
+
+      assert(spark.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) == 25L)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 1")
+        .head.getLong(0) == 10L)
+      // timestamp literal at v1's commit time (session TZ is UTC)
+      val t1 = Publish.commitTimeMs(tdir, 1L)
+      val lit = java.time.Instant.ofEpochMilli(t1).toString.replace("T", " ").stripSuffix("Z")
+      assert(spark.sql(
+        s"SELECT count(*) FROM $cat.t TIMESTAMP AS OF '$lit'").head.getLong(0) == 10L)
+      // filters and aggregates ride the native parquet scan
+      assert(spark.sql(s"SELECT sum(x) FROM $cat.t WHERE x <= 3").head.getLong(0) == 6L)
+      // before-first-commit refuses
+      intercept[Exception] {
+        spark.sql(s"SELECT * FROM $cat.t TIMESTAMP AS OF '2001-01-01 00:00:00'").collect()
+      }
+    } finally graft.sources.Sinks.deleteRecursively(Paths.get(root))
+  }
+
+  test("post-evolution versions conform to the manifest schema through SQL") {
+    val sess = spark
+    import sess.implicits._
+    val root = Files.createTempDirectory("graft_cat_evo").toString
+    try {
+      val tdir = Paths.get(root, "t").toString
+      Publish.publishStaged(spark, tdir) { staging =>
+        Files.createDirectories(Paths.get(staging)): Unit
+        Seq(1L to 50L, 51L to 100L).foreach { r =>
+          r.map(i => (i, i * 2)).toDF("id", "v")
+            .coalesce(1).write.mode("append").parquet(staging)
+        }
+      }: Unit
+      Merge.mergeIntoPublished(spark, tdir,
+        Seq((60L, -1L, "tagged")).toDF("id", "v", "tag"),
+        keys = Seq("id"),
+        set = Map("v" -> Merge.s("v"), "tag" -> Merge.s("tag")),
+        evolveSchema = true): Unit
+      val cat = catalogFor(root)
+      // the carried old-width file's rows surface tag as NULL in SQL
+      val got = spark.sql(
+        s"SELECT count(*), count(tag) FROM $cat.t").head
+      assert(got.getLong(0) == 100L && got.getLong(1) == 1L,
+        s"manifest-schema conformance broken through SQL: $got")
+      assert(spark.sql(s"SELECT v FROM $cat.t WHERE tag IS NOT NULL")
+        .head.getLong(0) == -1L)
+    } finally graft.sources.Sinks.deleteRecursively(Paths.get(root))
+  }
+
+  test("DV versions are refused, writes are refused, listTables lists published roots") {
+    val sess = spark
+    import sess.implicits._
+    val root = Files.createTempDirectory("graft_cat_dv").toString
+    try {
+      val tdir = Paths.get(root, "t").toString
+      Publish.publish((1L to 100L).toDF("x"), tdir): Unit
+      Publish.publish((1L to 5L).toDF("y"), Paths.get(root, "u").toString): Unit
+      // a non-table directory must not list
+      Files.createDirectories(Paths.get(root, "not_a_table")): Unit
+      val cat = catalogFor(root)
+      assert(spark.sql(s"SHOW TABLES IN $cat").collect()
+        .map(_.getString(1)).toSet == Set("t", "u"))
+
+      Deletes.deleteFromPublished(spark, tdir, col("x") <= 10L): Unit
+      val e = intercept[Exception](spark.sql(s"SELECT count(*) FROM $cat.t").collect())
+      assert(e.getMessage.contains("deletion vector"),
+        s"sidecar-blind serve not refused: ${e.getMessage}")
+      // the pre-delete version still serves
+      assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 1")
+        .head.getLong(0) == 100L)
+
+      intercept[Exception](spark.sql(s"DROP TABLE $cat.u"))
+      assert(spark.sql(s"SELECT count(*) FROM $cat.u").head.getLong(0) == 5L)
+    } finally graft.sources.Sinks.deleteRecursively(Paths.get(root))
+  }
+}
