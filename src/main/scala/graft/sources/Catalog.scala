@@ -168,6 +168,13 @@ object Catalog {
   def currentTableVersions(root: String): Map[String, Long] =
     currentVersion(root).map(tableVersions(root, _)).getOrElse(Map.empty)
 
+  /** Snapshot `version`'s pinned (table → Publish version) — the
+    * resolution surface [[GraftCatalog]]'s snapshot mode rides. */
+  def tableVersionsIn(root: String, version: Long): Map[String, Long] =
+    if (Files.exists(catDir(root).resolve(s"snap-$version.json")))
+      tableVersions(root, version)
+    else Map.empty
+
   /** Caller meta recorded in the live snapshot's manifest. */
   def currentMetaValue(root: String, key: String): Option[String] =
     currentVersion(root).flatMap { v =>

@@ -50,18 +50,34 @@ class GraftCatalog extends TableCatalog {
 
   private var catalogName: String = _
   private var root: String = _
+  private var snapshotMode: Boolean = false
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     root = options.get("root")
     require(root != null,
       s"catalog '$name' needs spark.sql.catalog.$name.root")
+    // mode=snapshot: `root` is a graft.sources.Catalog root — tables
+    // resolve through the live SNAPSHOT's pins, so a SQL join across
+    // tables can never straddle a flip (q121's consistency argument
+    // at the SQL surface); VERSION AS OF n = snapshot n's pin,
+    // TIMESTAMP AS OF t = the newest snapshot committed ≤ t
+    snapshotMode = "snapshot".equalsIgnoreCase(options.get("mode"))
   }
 
   override def name(): String = catalogName
 
   private def tableRoot(ident: Identifier): String =
-    Paths.get(root, (ident.namespace() :+ ident.name()): _*).toString
+    if (snapshotMode)
+      Paths.get(root, "tables").resolve(
+        Paths.get(ident.namespace().mkString("/"),
+          ident.name()).toString).toString
+    else Paths.get(root, (ident.namespace() :+ ident.name()): _*).toString
+
+  /** The table version a given CATALOG SNAPSHOT pins, failing as
+    * no-such-table when the table is absent from it. */
+  private def pinnedVersion(ident: Identifier, snapshot: Long): Long =
+    Catalog.tableVersionsIn(root, snapshot).getOrElse(ident.name(), noSuch(ident))
 
   private def noSuch(ident: Identifier): Nothing =
     throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
@@ -86,37 +102,56 @@ class GraftCatalog extends TableCatalog {
       classOf[ParquetFileFormat])
   }
 
-  override def loadTable(ident: Identifier): Table = {
-    val live = Publish.currentVersion(tableRoot(ident)).getOrElse(noSuch(ident))
-    tableAt(ident, live)
-  }
+  override def loadTable(ident: Identifier): Table =
+    if (snapshotMode) {
+      val snap = Catalog.currentVersion(root).getOrElse(noSuch(ident))
+      tableAt(ident, pinnedVersion(ident, snap))
+    } else {
+      val live = Publish.currentVersion(tableRoot(ident)).getOrElse(noSuch(ident))
+      tableAt(ident, live)
+    }
 
-  /** `VERSION AS OF n` */
+  /** `VERSION AS OF n` — a table version (publish mode) or a CATALOG
+    * SNAPSHOT (snapshot mode: every table asked at the same n reads
+    * one consistent horizon). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val v = try version.toLong
     catch { case _: NumberFormatException => noSuch(ident) }
-    tableAt(ident, v)
+    if (snapshotMode) tableAt(ident, pinnedVersion(ident, v))
+    else tableAt(ident, v)
   }
 
   /** `TIMESTAMP AS OF t` — Spark hands epoch MICROseconds. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
-    val v = Publish.versionAsOf(tableRoot(ident), timestampMicros / 1000L)
-      .getOrElse(throw new IllegalStateException(
-        s"no version of ${ident.name()} committed at or before " +
-          s"${timestampMicros / 1000L} ms — expired past retention?"))
-    tableAt(ident, v)
+    val ms = timestampMicros / 1000L
+    if (snapshotMode) {
+      val snap = Catalog.snapshotAsOf(root, ms).getOrElse(
+        throw new IllegalStateException(
+          s"no catalog snapshot committed at or before $ms ms — expired past retention?"))
+      tableAt(ident, pinnedVersion(ident, snap))
+    } else {
+      val v = Publish.versionAsOf(tableRoot(ident), ms)
+        .getOrElse(throw new IllegalStateException(
+          s"no version of ${ident.name()} committed at or before " +
+            s"$ms ms — expired past retention?"))
+      tableAt(ident, v)
+    }
   }
 
-  override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val dir = Paths.get(root, namespace: _*)
-    if (!Files.exists(dir)) return Array.empty
-    val s = Files.list(dir)
-    try s.iterator().asScala
-      .filter(p => Files.exists(p.resolve("_CURRENT")))
-      .map(p => Identifier.of(namespace, p.getFileName.toString))
-      .toArray
-    finally s.close()
-  }
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    if (snapshotMode)
+      Catalog.currentTableVersions(root).keys.toArray.sorted
+        .map(Identifier.of(namespace, _))
+    else {
+      val dir = Paths.get(root, namespace: _*)
+      if (!Files.exists(dir)) return Array.empty
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .filter(p => Files.exists(p.resolve("_CURRENT")))
+        .map(p => Identifier.of(namespace, p.getFileName.toString))
+        .toArray
+      finally s.close()
+    }
 
   private def readOnly(): Nothing = throw new UnsupportedOperationException(
     s"catalog '$catalogName' is a read facade — write through the " +

@@ -81,6 +81,50 @@ class GraftCatalogSpec extends SparkSpec {
     } finally graft.sources.Sinks.deleteRecursively(Paths.get(root))
   }
 
+  test("snapshot mode: SQL joins read ONE consistent catalog horizon; AS OF is snapshot-grained") {
+    val sess = spark
+    import sess.implicits._
+    val root = Files.createTempDirectory("graft_cat_snap").toString
+    try {
+      def facts(n: Long) = (1L to n).map(i => (i, i % 3)).toDF("id", "grp")
+      def rates(r: Long) = (0L to 2L).map(g => (g, r)).toDF("grp", "rate")
+      graft.sources.Catalog.publishAll(spark, root,
+        Map("facts" -> facts(10), "rates" -> rates(1))): Unit
+      Thread.sleep(60)
+      graft.sources.Catalog.publishAll(spark, root,
+        Map("facts" -> facts(30), "rates" -> rates(2))): Unit
+      // facts' own pointer moves ahead of the catalog: a torn state
+      Publish.publish(facts(99),
+        Paths.get(root, "tables", "facts").toString): Unit
+
+      n += 1
+      val cat = s"gsnap$n"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      spark.conf.set(s"spark.sql.catalog.$cat.mode", "snapshot")
+
+      // live = snapshot 2's pins (NOT facts' own newer pointer)
+      val live = spark.sql(
+        s"""SELECT sum(f.id * r.rate) FROM $cat.facts f
+           |JOIN $cat.rates r USING (grp)""".stripMargin).head.getLong(0)
+      assert(live == (1L to 30L).sum * 2, s"snapshot-inconsistent join: $live")
+      // VERSION AS OF 1 = snapshot 1: BOTH tables at their old pins
+      val old = spark.sql(
+        s"""SELECT sum(f.id * r.rate) FROM $cat.facts VERSION AS OF 1 f
+           |JOIN $cat.rates VERSION AS OF 1 r USING (grp)""".stripMargin).head.getLong(0)
+      assert(old == (1L to 10L).sum, s"snapshot-1 resolution wrong: $old")
+      // TIMESTAMP AS OF snapshot 1's commit: same horizon
+      val t1 = graft.sources.Catalog.snapshotTimeMs(root, 1L)
+      val lit1 = java.time.Instant.ofEpochMilli(t1).toString
+        .replace("T", " ").stripSuffix("Z")
+      assert(spark.sql(
+        s"SELECT count(*) FROM $cat.facts TIMESTAMP AS OF '$lit1'")
+        .head.getLong(0) == 10L)
+      assert(spark.sql(s"SHOW TABLES IN $cat").collect()
+        .map(_.getString(1)).toSet == Set("facts", "rates"))
+    } finally graft.sources.Sinks.deleteRecursively(Paths.get(root))
+  }
+
   test("DV versions are refused, writes are refused, listTables lists published roots") {
     val sess = spark
     import sess.implicits._
