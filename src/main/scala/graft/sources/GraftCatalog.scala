@@ -5,9 +5,12 @@ import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -34,14 +37,21 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * post-evolution version's carried old-width files read their
   * missing columns as NULL through SQL too.
   *
-  * Deliberately a READ façade: writes go through the library's
-  * commit protocol ([[Publish]]/[[Txn]]/[[Merge]]/[[Deletes]] — CAS,
-  * validation, atomic flips), which a pass-through SQL write path
-  * would bypass; create/alter/drop/rename throw. A version carrying
-  * a `_deletes` sidecar is REFUSED rather than served sidecar-blind
-  * (deletes are semantics; [[Deletes.readPublished]] is that read
-  * path) — serving deleted rows silently would be a correctness bug
-  * wearing a convenience feature's clothes.
+  * SQL WRITES exist exactly where they can ride the commit protocol:
+  * the LIVE table load carries a V1Write bridge, so `INSERT INTO`
+  * commits through [[Txn.append]] (carry + new files + CAS with
+  * rebase retry — racing SQL inserts serialize with no lost update)
+  * and `INSERT OVERWRITE` publishes a fresh validated version behind
+  * the same atomic flip; history loads carry no write capability
+  * (Spark itself refuses inserts against `VERSION AS OF`), snapshot-
+  * mode tables stay read-only (a per-table insert cannot express the
+  * multi-table flip), and DDL (create/alter/drop/rename) throws — a
+  * pass-through file write would bypass the immutability contract
+  * every reader rests on. A version carrying a `_deletes` sidecar is
+  * REFUSED rather than served sidecar-blind (deletes are semantics;
+  * [[Deletes.readPublished]] is that read path) — serving deleted
+  * rows silently would be a correctness bug wearing a convenience
+  * feature's clothes.
   *
   * At 100 TB nothing here is per-row: resolution is pointer/manifest
   * reads, and the data path is the stock parquet scan.
@@ -82,7 +92,8 @@ class GraftCatalog extends TableCatalog {
   private def noSuch(ident: Identifier): Nothing =
     throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
 
-  private def tableAt(ident: Identifier, version: Long): Table = {
+  private def tableAt(
+      ident: Identifier, version: Long, writable: Boolean = false): Table = {
     val tr = tableRoot(ident)
     val dir = Paths.get(tr).resolve(s"v=$version")
     if (!Files.exists(dir)) noSuch(ident)
@@ -93,22 +104,28 @@ class GraftCatalog extends TableCatalog {
     // the manifest schema is the authority (readConformed's contract):
     // mixed-width post-evolution versions read missing columns as NULL
     val schema = Publish.manifestSchemaDdl(tr, version).map(StructType.fromDDL)
-    ParquetTable(
+    val parquet = ParquetTable(
       s"$catalogName.${ident.name()}",
       SparkSession.active,
       CaseInsensitiveStringMap.empty(),
       Seq(dir.toString),
       schema,
       classOf[ParquetFileFormat])
+    if (writable) new GraftCatalog.WritableTable(parquet, tr) else parquet
   }
 
   override def loadTable(ident: Identifier): Table =
     if (snapshotMode) {
       val snap = Catalog.currentVersion(root).getOrElse(noSuch(ident))
+      // snapshot-mode tables stay read-only: a per-table SQL insert
+      // cannot express the multi-table atomic flip readers rely on
       tableAt(ident, pinnedVersion(ident, snap))
     } else {
       val live = Publish.currentVersion(tableRoot(ident)).getOrElse(noSuch(ident))
-      tableAt(ident, live)
+      // the LIVE load (and only it) is writable: INSERT INTO commits
+      // through the CAS protocol; time-travel loads have no write
+      // capability, so Spark itself refuses inserts against history
+      tableAt(ident, live, writable = true)
     }
 
   /** `VERSION AS OF n` — a table version (publish mode) or a CATALOG
@@ -164,4 +181,50 @@ class GraftCatalog extends TableCatalog {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = readOnly()
   override def dropTable(ident: Identifier): Boolean = readOnly()
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = readOnly()
+}
+
+object GraftCatalog {
+
+  /** The live table with the SQL WRITE path attached: reads delegate
+    * to the native parquet scan; `INSERT INTO` / `INSERT OVERWRITE`
+    * commit through the library's own protocol via the DSv2 V1Write
+    * bridge — append = [[Txn.append]] (carry + new files + CAS with
+    * rebase retry, so racing SQL inserts serialize with no lost
+    * update), overwrite = a fresh validated [[Publish.publish]]
+    * version behind the same atomic flip. SQL writes therefore get
+    * exactly the guarantees API writes get — the alternative (a
+    * pass-through file write into the version dir) would corrupt the
+    * immutability contract every reader rests on. */
+  private final class WritableTable(delegate: ParquetTable, tableRoot: String)
+    extends Table with SupportsRead with SupportsWrite {
+
+    override def name(): String = delegate.name
+    override def schema(): StructType = delegate.schema
+    override def capabilities(): java.util.Set[TableCapability] =
+      java.util.EnumSet.of(
+        TableCapability.BATCH_READ,
+        TableCapability.V1_BATCH_WRITE,
+        TableCapability.TRUNCATE)
+
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      delegate.newScanBuilder(options)
+
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+      new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+        private var overwrite = false
+        override def truncate(): WriteBuilder = { overwrite = true; this }
+        override def build(): Write = new V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                  legacyOverwrite: Boolean): Unit = {
+                if (overwrite || legacyOverwrite)
+                  Publish.publish(data, tableRoot): Unit
+                else
+                  Txn.append(data.sparkSession, tableRoot, data): Unit
+              }
+            }
+        }
+      }
+  }
 }

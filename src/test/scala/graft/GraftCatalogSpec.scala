@@ -81,6 +81,40 @@ class GraftCatalogSpec extends SparkSpec {
     } finally graft.sources.Sinks.deleteRecursively(Paths.get(root))
   }
 
+  test("SQL writes commit through the protocol: INSERT appends via CAS, OVERWRITE publishes, history is read-only") {
+    val sess = spark
+    import sess.implicits._
+    val root = Files.createTempDirectory("graft_cat_write").toString
+    try {
+      val tdir = Paths.get(root, "t").toString
+      Publish.publish((1L to 10L).toDF("x"), tdir): Unit
+      val cat = catalogFor(root)
+
+      spark.sql(s"INSERT INTO $cat.t VALUES (100), (101)")
+      // the insert is a REAL version commit: pointer advanced, rows
+      // appended exactly once, prior files carried
+      assert(Publish.currentVersion(tdir).contains(2L))
+      assert(spark.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) == 12L)
+      assert(Publish.read(spark, tdir).agg(sum("x")).head.getLong(0) ==
+        (1L to 10L).sum + 201L)
+      // time travel still serves the pre-insert version
+      assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 1")
+        .head.getLong(0) == 10L)
+
+      spark.sql(s"INSERT OVERWRITE $cat.t VALUES (7)")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) == 1L)
+      assert(Publish.currentVersion(tdir).contains(3L))
+      // ...and the overwritten history remains time-travelable
+      assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 2")
+        .head.getLong(0) == 12L)
+
+      // inserting INTO HISTORY is refused by capability
+      intercept[Exception] {
+        spark.sql(s"INSERT INTO $cat.t VERSION AS OF 1 VALUES (1)")
+      }
+    } finally graft.sources.Sinks.deleteRecursively(Paths.get(root))
+  }
+
   test("snapshot mode: SQL joins read ONE consistent catalog horizon; AS OF is snapshot-grained") {
     val sess = spark
     import sess.implicits._
