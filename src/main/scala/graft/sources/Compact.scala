@@ -89,12 +89,12 @@ object Compact {
     val nBins = plan.map(_._2).max + 1
     import spark.implicits._
     val planDf = plan.toDF("__file", "__bin")
-    val data = spark.read.parquet(files.map(f => s"$dir/${f._1}"): _*)
-    val cols = data.columns
+    // read through the deletion vector (lineage kept: __file is the
+    // name the bin plan keyed on) — a rewrite is the moment deletes
+    // FOLD, so the rewritten files carry no sidecar debt
+    val data = Deletes.readFilesLineage(spark, dir, files.map(_._1))
+    val cols = data.columns.filterNot(c => c == "__file" || c == "__pos")
     data
-      // file NAME, not full URI: the plan listed names, and names are
-      // unique within one directory by parquet-writer construction
-      .withColumn("__file", element_at(split(input_file_name(), "/"), -1))
       .join(broadcast(planDf), Seq("__file"))
       // range, not hash, partitioning on the bin id: k distinct ids
       // into k partitions lands ~one bin per write task, where a hash
@@ -161,6 +161,11 @@ object Compact {
       keep.foreach { case (name, _) =>
         Files.copy(liveDir.resolve(name), Paths.get(staging).resolve(name)): Unit
       }
+      // deletion vectors compose (the Merge posture): carried files
+      // keep their sidecar slice (bytes identical → positions valid);
+      // rewritten fragments FOLD their deletions in — compacting a
+      // DV-carrying table must never resurrect deleted rows
+      Deletes.carrySidecarSlice(spark, liveDir.toString, staging, keep.map(_._1))
       if (frags.nonEmpty)
         compactedFiles(spark, liveDir.toString, frags, targetBytes)
           .write.mode("append").parquet(staging)

@@ -148,6 +148,28 @@ object Deletes {
       .unionByName(touchedDf)
   }
 
+  /** Carry `fromDir`'s deletion-vector rows for the named CARRIED
+    * files into `stagingDir`'s sidecar — the companion every
+    * carry-by-copy version derivation must call (Txn.append, the
+    * hard-link append sink, incremental compaction's kept files,
+    * MERGE's carried set): a carried file's bytes are identical, so
+    * its positions stay valid, and DROPPING the sidecar would
+    * silently resurrect deleted rows in the new version — deletes
+    * are semantics, and this is the bug the S26 change-feed spec
+    * caught (a DV delete followed by an append re-emitted the
+    * deleted key as an insert). No-op when `fromDir` has no sidecar
+    * or no carried file has entries. */
+  def carrySidecarSlice(
+      spark: SparkSession, fromDir: String, stagingDir: String,
+      carriedNames: Seq[String]): Unit = {
+    val dp = deletesPath(fromDir)
+    if (!Files.exists(Paths.get(dp)) || carriedNames.isEmpty) return
+    val slice = spark.read.parquet(dp)
+      .where(col("file").isin(carriedNames: _*))
+    if (slice.limit(1).count() > 0)
+      slice.write.parquet(deletesPath(stagingDir))
+  }
+
   /** Delete from the LIVE Publish version of `root` into a NEW
     * version: data files carried byte-identically (the Compact carry
     * contract — on an object store these are manifest references, not

@@ -188,13 +188,7 @@ object Merge {
       }
       // carried files keep their deletion-vector slice; rewritten
       // files fold theirs in below (readFiles applies it)
-      val priorDels = Deletes.deletesPath(liveDir)
-      if (Files.exists(Paths.get(priorDels)) && carried.nonEmpty) {
-        val slice = spark.read.parquet(priorDels)
-          .where(col("file").isin(carried: _*))
-        if (slice.limit(1).count() > 0)
-          slice.write.parquet(Deletes.deletesPath(staging))
-      }
+      Deletes.carrySidecarSlice(spark, liveDir, staging, carried)
 
       if (touched.nonEmpty) {
         val tgt = Deletes.readFiles(spark, liveDir, touched, Some(targetSchema))

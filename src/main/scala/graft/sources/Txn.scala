@@ -71,9 +71,13 @@ object Txn {
         Files.createDirectories(stagingPath)
         live.foreach { v =>
           val liveDir = Paths.get(root).resolve(s"v=$v")
-          Compact.listDataFiles(liveDir.toString).foreach { case (name, _) =>
+          val names = Compact.listDataFiles(liveDir.toString).map(_._1)
+          names.foreach { name =>
             Files.copy(liveDir.resolve(name), stagingPath.resolve(name)): Unit
           }
+          // carried bytes keep their deletion-vector slice — dropping
+          // it would resurrect deleted rows in the appended version
+          Deletes.carrySidecarSlice(spark, liveDir.toString, staging, names)
         }
         rows.write.mode("append").parquet(staging)
       }

@@ -81,9 +81,13 @@ object AppendStream {
           Files.createDirectories(Paths.get(staging)): Unit
           live.foreach { v =>
             val vDir = Paths.get(root).resolve(s"v=$v")
-            Compact.listDataFiles(vDir.toString).foreach { case (name, _) =>
+            val names = Compact.listDataFiles(vDir.toString).map(_._1)
+            names.foreach { name =>
               Files.createLink(Paths.get(staging).resolve(name), vDir.resolve(name)): Unit
             }
+            // linked bytes keep their deletion-vector slice
+            graft.sources.Deletes.carrySidecarSlice(
+              batch.sparkSession, vDir.toString, staging, names)
           }
           batch.write.mode("append").parquet(staging)
         }

@@ -26,4 +26,16 @@ object GraftBridge {
   /** Wrap an already-resolved catalyst expression as a Column. */
   def column(e: Expression): Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** Mark a batch DataFrame as a STREAMING batch — what a V1
+    * streaming `Source.getBatch` must return (the engine asserts
+    * isStreaming). The same `internalCreateDataFrame(isStreaming =
+    * true)` call Spark's own FileStreamSource makes; the plan becomes
+    * an opaque RDD leaf, which is the accepted V1-source trade. */
+  def asStreamingBatch(df: DataFrame): DataFrame = {
+    val classic = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }

@@ -158,4 +158,46 @@ class CompactSpec extends SparkSpec {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
       "compaction roundtrip diverges from the source table")
   }
+
+  test("deletion vectors compose: compaction folds fragments' deletes and carries kept files' slices") {
+    val sess = spark
+    import sess.implicits._
+    val root = Files.createTempDirectory("graft_compact_dv").toString
+    try {
+      // one BIG file (carried) + four tiny fragments (rewritten)
+      Publish.publishStaged(spark, root) { staging =>
+        Files.createDirectories(Paths.get(staging)): Unit
+        (1L to 100000L).map(i => (i, i)).toDF("id", "n")
+          .coalesce(1).write.mode("append").parquet(staging)
+        (0 until 4).foreach { b =>
+          ((200001L + b * 10) to (200010L + b * 10)).map(i => (i, i)).toDF("id", "n")
+            .coalesce(1).write.mode("append").parquet(staging)
+        }
+      }: Unit
+      // DV-delete rows in BOTH populations: some in the big carried
+      // file, some in a fragment
+      graft.sources.Deletes.deleteFromPublished(spark, root,
+        col("id").isin(5L, 6L, 200005L)): Unit
+
+      val (_, carried, rewritten) = Compact.compactPublishedIncremental(
+        spark, root, targetBytes = 1L << 18)
+      assert(carried == 1 && rewritten == 4, s"carried=$carried rewritten=$rewritten")
+
+      // the DV-applied read over the compacted version drops ALL
+      // deleted rows: folded ones (fragments) and sidecar ones (carried)
+      val served = graft.sources.Deletes.readPublished(spark, root)
+        .select("id").as[Long].collect().toSet
+      val expect = ((1L to 100000L) ++ (200001L to 200040L)).toSet -- Set(5L, 6L, 200005L)
+      assert(served == expect,
+        s"missing=${expect -- served} resurrected=${served -- expect}")
+      // and the rewritten files carry no sidecar debt: the only
+      // sidecar rows left reference the carried file
+      val liveDir = Paths.get(root)
+        .resolve(s"v=${Publish.currentVersion(root).get}").toString
+      val sidecarFiles = spark.read
+        .parquet(graft.sources.Deletes.deletesPath(liveDir))
+        .select("file").distinct().collect().map(_.getString(0)).toSet
+      assert(sidecarFiles.size == 1, s"sidecar spans $sidecarFiles")
+    } finally graft.sources.Sinks.deleteRecursively(Paths.get(root))
+  }
 }
