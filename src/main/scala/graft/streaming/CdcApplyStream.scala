@@ -49,7 +49,8 @@ object CdcApplyStream {
       batchId: Long,
       root: String,
       keys: Seq[String],
-      versionCols: Seq[Column]): Boolean = {
+      versionCols: Seq[Column],
+      evolveSchema: Boolean = false): Boolean = {
     if (lastBatch(root).exists(_ >= batchId)) return false
     // newest op per key wins within the batch — a key upserted then
     // deleted in one batch must end deleted, and Merge (correctly)
@@ -70,7 +71,12 @@ object CdcApplyStream {
           set = dataCols.map(c => c -> Merge.s(c)).toMap,
           deleteWhen = Some(Merge.s(OpCol) === DeleteOp),
           insertWhen = Some(col(OpCol) =!= DeleteOp),
-          extraMeta = Map(BatchKey -> batchId.toString)).version
+          extraMeta = Map(BatchKey -> batchId.toString),
+          // the q135 story through the stream: a change feed that
+          // grew a column WIDENS the table mid-stream (upstream APIs
+          // add fields; the feed should not have to stop); untouched
+          // files carry old-width, reads conform to the manifest
+          evolveSchema = evolveSchema).version
       }: Unit
     }
     true
@@ -84,10 +90,11 @@ object CdcApplyStream {
       root: String,
       keys: Seq[String],
       versionCols: Seq[Column],
-      checkpointLocation: Option[String] = None): StreamingQuery = {
+      checkpointLocation: Option[String] = None,
+      evolveSchema: Boolean = false): StreamingQuery = {
     val writer = changes.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, batchId, root, keys, versionCols): Unit
+        applyBatch(batch, batchId, root, keys, versionCols, evolveSchema): Unit
       }
     checkpointLocation.fold(writer)(writer.option("checkpointLocation", _)).start()
   }

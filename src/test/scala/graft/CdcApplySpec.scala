@@ -70,6 +70,33 @@ class CdcApplySpec extends SparkSpec {
     }
   }
 
+  test("evolveSchema: a change feed that grew a column widens the table mid-stream") {
+    val sess = spark
+    import sess.implicits._
+    val root = Files.createTempDirectory("graft_cdc_evo").toString
+    try {
+      // the target pre-exists NARROW (id, v); the feed arrives with a
+      // new `tag` column — the upstream-API-grew-a-field case
+      Publish.publish(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v"), root): Unit
+      val b = Seq(
+        (1L, 11L, "a", 1L, "upsert"),
+        (4L, 40L, "d", 1L, "upsert"),
+        (2L, 0L, "x", 1L, "delete")).toDF("id", "v", "tag", "seq", "op")
+      assert(CdcApplyStream.applyBatch(b, 0L, root, Seq("id"),
+        Seq(col("seq")), evolveSchema = true))
+
+      val got = Publish.readConformed(spark, root)
+        .select("id", "v", "tag")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          Option(r.getString(2)).orNull)).toSet
+      // upserted rows carry the new column; the untouched row (3) reads
+      // NULL through the manifest schema; the delete still deletes
+      assert(got == Set((1L, 11L, "a"), (3L, 30L, null), (4L, 40L, "d")), s"got=$got")
+    } finally {
+      graft.sources.Sinks.deleteRecursively(Paths.get(root))
+    }
+  }
+
   test("S24: streamed CDC equals batch-sequential application across chops") {
     val sess = spark
     import sess.implicits._
