@@ -73,9 +73,16 @@ object Compact {
     * exactly the input rows, partitioned so each write task emits one
     * ~`targetBytes` file. Callers write it wherever the new layout
     * should live ([[compactPublished]] hands it to Publish's
-    * staging→validate→promote path). */
-  def compacted(spark: SparkSession, dir: String, targetBytes: Long): DataFrame =
-    compactedFiles(spark, dir, listDataFiles(dir), targetBytes)
+    * staging→validate→promote path).
+    *
+    * @param schema conform every fragment to this schema (the live
+    *   MANIFEST's — [[Publish.liveManifestSchema]]) when the dir can
+    *   mix widths after a schema-evolving merge; without it a
+    *   footer-sampled read would silently drop evolved-column data
+    *   from the rewrite. */
+  def compacted(spark: SparkSession, dir: String, targetBytes: Long,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    compactedFiles(spark, dir, listDataFiles(dir), targetBytes, schema)
 
   /** [[compacted]] over an explicit file subset — the incremental
     * path reads ONLY the fragments it rewrites. */
@@ -83,7 +90,8 @@ object Compact {
       spark: SparkSession,
       dir: String,
       files: Seq[(String, Long)],
-      targetBytes: Long): DataFrame = {
+      targetBytes: Long,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val plan = planBins(files, targetBytes)
     require(plan.nonEmpty, s"nothing to compact at $dir")
     val nBins = plan.map(_._2).max + 1
@@ -92,7 +100,7 @@ object Compact {
     // read through the deletion vector (lineage kept: __file is the
     // name the bin plan keyed on) — a rewrite is the moment deletes
     // FOLD, so the rewritten files carry no sidecar debt
-    val data = Deletes.readFilesLineage(spark, dir, files.map(_._1))
+    val data = Deletes.readFilesLineage(spark, dir, files.map(_._1), schema)
     val cols = data.columns.filterNot(c => c == "__file" || c == "__pos")
     data
       .join(broadcast(planDf), Seq("__file"))
@@ -115,8 +123,11 @@ object Compact {
     val live = Publish.currentVersion(root).getOrElse(
       throw new IllegalStateException(s"nothing published at $root"))
     val liveDir = Paths.get(root).resolve(s"v=$live").toString
+    // the manifest, not a sampled footer, is the width authority: a
+    // post-evolution version mixes file widths, and the full rewrite
+    // must conform every fragment to it or evolved columns vanish
     Publish.publish(
-      compacted(spark, liveDir, targetBytes), root,
+      compacted(spark, liveDir, targetBytes, Publish.liveManifestSchema(root)), root,
       meta = Map("compacted_from" -> live.toString))
   }
 
@@ -151,12 +162,19 @@ object Compact {
     // never reset the sink's replay-refusal state
     // CAS on the version this compaction DERIVED from: racing a
     // writer must conflict (Txn.retry re-derives), never be lost
+    // post-evolution the live version mixes widths: rewritten
+    // fragments conform to the MANIFEST schema (or a narrow sampled
+    // footer would drop evolved-column data), and the new manifest
+    // records the union of carried-narrow + rewritten-wide files
+    // (mergeSchema), never a sampled footer's width
+    val manifestSchema = Publish.liveManifestSchema(root)
     val version = Publish.publishStagedIf(spark, root,
       expectedLive = Some(live),
       meta = Publish.carryReplayMarker(root, extraMeta) ++ extraMeta ++ Map(
       "compacted_from" -> live.toString,
       "carried" -> keep.size.toString,
-      "rewritten" -> frags.size.toString)) { staging =>
+      "rewritten" -> frags.size.toString),
+      mergeSchema = true) { staging =>
       Files.createDirectories(Paths.get(staging))
       keep.foreach { case (name, _) =>
         Files.copy(liveDir.resolve(name), Paths.get(staging).resolve(name)): Unit
@@ -167,7 +185,7 @@ object Compact {
       // DV-carrying table must never resurrect deleted rows
       Deletes.carrySidecarSlice(spark, liveDir.toString, staging, keep.map(_._1))
       if (frags.nonEmpty)
-        compactedFiles(spark, liveDir.toString, frags, targetBytes)
+        compactedFiles(spark, liveDir.toString, frags, targetBytes, manifestSchema)
           .write.mode("append").parquet(staging)
     }
     (version, keep.size, frags.size)

@@ -69,11 +69,15 @@ object Deletes {
     * captured and must only filter/join them — the returned rows'
     * `__file`/`__pos` drive the sidecar merge. */
   def deleteWhere(
-      spark: SparkSession, dir: String, doomed: DataFrame => DataFrame): Long = {
+      spark: SparkSession, dir: String, doomed: DataFrame => DataFrame,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Long = {
     // lineage is captured BEFORE the caller's transform: metadata
     // columns resolve against the scan relation only, so a caller
-    // joining first would find no `_metadata` to select
-    val base = spark.read.parquet(dir)
+    // joining first would find no `_metadata` to select. `schema`
+    // (the manifest's — the published path passes it) conforms a
+    // mixed-width post-evolution dir, so a predicate on an evolved
+    // column resolves even when the sampled footer is narrow
+    val base = schema.fold(spark.read)(spark.read.schema).parquet(dir)
       .withColumn("__file", fileNameCol)
       .withColumn("__pos", col("_metadata.row_index"))
     val hits = doomed(base)
@@ -209,10 +213,16 @@ object Deletes {
       throw new IllegalStateException(s"nothing published at $root"))
     val liveDir = Paths.get(root).resolve(s"v=$live")
     // CAS on the derived-from version (the Merge/Compact posture)
+    // mergeSchema: every file carries byte-identically, so a
+    // post-evolution mixed-width version must record the UNION schema
+    // in its new manifest, not whichever footer the validation read
+    // sampled; the same manifest schema conforms the doomed-row scan
+    // so predicates on evolved columns resolve
     val version = Publish.publishStagedIf(spark, root,
       expectedLive = Some(live),
       meta = Publish.carryReplayMarker(root, extraMeta) ++ extraMeta ++ Map(
-      "deleted_from" -> live.toString)) { staging =>
+      "deleted_from" -> live.toString),
+      mergeSchema = true) { staging =>
       val stagingPath = Paths.get(staging)
       Files.createDirectories(stagingPath)
       Compact.listDataFiles(liveDir.toString).foreach { case (name, _) =>
@@ -222,7 +232,7 @@ object Deletes {
       if (Files.exists(Paths.get(priorDels)))
         spark.read.parquet(priorDels)
           .write.parquet(deletesPath(staging))
-      deleteWhere(spark, staging, doomed): Unit
+      deleteWhere(spark, staging, doomed, Publish.liveManifestSchema(root)): Unit
     }
     version
   }
@@ -232,7 +242,11 @@ object Deletes {
   def readPublished(spark: SparkSession, root: String): DataFrame = {
     val v = Publish.currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no published version at $root"))
-    read(spark, Paths.get(root).resolve(s"v=$v").toString)
+    val dir = Paths.get(root).resolve(s"v=$v").toString
+    // conform to the manifest schema (the readConformed contract):
+    // post-evolution carried files read missing columns as NULL
+    readFiles(spark, dir, Compact.listDataFiles(dir).map(_._1),
+      Publish.liveManifestSchema(root))
   }
 
   /** Fold the deletion vector back into the data — publish a NEW
@@ -258,19 +272,26 @@ object Deletes {
     val carried = Compact.listDataFiles(liveDir.toString)
       .map(_._1).filterNot(touchedSet)
     // CAS on the derived-from version (the Merge/Compact posture)
+    // post-evolution posture: rewritten files conform to the MANIFEST
+    // schema (a narrow sampled footer would drop evolved-column data
+    // from the rewrite), carried narrow files sit next to them, and
+    // mergeSchema records the union width in the new manifest
+    val manifestSchema = Publish.liveManifestSchema(root)
     val version = Publish.publishStagedIf(spark, root,
       expectedLive = Some(live),
       meta = Publish.carryReplayMarker(root, extraMeta) ++ extraMeta ++ Map(
       "materialized_from" -> live.toString,
       "carried" -> carried.size.toString,
-      "rewritten" -> touched.size.toString)) { staging =>
+      "rewritten" -> touched.size.toString),
+      mergeSchema = true) { staging =>
       val stagingPath = Paths.get(staging)
       Files.createDirectories(stagingPath)
       carried.foreach { name =>
         Files.copy(liveDir.resolve(name), stagingPath.resolve(name)): Unit
       }
       if (touched.nonEmpty) {
-        val full = spark.read.parquet(touched.map(n => s"$liveDir/$n"): _*)
+        val full = manifestSchema.fold(spark.read)(spark.read.schema)
+          .parquet(touched.map(n => s"$liveDir/$n"): _*)
         val cols = full.columns.map(col)
         full
           .withColumn("__file", fileNameCol)

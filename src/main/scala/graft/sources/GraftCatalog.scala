@@ -219,7 +219,11 @@ object GraftCatalog {
               override def insert(data: org.apache.spark.sql.DataFrame,
                   legacyOverwrite: Boolean): Unit = {
                 if (overwrite || legacyOverwrite)
-                  Publish.publish(data, tableRoot): Unit
+                  // carry the streaming replay marker (Txn.append does
+                  // the same): a SQL overwrite between micro-batches
+                  // must not reset a sink's replay refusal
+                  Publish.publish(data, tableRoot,
+                    meta = Publish.carryReplayMarker(tableRoot, Map.empty)): Unit
                 else
                   Txn.append(data.sparkSession, tableRoot, data): Unit
               }

@@ -256,6 +256,17 @@ object Publish {
       .parquet(Paths.get(root).resolve(s"v=$v").toString)
   }
 
+  /** The LIVE manifest's schema as a StructType — the width authority
+    * every derived-version transform (Compact, Txn.append, Deletes,
+    * Merge) must resolve BEFORE reading fragments: after a
+    * schema-evolving merge the live version legitimately mixes file
+    * widths, and a footer-sampled read would silently drop the
+    * evolved columns from the rewrite. */
+  def liveManifestSchema(root: String): Option[org.apache.spark.sql.types.StructType] =
+    currentVersion(root)
+      .flatMap(v => manifestSchemaDdl(root, v))
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+
   /** The schema DDL `version`'s manifest records — the width
     * authority [[readConformed]] and the SQL catalog conform to. */
   def manifestSchemaDdl(root: String, version: Long): Option[String] = {

@@ -66,7 +66,17 @@ object Txn {
       meta: Map[String, String] = Map.empty,
       maxAttempts: Int = 5): Long =
     retry(root, maxAttempts) { live =>
-      Publish.publishStagedIf(spark, root, expectedLive = live, meta = meta) { staging =>
+      // carry the live manifest's replay marker (unless the caller's
+      // meta overrides it): an API/SQL append between streaming
+      // micro-batches must not publish a marker-less version and
+      // reset the sinks' replay refusal — a replayed batch would
+      // re-commit. mergeSchema: appended rows can sit next to carried
+      // files of a different width (post-evolution narrow carries, or
+      // a narrower insert); the manifest must record the union, never
+      // a sampled footer's width.
+      Publish.publishStagedIf(spark, root, expectedLive = live,
+        meta = Publish.carryReplayMarker(root, meta) ++ meta,
+        mergeSchema = true) { staging =>
         val stagingPath = Paths.get(staging)
         Files.createDirectories(stagingPath)
         live.foreach { v =>

@@ -76,8 +76,13 @@ object AppendStream {
       // re-derivation against ITS result — never lose the batch, and
       // never resurrect the pre-maintenance file set
       graft.sources.Txn.retry(root) { live =>
+        // mergeSchema: a batch can legitimately differ in width from
+        // the carried files (a post-evolution table, or a feed that
+        // grew a column) — the new manifest must record the union,
+        // never a sampled footer's width
         Publish.publishStagedIf(spark, root, expectedLive = live,
-          meta = Map(BatchKey -> batchId.toString)) { staging =>
+          meta = Map(BatchKey -> batchId.toString),
+          mergeSchema = true) { staging =>
           Files.createDirectories(Paths.get(staging)): Unit
           live.foreach { v =>
             val vDir = Paths.get(root).resolve(s"v=$v")
