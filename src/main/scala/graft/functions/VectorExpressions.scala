@@ -98,6 +98,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         new ExpressionInfo(classOf[DotProduct].getName, name),
         builder))
     }
+    // post-hoc: fully-resolved MERGE/UPDATE/DELETE against a
+    // GraftCatalog live table re-route onto the commit protocol
+    // before Spark's row-level capability check refuses them
+    ext.injectPostHocResolutionRule(session => graft.plans.RowLevelSqlBridge(session))
     ext.injectPreCBORule(session => graft.plans.IntervalOverlapRewrite(session))
     ext.injectPreCBORule(session => graft.plans.AsOfRewrite(session))
     ext.injectPreCBORule(session => graft.plans.TopRowRewrite(session))

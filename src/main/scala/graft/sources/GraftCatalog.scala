@@ -97,10 +97,16 @@ class GraftCatalog extends TableCatalog {
     val tr = tableRoot(ident)
     val dir = Paths.get(tr).resolve(s"v=$version")
     if (!Files.exists(dir)) noSuch(ident)
-    if (Files.exists(Paths.get(Deletes.deletesPath(dir.toString))))
-      throw new IllegalStateException(
-        s"version $version of ${ident.name()} carries a deletion vector — " +
+    val dvRefusal =
+      if (Files.exists(Paths.get(Deletes.deletesPath(dir.toString))))
+        Some(s"version $version of ${ident.name()} carries a deletion vector — " +
           "serve it through Deletes.readPublished, not the sidecar-blind SQL scan")
+      else None
+    // read-only loads exist only to be scanned, so a DV version
+    // refuses at load; the WRITABLE live load defers the refusal to
+    // scan time — row-level SQL (MERGE/UPDATE/DELETE via the bridge)
+    // reads through the sidecar itself and must stay addressable
+    if (!writable) dvRefusal.foreach(m => throw new IllegalStateException(m))
     // the manifest schema is the authority (readConformed's contract):
     // mixed-width post-evolution versions read missing columns as NULL
     val schema = Publish.manifestSchemaDdl(tr, version).map(StructType.fromDDL)
@@ -111,7 +117,7 @@ class GraftCatalog extends TableCatalog {
       Seq(dir.toString),
       schema,
       classOf[ParquetFileFormat])
-    if (writable) new GraftCatalog.WritableTable(parquet, tr) else parquet
+    if (writable) new GraftCatalog.WritableTable(parquet, tr, dvRefusal) else parquet
   }
 
   override def loadTable(ident: Identifier): Table =
@@ -185,6 +191,15 @@ class GraftCatalog extends TableCatalog {
 
 object GraftCatalog {
 
+  /** Marker + root accessor for the LIVE writable table — what lets
+    * [[graft.plans.RowLevelSqlBridge]] recognize a GraftCatalog
+    * target inside a MERGE/UPDATE/DELETE logical plan and route the
+    * statement onto the library's commit protocol. Only the live
+    * load implements it: time-travel and snapshot-mode loads stay
+    * plain read-only tables, so row-level SQL against history fails
+    * Spark's own capability check — the refusal contract. */
+  trait GraftWritable { def graftRoot: String }
+
   /** The live table with the SQL WRITE path attached: reads delegate
     * to the native parquet scan; `INSERT INTO` / `INSERT OVERWRITE`
     * commit through the library's own protocol via the DSv2 V1Write
@@ -195,9 +210,11 @@ object GraftCatalog {
     * exactly the guarantees API writes get — the alternative (a
     * pass-through file write into the version dir) would corrupt the
     * immutability contract every reader rests on. */
-  private final class WritableTable(delegate: ParquetTable, tableRoot: String)
-    extends Table with SupportsRead with SupportsWrite {
+  private final class WritableTable(delegate: ParquetTable, tableRoot: String,
+      dvRefusal: Option[String] = None)
+    extends Table with SupportsRead with SupportsWrite with GraftWritable {
 
+    override def graftRoot: String = tableRoot
     override def name(): String = delegate.name
     override def schema(): StructType = delegate.schema
     override def capabilities(): java.util.Set[TableCapability] =
@@ -206,8 +223,13 @@ object GraftCatalog {
         TableCapability.V1_BATCH_WRITE,
         TableCapability.TRUNCATE)
 
-    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+      // a DV-carrying live version refuses the sidecar-blind SCAN but
+      // stays addressable for row-level writes (which read through
+      // the sidecar themselves)
+      dvRefusal.foreach(m => throw new IllegalStateException(m))
       delegate.newScanBuilder(options)
+    }
 
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
       new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {

@@ -65,7 +65,9 @@ object Merge {
       inserted: Long,
       carriedFiles: Int,
       rewrittenFiles: Int,
-      candidateFiles: Int)
+      candidateFiles: Int,
+      bySourceDeleted: Long = 0L,
+      bySourceUpdated: Long = 0L)
 
   /** MERGE `source` INTO the live Publish version of `root` ON
     * equality of `keys`. Returns [[MergeStats]]; the new version is
@@ -75,6 +77,27 @@ object Merge {
     *   source key set to the driver to probe the per-file blooms —
     *   sound only while the delta is driver-sized, so sources larger
     *   than this fall back to the exact column-pruned scan.
+    * @param insertValues explicit VALUES for the NOT MATCHED insert
+    *   branch — expressions over PLAIN source columns, keyed by
+    *   target column name (the SQL `INSERT (cols) VALUES (exprs)`
+    *   list; columns left unassigned insert NULL). Without it,
+    *   inserts project the source's same-named columns, the API
+    *   convenience contract.
+    * @param bySourceDeleteWhen the SQL `WHEN NOT MATCHED BY SOURCE
+    *   THEN DELETE [AND cond]` branch — the reference's full-sync
+    *   rebuild shape (core_coin_wallet_transfers' exclusion rebuilds:
+    *   rows absent from the refreshed source must go). Condition is
+    *   over TARGET columns only (there is no source row). Pass
+    *   `Some(lit(true))` for the unconditional full-sync delete.
+    *   Target rows with no source match and a true condition are
+    *   dropped; file discovery widens to every file holding an
+    *   affected row (inherently a full key-column scan — full-sync is
+    *   a global statement).
+    * @param bySourceSet `WHEN NOT MATCHED BY SOURCE THEN UPDATE SET`
+    *   — target-column expressions applied to unmatched rows passing
+    *   `bySourceSetWhen` (default all unmatched). A row matching BOTH
+    *   by-source branches deletes (delete-wins; the SQL bridge
+    *   encodes clause order into the conditions).
     * @param evolveSchema the Delta `autoMerge` story: source columns
     *   absent from the target WIDEN it. Rewritten files carry the new
     *   columns (matched rows take their `set` expression, or the
@@ -99,7 +122,11 @@ object Merge {
       insertWhen: Option[Column] = None,
       extraMeta: Map[String, String] = Map.empty,
       maxBloomProbeKeys: Int = 100000,
-      evolveSchema: Boolean = false): MergeStats = {
+      evolveSchema: Boolean = false,
+      insertValues: Option[Map[String, Column]] = None,
+      bySourceDeleteWhen: Option[Column] = None,
+      bySourceSet: Map[String, Column] = Map.empty,
+      bySourceSetWhen: Option[Column] = None): MergeStats = {
     require(keys.nonEmpty, "merge needs at least one key column")
     val live = Publish.currentVersion(root).getOrElse(
       throw new IllegalStateException(s"nothing published at $root"))
@@ -150,12 +177,31 @@ object Merge {
       }
 
     // ---- exact overlap: key column of the candidates only ----
-    val touched: Seq[String] =
+    val matchedTouched: Seq[String] =
       if (candidates.isEmpty) Seq.empty
       else Deletes.readFilesLineage(spark, liveDir, candidates, Some(targetSchema))
         .select((col("__file") +: keys.map(col)): _*)
         .join(source.select(keys.map(col): _*), keys, "left_semi")
-        .select("__file").distinct().collect().map(_.getString(0)).toIndexedSeq.sorted
+        .select("__file").distinct().collect().map(_.getString(0)).toIndexedSeq
+
+    // ---- by-source discovery: files holding an AFFECTED unmatched
+    // row. Inherently a full scan of key + condition columns (a
+    // full-sync statement is global), but still column-pruned and
+    // never the full width; files whose every row matches (or fails
+    // the condition) stay carried. ----
+    val bySource = bySourceDeleteWhen.isDefined || bySourceSet.nonEmpty
+    val bySourceAffects: Column =
+      (bySourceDeleteWhen.toSeq ++
+        (if (bySourceSet.nonEmpty) Seq(bySourceSetWhen.getOrElse(lit(true))) else Nil))
+        .reduceOption(_ || _).getOrElse(lit(false))
+    val bsTouched: Seq[String] =
+      if (!bySource) Seq.empty
+      else Deletes.readFilesLineage(spark, liveDir, allFiles, Some(targetSchema))
+        .join(source.select(keys.map(col): _*).distinct(), keys, "left_anti")
+        .where(bySourceAffects)
+        .select("__file").distinct().collect().map(_.getString(0)).toIndexedSeq
+
+    val touched = (matchedTouched ++ bsTouched).distinct.sorted
     val touchedSet = touched.toSet
     val carried = allFiles.filterNot(touchedSet)
 
@@ -167,6 +213,7 @@ object Merge {
     val matchedFlag = coalesce(col(SrcPrefix + "exists"), lit(false))
 
     var updated = 0L; var deleted = 0L; var inserted = 0L
+    var bySourceDeleted = 0L; var bySourceUpdated = 0L
     // CAS on the version this merge DERIVED from: a concurrent
     // commit between discovery and flip must conflict (wrap in
     // Txn.retry to rebase by re-running the merge), never be lost
@@ -193,11 +240,23 @@ object Merge {
       if (touched.nonEmpty) {
         val tgt = Deletes.readFiles(spark, liveDir, touched, Some(targetSchema))
         val joinCond = keys.map(k => col(k) === col(SrcPrefix + k)).reduce(_ && _)
-        val doomed = matchedFlag && deleteWhen.getOrElse(lit(false))
+        // by-source branches: delete wins over update when both apply
+        // (the SQL bridge encodes clause order into the conditions)
+        val bsDoomed = !matchedFlag && bySourceDeleteWhen.getOrElse(lit(false))
+        val bsUpdFlag =
+          if (bySourceSet.isEmpty) lit(false)
+          else !matchedFlag && !bySourceDeleteWhen.getOrElse(lit(false)) &&
+            bySourceSetWhen.getOrElse(lit(true))
+        val doomed = (matchedFlag && deleteWhen.getOrElse(lit(false))) || bsDoomed
         val outCols = targetCols.map { c =>
-          set.get(c) match {
-            case Some(e) => when(matchedFlag, e).otherwise(col(c)).as(c)
-            case None => col(c)
+          (set.get(c), bySourceSet.get(c)) match {
+            case (None, None) => col(c)
+            case (m, b) =>
+              val first = m.map(e => when(matchedFlag, e))
+                .getOrElse(when(bsUpdFlag, b.get))
+              val chained = if (m.isDefined && b.isDefined)
+                first.when(bsUpdFlag, b.get) else first
+              chained.otherwise(col(c)).as(c)
           }
         } ++ newCols.map { c =>
           // a NEW column exists only where a source row supplied it:
@@ -208,10 +267,14 @@ object Merge {
         val joined = tgt.join(srcRenamed, joinCond, "left_outer")
           .withColumn("__matched", matchedFlag)
           .withColumn("__doomed", doomed)
+          .withColumn("__bs_upd", bsUpdFlag)
         joined.cache()
         try {
           updated = joined.where(col("__matched") && !col("__doomed")).count()
-          deleted = joined.where(col("__doomed")).count()
+          deleted = joined.where(col("__matched") && col("__doomed")).count()
+          bySourceDeleted = joined.where(!col("__matched") && col("__doomed")).count()
+          if (bySourceSet.nonEmpty)
+            bySourceUpdated = joined.where(col("__bs_upd") && !col("__doomed")).count()
           joined.where(!col("__doomed"))
             .select(outCols: _*)
             // one write task per rewritten input file keeps output
@@ -227,18 +290,32 @@ object Merge {
       // columns) gates which unmatched rows insert — a CDC delete
       // tombstone for an absent key must be a no-op, not an insert
       val insEligible = insertWhen.fold(source)(source.where)
-      val ins =
-        if (touched.isEmpty) insEligible.select(outColNames.map(col): _*)
+      val insBase =
+        if (touched.isEmpty) insEligible
         else insEligible.join(
           Deletes.readFiles(spark, liveDir, touched, Some(targetSchema))
             .select(keys.map(col): _*),
           keys, "left_anti")
-          .select(outColNames.map(col): _*)
+      // explicit VALUES list (the SQL bridge's insert assignments):
+      // expressions over plain source columns, unassigned target
+      // columns insert typed NULL
+      val ins = insertValues match {
+        case Some(iv) => insBase.select(outColNames.map { c =>
+          iv.get(c).map(_.as(c)).getOrElse {
+            val dt =
+              if (targetCols.contains(c)) targetSchema(targetSchema.fieldIndex(c)).dataType
+              else source.schema(c).dataType
+            lit(null).cast(dt).as(c)
+          }
+        }: _*)
+        case None => insBase.select(outColNames.map(col): _*)
+      }
       inserted = ins.count()
       if (inserted > 0)
         ins.write.mode("append").parquet(staging)
     }
     MergeStats(version, updated, deleted, inserted,
-      carried.size, touched.size, candidates.size)
+      carried.size, touched.size, candidates.size,
+      bySourceDeleted, bySourceUpdated)
   }
 }
