@@ -3111,6 +3111,112 @@ object SparkEntry {
          |  USING (event_type)""".stripMargin)
   }
 
+  /** q144: SQL MERGE INTO through the catalog
+    * ([[graft.plans.RowLevelSqlBridge]]) — the reference's
+    * DELETE+INSERT refresh (dune_transfers_updates; the full-rebuild
+    * exclusion shape of core_coin_wallet_transfers.py:224-303) as ONE
+    * standard SQL statement run end-to-end: a five-clause MERGE
+    * (conditional matched DELETE, matched UPDATE, conditional NOT
+    * MATCHED INSERT with an explicit VALUES list, and the NOT MATCHED
+    * BY SOURCE full-sync DELETE branch) executes against a live
+    * GraftCatalog table and commits through the same copy-on-write
+    * version protocol as the API merge (q128). The oracle re-derives
+    * the post-mutation state relationally (left join + CASE + filter
+    * + anti-union) from the ORIGINAL events table — a wrong clause
+    * order, a leaked by-source delete, or a value drifted through the
+    * bridge's expression rebinding breaks the hash. Decimal-exact
+    * arithmetic on both engines (the q97/q100 posture). */
+  private def sqlCatalogFor(spark: SparkSession, tableDir: String, tag: String): (String, String) = {
+    val parent = java.nio.file.Paths.get(tableDir).getParent.toString
+    val tname = java.nio.file.Paths.get(tableDir).getFileName.toString
+    // catalog instances cache their root at first reference — key the
+    // name on the artifact identity so a regenerated fingerprint gets
+    // a fresh catalog (the q143 lesson)
+    val cat = tag + (tname.hashCode.toLong & 0xffffffffL)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", parent)
+    (cat, tname)
+  }
+
+  private def sqlMergedEventsRoot(spark: SparkSession, dir: String): String =
+    graft.tools.Scratch.cachedArtifact(
+      "graft_sqlmerge", dir, s"$dir/events.parquet") { (tableDir, _) =>
+      graft.sources.Publish.publish(
+        Tables.events(spark, dir).repartition(8), tableDir): Unit
+      val (cat, tname) = sqlCatalogFor(spark, tableDir, "gsm")
+      val ev = Tables.events(spark, dir)
+      // disjoint op assignment (%13 wins) keeps the source key-unique,
+      // the MERGE ambiguity contract
+      val updDel = ev
+        .where(col("event_id") % 11 === 0 || col("event_id") % 13 === 0)
+        .select(col("event_id"),
+          when(col("event_id") % 13 === 0, "D").otherwise("U").as("op"),
+          (round(col("value"), 6).cast("decimal(18,6)") * 2)
+            .cast("double").as("new_value"),
+          col("ts"), col("user_id"), col("event_type"), col("value"), col("props"))
+      val ins = ev.where(col("event_id") % 17 === 0)
+        .select((col("event_id") + 200000000L).as("event_id"),
+          lit("I").as("op"), col("value").as("new_value"),
+          col("ts"), (col("user_id") + 2000000L).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      updDel.unionByName(ins).createOrReplaceTempView("graft_q144_src")
+      spark.sql(
+        s"""MERGE INTO $cat.`$tname` t USING graft_q144_src s
+           |ON t.event_id = s.event_id
+           |WHEN MATCHED AND s.op = 'D' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET value = s.new_value
+           |WHEN NOT MATCHED AND s.op = 'I' THEN
+           |  INSERT (event_id, ts, user_id, event_type, value, props)
+           |  VALUES (s.event_id, s.ts, s.user_id, s.event_type, s.value, s.props)
+           |WHEN NOT MATCHED BY SOURCE AND t.user_id % 1000 = 77 THEN DELETE
+           |""".stripMargin): Unit
+    }
+
+  def q144SqlMerge(spark: SparkSession, dir: String): DataFrame = {
+    val (cat, tname) = sqlCatalogFor(spark, sqlMergedEventsRoot(spark, dir), "gsm")
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n_events,
+         |  count(DISTINCT user_id) AS n_users,
+         |  CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+         |    AS sum_value
+         |FROM $cat.`$tname` GROUP BY event_type""".stripMargin)
+  }
+
+  /** q145: SQL DELETE + UPDATE through the catalog
+    * ([[graft.plans.RowLevelSqlBridge]] → the copy-on-write
+    * [[graft.sources.Updates]] operators) — the remaining row-level
+    * verbs as plain SQL statements against a live table: a takedown-
+    * shaped DELETE, then an UPDATE rescaling a user cohort's values,
+    * each committing a pruned file rewrite as its own version (only
+    * files holding an affected row rewrite; the rest carry
+    * byte-identically, RowLevelSqlSpec proves the SHA-256s). The
+    * oracle re-derives the final state with the predicate negated and
+    * the SET expression as a CASE — decimal-exact on both engines. */
+  private def sqlRowWritesRoot(spark: SparkSession, dir: String): String =
+    graft.tools.Scratch.cachedArtifact(
+      "graft_sqlrow", dir, s"$dir/events.parquet") { (tableDir, _) =>
+      graft.sources.Publish.publish(
+        Tables.events(spark, dir).repartition(8), tableDir): Unit
+      val (cat, tname) = sqlCatalogFor(spark, tableDir, "gsr")
+      spark.sql(
+        s"DELETE FROM $cat.`$tname` WHERE event_type = 'error' AND value > 50.0"): Unit
+      spark.sql(
+        s"""UPDATE $cat.`$tname`
+           |SET value = CAST(CAST(round(value, 6) AS DECIMAL(18,6)) * 3 AS DOUBLE)
+           |WHERE user_id % 10 = 3""".stripMargin): Unit
+    }
+
+  def q145SqlRowWrites(spark: SparkSession, dir: String): DataFrame = {
+    val (cat, tname) = sqlCatalogFor(spark, sqlRowWritesRoot(spark, dir), "gsr")
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n_events,
+         |  count(DISTINCT user_id) AS n_users,
+         |  CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+         |    AS sum_value
+         |FROM $cat.`$tname` GROUP BY event_type""".stripMargin)
+  }
+
   def q124DeclaredDedupe(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir).createOrReplaceTempView("graft_q124_events")
     spark.sql(
@@ -3909,7 +4015,9 @@ object SparkEntry {
     "q140_verbatim_spans"        -> (q140VerbatimSpans _),
     "q141_semantic_dedup"        -> (q141SemanticDedup _),
     "q142_variant_extract"       -> (q142VariantExtract _),
-    "q143_sql_time_travel"       -> (q143SqlTimeTravel _)
+    "q143_sql_time_travel"       -> (q143SqlTimeTravel _),
+    "q144_sql_merge"             -> (q144SqlMerge _),
+    "q145_sql_row_writes"        -> (q145SqlRowWrites _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -6237,6 +6345,51 @@ object SparkEntry {
         |  COUNT(DISTINCT user_id) AS n_users,
         |  CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM merged GROUP BY event_type""".stripMargin,
+
+    // the SQL MERGE re-derived relationally: U keys left-join to
+    // their doubled value, D keys drop, I keys append with remapped
+    // users, and the NOT MATCHED BY SOURCE branch drops the user-77
+    // cohort among unmatched rows — the Spark side ran the literal
+    // five-clause MERGE statement through the catalog bridge
+    "q144_sql_merge" ->
+      """WITH src AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    CAST(CAST(ROUND(value, 6) AS DECIMAL(18,6)) * 2 AS DOUBLE) AS new_value
+        |  FROM events WHERE event_id % 11 = 0 OR event_id % 13 = 0
+        |),
+        |merged AS (
+        |  SELECT t.event_type, t.user_id,
+        |    CASE WHEN s.op = 'U' THEN s.new_value ELSE t.value END AS value
+        |  FROM events t LEFT JOIN src s USING (event_id)
+        |  WHERE NOT COALESCE(s.op = 'D', FALSE)
+        |    AND NOT (s.event_id IS NULL AND t.user_id % 1000 = 77)
+        |  UNION ALL
+        |  SELECT event_type, user_id + 2000000 AS user_id, value
+        |  FROM events WHERE event_id % 17 = 0
+        |)
+        |SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM merged GROUP BY event_type""".stripMargin,
+
+    // SQL DELETE then UPDATE re-derived: predicate negated, SET as a
+    // CASE over the survivors — the Spark side ran the literal
+    // statements through the catalog bridge as two pruned
+    // copy-on-write version commits
+    "q145_sql_row_writes" ->
+      """WITH survivors AS (
+        |  SELECT event_type, user_id,
+        |    CASE WHEN user_id % 10 = 3
+        |         THEN CAST(CAST(ROUND(value, 6) AS DECIMAL(18,6)) * 3 AS DOUBLE)
+        |         ELSE value END AS value
+        |  FROM events
+        |  WHERE NOT (event_type = 'error' AND value > 50.0)
+        |)
+        |SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM survivors GROUP BY event_type""".stripMargin,
 
     // the full recompute over the NEW snapshots — the Spark side
     // maintained the rollup incrementally from the old one via the
