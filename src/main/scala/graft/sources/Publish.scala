@@ -46,8 +46,11 @@ object Publish {
   private val CommitLock = "_COMMIT_LOCK"
   // a crashed writer's lock must not wedge the table forever: any
   // writer may break a lock older than this (local-FS pragmatics; an
-  // object store replaces the whole lock with a conditional put)
-  private val LockStaleMs = 60000L
+  // object store replaces the whole lock with a conditional put).
+  // A def over a system property so specs can exercise the
+  // stale-break and heartbeat protocol in milliseconds.
+  private def LockStaleMs: Long =
+    sys.props.get("graft.publish.lockStaleMs").map(_.toLong).getOrElse(60000L)
 
   /** A conditional commit found the table moved past its expected
     * base — the caller's staged change was derived from a superseded
@@ -135,10 +138,14 @@ object Publish {
     }
   }
 
-  private[sources] def withCommitLock[T](rootPath: Path)(body: => T): T = {
+  private[graft] def withCommitLock[T](rootPath: Path)(body: => T): T = {
     val lock = rootPath.resolve(CommitLock)
     var held = false
-    val deadline = System.currentTimeMillis() + LockStaleMs
+    // waiters tolerate a LIVE long-running holder (heartbeat below
+    // keeps its mtime fresh) up to 10× the stale horizon before
+    // giving up — bounded, but no longer the old behavior of breaking
+    // a legitimate large commit mid-critical-section at 60 s
+    val deadline = System.currentTimeMillis() + LockStaleMs * 10
     while (!held) {
       try { Files.createFile(lock); held = true }
       catch {
@@ -146,14 +153,64 @@ object Publish {
           val age = try System.currentTimeMillis() -
             Files.getLastModifiedTime(lock).toMillis
           catch { case _: java.nio.file.NoSuchFileException => -1L }
-          if (age > LockStaleMs) Files.deleteIfExists(lock): Unit
+          if (age > LockStaleMs) breakStaleLock(rootPath, lock)
           else if (System.currentTimeMillis() > deadline)
             throw new IllegalStateException(
-              s"commit lock at $rootPath held past the stale horizon")
+              s"commit lock at $rootPath held past the wait horizon")
           else Thread.sleep(20)
       }
     }
-    try body finally Files.deleteIfExists(lock): Unit
+    // HEARTBEAT: the holder refreshes the lock's mtime from a daemon
+    // thread, so a commit that legitimately outlives the stale
+    // horizon (a large merge or compaction stages under the lock) is
+    // never mistaken for a crashed writer and broken mid-section —
+    // only a holder that STOPPED beating (crash, kill) goes stale
+    val beat = new Thread(() => {
+      try while (!Thread.currentThread().isInterrupted) {
+        Thread.sleep(LockStaleMs / 4)
+        Files.setLastModifiedTime(lock,
+          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      } catch {
+        case _: InterruptedException => ()
+        case _: java.nio.file.NoSuchFileException => ()
+      }
+    }, s"graft-commit-lock-heartbeat")
+    beat.setDaemon(true)
+    beat.start()
+    try body finally {
+      beat.interrupt()
+      Files.deleteIfExists(lock): Unit
+    }
+  }
+
+  /** Break a stale lock via ATOMIC RENAME to a unique tombstone:
+    * exactly one racing breaker wins the move (the losers' renames
+    * throw and re-loop) — the old deleteIfExists+createFile sequence
+    * let a second breaker delete the first breaker's freshly created
+    * lock, admitting two writers. After winning, the tombstone's
+    * mtime is re-checked: a lock that turned out FRESH (its holder
+    * heartbeat between our staleness read and the move) is moved
+    * back; if the move-back loses a race to a new creator the
+    * tombstone is dropped — the version-directory rename and the CAS
+    * check remain the hard backstops against a double commit. An
+    * object store replaces this whole dance with a conditional put. */
+  private def breakStaleLock(rootPath: Path, lock: Path): Unit = {
+    val tomb = rootPath.resolve(
+      s".$CommitLock.broken.${java.util.UUID.randomUUID()}")
+    try {
+      Files.move(lock, tomb, StandardCopyOption.ATOMIC_MOVE)
+      val age = System.currentTimeMillis() - Files.getLastModifiedTime(tomb).toMillis
+      if (age > LockStaleMs) Files.deleteIfExists(tomb): Unit
+      else {
+        try Files.move(tomb, lock, StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileSystemException =>
+          Files.deleteIfExists(tomb): Unit
+        }
+      }
+    } catch {
+      case _: java.nio.file.NoSuchFileException => () // another breaker won
+      case _: java.nio.file.FileSystemException => ()
+    }
   }
 
   private def publishLocked(spark: SparkSession, rootPath: Path,

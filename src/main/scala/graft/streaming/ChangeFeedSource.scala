@@ -116,32 +116,47 @@ class ChangeFeedSource(
 
   private def ver(o: V1Offset): Long = o.json().toLong
 
-  /** Version 1 surfaced as the feed's opening inserts (from_version
-    * 0): a subscriber that starts from nothing first receives the
-    * whole initial snapshot, then deltas — Delta CDF's
-    * startingVersion-0 semantics. */
-  private def initialInserts(): DataFrame = {
-    val v1 = Deletes.read(spark,
-      java.nio.file.Paths.get(root).resolve("v=1").toString)
+  /** The bootstrap snapshot surfaced as the feed's opening inserts
+    * (from_version = bootVersion−1): a subscriber that starts from
+    * nothing first receives one whole retained snapshot, then deltas
+    * — Delta CDF's startingVersion semantics. The bootstrap version
+    * is the OLDEST RETAINED one, not a hardcoded v=1: on any table
+    * whose early versions were vacuumed/expired (the append sink
+    * defaults to keep=1), v=1 is gone and a new subscriber must
+    * start from the retention horizon — the same horizon contract as
+    * mid-stream lag (versions reaped inside a pending range still
+    * refuse loudly). */
+  private def initialInserts(bootVersion: Long): DataFrame = {
+    val snap = Deletes.read(spark,
+      java.nio.file.Paths.get(root).resolve(s"v=$bootVersion").toString)
     val cols =
       keys.map(col) ++
         Seq(lit("insert").as("change_type")) ++
         values.flatMap { v =>
-          Seq(lit(null).cast(v1.schema(v).dataType).as(s"old_$v"),
+          Seq(lit(null).cast(snap.schema(v).dataType).as(s"old_$v"),
             col(v).as(s"new_$v"))
         } ++
-        Seq(lit(0L).as("from_version"), lit(1L).as("to_version"))
-    v1.select(cols: _*)
+        Seq(lit(bootVersion - 1L).as("from_version"),
+          lit(bootVersion).as("to_version"))
+    snap.select(cols: _*)
   }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val from = start.map(ver).getOrElse(0L)
     val to = ver(end)
-    val snapshotStep =
-      if (from == 0L && to >= 1L) Some(initialInserts()) else None
+    // a fresh subscriber boots from the oldest version still on disk
+    // (≤ the batch's end — a racing writer may have committed newer)
+    val (snapshotStep, deltaFrom) =
+      if (from == 0L && to >= 1L) {
+        val boot = Publish.listVersions(java.nio.file.Paths.get(root))
+          .filter(_ <= to).minOption.getOrElse(
+            throw new IllegalStateException(
+              s"graft-cdc: no retained version ≤ $to at $root — expired past retention?"))
+        (Some(initialInserts(boot)), boot)
+      } else (None, math.max(from, 1L))
     val deltaSteps =
-      if (math.max(from, 1L) < to)
-        Some(Scd.changeFeedBetween(spark, root, math.max(from, 1L), to, keys, values))
+      if (deltaFrom < to)
+        Some(Scd.changeFeedBetween(spark, root, deltaFrom, to, keys, values))
       else None
     val batch = (snapshotStep.toSeq ++ deltaSteps.toSeq)
       .reduceOption(_ unionByName _)

@@ -103,4 +103,35 @@ class ChangeFeedSourceSpec extends SparkSpec {
       } finally q.stop()
     } finally graft.sources.Sinks.deleteRecursively(Paths.get(root))
   }
+
+  test("S26: a new subscriber boots from the oldest RETAINED version after v=1 is vacuumed") {
+    val sess = spark
+    import sess.implicits._
+    val root = Files.createTempDirectory("graft_cdcsrc3").toString
+    try {
+      // three versions, then a vacuum that reaps v1 (keep=1 retains
+      // the live v3 + newest old v2) — the r8 advisor's stream-can-
+      // never-start case: the old hardcoded v=1 bootstrap threw forever
+      Publish.publish(Seq((1L, 10L)).toDF("id", "v"), root): Unit
+      Txn.append(spark, root, Seq((2L, 20L)).toDF("id", "v")): Unit
+      Txn.append(spark, root, Seq((3L, 30L)).toDF("id", "v")): Unit
+      assert(Publish.vacuum(root, keep = 1) == Seq(1L))
+
+      val df = spark.readStream.format(Fmt)
+        .option("root", root).option("keys", "id").option("values", "v")
+        .load()
+      val q = df.writeStream.format("memory").queryName("cdc_boot").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("cdc_boot")
+          .select(col("id"), col("change_type"), col("from_version"), col("to_version"))
+          .as[(Long, String, Long, Long)].collect().toSet
+        // boot = v2's snapshot as inserts (lineage 1→2), then the
+        // v2→v3 delta — the full live state, no gap, no v1 read
+        assert(got == Set(
+          (1L, "insert", 1L, 2L), (2L, "insert", 1L, 2L),
+          (3L, "insert", 2L, 3L)), s"bootstrap-from-horizon wrong: $got")
+      } finally q.stop()
+    } finally graft.sources.Sinks.deleteRecursively(Paths.get(root))
+  }
 }

@@ -94,4 +94,58 @@ class PublishSpec extends SparkSpec {
     assert(Publish.listVersions(Paths.get(root)) == Seq(4L))
     assert(Publish.read(spark, root).count() == 1L)
   }
+
+  test("commit lock: heartbeat protects a live long holder; stale break is single-winner") {
+    val root = freshRoot()
+    val rootPath = Paths.get(root)
+    Files.createDirectories(rootPath)
+    sys.props("graft.publish.lockStaleMs") = "1500"
+    try {
+      // 1. A LIVE holder whose critical section outlives the stale
+      // horizon: the heartbeat keeps its mtime fresh, so a concurrent
+      // waiter must WAIT (not break in and interleave) — both bodies
+      // run, strictly serialized
+      val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val slow = new Thread(() => Publish.withCommitLock(rootPath) {
+        order.add("slow-start")
+        Thread.sleep(4500) // 3× the stale horizon
+        order.add("slow-end")
+      }: Unit)
+      slow.start()
+      Thread.sleep(300) // let the slow holder take the lock
+      Publish.withCommitLock(rootPath) { order.add("fast"): Unit }
+      slow.join()
+      assert(order.toArray.toSeq == Seq("slow-start", "slow-end", "fast"),
+        s"heartbeat failed to protect the long holder: ${order.toArray.toSeq}")
+
+      // 2. A genuinely stale lock (no heartbeat — a crashed writer):
+      // many concurrent waiters must ALL get through, one at a time
+      // (the old delete+create break let one breaker delete another's
+      // fresh lock, admitting two writers at once)
+      Files.createFile(rootPath.resolve("_COMMIT_LOCK"))
+      Files.setLastModifiedTime(rootPath.resolve("_COMMIT_LOCK"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 10000))
+      val inSection = new java.util.concurrent.atomic.AtomicInteger(0)
+      val maxSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+      val done = new java.util.concurrent.atomic.AtomicInteger(0)
+      val racers = (1 to 6).map(_ => new Thread(() =>
+        Publish.withCommitLock(rootPath) {
+          val now = inSection.incrementAndGet()
+          maxSeen.getAndUpdate(m => math.max(m, now))
+          Thread.sleep(30)
+          inSection.decrementAndGet()
+          done.incrementAndGet()
+        }: Unit))
+      racers.foreach(_.start())
+      racers.foreach(_.join(10000))
+      assert(done.get() == 6, s"only ${done.get()}/6 racers got the lock")
+      assert(maxSeen.get() == 1,
+        s"${maxSeen.get()} writers inside the critical section at once")
+      assert(!Files.exists(rootPath.resolve("_COMMIT_LOCK")),
+        "lock left behind after all holders exited")
+    } finally {
+      sys.props.remove("graft.publish.lockStaleMs"): Unit
+    }
+  }
 }
