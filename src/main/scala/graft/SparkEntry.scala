@@ -3217,6 +3217,84 @@ object SparkEntry {
          |FROM $cat.`$tname` GROUP BY event_type""".stripMargin)
   }
 
+  /** q146: exact triangle counting
+    * ([[operators.GraphOps.triangleCounts]]) — the third classic
+    * graph shape next to BFS (q83) and PageRank (q84), over the
+    * supplier co-fulfillment graph: suppliers are adjacent when they
+    * both ship high-quantity lines (> 45) of the same order. Edge
+    * derivation is q89's in-row pair generation — per-order supplier
+    * sets are bounded (≤ 7 lineitems per order by construction), so
+    * ONE shuffle on the order key replaces the lineitem self-join the
+    * oracle states. Counting is degree-ordered compact-forward: each
+    * triangle materializes exactly once at its (deg, id)-minimal
+    * vertex, hub fan-out capped at out-degree ≤ O(√m) — the bound
+    * that keeps a skewed degree distribution from going quadratic at
+    * corpus scale. Integer-exact, so the DuckDB three-way self-join
+    * re-derives it verbatim (orientation changes the PLAN, never the
+    * triangle set). */
+  def q146TriangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val hi = Tables.lineitem(spark, dir)
+      .where(col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val edges = hi.groupBy("l_orderkey")
+      .agg(array_sort(collect_set(col("l_suppkey"))).as("ss"))
+      .where(size(col("ss")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ss, (x, i) ->
+          |  transform(slice(ss, i + 2, size(ss)),
+          |    y -> struct(x as src, y as dst))))""".stripMargin)).as("e"))
+      .select(col("e.src"), col("e.dst"))
+    GraphOps.triangleCounts(edges)
+      .select(col("node").as("supplier"), col("degree"), col("n_triangles"))
+  }
+
+  /** q147: incremental SCD2 apply-changes
+    * ([[operators.Scd.scd2Apply]]) — the APPLY CHANGES maintenance
+    * step over q93's dimension: history built from changes through
+    * 2024-01-20, then the remaining days applied as a batch.
+    * Untouched wallets carry verbatim (anti-join, no window work);
+    * touched wallets rebuild per-key, which is what gets the
+    * boundary right — a batch day restating the wallet's current
+    * tier opens NO version (no-op suppression crosses the split).
+    * The oracle is the FULL recompute (q93's SQL over the whole
+    * range): the gate literally checks
+    * apply(history(base), batch) ≡ history(base ∪ batch). */
+  def q147Scd2Apply(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val dayW = Window.partitionBy(col("user_id"), to_date(col("ts")))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val closing = ev
+      .withColumn("__rn", row_number().over(dayW))
+      .where(col("__rn") === 1)
+      .select(
+        col("user_id").as("wallet"),
+        to_date(col("ts")).as("date"),
+        when(col("value") < 25, "low")
+          .when(col("value") < 75, "mid")
+          .otherwise("high").as("tier"))
+      .transform(graft.CacheScope.persisted(_))
+    val split = lit("2024-01-20").cast("date")
+    val dim = Scd.scd2History(
+      closing.where(col("date") <= split), Seq("wallet"), "date", Seq("tier"))
+      .select("wallet", "tier", "version", "valid_from", "valid_to", "is_current")
+    Scd.scd2Apply(dim, closing.where(col("date") > split),
+        Seq("wallet"), "date", Seq("tier"))
+      .select(col("wallet"), col("version").cast("long").as("version"),
+        col("tier"), col("valid_from"), col("valid_to"), col("is_current"))
+  }
+
+  /** q148: Unicode text canonicalization
+    * ([[text.TextOps.normalizeText]]) — NFC composition (the native
+    * [[functions.NfcNormalize]] expression; Spark has no built-in),
+    * control-char strip, whitespace collapse, trim: the byte-identity
+    * pass that runs BEFORE every hashing/shingling operator, because
+    * composed `é` and decomposed `e`+U+0301 are the same text but
+    * different shingles. One codegen'd narrow pass, no shuffle;
+    * DuckDB's `nfc_normalize` is the UAX #15 twin, so the oracle
+    * hash-checks the normalized text itself. */
+  def q148TextNormalize(spark: SparkSession, dir: String): DataFrame =
+    TextOps.normalizeText(Tables.documents(spark, dir), "doc_id", "text")
+
   def q124DeclaredDedupe(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir).createOrReplaceTempView("graft_q124_events")
     spark.sql(
@@ -4017,7 +4095,10 @@ object SparkEntry {
     "q142_variant_extract"       -> (q142VariantExtract _),
     "q143_sql_time_travel"       -> (q143SqlTimeTravel _),
     "q144_sql_merge"             -> (q144SqlMerge _),
-    "q145_sql_row_writes"        -> (q145SqlRowWrites _)
+    "q145_sql_row_writes"        -> (q145SqlRowWrites _),
+    "q146_triangle_count"        -> (q146TriangleCount _),
+    "q147_scd2_apply"            -> (q147Scd2Apply _),
+    "q148_text_normalize"        -> (q148TextNormalize _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -4031,7 +4112,11 @@ object SparkEntry {
       "q41_embedding_neardup_scale" -> m("q26_embedding_dedup"),
       "q44_wallet_profits_bucketed" -> m("q10_wallet_profits"),
       "q48_skew_join_plain"         -> m("q47_skew_join_salted"),
-      "q49_embedding_neardup_tiled" -> m("q26_embedding_dedup"))
+      "q49_embedding_neardup_tiled" -> m("q26_embedding_dedup"),
+      // the incremental apply's contract IS the full recompute:
+      // apply(history(base), batch) ≡ history(base ∪ batch) — q93's
+      // oracle over the whole range states the right-hand side
+      "q147_scd2_apply"             -> m("q93_scd2_history"))
   }
 
   /** q84's oracle: GraphOps.pageRank's integer recurrence unrolled,
@@ -4173,6 +4258,54 @@ object SparkEntry {
          |FROM prof2""".stripMargin
 
   private def baseOracleSql: Map[String, String] = Map(
+    "q146_triangle_count" ->
+      // id-ordered (a < b < c) three-way self-join: the triangle SET
+      // is orientation-invariant, so this re-derives the Spark side's
+      // degree-ordered compact-forward output verbatim
+      """WITH e AS (
+        |  SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+        |  WHERE l1.l_quantity > 45 AND l2.l_quantity > 45
+        |),
+        |deg AS (
+        |  SELECT node, COUNT(*) AS degree FROM (
+        |    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+        |  ) GROUP BY 1
+        |),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |       JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        |),
+        |pern AS (
+        |  SELECT node, COUNT(*) AS n_tri FROM (
+        |    SELECT x AS node FROM tri
+        |    UNION ALL SELECT y FROM tri
+        |    UNION ALL SELECT z FROM tri
+        |  ) GROUP BY 1
+        |)
+        |SELECT deg.node AS supplier, deg.degree,
+        |  COALESCE(pern.n_tri, 0) AS n_triangles
+        |FROM deg LEFT JOIN pern ON pern.node = deg.node""".stripMargin,
+
+    "q148_text_normalize" ->
+      // nfc_normalize is DuckDB's UAX #15 twin of graft_nfc; both
+      // regexes live in the Java ∩ RE2 subset (the piiScrub contract)
+      """WITH n AS (
+        |  SELECT doc_id, text,
+        |    TRIM(regexp_replace(
+        |      regexp_replace(nfc_normalize(text),
+        |        '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |      '\s+', ' ', 'g')) AS norm_text
+        |  FROM documents
+        |)
+        |SELECT doc_id, norm_text,
+        |  LENGTH(text) AS n_chars_raw,
+        |  LENGTH(norm_text) AS n_chars,
+        |  norm_text IS DISTINCT FROM text AS changed
+        |FROM n""".stripMargin,
+
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  ROUND(SUM(l_quantity), 2) AS sum_qty,

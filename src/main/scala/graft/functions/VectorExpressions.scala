@@ -70,6 +70,11 @@ object GraftFunctions {
     "graft_kll_merge_agg" -> (args => KllMergeAgg(args(0))),
     "graft_kll_quantiles" -> (args => KllQuantiles(args(0), args(1))),
     "graft_cms_probe" -> (args => CmsProbeAll(args(0), args(1))),
+    "graft_kmv_agg" -> (args => {
+      require(args.length == 2 && args(1).foldable,
+        "graft_kmv_agg(hash, k) needs a literal k")
+      KmvAgg(args(0), args(1).eval().asInstanceOf[Number].intValue())
+    }),
     "graft_bloom_agg" -> (args => {
       require(args.length == 3 && args(1).foldable && args(2).foldable,
         "graft_bloom_agg(hash, expectedItems, fpp) needs literal sizing args")
@@ -77,7 +82,8 @@ object GraftFunctions {
         args(1).eval().asInstanceOf[Number].longValue(),
         args(2).eval().asInstanceOf[Number].doubleValue())
     }),
-    "graft_bloom_contains" -> (args => BloomMightContain(args(0), args(1))))
+    "graft_bloom_contains" -> (args => BloomMightContain(args(0), args(1))),
+    "graft_nfc" -> (args => NfcNormalize(args(0))))
 
   /** Idempotent per-session registration (temp functions). */
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>

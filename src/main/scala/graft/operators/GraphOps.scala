@@ -198,4 +198,68 @@ object GraphOps {
     }
     rank.select(col("node"), col("r").as("rank_fp"))
   }
+
+  /** Exact per-node triangle counts over an undirected edge list —
+    * the third classic graph shape next to BFS ([[hopDistances]]) and
+    * PageRank ([[pageRank]]), and like BFS it is integer-exact, so an
+    * independent engine re-derives it verbatim (the DuckDB oracle is
+    * the literal three-way self-join).
+    *
+    * Degree-ordered orientation (the Ortmann–Brandes / MR-standard
+    * compact-forward scheme): each canonical edge is directed from
+    * its lower endpoint to its higher endpoint under the total order
+    * (degree, id). Every triangle then materializes EXACTLY ONCE — as
+    * a wedge centered at its ≺-minimal vertex whose closing pair
+    * (v, w) appears in the oriented set in one direction only — so no
+    * distinct/dedupe shuffle is ever needed. The orientation is also
+    * the scale bound: a hub's edges all point INTO it, so wedge
+    * fan-out per node is capped by its out-degree ≤ O(√m), and total
+    * wedge work is O(m^{3/2}) instead of Σdeg² (which a skewed degree
+    * distribution turns quadratic). Plan: one distinct shuffle
+    * (canonical edges), one degree aggregation, two equi-joins to
+    * attach degrees, then the wedge join on the center node and the
+    * closing-edge join on the (v, w) pair — every join an ordinary
+    * hash shuffle on its key, nothing on the driver.
+    *
+    * @param edges (src, dst) pairs; direction ignored, duplicates and
+    *   self-loops dropped
+    * @return (node, degree, n_triangles) — one row per node of the
+    *   deduplicated graph, n_triangles = triangles containing it */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val canon = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull)
+      .distinct()
+      .transform(graft.CacheScope.persisted(_))
+    val deg = canon.select(col("a").as("node"))
+      .unionAll(canon.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+      .transform(graft.CacheScope.persisted(_))
+    val withDeg = canon
+      .join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("degree").as("db")), "b")
+    // orient lower-(deg,id) → higher; canonical (a,b) already has
+    // a < b, so the id tie-break on equal degrees is a ≺ b
+    val oriented = withDeg.select(
+        when(col("da") < col("db") || (col("da") === col("db")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .transform(graft.CacheScope.persisted(_))
+    // wedges at u over ORDERED neighbor pairs (x, y), x ≠ y: of the
+    // two orders of a closing pair, exactly one matches the oriented
+    // closing edge — the join below IS the dedupe
+    val wedges = oriented.select(col("u"), col("v").as("x"))
+      .join(oriented.select(col("u"), col("v").as("y")), "u")
+      .where(col("x") =!= col("y"))
+    val triangles = wedges.join(
+      oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+    val perNode = triangles
+      .select(explode(array(col("u"), col("x"), col("y"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
 }

@@ -151,4 +151,63 @@ object Scd {
     }
     steps.reduce(_ unionByName _)
   }
+
+  /** Incrementally apply a change batch to an existing SCD Type-2
+    * dimension — the APPLY CHANGES / MERGE-into-SCD2 maintenance step
+    * that keeps [[scd2History]]'s output current without rebuilding
+    * it from the full change log.
+    *
+    * Untouched keys (no row in the batch) carry their history rows
+    * VERBATIM through a left-anti join — zero window work, the whole
+    * point of the incremental form. Touched keys are rebuilt
+    * per-key: the existing versions ARE a change stream (each
+    * version row is the change that opened it, at `valid_from`), so
+    * union them with the batch and re-run [[scd2History]]. The
+    * rebuild is what gets the boundary cases right that a naive
+    * close-out-and-append gets wrong: a batch row restating the
+    * key's current attributes must NOT open a version (no-op
+    * suppression crosses the boundary), and a late-arriving change
+    * older than the current version must splice INTO the history,
+    * renumbering and re-closing intervals after it.
+    *
+    * Correctness contract (and the oracle): for any split of a
+    * change stream into base + batch,
+    * `scd2Apply(scd2History(base), batch) ≡ scd2History(base ∪ batch)`
+    * — the incremental path and the full recompute agree row-for-row.
+    *
+    * Scale: the batch is small by construction (it is a CDC tick);
+    * the anti/semi joins against its distinct keys broadcast, so the
+    * carried majority of the dimension never shuffles, and the
+    * window rebuild runs on |touched keys'| rows only.
+    *
+    * Precondition (inherited from [[scd2History]]): one change per
+    * key per `effectiveCol` instant across dim ∪ batch — a batch row
+    * at an instant the history already holds is the caller's dedupe
+    * to resolve, not this operator's.
+    *
+    * @param dim existing SCD2 output: keys ++ attrCols ++
+    *   version/valid_from/valid_to/is_current
+    * @param changes new change rows: keys ++ effectiveCol ++ attrCols
+    * @return the updated dimension, same shape as `dim` */
+  def scd2Apply(
+      dim: DataFrame,
+      changes: DataFrame,
+      keys: Seq[String],
+      effectiveCol: String,
+      attrCols: Seq[String]): DataFrame = {
+    val outCols = keys ++ attrCols ++
+      Seq("version", "valid_from", "valid_to", "is_current")
+    val touched = changes.select(keys.map(col): _*).distinct()
+    val carried = dim.join(touched, keys, "left_anti")
+      .select(outCols.map(col): _*)
+    val existingAsChanges = dim.join(touched, keys, "left_semi")
+      .select(keys.map(col) ++ (col("valid_from").as(effectiveCol) +:
+        attrCols.map(col)): _*)
+    val batch = changes.select(
+      keys.map(col) ++ (col(effectiveCol) +: attrCols.map(col)): _*)
+    val rebuilt =
+      scd2History(existingAsChanges.unionByName(batch), keys, effectiveCol, attrCols)
+        .select(outCols.map(col): _*)
+    carried.unionByName(rebuilt)
+  }
 }

@@ -75,14 +75,15 @@ object FileStats {
           xxhash64(col(k)), lit(expectedPerFile), lit(fpp)).as(s"bloom_$k")
       } ++
       kmvCols.map { c =>
-        // collect_set per (file, column): bounded by the file's
-        // distinct count — the right treatment for DICTIONARY /
-        // categorical dims (the columns this sketch is FOR);
-        // near-unique columns belong to min/max ranges and blooms,
-        // not ndv sketches
-        slice(array_sort(collect_set(
-          graft.similarity.Overlap.contentHash(col(c).cast("string")))),
-          1, kmvK).as(s"kmv_$c")
+        // bounded k-minimum-values aggregate: per-group state is O(k)
+        // regardless of the column's distinct count (the earlier
+        // collect_set+slice form buffered EVERY distinct hash before
+        // truncating — an executor OOM if a near-unique column was
+        // passed as a kmv dim; graft_kmv_agg produces the identical
+        // sorted-ascending k-smallest array with a capped buffer)
+        call_function("graft_kmv_agg",
+          graft.similarity.Overlap.contentHash(col(c).cast("string")),
+          lit(kmvK)).as(s"kmv_$c")
       }
 
   private def statsOf(
@@ -92,7 +93,7 @@ object FileStats {
       kmvCols: Seq[String],
       kmvK: Int,
       fpp: Double): org.apache.spark.sql.DataFrame = {
-    if (keyCols.nonEmpty)
+    if (keyCols.nonEmpty || kmvCols.nonEmpty)
       graft.functions.GraftFunctions.register(data.sparkSession)
     val nRows = data.count()
     val nFiles = math.max(1L, data.select(input_file_name()).distinct().count())

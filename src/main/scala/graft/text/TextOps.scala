@@ -330,4 +330,33 @@ object TextOps {
       .withColumn("n_chars", length(col("clean_text")))
       .select(col(idCol), col("n_tags"), col("clean_text"), col("n_chars"))
   }
+
+  /** Unicode text canonicalization — the cleanup pass a crawl corpus
+    * runs BEFORE any hashing/shingling/dedup, because every identity
+    * operator downstream compares bytes: `é` composed and `e`+U+0301
+    * decomposed are the same text but different shingles, different
+    * fingerprints, different MinHashes. Pipeline, strictly ordered:
+    * NFC composition ([[graft.functions.NfcNormalize]], native
+    * codegen'd expression — Spark has no built-in), strip
+    * non-whitespace C0/DEL control characters (`\x00`–`\x08`, `\x0B`,
+    * `\x0C`, `\x0E`–`\x1F`, `\x7F` — tab/LF/CR survive to the
+    * collapse step), collapse whitespace runs to one space, trim.
+    * Every regex lives in the Java ∩ RE2 subset (the piiScrub
+    * contract) and DuckDB's `nfc_normalize` is the UAX #15 twin of
+    * the expression, so the oracle hash-checks the NORMALIZED TEXT
+    * itself. Pure narrow column algebra: one codegen'd pass, no
+    * shuffle at any scale.
+    * Output: id, `norm_text`, `n_chars_raw`, `n_chars`, `changed`. */
+  def normalizeText(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col(idCol), col(textCol).as("__raw"))
+      .withColumn("__t", call_function("graft_nfc", col("__raw")))
+      .withColumn("__t",
+        regexp_replace(col("__t"), "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""))
+      .withColumn("norm_text", trim(regexp_replace(col("__t"), "\\s+", " ")))
+      .select(col(idCol), col("norm_text"),
+        length(col("__raw")).cast("long").as("n_chars_raw"),
+        length(col("norm_text")).cast("long").as("n_chars"),
+        (!(col("norm_text") <=> col("__raw"))).as("changed"))
+  }
 }

@@ -240,6 +240,29 @@ class FileStatsSpec extends SparkSpec {
     }
   }
 
+  test("graft_kmv_agg: equals collect_set+slice bit-for-bit, partition-invariant, null-safe") {
+    graft.functions.GraftFunctions.register(spark)
+    // duplicated + negative + null hashes: 977 distinct values (> k)
+    val df = spark.range(100000L).select(
+      when(col("id") % 500 === 0, lit(null).cast("long"))
+        .otherwise((col("id") % 977) * 2654435761L - 1000000000000L).as("h"),
+      (col("id") % 5).as("g"))
+    val want = df.groupBy("g")
+      .agg(slice(array_sort(collect_set(col("h"))), 1, 64).as("kmv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    for (p <- Seq(1, 7, 32)) {
+      val got = df.repartition(p).groupBy("g")
+        .agg(call_function("graft_kmv_agg", col("h"), lit(64)).as("kmv"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(got == want, s"kmv_agg != collect_set+slice at $p partitions")
+    }
+    // group smaller than k: the sketch IS the sorted distinct set
+    val small = spark.range(10L).select((col("id") * 7L).as("h"))
+      .agg(call_function("graft_kmv_agg", col("h"), lit(64)))
+      .collect()(0).getSeq[Long](0)
+    assert(small == (0L until 10L).map(_ * 7L), "below-k group not the full set")
+  }
+
   test("KMV sketches: exact ndv below k, bounded estimate above, deterministic rebuild, incremental carry") {
     val root = Files.createTempDirectory("graft_fstats_kmv").toString
     val path = root + "/t"

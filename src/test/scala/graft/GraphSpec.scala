@@ -150,4 +150,52 @@ class GraphSpec extends SparkSpec {
       s"sample extra=${(got.toSet -- r.toSet).take(3)} " +
       s"missing=${(r.toSet -- got.toSet).take(3)}")
   }
+
+  private def triCounts(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+    import spark.implicits._
+    GraphOps.triangleCounts(edges.toDF("src", "dst"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (n, d, t) => n -> (d, t) }.toMap
+  }
+
+  test("triangleCounts: K4, pendant, duplicates/reversals/self-loops, hub-without-closure") {
+    // K4 (4 triangles, every node in 3) + pendant 5–1 + noise:
+    // duplicate edge, reversed duplicate, self-loop
+    val k4 = Seq(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L)
+    val noisy = k4 ++ Seq(2L -> 1L, 1L -> 2L, 3L -> 3L, 5L -> 1L)
+    assert(triCounts(noisy) == Map(
+      1L -> (4L, 3L), 2L -> (3L, 3L), 3L -> (3L, 3L), 4L -> (3L, 3L),
+      5L -> (1L, 0L)))
+    // a star has wedges but no triangles — the closing join must gate
+    val star = Seq(0L -> 1L, 0L -> 2L, 0L -> 3L, 0L -> 4L)
+    assert(triCounts(star).values.forall(_._2 == 0L))
+    // one closing edge → exactly one triangle, counted once
+    assert(triCounts(star :+ (1L -> 2L)) == Map(
+      0L -> (4L, 1L), 1L -> (2L, 1L), 2L -> (2L, 1L),
+      3L -> (1L, 0L), 4L -> (1L, 0L)))
+  }
+
+  test("triangleCounts: seeded random graph matches brute-force enumeration") {
+    val rnd = new scala.util.Random(42)
+    val n = 14
+    val edges = (for {
+      a <- 0L until n; b <- (a + 1) until n if rnd.nextDouble() < 0.35
+    } yield (a, b)).toSeq
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val want = (for {
+      a <- 0L until n; b <- (a + 1) until n; c <- (b + 1) until n
+      if adj.getOrElse(a, Set()).contains(b) &&
+        adj.getOrElse(b, Set()).contains(c) &&
+        adj.getOrElse(a, Set()).contains(c)
+    } yield Seq(a, b, c)).flatten
+      .groupBy(identity).map { case (k, vs) => k -> vs.size.toLong }
+    val got = triCounts(edges)
+    assert(got.keySet == adj.keySet)
+    got.foreach { case (node, (d, t)) =>
+      assert(d == adj(node).size.toLong && t == want.getOrElse(node, 0L),
+        s"node $node: got (deg=$d, tri=$t), want " +
+          s"(${adj(node).size}, ${want.getOrElse(node, 0L)})")
+    }
+  }
 }

@@ -200,4 +200,67 @@ class ScdSpec extends SparkSpec {
       graft.sources.Sinks.deleteRecursively(java.nio.file.Paths.get(root))
     }
   }
+
+  test("scd2Apply: incremental ≡ recompute — no-op boundary, late arrival, new key, verbatim carry") {
+    val sess = spark
+    import sess.implicits._
+    def hist(rows: Seq[(String, String, String)]) =
+      Scd.scd2History(
+        rows.map { case (k, d, t) => (k, dt(d), t) }.toDF("key", "day", "tier"),
+        Seq("key"), "day", Seq("tier"))
+        .select("key", "tier", "version", "valid_from", "valid_to", "is_current")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+
+    val base = Seq(
+      ("a", "2024-01-01", "low"), ("a", "2024-01-05", "mid"),
+      ("b", "2024-01-02", "high"),
+      ("c", "2024-01-03", "low"))
+    val batch = Seq(
+      // "a": restates its CURRENT tier — must open NO new version
+      ("a", "2024-01-09", "mid"),
+      // "b": late arrival BEFORE its only version — splices in front,
+      // renumbers, closes the old open interval's predecessor
+      ("b", "2024-01-01", "low"),
+      // "d": brand-new key
+      ("d", "2024-01-08", "mid"))
+    // "c" untouched: carried verbatim
+    val applied = Scd.scd2Apply(
+      hist(base),
+      batch.map { case (k, d, t) => (k, dt(d), t) }.toDF("key", "day", "tier"),
+      Seq("key"), "day", Seq("tier"))
+    assert(canon(applied) == canon(hist(base ++ batch)),
+      "incremental apply diverges from the full recompute")
+    // the no-op boundary really suppressed: "a" still has 2 versions
+    assert(applied.where(col("key") === "a").count() == 2)
+    // the late arrival really spliced: "b" v1 = low (closed), v2 = high (open)
+    val b = applied.where(col("key") === "b")
+      .orderBy("version").collect()
+    assert(b.map(r => (r.getInt(2), r.getString(1), r.getBoolean(5))).toSeq ==
+      Seq((1, "low", false), (2, "high", true)))
+  }
+
+  test("scd2Apply ≡ scd2History at every split of a seeded change stream") {
+    val sess = spark
+    import sess.implicits._
+    val rnd = new scala.util.Random(7)
+    val stream = for {
+      k <- Seq("w1", "w2", "w3", "w4"); d <- 1 to 20
+      if rnd.nextDouble() < 0.6
+    } yield (k, dt(f"2024-01-$d%02d"), Seq("low", "mid", "high")(rnd.nextInt(3)))
+    val df = stream.toDF("key", "day", "tier")
+    val full = Scd.scd2History(df, Seq("key"), "day", Seq("tier"))
+      .select("key", "tier", "version", "valid_from", "valid_to", "is_current")
+      .collect().map(_.toSeq).toSet
+    for (split <- Seq(1, 7, 14, 20)) {
+      val cut = dt(f"2024-01-$split%02d")
+      val dim = Scd.scd2History(df.where(col("day") <= cut),
+        Seq("key"), "day", Seq("tier"))
+        .select("key", "tier", "version", "valid_from", "valid_to", "is_current")
+      val got = Scd.scd2Apply(dim, df.where(col("day") > cut),
+          Seq("key"), "day", Seq("tier"))
+        .collect().map(_.toSeq).toSet
+      assert(got == full, s"apply at split $split diverges from recompute")
+    }
+  }
 }

@@ -199,4 +199,31 @@ class TextQualitySpec extends SparkSpec {
     assert(out(3L) == ((0, "after")), s"got ${out(3L)}")
     assert(out(4L) == ((0, "no markup here")), s"got ${out(4L)}")
   }
+
+  test("normalizeText: NFC composition, control strip, whitespace collapse, idempotence") {
+    val decomposed = "cafe\u0301" // e + combining acute (NFD)
+    val composed = "caf\u00e9"     // precomposed (NFC)
+    val docs = Seq(
+      (1L, decomposed),
+      (2L, "a\u0000b\u0007c\u007fd"), // control chars stripped, no space left
+      (3L, "  x\t\ty\r\nz  "),              // runs collapse, ends trim
+      (4L, "already clean"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextOps.normalizeText(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(3)) -1 else r.getLong(3),
+          if (r.isNullAt(4)) null else r.getBoolean(4)))).toMap
+    assert(got(1L)._1 == composed && got(1L)._2 == 4L && got(1L)._3 == true,
+      s"NFC: ${got(1L)}")
+    assert(got(2L) == (("abcd", 4L, true)), s"controls: ${got(2L)}")
+    assert(got(3L) == (("x y z", 5L, true)), s"whitespace: ${got(3L)}")
+    assert(got(4L) == (("already clean", 13L, false)), s"clean: ${got(4L)}")
+    assert(got(5L)._1 == null, s"null text: ${got(5L)}")
+    // idempotent: a normalized corpus re-normalizes to itself unchanged
+    val again = TextOps.normalizeText(
+      got.toSeq.filter(_._1 != 5L).map { case (id, (t, _, _)) => (id, t) }
+        .toDF("doc_id", "text"), "doc_id", "text")
+    assert(again.where(col("changed")).count() == 0, "not idempotent")
+  }
 }
