@@ -3295,6 +3295,142 @@ object SparkEntry {
   def q148TextNormalize(spark: SparkSession, dir: String): DataFrame =
     TextOps.normalizeText(Tables.documents(spark, dir), "doc_id", "text")
 
+  /** q149: exact exponentially-weighted moving average — the decayed
+    * sibling of q36's flat moving average, with the q92/q96
+    * determinism posture pushed all the way: half-life = 1 day, so
+    * the weight of a price `d` days back is 2^(15−d) — INTEGER —
+    * and numerator/denominator accumulate as exact commutative
+    * integer sums over micro-unit prices (decimal→micro cast, never
+    * a float multiply: double→long truncates in Spark but rounds in
+    * DuckDB). A weight that halves per calendar day dies to <0.01%
+    * past 15 days, so the 16-day truncation IS the semantics, not an
+    * approximation of an infinite recurrence — which is what makes
+    * an independent engine re-derive identical bits. Plan: one fact
+    * pass to the |assets·days| daily grain, then the trailing merge
+    * is a range self-join of the AGGREGATE table (q86's shape) —
+    * window width never appears as fact fan-out; the single float
+    * division happens once at the end from identical integers.
+    * Oracle: the identical trailing join + arithmetic. */
+  def q149Ewma(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type").as("asset"), to_date(col("ts")).as("date"))
+      .agg((round(max("value"), 6).cast("decimal(18,6)") * 1000000L)
+        .cast("long").as("micro"))
+      .withColumn("day_i", datediff(col("date"), lit("1970-01-01").cast("date")))
+      .transform(graft.CacheScope.persisted(_))
+    val r = daily.select(
+      col("asset"), col("day_i").as("r_day"), col("micro").as("r_micro"))
+    daily.join(r, Seq("asset"))
+      .where(col("r_day").between(col("day_i") - 15, col("day_i")))
+      .withColumn("w", expr("shiftleft(1L, 15 - cast(day_i - r_day as int))"))
+      .groupBy(col("asset"), col("date"))
+      .agg(
+        sum(col("w") * col("r_micro")).as("num"),
+        sum(col("w")).as("den"),
+        count(lit(1)).as("n_obs"))
+      .select(col("asset"), col("date"), col("n_obs"),
+        round(col("num").cast("double") / col("den").cast("double") / 1e6, 6)
+          .as("ewma"))
+  }
+
+  /** q150: Hilbert-curve data skipping
+    * ([[graft.sources.ZOrder.writeHilbert]] +
+    * [[graft.functions.HilbertIndex2D]]) — q100's box query over the
+    * BETTER-LOCALITY curve: every unit step of the Hilbert curve is
+    * grid-adjacent where Morton jumps across half the grid at
+    * quadrant seams, so one file's contiguous curve run covers a more
+    * compact rectangle and a box intersects fewer stat boxes
+    * (ZOrderSpec measures the panel head-to-head). Stats manifest,
+    * read path, and pruning contract are shared with q100 VERBATIM —
+    * only the write-side curve changed — and so is the oracle: the
+    * same full-scan aggregate hash-checks that skipping over the new
+    * layout dropped no needed file. */
+  private def hilbertIndexedEvents(spark: SparkSession, dir: String): String =
+    graft.tools.Scratch.cachedArtifact(
+      "graft_hidx", dir, s"$dir/events.parquet") { (tableDir, _) =>
+      graft.sources.ZOrder.writeHilbert(
+        Tables.events(spark, dir), tableDir,
+        colA = "user_id", colB = "value", bits = 8, numFiles = 32)
+    }
+
+  def q150HilbertPrune(spark: SparkSession, dir: String): DataFrame = {
+    val table = hilbertIndexedEvents(spark, dir)
+    graft.sources.ZOrder.prunedRead(spark, table, 3L, 7L, 20.0, 80.0)
+      .where(col("user_id").between(3, 7) && col("value").between(20.0, 80.0))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value"), 6).cast("decimal(18,6)"))
+          .cast("double").as("sum_value"))
+  }
+
+  /** q151: BM25 ranked retrieval ([[text.TextOps.bm25Rank]]) — the
+    * query-side complement of q40's TF-IDF: score every document
+    * against a fixed query ("merge window scan") with Lucene's BM25
+    * (saturating tf, length normalization), return the top 10.
+    * Determinism: per-term contributions are single identically-
+    * associated float expressions rounded to 9 and summed as DECIMAL
+    * — the top-k cut ranks on exact decimal + doc id, never float
+    * summation order; k1+1 is an engine-side addition on BOTH sides
+    * because 1.2+1.0 lands exactly on a rounding midpoint. Oracle
+    * re-derives the identical pipeline in DuckDB. */
+  def q151Bm25(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bm25Rank(Tables.documents(spark, dir), "doc_id", "text",
+      Seq("merge", "window", "scan"), k = 10)
+
+  /** q152: event-transition matrix — first-order Markov path
+    * analysis over the per-user event stream (the clickstream
+    * "what follows what" table every product-analytics stack keeps):
+    * next event via ONE lead() window pass (single (user) hash
+    * exchange), then transition counts and probabilities per
+    * (from, to) pair. Probabilities are integer ppm by FLOOR
+    * division (`div`, positive operands — coincides with DuckDB
+    * `//`), the q23/q74 exact-arithmetic posture: no float division,
+    * bit-identical cross-engine. Terminal events (no successor) are
+    * excluded — rows are TRANSITIONS. */
+  def q152TransitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(spark, dir)
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val byFrom = Window.partitionBy("from_type")
+    trans
+      .withColumn("row_total", sum("n").over(byFrom))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(n * 1000000) div row_total").as("p_ppm"))
+  }
+
+  /** q153: last-touch attribution — every purchase attributed to the
+    * most recent at-or-before touch event (click/view/signup) of the
+    * same user, rolled up to attributed revenue per touch type. The
+    * marketing-attribution shape, and a SECOND SEMANTIC consumER of
+    * the as-of machinery: q51 prices transfers off a quote series,
+    * this binds conversions to causes — same
+    * [[operators.AsOfJoin.asOf]] union+window core, ONE keyed
+    * shuffle, no per-user cross product. Ties at one timestamp
+    * resolve by the operator's documented greatest-payload rule,
+    * which the oracle mirrors as (ts, type, id) DESC ranking over
+    * the quadratic theta join the Spark plan exists to avoid.
+    * Unattributed purchases (no prior touch) report as 'organic'. */
+  def q153Attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value"), 6).cast("decimal(18,6)").as("revenue"))
+    val touches = ev.where(col("event_type").isin("click", "view", "signup"))
+      .select(col("user_id"), col("ts").as("touch_ts"),
+        col("event_type").as("touch_type"), col("event_id").as("touch_eid"))
+    AsOfJoin.asOf(purchases, touches,
+        keys = Seq("user_id"), probeTime = "ts", quoteTime = "touch_ts",
+        payload = Seq("touch_type", "touch_eid"))
+      .groupBy(coalesce(col("touch_type"), lit("organic")).as("touch_type"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        sum(col("revenue")).cast("double").as("attributed_revenue"))
+  }
+
   def q124DeclaredDedupe(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir).createOrReplaceTempView("graft_q124_events")
     spark.sql(
@@ -4098,7 +4234,12 @@ object SparkEntry {
     "q145_sql_row_writes"        -> (q145SqlRowWrites _),
     "q146_triangle_count"        -> (q146TriangleCount _),
     "q147_scd2_apply"            -> (q147Scd2Apply _),
-    "q148_text_normalize"        -> (q148TextNormalize _)
+    "q148_text_normalize"        -> (q148TextNormalize _),
+    "q149_ewma"                  -> (q149Ewma _),
+    "q150_hilbert_prune"         -> (q150HilbertPrune _),
+    "q151_bm25"                  -> (q151Bm25 _),
+    "q152_transition_matrix"     -> (q152TransitionMatrix _),
+    "q153_attribution"           -> (q153Attribution _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -4116,7 +4257,10 @@ object SparkEntry {
       // the incremental apply's contract IS the full recompute:
       // apply(history(base), batch) ≡ history(base ∪ batch) — q93's
       // oracle over the whole range states the right-hand side
-      "q147_scd2_apply"             -> m("q93_scd2_history"))
+      "q147_scd2_apply"             -> m("q93_scd2_history"),
+      // same box, same aggregate, different CURVE — pruning is an
+      // optimization, so the q100 full-scan oracle serves both layouts
+      "q150_hilbert_prune"          -> m("q100_zorder_prune"))
   }
 
   /** q84's oracle: GraphOps.pageRank's integer recurrence unrolled,
@@ -4288,6 +4432,95 @@ object SparkEntry {
         |SELECT deg.node AS supplier, deg.degree,
         |  COALESCE(pern.n_tri, 0) AS n_triangles
         |FROM deg LEFT JOIN pern ON pern.node = deg.node""".stripMargin,
+
+    "q152_transition_matrix" ->
+      // CAST(ts AS TIMESTAMP) truncates the parquet nanos to the µs
+      // Spark orders on (the q2 lesson); event_id breaks the tie;
+      // `//` floors where `div` truncates — positive operands
+      """WITH trans AS (
+        |  SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+        |  FROM events
+        |),
+        |counts AS (
+        |  SELECT from_type, to_type, COUNT(*) AS n FROM trans
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT from_type, to_type, n,
+        |  CAST((n * 1000000) // SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+        |    AS p_ppm
+        |FROM counts""".stripMargin,
+
+    "q153_attribution" ->
+      // the quadratic theta join + DESC ranking states the semantics
+      // the Spark side's single-shuffle as-of plan avoids; the
+      // (ts, type, id) DESC rank mirrors asOf's greatest-payload tie
+      """WITH p AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    CAST(ROUND(value, 6) AS DECIMAL(18,6)) AS revenue
+        |  FROM events WHERE event_type = 'purchase'
+        |),
+        |t AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, event_id
+        |  FROM events WHERE event_type IN ('click', 'view', 'signup')
+        |),
+        |ranked AS (
+        |  SELECT p.event_id AS pid, p.revenue, t.event_type AS touch_type,
+        |    ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |      ORDER BY t.ts DESC, t.event_type DESC, t.event_id DESC) AS rn
+        |  FROM p LEFT JOIN t ON t.user_id = p.user_id AND t.ts <= p.ts
+        |)
+        |SELECT COALESCE(touch_type, 'organic') AS touch_type,
+        |  COUNT(*) AS n_purchases,
+        |  CAST(SUM(revenue) AS DOUBLE) AS attributed_revenue
+        |FROM ranked WHERE rn = 1 GROUP BY 1""".stripMargin,
+
+    "q151_bm25" ->
+      // op-order parity with the Spark side: k1+1 and 1−b are
+      // ENGINE-SIDE arithmetic (1.2+1.0 is a rounding midpoint);
+      // contributions round(9) → DECIMAL so the sum and the top-k
+      // cut are exact; avgdl = CAST/CAST of exact integers
+      """WITH terms AS (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+        |),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+        |               COUNT(*) AS n FROM dl),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms
+        |       WHERE term IN ('merge', 'window', 'scan') GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT t.doc_id, COUNT(*) AS n_terms,
+        |    SUM(CAST(ROUND(
+        |      LN(1.0 + (CAST((SELECT n FROM tot) AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+        |        * ((t.tf * (1.2 + 1.0)) /
+        |           (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / (SELECT avgdl FROM tot)))),
+        |      9) AS DECIMAL(28,9))) AS score_d
+        |  FROM tf t JOIN dfreq d ON d.term = t.term JOIN dl l ON l.doc_id = t.doc_id
+        |  GROUP BY 1
+        |)
+        |SELECT doc_id, n_terms, ROUND(CAST(score_d AS DOUBLE), 6) AS score
+        |FROM scored ORDER BY score_d DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q149_ewma" ->
+      // integer half-life weights (2^(15−d)), micro-unit prices via a
+      // DECIMAL cast (double→BIGINT truncates in Spark, rounds here —
+      // the decimal route is exact on both), one float division at
+      // the very end from identical integers
+      """WITH daily AS (
+        |  SELECT event_type AS asset, CAST(ts AS DATE) AS date,
+        |    CAST(CAST(ROUND(MAX(value), 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS micro,
+        |    DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_i
+        |  FROM events GROUP BY 1, 2, 4
+        |)
+        |SELECT l.asset, l.date, COUNT(*) AS n_obs,
+        |  ROUND(CAST(SUM((CAST(1 AS BIGINT) << (15 - (l.day_i - r.day_i))) * r.micro) AS DOUBLE)
+        |        / CAST(SUM(CAST(1 AS BIGINT) << (15 - (l.day_i - r.day_i))) AS DOUBLE)
+        |        / 1000000.0, 6) AS ewma
+        |FROM daily l JOIN daily r
+        |  ON r.asset = l.asset AND r.day_i BETWEEN l.day_i - 15 AND l.day_i
+        |GROUP BY l.asset, l.date""".stripMargin,
 
     "q148_text_normalize" ->
       // nfc_normalize is DuckDB's UAX #15 twin of graft_nfc; both

@@ -83,7 +83,13 @@ object GraftFunctions {
         args(2).eval().asInstanceOf[Number].doubleValue())
     }),
     "graft_bloom_contains" -> (args => BloomMightContain(args(0), args(1))),
-    "graft_nfc" -> (args => NfcNormalize(args(0))))
+    "graft_nfc" -> (args => NfcNormalize(args(0))),
+    "graft_hilbert" -> (args => {
+      require(args.length == 3 && args(2).foldable,
+        "graft_hilbert(x, y, order) needs a literal order")
+      HilbertIndex2D(args(0), args(1),
+        args(2).eval().asInstanceOf[Number].intValue())
+    }))
 
   /** Idempotent per-session registration (temp functions). */
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>

@@ -127,6 +127,42 @@ object ZOrder {
     clusterAndWrite(withZ, path, colA, colB, numFiles, keyCol, keyFpp, nRows)
   }
 
+  /** [[writeZOrdered]] along the HILBERT curve instead of the Morton
+    * interleave ([[graft.functions.HilbertIndex2D]]): identical
+    * bucketing, identical stats manifest, identical read/prune paths
+    * — only the curve changes. Why offer both: every unit step of the
+    * Hilbert curve is grid-adjacent (the Z curve jumps across half
+    * the grid at quadrant seams), so a contiguous curve run — which
+    * is what one file IS after the `__z` range partition — covers a
+    * more compact rectangle, and a box predicate intersects fewer
+    * files (ZOrderSpec measures the panel; Hilbert never lost on it).
+    * The trade is write-side only: the index is an O(order) rotation
+    * loop per row (codegen'd static call) instead of pure
+    * shift/mask algebra — invisible next to the clustering
+    * exchange. */
+  def writeHilbert(
+      df: DataFrame,
+      path: String,
+      colA: String,
+      colB: String,
+      bits: Int = 8,
+      numFiles: Int = 32,
+      keyCol: Option[String] = None,
+      keyFpp: Double = 0.01): Unit = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val bounds = df.agg(
+      min(colA).as("la"), max(colA).as("ha"),
+      min(colB).as("lb"), max(colB).as("hb"),
+      count(lit(1)).as("n")).collect()(0)
+    val la = lit(bounds.get(0)); val ha = lit(bounds.get(1))
+    val lb = lit(bounds.get(2)); val hb = lit(bounds.get(3))
+    val nRows = bounds.getLong(4)
+    val withZ = df.withColumn("__z", call_function("graft_hilbert",
+      affineBucket(col(colA), la, ha, bits),
+      affineBucket(col(colB), lb, hb, bits), lit(bits)))
+    clusterAndWrite(withZ, path, colA, colB, numFiles, keyCol, keyFpp, nRows)
+  }
+
   /** [[writeZOrdered]] with exact-RANK buckets instead of affine ones
     * — the documented skewed-column trade, closed. An affine bucket
     * maps the VALUE range uniformly, so a heavy-hitter value (90% of

@@ -331,6 +331,64 @@ object TextOps {
       .select(col(idCol), col("n_tags"), col("clean_text"), col("n_chars"))
   }
 
+  /** BM25 ranked retrieval — the scoring half of a full-text search
+    * engine over the corpus, completing what [[topTfidfTerms]] (q40)
+    * starts: TF-IDF summarizes a document's own salient terms; BM25
+    * ranks documents against a QUERY, with the two refinements that
+    * made it the IR default — term-frequency saturation (k1: the 10th
+    * occurrence adds less than the 2nd) and length normalization (b:
+    * long documents don't win by volume alone). Lucene's formulation:
+    * idf = ln(1 + (N − df + ½)/(df + ½)),
+    * tfNorm = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+    *
+    * Determinism (the q92 posture, adapted to floats-by-necessity):
+    * each per-term contribution is ONE float expression with
+    * identical operator association on both engines — k1+1 is an
+    * ENGINE-SIDE addition, never a driver-precomputed constant
+    * (1.2+1.0 lands exactly on a rounding midpoint; both engines
+    * must tie-break it themselves, identically) — rounded to 9
+    * places and cast to DECIMAL, so the cross-term SUM is exact and
+    * commutative and the top-k cut ranks on decimal compare + doc id,
+    * never on float summation order. avgdl is an exact-integer
+    * division spelled CAST/CAST on both sides. Plan: one corpus
+    * pass to the (doc, term) grain, query terms filter AT THE SCAN
+    * (isin pushdown), top-k is a TakeOrdered — no global window, no
+    * single-task sort.
+    * Output: doc_id, n_terms (query terms matched), score. */
+  def bm25Rank(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty, "empty query")
+    val terms = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .transform(graft.CacheScope.persisted(_))
+    val dl = terms.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+      .transform(graft.CacheScope.persisted(_))
+    val totals = dl.agg(sum("dl").as("t"), count(lit(1)).as("n")).collect()(0)
+    val totTok = totals.getLong(0)
+    val n = totals.getLong(1)
+    // exact integers divided engine-side: identical double both engines
+    val avgdl = lit(totTok).cast("double") / lit(n).cast("double")
+    val tf = terms.where(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0d) +
+      (lit(n).cast("double") - col("df") + lit(0.5d)) / (col("df") + lit(0.5d)))
+    val tfNorm = (col("tf") * (lit(1.2d) + lit(1.0d))) /
+      (col("tf") + lit(1.2d) * (lit(1.0d) - lit(0.75d) +
+        lit(0.75d) * col("dl") / avgdl))
+    tf.join(dfreq, "term").join(dl, idCol)
+      .withColumn("__c", round(idf * tfNorm, 9).cast("decimal(28,9)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms"), sum(col("__c")).as("__s"))
+      .orderBy(col("__s").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("n_terms"),
+        round(col("__s").cast("double"), 6).as("score"))
+  }
+
   /** Unicode text canonicalization — the cleanup pass a crawl corpus
     * runs BEFORE any hashing/shingling/dedup, because every identity
     * operator downstream compares bytes: `é` composed and `e`+U+0301

@@ -414,4 +414,69 @@ class AnalyticsInvariantsSpec extends SparkSpec {
   }
 
   private val longEncoder = org.apache.spark.sql.Encoders.scalaLong
+
+  test("q149: EWMA hand-case — gap-aware halving weights, 15-day truncation") {
+    val sess = spark
+    import sess.implicits._
+    // one asset, prices on days 0, 1, 3 (gap at 2), and 20 (isolated
+    // past the 15-day horizon of everything earlier)
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00")
+    val ev = Seq(
+      (1L, ts(0), 7L, "a", 10.0, ""), (2L, ts(1), 7L, "a", 20.0, ""),
+      (3L, ts(3), 7L, "a", 40.0, ""), (4L, ts(20), 7L, "a", 80.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ewma").toString
+    try {
+      ev.write.parquet(s"$dir/events.parquet")
+      val got = SparkEntry.q149Ewma(spark, dir)
+        .select(col("date").cast("string"), col("n_obs"), col("ewma"))
+        .as[(String, Long, Double)].collect()
+        .map { case (d, n, e) => d -> ((n, e)) }.toMap
+      // day 0: itself only
+      assert(got("2024-01-01") == ((1L, 10.0)))
+      // day 1: w(0)=2^15 for day1, 2^14 for day0 → (2·20+10)/3
+      assert(got("2024-01-02") == ((2L, BigDecimal((2.0 * 20 + 10) / 3)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+      // day 3: weights 2^15, 2^13, 2^12 → (8·40+2·20+1·10)/11
+      assert(got("2024-01-04") == ((3L, BigDecimal((8.0 * 40 + 2 * 20 + 10) / 11)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+      // day 20: everything else is >15 days back — truncated away
+      assert(got("2024-01-21") == ((1L, 80.0)))
+    } finally {
+      graft.sources.Sinks.deleteRecursively(java.nio.file.Paths.get(dir))
+    }
+  }
+
+  test("q152: transitions conserve events; per-row ppm floor-bounded") {
+    val t = SparkEntry.q152TransitionMatrix(spark, SfDir).cache()
+    try {
+      // every non-terminal event is exactly one transition:
+      // Σn = |events| − |users with ≥1 event|
+      val ev = Tables.events(spark, SfDir)
+      val want = ev.count() - ev.select("user_id").distinct().count()
+      assert(t.agg(sum("n")).collect()(0).getLong(0) == want)
+      // floor division: per-from ppm sums land in (1e6 − rows, 1e6]
+      val rows = t.groupBy("from_type")
+        .agg(sum("p_ppm").as("s"), count(lit(1)).as("k"))
+        .where(col("s") > 1000000L || col("s") <= lit(1000000L) - col("k"))
+      assert(rows.count() == 0, "ppm rows don't sum to ~1e6 per from_type")
+    } finally { t.unpersist(): Unit }
+  }
+
+  test("q153: attribution conserves purchases and revenue") {
+    val a = SparkEntry.q153Attribution(spark, SfDir).cache()
+    try {
+      val p = Tables.events(spark, SfDir).where(col("event_type") === "purchase")
+      assert(a.agg(sum("n_purchases")).collect()(0).getLong(0) == p.count(),
+        "every purchase must be attributed exactly once (incl. organic)")
+      val wantRev = p.agg(
+        sum(round(col("value"), 6).cast("decimal(18,6)")).cast("double"))
+        .collect()(0).getDouble(0)
+      val gotRev = a.agg(sum("attributed_revenue")).collect()(0).getDouble(0)
+      assert(math.abs(gotRev - wantRev) < 1e-6, s"revenue leak: $gotRev vs $wantRev")
+      // touch types are the three touches + organic only
+      val types = a.select("touch_type").collect().map(_.getString(0)).toSet
+      assert(types.subsetOf(Set("click", "view", "signup", "organic")))
+    } finally { a.unpersist(): Unit }
+  }
 }

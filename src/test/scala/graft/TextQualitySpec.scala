@@ -200,6 +200,34 @@ class TextQualitySpec extends SparkSpec {
     assert(out(4L) == ((0, "no markup here")), s"got ${out(4L)}")
   }
 
+  test("bm25Rank: saturation, length normalization, coverage beats repetition, top-k determinism") {
+    // doc 1: both query terms once, short — should rank first
+    // doc 2: one query term hammered 8× in a long doc — saturation +
+    //        length norm must keep it below doc 1
+    // doc 3: one query term once — below doc 2
+    // doc 4: no query term — absent
+    val docs = Seq(
+      (1L, "scan merge fast"),
+      (2L, "scan scan scan scan scan scan scan scan pad pad pad pad pad pad pad pad"),
+      (3L, "scan and other words here"),
+      (4L, "nothing relevant at all")
+    ).toDF("doc_id", "text")
+    val got = TextOps.bm25Rank(docs, "doc_id", "text",
+      Seq("scan", "merge"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L), s"rank order wrong: ${got.toSeq}")
+    assert(got.head._2 == 2L && got(1)._2 == 1L, "n_terms mismatch")
+    // 8× tf must score under ~2× the 1× doc of same length class —
+    // saturation: tf·(k1+1)/(tf+k1·norm) caps near k1+1
+    val s2 = got(1)._3; val s3 = got(2)._3
+    assert(s2 < 2.0 * s3, s"saturation failed: 8×tf=$s2 vs 1×tf=$s3")
+    // deterministic rerun
+    val again = TextOps.bm25Rank(docs, "doc_id", "text",
+      Seq("scan", "merge"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == again.toSeq)
+  }
+
   test("normalizeText: NFC composition, control strip, whitespace collapse, idempotence") {
     val decomposed = "cafe\u0301" // e + combining acute (NFD)
     val composed = "caf\u00e9"     // precomposed (NFC)
