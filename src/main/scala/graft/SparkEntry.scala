@@ -3431,6 +3431,43 @@ object SparkEntry {
         sum(col("revenue")).cast("double").as("attributed_revenue"))
   }
 
+  /** q154: the maintenance loop as SQL — q104's
+    * publish→fragment→compact→vacuum cycle driven entirely by `CALL`
+    * statements through the catalog ([[graft.sources.GraftProcedures]],
+    * Spark 4's DSv2 ProcedureCatalog — the Iceberg `CALL system.…`
+    * shape): three CAS appends fragment the table, `CALL compact`
+    * runs the INCREMENTAL rewrite (cost ∝ fragmentation, replay
+    * marker carried), `CALL vacuum` reaps history, and the final
+    * read goes through the same SQL catalog. The oracle is the plain
+    * events aggregate — maintenance must be byte-lossless however
+    * many versions it flipped, so the hash IS the loop's correctness
+    * proof (q104's posture, now at the SQL surface). */
+  private def sqlMaintRoot(spark: SparkSession, dir: String): String =
+    graft.tools.Scratch.cachedArtifact(
+      "graft_sqlmaint", dir, s"$dir/events.parquet") { (tableDir, _) =>
+      val ev = Tables.events(spark, dir)
+      graft.sources.Publish.publish(
+        ev.where(col("event_id") % 4 === 0).repartition(5), tableDir): Unit
+      (1 to 3).foreach { i =>
+        graft.sources.Txn.append(spark, tableDir,
+          ev.where(col("event_id") % 4 === i).repartition(5)): Unit
+      }
+      val (cat, tname) = sqlCatalogFor(spark, tableDir, "gmt")
+      spark.sql(
+        s"CALL $cat.compact(`table` => '$tname', target_mb => 64)"): Unit
+      spark.sql(s"CALL $cat.vacuum(`table` => '$tname', keep => 0)"): Unit
+    }
+
+  def q154SqlMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val (cat, tname) = sqlCatalogFor(spark, sqlMaintRoot(spark, dir), "gmt")
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n_events,
+         |  count(DISTINCT user_id) AS n_users,
+         |  CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+         |    AS sum_value
+         |FROM $cat.`$tname` GROUP BY event_type""".stripMargin)
+  }
+
   def q124DeclaredDedupe(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir).createOrReplaceTempView("graft_q124_events")
     spark.sql(
@@ -4239,7 +4276,8 @@ object SparkEntry {
     "q150_hilbert_prune"         -> (q150HilbertPrune _),
     "q151_bm25"                  -> (q151Bm25 _),
     "q152_transition_matrix"     -> (q152TransitionMatrix _),
-    "q153_attribution"           -> (q153Attribution _)
+    "q153_attribution"           -> (q153Attribution _),
+    "q154_sql_maintenance"       -> (q154SqlMaintenance _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -4432,6 +4470,15 @@ object SparkEntry {
         |SELECT deg.node AS supplier, deg.degree,
         |  COALESCE(pern.n_tri, 0) AS n_triangles
         |FROM deg LEFT JOIN pern ON pern.node = deg.node""".stripMargin,
+
+    "q154_sql_maintenance" ->
+      // lossless-maintenance contract: however many versions the CALL
+      // loop flipped, the table equals the source
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q152_transition_matrix" ->
       // CAST(ts AS TIMESTAMP) truncates the parquet nanos to the µs

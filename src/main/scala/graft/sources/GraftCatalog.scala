@@ -56,7 +56,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * At 100 TB nothing here is per-row: resolution is pointer/manifest
   * reads, and the data path is the stock parquet scan.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -187,6 +188,122 @@ class GraftCatalog extends TableCatalog {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = readOnly()
   override def dropTable(ident: Identifier): Boolean = readOnly()
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = readOnly()
+
+  // ---- maintenance procedures (CALL cat.compact(table => '…')) ----
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    if (snapshotMode || namespace.nonEmpty) Array.empty
+    else GraftProcedures.Names.map(Identifier.of(Array.empty[String], _)).toArray
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (snapshotMode) throw new UnsupportedOperationException(
+      "maintenance procedures run on a plain table catalog — a snapshot " +
+        "facade's member tables maintain through their own catalogs")
+    GraftProcedures.load(root, ident.name()).getOrElse(
+      throw new RuntimeException(
+        s"no such procedure '${ident.name()}' in catalog '$catalogName' " +
+          s"(available: ${GraftProcedures.Names.mkString(", ")})"))
+  }
+}
+
+/** The maintenance loop as SQL procedures — `CALL` statements riding
+  * the same commit protocol the writes do (Spark 4's DSv2
+  * `ProcedureCatalog`, the Iceberg `CALL system.…` shape):
+  *
+  * {{{
+  *   CALL lake.compact(table => 'events', target_mb => 64)
+  *   CALL lake.vacuum(table => 'events', keep => 1)
+  *   CALL lake.expire_versions(table => 'events', keep_last => 2)
+  * }}}
+  *
+  * compact is the INCREMENTAL form ([[Compact.compactPublishedIncremental]]
+  * — cost ∝ fragmentation, carries the streaming replay marker);
+  * vacuum/expire are driver-side manifest work. Each returns one
+  * result row of accounting (new version / files carried + rewritten,
+  * versions reaped) through a `LocalScan`, so the caller sees what
+  * the maintenance did without a second query. */
+object GraftProcedures {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  val Names: Seq[String] = Seq("compact", "vacuum", "expire_versions")
+
+  private def in(n: String, t: DataType) = ProcedureParameter.in(n, t).build()
+  private def inDefault(n: String, t: DataType, d: String) =
+    ProcedureParameter.in(n, t).defaultValue(d).build()
+
+  private final class Proc(
+      pname: String,
+      params: Array[ProcedureParameter],
+      out: StructType,
+      body: InternalRow => InternalRow)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = pname
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val row = body(input)
+      java.util.List.of[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = Array(row)
+        override def readSchema(): StructType = out
+      }).iterator()
+    }
+  }
+
+  private def tableRoot(root: String, input: InternalRow): String =
+    java.nio.file.Paths.get(root)
+      .resolve(input.getUTF8String(0).toString).toString
+
+  def load(root: String, name: String): Option[UnboundProcedure] =
+    name.toLowerCase match {
+      case "compact" => Some(new Proc("compact",
+        Array(in("table", StringType),
+          inDefault("target_mb", IntegerType, "64")),
+        StructType(Seq(
+          StructField("version", LongType, nullable = false),
+          StructField("carried", IntegerType, nullable = false),
+          StructField("rewritten", IntegerType, nullable = false))),
+        input => {
+          val (v, carried, rewritten) = Compact.compactPublishedIncremental(
+            org.apache.spark.sql.SparkSession.active,
+            tableRoot(root, input),
+            targetBytes = input.getInt(1).toLong * 1024 * 1024)
+          new GenericInternalRow(Array[Any](v, carried, rewritten))
+        }))
+      case "vacuum" => Some(new Proc("vacuum",
+        Array(in("table", StringType), inDefault("keep", IntegerType, "1")),
+        StructType(Seq(
+          StructField("n_reaped", IntegerType, nullable = false),
+          StructField("reaped", StringType, nullable = false))),
+        input => {
+          val reaped = Publish.vacuum(tableRoot(root, input), input.getInt(1))
+          new GenericInternalRow(Array[Any](
+            reaped.size, UTF8String.fromString(reaped.sorted.mkString(","))))
+        }))
+      case "expire_versions" => Some(new Proc("expire_versions",
+        Array(in("table", StringType),
+          inDefault("keep_last", IntegerType, "1"),
+          inDefault("keep_within_ms", LongType, "0")),
+        StructType(Seq(
+          StructField("n_expired", IntegerType, nullable = false),
+          StructField("expired", StringType, nullable = false))),
+        input => {
+          val reaped = Publish.expireVersions(
+            tableRoot(root, input),
+            keepLast = input.getInt(1),
+            keepWithinMs = input.getLong(2))
+          new GenericInternalRow(Array[Any](
+            reaped.size, UTF8String.fromString(reaped.sorted.mkString(","))))
+        }))
+      case _ => None
+    }
 }
 
 object GraftCatalog {

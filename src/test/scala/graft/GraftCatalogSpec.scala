@@ -156,6 +156,13 @@ class GraftCatalogSpec extends SparkSpec {
         .head.getLong(0) == 10L)
       assert(spark.sql(s"SHOW TABLES IN $cat").collect()
         .map(_.getString(1)).toSet == Set("facts", "rates"))
+      // maintenance procedures are refused on a snapshot facade:
+      // member tables maintain through their own plain catalogs
+      val perr = intercept[Exception](
+        spark.sql(s"CALL $cat.compact(`table` => 'facts')"))
+      assert(Iterator.iterate(perr: Throwable)(_.getCause)
+        .takeWhile(_ != null).take(5)
+        .exists(_.getMessage.contains("snapshot")), s"got: $perr")
     } finally graft.sources.Sinks.deleteRecursively(Paths.get(root))
   }
 
@@ -183,6 +190,59 @@ class GraftCatalogSpec extends SparkSpec {
 
       intercept[Exception](spark.sql(s"DROP TABLE $cat.u"))
       assert(spark.sql(s"SELECT count(*) FROM $cat.u").head.getLong(0) == 5L)
+    } finally graft.sources.Sinks.deleteRecursively(Paths.get(root))
+  }
+
+  test("CALL procedures: incremental compact, vacuum, expire — atomic versions, lossless, accounted") {
+    val sess = spark
+    import sess.implicits._
+    val root = Files.createTempDirectory("graft_cat_proc").toString
+    try {
+      val tdir = Paths.get(root, "t").toString
+      // fragment the table: publish + two CAS appends of small files
+      Publish.publish(
+        (1L to 4000L).toDF("x").repartition(6), tdir): Unit
+      graft.sources.Txn.append(spark,
+        tdir, (4001L to 6000L).toDF("x").repartition(6)): Unit
+      graft.sources.Txn.append(spark,
+        tdir, (6001L to 8000L).toDF("x").repartition(6)): Unit
+      val cat = catalogFor(root)
+      val filesBefore = graft.sources.Compact.listDataFiles(
+        Paths.get(tdir).resolve("v=3").toString).size
+
+      val c = spark.sql(
+        s"CALL $cat.compact(`table` => 't', target_mb => 64)").collect()
+      assert(c.length == 1)
+      val (v, carried, rewritten) =
+        (c(0).getLong(0), c(0).getInt(1), c(0).getInt(2))
+      assert(v == 4L && rewritten > 1 && carried + rewritten == filesBefore,
+        s"compact accounting off: v=$v carried=$carried rewritten=$rewritten")
+      // lossless through the SQL read path, fewer files on disk
+      assert(spark.sql(s"SELECT count(*), sum(x) FROM $cat.t").head ==
+        org.apache.spark.sql.Row(8000L, 8000L * 8001L / 2))
+      assert(graft.sources.Compact.listDataFiles(
+        Paths.get(tdir).resolve(s"v=$v").toString).size < filesBefore)
+
+      // vacuum: reaps all but the live + keep window
+      val vac = spark.sql(
+        s"CALL $cat.vacuum(`table` => 't', keep => 0)").collect()(0)
+      assert(vac.getInt(0) == 3 && vac.getString(1) == "1,2,3", s"vacuum: $vac")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) == 8000L)
+
+      // expire_versions on a fresh history: keep_last bounds survivors
+      graft.sources.Txn.append(spark, tdir, Seq(9001L).toDF("x")): Unit
+      graft.sources.Txn.append(spark, tdir, Seq(9002L).toDF("x")): Unit
+      val ex = spark.sql(
+        s"CALL $cat.expire_versions(`table` => 't', keep_last => 2)").collect()(0)
+      assert(ex.getInt(0) == 1 && ex.getString(1) == "4", s"expire: $ex")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) == 8002L)
+
+      // unknown procedure names fail loudly, with the menu
+      val err = intercept[Exception](
+        spark.sql(s"CALL $cat.optimize(`table` => 't')"))
+      // Spark wraps the catalog's error as FAILED_TO_LOAD_ROUTINE;
+      // the procedure menu rides the cause
+      assert(err.getMessage.contains("optimize"))
     } finally graft.sources.Sinks.deleteRecursively(Paths.get(root))
   }
 }
