@@ -139,6 +139,56 @@ object DurableReplay {
       transform: DataFrame => DataFrame): DataFrame =
     runEvolving(spark, first, second, orderCol, transform, transform)
 
+  /** foreachBatch-sink kill-and-restart harness (the S24r/S25r
+    * pattern): stage each element of `firstParts` as ONE time-ordered
+    * file (one file = one deterministic micro-batch under
+    * maxFilesPerTrigger=1), start the caller-built query, KILL it as
+    * soon as the sink's own commit marker shows the first batch
+    * landed — the rest of the backlog is still unprocessed — then
+    * restart the SAME checkpoint, drain, stage `secondParts`, drain
+    * again. The sink's effects are external (a published table), so
+    * the harness returns nothing; callers assert on the table and its
+    * version accounting. The kill can interrupt a batch anywhere
+    * around its commit: before the pointer flip the restart re-runs
+    * it cleanly, after the flip the replayed id is REFUSED by the
+    * sink's batch marker — either way the table and the version count
+    * end deterministic, which is exactly the claim under test.
+    *
+    * @param committedBatch the sink's committed-batch-id reader
+    *   (e.g. `CdcApplyStream.lastBatch(root)`) — the kill trigger */
+  def runForeachRestart(
+      spark: SparkSession,
+      firstParts: Seq[DataFrame],
+      secondParts: Seq[DataFrame],
+      mkQuery: (DataFrame, String) => org.apache.spark.sql.streaming.StreamingQuery,
+      committedBatch: () => Option[Long]): Unit = {
+    val inDir = java.nio.file.Files.createTempDirectory("graft_febr_in").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_febr_ckpt").toString
+    val stamper = new Stamper(inDir)
+    def stage(parts: Seq[DataFrame]): Unit = parts.foreach { p =>
+      p.coalesce(1).write.mode("append").parquet(inDir)
+      stamper.stampNew()
+    }
+    def open() = mkQuery(
+      spark.readStream.schema(firstParts.head.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir),
+      ckptDir)
+
+    stage(firstParts)
+    val q1 = open()
+    val deadline = System.currentTimeMillis + 120000
+    while (committedBatch().isEmpty && System.currentTimeMillis < deadline)
+      Thread.sleep(25)
+    q1.stop()
+
+    val q2 = open()
+    try {
+      q2.processAllAvailable()
+      stage(secondParts)
+      q2.processAllAvailable()
+    } finally q2.stop()
+  }
+
   /** [[runStateful]] with a DIFFERENT transform per incarnation — the
     * state-schema-evolution harness: incarnation 2 restarts the SAME
     * checkpoint with an operator whose state encoder has changed, so

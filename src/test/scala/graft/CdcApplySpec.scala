@@ -97,6 +97,47 @@ class CdcApplySpec extends SparkSpec {
     }
   }
 
+  test("S24r: CDC apply survives a mid-backlog kill-and-restart through the checkpoint") {
+    val sess = spark
+    import sess.implicits._
+    val root = Files.createTempDirectory("graft_cdc_restart").toString
+    try {
+      // one file = one micro-batch. Incarnation 1 is KILLED right
+      // after batch 0 commits, with batches 1–2 still in the backlog;
+      // incarnation 2 resumes the checkpoint, drains them, then takes
+      // two more. The feed is order-SENSITIVE (key 10 is deleted then
+      // re-upserted; 21 inserted then deleted), so a state reset,
+      // skipped batch, or double-apply all change the final table.
+      val first = Seq(
+        ((1L to 20L).map(i => Cdc(i, i * 10, 1, "upsert"))).toDF(),
+        ((1L to 5L).map(i => Cdc(i, 0, 2, "delete")) :+
+          Cdc(21, 210, 2, "upsert")).toDF(),
+        Seq(Cdc(10, 1000, 3, "upsert"), Cdc(21, 0, 3, "delete")).toDF())
+      val second = Seq(
+        Seq(Cdc(10, 0, 4, "delete"), Cdc(30, 300, 4, "upsert")).toDF(),
+        Seq(Cdc(10, 2000, 5, "upsert")).toDF())
+      graft.streaming.DurableReplay.runForeachRestart(spark, first, second,
+        (stream, ckpt) => CdcApplyStream.start(
+          stream, root, Seq("id"), Seq(col("seq")),
+          checkpointLocation = Some(ckpt)),
+        () => CdcApplyStream.lastBatch(root))
+
+      val expect = ((6L to 9L) ++ (11L to 20L)).map(i => (i, i * 10)).toSet ++
+        Set((10L, 2000L), (30L, 300L))
+      val got = Publish.read(spark, root).select("id", "v")
+        .as[(Long, Long)].collect().toSet
+      assert(got == expect, s"missing=${expect -- got} extra=${got -- expect}")
+      // exactly-once accounting: bootstrap + one merge per batch 1–4,
+      // whatever the kill interrupted — a replayed batch that
+      // re-committed would inflate the version count
+      assert(CdcApplyStream.lastBatch(root).contains(4L))
+      assert(Publish.listVersions(Paths.get(root)).sorted == (1L to 5L),
+        s"versions=${Publish.listVersions(Paths.get(root)).sorted}")
+    } finally {
+      graft.sources.Sinks.deleteRecursively(Paths.get(root))
+    }
+  }
+
   test("S24: streamed CDC equals batch-sequential application across chops") {
     val sess = spark
     import sess.implicits._
