@@ -2529,7 +2529,11 @@ object SparkEntry {
     * recompute over the new snapshots: a missed cross term, a wrong
     * sign, or an unmigrated group breaks the hash. At 100 TB the
     * fact table re-joins only against the broadcastable dimension
-    * delta; the nightly full re-join this replaces scans everything. */
+    * delta; the nightly full re-join this replaces scans everything.
+    * Bench pricing: this entry's wall time is dominated by DERIVING
+    * the two diffs from full snapshots so the demo is
+    * self-contained — production feeds arrive as deltas (q138/S26)
+    * and pay only the delta-sized apply. */
   def q129JoinIvm(spark: SparkSession, dir: String): DataFrame = {
     val price = round(col("o_totalprice"), 2).cast("decimal(18,2)")
     val lOld = Tables.orders(spark, dir)
