@@ -3472,6 +3472,111 @@ object SparkEntry {
          |FROM $cat.`$tname` GROUP BY event_type""".stripMargin)
   }
 
+  /** q155: SQL DDL through the catalog ([[graft.sources.GraftCatalog]]
+    * create/alter/drop) — the table LIFECYCLE as plain SQL, every verb
+    * riding the commit protocol: CREATE TABLE AS SELECT publishes an
+    * empty schema version then appends the query result (both CAS
+    * commits), ALTER TABLE ADD COLUMNS widens the manifest
+    * METADATA-ONLY (live files carry byte-identically plus one empty
+    * wide footer; old rows read the new column as NULL through the
+    * readConformed contract), INSERT INTO lands wide rows next to the
+    * narrow carries, and DROP TABLE retires a scratch sibling. The
+    * final aggregate groups BY the evolved column, so the hash gate
+    * covers exactly the NULL-conformance story: DuckDB re-derives the
+    * CTAS slice (src NULL) ∪ the wide inserts (src 'late'). */
+  private def sqlDdlRoot(spark: SparkSession, dir: String): String =
+    graft.tools.Scratch.cachedArtifact(
+      "graft_sqlddl", dir, s"$dir/events.parquet") { (tableDir, _) =>
+      val (cat, tname) = sqlCatalogFor(spark, tableDir, "gdd")
+      Tables.events(spark, dir).createOrReplaceTempView("graft_q155_events")
+      spark.sql(
+        s"""CREATE TABLE $cat.`$tname` AS
+           |SELECT event_id, event_type, user_id, value
+           |FROM graft_q155_events WHERE event_id % 3 = 0""".stripMargin): Unit
+      spark.sql(s"CREATE TABLE $cat.`${tname}_scratch` (x BIGINT)"): Unit
+      spark.sql(s"DROP TABLE $cat.`${tname}_scratch`"): Unit
+      spark.sql(s"ALTER TABLE $cat.`$tname` ADD COLUMNS (src STRING)"): Unit
+      spark.sql(
+        s"""INSERT INTO $cat.`$tname`
+           |SELECT event_id, event_type, user_id, value, 'late' AS src
+           |FROM graft_q155_events WHERE event_id % 3 = 1""".stripMargin): Unit
+    }
+
+  def q155SqlDdl(spark: SparkSession, dir: String): DataFrame = {
+    val (cat, tname) = sqlCatalogFor(spark, sqlDdlRoot(spark, dir), "gdd")
+    spark.sql(
+      s"""SELECT event_type, src, count(*) AS n_events,
+         |  CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+         |    AS sum_value
+         |FROM $cat.`$tname` GROUP BY event_type, src""".stripMargin)
+  }
+
+  /** q156: training-data export round-trip ([[graft.sources.Export]])
+    * — the hand-off step after curation: q59's deterministic shard
+    * assignment routes documents into size-capped JSONL shard
+    * directories (`partitionBy` write, `maxRecordsPerFile` splitting
+    * inside the writer — no per-shard repartition beyond the single
+    * shard-routing shuffle that makes file counts deterministic),
+    * plus a driver-bounded file manifest. The gated output re-READS
+    * the export under the pinned schema and aggregates per shard:
+    * doc counts, distinct sources, post-round-trip char mass, and
+    * the SUM OF ROLLING-HASH FINGERPRINTS of the round-tripped text
+    * (q25's engine-parity formula) — a JSON escaping bug, a dropped
+    * line, or a mangled unicode point all break the hash; n_files
+    * pins the size cap (ceil(n/25) per shard). The oracle re-derives
+    * everything from the source table: the export must be LOSSLESS. */
+  private def exportShardsRoot(spark: SparkSession, dir: String): String =
+    graft.tools.Scratch.cachedArtifact(
+      "graft_export", dir, s"$dir/documents.parquet") { (outDir, _) =>
+      val scramble = pmod(
+        pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L), lit(1000000007L))
+      graft.sources.Export.writeJsonlShards(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars"), pmod(scramble, lit(8L)).as("shard"))
+          // one writer per shard → file count = ceil(rows/cap),
+          // engine-reproducible (and the write stays one shuffle)
+          .repartition(col("shard")),
+        "shard", outDir, maxRecordsPerFile = 25L)
+    }
+
+  def q156ExportShards(spark: SparkSession, dir: String): DataFrame = {
+    val out = exportShardsRoot(spark, dir)
+    val back = graft.sources.Export.readJsonlShards(spark, out,
+      "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+    val files = graft.sources.Export.manifest(spark, out)
+      .groupBy("shard").agg(count(lit(1)).as("n_files"))
+    back.groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(length(col("text"))).as("sum_chars"),
+        sum(graft.text.TextOps.fingerprintCol(col("text"))).as("fp_sum"))
+      .join(files, Seq("shard"))
+      .select(col("shard"), col("n_docs"), col("n_sources"),
+        col("sum_chars"), col("fp_sum"), col("n_files"))
+  }
+
+  /** q157: sequence packing ([[operators.Packing.packNextFit]]) — the
+    * context-window-filling step between curation and the training
+    * loader: documents pack greedily (next-fit, order-preserving)
+    * into 2048-char-budget sequences within their q59 shard. The
+    * packing recurrence is a linear fold the DuckDB oracle re-runs
+    * as a recursive CTE, so every sequence boundary sits under the
+    * hash gate — one early or late bin close anywhere in a shard
+    * shifts every downstream seq_id and breaks the hash. */
+  def q157SequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    val scramble = pmod(
+      pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L), lit(1000000007L))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), scramble.as("scramble"),
+        pmod(scramble, lit(8L)).as("shard"))
+    graft.operators.Packing
+      .packNextFit(docs, "shard", "scramble", "doc_id", "n_chars", budget = 2048L)
+      .groupBy("shard", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("used_chars"))
+  }
+
   def q124DeclaredDedupe(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir).createOrReplaceTempView("graft_q124_events")
     spark.sql(
@@ -4281,7 +4386,10 @@ object SparkEntry {
     "q151_bm25"                  -> (q151Bm25 _),
     "q152_transition_matrix"     -> (q152TransitionMatrix _),
     "q153_attribution"           -> (q153Attribution _),
-    "q154_sql_maintenance"       -> (q154SqlMaintenance _)
+    "q154_sql_maintenance"       -> (q154SqlMaintenance _),
+    "q155_sql_ddl"               -> (q155SqlDdl _),
+    "q156_export_shards"         -> (q156ExportShards _),
+    "q157_sequence_packing"      -> (q157SequencePacking _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -4483,6 +4591,69 @@ object SparkEntry {
         |  CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
         |    AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q155_sql_ddl" ->
+      // the DDL lifecycle's observable state: CTAS slice (src NULL,
+      // conformed through the metadata-only widen) ∪ wide inserts
+      """SELECT event_type, src, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS sum_value
+        |FROM (
+        |  SELECT event_type, CAST(NULL AS VARCHAR) AS src, value
+        |  FROM events WHERE event_id % 3 = 0
+        |  UNION ALL
+        |  SELECT event_type, 'late' AS src, value
+        |  FROM events WHERE event_id % 3 = 1
+        |) GROUP BY event_type, src""".stripMargin,
+
+    "q156_export_shards" ->
+      // the export must be lossless: every aggregate (fingerprint
+      // mass included) re-derives from the SOURCE table; n_files =
+      // one writer per shard splitting at 25 records
+      """WITH s AS (
+        |  SELECT doc_id, text, source,
+        |    ((doc_id % 1000003) * 2654435761) % 1000000007 % 8 AS shard
+        |  FROM documents
+        |)
+        |SELECT shard, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT source) AS n_sources,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ' '),
+        |        w -> CAST(LENGTH(w) * 97 + CASE WHEN LENGTH(w) > 0 THEN ascii(w) ELSE 0 END AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007)) AS BIGINT) AS fp_sum,
+        |  CAST(CEIL(COUNT(*) / 25.0) AS BIGINT) AS n_files
+        |FROM s GROUP BY shard""".stripMargin,
+
+    "q157_sequence_packing" ->
+      // the greedy next-fit recurrence re-run as a recursive CTE:
+      // seq_id/acc advance row by row in (scramble, doc_id) order
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id, n_chars,
+        |    ((doc_id % 1000003) * 2654435761) % 1000000007 AS scramble,
+        |    ((doc_id % 1000003) * 2654435761) % 1000000007 % 8 AS shard
+        |  FROM documents
+        |), o AS (
+        |  SELECT shard, doc_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY shard
+        |                       ORDER BY scramble, doc_id) AS rn
+        |  FROM s
+        |), packed AS (
+        |  SELECT shard, doc_id, n_chars, rn,
+        |    CAST(1 AS BIGINT) AS seq_id, n_chars AS acc
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.shard, o.doc_id, o.n_chars, o.rn,
+        |    CASE WHEN p.acc + o.n_chars > 2048
+        |         THEN p.seq_id + 1 ELSE p.seq_id END,
+        |    CASE WHEN p.acc + o.n_chars > 2048
+        |         THEN o.n_chars ELSE p.acc + o.n_chars END
+        |  FROM packed p JOIN o ON o.shard = p.shard AND o.rn = p.rn + 1
+        |)
+        |SELECT shard, seq_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS used_chars
+        |FROM packed GROUP BY shard, seq_id""".stripMargin,
 
     "q152_transition_matrix" ->
       // CAST(ts AS TIMESTAMP) truncates the parquet nanos to the µs

@@ -43,11 +43,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * rebase retry — racing SQL inserts serialize with no lost update)
   * and `INSERT OVERWRITE` publishes a fresh validated version behind
   * the same atomic flip; history loads carry no write capability
-  * (Spark itself refuses inserts against `VERSION AS OF`), snapshot-
-  * mode tables stay read-only (a per-table insert cannot express the
-  * multi-table flip), and DDL (create/alter/drop/rename) throws — a
-  * pass-through file write would bypass the immutability contract
-  * every reader rests on. A version carrying a `_deletes` sidecar is
+  * (Spark itself refuses inserts against `VERSION AS OF`), and
+  * snapshot-mode tables stay read-only (a per-table insert cannot
+  * express the multi-table flip). DDL rides the protocol too:
+  * CREATE TABLE / CTAS publish an empty schema version then append,
+  * ALTER TABLE ADD COLUMNS is a metadata-only widen (files carried
+  * byte-identically), DROP TABLE retires the layout; rename and
+  * non-add alters throw. A version carrying a `_deletes` sidecar is
   * REFUSED rather than served sidecar-blind (deletes are semantics;
   * [[Deletes.readPublished]] is that read path) — serving deleted
   * rows silently would be a correctness bug wearing a convenience
@@ -181,31 +183,127 @@ class GraftCatalog extends TableCatalog
     s"catalog '$catalogName' is a read facade — write through the " +
       "Publish/Txn/Merge/Deletes commit protocol (CAS, validation, atomic flips)")
 
+  /** `CREATE TABLE` / the create half of CTAS: version 1 is an EMPTY
+    * published version whose manifest records the declared schema, so
+    * the table is immediately readable (0 rows) and the CTAS write
+    * that follows is an ordinary [[Txn.append]] — DDL rides the same
+    * commit protocol as every other mutation. Partition transforms
+    * are refused: layout here is version-dir + stats-manifest
+    * clustering (ZOrder/LayoutAdvisor), not directory partitioning. */
   override def createTable(
       ident: Identifier, schema: StructType,
       partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
-      properties: java.util.Map[String, String]): Table = readOnly()
-  override def alterTable(ident: Identifier, changes: TableChange*): Table = readOnly()
-  override def dropTable(ident: Identifier): Boolean = readOnly()
+      properties: java.util.Map[String, String]): Table = {
+    if (snapshotMode) readOnly()
+    if (partitions.nonEmpty) throw new UnsupportedOperationException(
+      "PARTITIONED BY is not supported — cluster through the stats-manifest " +
+        "layout (ZOrder/LayoutAdvisor) instead of directory partitioning")
+    val provider = Option(properties.get(TableCatalog.PROP_PROVIDER))
+    if (!provider.forall(_.equalsIgnoreCase("parquet")))
+      throw new UnsupportedOperationException(
+        s"provider '${provider.get}' is not supported — tables are parquet versions")
+    val tr = tableRoot(ident)
+    if (Publish.currentVersion(tr).nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Seq(catalogName) ++ ident.namespace() :+ ident.name())
+    val spark = SparkSession.active
+    // one empty single-partition write → one schema-bearing footer,
+    // which is all the validation read and the manifest need
+    Publish.publish(spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      .repartition(1), tr): Unit
+    loadTable(ident)
+  }
+
+  /** `ALTER TABLE … ADD COLUMNS` as a METADATA-ONLY commit: the new
+    * version carries every live data file (and its deletion-vector
+    * slice) byte-identically plus one empty wide-schema file, so the
+    * mergeSchema validation read records the WIDENED manifest schema
+    * — existing rows read the new columns as NULL through the
+    * [[Publish.readConformed]] contract, and not a data byte moves.
+    * Everything else (drop/rename/retype) is refused: those change
+    * what carried bytes MEAN, which this layout expresses as a
+    * rewrite (MERGE/UPDATE), not metadata. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (snapshotMode) readOnly()
+    val tr = tableRoot(ident)
+    if (Publish.currentVersion(tr).isEmpty) noSuch(ident)
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        if (a.fieldNames().length != 1) throw new UnsupportedOperationException(
+          s"nested ADD COLUMN ${a.fieldNames().mkString(".")} is not supported")
+        a
+      case c => throw new UnsupportedOperationException(
+        s"only ADD COLUMNS evolves the manifest schema metadata-only; $c " +
+          "needs a rewrite — express it as MERGE/UPDATE through the commit protocol")
+    }
+    val spark = SparkSession.active
+    Txn.retry(tr) { live =>
+      val cur = Publish.manifestSchemaDdl(tr, live.getOrElse(noSuch(ident)))
+        .map(StructType.fromDDL).getOrElse(Publish.read(spark, tr).schema)
+      adds.foreach { a =>
+        if (cur.fieldNames.exists(_.equalsIgnoreCase(a.fieldNames()(0))))
+          throw new IllegalArgumentException(
+            s"column ${a.fieldNames()(0)} already exists")
+      }
+      val wide = StructType(cur.fields ++ adds.map(a =>
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames()(0), a.dataType(), nullable = true)))
+      Publish.publishStagedIf(spark, tr, expectedLive = live,
+        meta = Publish.carryReplayMarker(tr, Map.empty),
+        mergeSchema = true) { staging =>
+        val stagingPath = Paths.get(staging)
+        Files.createDirectories(stagingPath)
+        val liveDir = Paths.get(tr).resolve(s"v=${live.get}")
+        val names = Compact.listDataFiles(liveDir.toString).map(_._1)
+        names.foreach(n => Files.copy(liveDir.resolve(n), stagingPath.resolve(n)): Unit)
+        Deletes.carrySidecarSlice(spark, liveDir.toString, staging, names)
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), wide)
+          .repartition(1).write.mode("append").parquet(staging)
+      }
+    }: Unit
+    loadTable(ident)
+  }
+
+  /** `DROP TABLE`: retires the whole version layout — the destructive
+    * verb SQL promises, also what CTAS failure cleanup calls. */
+  override def dropTable(ident: Identifier): Boolean = {
+    if (snapshotMode) readOnly()
+    val tr = Paths.get(tableRoot(ident))
+    if (!Files.exists(tr.resolve("_CURRENT"))) false
+    else { Sinks.deleteRecursively(tr); true }
+  }
+
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = readOnly()
 
   // ---- maintenance procedures (CALL cat.compact(table => '…')) ----
 
   override def listProcedures(namespace: Array[String])
       : Array[Identifier] =
-    if (snapshotMode || namespace.nonEmpty) Array.empty
-    else GraftProcedures.Names.map(Identifier.of(Array.empty[String], _)).toArray
+    if (namespace.nonEmpty) Array.empty
+    else (if (snapshotMode) GraftProcedures.SnapshotNames
+          else GraftProcedures.Names)
+      .map(Identifier.of(Array.empty[String], _)).toArray
 
   override def loadProcedure(ident: Identifier)
-      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
-    if (snapshotMode) throw new UnsupportedOperationException(
-      "maintenance procedures run on a plain table catalog — a snapshot " +
-        "facade's member tables maintain through their own catalogs")
-    GraftProcedures.load(root, ident.name()).getOrElse(
-      throw new RuntimeException(
-        s"no such procedure '${ident.name()}' in catalog '$catalogName' " +
-          s"(available: ${GraftProcedures.Names.mkString(", ")})"))
-  }
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    if (snapshotMode)
+      GraftProcedures.loadSnapshot(root, ident.name()).getOrElse {
+        if (GraftProcedures.Names.contains(ident.name().toLowerCase))
+          throw new UnsupportedOperationException(
+            "table-grain maintenance runs on a plain table catalog — a snapshot " +
+              "facade's member tables maintain through their own catalogs; " +
+              "snapshot-grain retention is CALL expire_snapshots / vacuum here")
+        throw new RuntimeException(
+          s"no such procedure '${ident.name()}' in snapshot catalog " +
+            s"'$catalogName' (available: ${GraftProcedures.SnapshotNames.mkString(", ")})")
+      }
+    else
+      GraftProcedures.load(root, ident.name()).getOrElse(
+        throw new RuntimeException(
+          s"no such procedure '${ident.name()}' in catalog '$catalogName' " +
+            s"(available: ${GraftProcedures.Names.mkString(", ")})"))
 }
 
 /** The maintenance loop as SQL procedures — `CALL` statements riding
@@ -233,6 +331,15 @@ object GraftProcedures {
   import org.apache.spark.unsafe.types.UTF8String
 
   val Names: Seq[String] = Seq("compact", "vacuum", "expire_versions")
+
+  /** Snapshot-catalog procedures — retention at the CATALOG grain
+    * (the r8-verdict ask): `CALL snapcat.expire_snapshots(keep_last
+    * => 2)` / `CALL snapcat.vacuum(keep => 1)` run
+    * [[Catalog.expireSnapshots]]/[[Catalog.vacuum]] — dropped
+    * snapshot manifests, then the referenced-set sweep, so a member
+    * version any SURVIVING snapshot pins is never reaped (the pin
+    * contract, spec-raced in RetentionSpec). */
+  val SnapshotNames: Seq[String] = Seq("expire_snapshots", "vacuum")
 
   private def in(n: String, t: DataType) = ProcedureParameter.in(n, t).build()
   private def inDefault(n: String, t: DataType, d: String) =
@@ -302,6 +409,30 @@ object GraftProcedures {
           new GenericInternalRow(Array[Any](
             reaped.size, UTF8String.fromString(reaped.sorted.mkString(","))))
         }))
+      case _ => None
+    }
+
+  private def reapedRow(reaped: Seq[(String, Long)]): GenericInternalRow =
+    new GenericInternalRow(Array[Any](
+      reaped.size, UTF8String.fromString(
+        reaped.map { case (t, v) => s"$t:$v" }.sorted.mkString(","))))
+
+  private val reapedSchema = StructType(Seq(
+    StructField("n_reaped_versions", IntegerType, nullable = false),
+    StructField("reaped", StringType, nullable = false)))
+
+  def loadSnapshot(root: String, name: String): Option[UnboundProcedure] =
+    name.toLowerCase match {
+      case "expire_snapshots" => Some(new Proc("expire_snapshots",
+        Array(inDefault("keep_last", IntegerType, "1"),
+          inDefault("keep_within_ms", LongType, "0")),
+        reapedSchema,
+        input => reapedRow(Catalog.expireSnapshots(
+          root, keepLast = input.getInt(0), keepWithinMs = input.getLong(1)))))
+      case "vacuum" => Some(new Proc("vacuum",
+        Array(inDefault("keep", IntegerType, "1")),
+        reapedSchema,
+        input => reapedRow(Catalog.vacuum(root, input.getInt(0)))))
       case _ => None
     }
 }

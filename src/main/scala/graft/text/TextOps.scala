@@ -184,16 +184,20 @@ object TextOps {
     * A content fingerprint that is stable under whitespace layout and
     * cheap enough to run per-document at 100 TB (single fold, no
     * shuffle). */
+  /** The rolling-hash fingerprint as a column expression — what lets
+    * other operators (q156's export round-trip gate) fold the
+    * fingerprint into their own projections. */
+  def fingerprintCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(
+      transform(
+        tokens(text),
+        w => (length(w) * lit(97L) +
+          when(length(w) > 0, ascii(w)).otherwise(lit(0))).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * 31L + x) % 1000000007L)
+
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(
-      col(idCol),
-      aggregate(
-        transform(
-          tokens(col(textCol)),
-          w => (length(w) * lit(97L) +
-            when(length(w) > 0, ascii(w)).otherwise(lit(0))).cast("long")),
-        lit(0L),
-        (acc, x) => (acc * 31L + x) % 1000000007L).as("fingerprint"))
+    docs.select(col(idCol), fingerprintCol(col(textCol)).as("fingerprint"))
 
   /** Sliding-window document chunking — the context-window prep step
     * of a training-data pipeline: each document becomes

@@ -188,9 +188,117 @@ class GraftCatalogSpec extends SparkSpec {
       assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 1")
         .head.getLong(0) == 100L)
 
-      intercept[Exception](spark.sql(s"DROP TABLE $cat.u"))
+      // rename stays refused (DROP/CREATE/ALTER-ADD are now verbs of
+      // the commit protocol — the DDL test covers them)
+      intercept[Exception](spark.sql(s"ALTER TABLE $cat.u RENAME TO w"))
       assert(spark.sql(s"SELECT count(*) FROM $cat.u").head.getLong(0) == 5L)
     } finally graft.sources.Sinks.deleteRecursively(Paths.get(root))
+  }
+
+  test("SQL DDL: CREATE TABLE / CTAS / ALTER ADD COLUMNS / DROP ride the commit protocol") {
+    val sess = spark
+    import sess.implicits._
+    val root = Files.createTempDirectory("graft_cat_ddl").toString
+    try {
+      val cat = catalogFor(root)
+      // CREATE TABLE: an empty schema-bearing version, immediately queryable
+      spark.sql(s"CREATE TABLE $cat.t (id BIGINT, v BIGINT)")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) == 0L)
+      assert(Publish.currentVersion(Paths.get(root, "t").toString).contains(1L))
+      // CREATE on an existing table refuses
+      intercept[Exception](spark.sql(s"CREATE TABLE $cat.t (x INT)"))
+      // INSERT into the fresh table rides Txn.append
+      spark.sql(s"INSERT INTO $cat.t VALUES (1, 10), (2, 20)")
+      assert(spark.sql(s"SELECT sum(v) FROM $cat.t").head.getLong(0) == 30L)
+
+      // CTAS: create-from-query in one statement
+      spark.sql(s"CREATE TABLE $cat.u AS SELECT id, v * 2 AS w FROM $cat.t")
+      assert(spark.sql(s"SELECT sum(w) FROM $cat.u").head.getLong(0) == 60L)
+
+      // ALTER ADD COLUMNS: metadata-only — the live data files carry
+      // byte-identically, old rows read the new column as NULL
+      val uDir = Paths.get(root, "u").toString
+      val vBefore = Publish.currentVersion(uDir).get
+      val filesBefore = graft.sources.Compact
+        .listDataFiles(Paths.get(uDir).resolve(s"v=$vBefore").toString).toMap
+      spark.sql(s"ALTER TABLE $cat.u ADD COLUMNS (tag STRING)")
+      val vAfter = Publish.currentVersion(uDir).get
+      val filesAfter = graft.sources.Compact
+        .listDataFiles(Paths.get(uDir).resolve(s"v=$vAfter").toString).toMap
+      assert(vAfter == vBefore + 1)
+      filesBefore.foreach { case (name, size) =>
+        assert(filesAfter.get(name).contains(size), s"$name not carried intact")
+      }
+      assert(spark.sql(s"SELECT count(*) FROM $cat.u WHERE tag IS NULL")
+        .head.getLong(0) == 2L)
+      // wide inserts land next to the narrow carries
+      spark.sql(s"INSERT INTO $cat.u VALUES (9, 90, 'late')")
+      assert(spark.sql(s"SELECT tag FROM $cat.u WHERE id = 9").head.getString(0) == "late")
+      // pre-alter history still serves the narrow schema
+      assert(!spark.sql(s"SELECT * FROM $cat.u VERSION AS OF $vBefore")
+        .columns.contains("tag"))
+      // non-add ALTERs refuse: carried bytes would change meaning
+      intercept[Exception](spark.sql(s"ALTER TABLE $cat.u DROP COLUMN w"))
+
+      // DROP TABLE retires the layout; the name is reusable
+      spark.sql(s"DROP TABLE $cat.t")
+      intercept[Exception](spark.sql(s"SELECT * FROM $cat.t").collect())
+      assert(!Files.exists(Paths.get(root, "t")))
+      spark.sql(s"CREATE TABLE $cat.t (fresh STRING)")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) == 0L)
+      // PARTITIONED BY refuses — layout is stats-manifest clustering
+      intercept[Exception](
+        spark.sql(s"CREATE TABLE $cat.p (a INT, b INT) PARTITIONED BY (b)"))
+    } finally graft.sources.Sinks.deleteRecursively(Paths.get(root))
+  }
+
+  test("snapshot-catalog CALL expire_snapshots ≡ the API sweep; surviving pins stay readable") {
+    val sess = spark
+    import sess.implicits._
+    def build(): String = {
+      val root = Files.createTempDirectory("graft_cat_snapret").toString
+      (1 to 3).foreach { i =>
+        graft.sources.Catalog.publishAll(spark, root,
+          Map("t" -> (1L to i * 10L).toDF("x"),
+            "u" -> (1L to i * 5L).toDF("y"))): Unit
+        Thread.sleep(30)
+      }
+      root
+    }
+    val sqlRoot = build()
+    val apiRoot = build()
+    try {
+      n += 1
+      val cat = s"gsnapret$n"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", sqlRoot)
+      spark.conf.set(s"spark.sql.catalog.$cat.mode", "snapshot")
+
+      val got = spark.sql(
+        s"CALL $cat.expire_snapshots(keep_last => 2)").collect()(0)
+      val apiReaped = graft.sources.Catalog.expireSnapshots(apiRoot, keepLast = 2)
+      // SQL-invoked sweep ≡ API sweep: same reaped (table, version) set
+      assert(got.getInt(0) == apiReaped.size && got.getString(1) ==
+        apiReaped.map { case (t, v) => s"$t:$v" }.sorted.mkString(","),
+        s"sql=$got api=$apiReaped")
+      assert(got.getInt(0) == 2 && got.getString(1) == "t:1,u:1", s"got=$got")
+      // pins honored: surviving snapshots 2 and 3 still resolve their
+      // member versions through SQL time travel…
+      assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 2")
+        .head.getLong(0) == 20L)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) == 30L)
+      // …and the expired snapshot refuses rather than mis-serving
+      intercept[Exception](
+        spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 1").collect())
+
+      // vacuum (keep=1) reaps snapshot 2's now-unreferenced pins
+      val vac = spark.sql(s"CALL $cat.vacuum(keep => 1)").collect()(0)
+      assert(vac.getInt(0) == 2 && vac.getString(1) == "t:2,u:2", s"vac=$vac")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) == 30L)
+    } finally {
+      graft.sources.Sinks.deleteRecursively(Paths.get(sqlRoot))
+      graft.sources.Sinks.deleteRecursively(Paths.get(apiRoot))
+    }
   }
 
   test("CALL procedures: incremental compact, vacuum, expire — atomic versions, lossless, accounted") {

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Packing
+
+/** q157 (operators/Packing): greedy next-fit sequence packing —
+  * hand-computed panel, budget edge cases, oversized documents,
+  * shard-boundary state resets, and partition invariance. */
+class PackingSpec extends SparkSpec {
+
+  private def pack(rows: Seq[(Long, Long, Long, Long)], budget: Long, parts: Int = 1) = {
+    val sess = spark
+    import sess.implicits._
+    Packing.packNextFit(
+      rows.toDF("shard", "ord", "doc_id", "len").repartition(parts),
+      "shard", "ord", "doc_id", "len", budget)
+      .select("shard", "seq_id", "doc_id")
+      .as[(Long, Long, Long)].collect().toSet
+  }
+
+  test("hand panel: fills, closes exactly at the boundary, opens on overflow") {
+    // budget 10: [4, 6] fills seq 1 exactly (4+6=10, not >10);
+    // 5 overflows → seq 2; [5, 5] fills it; 1 → seq 3
+    val got = pack(Seq(
+      (0L, 1L, 101L, 4L), (0L, 2L, 102L, 6L), (0L, 3L, 103L, 5L),
+      (0L, 4L, 104L, 5L), (0L, 5L, 105L, 1L)), budget = 10)
+    assert(got == Set(
+      (0L, 1L, 101L), (0L, 1L, 102L), (0L, 2L, 103L),
+      (0L, 2L, 104L), (0L, 3L, 105L)))
+  }
+
+  test("an oversized document gets a sequence of its own, mid-stream and first") {
+    // 99 > budget everywhere: first doc opens seq 1 alone; the
+    // mid-stream one closes seq 2 and takes seq 3 alone
+    val got = pack(Seq(
+      (0L, 1L, 1L, 99L), (0L, 2L, 2L, 3L), (0L, 3L, 3L, 99L),
+      (0L, 4L, 4L, 3L)), budget = 10)
+    assert(got == Set((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L), (0L, 4L, 4L)))
+  }
+
+  test("shard boundaries reset the running state; order is (ord, doc_id)") {
+    // two shards sharing a task: each restarts at seq 1; within a
+    // shard equal ord ties break by doc_id
+    val got = pack(Seq(
+      (1L, 1L, 11L, 7L), (1L, 1L, 12L, 7L),   // tie on ord: 11 then 12
+      (2L, 1L, 21L, 9L), (2L, 2L, 22L, 9L)), budget = 10)
+    assert(got == Set(
+      (1L, 1L, 11L), (1L, 2L, 12L), (2L, 1L, 21L), (2L, 2L, 22L)))
+  }
+
+  test("partition-invariant: 1, 3, and 16 input partitions agree") {
+    val rows = (1L to 400L).map { i =>
+      (i % 7, i * 37 % 101, i, 50L + i % 400)
+    }
+    val one = pack(rows, budget = 777, parts = 1)
+    assert(pack(rows, budget = 777, parts = 3) == one)
+    assert(pack(rows, budget = 777, parts = 16) == one)
+    // sanity: multiple sequences actually formed
+    assert(one.map(t => (t._1, t._2)).size > 7)
+  }
+
+  test("packing is order-preserving: seq_id is monotone in the shard order") {
+    val sess = spark
+    import sess.implicits._
+    val rows = (1L to 300L).map(i => (i % 5, i, i, 40L + i % 97))
+    val packed = Packing.packNextFit(
+      rows.toDF("shard", "ord", "doc_id", "len").repartition(4),
+      "shard", "ord", "doc_id", "len", budget = 300)
+      .select("shard", "seq_id", "doc_id")
+      .as[(Long, Long, Long)].collect()
+    // doc order within a shard is ord = doc_id here; seq_id must
+    // never decrease along it
+    packed.groupBy(_._1).foreach { case (_, docs) =>
+      val seqs = docs.sortBy(_._3).map(_._2)
+      assert(seqs.zip(seqs.tail).forall { case (a, b) => b == a || b == a + 1 },
+        s"seq_id not monotone: ${seqs.toSeq}")
+    }
+  }
+}
