@@ -106,6 +106,64 @@ object Wap {
     (version, counts)
   }
 
+  /** [[publishWithExpectations]]'s APPEND form — the audit gate in
+    * front of a [[Txn.append]]-shaped commit: the base version's data
+    * files (and deletion-vector slices) carry byte-identically, the
+    * CLEAN rows land as fresh files, drop-severity violations
+    * quarantine to the NEW version's `_rejects` sidecar (so each
+    * append's audit trail rides its own version — time travel reads
+    * batch-grained quarantines), fail-severity violations abort with
+    * the base untouched, and the whole thing commits CAS under
+    * [[Txn.retry]]. What [[graft.streaming.WapStream]] folds
+    * micro-batches through. */
+  def appendWithExpectations(
+      spark: SparkSession,
+      root: String,
+      df: DataFrame,
+      expectations: Seq[Expectation],
+      meta: Map[String, String] = Map.empty): (Long, Map[String, Long]) = {
+    require(expectations.nonEmpty, "no expectations — use Txn.append")
+    val names = expectations.map(_.name)
+    require(names.distinct == names, s"duplicate expectation names: $names")
+    val countCols = expectations.map(e =>
+      count(when(!coalesce(e.predicate, lit(false)), 1)).as(e.name))
+    val row = df.agg(countCols.head, countCols.tail: _*).collect()(0)
+    val counts = names.zipWithIndex.map { case (n, i) => n -> row.getLong(i) }.toMap
+    if (expectations.exists(e => e.severity == Severity.Fail && counts(e.name) > 0))
+      throw new AuditFailed(counts)
+
+    val dropExp = expectations.filter(_.severity == Severity.Drop)
+    def holds(e: Expectation): Column = coalesce(e.predicate, lit(false))
+    val cleanPred = dropExp.map(holds).reduceOption(_ && _).getOrElse(lit(true))
+    val expectMeta = counts.map { case (n, c) => s"expect.$n" -> c.toString }
+    val version = Txn.retry(root) { live =>
+      Publish.publishStagedIf(spark, root, expectedLive = live,
+        meta = Publish.carryReplayMarker(root, meta) ++ meta ++ expectMeta,
+        mergeSchema = true) { staging =>
+        val stagingPath = java.nio.file.Paths.get(staging)
+        java.nio.file.Files.createDirectories(stagingPath)
+        live.foreach { v =>
+          val liveDir = java.nio.file.Paths.get(root).resolve(s"v=$v")
+          val carried = Compact.listDataFiles(liveDir.toString).map(_._1)
+          carried.foreach { n =>
+            java.nio.file.Files.copy(
+              liveDir.resolve(n), stagingPath.resolve(n)): Unit
+          }
+          Deletes.carrySidecarSlice(spark, liveDir.toString, staging, carried)
+        }
+        df.where(cleanPred).write.mode("append").parquet(staging)
+        if (dropExp.nonEmpty) {
+          val violated = array_compact(array(dropExp.map(e =>
+            when(!holds(e), lit(e.name))): _*))
+          val rejects = df.where(!cleanPred).withColumn("__violated", violated)
+          if (rejects.limit(1).count() > 0)
+            rejects.write.parquet(rejectsPath(staging))
+        }
+      }
+    }
+    (version, counts)
+  }
+
   /** The quarantined rows of the LIVE version (empty frame with the
     * data schema + `__violated` if the version had none). */
   def rejects(spark: SparkSession, root: String): DataFrame = {
