@@ -124,7 +124,8 @@ class GraftCatalog extends TableCatalog
   }
 
   override def loadTable(ident: Identifier): Table =
-    if (snapshotMode) {
+    if (ident.name().contains('$')) metaTable(ident)
+    else if (snapshotMode) {
       val snap = Catalog.currentVersion(root).getOrElse(noSuch(ident))
       // snapshot-mode tables stay read-only: a per-table SQL insert
       // cannot express the multi-table atomic flip readers rely on
@@ -136,6 +137,64 @@ class GraftCatalog extends TableCatalog
       // capability, so Spark itself refuses inserts against history
       tableAt(ident, live, writable = true)
     }
+
+  /** Metadata inspection tables — the Iceberg/Delta `t$history` /
+    * `t$files` surface: `SELECT * FROM cat.`t$history`` lists every
+    * version still on disk with its manifest accounting, `t$files`
+    * lists every (version, data file). Driver-side manifest reads —
+    * \|versions\| + \|files\| rows, never a data scan — served
+    * through a LocalScan, so "how big is v3, when did it commit,
+    * which files did the compactor rewrite" are one SQL query away
+    * instead of an API call. Works in both catalog modes (the rows
+    * describe the member table's own root). */
+  private def metaTable(ident: Identifier): Table = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val (base, kind) = ident.name().splitAt(ident.name().indexOf('$'))
+    val tr = tableRoot(Identifier.of(ident.namespace(), base))
+    if (Publish.currentVersion(tr).isEmpty) noSuch(ident)
+    val versions = Publish.listVersions(Paths.get(tr)).sorted
+    val live = Publish.currentVersion(tr).get
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def manifest(v: Long) = om.readTree(Files.readString(
+      Paths.get(tr).resolve(s"v=$v").resolve("_manifest.json")))
+    kind match {
+      case "$history" =>
+        val out = StructType(Seq(
+          StructField("version", LongType, nullable = false),
+          StructField("committed_at_ms", LongType, nullable = false),
+          StructField("n_rows", LongType, nullable = false),
+          StructField("n_files", IntegerType, nullable = false),
+          StructField("total_bytes", LongType, nullable = false),
+          StructField("is_live", BooleanType, nullable = false)))
+        new GraftCatalog.MetaTable(s"$catalogName.${ident.name()}", out,
+          versions.map { v =>
+            val m = manifest(v)
+            new GenericInternalRow(Array[Any](
+              v, m.get("committed_at").asLong, m.get("rows").asLong,
+              m.get("files").size, m.get("total_bytes").asLong,
+              v == live)): org.apache.spark.sql.catalyst.InternalRow
+          }.toArray)
+      case "$files" =>
+        val out = StructType(Seq(
+          StructField("version", LongType, nullable = false),
+          StructField("file", StringType, nullable = false),
+          StructField("bytes", LongType, nullable = false)))
+        new GraftCatalog.MetaTable(s"$catalogName.${ident.name()}", out,
+          versions.flatMap { v =>
+            val fs = manifest(v).get("files")
+            (0 until fs.size).map { i =>
+              new GenericInternalRow(Array[Any](
+                v, UTF8String.fromString(fs.get(i).get("name").asText),
+                fs.get(i).get("bytes").asLong)): org.apache.spark.sql.catalyst.InternalRow
+            }
+          }.toArray)
+      case other => throw new UnsupportedOperationException(
+        s"unknown metadata table suffix '$other' — available: " +
+          s"`$base$$history`, `$base$$files`")
+    }
+  }
 
   /** `VERSION AS OF n` — a table version (publish mode) or a CATALOG
     * SNAPSHOT (snapshot mode: every table asked at the same n reads
@@ -447,6 +506,25 @@ object GraftCatalog {
     * plain read-only tables, so row-level SQL against history fails
     * Spark's own capability check — the refusal contract. */
   trait GraftWritable { def graftRoot: String }
+
+  /** A driver-computed metadata relation (`t$history` / `t$files`)
+    * served through a LocalScan — bounded by |versions| + |files|
+    * rows, never a data scan. */
+  private[sources] final class MetaTable(
+      tname: String,
+      out: StructType,
+      rowsData: Array[org.apache.spark.sql.catalyst.InternalRow])
+    extends Table with SupportsRead {
+    override def name(): String = tname
+    override def schema(): StructType = out
+    override def capabilities(): java.util.Set[TableCapability] =
+      java.util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      () => new org.apache.spark.sql.connector.read.LocalScan {
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = rowsData
+        override def readSchema(): StructType = out
+      }
+  }
 
   /** The live table with the SQL WRITE path attached: reads delegate
     * to the native parquet scan; `INSERT INTO` / `INSERT OVERWRITE`

@@ -252,6 +252,46 @@ class GraftCatalogSpec extends SparkSpec {
     } finally graft.sources.Sinks.deleteRecursively(Paths.get(root))
   }
 
+  test("metadata tables: t$history and t$files serve manifest accounting through SQL") {
+    val sess = spark
+    import sess.implicits._
+    val root = Files.createTempDirectory("graft_cat_meta").toString
+    try {
+      val tdir = Paths.get(root, "t").toString
+      Publish.publish((1L to 100L).toDF("x").repartition(2), tdir): Unit
+      graft.sources.Txn.append(spark,
+        tdir, (101L to 150L).toDF("x").repartition(1)): Unit
+      val cat = catalogFor(root)
+
+      val hist = spark.sql(
+        s"SELECT version, n_rows, n_files, is_live FROM $cat.`t$$history` ORDER BY version")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+      assert(hist.toSeq == Seq((1L, 100L, 2, false), (2L, 150L, 3, true)), hist.toSeq)
+      // committed_at and byte totals agree with the manifest readers
+      val t2 = spark.sql(
+        s"SELECT committed_at_ms FROM $cat.`t$$history` WHERE version = 2")
+        .head.getLong(0)
+      assert(t2 == Publish.commitTimeMs(tdir, 2L))
+
+      // $files: one row per (version, data file), bytes = on-disk
+      val files = spark.sql(
+        s"SELECT version, file, bytes FROM $cat.`t$$files`").collect()
+      assert(files.count(_.getLong(0) == 2L) == 3)
+      files.foreach { r =>
+        val p = Paths.get(tdir, s"v=${r.getLong(0)}", r.getString(1))
+        assert(Files.size(p) == r.getLong(2), s"bytes off for $p")
+      }
+      // the inspection plan never scans data: it is a LocalScan
+      val plan = spark.sql(s"SELECT * FROM $cat.`t$$history`")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("LocalTableScan") || plan.contains("LocalScan"), plan)
+
+      // unknown suffix and missing base fail loudly
+      intercept[Exception](spark.sql(s"SELECT * FROM $cat.`t$$snapshots`").collect())
+      intercept[Exception](spark.sql(s"SELECT * FROM $cat.`nope$$history`").collect())
+    } finally graft.sources.Sinks.deleteRecursively(Paths.get(root))
+  }
+
   test("snapshot-catalog CALL expire_snapshots ≡ the API sweep; surviving pins stay readable") {
     val sess = spark
     import sess.implicits._
