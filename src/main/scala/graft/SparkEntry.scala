@@ -3577,6 +3577,35 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("used_chars"))
   }
 
+  /** q158: TOKEN-grain sequence packing with loader offsets — q157's
+    * recurrence over q22's BPE-ish token counts (the budget a
+    * training loader actually packs against) plus each document's
+    * token OFFSET within its sequence (the index column that makes
+    * the q156 export directly consumable: sequence = concat of docs
+    * at their offsets). The offset is a plain windowed prefix sum
+    * WITHIN the packed sequence — the sequential recurrence decides
+    * only the bin boundaries; inside a bin the order is known, so
+    * offsets stay declarative. Doc-grain output: every assignment
+    * AND offset sits under the hash gate. */
+  def q158TokenPacking(spark: SparkSession, dir: String): DataFrame = {
+    val scramble = pmod(
+      pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L), lit(1000000007L))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(graft.text.TextOps.BpeishPattern))
+          .cast("long").as("n_tokens"),
+        scramble.as("scramble"), pmod(scramble, lit(8L)).as("shard"))
+    val packed = graft.operators.Packing
+      .packNextFit(docs, "shard", "scramble", "doc_id", "n_tokens", budget = 256L)
+    val w = Window.partitionBy("shard", "seq_id")
+      .orderBy("scramble", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    packed.join(docs.select("doc_id", "scramble"), "doc_id")
+      .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("shard"), col("seq_id"), col("doc_id"),
+        col("n_tokens"), col("offset"))
+  }
+
   def q124DeclaredDedupe(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir).createOrReplaceTempView("graft_q124_events")
     spark.sql(
@@ -4389,7 +4418,8 @@ object SparkEntry {
     "q154_sql_maintenance"       -> (q154SqlMaintenance _),
     "q155_sql_ddl"               -> (q155SqlDdl _),
     "q156_export_shards"         -> (q156ExportShards _),
-    "q157_sequence_packing"      -> (q157SequencePacking _)
+    "q157_sequence_packing"      -> (q157SequencePacking _),
+    "q158_token_packing"         -> (q158TokenPacking _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -4654,6 +4684,40 @@ object SparkEntry {
         |SELECT shard, seq_id, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS used_chars
         |FROM packed GROUP BY shard, seq_id""".stripMargin,
+
+    "q158_token_packing" ->
+      // q157's recurrence over BPE-ish token counts + windowed
+      // offsets inside each packed sequence (rn ≡ (scramble, doc_id))
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens,
+        |    ((doc_id % 1000003) * 2654435761) % 1000000007 AS scramble,
+        |    ((doc_id % 1000003) * 2654435761) % 1000000007 % 8 AS shard
+        |  FROM documents
+        |), o AS (
+        |  SELECT shard, doc_id, n_tokens,
+        |    ROW_NUMBER() OVER (PARTITION BY shard
+        |                       ORDER BY scramble, doc_id) AS rn
+        |  FROM s
+        |), packed AS (
+        |  SELECT shard, doc_id, n_tokens, rn,
+        |    CAST(1 AS BIGINT) AS seq_id, n_tokens AS acc
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.shard, o.doc_id, o.n_tokens, o.rn,
+        |    CASE WHEN p.acc + o.n_tokens > 256
+        |         THEN p.seq_id + 1 ELSE p.seq_id END,
+        |    CASE WHEN p.acc + o.n_tokens > 256
+        |         THEN o.n_tokens ELSE p.acc + o.n_tokens END
+        |  FROM packed p JOIN o ON o.shard = p.shard AND o.rn = p.rn + 1
+        |)
+        |SELECT shard, seq_id, doc_id, n_tokens,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (
+        |    PARTITION BY shard, seq_id ORDER BY rn
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) AS BIGINT) AS offset
+        |FROM packed""".stripMargin,
 
     "q152_transition_matrix" ->
       // CAST(ts AS TIMESTAMP) truncates the parquet nanos to the µs
