@@ -59,12 +59,15 @@ object Packing {
       .mapPartitions { it =>
         // several shards can share a task (hash collisions) — the
         // running state resets on every shard boundary, which the
-        // in-partition sort makes well-defined
-        var shard = Long.MinValue
+        // in-partition sort makes well-defined; the boundary test is
+        // an explicit first-row flag (a sentinel shard value would
+        // collide with a shard legitimately keyed that value)
+        var first = true
+        var shard = 0L
         var acc = 0L
         var seq = 0L
         it.map { case (s, _, id, len) =>
-          if (s != shard) { shard = s; seq = 1L; acc = len }
+          if (first || s != shard) { first = false; shard = s; seq = 1L; acc = len }
           else if (acc + len > budget) { seq += 1L; acc = len }
           else acc += len
           (s, seq, id, len)

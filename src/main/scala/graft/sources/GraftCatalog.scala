@@ -123,8 +123,14 @@ class GraftCatalog extends TableCatalog
     if (writable) new GraftCatalog.WritableTable(parquet, tr, dvRefusal) else parquet
   }
 
+  /** The metadata-table suffixes [[metaTable]] serves. Only these
+    * route to the metadata path — a data table whose name happens to
+    * contain '$' still resolves normally. */
+  private val MetaSuffixes = Seq("$history", "$files", "$changes")
+
   override def loadTable(ident: Identifier): Table =
-    if (ident.name().contains('$')) metaTable(ident)
+    if (MetaSuffixes.exists(s => ident.name().endsWith(s) &&
+        ident.name().length > s.length)) metaTable(ident)
     else if (snapshotMode) {
       val snap = Catalog.currentVersion(root).getOrElse(noSuch(ident))
       // snapshot-mode tables stay read-only: a per-table SQL insert

@@ -142,6 +142,16 @@ object Wap {
         mergeSchema = true) { staging =>
         val stagingPath = java.nio.file.Paths.get(staging)
         java.nio.file.Files.createDirectories(stagingPath)
+        if (live.isEmpty)
+          // first version: guarantee a schema-bearing data footer even
+          // when EVERY row of the first batch drop-quarantines (rejects
+          // live under the underscore dir Spark ignores, so without
+          // this the validation read has no schema and the publish
+          // dies — but drop severity promises a clean publish, which
+          // for an all-rejected first batch is an empty v1)
+          spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), df.schema)
+            .repartition(1).write.mode("append").parquet(staging)
         live.foreach { v =>
           val liveDir = java.nio.file.Paths.get(root).resolve(s"v=$v")
           val carried = Compact.listDataFiles(liveDir.toString).map(_._1)

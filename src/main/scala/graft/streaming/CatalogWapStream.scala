@@ -41,7 +41,12 @@ object CatalogWapStream {
 
   /** A snapshot-grain referential expectation: every `factKeys` tuple
     * of `fact` must exist as a `dimKeys` tuple of `dim`, both AS
-    * DERIVED in this batch. */
+    * PUBLISHED by this flip — the check runs against the dim AFTER
+    * its own drop expectations quarantined rows (a fact key whose
+    * only dim row was drop-quarantined is dangling in the committed
+    * snapshot, so it must be caught here, not smuggled through by
+    * auditing the raw derivation). Checks on the same fact chain in
+    * declaration order, so each count matches its quarantined rows. */
   final case class Referential(
       name: String,
       fact: String, factKeys: Seq[String],
@@ -85,6 +90,7 @@ object CatalogWapStream {
     // ---- audit ----
     def holds(e: Wap.Expectation): Column = coalesce(e.predicate, lit(false))
     // per-table: one aggregate pass per table, all its counts at once
+    // (counted on the RAW derivation — these describe what arrived)
     val tableCounts: Map[String, Long] = expectations.flatMap {
       case (_, Nil) => Nil
       case (t, exps) =>
@@ -92,26 +98,12 @@ object CatalogWapStream {
         val row = derived(t).agg(cols.head, cols.tail: _*).collect()(0)
         exps.zipWithIndex.map { case (e, i) => s"$t.${e.name}" -> row.getLong(i) }
     }
-    // referential: the dangling fact keys, per check (an anti-join
-    // against the batch's OWN dim — the snapshot-grain contract)
-    def dangling(r: Referential): DataFrame = {
-      val dimKeys = derived(r.dim).select(
-        r.dimKeys.zip(r.factKeys).map { case (d, f) => col(d).as(f) }: _*)
-      derived(r.fact).join(dimKeys, r.factKeys, "left_anti")
-    }
-    val refCounts: Map[String, Long] = referential.map { r =>
-      s"${r.fact}.${r.name}" -> dangling(r).count()
-    }.toMap
-    val counts = tableCounts ++ refCounts
 
-    val failed =
-      expectations.exists { case (t, exps) => exps.exists(e =>
-        e.severity == Wap.Severity.Fail && counts(s"$t.${e.name}") > 0) } ||
-      referential.exists(r =>
-        r.severity == Wap.Severity.Fail && counts(s"${r.fact}.${r.name}") > 0)
-    if (failed) throw new Wap.AuditFailed(counts)
-
-    // ---- split: per-table drops + referential drops, quarantined ----
+    // per-table drop split FIRST, for every table — referential checks
+    // must see the CLEANED dims (a fact key whose only dim row was
+    // itself drop-quarantined IS dangling in the published snapshot;
+    // checking against the raw dim would let it through and commit the
+    // exact inconsistency the snapshot-grain audit exists to kill)
     def rejectRow(t: String, df: DataFrame, violated: Column): DataFrame =
       df.select(lit(t).as("src_table"), violated.as("violated"),
         to_json(struct(df.columns.map(col): _*)).as("row_json"))
@@ -120,29 +112,58 @@ object CatalogWapStream {
       org.apache.spark.sql.types.StructType.fromDDL(
         "src_table STRING, violated ARRAY<STRING>, row_json STRING"))
     var rejects = emptyRejects
-    val cleaned = derived.map { case (t, df) =>
+    val dropCleaned: Map[String, DataFrame] = derived.map { case (t, df) =>
       val dropExps = expectations.getOrElse(t, Nil)
         .filter(_.severity == Wap.Severity.Drop)
-      val refDrops = referential
-        .filter(r => r.fact == t && r.severity == Wap.Severity.Drop)
-      var clean = df
-      if (dropExps.nonEmpty) {
+      if (dropExps.isEmpty) t -> df
+      else {
         val pred = dropExps.map(holds).reduce(_ && _)
         val violated = array_compact(array(dropExps.map(e =>
           when(!holds(e), lit(e.name))): _*))
         rejects = rejects.unionByName(rejectRow(t, df.where(!pred), violated))
-        clean = clean.where(pred)
+        t -> df.where(pred)
       }
-      refDrops.foreach { r =>
-        val dimKeys = derived(r.dim).select(
-          r.dimKeys.zip(r.factKeys).map { case (d, f) => col(d).as(f) }: _*)
-        rejects = rejects.unionByName(
-          rejectRow(t, clean.join(dimKeys, r.factKeys, "left_anti"),
-            array(lit(r.name))))
-        clean = clean.join(dimKeys, r.factKeys, "left_semi")
-      }
-      t -> clean
     }
+
+    // referential, against the cleaned frames, CHAINED in declaration
+    // order per fact (a later check sees the rows an earlier drop kept,
+    // so counts match quarantined rows exactly); every count lands in
+    // ONE job via a tagged union instead of a job per check
+    val refKeys = referential.map(r => s"${r.fact}.${r.name}")
+    require(refKeys.distinct == refKeys,
+      s"duplicate referential (fact, name) pairs: $refKeys")
+    def dimKeysOf(r: Referential): DataFrame =
+      dropCleaned(r.dim).select(
+        r.dimKeys.zip(r.factKeys).map { case (d, f) => col(d).as(f) }: _*)
+    var cleaned = dropCleaned
+    val refDangling: Seq[(Referential, DataFrame)] = referential.map { r =>
+      val dangling = cleaned(r.fact).join(dimKeysOf(r), r.factKeys, "left_anti")
+      if (r.severity == Wap.Severity.Drop) {
+        rejects = rejects.unionByName(
+          rejectRow(r.fact, dangling, array(lit(r.name))))
+        cleaned = cleaned.updated(r.fact,
+          cleaned(r.fact).join(dimKeysOf(r), r.factKeys, "left_semi"))
+      }
+      r -> dangling
+    }
+    val refCounts: Map[String, Long] =
+      if (refDangling.isEmpty) Map.empty
+      else {
+        val observed = refDangling.map { case (r, d) =>
+          d.select(lit(s"${r.fact}.${r.name}").as("check"))
+        }.reduce(_ union _)
+          .groupBy("check").count().collect()
+          .map(row => row.getString(0) -> row.getLong(1)).toMap
+        refKeys.map(k => k -> observed.getOrElse(k, 0L)).toMap
+      }
+    val counts = tableCounts ++ refCounts
+
+    val failed =
+      expectations.exists { case (t, exps) => exps.exists(e =>
+        e.severity == Wap.Severity.Fail && counts(s"$t.${e.name}") > 0) } ||
+      referential.exists(r =>
+        r.severity == Wap.Severity.Fail && counts(s"${r.fact}.${r.name}") > 0)
+    if (failed) throw new Wap.AuditFailed(counts)
 
     val expectMeta = counts.map { case (k, v) => s"expect.$k" -> v.toString }
     // single-partition quarantine: rejects are audit-sized, and the

@@ -118,6 +118,46 @@ class CatalogWapStreamSpec extends SparkSpec {
     graft.sources.Publish.listVersions(
       Paths.get(root, "tables", table)).sorted
 
+  test("referential checks run against the CLEANED dim: a dim-drop leaves its facts dangling") {
+    val sess = spark
+    import sess.implicits._
+    val root = Files.createTempDirectory("graft_catwap_dimdrop").toString
+    try {
+      // dim admits cust 10 and 13, but 13 violates the dim's OWN drop
+      // expectation (even cust only) — so fact 2 (cust 13) references
+      // a row that never reaches the published snapshot and must
+      // quarantine as dangling, with the manifest count matching
+      val dimExps = exps + ("dims" ->
+        Seq(Wap.Expectation.drop("even_cust", col("cust") % 2 === 0)))
+      assert(CatalogWapStream.applyBatch(
+        Seq(StarRow(1, 10, 100, 1), StarRow(2, 13, 100, 1)).toDF(),
+        0L, root, derivations, dimExps, refs))
+      assert(Catalog.read(spark, root, "dims")
+        .select("cust").as[Long].collect().toSet == Set(10L))
+      assert(Catalog.read(spark, root, "facts")
+        .select("order_id").as[Long].collect().toSet == Set(1L))
+      val rej = Catalog.read(spark, root, CatalogWapStream.RejectsTable)
+        .collect().map(r => (r.getString(0), r.getSeq[String](1).toList))
+      assert(rej.toSet == Set(
+        ("dims", List("even_cust")), ("facts", List("fact_has_dim"))))
+      assert(Catalog.currentMetaValue(root, "expect.facts.fact_has_dim")
+        .contains("1"))
+      assert(Catalog.currentMetaValue(root, "expect.dims.even_cust")
+        .contains("1"))
+
+      // fail severity sees the cleaned dim too: the same shape ABORTS
+      val failRefs = Seq(Referential(
+        "fact_has_dim", "facts", Seq("cust"), "dims", Seq("cust"),
+        Wap.Severity.Fail))
+      val snapBefore = Catalog.currentVersion(root)
+      val e = intercept[Wap.AuditFailed](CatalogWapStream.applyBatch(
+        Seq(StarRow(3, 15, 100, 2)).toDF(), 1L, root,
+        derivations, dimExps, failRefs))
+      assert(e.counts("facts.fact_has_dim") == 1L)
+      assert(Catalog.currentVersion(root) == snapBefore)
+    } finally graft.sources.Sinks.deleteRecursively(Paths.get(root))
+  }
+
   test("S29r: the audited snapshot ingest survives a mid-backlog kill-and-restart") {
     val sess = spark
     import sess.implicits._

@@ -60,6 +60,15 @@ class PackingSpec extends SparkSpec {
     assert(one.map(t => (t._1, t._2)).size > 7)
   }
 
+  test("a shard keyed Long.MinValue still starts at seq_id 1") {
+    // the shard-boundary test is a first-row FLAG, not a sentinel
+    // value — a sentinel of Long.MinValue would skip the reset for a
+    // shard legitimately keyed that value (seq_id 0, stale state)
+    val got = pack(Seq(
+      (Long.MinValue, 1L, 1L, 7L), (Long.MinValue, 2L, 2L, 7L)), budget = 10)
+    assert(got == Set((Long.MinValue, 1L, 1L), (Long.MinValue, 2L, 2L)))
+  }
+
   test("packing is order-preserving: seq_id is monotone in the shard order") {
     val sess = spark
     import sess.implicits._

@@ -85,6 +85,33 @@ class WapSpec extends SparkSpec {
     }
   }
 
+  test("append form: an all-rejected FIRST batch still publishes an empty v1") {
+    val sess = spark
+    import sess.implicits._
+    val root = Files.createTempDirectory("graft_wap_allrej").toString
+    try {
+      // no live version yet, and every row drop-quarantines — drop
+      // severity promises a clean publish, which here is an empty v1
+      // with the data schema (not a dead stream on a schema-less dir)
+      val (v, counts) = Wap.appendWithExpectations(spark, root,
+        Seq((1L, -5L), (2L, 0L)).toDF("id", "v"),
+        Seq(Expectation.drop("positive_v", col("v") > 0)))
+      assert(v == 1L && counts("positive_v") == 2L)
+      val live = Publish.read(spark, root)
+      assert(live.count() == 0)
+      assert(live.columns.toSeq == Seq("id", "v"))
+      assert(Wap.rejects(spark, root).select("id").as[Long]
+        .collect().toSet == Set(1L, 2L))
+      // and the next batch appends onto the empty v1 normally
+      val (v2, _) = Wap.appendWithExpectations(spark, root,
+        Seq((3L, 7L)).toDF("id", "v"),
+        Seq(Expectation.drop("positive_v", col("v") > 0)))
+      assert(v2 == 2L)
+      assert(Publish.read(spark, root).select("id").as[Long]
+        .collect().toSet == Set(3L))
+    } finally graft.sources.Sinks.deleteRecursively(Paths.get(root))
+  }
+
   test("referential expectation: fact keys ⊆ published dim via pre-join") {
     val sess = spark
     import sess.implicits._
