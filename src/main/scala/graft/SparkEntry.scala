@@ -3606,6 +3606,95 @@ object SparkEntry {
         col("n_tokens"), col("offset"))
   }
 
+  /** q159: the change data feed at the SQL surface — q138's
+    * publish→MERGE→DV history served as `FROM cat.`t$$changes``
+    * ([[graft.sources.GraftCatalog]]'s third metadata table, the
+    * Delta `table_changes` / Iceberg changelog-scan shape). Unlike
+    * `t$history`/`t$files` the feed is DATA-sized, so the relation is
+    * a distributed scan (a DSv2 V1Scan bridge over the
+    * [[graft.operators.Scd.changeFeedBetween]] plan — the diffs'
+    * joins run on executors, nothing materializes driver-side), and
+    * the `WHERE from_version >= 1 AND to_version <= 3` bounds PUSH
+    * into the step range: only the asked snapshots are read and
+    * diffed, which is what makes one-step-per-tick incremental
+    * consumption work from SQL at 100 TB. Feed keys are declared as
+    * catalog configuration (`…changes.<table>.keys`); a bound past
+    * the vacuumed retention horizon refuses rather than serving a
+    * silently truncated feed (GraftCatalogSpec). Same oracle as q138
+    * — the API and SQL surfaces must agree hash-for-hash. */
+  def q159SqlChanges(spark: SparkSession, dir: String): DataFrame = {
+    val root = changeFeedRoot(spark, dir)
+    val parent = java.nio.file.Paths.get(root).getParent.toString
+    val tname = java.nio.file.Paths.get(root).getFileName.toString
+    val cat = "gch" + (tname.hashCode.toLong & 0xffffffffL)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", parent)
+    spark.conf.set(s"spark.sql.catalog.$cat.changes.$tname.keys", "o_orderkey")
+    spark.sql(
+      s"""SELECT o_orderkey, change_type,
+         |  CAST(old_price AS DOUBLE) AS old_price,
+         |  CAST(new_price AS DOUBLE) AS new_price,
+         |  from_version, to_version
+         |FROM $cat.`$tname$$changes`
+         |WHERE from_version >= 1 AND to_version <= 3""".stripMargin)
+  }
+
+  /** q160: the POST-GATE SNAPSHOT of a multi-table write-audit-publish
+    * ([[graft.streaming.CatalogWapStream.applyBatch]]) under the hash
+    * gate — a star ingest (orders facts, customer dims) where every
+    * gate the snapshot-grain audit applies is re-derived relationally
+    * by the oracle: the dims' own drop expectation (non-negative
+    * balance), the facts' drop expectation (price floor), and the
+    * REFERENTIAL drop checked against the CLEANED dims — a fact whose
+    * customer was quarantined by the dim's own expectation must land
+    * in `_rejects` as dangling, not publish (the r9-advice scenario,
+    * now oracle-checked end-to-end, not just spec-checked). Output =
+    * all three members of the committed snapshot (facts, dims, and
+    * the `_rejects` quarantine with its violation names), so a gate
+    * that over- or under-drops any row on any member breaks the
+    * hash. */
+  private def wapSnapshotRoot(spark: SparkSession, dir: String): String =
+    graft.tools.Scratch.cachedArtifact(
+      "graft_wapsnap", dir, s"$dir/orders.parquet") { (root, _) =>
+      import graft.sources.Wap
+      import graft.streaming.CatalogWapStream
+      val cust = Tables.customer(spark, dir)
+      val derive = Map[String, (Option[DataFrame], DataFrame) => DataFrame](
+        "facts" -> ((_, b) => b.select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).cast("decimal(18,2)").as("price"))),
+        "dims" -> ((_, _) => cust.select(col("c_custkey"),
+          round(col("c_acctbal"), 2).cast("decimal(18,2)").as("bal"))))
+      val exps = Map(
+        "facts" -> Seq(Wap.Expectation.drop("not_low", col("price") >= 2000)),
+        "dims" -> Seq(Wap.Expectation.drop("bal_nonneg", col("bal") >= 0)))
+      val refs = Seq(CatalogWapStream.Referential(
+        "fact_has_dim", "facts", Seq("o_custkey"), "dims", Seq("c_custkey"),
+        Wap.Severity.Drop))
+      CatalogWapStream.applyBatch(
+        Tables.orders(spark, dir), 0L, root, derive, exps, refs): Unit
+    }
+
+  def q160WapSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val root = wapSnapshotRoot(spark, dir)
+    val facts = graft.sources.Catalog.read(spark, root, "facts")
+      .select(lit("facts").as("member"), col("o_orderkey").as("k"),
+        col("price").cast("double").as("val"))
+    val dims = graft.sources.Catalog.read(spark, root, "dims")
+      .select(lit("dims").as("member"), col("c_custkey").as("k"),
+        col("bal").cast("double").as("val"))
+    val rej = graft.sources.Catalog.read(spark, root,
+        graft.streaming.CatalogWapStream.RejectsTable)
+      .select(
+        concat(lit("rej."), array_join(col("violated"), "+")).as("member"),
+        coalesce(
+          get_json_object(col("row_json"), "$.o_orderkey"),
+          get_json_object(col("row_json"), "$.c_custkey"))
+          .cast("long").as("k"),
+        lit(null).cast("double").as("val"))
+    facts.unionByName(dims).unionByName(rej)
+  }
+
   def q124DeclaredDedupe(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir).createOrReplaceTempView("graft_q124_events")
     spark.sql(
@@ -4419,7 +4508,9 @@ object SparkEntry {
     "q155_sql_ddl"               -> (q155SqlDdl _),
     "q156_export_shards"         -> (q156ExportShards _),
     "q157_sequence_packing"      -> (q157SequencePacking _),
-    "q158_token_packing"         -> (q158TokenPacking _)
+    "q158_token_packing"         -> (q158TokenPacking _),
+    "q159_sql_changes"           -> (q159SqlChanges _),
+    "q160_wap_snapshot"          -> (q160WapSnapshot _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -4440,7 +4531,10 @@ object SparkEntry {
       "q147_scd2_apply"             -> m("q93_scd2_history"),
       // same box, same aggregate, different CURVE — pruning is an
       // optimization, so the q100 full-scan oracle serves both layouts
-      "q150_hilbert_prune"          -> m("q100_zorder_prune"))
+      "q150_hilbert_prune"          -> m("q100_zorder_prune"),
+      // the feed's API (q138) and SQL (q159 `t$changes`) surfaces
+      // must agree hash-for-hash — one oracle states both
+      "q159_sql_changes"            -> m("q138_change_feed"))
   }
 
   /** q84's oracle: GraphOps.pageRank's integer recurrence unrolled,
@@ -4718,6 +4812,40 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
         |    0) AS BIGINT) AS offset
         |FROM packed""".stripMargin,
+
+    "q160_wap_snapshot" ->
+      // every gate of the snapshot-grain audit, re-derived: dims'
+      // own drop, facts' drop, then the referential check against
+      // the CLEANED dims; quarantine rows carry their violation name
+      """WITH dims_raw AS (
+        |  SELECT c_custkey, CAST(round(c_acctbal, 2) AS DECIMAL(18,2)) AS bal
+        |  FROM customer
+        |),
+        |facts_raw AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS price
+        |  FROM orders
+        |),
+        |dims_ok AS (SELECT * FROM dims_raw WHERE bal >= 0),
+        |facts_lowcut AS (SELECT * FROM facts_raw WHERE price >= 2000),
+        |facts_ok AS (
+        |  SELECT f.* FROM facts_lowcut f
+        |  WHERE EXISTS (SELECT 1 FROM dims_ok d WHERE d.c_custkey = f.o_custkey)
+        |)
+        |SELECT 'facts' AS member, o_orderkey AS k, CAST(price AS DOUBLE) AS val
+        |FROM facts_ok
+        |UNION ALL
+        |SELECT 'dims', c_custkey, CAST(bal AS DOUBLE) FROM dims_ok
+        |UNION ALL
+        |SELECT 'rej.not_low', o_orderkey, CAST(NULL AS DOUBLE)
+        |FROM facts_raw WHERE NOT (price >= 2000)
+        |UNION ALL
+        |SELECT 'rej.bal_nonneg', c_custkey, CAST(NULL AS DOUBLE)
+        |FROM dims_raw WHERE NOT (bal >= 0)
+        |UNION ALL
+        |SELECT 'rej.fact_has_dim', o_orderkey, CAST(NULL AS DOUBLE)
+        |FROM facts_lowcut f
+        |WHERE NOT EXISTS (SELECT 1 FROM dims_ok d WHERE d.c_custkey = f.o_custkey)""".stripMargin,
 
     "q152_transition_matrix" ->
       // CAST(ts AS TIMESTAMP) truncates the parquet nanos to the µs

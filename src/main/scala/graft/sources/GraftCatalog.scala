@@ -64,9 +64,11 @@ class GraftCatalog extends TableCatalog
   private var catalogName: String = _
   private var root: String = _
   private var snapshotMode: Boolean = false
+  private var catOptions: CaseInsensitiveStringMap = _
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
+    catOptions = options
     root = options.get("root")
     require(root != null,
       s"catalog '$name' needs spark.sql.catalog.$name.root")
@@ -196,9 +198,36 @@ class GraftCatalog extends TableCatalog
                 fs.get(i).get("bytes").asLong)): org.apache.spark.sql.catalyst.InternalRow
             }
           }.toArray)
+      case "$changes" =>
+        // the q138 change feed as a SQL relation — data-sized, so it
+        // is served through a real distributed scan (a V1Scan bridge
+        // over Scd.changeFeedBetween's plan), never a driver
+        // materialization; version bounds push down from WHERE
+        // from_version/to_version predicates
+        val keys = Option(catOptions.get(s"changes.$base.keys"))
+          .map(_.split(',').map(_.trim).toSeq)
+          .getOrElse(throw new UnsupportedOperationException(
+            s"`$base$$changes` needs the table's feed keys — set " +
+              s"spark.sql.catalog.$catalogName.changes.$base.keys " +
+              "(comma-separated key columns, optionally " +
+              s"…changes.$base.values) before the catalog's first use"))
+        val baseSchema = Publish.manifestSchemaDdl(tr, live)
+          .map(StructType.fromDDL)
+          .getOrElse(Publish.read(SparkSession.active, tr).schema)
+        val values = Option(catOptions.get(s"changes.$base.values"))
+          .map(_.split(',').map(_.trim).toSeq)
+          .getOrElse(baseSchema.fieldNames.toSeq.filterNot(keys.contains))
+        (keys ++ values).foreach { c =>
+          require(baseSchema.fieldNames.contains(c),
+            s"feed column '$c' is not in ${ident.name()}'s schema " +
+              s"(${baseSchema.fieldNames.mkString(", ")})")
+        }
+        new GraftCatalog.ChangesTable(
+          s"$catalogName.${ident.name()}", tr, keys, values, baseSchema,
+          earliest = versions.min, live = live)
       case other => throw new UnsupportedOperationException(
         s"unknown metadata table suffix '$other' — available: " +
-          s"`$base$$history`, `$base$$files`")
+          s"`$base$$history`, `$base$$files`, `$base$$changes`")
     }
   }
 
@@ -529,6 +558,104 @@ object GraftCatalog {
       () => new org.apache.spark.sql.connector.read.LocalScan {
         override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = rowsData
         override def readSchema(): StructType = out
+      }
+  }
+
+  /** `t$changes` — the change data feed ([[graft.operators.Scd.changeFeedBetween]])
+    * as a SQL metadata relation: one insert/update/delete row per key
+    * per commit step, with `from_version`/`to_version` lineage. The
+    * feed is DATA-sized (each step is a full-outer key join of two
+    * snapshots), so unlike `t$history`/`t$files` it is served through
+    * a distributed scan: the DSv2 [[V1Scan]] bridge hands Spark the
+    * feed plan's own RDD — every join/shuffle of the diff runs on
+    * executors, nothing materializes on the driver. `WHERE
+    * from_version >= a AND to_version <= b` predicates push into the
+    * step range (only the asked snapshots are read and diffed — the
+    * incremental one-step-per-tick consumption pattern straight from
+    * SQL); asking past a vacuumed horizon refuses with the retention
+    * error rather than serving a silently truncated feed. */
+  private[sources] final class ChangesTable(
+      tname: String, tableRoot: String,
+      keys: Seq[String], values: Seq[String], baseSchema: StructType,
+      earliest: Long, live: Long)
+    extends Table with SupportsRead {
+    import org.apache.spark.sql.types._
+
+    private val out: StructType = StructType(
+      keys.map(k => baseSchema(k).copy(nullable = true)) ++
+        Seq(StructField("change_type", StringType, nullable = false)) ++
+        values.flatMap(v => Seq(
+          StructField(s"old_$v", baseSchema(v).dataType, nullable = true),
+          StructField(s"new_$v", baseSchema(v).dataType, nullable = true))) ++
+        Seq(StructField("from_version", LongType, nullable = false),
+          StructField("to_version", LongType, nullable = false)))
+
+    override def name(): String = tname
+    override def schema(): StructType = out
+    override def capabilities(): java.util.Set[TableCapability] =
+      java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      new ScanBuilder
+          with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+        import org.apache.spark.sql.sources._
+        // requested bounds, kept separate from the defaults: an
+        // EXPLICIT lower bound below the surviving horizon must reach
+        // changeFeedBetween verbatim so the scan REFUSES with the
+        // retention error (clamping it to `earliest` would silently
+        // truncate the feed); an upper bound past `live` clamps (no
+        // step above live ever existed, so the result is identical)
+        private var loReq: Option[Long] = None
+        private var hiReq: Option[Long] = None
+        private var accepted: Array[Filter] = Array.empty
+        private def reqLo(v: Long): Unit = loReq = Some(loReq.fold(v)(_ max v))
+        private def reqHi(v: Long): Unit = hiReq = Some(hiReq.fold(v)(_ min v))
+
+        private def bound(f: Filter): Boolean = f match {
+          case GreaterThanOrEqual("from_version", v: Long) => reqLo(v); true
+          case GreaterThan("from_version", v: Long) => reqLo(v + 1); true
+          case EqualTo("from_version", v: Long) => reqLo(v); reqHi(v + 1); true
+          case LessThanOrEqual("to_version", v: Long) => reqHi(v); true
+          case LessThan("to_version", v: Long) => reqHi(v - 1); true
+          case EqualTo("to_version", v: Long) => reqHi(v); reqLo(v - 1); true
+          case _ => false
+        }
+
+        override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+          accepted = filters.filter(bound)
+          // every filter stays residual (Spark re-applies them post
+          // scan) — the bounds only narrow which steps get computed
+          filters
+        }
+        override def pushedFilters(): Array[Filter] = accepted
+
+        // versions start at 1, so a lower bound below 1 is a no-op
+        // filter, not a horizon request
+        private def lo: Long = loReq.getOrElse(earliest) max 1L
+        private def hi: Long = hiReq.getOrElse(live) min live
+
+        override def build(): org.apache.spark.sql.connector.read.Scan =
+          new org.apache.spark.sql.connector.read.V1Scan {
+            override def readSchema(): StructType = out
+            override def toV1TableScan[T <: BaseRelation with TableScan](
+                context: org.apache.spark.sql.SQLContext): T =
+              (new BaseRelation with TableScan {
+                override def sqlContext: org.apache.spark.sql.SQLContext = context
+                override def schema: StructType = out
+                override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+                  val spark = context.sparkSession
+                  val feed =
+                    if (lo >= hi) // empty requested range — empty feed
+                      spark.createDataFrame(
+                        new java.util.ArrayList[org.apache.spark.sql.Row](), out)
+                    else graft.operators.Scd.changeFeedBetween(
+                      spark, tableRoot, lo, hi, keys, values)
+                  feed.select(out.map(f =>
+                    org.apache.spark.sql.functions.col(f.name)
+                      .cast(f.dataType).as(f.name)): _*).rdd
+                }
+              }).asInstanceOf[T]
+          }
       }
   }
 

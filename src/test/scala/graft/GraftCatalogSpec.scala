@@ -292,6 +292,83 @@ class GraftCatalogSpec extends SparkSpec {
     } finally graft.sources.Sinks.deleteRecursively(Paths.get(root))
   }
 
+  test("t$changes: the change feed as a SQL relation — distributed scan, version-bound pushdown, retention refusal") {
+    val sess = spark
+    import sess.implicits._
+    val root = Files.createTempDirectory("graft_cat_changes").toString
+    try {
+      val tdir = Paths.get(root, "t").toString
+      // v1 publish → v2 MERGE (update 2, delete 3, insert 11) → v3 DV delete 5
+      Publish.publish((1L to 10L).map(i => (i, i * 100L)).toDF("id", "v"), tdir): Unit
+      Merge.mergeIntoPublished(spark, tdir,
+        Seq((2L, 999L, false), (3L, 0L, true), (11L, 1100L, false))
+          .toDF("id", "v", "doom"),
+        keys = Seq("id"),
+        set = Map("v" -> Merge.s("v")),
+        deleteWhen = Some(Merge.s("doom")),
+        insertWhen = Some(!col("doom"))): Unit
+      Deletes.deleteFromPublished(spark, tdir, col("id") === 5L): Unit
+
+      val cat = catalogFor(root)
+      spark.conf.set(s"spark.sql.catalog.$cat.changes.t.keys", "id")
+      val sqlFeed = spark.sql(
+        s"SELECT id, change_type, old_v, new_v, from_version, to_version " +
+          s"FROM $cat.`t$$changes` ORDER BY from_version, id")
+      val got = sqlFeed.collect()
+        .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)),
+          Option(r.get(3)), r.getLong(4), r.getLong(5)))
+      val api = graft.operators.Scd.changeFeedBetween(
+        spark, tdir, 1L, 3L, keys = Seq("id"), valueCols = Seq("v"))
+        .collect().map(r => (r.getLong(0), r.getString(1), Option(r.get(2)),
+          Option(r.get(3)), r.getLong(4), r.getLong(5))).toSet
+      assert(got.toSet == api && got.length == api.size, got.toSeq)
+      // spot semantics: the DV delete surfaces as a delete in step 2→3
+      assert(got.contains((5L, "delete", Some(500L), None, 2L, 3L)))
+      assert(got.contains((11L, "insert", None, Some(1100L), 1L, 2L)))
+
+      // served by a distributed row scan, never a LocalScan
+      val plan = sqlFeed.queryExecution.executedPlan.toString
+      assert(!plan.contains("LocalTableScan"), plan)
+
+      // version bounds narrow the computed steps (pushdown) — only
+      // the 2→3 step's rows come back
+      val step2 = spark.sql(
+        s"SELECT id, change_type FROM $cat.`t$$changes` WHERE from_version >= 2")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(step2.toSet == Set((5L, "delete")), step2.toSeq)
+
+      // a feed request past the vacuumed horizon REFUSES (no silent
+      // truncation): expire v1, then ask from_version >= 1
+      Publish.expireVersions(tdir, keepLast = 2): Unit
+      val e = intercept[Exception](spark.sql(
+        s"SELECT * FROM $cat.`t$$changes` WHERE from_version >= 1").collect())
+      assert(e.getMessage.contains("retention"), e.getMessage)
+      // while the surviving span still serves (defaults re-resolve)
+      val cat2 = catalogFor(root)
+      spark.conf.set(s"spark.sql.catalog.$cat2.changes.t.keys", "id")
+      assert(spark.sql(s"SELECT count(*) FROM $cat2.`t$$changes`")
+        .head.getLong(0) == 1L)
+
+      // a catalog with NO feed-key declaration fails with the hint
+      val cat3 = catalogFor(root)
+      val miss = intercept[Exception](spark.sql(
+        s"SELECT * FROM $cat3.`t$$changes`").collect())
+      assert(miss.getMessage.contains("feed keys"), miss.getMessage)
+    } finally graft.sources.Sinks.deleteRecursively(Paths.get(root))
+  }
+
+  test("a data table whose NAME contains '$' still resolves as a plain table") {
+    val sess = spark
+    import sess.implicits._
+    val root = Files.createTempDirectory("graft_cat_dollar").toString
+    try {
+      val tdir = Paths.get(root, "we$rd").toString
+      Publish.publish((1L to 7L).toDF("x"), tdir): Unit
+      val cat = catalogFor(root)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.`we$$rd`").head.getLong(0) == 7L)
+    } finally graft.sources.Sinks.deleteRecursively(Paths.get(root))
+  }
+
   test("snapshot-catalog CALL expire_snapshots ≡ the API sweep; surviving pins stay readable") {
     val sess = spark
     import sess.implicits._
