@@ -1,7 +1,7 @@
 package graft.sources
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 
 import scala.jdk.CollectionConverters._
 
@@ -29,10 +29,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     before the pointer flip leaves garbage that the next publish
   *     reaps, and the live version untouched.
   *
-  * Scale note: `Files.move(ATOMIC_MOVE)` is the local-FS stand-in for
-  * HDFS rename (also atomic). An object store with no atomic rename
-  * runs the same protocol off a conditional put of the pointer
-  * object; the version-directory layout is unchanged. Single writer
+  * Scale note: every commit-plane operation (lock, promotion rename,
+  * pointer flip, pointer resolve) goes through the [[CommitStore]]
+  * seam, whose scaladoc maps each primitive onto a rename-less
+  * object store (conditional PUTs; promotion becomes a no-op under
+  * unique immutable keys). The default backend is the local-FS
+  * nio implementation — the HDFS-rename stand-in. Single writer
   * assumed (the reference's orchestrator is a serialized loop);
   * concurrent publishers race benignly on the version number — the
   * directory move fails loudly, nothing is corrupted.
@@ -51,6 +53,15 @@ object Publish {
   // stale-break and heartbeat protocol in milliseconds.
   private def LockStaleMs: Long =
     sys.props.get("graft.publish.lockStaleMs").map(_.toLong).getOrElse(60000L)
+
+  /** The storage backend for every COMMIT-PLANE operation (lock,
+    * promotion, pointer) — see [[CommitStore]] for the primitive set
+    * and its object-store mapping. Data-plane writes (staged parquet,
+    * manifests inside the version dir) go through Spark/nio directly:
+    * they land under keys nothing references until the flip, so they
+    * need no store semantics beyond durability. Injection point for
+    * specs (PublishSpec proves the protocol routes through it). */
+  @volatile private[graft] var store: CommitStore = LocalCommitStore
 
   /** A conditional commit found the table moved past its expected
     * base — the caller's staged change was derived from a superseded
@@ -147,17 +158,14 @@ object Publish {
     // a legitimate large commit mid-critical-section at 60 s
     val deadline = System.currentTimeMillis() + LockStaleMs * 10
     while (!held) {
-      try { Files.createFile(lock); held = true }
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          val age = try System.currentTimeMillis() -
-            Files.getLastModifiedTime(lock).toMillis
-          catch { case _: java.nio.file.NoSuchFileException => -1L }
-          if (age > LockStaleMs) breakStaleLock(rootPath, lock)
-          else if (System.currentTimeMillis() > deadline)
-            throw new IllegalStateException(
-              s"commit lock at $rootPath held past the wait horizon")
-          else Thread.sleep(20)
+      if (store.tryCreate(lock)) held = true
+      else {
+        val age = store.ageMs(lock)
+        if (age > LockStaleMs) breakStaleLock(rootPath, lock)
+        else if (System.currentTimeMillis() > deadline)
+          throw new IllegalStateException(
+            s"commit lock at $rootPath held past the wait horizon")
+        else Thread.sleep(20)
       }
     }
     // HEARTBEAT: the holder refreshes the lock's mtime from a daemon
@@ -168,8 +176,7 @@ object Publish {
     val beat = new Thread(() => {
       try while (!Thread.currentThread().isInterrupted) {
         Thread.sleep(LockStaleMs / 4)
-        Files.setLastModifiedTime(lock,
-          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+        store.touch(lock)
       } catch {
         case _: InterruptedException => ()
         case _: java.nio.file.NoSuchFileException => ()
@@ -179,7 +186,7 @@ object Publish {
     beat.start()
     try body finally {
       beat.interrupt()
-      Files.deleteIfExists(lock): Unit
+      store.deleteIfExists(lock)
     }
   }
 
@@ -198,13 +205,13 @@ object Publish {
     val tomb = rootPath.resolve(
       s".$CommitLock.broken.${java.util.UUID.randomUUID()}")
     try {
-      Files.move(lock, tomb, StandardCopyOption.ATOMIC_MOVE)
-      val age = System.currentTimeMillis() - Files.getLastModifiedTime(tomb).toMillis
-      if (age > LockStaleMs) Files.deleteIfExists(tomb): Unit
+      store.moveExclusive(lock, tomb)
+      val age = store.ageMs(tomb)
+      if (age > LockStaleMs || age < 0) store.deleteIfExists(tomb)
       else {
-        try Files.move(tomb, lock, StandardCopyOption.ATOMIC_MOVE)
+        try store.moveExclusive(tomb, lock)
         catch { case _: java.nio.file.FileSystemException =>
-          Files.deleteIfExists(tomb): Unit
+          store.deleteIfExists(tomb)
         }
       }
     } catch {
@@ -242,11 +249,8 @@ object Publish {
     // promote: directory rename (fails loudly if a racer took N),
     // then the pointer flip — the ONLY step readers can observe
     val versionDir = rootPath.resolve(s"v=$version")
-    Files.move(staging, versionDir, StandardCopyOption.ATOMIC_MOVE)
-    val tmpPointer = rootPath.resolve(s".$Current.tmp")
-    Files.write(tmpPointer, version.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmpPointer, rootPath.resolve(Current),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    store.moveExclusive(staging, versionDir)
+    store.putAtomic(rootPath.resolve(Current), version.toString)
     version
   }
 
@@ -270,12 +274,8 @@ object Publish {
   }
 
   /** The live version number, if anything was ever published. */
-  def currentVersion(root: String): Option[Long] = {
-    val p = Paths.get(root).resolve(Current)
-    if (Files.exists(p))
-      Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong)
-    else None
-  }
+  def currentVersion(root: String): Option[Long] =
+    store.get(Paths.get(root).resolve(Current)).map(_.trim.toLong)
 
   /** The live version's manifest, parsed minimally (version, rows). */
   def currentManifest(root: String): Option[String] =

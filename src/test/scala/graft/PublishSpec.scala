@@ -95,6 +95,48 @@ class PublishSpec extends SparkSpec {
     assert(Publish.read(spark, root).count() == 1L)
   }
 
+  test("every commit-plane operation routes through the CommitStore seam") {
+    import spark.implicits._
+    import java.nio.file.Path
+    val root = freshRoot()
+    // a delegating store that records which primitives the protocol
+    // exercised — the proof the object-store mapping documented on
+    // CommitStore covers the whole commit path (a primitive the
+    // protocol used but the seam missed would bypass this recorder)
+    val calls = collection.concurrent.TrieMap.empty[String, Int]
+    def note(k: String): Unit = calls.updateWith(k) { c => Some(c.getOrElse(0) + 1) }: Unit
+    val recorder = new graft.sources.CommitStore {
+      private val d = graft.sources.LocalCommitStore
+      def tryCreate(p: Path) = { note("tryCreate"); d.tryCreate(p) }
+      def ageMs(p: Path) = { note("ageMs"); d.ageMs(p) }
+      def touch(p: Path) = { note("touch"); d.touch(p) }
+      def deleteIfExists(p: Path) = { note("deleteIfExists"); d.deleteIfExists(p) }
+      def moveExclusive(s: Path, t: Path) = { note("moveExclusive"); d.moveExclusive(s, t) }
+      def putAtomic(p: Path, v: String) = { note("putAtomic"); d.putAtomic(p, v) }
+      def get(p: Path) = { note("get"); d.get(p) }
+    }
+    val prior = Publish.store
+    Publish.store = recorder
+    try {
+      val v = Publish.publish(Seq(1L, 2L, 3L).toDF("x"), root)
+      assert(v == 1L)
+      assert(Publish.read(spark, root).count() == 3L)
+      // CAS conflict still surfaces through the seam-backed pointer
+      intercept[Publish.CommitConflict] {
+        Publish.publishStagedIf(spark, root, expectedLive = None) { staging =>
+          Seq(9L).toDF("x").write.parquet(staging)
+        }
+      }
+      // lock acquire, promotion rename, pointer flip, pointer
+      // resolve, lock release all hit the recorder
+      Seq("tryCreate", "moveExclusive", "putAtomic", "get", "deleteIfExists")
+        .foreach(k => assert(calls.getOrElse(k, 0) > 0, s"$k never routed: $calls"))
+    } finally Publish.store = prior
+    // behavior unchanged after restoring the default backend
+    assert(Publish.currentVersion(root).contains(1L))
+    assert(Publish.publish(Seq(4L).toDF("x"), root) == 2L)
+  }
+
   test("commit lock: heartbeat protects a live long holder; stale break is single-winner") {
     val root = freshRoot()
     val rootPath = Paths.get(root)
