@@ -3606,6 +3606,34 @@ object SparkEntry {
         col("n_tokens"), col("offset"))
   }
 
+  /** q161: the loader-facing sequence index
+    * ([[operators.Packing.sequenceIndex]]) — the seek table that
+    * makes the q156/q158 export directly consumable at scale: one
+    * row per (shard, packed sequence) with document count, token
+    * total, and the sequence's token START OFFSET within its shard,
+    * so a training job seeks to sequence k of shard s without
+    * listing or scanning the corpus (Export.manifest's driver-sized
+    * file index, lifted to the token grain). Index rows ∝ sequences
+    * (corpus tokens / budget); the aggregate and prefix-sum window
+    * ride the SAME shard key the packing recurrence shuffled on.
+    * Oracle re-runs q158's recursive-CTE packing and derives the
+    * index relationally — a single mis-binned document anywhere
+    * shifts n_docs, seq_tokens, AND every later seq_start. */
+  def q161SequenceIndex(spark: SparkSession, dir: String): DataFrame = {
+    val scramble = pmod(
+      pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L), lit(1000000007L))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(graft.text.TextOps.BpeishPattern))
+          .cast("long").as("n_tokens"),
+        scramble.as("scramble"), pmod(scramble, lit(8L)).as("shard"))
+    val packed = graft.operators.Packing
+      .packNextFit(docs, "shard", "scramble", "doc_id", "n_tokens", budget = 256L)
+    graft.operators.Packing.sequenceIndex(packed, "shard", "seq_id", "n_tokens")
+      .select(col("shard"), col("seq_id"), col("n_docs"),
+        col("seq_tokens"), col("seq_start"))
+  }
+
   /** q159: the change data feed at the SQL surface — q138's
     * publish→MERGE→DV history served as `FROM cat.`t$$changes``
     * ([[graft.sources.GraftCatalog]]'s third metadata table, the
@@ -4510,7 +4538,8 @@ object SparkEntry {
     "q157_sequence_packing"      -> (q157SequencePacking _),
     "q158_token_packing"         -> (q158TokenPacking _),
     "q159_sql_changes"           -> (q159SqlChanges _),
-    "q160_wap_snapshot"          -> (q160WapSnapshot _)
+    "q160_wap_snapshot"          -> (q160WapSnapshot _),
+    "q161_sequence_index"        -> (q161SequenceIndex _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -4812,6 +4841,44 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
         |    0) AS BIGINT) AS offset
         |FROM packed""".stripMargin,
+
+    "q161_sequence_index" ->
+      // q158's packing recurrence, indexed: per-(shard, seq) counts
+      // and the windowed token start offset a loader seeks by
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens,
+        |    ((doc_id % 1000003) * 2654435761) % 1000000007 AS scramble,
+        |    ((doc_id % 1000003) * 2654435761) % 1000000007 % 8 AS shard
+        |  FROM documents
+        |), o AS (
+        |  SELECT shard, doc_id, n_tokens,
+        |    ROW_NUMBER() OVER (PARTITION BY shard
+        |                       ORDER BY scramble, doc_id) AS rn
+        |  FROM s
+        |), packed AS (
+        |  SELECT shard, doc_id, n_tokens, rn,
+        |    CAST(1 AS BIGINT) AS seq_id, n_tokens AS acc
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.shard, o.doc_id, o.n_tokens, o.rn,
+        |    CASE WHEN p.acc + o.n_tokens > 256
+        |         THEN p.seq_id + 1 ELSE p.seq_id END,
+        |    CASE WHEN p.acc + o.n_tokens > 256
+        |         THEN o.n_tokens ELSE p.acc + o.n_tokens END
+        |  FROM packed p JOIN o ON o.shard = p.shard AND o.rn = p.rn + 1
+        |), seqs AS (
+        |  SELECT shard, seq_id, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+        |  FROM packed GROUP BY shard, seq_id
+        |)
+        |SELECT shard, seq_id, n_docs, seq_tokens,
+        |  CAST(COALESCE(SUM(seq_tokens) OVER (
+        |    PARTITION BY shard ORDER BY seq_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) AS BIGINT) AS seq_start
+        |FROM seqs""".stripMargin,
 
     "q160_wap_snapshot" ->
       // every gate of the snapshot-grain audit, re-derived: dims'

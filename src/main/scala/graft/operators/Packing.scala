@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sequence PACKING — the step between curation and the training
@@ -74,5 +75,30 @@ object Packing {
         }
       }
       .toDF(shardCol, "seq_id", idCol, lenCol)
+  }
+
+  /** The loader-facing SEQUENCE INDEX over a packed corpus — one row
+    * per (shard, sequence) with its document count, token total, and
+    * the sequence's token START OFFSET within the shard, so a
+    * training job SEEKS to sequence k of shard s without listing or
+    * scanning the export (the file-manifest posture of
+    * [[graft.sources.Export.manifest]] lifted to the token grain).
+    *
+    * Declarative all the way: the packing recurrence already decided
+    * the bins, so the index is one aggregate over (shard, seq) plus
+    * a windowed prefix sum over the sequences of each shard — index
+    * rows ∝ sequences (corpus tokens / budget), shuffled on the same
+    * shard key the packing already used. */
+  def sequenceIndex(
+      packed: DataFrame,
+      shardCol: String,
+      seqCol: String,
+      lenCol: String): DataFrame = {
+    val per = packed.groupBy(col(shardCol), col(seqCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col(lenCol)).as("seq_tokens"))
+    val w = Window.partitionBy(shardCol).orderBy(seqCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    per.withColumn("seq_start",
+      coalesce(sum(col("seq_tokens")).over(w), lit(0L)))
   }
 }

@@ -146,23 +146,18 @@ object Catalog {
       s"""{"version":$version,"committed_at":${System.currentTimeMillis()},""" +
         s""""tables":$pinsJson,"meta":$metaJson}"""
     // manifest is durable BEFORE the pointer references it; the flip
-    // is the only observable step (Publish's exact protocol)
+    // is the only observable step (Publish's exact protocol, through
+    // the same CommitStore seam — object stores map it onto the
+    // conditional-PUT pointer swap)
     Files.write(dir.resolve(s"snap-$version.json"),
       manifest.getBytes(StandardCharsets.UTF_8))
-    val tmp = dir.resolve(s".$Current.tmp")
-    Files.write(tmp, version.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, dir.resolve(Current),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    Publish.store.putAtomic(dir.resolve(Current), version.toString)
     version
   }
 
   /** The live catalog version, if any. */
-  def currentVersion(root: String): Option[Long] = {
-    val p = catDir(root).resolve(Current)
-    if (Files.exists(p))
-      Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong)
-    else None
-  }
+  def currentVersion(root: String): Option[Long] =
+    Publish.store.get(catDir(root).resolve(Current)).map(_.trim.toLong)
 
   /** The live snapshot's pinned (table → Publish version). */
   def currentTableVersions(root: String): Map[String, Long] =
@@ -295,10 +290,7 @@ object Catalog {
           // at its newest retained version so direct Publish readers
           // stay valid
           keepVs.maxOption.foreach { mv =>
-            val tmp = tDir.resolve("._CURRENT.tmp")
-            Files.write(tmp, mv.toString.getBytes(StandardCharsets.UTF_8))
-            Files.move(tmp, tDir.resolve("_CURRENT"),
-              StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+            Publish.store.putAtomic(tDir.resolve("_CURRENT"), mv.toString)
           }
           t -> v
         }

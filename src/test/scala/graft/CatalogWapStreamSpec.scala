@@ -158,6 +158,64 @@ class CatalogWapStreamSpec extends SparkSpec {
     } finally graft.sources.Sinks.deleteRecursively(Paths.get(root))
   }
 
+  test("a crash BETWEEN audit and catalog flip leaks nothing; the retried batch commits exactly once") {
+    val sess = spark
+    import sess.implicits._
+    val root = Files.createTempDirectory("graft_catwap_crash").toString
+    try {
+      assert(CatalogWapStream.applyBatch(
+        Seq(StarRow(1, 10, 100, 1)).toDF(), 0L, root, derivations, exps, refs))
+      val snapBefore = Catalog.currentVersion(root)
+      val factsBefore = Catalog.read(spark, root, "facts")
+        .select("order_id").as[Long].collect().toSet
+
+      // crash injection through the CommitStore seam: every member
+      // publish succeeds, then the CATALOG pointer flip dies — the
+      // exact window where torn state could leak
+      val prior = graft.sources.Publish.store
+      graft.sources.Publish.store = new graft.sources.CommitStore {
+        private val d = graft.sources.LocalCommitStore
+        def tryCreate(p: java.nio.file.Path) = d.tryCreate(p)
+        def ageMs(p: java.nio.file.Path) = d.ageMs(p)
+        def touch(p: java.nio.file.Path) = d.touch(p)
+        def deleteIfExists(p: java.nio.file.Path) = d.deleteIfExists(p)
+        def moveExclusive(s: java.nio.file.Path, t: java.nio.file.Path) =
+          d.moveExclusive(s, t)
+        def putAtomic(p: java.nio.file.Path, v: String) =
+          if (p.getFileName.toString == "_CATALOG_CURRENT")
+            throw new java.io.IOException("injected crash at the catalog flip")
+          else d.putAtomic(p, v)
+        def get(p: java.nio.file.Path) = d.get(p)
+      }
+      try intercept[Exception](CatalogWapStream.applyBatch(
+        Seq(StarRow(2, 11, 50, 1)).toDF(), 1L, root, derivations, exps, refs))
+      finally graft.sources.Publish.store = prior
+
+      // nothing observable moved: catalog pointer, batch cursor, and
+      // every member READ THROUGH THE CATALOG are the old snapshot
+      // (member version dirs staged by the dead writer are invisible
+      // garbage — readers resolve pins, never directory listings)
+      assert(Catalog.currentVersion(root) == snapBefore)
+      assert(CatalogWapStream.lastBatch(root).contains(0L))
+      assert(Catalog.read(spark, root, "facts")
+        .select("order_id").as[Long].collect().toSet == factsBefore)
+
+      // the RETRIED batch is not a replay (its marker never
+      // committed): it re-derives from the old snapshot and commits
+      assert(CatalogWapStream.applyBatch(
+        Seq(StarRow(2, 11, 50, 1)).toDF(), 1L, root, derivations, exps, refs))
+      assert(Catalog.read(spark, root, "facts")
+        .select("order_id").as[Long].collect().toSet == Set(1L, 2L))
+      assert(CatalogWapStream.lastBatch(root).contains(1L))
+      // and the referenced-set vacuum reaps the dead writer's orphan
+      // member versions without touching any pinned one
+      Catalog.expireSnapshots(root, keepLast = 2): Unit
+      Catalog.vacuum(root): Unit
+      assert(Catalog.read(spark, root, "facts")
+        .select("order_id").as[Long].collect().toSet == Set(1L, 2L))
+    } finally graft.sources.Sinks.deleteRecursively(Paths.get(root))
+  }
+
   test("S29r: the audited snapshot ingest survives a mid-backlog kill-and-restart") {
     val sess = spark
     import sess.implicits._

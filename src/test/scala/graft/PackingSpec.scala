@@ -69,6 +69,27 @@ class PackingSpec extends SparkSpec {
     assert(got == Set((Long.MinValue, 1L, 1L), (Long.MinValue, 2L, 2L)))
   }
 
+  test("sequenceIndex: per-sequence counts and shard-local token start offsets") {
+    val sess = spark
+    import sess.implicits._
+    // shard 0 packs (budget 10): [4,6] → seq 1 (10 tok), [5,5] →
+    // seq 2 (10 tok), [1] → seq 3; shard 1: [9] → seq 1
+    val packed = Packing.packNextFit(
+      Seq(
+        (0L, 1L, 101L, 4L), (0L, 2L, 102L, 6L), (0L, 3L, 103L, 5L),
+        (0L, 4L, 104L, 5L), (0L, 5L, 105L, 1L), (1L, 1L, 201L, 9L))
+        .toDF("shard", "ord", "doc_id", "len"),
+      "shard", "ord", "doc_id", "len", budget = 10)
+    val idx = Packing.sequenceIndex(packed, "shard", "seq_id", "len")
+      .select("shard", "seq_id", "n_docs", "seq_tokens", "seq_start")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(idx == Set(
+      (0L, 1L, 2L, 10L, 0L),   // starts at token 0 of shard 0
+      (0L, 2L, 2L, 10L, 10L),  // after seq 1's 10 tokens
+      (0L, 3L, 1L, 1L, 20L),
+      (1L, 1L, 1L, 9L, 0L)))   // offsets are SHARD-local
+  }
+
   test("packing is order-preserving: seq_id is monotone in the shard order") {
     val sess = spark
     import sess.implicits._
