@@ -3311,10 +3311,16 @@ object SparkEntry {
     * approximation of an infinite recurrence — which is what makes
     * an independent engine re-derive identical bits. Plan: one fact
     * pass to the |assets·days| daily grain, then the trailing merge
-    * is a range self-join of the AGGREGATE table (q86's shape) —
-    * window width never appears as fact fan-out; the single float
-    * division happens once at the end from identical integers.
-    * Oracle: the identical trailing join + arithmetic. */
+    * rides [[operators.RangeJoin.pointInInterval]]'s bin rewrite
+    * (r15, the r14-verdict cleanup): each day is an interval
+    * [day−15, day] and each observation a point, joined on
+    * (asset, bin) at binWidth 16 — candidates per day are the ≤2
+    * bins' ≤32 observations, so the merge is O(|days|·w) per asset
+    * where the bare asset-keyed band join materialized O(|days|²)
+    * pairs before its filter. Same rows out (the band re-applies),
+    * so the oracle — the naive trailing join + identical integer
+    * arithmetic — is unchanged, and the hash proves the rewrite
+    * semantics-free; RangeJoinSpec pins the plan shape. */
   def q149Ewma(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
       .groupBy(col("event_type").as("asset"), to_date(col("ts")).as("date"))
@@ -3324,9 +3330,12 @@ object SparkEntry {
       .transform(graft.CacheScope.persisted(_))
     val r = daily.select(
       col("asset"), col("day_i").as("r_day"), col("micro").as("r_micro"))
-    daily.join(r, Seq("asset"))
-      .where(col("r_day").between(col("day_i") - 15, col("day_i")))
-      .withColumn("w", expr("shiftleft(1L, 15 - cast(day_i - r_day as int))"))
+    val itv = daily.select(col("asset"), col("date"),
+      (col("day_i") - 15L).as("lo_day"), col("day_i").cast("long").as("hi_day"))
+    graft.operators.RangeJoin.pointInInterval(
+        r, itv, pointCol = "r_day", loCol = "lo_day", hiCol = "hi_day",
+        binWidth = 16L, extraKeys = Seq("asset"))
+      .withColumn("w", expr("shiftleft(1L, 15 - cast(hi_day - r_day as int))"))
       .groupBy(col("asset"), col("date"))
       .agg(
         sum(col("w") * col("r_micro")).as("num"),

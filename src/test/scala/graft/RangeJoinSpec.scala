@@ -168,6 +168,41 @@ class RangeJoinSpec extends SparkSpec {
     } finally { df.unpersist(): Unit }
   }
 
+  test("q149's trailing merge rides the bin rewrite: naive-form equality + equi-join plan shape") {
+    // the r14-verdict cleanup: the trailing EWMA merge used to join
+    // the daily aggregate on asset alone with the 16-day band as a
+    // post-join filter — O(|days|² per asset) pairs. The bin rewrite
+    // makes candidates O(|days|·w) while the band re-applies, so the
+    // rows are IDENTICAL (the oracle hash also pins this at the gate)
+    val got = SparkEntry.q149Ewma(spark, SfDir)
+    val daily = Tables.events(spark, SfDir)
+      .groupBy(col("event_type").as("asset"), to_date(col("ts")).as("date"))
+      .agg((round(max("value"), 6).cast("decimal(18,6)") * 1000000L)
+        .cast("long").as("micro"))
+      .withColumn("day_i", datediff(col("date"), lit("1970-01-01").cast("date")))
+    val r = daily.select(
+      col("asset"), col("day_i").as("r_day"), col("micro").as("r_micro"))
+    val want = daily.join(r, Seq("asset"))
+      .where(col("r_day").between(col("day_i") - 15, col("day_i")))
+      .withColumn("w", expr("shiftleft(1L, 15 - cast(day_i - r_day as int))"))
+      .groupBy(col("asset"), col("date"))
+      .agg(sum(col("w") * col("r_micro")).as("num"),
+        sum(col("w")).as("den"), count(lit(1)).as("n_obs"))
+      .select(col("asset"), col("date"), col("n_obs"),
+        round(col("num").cast("double") / col("den").cast("double") / 1e6, 6)
+          .as("ewma"))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "q149 bin rewrite diverges from the naive band join")
+    // plan shape: the merge join carries the bin key (no asset-only
+    // join with a band filter, no nested loop)
+    val plan = got.queryExecution.optimizedPlan.toString
+    assert(plan.contains("__bin"), s"q149 lost the bin join key:\n$plan")
+    val phys = got.queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastNestedLoop") && !phys.contains("CartesianProduct"),
+      s"q149 fell back to a nested loop:\n$phys")
+    graft.CacheScope.releaseAll(spark): Unit
+  }
+
   test("q52 equals its own naive form on real testdata") {
     val got = SparkEntry.q52RangeCampaignJoin(spark, SfDir)
     val anchor = to_date(lit("2024-01-01"))
