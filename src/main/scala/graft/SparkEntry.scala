@@ -3643,6 +3643,68 @@ object SparkEntry {
         col("seq_tokens"), col("seq_start"))
   }
 
+  /** q162: the advisor FEEDBACK LOOP under the hash gate
+    * ([[graft.sources.LayoutAdvisor.reclusterAdvice]]) — advise,
+    * apply, MEASURE, re-advise: the piece that turns one-shot layout
+    * advice (q120/q123/q136) into autonomous maintenance. Phase
+    * `before` is a day-bucketed layout serving a user-box workload:
+    * MEASURED scan (the `_fstats` candidate arithmetic the pruning
+    * read path itself runs — every file's user span covers every
+    * box) is ~3N while the PREDICTED best layout's modeled scan is a
+    * fraction of N, and the gain amortized over 4 workload runs
+    * clears the 2N rewrite floor → `recluster = true`. Phase `after`
+    * re-runs the SAME call over the user-bucketed rewrite: boxes
+    * align with file ranges, measured equals the model exactly, gain
+    * 0 → `keep` — the loop's fixed point, so a maintenance daemon
+    * polling this verdict converges instead of thrashing. Every
+    * number is integer arithmetic over |files|-row manifests (BigInt
+    * products, truncating division on non-negatives = floor), so the
+    * oracle re-derives the DECISIONS themselves — file geometry is
+    * deterministic by construction (one file per bucket expression),
+    * which is what lets DuckDB reconstruct per-file stats
+    * relationally. */
+  private def reclusterRoots(spark: SparkSession, dir: String): String =
+    graft.tools.Scratch.cachedArtifact(
+      "graft_reclust", dir, s"$dir/events.parquet") { (root, _) =>
+      val ev = Tables.events(spark, dir).select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day_i"))
+      val maxU = ev.agg(max("user_id")).head.getLong(0)
+      val w = maxU / 8 + 1
+      val before = java.nio.file.Paths.get(root, "before").toString
+      ev.withColumn("fb", pmod(col("day_i"), lit(8L)))
+        .coalesce(1).write.partitionBy("fb").parquet(before)
+      graft.sources.FileStats.build(spark, before,
+        cols = Seq("user_id", "day_i"))
+      val after = java.nio.file.Paths.get(root, "after").toString
+      ev.withColumn("fb", expr(s"user_id div $w"))
+        .coalesce(1).write.partitionBy("fb").parquet(after)
+      graft.sources.FileStats.build(spark, after,
+        cols = Seq("user_id", "day_i"))
+    }
+
+  def q162ReclusterLoop(spark: SparkSession, dir: String): DataFrame = {
+    val root = reclusterRoots(spark, dir)
+    val maxU = Tables.events(spark, dir).agg(max("user_id")).head.getLong(0)
+    val w = maxU / 8 + 1
+    val workload = Seq(
+      (1L, "user", w, 2 * w - 1),
+      (2L, "user", 2 * w, 4 * w - 1),
+      (3L, "user", 6 * w, 7 * w - 1))
+    val dims = Seq("user" -> "user_id", "day" -> "day_i")
+    val layouts = Seq(Seq("user"), Seq("day"))
+    val sess = spark
+    import sess.implicits._
+    Seq("before", "after").map { phase =>
+      val a = graft.sources.LayoutAdvisor.reclusterAdvice(
+        spark, java.nio.file.Paths.get(root, phase).toString,
+        dims, workload, layouts, amortizeRuns = 4L)
+      (phase, a.bestLayout, a.measuredRows, a.predictedRows,
+        a.tableRows, a.recluster)
+    }.toDF("phase", "best_layout", "measured_rows", "predicted_rows",
+      "table_rows", "recluster")
+  }
+
   /** q159: the change data feed at the SQL surface — q138's
     * publish→MERGE→DV history served as `FROM cat.`t$$changes``
     * ([[graft.sources.GraftCatalog]]'s third metadata table, the
@@ -4548,7 +4610,8 @@ object SparkEntry {
     "q158_token_packing"         -> (q158TokenPacking _),
     "q159_sql_changes"           -> (q159SqlChanges _),
     "q160_wap_snapshot"          -> (q160WapSnapshot _),
-    "q161_sequence_index"        -> (q161SequenceIndex _)
+    "q161_sequence_index"        -> (q161SequenceIndex _),
+    "q162_recluster_loop"        -> (q162ReclusterLoop _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -4850,6 +4913,68 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
         |    0) AS BIGINT) AS offset
         |FROM packed""".stripMargin,
+
+    "q162_recluster_loop" ->
+      // file geometry is deterministic (one file per bucket expr), so
+      // per-file stats, the measured candidate arithmetic, the
+      // interpolated estimates, layout ranking, and the amortized
+      // recluster decision all re-derive relationally — truncating
+      // `//` on non-negatives ≡ the operator's BigInt floor division
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_i
+        |  FROM events
+        |),
+        |params AS (SELECT MAX(user_id) // 8 + 1 AS w FROM ev),
+        |wl AS (
+        |  SELECT 1 AS qid, w AS lo, 2*w - 1 AS hi FROM params
+        |  UNION ALL SELECT 2, 2*w, 4*w - 1 FROM params
+        |  UNION ALL SELECT 3, 6*w, 7*w - 1 FROM params
+        |),
+        |phases AS (
+        |  SELECT 'before' AS phase, day_i % 8 AS f, COUNT(*) AS n_rows,
+        |    MIN(user_id) AS mn_u, MAX(user_id) AS mx_u
+        |  FROM ev GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'after', user_id // (SELECT w FROM params), COUNT(*),
+        |    MIN(user_id), MAX(user_id)
+        |  FROM ev GROUP BY 1, 2
+        |),
+        |ntab AS (SELECT phase, SUM(n_rows) AS n FROM phases GROUP BY 1),
+        |meas AS (
+        |  SELECT p.phase, SUM(p.n_rows) AS m
+        |  FROM phases p JOIN wl ON p.mn_u <= wl.hi AND p.mx_u >= wl.lo
+        |  GROUP BY 1
+        |),
+        |estu AS (
+        |  SELECT p.phase, wl.qid, SUM(
+        |    CASE WHEN p.mx_u < wl.lo OR p.mn_u > wl.hi THEN 0
+        |         WHEN p.mx_u <= p.mn_u THEN p.n_rows
+        |         ELSE (p.n_rows * (LEAST(wl.hi, p.mx_u) - GREATEST(wl.lo, p.mn_u)))
+        |              // (p.mx_u - p.mn_u)
+        |    END) AS e
+        |  FROM phases p CROSS JOIN wl GROUP BY 1, 2
+        |),
+        |cands AS (
+        |  SELECT phase, 'user' AS layout_id, SUM(e) AS total
+        |  FROM estu GROUP BY 1
+        |  UNION ALL
+        |  SELECT phase, 'day', 3 * n FROM ntab
+        |),
+        |bestl AS (
+        |  SELECT phase, layout_id AS best_layout, total AS predicted
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY phase
+        |          ORDER BY total, layout_id) AS rk FROM cands)
+        |  WHERE rk = 1
+        |)
+        |SELECT b.phase, b.best_layout,
+        |  CAST(m.m AS BIGINT) AS measured_rows,
+        |  CAST(b.predicted AS BIGINT) AS predicted_rows,
+        |  CAST(nt.n AS BIGINT) AS table_rows,
+        |  (m.m - b.predicted) * 4 > 2 * nt.n AS recluster
+        |FROM bestl b
+        |JOIN meas m ON m.phase = b.phase
+        |JOIN ntab nt ON nt.phase = b.phase""".stripMargin,
 
     "q161_sequence_index" ->
       // q158's packing recurrence, indexed: per-(shard, seq) counts

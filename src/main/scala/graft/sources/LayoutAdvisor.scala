@@ -163,6 +163,115 @@ object LayoutAdvisor {
       st.agg(sum("n_rows").as("N")))
   }
 
+  /** One [[reclusterAdvice]] verdict. `measuredRows` is what the
+    * CURRENT layout actually scans for the whole workload (exact,
+    * from the same stats manifest the pruning read path uses);
+    * `predictedRows` is the best candidate layout's modeled scan;
+    * `recluster` is the decision. */
+  final case class ReclusterAdvice(
+      bestLayout: String,
+      measuredRows: Long,
+      predictedRows: Long,
+      tableRows: Long,
+      recluster: Boolean)
+
+  /** The FEEDBACK half of the advisor loop — advise, apply, MEASURE,
+    * re-advise: compare what the current layout actually scans for a
+    * workload against the best candidate layout's modeled scan, and
+    * re-cluster only when the gain amortized over `amortizeRuns`
+    * workload executions clears the rewrite's own cost (reading and
+    * re-writing all N rows — the 2N floor any re-layout pays).
+    *
+    *   - MEASURED: per query, the candidate files under the table's
+    *     `_fstats` manifest (exactly [[FileStats.candidateFiles]]'
+    *     min/max intersection — the same arithmetic the pruning read
+    *     path runs), summed as exact longs. This is the number the
+    *     table's users actually pay today.
+    *   - PREDICTED: per (query, dim), per-file linear interpolation
+    *     of the range overlap — `floor(n_rows·ov/span)` — summed
+    *     over files, then the advise() independence model across a
+    *     layout's clustered dims (Π estᵢ / N^(k−1)). ALL INTEGER
+    *     (dims must be integer-valued): BigInt products, truncating
+    *     division on non-negatives = floor — so the verdict is
+    *     exact, cross-engine re-derivable arithmetic end to end, and
+    *     q162 hash-gates the DECISIONS themselves, not just the
+    *     inputs (the range twin of q136's KMV-gated advisor).
+    *   - DECIDE: recluster ⇔ (measured − predicted) · amortizeRuns
+    *     > 2N. Run after applying a re-layout, the same call returns
+    *     keep — the loop's fixed point.
+    *
+    * Driver-side on purpose: everything here is |files| + |workload|
+    * manifest arithmetic (the candidateFiles posture), never a data
+    * scan. Workload is a driver Seq for the same reason. */
+  def reclusterAdvice(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePath: String,
+      dims: Seq[(String, String)],
+      workload: Seq[(Long, String, Long, Long)],
+      layouts: Seq[Seq[String]],
+      amortizeRuns: Long): ReclusterAdvice = {
+    require(dims.nonEmpty && layouts.nonEmpty && workload.nonEmpty)
+    require(amortizeRuns > 0, "amortizeRuns must be positive")
+    val dimNames = dims.map(_._1)
+    require(workload.forall(q => dimNames.contains(q._2)),
+      "workload predicates an undeclared dim")
+    layouts.foreach(ls => require(ls.nonEmpty && ls.forall(dimNames.contains),
+      s"unknown layout dims: $ls"))
+
+    val st = spark.read.parquet(FileStats.statsPath(tablePath))
+      .select(col("n_rows").cast("long") +: dims.flatMap { case (_, sc) =>
+        Seq(col(s"min_$sc").cast("long"), col(s"max_$sc").cast("long"))
+      }: _*).collect()
+    val files: Seq[(Long, Map[String, (Option[Long], Option[Long])])] =
+      st.toIndexedSeq.map { r =>
+        val mm = dimNames.zipWithIndex.map { case (d, i) =>
+          d -> ((if (r.isNullAt(1 + 2 * i)) None else Some(r.getLong(1 + 2 * i)),
+            if (r.isNullAt(2 + 2 * i)) None else Some(r.getLong(2 + 2 * i))))
+        }.toMap
+        (r.getLong(0), mm)
+      }
+    val n = files.map(_._1).sum
+    val byQuery = workload.groupBy(_._1).toSeq.sortBy(_._1)
+
+    // measured: candidateFiles' min/max intersection, exact
+    val measured = byQuery.map { case (_, preds) =>
+      files.collect { case (rows, mm) if preds.forall { case (_, d, lo, hi) =>
+        mm(d) match {
+          case (Some(mn), Some(mx)) => mn <= hi && mx >= lo
+          case _ => false // all-null file: a range can never match
+        }
+      } => rows }.sum
+    }.sum
+
+    // predicted: per-(query, dim) interpolated match counts…
+    def est(rows: Long, mm: (Option[Long], Option[Long]), lo: Long, hi: Long): BigInt =
+      mm match {
+        case (Some(mn), Some(mx)) =>
+          if (mx < lo || mn > hi) BigInt(0)
+          else if (mx <= mn) BigInt(rows)
+          else BigInt(rows) * (math.min(hi, mx) - math.max(lo, mn)) / (mx - mn)
+        case _ => BigInt(0)
+      }
+    val estQD: Map[(Long, String), BigInt] = byQuery.flatMap { case (qid, preds) =>
+      preds.map { case (_, d, lo, hi) =>
+        (qid, d) -> files.map { case (rows, mm) => est(rows, mm(d), lo, hi) }.sum
+      }
+    }.toMap
+    // …through advise()'s independence model, BigInt-exact
+    def cost(qid: Long, preds: Seq[(Long, String, Long, Long)], ls: Seq[String]): BigInt = {
+      val p = preds.map(_._2).distinct.filter(ls.contains)
+      if (p.isEmpty) BigInt(n)
+      else p.map(d => estQD((qid, d))).product / BigInt(n).pow(p.size - 1)
+    }
+    val totals = layouts.map(ls =>
+      (ls.mkString("+"), byQuery.map { case (q, ps) => cost(q, ps, ls) }.sum))
+    val (bestLayout, predicted) = totals.minBy { case (id, t) => (t, id) }
+
+    val recluster =
+      (BigInt(measured) - predicted) * amortizeRuns > BigInt(2) * n
+    ReclusterAdvice(bestLayout, measured, predicted.toLong, n, recluster)
+  }
+
   /** The shared scoring tail: selectivity matrix → integer
     * multiplicative costs → exact ranking. `counts` carries
     * (query_id, dim, n); `nDf` one row with the total N. */

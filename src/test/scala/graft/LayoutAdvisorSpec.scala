@@ -114,6 +114,46 @@ class LayoutAdvisorSpec extends SparkSpec {
         s"user=$userFiles value=$valueFiles")
   }
 
+  test("reclusterAdvice closes the loop: recluster on the bad layout, keep at the fixed point") {
+    val sess = spark
+    import sess.implicits._
+    // 80 rows, user 0..7 interleaved with a seq column; workload
+    // predicates user only
+    val data = (0 until 80).map(i => (i.toLong % 8, i.toLong)).toDF("u", "s")
+    val workload = Seq((1L, "u", 2L, 3L), (2L, "u", 6L, 6L))
+    val dims = Seq("u" -> "u", "s" -> "s")
+    val layouts = Seq(Seq("u"), Seq("s"))
+    val root = Files.createTempDirectory("graft_reclust_spec").toString
+
+    // bad layout: files = 20-row s runs — every file spans all users
+    val bad = s"$root/bad"
+    data.withColumn("fb", expr("s div 20"))
+      .coalesce(1).write.partitionBy("fb").parquet(bad)
+    FileStats.build(spark, bad, cols = Seq("u", "s"))
+    val a = LayoutAdvisor.reclusterAdvice(spark, bad, dims, workload, layouts, 4L)
+    // measured: both queries hit all 4 files → 160; predicted under
+    // [u]: interpolation over [0,7] spans — q1 floor(20*(3-2)/7)*4
+    // files = 8, q2 floor(20*0/7)=0 → 8
+    assert(a.bestLayout == "u" && a.measuredRows == 160L && a.tableRows == 80L)
+    assert(a.predictedRows == 8L, a.toString)
+    assert(a.recluster, s"gain (160-8)*4 must clear 2N=160: $a")
+
+    // advised layout: files bucketed by u (2 users per file); boxes
+    // align with file ranges → measured == model contribution per
+    // file, gain small → keep
+    val good = s"$root/good"
+    data.withColumn("fb", expr("u div 2"))
+      .coalesce(1).write.partitionBy("fb").parquet(good)
+    FileStats.build(spark, good, cols = Seq("u", "s"))
+    val b = LayoutAdvisor.reclusterAdvice(spark, good, dims, workload, layouts, 4L)
+    // q1 [2,3] = exactly file 1 (20 rows, est 20); q2 [6,6] hits
+    // file 3 (span [6,7]): measured 20, est floor(20*(6-6)/1)=0
+    assert(b.bestLayout == "u" && b.measuredRows == 40L)
+    assert(b.predictedRows == 20L, b.toString)
+    assert(!b.recluster, s"(40-20)*4=80 must NOT clear 2N=160: $b")
+    graft.sources.Sinks.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
   test("manifest-scored advisor ranks like the data pass and reads only the sidecar") {
     val ev = Tables.events(spark, SfDir)
       .select(col("user_id"), col("value"))
