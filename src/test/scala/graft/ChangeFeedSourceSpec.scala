@@ -104,6 +104,46 @@ class ChangeFeedSourceSpec extends SparkSpec {
     } finally graft.sources.Sinks.deleteRecursively(Paths.get(root))
   }
 
+  test("S26 ≡ t$changes: the streaming and SQL feed surfaces agree row-for-row") {
+    val sess = spark
+    import sess.implicits._
+    val root = Files.createTempDirectory("graft_cdcsrc_sql").toString
+    try {
+      val tdir = Paths.get(root, "t").toString
+      Publish.publish(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), tdir): Unit
+      Txn.append(spark, tdir, Seq((3L, 30L)).toDF("id", "v")): Unit
+      Merge.mergeIntoPublished(spark, tdir,
+        Seq((2L, 25L)).toDF("id", "v"),
+        keys = Seq("id"), set = Map("v" -> Merge.s("v"))): Unit
+      Deletes.deleteFromPublished(spark, tdir, col("id") === 1L): Unit
+
+      // stream the whole history through S26 (memory sink — no
+      // restart here, parity is the point)
+      val q = spark.readStream.format(Fmt)
+        .option("root", tdir).option("keys", "id").option("values", "v")
+        .load()
+        .writeStream.format("memory").queryName("graft_cdc_parity").start()
+      try q.processAllAvailable() finally q.stop()
+      val streamed = spark.table("graft_cdc_parity")
+        .where(col("from_version") > 0) // boot snapshot has no SQL twin
+        .select("id", "change_type", "old_v", "new_v",
+          "from_version", "to_version")
+        .collect().map(_.toSeq).toSet
+
+      val cat = "gcdcpar" + (tdir.hashCode.toLong & 0xffffffffL)
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      spark.conf.set(s"spark.sql.catalog.$cat.changes.t.keys", "id")
+      val sql = spark.sql(
+        s"SELECT id, change_type, old_v, new_v, from_version, to_version " +
+          s"FROM $cat.`t$$changes`")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == sql && sql.nonEmpty,
+        s"surfaces diverge:\nstream=$streamed\nsql=$sql")
+    } finally graft.sources.Sinks.deleteRecursively(Paths.get(root))
+  }
+
   test("S26: a new subscriber boots from the oldest RETAINED version after v=1 is vacuumed") {
     val sess = spark
     import sess.implicits._
