@@ -3705,6 +3705,36 @@ object SparkEntry {
       "table_rows", "recluster")
   }
 
+  /** q163: hybrid retrieval via reciprocal-rank fusion
+    * ([[operators.TopK.rrfFuse]] over q151's BM25 leg and
+    * [[similarity.Ann.singleQueryKnn]]'s vector leg) — the serving
+    * pattern every RAG / retrieval stack runs: lexical and vector
+    * rankings have incomparable score scales, so fusion is
+    * RANK-based — each leg contributes 1/(60+rank) and ids re-rank
+    * by the sum (Cormack et al.'s RRF, the default hybrid merge).
+    * Both legs are top-50 lists with exact-decimal internal cuts
+    * (BM25 contributions round(9)→decimal, cosine round(6) with id
+    * tiebreaks), reciprocal terms round(9)→DECIMAL(18,9) so the
+    * fused order is exact, and the final cut is (decimal score DESC,
+    * id). The oracle re-derives both legs (q151's CTE verbatim at
+    * k=50; the q20 cosine parity against vec 0's embedding) and the
+    * fusion — a single rank shift in EITHER leg moves a reciprocal
+    * term and breaks the hash. Scale: fusion cost is |legs|·k rows;
+    * the legs themselves are the priced operators (q151, q20). */
+  def q163HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val lex = TextOps.bm25Rank(Tables.documents(spark, dir),
+        "doc_id", "text", Seq("merge", "window", "scan"), k = 50)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id").as("id"), col("rank"))
+    val vec = graft.similarity.Ann.singleQueryKnn(
+        Tables.embeddings(spark, dir), "vec_id", "embedding",
+        queryId = 0L, k = 50)
+      .select(col("vec_id").as("id"), col("rank"))
+    graft.operators.TopK.rrfFuse(
+      Seq("lex" -> lex, "vec" -> vec), "id", "rank", k0 = 60, topK = 20)
+  }
+
   /** q159: the change data feed at the SQL surface — q138's
     * publish→MERGE→DV history served as `FROM cat.`t$$changes``
     * ([[graft.sources.GraftCatalog]]'s third metadata table, the
@@ -4611,7 +4641,8 @@ object SparkEntry {
     "q159_sql_changes"           -> (q159SqlChanges _),
     "q160_wap_snapshot"          -> (q160WapSnapshot _),
     "q161_sequence_index"        -> (q161SequenceIndex _),
-    "q162_recluster_loop"        -> (q162ReclusterLoop _)
+    "q162_recluster_loop"        -> (q162ReclusterLoop _),
+    "q163_hybrid_rrf"            -> (q163HybridRrf _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -4913,6 +4944,69 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
         |    0) AS BIGINT) AS offset
         |FROM packed""".stripMargin,
+
+    "q163_hybrid_rrf" ->
+      // both legs re-derived with their own parity recipes (q151's
+      // BM25 CTE at k=50, the q20 cosine formula against vec 0),
+      // reciprocal terms round(9)→DECIMAL, exact-order cuts with id
+      // tiebreaks at every stage
+      """WITH terms AS (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+        |),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+        |               COUNT(*) AS n FROM dl),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms
+        |       WHERE term IN ('merge', 'window', 'scan') GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |    SUM(CAST(ROUND(
+        |      LN(1.0 + (CAST((SELECT n FROM tot) AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+        |        * ((t.tf * (1.2 + 1.0)) /
+        |           (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / (SELECT avgdl FROM tot)))),
+        |      9) AS DECIMAL(28,9))) AS score_d
+        |  FROM tf t JOIN dfreq d ON d.term = t.term JOIN dl l ON l.doc_id = t.doc_id
+        |  GROUP BY 1
+        |),
+        |lexcut AS (
+        |  SELECT doc_id, ROUND(CAST(score_d AS DOUBLE), 6) AS score
+        |  FROM scored ORDER BY score_d DESC, doc_id LIMIT 50
+        |),
+        |lex AS (
+        |  SELECT doc_id AS id,
+        |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+        |  FROM lexcut
+        |),
+        |nz AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |  WHERE len(list_filter(embedding, x -> x <> 0)) > 0
+        |),
+        |veccut AS (
+        |  SELECT a.vec_id,
+        |    ROUND(list_cosine_similarity(a.e,
+        |      (SELECT e FROM nz WHERE vec_id = 0)), 6) AS cosine
+        |  FROM nz a WHERE a.vec_id <> 0
+        |  ORDER BY cosine DESC, vec_id LIMIT 50
+        |),
+        |vec AS (
+        |  SELECT vec_id AS id,
+        |    ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM veccut
+        |),
+        |u AS (
+        |  SELECT id, 'lex' AS leg, rank FROM lex
+        |  UNION ALL SELECT id, 'vec', rank FROM vec
+        |),
+        |fused AS (
+        |  SELECT id,
+        |    MIN(CASE WHEN leg = 'lex' THEN rank END) AS rank_lex,
+        |    MIN(CASE WHEN leg = 'vec' THEN rank END) AS rank_vec,
+        |    SUM(CAST(ROUND(1.0 / (60 + rank), 9) AS DECIMAL(18,9))) AS s
+        |  FROM u GROUP BY 1
+        |)
+        |SELECT id, rank_lex, rank_vec, ROUND(CAST(s AS DOUBLE), 6) AS rrf
+        |FROM fused ORDER BY s DESC, id LIMIT 20""".stripMargin,
 
     "q162_recluster_loop" ->
       // file geometry is deterministic (one file per bucket expr), so

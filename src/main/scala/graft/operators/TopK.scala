@@ -87,4 +87,48 @@ object TopK {
         col("z.cands.rk").as("rk"),
         col("z.ests").as("est_cnt"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al.) of ranked lists — the
+    * standard hybrid-retrieval merge: each leg (a named (id, rank)
+    * frame — lexical BM25, vector kNN, …) contributes
+    * `1/(k0 + rank)` to every id it ranked, and ids are re-ranked by
+    * the summed score. Rank-based, so the legs' incomparable score
+    * scales never need calibrating — the reason RRF is the default
+    * fusion in every hybrid search stack.
+    *
+    * Determinism (the oracle contract): each reciprocal term is
+    * rounded to 9 dp and summed as DECIMAL(18,9) — the fusion order
+    * never touches the total — and the final cut orders by (exact
+    * decimal score DESC, id). Output carries `rank_<leg>` columns
+    * (null where a leg did not rank the id) plus the presented
+    * double `rrf`.
+    *
+    * Scale: legs are top-k lists (k·|legs| rows total), so the
+    * union/group/cut is driver-trivial at any corpus size — the
+    * expensive part is producing the legs, not fusing them. */
+  def rrfFuse(
+      legs: Seq[(String, DataFrame)],
+      idCol: String,
+      rankCol: String,
+      k0: Int = 60,
+      topK: Int = 20): DataFrame = {
+    require(legs.nonEmpty, "no legs to fuse")
+    require(k0 > 0 && topK > 0, "k0 and topK must be positive")
+    val names = legs.map(_._1)
+    require(names.distinct == names, s"duplicate leg names: $names")
+    val tagged = legs.map { case (nm, df) =>
+      df.select(col(idCol), lit(nm).as("__leg"),
+        col(rankCol).cast("long").as("__rank"))
+    }.reduce(_ unionByName _)
+    val rankCols = names.map(nm =>
+      min(when(col("__leg") === nm, col("__rank"))).as(s"rank_$nm"))
+    val score = sum(round(lit(1.0d) / (lit(k0) + col("__rank")), 9)
+      .cast("decimal(18,9)")).as("__s")
+    tagged.groupBy(col(idCol))
+      .agg(rankCols.head, (rankCols.tail :+ score): _*)
+      .orderBy(col("__s").desc, col(idCol))
+      .limit(topK)
+      .select(col(idCol) +: names.map(nm => col(s"rank_$nm")) :+
+        round(col("__s").cast("double"), 6).as("rrf"): _*)
+  }
 }

@@ -48,6 +48,35 @@ object Ann {
       .select("vec_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Cosine top-k of ONE query vector against the collection — the
+    * SERVING-time shape (the kNN family above scores all-pairs;
+    * retrieval scores one query). `queryId` names the collection row
+    * whose vector is the query (excluded from results). One narrow
+    * broadcast-join pass — the 1-row query side broadcasts, cosine
+    * is the q20 parity expression, and the top-k cut is a
+    * TakeOrdered by (rounded cosine DESC, id), never a global
+    * window; ranks are assigned over only the k survivors. */
+  def singleQueryKnn(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryId: Long,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val e = prepared(emb, idCol, vecCol)
+    val q = broadcast(e.where(col(idCol) === queryId)
+      .select(col("__e").as("__eq"), col("__norm").as("__nq")))
+    e.where(col(idCol) =!= queryId)
+      .crossJoin(q)
+      .withColumn("cosine",
+        round(dot(col("__e"), col("__eq")) / (col("__norm") * col("__nq")), 6))
+      .select(col(idCol), col("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cosine").desc, col(idCol))))
+  }
+
   private def prepared(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
     emb

@@ -92,4 +92,23 @@ class AnnSpec extends SparkSpec {
     assert(cands > 0 && cands < n * (n - 1) / 4,
       s"LSH candidate mass not sub-all-pairs: $cands of ${n * (n - 1) / 2}")
   }
+
+  test("singleQueryKnn ≡ the query row's slice of all-pairs bruteForceKnn") {
+    val emb = Tables.embeddings(spark, SfDir)
+    val k = 7
+    val single = graft.similarity.Ann.singleQueryKnn(
+        emb, "vec_id", "embedding", queryId = 0L, k = k)
+      .select("vec_id", "cosine", "rank")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+      .sortBy(_._3)
+    val allPairs = graft.similarity.Ann.bruteForceKnn(
+        emb, "vec_id", "embedding", k = k)
+      .where(org.apache.spark.sql.functions.col("vec_id") === 0L)
+      .select("neighbor_id", "cosine", "rank")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+      .sortBy(_._3)
+    assert(single == allPairs,
+      s"serving-time kNN diverges from the all-pairs slice:\n$single\n$allPairs")
+    assert(single.size == k && single.map(_._1).forall(_ != 0L))
+  }
 }

@@ -95,4 +95,33 @@ class TopKSpec extends SparkSpec {
       .drop("est_cnt").collect().map(_.toString).sorted.toSeq
     assert(q81 == q82, "sketch query candidates diverge from the exact query")
   }
+
+  test("rrfFuse: hand panel — both-leg ids outrank single-leg, rank columns carry, ties break on id") {
+    val sess = spark
+    import sess.implicits._
+    // lex ranks: a=1 b=2 c=3; vec ranks: b=1 d=2. k0=60:
+    //   b: 1/62 + 1/61 ≈ .032520  (both legs — must win)
+    //   a: 1/61 ≈ .016393;  d: 1/62 ≈ .016129;  c: 1/63 ≈ .015873
+    val lex = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("id", "rank")
+    val vec = Seq((11L, 1L), (13L, 2L)).toDF("id", "rank")
+    val got = TopK.rrfFuse(Seq("lex" -> lex, "vec" -> vec), "id", "rank")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+        r.getDouble(3)))
+    assert(got.map(_._1).toSeq == Seq(11L, 10L, 13L, 12L), got.toSeq)
+    // rank columns carry per leg; absent leg is null
+    assert(got.head == ((11L, Some(2L), Some(1L),
+      BigDecimal(1.0 / 62).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .+(BigDecimal(1.0 / 61).setScale(9, BigDecimal.RoundingMode.HALF_UP))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got(2) == ((13L, None, Some(2L),
+      BigDecimal(1.0 / 62).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // equal scores (same single-leg rank) break ties on id
+    val t = TopK.rrfFuse(Seq(
+        "l1" -> Seq((7L, 1L)).toDF("id", "rank"),
+        "l2" -> Seq((5L, 1L)).toDF("id", "rank")),
+      "id", "rank")
+      .collect().map(_.getLong(0)).toSeq
+    assert(t == Seq(5L, 7L), t)
+  }
 }
