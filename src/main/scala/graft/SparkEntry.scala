@@ -3735,6 +3735,43 @@ object SparkEntry {
       Seq("lex" -> lex, "vec" -> vec), "id", "rank", k0 = 60, topK = 20)
   }
 
+  /** q164: INCREMENTAL exact dedup against the published corpus
+    * ([[graft.similarity.Dedup.incrementalNew]]) — the daily-ingest
+    * dedup shape: admit only batch documents whose fingerprint is
+    * not already in the corpus WITHOUT re-scanning the corpus. The
+    * corpus is fingerprint-range-clustered with an `_fstats`
+    * manifest, so the batch's distinct keys bin-join against the
+    * \|files\|-row (min, max) intervals (RangeJoin — cost
+    * \|batch\|+\|files\|, never per-file bloom probes of every key)
+    * and only colliding-range files are read back for the EXACT
+    * verify anti-join. Range over-approximation only adds candidate
+    * files, never a wrong row — the result is row-identical to the
+    * full anti-join the oracle states (pruning is an optimization,
+    * the q100 contract applied to dedup; DedupSpec measures the
+    * pruning and pins the equivalence). The artifact's corpus is 2/3
+    * of documents; the batch is ALL documents, so survivors are the
+    * held-out third minus any document whose text (hence
+    * fingerprint) duplicates a corpus document — the planted-dup
+    * population the incremental gate exists to catch. */
+  private def incDedupCorpus(spark: SparkSession, dir: String): String =
+    graft.tools.Scratch.cachedArtifact(
+      "graft_incdedup", dir, s"$dir/documents.parquet") { (root, _) =>
+      Tables.documents(spark, dir)
+        .where(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), TextOps.fingerprintCol(col("text")).as("fp"))
+        .repartitionByRange(8, col("fp")).sortWithinPartitions("fp")
+        .write.parquet(root)
+      graft.sources.FileStats.build(spark, root, cols = Seq("fp"))
+    }
+
+  def q164IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val root = incDedupCorpus(spark, dir)
+    val batch = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.fingerprintCol(col("text")).as("fp"))
+    graft.similarity.Dedup.incrementalNew(spark, root, batch, "fp")
+      .select(col("doc_id"), col("fp"))
+  }
+
   /** q159: the change data feed at the SQL surface — q138's
     * publish→MERGE→DV history served as `FROM cat.`t$$changes``
     * ([[graft.sources.GraftCatalog]]'s third metadata table, the
@@ -4642,7 +4679,8 @@ object SparkEntry {
     "q160_wap_snapshot"          -> (q160WapSnapshot _),
     "q161_sequence_index"        -> (q161SequenceIndex _),
     "q162_recluster_loop"        -> (q162ReclusterLoop _),
-    "q163_hybrid_rrf"            -> (q163HybridRrf _)
+    "q163_hybrid_rrf"            -> (q163HybridRrf _),
+    "q164_incremental_dedup"     -> (q164IncrementalDedup _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -4944,6 +4982,22 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
         |    0) AS BIGINT) AS offset
         |FROM packed""".stripMargin,
+
+    "q164_incremental_dedup" ->
+      // pruning is an optimization: the oracle states the plain
+      // anti-join the pruned verify must be row-identical to
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(text, ' '),
+        |          w -> CAST(LENGTH(w) * 97 + CASE WHEN LENGTH(w) > 0 THEN ascii(w) ELSE 0 END AS BIGINT))),
+        |      (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        |  FROM documents
+        |)
+        |SELECT b.doc_id, b.fp FROM fp b
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM fp c WHERE c.doc_id % 3 <> 0 AND c.fp = b.fp)""".stripMargin,
 
     "q163_hybrid_rrf" ->
       // both legs re-derived with their own parity recipes (q151's

@@ -707,4 +707,51 @@ object Dedup {
         round(col("dup_tokens").cast("double") / col("total_tokens"), 6)
           .as("dup_frac"))
   }
+
+  /** INCREMENTAL exact dedup against a PUBLISHED corpus — admit only
+    * batch rows whose `keyCol` is not already in the corpus, WITHOUT
+    * re-scanning the corpus. The daily-ingest shape at 100 TB: a
+    * full anti-join re-shuffles the whole corpus's keys every batch;
+    * this reads only the corpus files that CAN collide.
+    *
+    * Requires the corpus key-CLUSTERED with an `_fstats` manifest
+    * over `keyCol` (the q103 rank-bucket layout on the dedup key is
+    * the canonical producer): each file then covers a narrow key
+    * range, and the batch's distinct keys bin-join
+    * ([[graft.operators.RangeJoin.pointInInterval]], binWidth ≈ the
+    * mean file span derived from the manifest) against the
+    * \|files\|-row (min, max) intervals — cost ∝ \|batch\| +
+    * \|files\|, never \|batch\|·\|files\| probes. Files with ≥1
+    * in-range batch key (a driver-bounded file list — the
+    * candidateFiles posture) are read back for the EXACT verify
+    * anti-join, so range over-approximation only adds candidate
+    * files, never a wrong row: the result is row-identical to the
+    * full anti-join the oracle states (the q100 pruning-is-an-
+    * optimization contract, applied to dedup). An arrival-ordered
+    * corpus degrades gracefully — every file becomes a candidate and
+    * the verify join IS the full anti-join (and q162's advisor would
+    * tell you to re-cluster on the key). */
+  def incrementalNew(
+      spark: org.apache.spark.sql.SparkSession,
+      corpusPath: String,
+      batch: DataFrame,
+      keyCol: String): DataFrame = {
+    import graft.sources.FileStats
+    val st = spark.read.parquet(FileStats.statsPath(corpusPath))
+      .select(col("file"), col(s"min_$keyCol").cast("long").as("__lo"),
+        col(s"max_$keyCol").cast("long").as("__hi"))
+    val bounds = st.agg(min("__lo").as("lo"), max("__hi").as("hi"),
+      count(lit(1)).as("nf")).collect()(0)
+    if (bounds.isNullAt(0)) return batch // empty corpus: everything is new
+    val span = math.max(1L, bounds.getLong(1) - bounds.getLong(0))
+    val binWidth = math.max(1L, span / math.max(1L, bounds.getLong(2)))
+    val keys = batch.select(col(keyCol)).distinct()
+    val candidates = graft.operators.RangeJoin.pointInInterval(
+        keys, st, keyCol, "__lo", "__hi", binWidth)
+      .select("file").distinct().collect().map(_.getString(0))
+    if (candidates.isEmpty) return batch
+    // `file` carries the full URI (FileStats.candidateFiles' contract)
+    val corpusSlice = spark.read.parquet(candidates: _*).select(col(keyCol))
+    batch.join(corpusSlice, Seq(keyCol), "left_anti")
+  }
 }

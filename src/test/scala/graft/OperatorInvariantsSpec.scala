@@ -623,4 +623,45 @@ class OperatorInvariantsSpec extends SparkSpec {
     // token is covered by NO window, so two islands of 10
     assert(got(4L) == ((21L, 2L, 20L)), s"doc4=${got.get(4L)}")
   }
+
+  test("q164: incremental dedup reads a strict file subset yet equals the full anti-join") {
+    val sess = spark
+    import sess.implicits._
+    import graft.sources.FileStats
+    import graft.text.TextOps
+    val root = java.nio.file.Files.createTempDirectory("graft_incdedup_spec").toString
+    // corpus: even keys 0,2,…,198 clustered by key into 8 range files
+    val corpus = (0L until 100L).map(i => (i, i * 2)).toDF("cid", "k")
+    corpus.repartitionByRange(8, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(root)
+    FileStats.build(spark, root, cols = Seq("k"))
+    // batch: a NARROW key band [40, 60] (dups + odd newcomers) plus
+    // far outliers — candidate files must exclude the untouched ranges
+    val batch = ((40L to 60L) ++ Seq(1000L, -50L)).zipWithIndex
+      .map { case (k, i) => (i.toLong, k) }.toDF("bid", "k")
+    val got = graft.similarity.Dedup.incrementalNew(spark, root, batch, "k")
+      .select("bid", "k").as[(Long, Long)].collect().toSet
+    val want = batch.join(
+        spark.read.parquet(root).select("k"), Seq("k"), "left_anti")
+      .select("bid", "k").as[(Long, Long)].collect().toSet
+    assert(got == want, s"pruned verify diverges from the full anti-join")
+    // survivors: odd keys in band + the two outliers
+    assert(got.map(_._2) == ((41L to 59L by 2).toSet ++ Set(1000L, -50L)))
+    // and the pruning is real: the band + outliers intersect a strict
+    // subset of the 8 file ranges
+    val st = spark.read.parquet(FileStats.statsPath(root))
+    val nFiles = st.count()
+    val touched = st.where(col("min_k") <= 60L && col("max_k") >= 40L).count()
+    assert(nFiles == 8L && touched < nFiles,
+      s"band must touch a strict subset: $touched of $nFiles")
+
+    // empty corpus: everything is new
+    val eroot = java.nio.file.Files.createTempDirectory("graft_incdedup_mt").toString
+    corpus.limit(0).repartition(1).write.mode("overwrite").parquet(eroot)
+    FileStats.build(spark, eroot, cols = Seq("k"))
+    assert(graft.similarity.Dedup.incrementalNew(spark, eroot, batch, "k")
+      .count() == batch.count())
+    graft.sources.Sinks.deleteRecursively(java.nio.file.Paths.get(root))
+    graft.sources.Sinks.deleteRecursively(java.nio.file.Paths.get(eroot))
+  }
 }
