@@ -3735,6 +3735,18 @@ object SparkEntry {
       Seq("lex" -> lex, "vec" -> vec), "id", "rank", k0 = 60, topK = 20)
   }
 
+  /** q165: the corpus DATA CARD ([[text.TextOps.corpusCard]]) — the
+    * per-source datasheet a training-data release ships: doc/token
+    * counts, language spread, corpus-wide exact-dup membership, the
+    * short-doc fraction, mean quality — every column exact integer
+    * arithmetic over the q22/q23/q25 primitives, so the card itself
+    * hash-gates (a data card whose numbers silently drift is worse
+    * than none). One corpus scan, one 8-byte dup-key aggregate join,
+    * one \|sources\|-row card. */
+  def q165DataCard(spark: SparkSession, dir: String): DataFrame =
+    TextOps.corpusCard(Tables.documents(spark, dir),
+      "doc_id", "text", "source", "lang")
+
   /** q164: INCREMENTAL exact dedup against the published corpus
     * ([[graft.similarity.Dedup.incrementalNew]]) — the daily-ingest
     * dedup shape: admit only batch documents whose fingerprint is
@@ -4680,7 +4692,8 @@ object SparkEntry {
     "q161_sequence_index"        -> (q161SequenceIndex _),
     "q162_recluster_loop"        -> (q162ReclusterLoop _),
     "q163_hybrid_rrf"            -> (q163HybridRrf _),
-    "q164_incremental_dedup"     -> (q164IncrementalDedup _)
+    "q164_incremental_dedup"     -> (q164IncrementalDedup _),
+    "q165_data_card"             -> (q165DataCard _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -4982,6 +4995,38 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
         |    0) AS BIGINT) AS offset
         |FROM packed""".stripMargin,
+
+    "q165_data_card" ->
+      // q22/q23/q25 primitive expressions verbatim, aggregated per
+      // source; positive `//` ≡ Spark `div`; sums cast back to BIGINT
+      """WITH q AS (
+        |  SELECT doc_id, source, lang,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(text, ' '),
+        |          w -> CAST(LENGTH(w) * 97 + CASE WHEN LENGTH(w) > 0 THEN ascii(w) ELSE 0 END AS BIGINT))),
+        |      (acc, x) -> (acc * 31 + x) % 1000000007) AS fp,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS bpe,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |    (4 * ((len(regexp_extract_all(text, '[A-Za-z]')) * 1000000) // GREATEST(LENGTH(text), 1))
+        |     + 3 * ((len(list_filter(string_split(text, ' '),
+        |           w -> w IN ('the','a','an','and','or','of','to','in','is','it'))) * 1000000)
+        |         // GREATEST(len(string_split(text, ' ')), 1))
+        |     + 2 * (1000000 - (len(regexp_extract_all(text, '[0-9]')) * 1000000) // GREATEST(LENGTH(text), 1))
+        |     + (1000000 - (len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 1000000) // GREATEST(LENGTH(text), 1))
+        |    ) // 10 AS quality
+        |  FROM documents
+        |),
+        |dup AS (SELECT fp FROM q GROUP BY fp HAVING COUNT(*) > 1)
+        |SELECT source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(bpe) AS BIGINT) AS sum_tokens,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  CAST(SUM(CASE WHEN fp IN (SELECT fp FROM dup) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        |  CAST((SUM(CASE WHEN bpe < 50 THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS short_ppm,
+        |  CAST(SUM(quality) // COUNT(*) AS BIGINT) AS avg_quality_ppm,
+        |  CAST(SUM(ws_tokens) // COUNT(*) AS BIGINT) AS avg_ws_tokens
+        |FROM q GROUP BY source""".stripMargin,
 
     "q164_incremental_dedup" ->
       // pruning is an optimization: the oracle states the plain

@@ -68,6 +68,57 @@ object TextOps {
                | + 2 * (1000000 - digit_ppm) + (1000000 - punct_ppm)) div 10""".stripMargin))
   }
 
+  /** Per-source corpus DATASHEET — the "data card" summary a
+    * training-data release ships with (Gebru et al., "Datasheets for
+    * Datasets"): one row per source with document and token counts,
+    * language spread, exact-duplicate membership (CORPUS-wide: a
+    * text duplicated across sources counts as dup in every source
+    * holding a copy — the number a mixture designer needs), the
+    * short-document fraction, and the mean quality score. Every
+    * column is exact integer arithmetic over the q22/q23/q25
+    * primitives (ppm ratios by positive `div` ≡ DuckDB `//`), so
+    * the whole card sits under the hash gate — a data card whose
+    * numbers can silently drift is worse than none.
+    *
+    * Plan shape: one narrow pass computes per-doc signals, the dup
+    * test is one 8-byte-key aggregate join (never a pair join), and
+    * the card is a single \|sources\|-row aggregate — at 100 TB the
+    * cost is the corpus scan, everything after is map-side
+    * combined. */
+  def corpusCard(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      langCol: String,
+      shortDocTokens: Long = 50L): DataFrame = {
+    val q = qualityScore(docs, idCol, textCol)
+      .select(col(idCol), col("n_tokens"), col("quality_score_ppm"))
+    val base = docs.select(col(idCol), col(sourceCol), col(langCol),
+      fingerprintCol(col(textCol)).as("__fp"),
+      regexp_count(col(textCol), lit(BpeishPattern)).cast("long").as("__bpe"))
+    val dup = base.groupBy(col("__fp"))
+      .agg(count(lit(1)).as("__n")).where(col("__n") > 1)
+      .select(col("__fp"), lit(1L).as("__dup"))
+    base.join(q, idCol)
+      .join(dup, Seq("__fp"), "left")
+      .groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__bpe")).as("sum_tokens"),
+        countDistinct(col(langCol)).as("n_langs"),
+        sum(coalesce(col("__dup"), lit(0L))).as("n_dup_docs"),
+        sum(when(col("__bpe") < shortDocTokens, 1L).otherwise(0L))
+          .as("__short"),
+        sum(col("quality_score_ppm")).as("__qsum"),
+        sum(col("n_tokens").cast("long")).as("__wtok"))
+      .select(col(sourceCol), col("n_docs"), col("sum_tokens"),
+        col("n_langs"), col("n_dup_docs"),
+        expr("(__short * 1000000L) div n_docs").as("short_ppm"),
+        expr("__qsum div n_docs").as("avg_quality_ppm"),
+        expr("__wtok div n_docs").as("avg_ws_tokens"))
+  }
+
   /** Gopher-style WORD-level quality gates — the published heuristics
     * complementing [[qualityScore]]'s char-level ratios (Rae et al.
     * 2021, appendix A1: word-count bounds, mean word length, fraction

@@ -86,4 +86,39 @@ class ReclusterStreamSpec extends SparkSpec {
     graft.sources.Sinks.deleteRecursively(
       Paths.get(root).getParent)
   }
+
+  test("S30r: the advised ingest survives a mid-backlog kill-and-restart") {
+    val sess = spark
+    import sess.implicits._
+    val root = Files.createTempDirectory("graft_reclstream_r").resolve("t").toString
+    def part(b: Int, n: Int, base: Long): org.apache.spark.sql.DataFrame =
+      (0 until n).map(i => (i.toLong % 8, base + b * 100L + i)).toDF("u", "s")
+    val first = Seq(part(0, 80, 0), part(1, 80, 0), part(2, 80, 0))
+    val second = Seq(part(3, 8, 1000), part(4, 8, 1000), part(5, 8, 1000))
+    graft.streaming.DurableReplay.runForeachRestart(spark, first, second,
+      (stream, ckpt) => ReclusterStream.start(
+        stream.repartition(1), root, adviseEvery = 3, dims, workload(),
+        layouts, amortizeRuns = 2L, numFiles = 4,
+        checkpointLocation = Some(ckpt)),
+      () => ReclusterStream.lastBatch(root))
+    // batch-sequential outcome whatever the kill interrupted: the
+    // recluster tick fired once (batch 2), the second tick kept, and
+    // every row of all six batches survives exactly once
+    assert(ReclusterStream.lastBatch(root).contains(5L))
+    val v = ReclusterStream.lastVerdict(root).get
+    assert(v._1 == "keep", s"post-restart fixed point must hold: $v")
+    // the rewrite's manifest verdict survives the restart (the live
+    // version is a later append; the rewrite version still holds it)
+    val hasRecluster = Publish.listVersions(Paths.get(root)).exists { v =>
+      new String(Files.readAllBytes(
+        Paths.get(root).resolve(s"v=$v").resolve("_manifest.json")))
+        .contains("\"graft.recluster.decision\":\"recluster\"")
+    }
+    assert(hasRecluster, "no version carries the recluster verdict")
+    val got = Publish.readConformed(spark, root)
+      .groupBy().agg(count(lit(1)), countDistinct(col("s"))).head
+    assert(got.getLong(0) == 264L && got.getLong(1) == 264L,
+      s"rows lost, invented, or replayed: $got")
+    graft.sources.Sinks.deleteRecursively(Paths.get(root).getParent)
+  }
 }

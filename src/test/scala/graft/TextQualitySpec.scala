@@ -254,4 +254,33 @@ class TextQualitySpec extends SparkSpec {
         .toDF("doc_id", "text"), "doc_id", "text")
     assert(again.where(col("changed")).count() == 0, "not idempotent")
   }
+
+  test("q165 data card reconciles with whole-corpus counts; dup membership is corpus-wide") {
+    val docs = Tables.documents(spark, SfDir)
+    val card = TextOps.corpusCard(docs, "doc_id", "text", "source", "lang")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    // Σ n_docs over sources = the corpus
+    assert(card.values.map(_._1).sum == docs.count())
+    // Σ n_dup_docs = members of >1-sized fingerprint classes,
+    // re-derived independently (q16's exact-dup partition)
+    val dupMembers = docs
+      .select(TextOps.fingerprintCol(col("text")).as("fp"))
+      .groupBy("fp").count().where(col("count") > 1)
+      .agg(coalesce(sum("count"), lit(0L))).head.getLong(0)
+    assert(card.values.map(_._3).sum == dupMembers,
+      s"dup membership drifted: ${card.values.map(_._3).sum} vs $dupMembers")
+    // a cross-source duplicate counts in EVERY source holding a copy:
+    // plant one and check both sides
+    val sess = spark
+    import sess.implicits._
+    val planted = Seq(
+      (1L, "same text here", "srcA", "en"),
+      (2L, "same text here", "srcB", "en"),
+      (3L, "unique text here", "srcA", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    val small = TextOps.corpusCard(planted, "doc_id", "text", "source", "lang")
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(small == Map("srcA" -> 1L, "srcB" -> 1L), small.toString)
+  }
 }
