@@ -424,7 +424,8 @@ object GraftProcedures {
   import org.apache.spark.sql.types._
   import org.apache.spark.unsafe.types.UTF8String
 
-  val Names: Seq[String] = Seq("compact", "vacuum", "expire_versions")
+  val Names: Seq[String] =
+    Seq("compact", "vacuum", "expire_versions", "advise_recluster")
 
   /** Snapshot-catalog procedures — retention at the CATALOG grain
     * (the r8-verdict ask): `CALL snapcat.expire_snapshots(keep_last
@@ -487,6 +488,49 @@ object GraftProcedures {
           val reaped = Publish.vacuum(tableRoot(root, input), input.getInt(1))
           new GenericInternalRow(Array[Any](
             reaped.size, UTF8String.fromString(reaped.sorted.mkString(","))))
+        }))
+      // the q162 maintenance decision from SQL:
+      //   CALL lake.advise_recluster(table => 't',
+      //     dims => 'user:user_id,day:day_i',
+      //     workload => '1:user:2:3;2:user:6:7',
+      //     layouts => 'user|day', amortize_runs => 4)
+      // One verdict row (best layout, measured vs modeled scan,
+      // recluster/keep). Builds the live version's `_fstats` manifest
+      // over the dim columns if absent (the ANALYZE-on-demand trade:
+      // one scan, after which verdicts are manifest arithmetic).
+      case "advise_recluster" => Some(new Proc("advise_recluster",
+        Array(in("table", StringType), in("dims", StringType),
+          in("workload", StringType), in("layouts", StringType),
+          inDefault("amortize_runs", IntegerType, "4")),
+        StructType(Seq(
+          StructField("best_layout", StringType, nullable = false),
+          StructField("measured_rows", LongType, nullable = false),
+          StructField("predicted_rows", LongType, nullable = false),
+          StructField("table_rows", LongType, nullable = false),
+          StructField("recluster", BooleanType, nullable = false))),
+        input => {
+          val spark = org.apache.spark.sql.SparkSession.active
+          val tr = tableRoot(root, input)
+          val live = Publish.currentVersion(tr).getOrElse(
+            throw new IllegalStateException(s"no published version at $tr"))
+          val dir = java.nio.file.Paths.get(tr).resolve(s"v=$live").toString
+          val dims = input.getUTF8String(1).toString.split(',').toSeq.map { d =>
+            val Array(n, c) = d.split(':'); (n.trim, c.trim)
+          }
+          val workload = input.getUTF8String(2).toString.split(';').toSeq.map { q =>
+            val Array(id, dm, lo, hi) = q.split(':')
+            (id.trim.toLong, dm.trim, lo.trim.toLong, hi.trim.toLong)
+          }
+          val layouts = input.getUTF8String(3).toString.split('|').toSeq
+            .map(_.split('+').map(_.trim).toSeq)
+          if (!java.nio.file.Files.exists(
+              java.nio.file.Paths.get(FileStats.statsPath(dir))))
+            FileStats.build(spark, dir, cols = dims.map(_._2))
+          val a = LayoutAdvisor.reclusterAdvice(
+            spark, dir, dims, workload, layouts, input.getInt(4).toLong)
+          new GenericInternalRow(Array[Any](
+            UTF8String.fromString(a.bestLayout),
+            a.measuredRows, a.predictedRows, a.tableRows, a.recluster))
         }))
       case "expire_versions" => Some(new Proc("expire_versions",
         Array(in("table", StringType),

@@ -369,6 +369,29 @@ class GraftCatalogSpec extends SparkSpec {
     } finally graft.sources.Sinks.deleteRecursively(Paths.get(root))
   }
 
+  test("CALL advise_recluster: the measured maintenance verdict from SQL") {
+    val sess = spark
+    import sess.implicits._
+    val root = Files.createTempDirectory("graft_cat_advrecl").toString
+    try {
+      // publish an arrival-ordered layout (files = s runs, each
+      // spanning all users), then ask the verdict for a user workload
+      val data = (0 until 80).map(i => (i.toLong % 8, i.toLong)).toDF("u", "s")
+      Publish.publish(
+        data.repartitionByRange(4, col("s")).sortWithinPartitions("s"),
+        Paths.get(root, "t").toString): Unit
+      val cat = catalogFor(root)
+      val row = spark.sql(
+        s"""CALL $cat.advise_recluster(`table` => 't',
+           |  dims => 'u:u,s:s', workload => '1:u:2:3;2:u:6:6',
+           |  layouts => 'u|s', amortize_runs => 4)""".stripMargin).head
+      assert(row.getString(0) == "u")
+      assert(row.getLong(1) == 160L, s"measured: $row") // 2 queries x all 80 rows
+      assert(row.getLong(3) == 80L)
+      assert(row.getBoolean(4), s"arrival-ordered layout must advise recluster: $row")
+    } finally graft.sources.Sinks.deleteRecursively(Paths.get(root))
+  }
+
   test("snapshot-catalog CALL expire_snapshots ≡ the API sweep; surviving pins stay readable") {
     val sess = spark
     import sess.implicits._
