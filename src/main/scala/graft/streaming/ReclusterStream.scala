@@ -62,7 +62,14 @@ object ReclusterStream {
     * then on cadence: stats refresh → measured verdict → conditional
     * rewrite. `dims` maps advisor dim name → physical column;
     * `workload` is the declared (query_id, dim, lo, hi) box set the
-    * table serves. Returns false for an already-committed batch. */
+    * table serves. Returns false for an already-committed batch.
+    *
+    * Crash window note: the advise tick runs AFTER its batch's
+    * append commits, so a crash between the two skips that tick on
+    * replay (the batch is refused, so the tick is too). That is the
+    * right trade — the verdict is advisory and the next cadence
+    * batch re-measures; the alternative (tick before commit) would
+    * re-run a 2N rewrite on every replay of the batch. */
   def applyBatch(
       batch: DataFrame,
       batchId: Long,

@@ -151,6 +151,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("rrfFuse: leg-order invariant and equal to an in-Scala reference fold") {
+    import spark.implicits._
+    val legGen: Gen[List[(Long, Long)]] = Gen.listOf(
+      Gen.choose(0L, 30L)).map(ids =>
+      ids.distinct.zipWithIndex.map { case (id, i) => (id, i + 1L) })
+    forAll(Gen.zip(legGen, legGen)) { case (a, b) =>
+      whenever(a.nonEmpty && b.nonEmpty) {
+        def run(legs: Seq[(String, List[(Long, Long)])]) =
+          graft.operators.TopK.rrfFuse(
+            legs.map { case (n, l) => n -> l.toDF("id", "rank") },
+            "id", "rank", k0 = 60, topK = 50)
+            .select("id", "rrf").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val ab = run(Seq("a" -> a, "b" -> b))
+        // reference: exact decimal fold in Scala
+        def term(r: Long) = BigDecimal(1.0 / (60 + r))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        val want = (a.map { case (id, r) => id -> term(r) } ++
+          b.map { case (id, r) => id -> term(r) })
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+          .sortBy { case (id, s) => (-s, id) }.take(50)
+          .map { case (id, s) =>
+            (id, s.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+        assert(ab == want, s"fusion diverges from the reference fold")
+        // leg order cannot matter (rank_ columns differ in order only)
+        val ba = run(Seq("b" -> b, "a" -> a))
+        assert(ba == ab, "rrfFuse is not leg-order invariant")
+      }
+    }
+  }
+
   test("fingerprint matches an in-Scala reference fold") {
     import spark.implicits._
     val wordGen = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
