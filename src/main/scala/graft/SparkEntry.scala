@@ -3784,6 +3784,83 @@ object SparkEntry {
       .select(col("doc_id"), col("fp"))
   }
 
+  /** q166: INCREMENTAL near-dup against the published corpus
+    * ([[graft.similarity.Dedup.incrementalNearDupPairs]]) — q164's
+    * crawl-ingest shape at the NEAR-dup grain. The corpus (2/3 of
+    * documents) is MinHash-signed ONCE and its `(doc_id, band, sig)`
+    * signature table ([[graft.similarity.Dedup.bandSignatures]])
+    * published as a maintained index under the commit protocol;
+    * per batch the held-out third signs only ITSELF and equi-joins
+    * the index on `(band, sig)` — one index scan, batch side
+    * broadcast-able, the corpus text never re-shingled. Admitted
+    * batches append their signatures via `Txn.append` (cost ∝
+    * batch), which is what "maintained" means at 100 TB: index
+    * growth rides the versioned-commit appends, not recomputes.
+    * Rows-only (q18's posture — seeded minhash has no SQL twin);
+    * IncrementalNearDupSpec pins (a) incremental pairs ≡ the
+    * corpus×batch cross slice of a from-scratch corpus ∪ batch LSH
+    * run and (b) append-maintained index ≡ full re-sign, so the
+    * registry entry's gate is rows>0 while the semantics are
+    * spec-exact. */
+  private def nearDupIndex(spark: SparkSession, dir: String): String =
+    graft.tools.Scratch.cachedArtifact(
+      "graft_ndidx", dir, s"$dir/documents.parquet") { (root, _) =>
+      val corpus = Tables.documents(spark, dir).where(col("doc_id") % 3 =!= 0)
+      graft.sources.Publish.publish(
+        graft.similarity.Dedup.bandSignatures(corpus, "doc_id", "text"), root): Unit
+    }
+
+  def q166IncrementalNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val idx = graft.sources.Publish.read(spark, nearDupIndex(spark, dir))
+    val batch = Tables.documents(spark, dir).where(col("doc_id") % 3 === 0)
+    graft.similarity.Dedup.incrementalNearDupPairs(idx, batch, "doc_id", "text")
+  }
+
+  /** q167: OBSERVED-workload advice
+    * ([[graft.sources.WorkloadCapture]] →
+    * [[graft.sources.LayoutAdvisor.reclusterAdvice]]) — q162's
+    * feedback loop fed by what users actually RAN instead of a
+    * hand-declared workload. A QueryExecutionListener captures the
+    * optimized-plan scan predicates of three planted queries over the
+    * day-bucketed `before` layout (a BETWEEN, a second BETWEEN, and a
+    * half-open `>= / <` pair that must close to the same inclusive
+    * box), folds them into reclusterAdvice's `(query_id, dim, lo,
+    * hi)` shape, and the SAME manifest arithmetic q162 gates then
+    * runs on the captured rows. Because the planted predicates are
+    * the q162 `before` workload, the oracle re-derives BOTH halves
+    * relationally: the captured ranges (what the listener must have
+    * seen) and the advice (what the arithmetic must conclude) —
+    * capture → advise is hash-gated end to end, not just smoke-run.
+    * The capture itself is O(plan) driver work per query; nothing
+    * here scales with data. */
+  def q167ObservedAdvice(spark: SparkSession, dir: String): DataFrame = {
+    val root = reclusterRoots(spark, dir)
+    val before = java.nio.file.Paths.get(root, "before").toString
+    val maxU = Tables.events(spark, dir).agg(max("user_id")).head.getLong(0)
+    val w = maxU / 8 + 1
+    val dims = Seq("user" -> "user_id", "day" -> "day_i")
+    val cap = new graft.sources.WorkloadCapture(before, dims)
+    spark.listenerManager.register(cap)
+    try {
+      val t = spark.read.parquet(before)
+      t.where(col("user_id").between(w, 2 * w - 1)).count(): Unit
+      t.where(col("user_id").between(2 * w, 4 * w - 1)).count(): Unit
+      t.where(col("user_id") >= 6 * w && col("user_id") < 7 * w).count(): Unit
+      require(cap.awaitCount(3), "listener bus never delivered the planted executions")
+    } finally spark.listenerManager.unregister(cap)
+    val workload = cap.capturedWorkload
+    val a = graft.sources.LayoutAdvisor.reclusterAdvice(
+      spark, before, dims, workload, Seq(Seq("user"), Seq("day")), amortizeRuns = 4L)
+    val sess = spark
+    import sess.implicits._
+    workload.toDF("query_id", "dim", "lo", "hi")
+      .withColumn("best_layout", lit(a.bestLayout))
+      .withColumn("measured_rows", lit(a.measuredRows))
+      .withColumn("predicted_rows", lit(a.predictedRows))
+      .withColumn("table_rows", lit(a.tableRows))
+      .withColumn("recluster", lit(a.recluster))
+  }
+
   /** q159: the change data feed at the SQL surface — q138's
     * publish→MERGE→DV history served as `FROM cat.`t$$changes``
     * ([[graft.sources.GraftCatalog]]'s third metadata table, the
@@ -4693,7 +4770,9 @@ object SparkEntry {
     "q162_recluster_loop"        -> (q162ReclusterLoop _),
     "q163_hybrid_rrf"            -> (q163HybridRrf _),
     "q164_incremental_dedup"     -> (q164IncrementalDedup _),
-    "q165_data_card"             -> (q165DataCard _)
+    "q165_data_card"             -> (q165DataCard _),
+    "q166_incremental_neardup"   -> (q166IncrementalNeardup _),
+    "q167_observed_advice"       -> (q167ObservedAdvice _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -5168,6 +5247,60 @@ object SparkEntry {
         |FROM bestl b
         |JOIN meas m ON m.phase = b.phase
         |JOIN ntab nt ON nt.phase = b.phase""".stripMargin,
+
+    "q167_observed_advice" ->
+      // both halves re-derived: the CAPTURED ranges (the planted
+      // queries' predicates, half-open pair closed to the inclusive
+      // box) and the before-phase advice over them — q162's
+      // arithmetic on the listener's output
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_i
+        |  FROM events
+        |),
+        |params AS (SELECT MAX(user_id) // 8 + 1 AS w FROM ev),
+        |wl AS (
+        |  SELECT 1 AS query_id, 'user' AS dim, w AS lo, 2*w - 1 AS hi FROM params
+        |  UNION ALL SELECT 2, 'user', 2*w, 4*w - 1 FROM params
+        |  UNION ALL SELECT 3, 'user', 6*w, 7*w - 1 FROM params
+        |),
+        |ph AS (
+        |  SELECT day_i % 8 AS f, COUNT(*) AS n_rows,
+        |    MIN(user_id) AS mn_u, MAX(user_id) AS mx_u
+        |  FROM ev GROUP BY 1
+        |),
+        |ntab AS (SELECT SUM(n_rows) AS n FROM ph),
+        |meas AS (
+        |  SELECT SUM(p.n_rows) AS m
+        |  FROM ph p JOIN wl ON p.mn_u <= wl.hi AND p.mx_u >= wl.lo
+        |),
+        |estu AS (
+        |  SELECT wl.query_id, SUM(
+        |    CASE WHEN p.mx_u < wl.lo OR p.mn_u > wl.hi THEN 0
+        |         WHEN p.mx_u <= p.mn_u THEN p.n_rows
+        |         ELSE (p.n_rows * (LEAST(wl.hi, p.mx_u) - GREATEST(wl.lo, p.mn_u)))
+        |              // (p.mx_u - p.mn_u)
+        |    END) AS e
+        |  FROM ph p CROSS JOIN wl GROUP BY 1
+        |),
+        |cands AS (
+        |  SELECT 'user' AS layout_id, SUM(e) AS total FROM estu
+        |  UNION ALL SELECT 'day', 3 * n FROM ntab
+        |),
+        |bestl AS (
+        |  SELECT layout_id AS best_layout, total AS predicted
+        |  FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY total, layout_id) AS rk
+        |        FROM cands)
+        |  WHERE rk = 1
+        |)
+        |SELECT CAST(wl.query_id AS BIGINT) AS query_id, wl.dim,
+        |  CAST(wl.lo AS BIGINT) AS lo, CAST(wl.hi AS BIGINT) AS hi,
+        |  b.best_layout,
+        |  CAST(m.m AS BIGINT) AS measured_rows,
+        |  CAST(b.predicted AS BIGINT) AS predicted_rows,
+        |  CAST(nt.n AS BIGINT) AS table_rows,
+        |  (m.m - b.predicted) * 4 > 2 * nt.n AS recluster
+        |FROM wl CROSS JOIN bestl b CROSS JOIN meas m CROSS JOIN ntab nt""".stripMargin,
 
     "q161_sequence_index" ->
       // q158's packing recurrence, indexed: per-(shard, seq) counts

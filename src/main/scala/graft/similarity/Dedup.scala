@@ -332,6 +332,38 @@ object Dedup {
       idCol: String,
       numHashes: Int = 16,
       bands: Int = 4): DataFrame = {
+    val banded = bandSignaturesFromShingles(sh, idCol, numHashes, bands)
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** The `(id, band, sig)` MinHash band-signature TABLE the LSH join
+    * buckets on, exposed as a first-class relation so an incremental
+    * pipeline can PUBLISH it as a maintained index: signatures depend
+    * only on a document's own shingles (seeded `xxhash64(i, shingle)`
+    * — deterministic, corpus-independent), so a signature computed for
+    * a batch today band-joins exactly against signatures computed for
+    * the corpus last month. Cost ∝ the documents signed, which is what
+    * makes the crawl-ingest near-dup gate incremental: the corpus is
+    * signed ONCE, each batch signs only itself. */
+  def bandSignatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      n: Int = 3): DataFrame =
+    bandSignaturesFromShingles(shingles(docs, idCol, textCol, n), idCol, numHashes, bands)
+
+  private def bandSignaturesFromShingles(
+      sh: DataFrame,
+      idCol: String,
+      numHashes: Int,
+      bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
     val sigCols = (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"__h$i"))
@@ -340,14 +372,44 @@ object Dedup {
       val hs = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"__h$i"))
       struct(lit(b).as("band"), xxhash64(hs: _*).as("sig"))
     }
-    val banded = sigs
+    sigs
       .select(col(idCol), explode(array(bandCols: _*)).as("__bs"))
       .select(col(idCol), col("__bs.band").as("band"), col("__bs.sig").as("sig"))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+  }
+
+  /** Incremental near-dup candidate pairs of a batch against a
+    * MAINTAINED signature index — the crawl-ingest twin of
+    * [[incrementalNew]] at the near-dup grain. `index` is the
+    * published [[bandSignatures]] table of everything ingested so far
+    * (versioned under the commit protocol; each admitted batch
+    * appends its own signatures via `Txn.append`, cost ∝ batch — the
+    * corpus text is never re-shingled). The batch's signatures
+    * equi-join the index on `(band, sig)`: one index scan per batch,
+    * with the batch side broadcast-able whenever the batch is small
+    * relative to the corpus (the daily-crawl shape — AQE picks the
+    * broadcast), so no corpus-sized shuffle. Returns
+    * `(corpus_doc, batch_doc, n_shared_bands)`; same-id rows are
+    * excluded (a re-ingested identical document is the EXACT gate's
+    * job — [[incrementalNew]] runs upstream of this).
+    *
+    * Equivalence contract (IncrementalNearDupSpec): the pair set is
+    * exactly the corpus×batch cross slice of a from-scratch
+    * [[minhashLsh]] run over corpus ∪ batch — maintaining the index
+    * is an optimization, never a recall change. */
+  def incrementalNearDupPairs(
+      index: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      n: Int = 3): DataFrame = {
+    val batchSigs = bandSignatures(batch, idCol, textCol, numHashes, bands, n)
+    index.select(col(idCol).as("corpus_doc"), col("band"), col("sig"))
+      .join(batchSigs.select(col(idCol).as("batch_doc"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .where(col("corpus_doc") =!= col("batch_doc"))
+      .groupBy("corpus_doc", "batch_doc")
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 

@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.WorkloadCapture
+
+/** The observed-workload capture contract (q167's listener):
+  * optimized-plan scan predicates over ONE target table, folded into
+  * the advisor's (query_id, dim, lo, hi) shape — closed boxes from
+  * BETWEEN/equality, ±1 closing of strict bounds, per-dim conjunct
+  * intersection, reversed operand order, and the two refusals (a
+  * cross-table residual is not a scan predicate; an unrecognized
+  * conjunct under-approximates instead of guessing). */
+class WorkloadCaptureSpec extends SparkSpec {
+
+  private lazy val root: String = {
+    val sess = spark
+    import sess.implicits._
+    val dir = Files.createTempDirectory("graft_wcap").resolve("t").toString
+    (0L until 100L).map(i => (i, i % 10)).toDF("x", "y")
+      .repartition(2).write.parquet(dir)
+    dir
+  }
+  private val dims = Seq("ux" -> "x", "uy" -> "y")
+  private def dimMap = dims.map { case (d, c) => c -> d }.toMap
+  private def target = new java.io.File(root).getAbsolutePath
+
+  private def extracted(df: DataFrame): Seq[(String, Long, Long)] =
+    WorkloadCapture.extract(df.queryExecution.optimizedPlan, target, dimMap)
+
+  test("BETWEEN and equality become closed boxes; strict bounds close by one") {
+    val t = spark.read.parquet(root)
+    assert(extracted(t.where(col("x").between(10, 20) && col("y") === 5)) ==
+      Seq(("ux", 10L, 20L), ("uy", 5L, 5L)))
+    assert(extracted(t.where(col("x") >= 10 && col("x") < 20)) ==
+      Seq(("ux", 10L, 19L)))
+    assert(extracted(t.where(col("x") > 10 && col("x") <= 20)) ==
+      Seq(("ux", 11L, 20L)))
+    // one-sided stays one-sided (open end = Long extreme)
+    assert(extracted(t.where(col("x") >= 7)) == Seq(("ux", 7L, Long.MaxValue)))
+  }
+
+  test("reversed operand order and repeated conjuncts intersect") {
+    val t = spark.read.parquet(root)
+    assert(extracted(t.where(lit(10) <= col("x") && lit(20) > col("x"))) ==
+      Seq(("ux", 10L, 19L)))
+    assert(extracted(t.where(
+      col("x") >= 5 && col("x") >= 10 && col("x") <= 30 && col("x") <= 25)) ==
+      Seq(("ux", 10L, 25L)))
+  }
+
+  test("unrecognized conjuncts under-approximate; cross-table residuals are refused") {
+    val t = spark.read.parquet(root)
+    // OR trees and non-dim columns contribute nothing — but the
+    // recognizable conjunct next to them still lands
+    assert(extracted(t.where(
+      (col("x") === 1 || col("y") === 2) && col("y") <= 4)) ==
+      Seq(("uy", Long.MinValue, 4L)))
+    // a residual above a join is not a scan predicate of either table
+    val u = spark.read.parquet(root).select(col("x").as("x2"))
+    val joined = t.crossJoin(u).where(col("x") + col("x2") > 5)
+    assert(WorkloadCapture.extract(
+      joined.queryExecution.optimizedPlan, target, dimMap).isEmpty)
+  }
+
+  test("the listener captures planted executions through the bus, per-query grouped") {
+    val cap = new WorkloadCapture(root, dims)
+    spark.listenerManager.register(cap)
+    try {
+      val t = spark.read.parquet(root)
+      t.where(col("x").between(3, 7)).count(): Unit
+      t.where(col("y") === 2 && col("x") < 50).count(): Unit
+      // an untargeted query must consume no query_id
+      Tables.nation(spark, SfDir).count(): Unit
+      assert(cap.awaitCount(2), "bus never delivered the planted executions")
+      assert(cap.capturedWorkload == Seq(
+        (1L, "ux", 3L, 7L),
+        (2L, "ux", Long.MinValue, 49L), (2L, "uy", 2L, 2L)))
+      cap.clear()
+      assert(cap.capturedWorkload.isEmpty)
+    } finally spark.listenerManager.unregister(cap)
+  }
+}
