@@ -68,6 +68,54 @@ class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegis
 }
 
 object ChangeFeedSource {
+
+  /** `readStream.table` sugar for the feed: subscribe to a
+    * GraftCatalog table's change stream by NAME, resolving the root
+    * and the feed's key/value columns from the same catalog
+    * configuration the `t$changes` SQL relation reads
+    * (`spark.sql.catalog.<cat>.changes.<table>.keys` / `.values`,
+    * values defaulting to the live manifest schema minus keys) — so
+    * the streamed feed and `FROM cat.`t$changes`` are configured
+    * once and guaranteed to describe the same columns. The stream
+    * still rides the V1 Source (the architecture decision pinned in
+    * ChangeFeedSourceSpec: each step is a distributed full-outer
+    * diff join, which a DSv2 MicroBatchStream's independent
+    * per-partition readers cannot express — the same reason Delta's
+    * streaming source is a V1 `Source`).
+    *
+    * Accepts `cat.table` or `cat.ns….table` (publish-mode catalogs —
+    * the layout S26 consumes; a snapshot-mode catalog's pinned
+    * multi-table flips stream through S23's machinery instead). */
+  def tableChanges(spark: SparkSession, qualifiedName: String): DataFrame = {
+    val parts = qualifiedName.split('.')
+    require(parts.length >= 2,
+      s"expected cat.[ns.]table, got '$qualifiedName'")
+    val (cat, tname) = (parts.head, parts.last)
+    def conf(suffix: String): Option[String] =
+      spark.conf.getOption(s"spark.sql.catalog.$cat$suffix")
+    val catRoot = conf(".root").getOrElse(throw new IllegalArgumentException(
+      s"catalog '$cat' is not configured — set spark.sql.catalog.$cat.root"))
+    require(!conf(".mode").contains("snapshot"),
+      s"catalog '$cat' is snapshot-mode — its tables advance by catalog " +
+        "flips; stream those through CatalogStream (S23)")
+    val root = java.nio.file.Paths.get(catRoot, parts.tail: _*).toString
+    val keys = conf(s".changes.$tname.keys").getOrElse(
+      throw new IllegalArgumentException(
+        s"`$tname` has no feed keys — set spark.sql.catalog.$cat.changes.$tname.keys"))
+    val values = conf(s".changes.$tname.values").getOrElse {
+      val live = Publish.currentVersion(root).getOrElse(
+        throw new IllegalStateException(
+          s"nothing published at $root — publish before subscribing"))
+      val keySet = keys.split(',').map(_.trim).toSet
+      val base = StructType.fromDDL(Publish.manifestSchemaDdl(root, live).get)
+      base.fieldNames.filterNot(keySet.contains).mkString(",")
+    }
+    spark.readStream
+      .format(classOf[ChangeFeedSourceProvider].getName)
+      .option("root", root).option("keys", keys).option("values", values)
+      .load()
+  }
+
   private[streaming] def params(p: Map[String, String]): (String, Seq[String], Seq[String]) = {
     val root = p.getOrElse("root",
       throw new IllegalArgumentException("graft-cdc needs option 'root'"))

@@ -144,6 +144,55 @@ class ChangeFeedSourceSpec extends SparkSpec {
     } finally graft.sources.Sinks.deleteRecursively(Paths.get(root))
   }
 
+  test("S26 sugar: tableChanges resolves root/keys/values from the catalog conf; misconfig refuses") {
+    val sess = spark
+    import sess.implicits._
+    val root = Files.createTempDirectory("graft_cdcsrc_sugar").toString
+    try {
+      val tdir = Paths.get(root, "t").toString
+      Publish.publish(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), tdir): Unit
+      Txn.append(spark, tdir, Seq((3L, 30L)).toDF("id", "v")): Unit
+
+      val cat = "gcdcsug" + (tdir.hashCode.toLong & 0xffffffffL)
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      // keys unset → refusal names the conf key to set
+      val miss = intercept[IllegalArgumentException] {
+        graft.streaming.ChangeFeedSource.tableChanges(spark, s"$cat.t")
+      }
+      assert(miss.getMessage.contains(s"spark.sql.catalog.$cat.changes.t.keys"))
+
+      spark.conf.set(s"spark.sql.catalog.$cat.changes.t.keys", "id")
+      // values resolve from the live manifest schema minus keys
+      val q = graft.streaming.ChangeFeedSource.tableChanges(spark, s"$cat.t")
+        .writeStream.format("memory").queryName("graft_cdc_sugar").start()
+      try q.processAllAvailable() finally q.stop()
+      val sugar = spark.table("graft_cdc_sugar")
+        .select("id", "change_type", "old_v", "new_v", "from_version", "to_version")
+        .collect().map(_.toSeq).toSet
+
+      // ≡ the explicit-options form, column for column
+      val q2 = spark.readStream.format(Fmt)
+        .option("root", tdir).option("keys", "id").option("values", "v")
+        .load()
+        .writeStream.format("memory").queryName("graft_cdc_sugar_ref").start()
+      try q2.processAllAvailable() finally q2.stop()
+      val explicit = spark.table("graft_cdc_sugar_ref")
+        .select("id", "change_type", "old_v", "new_v", "from_version", "to_version")
+        .collect().map(_.toSeq).toSet
+      assert(sugar == explicit && sugar.nonEmpty,
+        s"sugar diverges from explicit options:\n$sugar\n$explicit")
+
+      // a snapshot-mode catalog is the OTHER machinery's job
+      spark.conf.set(s"spark.sql.catalog.$cat.mode", "snapshot")
+      val snap = intercept[IllegalArgumentException] {
+        graft.streaming.ChangeFeedSource.tableChanges(spark, s"$cat.t")
+      }
+      assert(snap.getMessage.contains("CatalogStream"))
+    } finally graft.sources.Sinks.deleteRecursively(Paths.get(root))
+  }
+
   test("S26: a new subscriber boots from the oldest RETAINED version after v=1 is vacuumed") {
     val sess = spark
     import sess.implicits._
