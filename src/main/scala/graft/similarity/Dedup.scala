@@ -403,15 +403,24 @@ object Dedup {
       textCol: String,
       numHashes: Int = 16,
       bands: Int = 4,
-      n: Int = 3): DataFrame = {
-    val batchSigs = bandSignatures(batch, idCol, textCol, numHashes, bands, n)
+      n: Int = 3): DataFrame =
+    crossPairsFromSignatures(index,
+      bandSignatures(batch, idCol, textCol, numHashes, bands, n), idCol)
+
+  /** The join half of [[incrementalNearDupPairs]], over signatures the
+    * caller already holds — the streaming admission gate (S32) signs
+    * each batch once and reuses the signatures across the cross join,
+    * the batch-internal self-join, and the index append. */
+  def crossPairsFromSignatures(
+      index: DataFrame,
+      batchSigs: DataFrame,
+      idCol: String): DataFrame =
     index.select(col(idCol).as("corpus_doc"), col("band"), col("sig"))
       .join(batchSigs.select(col(idCol).as("batch_doc"), col("band"), col("sig")),
         Seq("band", "sig"))
       .where(col("corpus_doc") =!= col("batch_doc"))
       .groupBy("corpus_doc", "batch_doc")
       .agg(count(lit(1)).as("n_shared_bands"))
-  }
 
   /** SimHash near-duplicate pairs with hamming-band blocking.
     *
