@@ -3861,6 +3861,55 @@ object SparkEntry {
       .withColumn("recluster", lit(a.recluster))
   }
 
+  /** q168: the exact-dedup admission gate at the SQL surface —
+    * `CALL cat.admit_batch(table => 'corpus', batch => 'batch1',
+    * key => 'fp')` runs q164's manifest-pruned incremental anti-join
+    * as a catalog maintenance verb: batch rows collapse to one
+    * deterministic representative per key (min over the row struct),
+    * survivors append through the CAS commit, and the `_fstats`
+    * manifest refreshes INCREMENTALLY so the next admit's pruning
+    * sees the keys this one added. The artifact calls the procedure
+    * TWICE with the same staged batch and publishes both verdict
+    * rows: call 1 admits exactly the held-out distinct fingerprints
+    * (version 1→2), call 2 admits ZERO at the unchanged version —
+    * the idempotence hash-gates manifest freshness itself (a stale
+    * manifest would re-admit call 1's keys and break every number).
+    * The oracle re-derives the fingerprints, both verdict rows, and
+    * the final corpus count relationally. */
+  private def admitCat(spark: SparkSession, root: String): String = {
+    val cat = "gad" + (java.nio.file.Paths.get(root).getFileName.toString
+      .hashCode.toLong & 0xffffffffL)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    cat
+  }
+
+  private def sqlAdmitRoot(spark: SparkSession, dir: String): String =
+    graft.tools.Scratch.cachedArtifact(
+      "graft_sqladmit", dir, s"$dir/documents.parquet") { (root, _) =>
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), TextOps.fingerprintCol(col("text")).as("fp"))
+      graft.sources.Publish.publish(
+        docs.where(col("doc_id") % 3 =!= 0), s"$root/corpus"): Unit
+      graft.sources.Publish.publish(docs, s"$root/batch1"): Unit
+      val cat = admitCat(spark, root)
+      val call = s"CALL $cat.admit_batch(`table` => 'corpus', " +
+        "batch => 'batch1', key => 'fp')"
+      val r1 = spark.sql(call).withColumn("call_seq", lit(1L))
+      val r2 = spark.sql(call).withColumn("call_seq", lit(2L))
+      graft.sources.Publish.publish(r1.unionByName(r2), s"$root/verdicts"): Unit
+    }
+
+  def q168SqlAdmit(spark: SparkSession, dir: String): DataFrame = {
+    val root = sqlAdmitRoot(spark, dir)
+    val cat = admitCat(spark, root)
+    spark.sql(
+      s"""SELECT v.call_seq, v.n_batch, v.n_admitted, v.n_rejected, v.version,
+         |  (SELECT count(*) FROM $cat.corpus) AS corpus_rows
+         |FROM $cat.verdicts v""".stripMargin)
+  }
+
   /** q159: the change data feed at the SQL surface — q138's
     * publish→MERGE→DV history served as `FROM cat.`t$$changes``
     * ([[graft.sources.GraftCatalog]]'s third metadata table, the
@@ -4772,7 +4821,8 @@ object SparkEntry {
     "q164_incremental_dedup"     -> (q164IncrementalDedup _),
     "q165_data_card"             -> (q165DataCard _),
     "q166_incremental_neardup"   -> (q166IncrementalNeardup _),
-    "q167_observed_advice"       -> (q167ObservedAdvice _)
+    "q167_observed_advice"       -> (q167ObservedAdvice _),
+    "q168_sql_admit"             -> (q168SqlAdmit _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -5301,6 +5351,38 @@ object SparkEntry {
         |  CAST(nt.n AS BIGINT) AS table_rows,
         |  (m.m - b.predicted) * 4 > 2 * nt.n AS recluster
         |FROM wl CROSS JOIN bestl b CROSS JOIN meas m CROSS JOIN ntab nt""".stripMargin,
+
+    "q168_sql_admit" ->
+      // both CALL verdicts and the final corpus count re-derived:
+      // call 1 admits the distinct held-out fingerprints (v 1→2),
+      // call 2 admits zero at the unchanged version — the idempotence
+      // IS the manifest-freshness gate
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(text, ' '),
+        |          w -> CAST(LENGTH(w) * 97 + CASE WHEN LENGTH(w) > 0 THEN ascii(w) ELSE 0 END AS BIGINT))),
+        |      (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        |  FROM documents
+        |),
+        |c AS (SELECT fp FROM fp WHERE doc_id % 3 <> 0),
+        |adm AS (
+        |  SELECT DISTINCT b.fp FROM fp b
+        |  WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.fp = b.fp)
+        |),
+        |nums AS (
+        |  SELECT (SELECT COUNT(*) FROM fp) AS nb,
+        |    (SELECT COUNT(*) FROM adm) AS na,
+        |    (SELECT COUNT(*) FROM c) AS nc
+        |)
+        |SELECT CAST(1 AS BIGINT) AS call_seq, CAST(nb AS BIGINT) AS n_batch,
+        |  CAST(na AS BIGINT) AS n_admitted,
+        |  CAST(nb - na AS BIGINT) AS n_rejected,
+        |  CAST(2 AS BIGINT) AS version, CAST(nc + na AS BIGINT) AS corpus_rows
+        |FROM nums
+        |UNION ALL
+        |SELECT 2, nb, 0, nb, 2, nc + na FROM nums""".stripMargin,
 
     "q161_sequence_index" ->
       // q158's packing recurrence, indexed: per-(shard, seq) counts

@@ -425,7 +425,8 @@ object GraftProcedures {
   import org.apache.spark.unsafe.types.UTF8String
 
   val Names: Seq[String] =
-    Seq("compact", "vacuum", "expire_versions", "advise_recluster")
+    Seq("compact", "vacuum", "expire_versions", "advise_recluster",
+      "admit_batch")
 
   /** Snapshot-catalog procedures — retention at the CATALOG grain
     * (the r8-verdict ask): `CALL snapcat.expire_snapshots(keep_last
@@ -546,6 +547,66 @@ object GraftProcedures {
             keepWithinMs = input.getLong(2))
           new GenericInternalRow(Array[Any](
             reaped.size, UTF8String.fromString(reaped.sorted.mkString(","))))
+        }))
+      // the q164 exact-dedup admission gate from SQL:
+      //   CALL lake.admit_batch(table => 'corpus', batch => 'staged',
+      //     key => 'fp')
+      // Admits the batch member's rows whose integer `key` is not
+      // already in the corpus member — via the corpus manifest's
+      // (min, max) interval bin-join, so cost is |batch|+|files|
+      // candidate arithmetic plus the colliding-range verify read,
+      // never a corpus scan (Dedup.incrementalNew) — then appends
+      // survivors through the CAS commit and refreshes the `_fstats`
+      // manifest INCREMENTALLY (carried files re-point their rows;
+      // only new files are scanned), so the NEXT admit's pruning sees
+      // the keys this one added: calling twice with the same batch
+      // admits zero the second time, which q168 hash-gates. Batch
+      // rows sharing a key collapse to one deterministic
+      // representative (min over the row struct) before the gate —
+      // the corpus never gains an internal duplicate from one batch.
+      // Builds the live version's manifest on first use (the
+      // advise_recluster ANALYZE-on-demand trade). Single-writer, as
+      // every maintenance verb here.
+      case "admit_batch" => Some(new Proc("admit_batch",
+        Array(in("table", StringType), in("batch", StringType),
+          inDefault("key", StringType, "'fp'")),
+        StructType(Seq(
+          StructField("n_batch", LongType, nullable = false),
+          StructField("n_admitted", LongType, nullable = false),
+          StructField("n_rejected", LongType, nullable = false),
+          StructField("version", LongType, nullable = false))),
+        input => {
+          import org.apache.spark.sql.functions.{col, min, struct}
+          val spark = org.apache.spark.sql.SparkSession.active
+          val tr = tableRoot(root, input)
+          val br = java.nio.file.Paths.get(root)
+            .resolve(input.getUTF8String(1).toString).toString
+          val key = input.getUTF8String(2).toString
+          val live = Publish.currentVersion(tr).getOrElse(
+            throw new IllegalStateException(s"no published version at $tr"))
+          val liveDir = java.nio.file.Paths.get(tr).resolve(s"v=$live").toString
+          if (!java.nio.file.Files.exists(
+              java.nio.file.Paths.get(FileStats.statsPath(liveDir))))
+            FileStats.build(spark, liveDir, cols = Seq(key))
+          val batchDf = Publish.read(spark, br)
+          val cols = batchDf.columns
+          val distinctBatch = batchDf.groupBy(col(key))
+            .agg(min(struct(cols.map(col): _*)).as("__r"))
+            .select(col("__r.*"))
+          val admitted = graft.similarity.Dedup
+            .incrementalNew(spark, liveDir, distinctBatch, key)
+          val nBatch = batchDf.count()
+          val nAdm = admitted.count()
+          val v =
+            if (nAdm == 0L) live
+            else {
+              val nv = Txn.append(spark, tr, admitted)
+              FileStats.buildIncremental(spark,
+                java.nio.file.Paths.get(tr).resolve(s"v=$nv").toString,
+                cols = Seq(key), priorFrom = Some(liveDir)): Unit
+              nv
+            }
+          new GenericInternalRow(Array[Any](nBatch, nAdm, nBatch - nAdm, v))
         }))
       case _ => None
     }

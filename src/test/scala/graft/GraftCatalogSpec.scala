@@ -392,6 +392,47 @@ class GraftCatalogSpec extends SparkSpec {
     } finally graft.sources.Sinks.deleteRecursively(Paths.get(root))
   }
 
+  test("CALL admit_batch: manifest-pruned admission, per-batch key collapse, freshness across calls") {
+    val sess = spark
+    import sess.implicits._
+    val root = Files.createTempDirectory("graft_cat_admit").toString
+    try {
+      Publish.publish(Seq((1L, 2L), (2L, 4L)).toDF("id", "fp"),
+        Paths.get(root, "corpus").toString): Unit
+      // batch1: one corpus dup (4), an internal dup pair (5, 5), a
+      // newcomer (7) — the internal pair must collapse to its min row
+      Publish.publish(Seq((10L, 4L), (12L, 5L), (11L, 5L), (13L, 7L)).toDF("id", "fp"),
+        Paths.get(root, "batch1").toString): Unit
+      Publish.publish(Seq((20L, 5L), (21L, 9L)).toDF("id", "fp"),
+        Paths.get(root, "batch2").toString): Unit
+      val cat = catalogFor(root)
+
+      val r1 = spark.sql(
+        s"CALL $cat.admit_batch(`table` => 'corpus', batch => 'batch1')").head
+      assert((r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getLong(3)) ==
+        ((4L, 2L, 2L, 2L)), s"call 1: $r1")
+      // min-struct collapse admitted (11, 5), not (12, 5)
+      val corpus1 = spark.sql(s"SELECT id, fp FROM $cat.corpus")
+        .as[(Long, Long)].collect().toSet
+      assert(corpus1 == Set((1L, 2L), (2L, 4L), (11L, 5L), (13L, 7L)),
+        s"corpus after call 1: $corpus1")
+
+      // batch2 overlaps call 1's ADMISSIONS (5) — rejecting it proves
+      // the incremental manifest refresh saw the appended keys
+      val r2 = spark.sql(
+        s"CALL $cat.admit_batch(`table` => 'corpus', batch => 'batch2')").head
+      assert((r2.getLong(0), r2.getLong(1), r2.getLong(3)) == ((2L, 1L, 3L)),
+        s"call 2: $r2")
+      // replaying batch1 admits nothing and the version stays put
+      val r3 = spark.sql(
+        s"CALL $cat.admit_batch(`table` => 'corpus', batch => 'batch1')").head
+      assert(r3.getLong(1) == 0L && r3.getLong(3) == 3L, s"call 3: $r3")
+      val corpusF = spark.sql(s"SELECT id, fp FROM $cat.corpus")
+        .as[(Long, Long)].collect().toSet
+      assert(corpusF == corpus1 + ((21L, 9L)), s"final corpus: $corpusF")
+    } finally graft.sources.Sinks.deleteRecursively(Paths.get(root))
+  }
+
   test("snapshot-catalog CALL expire_snapshots ≡ the API sweep; surviving pins stay readable") {
     val sess = spark
     import sess.implicits._
