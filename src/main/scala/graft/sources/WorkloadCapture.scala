@@ -5,8 +5,9 @@ import java.util.concurrent.atomic.AtomicLong
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.catalyst.expressions.{
-  And, AttributeReference, Cast, EqualTo, Expression, GreaterThan,
-  GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+  And, AttributeReference, Cast, EqualNullSafe, EqualTo, Expression,
+  GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual,
+  Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -158,6 +159,20 @@ object WorkloadCapture {
       case EqualTo(a, v) if litLong(v).isDefined && attrDim(a, dimByCol).isDefined =>
         mk(a, litLong(v), litLong(v))
       case EqualTo(v, a) if litLong(v).isDefined => mk(a, litLong(v), litLong(v))
+      case EqualNullSafe(a, v) if litLong(v).isDefined && attrDim(a, dimByCol).isDefined =>
+        mk(a, litLong(v), litLong(v))
+      case EqualNullSafe(v, a) if litLong(v).isDefined => mk(a, litLong(v), litLong(v))
+      // an IN-list is a DISJUNCTION the advisor's per-dim conjunctive
+      // interval algebra cannot hold, so it captures as its COVERING
+      // box [min, max] — an over-approximation of the matched rows,
+      // which under-credits the layout's selectivity: conservative in
+      // the same direction as skipping the conjunct, but tighter
+      case In(a, vs) if vs.nonEmpty && vs.forall(litLong(_).isDefined) =>
+        val ls = vs.flatMap(litLong)
+        mk(a, Some(ls.min), Some(ls.max))
+      case InSet(a, set) if set.nonEmpty && set.forall(_.isInstanceOf[java.lang.Number]) =>
+        val ls = set.toSeq.map(_.asInstanceOf[java.lang.Number].longValue())
+        mk(a, Some(ls.min), Some(ls.max))
       case GreaterThanOrEqual(v, a) if litLong(v).isDefined && attrDim(a, dimByCol).isDefined =>
         mk(a, None, litLong(v)) // lit >= a  ⇔  a <= lit
       case LessThanOrEqual(v, a) if litLong(v).isDefined && attrDim(a, dimByCol).isDefined =>

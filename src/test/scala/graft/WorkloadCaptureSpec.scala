@@ -52,6 +52,19 @@ class WorkloadCaptureSpec extends SparkSpec {
       Seq(("ux", 10L, 25L)))
   }
 
+  test("IN-lists capture as their covering box; null-safe equality as a point") {
+    val t = spark.read.parquet(root)
+    assert(extracted(t.where(col("x").isin(17, 3, 9))) == Seq(("ux", 3L, 17L)))
+    // a large list optimizes to InSet — same covering box
+    val big = (0 until 30).map(i => 100 + i * 2)
+    assert(extracted(t.where(col("x").isInCollection(big))) ==
+      Seq(("ux", 100L, 158L)))
+    assert(extracted(t.where(col("y") <=> 4)) == Seq(("uy", 4L, 4L)))
+    // a covering box still intersects with sibling range conjuncts
+    assert(extracted(t.where(col("x").isin(5, 40) && col("x") <= 30)) ==
+      Seq(("ux", 5L, 30L)))
+  }
+
   test("unrecognized conjuncts under-approximate; cross-table residuals are refused") {
     val t = spark.read.parquet(root)
     // OR trees and non-dim columns contribute nothing — but the
