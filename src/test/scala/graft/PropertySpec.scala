@@ -308,4 +308,85 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("bandSignatures are corpus-independent; incremental cross pairs equal the full-run slice") {
+    import spark.implicits._
+    import graft.similarity.Dedup
+    // texts over a 6-word pool so near-dup band collisions actually occur
+    val pool = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val gen = for {
+      docs <- Gen.nonEmptyListOf(for {
+        id <- Gen.choose(0L, 40L)
+        n <- Gen.choose(3, 7)
+        ws <- Gen.listOfN(n, Gen.oneOf(pool))
+      } yield (id, ws.mkString(" ")))
+      cut <- Gen.choose(0, 100)
+    } yield (docs.groupBy(_._1).map(_._2.head).toList, cut)
+    def sigSet(df: org.apache.spark.sql.DataFrame) =
+      Dedup.bandSignatures(df, "doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    forAll(gen) { case (docs, cut) =>
+      val (a, b) = docs.partition(d => (d._1 * 31 + cut) % 3 != 0)
+      whenever(a.nonEmpty && b.nonEmpty) {
+        val (adf, bdf) = (a.toDF("doc_id", "text"), b.toDF("doc_id", "text"))
+        val all = docs.toDF("doc_id", "text")
+        // a document's signatures depend only on itself: any split
+        // re-signs to the same table — the fact q166/S32 stand on
+        assert(sigSet(adf) ++ sigSet(bdf) == sigSet(all),
+          "signatures are not corpus-independent under this split")
+        // and the incremental gate equals the full run's cross slice
+        val aIds = a.map(_._1).toSet
+        val got = Dedup.incrementalNearDupPairs(
+            Dedup.bandSignatures(adf, "doc_id", "text"), bdf, "doc_id", "text")
+          .select("corpus_doc", "batch_doc").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val want = Dedup.minhashLsh(all, "doc_id", "text")
+          .select("doc_a", "doc_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .collect {
+            case (x, y) if aIds.contains(x) && !aIds.contains(y) => (x, y)
+            case (x, y) if aIds.contains(y) && !aIds.contains(x) => (y, x)
+          }.toSet
+        assert(got == want, s"extra=${got -- want} missing=${want -- got}")
+      }
+    }
+  }
+
+  test("WorkloadCapture.extract equals the per-dim interval intersection of planted conjuncts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wcap_prop").resolve("t").toString
+    locally {
+      import spark.implicits._
+      (0L until 50L).map(i => (i, i % 7)).toDF("x", "y").write.parquet(dir)
+    }
+    val dimMap = Map("x" -> "dx", "y" -> "dy")
+    val target = new java.io.File(dir).getAbsolutePath
+    // inequalities only: an equality conjunct invites
+    // ConstantPropagation to fold a contradictory filter into an
+    // empty relation, which is correct but not this model's subject
+    // (point capture is unit-tested in WorkloadCaptureSpec)
+    val condGen = Gen.nonEmptyListOf(for {
+      c <- Gen.oneOf("x", "y")
+      op <- Gen.oneOf("ge", "le")
+      v <- Gen.choose(-5L, 55L)
+    } yield (c, op, v))
+    forAll(condGen) { conds =>
+      val t = spark.read.parquet(dir)
+      val cond = conds.map {
+        case (c, "ge", v) => col(c) >= v
+        case (c, _, v) => col(c) <= v
+      }.reduce(_ && _)
+      val got = graft.sources.WorkloadCapture.extract(
+        t.where(cond).queryExecution.optimizedPlan, target, dimMap)
+      val want = conds.groupBy(_._1).view.mapValues { cs =>
+        val lo = cs.collect { case (_, "ge", v) => v }
+        val hi = cs.collect { case (_, "le", v) => v }
+        (lo.foldLeft(Long.MinValue)(math.max), hi.foldLeft(Long.MaxValue)(math.min))
+      }.toMap
+      val wantSeq = want.toSeq.map { case (c, (lo, hi)) => (dimMap(c), lo, hi) }
+        .sortBy(_._1)
+      assert(got == wantSeq, s"got=$got want=$wantSeq conds=$conds")
+    }
+    graft.sources.Sinks.deleteRecursively(
+      java.nio.file.Paths.get(dir).getParent)
+  }
 }
