@@ -3910,6 +3910,40 @@ object SparkEntry {
          |FROM $cat.verdicts v""".stripMargin)
   }
 
+  /** q169: DOUBLE-ENTRY ledger netting — the reference's Ethereum
+    * transfer-cohort build (ethereum_transfers_updates.py:225-250):
+    * each transfer explodes into BOTH counterparty legs (+amount at
+    * the receiver, −amount at the sender), then daily net position
+    * per (date, wallet, token) keeps only non-zero nets (`HAVING
+    * SUM(value) <> 0`). q3 signs one party's ledger; this is the
+    * whole-market form where every row posts to two accounts — a
+    * wallet both sending and receiving identical totals on a day
+    * (including self-transfers) nets to zero and drops on BOTH
+    * engines because amounts are exact decimals (the q97/q100
+    * posture: decimal accumulate, double present). Plan: the union
+    * is narrow (no shuffle), netting is ONE map-side-combined hash
+    * aggregate on the (date, wallet, token) key — at 100 TB the
+    * explode doubles rows into the combiner, not the wire. The
+    * counterparty is derived arithmetically (`(user_id + 7·event_id)
+    * mod 997`) so both engines see the same transfer graph at every
+    * SF. */
+  def q169LedgerNet(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.events(spark, dir).select(
+      to_date(col("ts")).as("date"),
+      col("user_id").as("from_w"),
+      pmod(col("user_id") + col("event_id") * 7, lit(997)).as("to_w"),
+      col("event_type").as("token"),
+      round(col("value"), 6).cast("decimal(18,6)").as("amount"))
+    t.select(col("date"), col("to_w").as("wallet"), col("token"), col("amount"))
+      .unionByName(t.select(col("date"), col("from_w").as("wallet"),
+        col("token"), (-col("amount")).as("amount")))
+      .groupBy("date", "wallet", "token")
+      .agg(sum("amount").as("net"))
+      .where(col("net") =!= 0)
+      .select(col("date"), col("wallet"), col("token"),
+        col("net").cast("double").as("net_amount"))
+  }
+
   /** q159: the change data feed at the SQL surface — q138's
     * publish→MERGE→DV history served as `FROM cat.`t$$changes``
     * ([[graft.sources.GraftCatalog]]'s third metadata table, the
@@ -4822,7 +4856,8 @@ object SparkEntry {
     "q165_data_card"             -> (q165DataCard _),
     "q166_incremental_neardup"   -> (q166IncrementalNeardup _),
     "q167_observed_advice"       -> (q167ObservedAdvice _),
-    "q168_sql_admit"             -> (q168SqlAdmit _)
+    "q168_sql_admit"             -> (q168SqlAdmit _),
+    "q169_ledger_net"            -> (q169LedgerNet _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -5383,6 +5418,23 @@ object SparkEntry {
         |FROM nums
         |UNION ALL
         |SELECT 2, nb, 0, nb, 2, nc + na FROM nums""".stripMargin,
+
+    "q169_ledger_net" ->
+      // both counterparty legs, exact-decimal netting, non-zero keep
+      """WITH t AS (
+        |  SELECT CAST(ts AS DATE) AS date, user_id AS from_w,
+        |    (user_id + event_id * 7) % 997 AS to_w,
+        |    event_type AS token,
+        |    CAST(round(value, 6) AS DECIMAL(18,6)) AS amount
+        |  FROM events
+        |),
+        |d AS (
+        |  SELECT date, to_w AS wallet, token, amount FROM t
+        |  UNION ALL
+        |  SELECT date, from_w, token, -amount FROM t
+        |)
+        |SELECT date, wallet, token, CAST(SUM(amount) AS DOUBLE) AS net_amount
+        |FROM d GROUP BY 1, 2, 3 HAVING SUM(amount) <> 0""".stripMargin,
 
     "q161_sequence_index" ->
       // q158's packing recurrence, indexed: per-(shard, seq) counts

@@ -479,4 +479,22 @@ class AnalyticsInvariantsSpec extends SparkSpec {
       assert(types.subsetOf(Set("click", "view", "signup", "organic")))
     } finally { a.unpersist(): Unit }
   }
+
+  test("q169: double-entry ledger nets balance exactly per (date, token)") {
+    val l = SparkEntry.q169LedgerNet(spark, SfDir).cache()
+    try {
+      // every transfer posts +a and −a on the same (date, token), so the
+      // full ledger sums to zero there; rows the HAVING removed are exactly
+      // zero, so the SURVIVORS must balance too. net_amount is a ≤6-dp
+      // decimal presented double — cast back is exact, no float tolerance.
+      val unbalanced = l
+        .groupBy("date", "token")
+        .agg(sum(col("net_amount").cast("decimal(18,6)")).as("s"))
+        .where(col("s") =!= BigDecimal(0))
+      assert(unbalanced.count() == 0, "a (date, token) ledger does not balance")
+      // the HAVING contract: no zero net survives
+      assert(l.where(col("net_amount") === 0.0).count() == 0)
+      assert(l.count() > 0)
+    } finally { l.unpersist(): Unit }
+  }
 }
