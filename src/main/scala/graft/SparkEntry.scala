@@ -3944,6 +3944,20 @@ object SparkEntry {
         col("net").cast("double").as("net_amount"))
   }
 
+  /** q170: DSIR importance reweighting ([[graft.text.Importance]]) —
+    * hashed-n-gram distribution matching against a target slice
+    * (here: the `lang = 'en'` documents), top-100 by importance
+    * weight. The curation tier between per-doc heuristics (q23/q72)
+    * and embedding-space methods (q141): corpus-level statistics,
+    * counting-only cost. Every hash is exact integer arithmetic and
+    * every log-ratio is one rounded-decimal term, so the weights —
+    * and therefore the SELECTION — hash-gate against DuckDB
+    * re-deriving the whole chain. */
+  def q170ImportanceSelect(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Importance.importanceSelect(
+      Tables.documents(spark, dir), "doc_id", "text",
+      targetPred = col("lang") === "en", buckets = 512, k = 100)
+
   /** q159: the change data feed at the SQL surface — q138's
     * publish→MERGE→DV history served as `FROM cat.`t$$changes``
     * ([[graft.sources.GraftCatalog]]'s third metadata table, the
@@ -4857,7 +4871,8 @@ object SparkEntry {
     "q166_incremental_neardup"   -> (q166IncrementalNeardup _),
     "q167_observed_advice"       -> (q167ObservedAdvice _),
     "q168_sql_admit"             -> (q168SqlAdmit _),
-    "q169_ledger_net"            -> (q169LedgerNet _)
+    "q169_ledger_net"            -> (q169LedgerNet _),
+    "q170_importance_select"     -> (q170ImportanceSelect _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -5435,6 +5450,51 @@ object SparkEntry {
         |)
         |SELECT date, wallet, token, CAST(SUM(amount) AS DOUBLE) AS net_amount
         |FROM d GROUP BY 1, 2, 3 HAVING SUM(amount) <> 0""".stripMargin,
+
+    "q170_importance_select" ->
+      // DSIR: exact char-polynomial word hashes -> unigram+bigram
+      // buckets, Laplace-smoothed target/raw log-ratios as rounded
+      // decimals, per-doc integer-weighted sum, top-100 (weight, id)
+      """WITH hs AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(list_transform(string_split(text, ' '),
+        |      w -> CASE WHEN LENGTH(w) > 0 THEN
+        |        list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |          list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |          (a, x) -> (a * 31 + x) % 1000000007) END),
+        |      h -> h IS NOT NULL) AS h
+        |  FROM documents
+        |),
+        |grams AS (
+        |  SELECT doc_id, lang, unnest(list_concat(h,
+        |    CASE WHEN len(h) > 1 THEN
+        |      list_transform(range(1, len(h)), i -> (h[i] * 131 + h[i+1]) % 1000000007)
+        |    ELSE CAST([] AS BIGINT[]) END)) AS g
+        |  FROM hs
+        |),
+        |cnt AS (
+        |  SELECT doc_id, (lang = 'en') AS tgt, g % 512 AS bucket, count(*) AS n
+        |  FROM grams GROUP BY 1, 2, 3
+        |),
+        |stats AS (
+        |  SELECT bucket, sum(CASE WHEN tgt THEN n ELSE 0 END) AS ct, sum(n) AS cr
+        |  FROM cnt GROUP BY 1
+        |),
+        |tot AS (SELECT sum(ct) AS t_tot, sum(cr) AS r_tot FROM stats),
+        |ratios AS (
+        |  SELECT bucket,
+        |    CAST(round(
+        |      ln(CAST(ct + 1 AS DOUBLE) / CAST(cr + 1 AS DOUBLE)) +
+        |      ln(CAST(r_tot + 512 AS DOUBLE) / CAST(t_tot + 512 AS DOUBLE)),
+        |      9) AS DECIMAL(18,9)) AS lr
+        |  FROM stats, tot
+        |)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_grams,
+        |  CAST(round(CAST(sum(CAST(n AS DECIMAL(9,0)) * lr) AS DOUBLE), 6) AS DOUBLE) AS weight
+        |FROM cnt JOIN ratios USING (bucket)
+        |GROUP BY doc_id
+        |ORDER BY sum(CAST(n AS DECIMAL(9,0)) * lr) DESC, doc_id
+        |LIMIT 100""".stripMargin,
 
     "q161_sequence_index" ->
       // q158's packing recurrence, indexed: per-(shard, seq) counts
