@@ -3958,6 +3958,29 @@ object SparkEntry {
       Tables.documents(spark, dir), "doc_id", "text",
       targetPred = col("lang") === "en", buckets = 512, k = 100)
 
+  /** q171: the declared `row_number() <= k` top-k-per-group idiom —
+    * per-user top-3 purchases by (value, event_id) — rewritten by the
+    * injected [[graft.plans.TopKRewrite]] into a bounded-heap
+    * aggregate + explode (map-side partial: each mapper ships ≤ k
+    * candidates per group instead of every row through the window
+    * exchange+sort; Flink's Rank rewrite). The reference materializes
+    * exactly this shape for its per-coin wallet leaderboards
+    * (dreambot_whale_chart.py:370-436). The rank column itself is in
+    * the gated output, so the heap's rank restoration — not just the
+    * row SET — must match DuckDB running the window verbatim; the
+    * (value DESC, event_id DESC) order is a total order, so ranks are
+    * deterministic on both engines. */
+  def q171DeclaredTopK(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("graft_q171_events")
+    spark.sql(
+      """SELECT user_id, event_id, rn,
+        |       CAST(round(value, 6) AS DOUBLE) AS amount FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |                               ORDER BY value DESC, event_id DESC) AS rn
+        |  FROM graft_q171_events WHERE event_type = 'purchase'
+        |) WHERE rn <= 3""".stripMargin)
+  }
+
   /** q159: the change data feed at the SQL surface — q138's
     * publish→MERGE→DV history served as `FROM cat.`t$$changes``
     * ([[graft.sources.GraftCatalog]]'s third metadata table, the
@@ -4872,7 +4895,8 @@ object SparkEntry {
     "q167_observed_advice"       -> (q167ObservedAdvice _),
     "q168_sql_admit"             -> (q168SqlAdmit _),
     "q169_ledger_net"            -> (q169LedgerNet _),
-    "q170_importance_select"     -> (q170ImportanceSelect _)
+    "q170_importance_select"     -> (q170ImportanceSelect _),
+    "q171_declared_topk"         -> (q171DeclaredTopK _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -5495,6 +5519,16 @@ object SparkEntry {
         |GROUP BY doc_id
         |ORDER BY sum(CAST(n AS DECIMAL(9,0)) * lr) DESC, doc_id
         |LIMIT 100""".stripMargin,
+
+    "q171_declared_topk" ->
+      // the window idiom verbatim — the rewrite must reproduce it
+      // exactly, rank column included
+      """SELECT user_id, event_id, CAST(rn AS INTEGER) AS rn,
+        |       CAST(round(value, 6) AS DOUBLE) AS amount FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |                               ORDER BY value DESC, event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'purchase'
+        |) t WHERE rn <= 3""".stripMargin,
 
     "q161_sequence_index" ->
       // q158's packing recurrence, indexed: per-(shard, seq) counts

@@ -117,6 +117,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectPreCBORule(session => graft.plans.IntervalOverlapRewrite(session))
     ext.injectPreCBORule(session => graft.plans.AsOfRewrite(session))
     ext.injectPreCBORule(session => graft.plans.TopRowRewrite(session))
+    ext.injectPreCBORule(session => graft.plans.TopKRewrite(session))
     ext.injectPreCBORule(session => graft.plans.ViewMatchRewrite(session))
   }
 }

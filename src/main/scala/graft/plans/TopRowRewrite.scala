@@ -21,24 +21,23 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * ) WHERE rn = 1
   * }}}
   *
-  * Spark plans the window as exchange-on-k + FULL SORT of every
-  * partition by (k, t, id) — at 100 TB the sort IS the query, and
-  * every input row crosses the wire. Spark 3.5's own mitigation
-  * (`InferWindowGroupLimit`, visible as a WindowGroupLimit under the
-  * Window) only thins each sort locally; the exchange still carries
-  * every row and the reduce side still sorts what arrives. But
+  * Spark plans the window as sort + exchange + sort: Spark 4's own
+  * mitigation (`InferWindowGroupLimit`) thins the EXCHANGE — a
+  * Partial WindowGroupLimit keeps each task's per-group minima before
+  * the shuffle — but gets there by FULLY SORTING every map task by
+  * (k, t, id) first, and the reduce side sorts again; at 100 TB those
+  * local sorts are the dominant cost and the spill risk. But
   * `rn = 1` keeps exactly the (partition-key-grouped) minimum under
   * the ORDER BY — an aggregation, not a window: `min_by(struct(values),
-  * struct(orderKeys))` computes it with map-side PARTIAL aggregation,
-  * so each mapper ships ONE candidate row per group it has seen and
-  * the exchange carries |mappers|·|groups| rows instead of every
-  * input row — at scale, shuffle volume is the bottleneck this
-  * removes. (The struct-typed buffer keeps the aggregate off the
+  * struct(orderKeys))` computes it with map-side PARTIAL aggregation —
+  * one streaming fold, no (k, t, id) sort on either side of the
+  * exchange, and each mapper ships one candidate row per group it has
+  * seen. (The struct-typed buffer keeps the aggregate off the
   * fixed-width hash path, so the physical op is a SortAggregate
   * sorting by the GROUP KEY only — strictly less ordering work than
-  * the window's (key, orderBy...) sort, on strictly fewer reduce-side
-  * rows.) Flink ships precisely this rewrite as its `Deduplicate`
-  * operator; this rule brings it to declared Spark SQL.
+  * the window's (key, orderBy...) sort.) Flink ships precisely this
+  * rewrite as its `Deduplicate` operator; this rule brings it to
+  * declared Spark SQL.
   *
   * Eligibility (conservative — anything else is left untouched):
   *   - `Filter` over a `Window` (or over an attribute-only `Project`

@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** The injected top-k-per-group rewrite (plans/TopKRewrite):
+  * `row_number() <= k` over a window must produce IDENTICAL rows —
+  * rank column included — with the rule on and off, while the
+  * rewritten physical plan replaces the window sort with a bounded
+  * top-k aggregate plus explode. Guards: k beyond maxK, extra window
+  * columns, mixed sort directions, and non-rn filter conjuncts all
+  * keep their window. */
+class TopKRewriteSpec extends SparkSpec {
+
+  private def mkPanel(): Unit = {
+    val sess = spark
+    import sess.implicits._
+    Seq(
+      (Some(1L), Some(10L), "a", 1.0),
+      (Some(1L), Some(5L), "b", 2.0),
+      (Some(1L), Some(20L), "c", 3.0),
+      (Some(1L), Some(7L), "d", 4.0),
+      (Some(2L), Some(7L), "e", 5.0),   // singleton group: k > |group|
+      (None: Option[Long], Some(3L), "f", 6.0),
+      (None: Option[Long], Some(1L), "g", 7.0),
+      (Some(3L), None: Option[Long], "h", 8.0),  // null order key
+      (Some(3L), Some(2L), "i", 9.0),
+      (Some(3L), Some(4L), "j", 10.0))
+      .toDF("k", "t", "s", "v").createOrReplaceTempView("topk_ev")
+  }
+
+  private def sqlFor(dir: String, bound: String): String =
+    s"""SELECT k, t, s, v, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY t $dir) AS rn
+       |  FROM topk_ev
+       |) WHERE $bound""".stripMargin
+
+  private def rows(df: DataFrame): Set[(Option[Long], Option[Long], String, Double, Int)] =
+    df.collect().map { r =>
+      (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getString(2), r.getDouble(3), r.getInt(4))
+    }.toSet
+
+  private def withRuleOff[A](body: => A): A = {
+    spark.conf.set("spark.graft.topK.auto", "false")
+    try body finally spark.conf.set("spark.graft.topK.auto", "true")
+  }
+
+  private def planOf(sql: String): String =
+    spark.sql(sql).queryExecution.executedPlan.toString
+
+  test("asc rn <= 2: on ≡ off ≡ hand expectation, ranks restored; plan swaps window for bounded heap") {
+    mkPanel()
+    val expected = Set(
+      (Some(1L), Some(5L), "b", 2.0, 1),
+      (Some(1L), Some(7L), "d", 4.0, 2),
+      (Some(2L), Some(7L), "e", 5.0, 1),
+      (None: Option[Long], Some(1L), "g", 7.0, 1),
+      (None: Option[Long], Some(3L), "f", 6.0, 2),
+      (Some(3L), None: Option[Long], "h", 8.0, 1), // ASC = NULLS FIRST
+      (Some(3L), Some(2L), "i", 9.0, 2))
+    val q = sqlFor("ASC", "rn <= 2")
+    val vanilla = withRuleOff(rows(spark.sql(q)))
+    val rewritten = rows(spark.sql(q))
+    assert(vanilla == expected, s"vanilla=$vanilla")
+    assert(rewritten == expected, s"rewritten=$rewritten")
+
+    val offPlan = withRuleOff(planOf(q))
+    val onPlan = planOf(q)
+    assert(offPlan.contains("Window"), s"no window with the rule off:\n$offPlan")
+    assert(!onPlan.contains("Window"), s"window survived the rewrite:\n$onPlan")
+    // the scale argument: each mapper ships at most k candidates per
+    // group — a partial bounded-heap aggregate feeds the exchange
+    assert(onPlan.contains("partial_collect_top_k"),
+      s"no map-side partial top-k in the rewritten plan:\n$onPlan")
+    assert(onPlan.contains("Generate"), s"no explode restoring rows:\n$onPlan")
+  }
+
+  test("desc rn < 4 (= rn <= 3): DESC NULLS LAST, equal results and ranks") {
+    mkPanel()
+    val q = sqlFor("DESC", "rn < 4")
+    val vanilla = withRuleOff(rows(spark.sql(q)))
+    val rewritten = rows(spark.sql(q))
+    assert(vanilla == rewritten, s"vanilla=$vanilla rewritten=$rewritten")
+    // group 3 DESC: 4 ("j"), 2 ("i"), then the null order key LAST
+    assert(rewritten.contains((Some(3L), Some(4L), "j", 10.0, 1)))
+    assert(rewritten.contains((Some(3L), None, "h", 8.0, 3)))
+    assert(!planOf(q).contains("Window"))
+  }
+
+  test("multi-column order, projected subset, redundant bounds") {
+    mkPanel()
+    val sql =
+      """SELECT k, s FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY t, v) AS rn
+        |  FROM topk_ev
+        |) WHERE rn <= 2 AND rn <= 5""".stripMargin
+    val vanilla = withRuleOff(spark.sql(sql).collect().toSet)
+    val rewritten = spark.sql(sql).collect().toSet
+    assert(vanilla == rewritten && rewritten.nonEmpty)
+    assert(!planOf(sql).contains("Window"))
+  }
+
+  test("guards: ineligible shapes keep their window") {
+    mkPanel()
+    def keepsWindow(sql: String): Unit = {
+      val plan = planOf(sql)
+      assert(plan.contains("Window"), s"unexpected rewrite for:\n$sql\n$plan")
+      assert(withRuleOff(spark.sql(sql).collect().toSet) == spark.sql(sql).collect().toSet)
+    }
+    // an exact rank is a slice, not a prefix
+    keepsWindow(
+      """SELECT k, s FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY t) AS rn
+        |  FROM topk_ev) WHERE rn = 2""".stripMargin)
+    // a second window column would be lost by grouping
+    keepsWindow(
+      """SELECT k, s, cnt FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY t) AS rn,
+        |         count(*) OVER (PARTITION BY k) AS cnt
+        |  FROM topk_ev) WHERE rn <= 2""".stripMargin)
+    // mixed sort directions have no struct-comparison equivalent
+    keepsWindow(
+      """SELECT k, s FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY t ASC, v DESC) AS rn
+        |  FROM topk_ev) WHERE rn <= 2""".stripMargin)
+    // filter touches a non-rn column
+    keepsWindow(
+      """SELECT k, s FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY t) AS rn
+        |  FROM topk_ev) WHERE rn <= 2 AND v > 2.0""".stripMargin)
+    // rank() admits ties — not row_number
+    keepsWindow(
+      """SELECT k, s FROM (
+        |  SELECT *, rank() OVER (PARTITION BY k ORDER BY t) AS rn
+        |  FROM topk_ev) WHERE rn <= 2""".stripMargin)
+    // k beyond the configured heap bound: the window sort is the
+    // better plan and the rule must stand aside
+    spark.conf.set("spark.graft.topK.maxK", "2")
+    try keepsWindow(
+      """SELECT k, s FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY t) AS rn
+        |  FROM topk_ev) WHERE rn <= 3""".stripMargin)
+    finally spark.conf.set("spark.graft.topK.maxK", "1024")
+  }
+
+  test("rn <= 1 belongs to TopRowRewrite: still no window, via min_by not a heap") {
+    mkPanel()
+    val sql =
+      """SELECT k, s FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY t) AS rn
+        |  FROM topk_ev) WHERE rn <= 1""".stripMargin
+    val plan = planOf(sql)
+    assert(!plan.contains("Window") && plan.contains("min_by") &&
+      !plan.contains("collect_top_k"), plan)
+  }
+}
