@@ -3981,6 +3981,17 @@ object SparkEntry {
         |) WHERE rn <= 3""".stripMargin)
   }
 
+  /** q172: CCNet-style LM perplexity filter
+    * ([[graft.text.Perplexity]]) — bigram LM trained on the `lang =
+    * 'en'` reference slice, every document scored by mean −ln P and
+    * binned head/middle/tail. The fluency tier of the curation
+    * ladder; exact-integer counts + rounded-decimal per-bigram terms
+    * put the scores AND the tercile labels under the hash gate. */
+  def q172PerplexityFilter(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Perplexity.lmScore(
+      Tables.documents(spark, dir), "doc_id", "text",
+      referencePred = col("lang") === "en")
+
   /** q159: the change data feed at the SQL surface — q138's
     * publish→MERGE→DV history served as `FROM cat.`t$$changes``
     * ([[graft.sources.GraftCatalog]]'s third metadata table, the
@@ -4896,7 +4907,8 @@ object SparkEntry {
     "q168_sql_admit"             -> (q168SqlAdmit _),
     "q169_ledger_net"            -> (q169LedgerNet _),
     "q170_importance_select"     -> (q170ImportanceSelect _),
-    "q171_declared_topk"         -> (q171DeclaredTopK _)
+    "q171_declared_topk"         -> (q171DeclaredTopK _),
+    "q172_perplexity_filter"     -> (q172PerplexityFilter _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -5529,6 +5541,59 @@ object SparkEntry {
         |                               ORDER BY value DESC, event_id DESC) AS rn
         |  FROM events WHERE event_type = 'purchase'
         |) t WHERE rn <= 3""".stripMargin,
+
+    "q172_perplexity_filter" ->
+      // bigram LM on the en slice: add-1 conditionals, per-bigram
+      // -ln P as rounded decimals, mean in nats, ntile(3) terciles
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), w -> LENGTH(w) > 0) AS tk
+        |  FROM documents
+        |),
+        |bg AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(tk) > 1 THEN
+        |    list_transform(range(1, len(tk)), i -> struct_pack(p := tk[i], w := tk[i+1]))
+        |    ELSE CAST([] AS STRUCT(p VARCHAR, w VARCHAR)[]) END) AS g
+        |  FROM toks
+        |),
+        |pairs0 AS (SELECT doc_id, g.p AS p, g.w AS w FROM bg),
+        |refbg AS (
+        |  SELECT p, w, count(*) AS cpw
+        |  FROM pairs0 JOIN documents USING (doc_id) WHERE lang = 'en'
+        |  GROUP BY 1, 2
+        |),
+        |refprev AS (SELECT p, sum(cpw) AS cp FROM refbg GROUP BY 1),
+        |vocab AS (SELECT DISTINCT unnest(tk) AS word FROM toks WHERE lang = 'en'),
+        |v AS (SELECT count(*) AS v FROM vocab),
+        |mapped AS (
+        |  SELECT doc_id,
+        |    CASE WHEN vp.word IS NOT NULL THEN pairs0.p ELSE '' END AS p,
+        |    CASE WHEN vw.word IS NOT NULL THEN pairs0.w ELSE '' END AS w
+        |  FROM pairs0
+        |  LEFT JOIN vocab vp ON vp.word = pairs0.p
+        |  LEFT JOIN vocab vw ON vw.word = pairs0.w
+        |),
+        |nll AS (
+        |  SELECT doc_id,
+        |    CAST(round(-ln(CAST(coalesce(cpw, 0) + 1 AS DOUBLE) /
+        |                   CAST(coalesce(cp, 0) + v + 1 AS DOUBLE)), 9)
+        |      AS DECIMAL(18,9)) AS nll
+        |  FROM mapped LEFT JOIN refbg USING (p, w) LEFT JOIN refprev USING (p), v
+        |),
+        |per AS (
+        |  SELECT doc_id, count(*) AS nb, CAST(sum(nll) AS DOUBLE) / count(*) AS ce
+        |  FROM nll GROUP BY 1
+        |),
+        |allx AS (
+        |  SELECT d.doc_id, coalesce(nb, 0) AS n_bigrams, ce
+        |  FROM documents d LEFT JOIN per USING (doc_id)
+        |)
+        |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+        |  CAST(round(ce, 6) AS DOUBLE) AS ce,
+        |  CASE WHEN ce IS NULL THEN 'tail'
+        |       ELSE ['head','middle','tail'][ntile(3) OVER (ORDER BY ce ASC NULLS LAST, doc_id)]
+        |  END AS bucket
+        |FROM allx""".stripMargin,
 
     "q161_sequence_index" ->
       // q158's packing recurrence, indexed: per-(shard, seq) counts

@@ -1,0 +1,119 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CCNet-style language-model quality filtering (Wenzek et al.,
+  * "CCNet: Extracting High Quality Monolingual Datasets from Web
+  * Crawl Data" — public method): train a bigram LM on a REFERENCE
+  * slice of the corpus, score every document by cross-entropy under
+  * it, and bin into head/middle/tail terciles — the fluency tier of
+  * the curation ladder (q23/q72 per-doc heuristics → THIS → q170
+  * distribution match → q141 semantic). A doc full of real words in
+  * improbable order scores tail here while passing every heuristic.
+  *
+  * Model: add-1-smoothed bigram conditionals over the reference,
+  * P(w|p) = (c(p,w) + 1) / (c(p) + V + 1), with out-of-vocabulary
+  * words collapsed to one UNK symbol (V = |reference vocab|, +1 for
+  * UNK) and c(p) = Σ_w c(p,w) so the conditional normalizes exactly.
+  * Per-doc score = mean negative log-probability in nats over the
+  * doc's bigrams; docs with < 2 tokens have no bigram and score null
+  * (they bin 'tail' — unlikely to be prose).
+  *
+  * Determinism (the q151/q170 discipline): counts are exact integers;
+  * each bigram's −ln P is ONE float expression rounded to 9 dp at
+  * DECIMAL(18,9); the per-doc sum is count-free decimal addition; the
+  * mean divides the exactly-cast double sum by the integer bigram
+  * count (IEEE-deterministic on both engines); terciles are ntile(3)
+  * over the total order (mean, doc id).
+  *
+  * Scale shape: bigrams form INSIDE the token array (zip_with on
+  * shifted slices — no self-join, no per-doc window); UNK mapping and
+  * model lookups are joins against model tables bounded
+  * by the REFERENCE corpus (AQE broadcasts them while they fit,
+  * ordinary hash joins when they do not — no forced hint); the per-doc
+  * aggregate is map-side combined on the doc id. The one global sort
+  * is the tercile ntile over |docs| SCORE rows (not tokens) — the
+  * exact form; at corpus scale the cutoffs come from the KLL sketch
+  * (`graft_kll_agg`, the q87 path) and only the two thresholds change
+  * hands.
+  */
+object Perplexity {
+
+  private val Unk = ""
+
+  /** (id, p, w) raw bigram pairs per document — empty tokens drop,
+    * adjacency survives the drop (the q170 rule). */
+  private def bigramPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = filter(split(col(textCol), " "), w => length(w) > 0)
+    docs
+      .select(col(idCol),
+        when(size(toks) > 1,
+          zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+            (a, b) => struct(a.as("p"), b.as("w"))))
+        .otherwise(array().cast("array<struct<p:string,w:string>>")).as("bg"))
+      .select(col(idCol), explode(col("bg")).as("g"))
+      .select(col(idCol), col("g.p").as("p"), col("g.w").as("w"))
+  }
+
+  /** Score every document against a bigram LM trained on the
+    * `referencePred` slice; output (id, n_bigrams, ce, bucket). */
+  def lmScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      referencePred: Column): DataFrame = {
+    val refDocs = docs.where(referencePred)
+    val refBigrams = graft.CacheScope.persisted(
+      bigramPairs(refDocs, idCol, textCol)
+        .groupBy("p", "w").agg(count(lit(1)).as("cpw")))
+    val refPrev = refBigrams.groupBy("p").agg(sum("cpw").as("cp"))
+    val vocab = graft.CacheScope.persisted(
+      refDocs
+        .select(explode(filter(split(col(textCol), " "), w => length(w) > 0)).as("word"))
+        .distinct())
+    val vCount = vocab.agg(count(lit(1)).as("v"))
+
+    // UNK-map both legs of every scored bigram against the vocab
+    val pairs = bigramPairs(docs, idCol, textCol)
+      .join(vocab.withColumnRenamed("word", "p").withColumn("__pin", lit(1)),
+        Seq("p"), "left")
+      .join(vocab.withColumnRenamed("word", "w").withColumn("__win", lit(1)),
+        Seq("w"), "left")
+      .select(col(idCol),
+        when(col("__pin").isNotNull, col("p")).otherwise(lit(Unk)).as("p"),
+        when(col("__win").isNotNull, col("w")).otherwise(lit(Unk)).as("w"))
+
+    // one rounded-decimal −ln P per bigram: exact-integer inputs,
+    // identical expression tree on the oracle side
+    val scored = pairs
+      .join(refBigrams, Seq("p", "w"), "left")
+      .join(refPrev, Seq("p"), "left")
+      .crossJoin(broadcast(vCount))
+      .select(col(idCol),
+        round(-log(
+          (coalesce(col("cpw"), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col("cp"), lit(0L)) + col("v") + lit(1L)).cast("double")),
+          9).cast("decimal(18,9)").as("nll"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum("nll").as("__s"))
+      .select(col(idCol), col("n_bigrams"),
+        (col("__s").cast("double") / col("n_bigrams").cast("double")).as("__ce"))
+
+    // every doc survives — bigram-less docs score null and bin tail
+    val all = docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("__ce"))
+    val tile = ntile(3).over(
+      Window.orderBy(col("__ce").asc_nulls_last, col(idCol)))
+    all
+      .withColumn("bucket",
+        when(col("__ce").isNull, lit("tail"))
+          .otherwise(element_at(
+            array(lit("head"), lit("middle"), lit("tail")), tile)))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__ce"), 6).as("ce"), col("bucket"))
+  }
+}
