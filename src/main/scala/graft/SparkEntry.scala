@@ -3992,6 +3992,20 @@ object SparkEntry {
       Tables.documents(spark, dir), "doc_id", "text",
       referencePred = col("lang") === "en")
 
+  /** q173: leakage-free grouped train/val/test split
+    * ([[graft.operators.Splits]]) — every document's SOURCE hashes to
+    * one split, so near-duplicates within a source can never straddle
+    * the train/test wall; per-split doc/char rollup makes the gated
+    * output both the label assignment and the fraction accounting. */
+  def q173GroupedSplit(spark: SparkSession, dir: String): DataFrame =
+    Splits.groupedSplit(Tables.documents(spark, dir), "source",
+        seed = 7L, permille = (800, 900))
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_sources"), sum("n_docs").as("n_docs"),
+        sum("n_chars").as("n_chars"))
+
   /** q159: the change data feed at the SQL surface — q138's
     * publish→MERGE→DV history served as `FROM cat.`t$$changes``
     * ([[graft.sources.GraftCatalog]]'s third metadata table, the
@@ -4908,7 +4922,8 @@ object SparkEntry {
     "q169_ledger_net"            -> (q169LedgerNet _),
     "q170_importance_select"     -> (q170ImportanceSelect _),
     "q171_declared_topk"         -> (q171DeclaredTopK _),
-    "q172_perplexity_filter"     -> (q172PerplexityFilter _)
+    "q172_perplexity_filter"     -> (q172PerplexityFilter _),
+    "q173_grouped_split"         -> (q173GroupedSplit _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -5541,6 +5556,30 @@ object SparkEntry {
         |                               ORDER BY value DESC, event_id DESC) AS rn
         |  FROM events WHERE event_type = 'purchase'
         |) t WHERE rn <= 3""".stripMargin,
+
+    "q173_grouped_split" ->
+      // the same seeded char-fold permille assignment, re-derived
+      """WITH lab AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM (
+        |    SELECT doc_id, source, n_chars,
+        |      (list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |        list_transform(string_split(CAST(source AS VARCHAR), ''),
+        |          c -> CAST(ascii(c) AS BIGINT))),
+        |        (a, x) -> (a * 31 + x) % 1000000007)
+        |       * 2654435761) % 1000000007 % 1000 AS b
+        |    FROM documents)
+        |),
+        |per AS (
+        |  SELECT split, source, count(*) AS n_docs, sum(n_chars) AS n_chars
+        |  FROM lab GROUP BY 1, 2
+        |)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_sources,
+        |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |FROM per GROUP BY 1""".stripMargin,
 
     "q172_perplexity_filter" ->
       // bigram LM on the en slice: add-1 conditionals, per-bigram
