@@ -3549,6 +3549,48 @@ object SparkEntry {
         "shard", outDir, maxRecordsPerFile = 25L)
     }
 
+  private def splitExportRoot(spark: SparkSession, dir: String): String =
+    graft.tools.Scratch.cachedArtifact(
+      "graft_split_export", dir, s"$dir/documents.parquet") { (outDir, _) =>
+      val scramble = pmod(
+        pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L), lit(1000000007L))
+      graft.sources.Export.writeSplitShards(
+        Splits.groupedSplit(Tables.documents(spark, dir), "source",
+            seed = 7L, permille = (800, 900))
+          .select(col("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars"), col("split"), pmod(scramble, lit(4L)).as("shard"))
+          // one writer per (split, shard) → file count = ceil(rows/cap)
+          .repartition(col("split"), col("shard")),
+        "split", "shard", outDir, maxRecordsPerFile = 25L)
+    }
+
+  /** q174: split-aware training export — q173's leakage-free labels
+    * routed through [[graft.sources.Export.writeSplitShards]] into a
+    * `split=…/shard=…` JSONL tree (the directory layout a trainer
+    * points its loaders at), then the gated aggregate re-READS the
+    * tree and reconciles per (split, shard): doc counts, distinct
+    * sources, rolling-hash fingerprint mass (q156's losslessness
+    * gate — an escaping bug anywhere breaks the hash), and the
+    * manifest's file counts against the 25-doc cap. The oracle
+    * re-derives the SPLIT WALL and the shard routing from the source
+    * table: one document on the wrong side of train/test breaks the
+    * hash. */
+  def q174SplitExport(spark: SparkSession, dir: String): DataFrame = {
+    val out = splitExportRoot(spark, dir)
+    val back = graft.sources.Export.readSplitShards(spark, out,
+      "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+    val files = graft.sources.Export.splitManifest(spark, out)
+      .groupBy("split", "shard").agg(count(lit(1)).as("n_files"))
+    back.groupBy("split", "shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(graft.text.TextOps.fingerprintCol(col("text"))).as("fp_sum"))
+      .join(files, Seq("split", "shard"))
+      .select(col("split"), col("shard"), col("n_docs"), col("n_sources"),
+        col("fp_sum"), col("n_files"))
+  }
+
   def q156ExportShards(spark: SparkSession, dir: String): DataFrame = {
     val out = exportShardsRoot(spark, dir)
     val back = graft.sources.Export.readJsonlShards(spark, out,
@@ -4923,7 +4965,8 @@ object SparkEntry {
     "q170_importance_select"     -> (q170ImportanceSelect _),
     "q171_declared_topk"         -> (q171DeclaredTopK _),
     "q172_perplexity_filter"     -> (q172PerplexityFilter _),
-    "q173_grouped_split"         -> (q173GroupedSplit _)
+    "q173_grouped_split"         -> (q173GroupedSplit _),
+    "q174_split_export"          -> (q174SplitExport _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -5556,6 +5599,33 @@ object SparkEntry {
         |                               ORDER BY value DESC, event_id DESC) AS rn
         |  FROM events WHERE event_type = 'purchase'
         |) t WHERE rn <= 3""".stripMargin,
+
+    "q174_split_export" ->
+      // the split wall AND shard routing re-derived from the source
+      // table; losslessness via fingerprint mass; files = ceil(n/25)
+      """WITH lab AS (
+        |  SELECT doc_id, text, source, n_chars,
+        |    CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    ((doc_id % 1000003) * 2654435761) % 1000000007 % 4 AS shard
+        |  FROM (
+        |    SELECT *,
+        |      (list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |        list_transform(string_split(CAST(source AS VARCHAR), ''),
+        |          c -> CAST(ascii(c) AS BIGINT))),
+        |        (a, x) -> (a * 31 + x) % 1000000007)
+        |       * 2654435761) % 1000000007 % 1000 AS b
+        |    FROM documents)
+        |)
+        |SELECT split, shard, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT source) AS n_sources,
+        |  CAST(SUM(list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ' '),
+        |        w -> CAST(LENGTH(w) * 97 + CASE WHEN LENGTH(w) > 0 THEN ascii(w) ELSE 0 END AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007)) AS BIGINT) AS fp_sum,
+        |  CAST(CEIL(COUNT(*) / 25.0) AS BIGINT) AS n_files
+        |FROM lab GROUP BY 1, 2""".stripMargin,
 
     "q173_grouped_split" ->
       // the same seeded char-fold permille assignment, re-derived

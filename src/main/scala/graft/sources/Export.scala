@@ -60,6 +60,70 @@ object Export {
       .schema(s"$schemaDdl, $shardCol LONG")
       .json(outDir)
 
+  /** Split-aware shard tree: `split=train/shard=N/part-*.json` — the
+    * on-disk hand-off a trainer consumes directly (point the loader
+    * at `split=train/`, eval never reads past its own directory).
+    * Same mechanics as [[writeJsonlShards]] with the split label as
+    * the leading partition dir; [[graft.operators.Splits]] is the
+    * canonical label producer, so the wall between the directories is
+    * the leakage-free GROUP wall, not a row sample. */
+  def writeSplitShards(
+      df: DataFrame,
+      splitCol: String,
+      shardCol: String,
+      outDir: String,
+      maxRecordsPerFile: Long = 100000L): Unit =
+    df.write
+      .partitionBy(splitCol, shardCol)
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .mode("overwrite")
+      .json(outDir)
+
+  /** Read a split tree back under a PINNED schema; both partition
+    * columns come back from the directory names. */
+  def readSplitShards(
+      spark: SparkSession,
+      outDir: String,
+      schemaDdl: String,
+      splitCol: String = "split",
+      shardCol: String = "shard"): DataFrame =
+    spark.read
+      .schema(s"$schemaDdl, $splitCol STRING, $shardCol LONG")
+      .json(outDir)
+
+  /** File index of a split tree: (split, shard, file, bytes). */
+  def splitManifest(
+      spark: SparkSession,
+      outDir: String,
+      splitCol: String = "split",
+      shardCol: String = "shard"): DataFrame = {
+    val base = Paths.get(outDir)
+    def subdirs(dir: Path, prefix: String): Seq[Path] = {
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith(prefix))
+        .toSeq
+      finally s.close()
+    }
+    def dataFiles(dir: Path): Seq[Path] = {
+      val s = Files.list(dir)
+      try s.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".json") && !n.startsWith(".") && !n.startsWith("_")
+      }.toSeq
+      finally s.close()
+    }
+    val rows = for {
+      sd <- subdirs(base, s"$splitCol=")
+      split = sd.getFileName.toString.stripPrefix(s"$splitCol=")
+      hd <- subdirs(sd, s"$shardCol=")
+      shard = hd.getFileName.toString.stripPrefix(s"$shardCol=").toLong
+      f <- dataFiles(hd)
+    } yield (split, shard, f.getFileName.toString, Files.size(f))
+    import spark.implicits._
+    rows.toDF(splitCol, shardCol, "file", "bytes")
+  }
+
   /** The export's file index: one row per data file —
     * (shard, file, bytes). Driver-side listing, |files| rows. */
   def manifest(spark: SparkSession, outDir: String, shardCol: String = "shard"): DataFrame = {

@@ -68,4 +68,42 @@ class ExportSpec extends SparkSpec {
     } finally graft.sources.Sinks.deleteRecursively(
       Paths.get(out).getParent)
   }
+
+  test("split tree: directory wall is the group wall; round-trip exact") {
+    val sess = spark
+    import sess.implicits._
+    val out = Files.createTempDirectory("graft_split_rt").toString + "/tree"
+    try {
+      // two docs per source; labels come from the leakage-free split,
+      // so both copies of a source must land under the SAME split dir
+      val docs = (1L to 60L).map(i => (i, s"text of $i", s"site${i % 10}"))
+        .toDF("doc_id", "text", "source")
+      val labeled = graft.operators.Splits.groupedSplit(docs, "source")
+        .withColumn("shard", pmod(col("doc_id"), lit(3L)))
+      Export.writeSplitShards(labeled.repartition(col("split"), col("shard")),
+        "split", "shard", out, maxRecordsPerFile = 7L)
+
+      val back = Export.readSplitShards(spark, out,
+        "doc_id LONG, text STRING, source STRING")
+      // round-trip losslessness at the row grain
+      assert(back.count() == 60)
+      assert(back.select("doc_id", "text", "source", "split", "shard")
+        .except(labeled.select("doc_id", "text", "source", "split", "shard"))
+        .isEmpty, "read-back rows diverge from what was labeled")
+      // the wall: no source appears under two split directories
+      val straddlers = back.groupBy("source")
+        .agg(countDistinct(col("split")).as("k")).where(col("k") > 1)
+      assert(straddlers.isEmpty, "a source leaked across the split wall")
+      // manifest sees every file the reader reads, caps respected
+      val mf = Export.splitManifest(spark, out)
+      assert(mf.agg(sum(lit(1))).collect()(0).getLong(0) >= 3)
+      val perDir = back.groupBy("split", "shard").count().collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val filesPerDir = mf.groupBy("split", "shard").count().collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(perDir.forall { case (k, n) =>
+        filesPerDir(k) == math.ceil(n / 7.0).toLong },
+        s"file counts off: rows=$perDir files=$filesPerDir")
+    } finally graft.sources.Sinks.deleteRecursively(Paths.get(out).getParent)
+  }
 }
