@@ -84,6 +84,11 @@ object GraftFunctions {
     }),
     "graft_bloom_contains" -> (args => BloomMightContain(args(0), args(1))),
     "graft_nfc" -> (args => NfcNormalize(args(0))),
+    "graft_grams" -> (args => {
+      require(args.length == 2 && args(1).foldable,
+        "graft_grams(text, buckets) needs a literal bucket count")
+      GramBuckets(args(0), args(1).eval().asInstanceOf[Number].intValue())
+    }),
     "graft_hilbert" -> (args => {
       require(args.length == 3 && args(2).foldable,
         "graft_hilbert(x, y, order) needs a literal order")

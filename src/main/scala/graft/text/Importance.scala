@@ -51,7 +51,23 @@ object Importance {
       idCol: String,
       textCol: String,
       buckets: Int,
-      carry: Seq[(String, Column)] = Nil): DataFrame = {
+      carry: Seq[(String, Column)] = Nil): DataFrame =
+    docs
+      .select(col(idCol) +: carry.map { case (n, c) => c.as(n) } :+
+        explode(call_function("graft_grams", col(textCol), lit(buckets)))
+          .as("bucket"): _*)
+      .groupBy(col(idCol) +: carry.map(c => col(c._1)) :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("n"))
+
+  /** The declarative HOF form graft_grams replaced — kept as the
+    * equivalence witness ([[graft.functions.GramBuckets]] must emit
+    * the identical multiset; ImportanceSpec pins it) and as the
+    * reference for what the native loop computes. */
+  def hashedGramCountsHof(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int): DataFrame = {
     val hs = filter(
       transform(split(col(textCol), " "), w => when(length(w) > 0, wordHash(w))),
       h => h.isNotNull)
@@ -61,11 +77,10 @@ object Importance {
         (a, b) => (a * 131L + b) % P))
       .otherwise(array().cast("array<bigint>"))
     docs
-      .select(col(idCol) +: carry.map { case (n, c) => c.as(n) } :+
-        explode(concat(uni, bi)).as("g"): _*)
+      .select(col(idCol), explode(concat(uni, bi)).as("g"))
       .withColumn("bucket", pmod(col("g"), lit(buckets.toLong)))
       .drop("g")
-      .groupBy(col(idCol) +: carry.map(c => col(c._1)) :+ col("bucket"): _*)
+      .groupBy(col(idCol), col("bucket"))
       .agg(count(lit(1)).as("n"))
   }
 

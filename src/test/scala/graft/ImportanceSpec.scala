@@ -33,6 +33,22 @@ class ImportanceSpec extends SparkSpec {
       b2.map(r => (r.getLong(0), r.getLong(1))))
   }
 
+  test("native graft_grams ≡ the declarative HOF form on hostile text") {
+    val docs = Seq(
+      (1L, "aa bb cc"), (2L, "aa  bb"), (3L, "x"), (4L, ""),
+      (5L, "   "), (6L, "é中文 😀 mixed"), (7L, "a a a a"),
+      (8L, "word " * 50 + "tail")
+    ).toDF("doc_id", "text")
+    for (b <- Seq(7, 512, 1 << 20)) {
+      val native = Importance.hashedGramCounts(docs, "doc_id", "text", b)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val hof = Importance.hashedGramCountsHof(docs, "doc_id", "text", b)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(native == hof,
+        s"b=$b native-only=${native.diff(hof)} hof-only=${hof.diff(native)}")
+    }
+  }
+
   test("importanceSelect: target-vocabulary docs outrank raw-vocabulary docs") {
     // target slice speaks "alpha beta", the raw background speaks
     // "gamma delta"; two SCORING docs use one vocabulary each — the
