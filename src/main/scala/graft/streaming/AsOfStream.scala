@@ -21,7 +21,7 @@ private[streaming] case class AsOfBuf(tsUs: Long, isQuote: Boolean, id: Long,
     qty: Double, price: Double)
 private[streaming] case class AsOfState(
     carryTsUs: Long, carryPrice: Double, hasCarry: Boolean,
-    buffer: Seq[AsOfBuf])
+    buffer: Seq[AsOfBuf], lastEventUs: Long = Long.MinValue)
 
 /** S33: streaming as-of enrichment — the stateful twin of q51's
   * backward as-of join (the pattern every live pricing/attribution
@@ -47,18 +47,32 @@ private[streaming] case class AsOfState(
   * the as-of fold is associative over "latest", so nothing older can
   * ever win. Per-key state is O(events in lag window) + O(1), held
   * for as long as the key may still receive probes — the honest cost
-  * of as-of over an unbounded keyspace (compose [[RunningBalanceTtl]]'s
-  * timer eviction where keys retire). At 100 TB-rate ingest the
+  * of as-of over an unbounded keyspace — unless `carryTtlUs` retires
+  * idle keys ([[RunningBalanceTtl]]'s eviction posture built in: the
+  * timeout doubles as the reclamation timer); `maxGapUs` mirrors the
+  * batch operator's maxGapDays at the µs grain. At 100 TB-rate ingest the
   * alternative — re-joining each micro-batch against the quote
   * TABLE — re-reads the dimension every trigger; this keeps the
   * single relevant tick per key in the state store instead.
   */
 object AsOfStream {
 
+  /** @param maxGapUs  tolerance (the batch operator's maxGapDays at
+    *                   the µs grain): a match older than this before
+    *                   the probe emits as unpriced — stale ticks are
+    *                   worse than none for a live pipeline
+    * @param carryTtlUs evict a key's carry once the watermark runs
+    *                   this far past its LAST event — state hygiene
+    *                   for retiring keys (delisted assets, closed
+    *                   accounts); a probe arriving after eviction
+    *                   prices null, exactly as if the history were
+    *                   gone — which, by the TTL contract, it is */
   def apply(
       quotes: Dataset[AsOfQuote],
       probes: Dataset[AsOfProbe],
-      watermarkDelay: String = "1 hour"): Dataset[AsOfPriced] = {
+      watermarkDelay: String = "1 hour",
+      maxGapUs: Option[Long] = None,
+      carryTtlUs: Option[Long] = None): Dataset[AsOfPriced] = {
     import org.apache.spark.sql.functions._
     import quotes.sparkSession.implicits._
     // tag with column ops and watermark the UNION: a typed map after
@@ -74,7 +88,7 @@ object AsOfStream {
       .as[AsOfTagged]
       .groupByKey(_.asset)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        update)
+        update(maxGapUs, carryTtlUs))
   }
 
   private def tsUs(t: java.sql.Timestamp): Long =
@@ -99,7 +113,8 @@ object AsOfStream {
       buffered: Seq[AsOfBuf],
       incoming: Seq[AsOfBuf],
       prevCarry: Option[(Long, Double)],
-      cutoffUs: Long): Advance = {
+      cutoffUs: Long,
+      maxGapUs: Option[Long] = None): Advance = {
     // quotes sort before probes at equal time (backward-inclusive);
     // same-timestamp quotes sort by payload so the GREATEST one is the
     // carry after the fold — the batch operator's documented tie rule
@@ -111,13 +126,19 @@ object AsOfStream {
     val settled = List.newBuilder[AsOfPriced]
     for (e <- ready) {
       if (e.isQuote) carry = Some((e.tsUs, e.price))
-      else settled += AsOfPriced(asset, toTs(e.tsUs), e.id, e.qty,
-        carry.map(_._1), carry.map(_._2))
+      else {
+        // gap tolerance nulls the MATCH, not the probe: the row still
+        // emits (probe cardinality preserved, the batch contract)
+        val m = carry.filter { case (qts, _) =>
+          maxGapUs.forall(g => e.tsUs - qts <= g) }
+        settled += AsOfPriced(asset, toTs(e.tsUs), e.id, e.qty,
+          m.map(_._1), m.map(_._2))
+      }
     }
     Advance(settled.result(), hold, carry, hold.headOption.map(_.tsUs))
   }
 
-  private[streaming] def update(
+  private[streaming] def update(maxGapUs: Option[Long], carryTtlUs: Option[Long])(
       asset: Long,
       rows: Iterator[AsOfTagged],
       state: GroupState[AsOfState]): Iterator[AsOfPriced] = {
@@ -127,18 +148,31 @@ object AsOfStream {
       AsOfBuf(tsUs(t.ts), t.isQuote, t.id, t.qty, t.price)).toSeq
     val cutoffUs = state.getCurrentWatermarkMs * 1000L
     val a = advance(asset, prev.map(_.buffer).getOrElse(Nil), incoming,
-      prevCarry, cutoffUs)
+      prevCarry, cutoffUs, maxGapUs)
+
+    // the key's event-time high point decides TTL eviction: once the
+    // watermark runs carryTtl past it with nothing buffered, the key
+    // has retired and its carry leaves the store
+    val lastEventUs = (prev.map(_.lastEventUs).getOrElse(Long.MinValue) +:
+      incoming.map(_.tsUs)).max
+    val ttlExpired = carryTtlUs.exists(ttl =>
+      a.hold.isEmpty && lastEventUs != Long.MinValue &&
+        cutoffUs - lastEventUs > ttl)
 
     // the carry persists for the key's lifetime (a probe years later
-    // still prices off the last tick) — only a carry-less, buffer-less
-    // key leaves the store
-    if (a.hold.isEmpty && a.carry.isEmpty) {
+    // still prices off the last tick) unless a TTL retires it — only
+    // a carry-less, buffer-less (or retired) key leaves the store
+    if ((a.hold.isEmpty && a.carry.isEmpty) || ttlExpired) {
       if (state.exists) state.remove()
     } else {
       state.update(AsOfState(
         a.carry.map(_._1).getOrElse(0L), a.carry.map(_._2).getOrElse(0.0),
-        a.carry.isDefined, a.hold))
-      a.wakeUs.foreach { w =>
+        a.carry.isDefined, a.hold, lastEventUs))
+      // wake at the earliest buffered event, or at the TTL deadline so
+      // an idle key's carry is reclaimed without another tick
+      val wake = (a.wakeUs.toSeq ++
+        carryTtlUs.map(ttl => lastEventUs + ttl + 1L)).minOption
+      wake.foreach { w =>
         state.setTimeoutTimestamp(
           math.max(w / 1000L + 1L, state.getCurrentWatermarkMs + 1L))
       }

@@ -69,6 +69,76 @@ class AsOfStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("gap tolerance nulls stale matches; carry TTL retires idle keys") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val qMem = MemoryStream[AsOfQuote]
+    val pMem = MemoryStream[AsOfProbe]
+    // gap = 5s; ttl = 20s past the key's last event
+    val query = AsOfStream(qMem.toDS(), pMem.toDS(),
+        watermarkDelay = "5 seconds",
+        maxGapUs = Some(5 * S), carryTtlUs = Some(20 * S))
+      .writeStream.format("memory").queryName("s33_gap")
+      .outputMode("append").start()
+    try {
+      // asset 1: quote at 2s; probe at 6s (gap 4s ≤ 5s → priced),
+      // probe at 9s (gap 7s > 5s → unpriced row, cardinality kept).
+      // asset 2: quote at 1s, nothing else until a probe at 60s —
+      // by then the watermark ran >20s past the key's last event, so
+      // the carry was reclaimed and the probe prices null (with NO
+      // ttl it would have priced 42.0 — the contrast that proves
+      // eviction happened, not a missing quote).
+      qMem.addData(AsOfQuote(1L, ts(2 * S), 5.0), AsOfQuote(2L, ts(1 * S), 42.0))
+      pMem.addData(AsOfProbe(1L, ts(6 * S), 11L, 1.0), AsOfProbe(1L, ts(9 * S), 12L, 1.0))
+      query.processAllAvailable()
+      // advance the watermark far past asset 2's ttl BEFORE its probe
+      Seq(40L, 41L).foreach { t =>
+        qMem.addData(AsOfQuote(99L, ts(t * S), 0.0))
+        pMem.addData(AsOfProbe(99L, ts(t * S), 999L, 0.0))
+        query.processAllAvailable()
+      }
+      pMem.addData(AsOfProbe(2L, ts(60 * S), 21L, 1.0))
+      query.processAllAvailable()
+      Seq(100L, 101L).foreach { t =>
+        qMem.addData(AsOfQuote(99L, ts(t * S), 0.0))
+        pMem.addData(AsOfProbe(99L, ts(t * S), 999L, 0.0))
+        query.processAllAvailable()
+      }
+
+      val got = collectPriced("s33_gap").filter(_._1 != 99L)
+      val want = Set(
+        (1L, 6000L, 11L, Some(2 * S), Some(5.0)),  // inside the gap
+        (1L, 9000L, 12L, None, None),              // stale match nulled
+        (2L, 60000L, 21L, None, None))             // carry TTL-evicted
+      assert(got == want, s"got=$got")
+    } finally query.stop()
+  }
+
+  test("without a TTL the same late probe prices off the old carry") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val qMem = MemoryStream[AsOfQuote]
+    val pMem = MemoryStream[AsOfProbe]
+    val query = AsOfStream(qMem.toDS(), pMem.toDS(), watermarkDelay = "5 seconds")
+      .writeStream.format("memory").queryName("s33_nottl")
+      .outputMode("append").start()
+    try {
+      qMem.addData(AsOfQuote(2L, ts(1 * S), 42.0))
+      query.processAllAvailable()
+      Seq(40L, 41L).foreach { t =>
+        qMem.addData(AsOfQuote(99L, ts(t * S), 0.0)); query.processAllAvailable()
+      }
+      pMem.addData(AsOfProbe(2L, ts(60 * S), 21L, 1.0))
+      query.processAllAvailable()
+      Seq(100L, 101L).foreach { t =>
+        qMem.addData(AsOfQuote(99L, ts(t * S), 0.0)); query.processAllAvailable()
+      }
+      val got = collectPriced("s33_nottl").filter(_._1 == 2L)
+      assert(got == Set((2L, 60000L, 21L, Some(1 * S), Some(42.0))), s"got=$got")
+    } finally query.stop()
+  }
+
   test("parity: stream ≡ batch AsOfJoin.asOf under different chops") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
