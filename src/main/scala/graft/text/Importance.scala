@@ -84,6 +84,22 @@ object Importance {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** The per-bucket Laplace-smoothed log-ratio, shared by the batch
+    * selector and the streaming admission gate (S34) so the two
+    * surfaces cannot drift. lr at (18,9) keeps the later n×lr product
+    * inside exact decimal range on BOTH engines: Spark would cap a
+    * long×(28,9) product at precision 38 by SHRINKING THE SCALE to 6
+    * (allowPrecisionLoss) — i.e. silently round every term, the one
+    * hash-gate trap in this chain. */
+  private[graft] def lrCol(
+      ct: Column, cr: Column, tTot: Column, rTot: Column,
+      buckets: Int): Column =
+    round(
+      log((ct + lit(1L)).cast("double") / (cr + lit(1L)).cast("double")) +
+      log((rTot + lit(buckets.toLong)).cast("double") /
+          (tTot + lit(buckets.toLong)).cast("double")),
+      9).cast("decimal(18,9)")
+
   /** Importance-weight and select: per-doc weight =
     * Σ_buckets n(doc,b) · [ln p_target(b) − ln p_raw(b)] with add-1
     * smoothing, top `k` docs by (weight DESC, id). `targetPred` marks
@@ -109,17 +125,9 @@ object Importance {
         sum("n").as("cr"))
     // corpus totals ride a 1-row broadcast — no driver collect
     val totals = stats.agg(sum("ct").as("t_tot"), sum("cr").as("r_tot"))
-    // lr at (18,9) and n at (9,0) keep the product inside exact decimal
-    // range on BOTH engines: Spark would cap a long×(28,9) product at
-    // precision 38 by SHRINKING THE SCALE to 6 (allowPrecisionLoss), i.e.
-    // silently round every term — the one hash-gate trap in this chain
     val ratios = stats.crossJoin(broadcast(totals))
       .select(col("bucket"),
-        round(
-          log((col("ct") + lit(1L)).cast("double") / (col("cr") + lit(1L)).cast("double")) +
-          log((col("r_tot") + lit(buckets.toLong)).cast("double") /
-              (col("t_tot") + lit(buckets.toLong)).cast("double")),
-          9).cast("decimal(18,9)").as("lr"))
+        lrCol(col("ct"), col("cr"), col("t_tot"), col("r_tot"), buckets).as("lr"))
     grams
       .join(broadcast(ratios), "bucket")
       .groupBy(col(idCol))
