@@ -201,6 +201,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("graft_grams equals an in-Scala gram fold on random texts") {
+    import spark.implicits._
+    // spaces generate freely so empty tokens / runs / edges all occur
+    val tokGen = Gen.oneOf(Gen.const(""), Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString))
+    forAll(Gen.listOf(Gen.listOf(tokGen).map(_.mkString(" ")))) { texts =>
+      whenever(texts.nonEmpty) {
+        val B = 97L
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val got = graft.text.Importance.hashedGramCounts(df, "doc_id", "text", B.toInt)
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        val want = texts.zipWithIndex.flatMap { case (t, i) =>
+          val ws = t.split(" ", -1).filter(_.nonEmpty)
+          val hs = ws.map(_.foldLeft(7L)((a, c) => (a * 31L + c.toLong) % 1000000007L))
+          val uni = hs.map(_ % B)
+          val bi = hs.zip(hs.drop(1)).map { case (a, b) => ((a * 131L + b) % 1000000007L) % B }
+          (uni ++ bi).map(b => (i.toLong, b))
+        }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+        assert(got == want)
+      }
+    }
+  }
+
+  test("groupedSplit: one split per group, label = in-Scala hash reference") {
+    import spark.implicits._
+    val keyGen = Gen.listOf(Gen.oneOf(
+      Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString),
+      Gen.choose(0, 9).map(i => s"grp$i")))
+    forAll(keyGen) { keys =>
+      whenever(keys.nonEmpty) {
+        val df = keys.zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "g")
+        val got = graft.operators.Splits.groupedSplit(df, "g")
+          .collect().map(r => r.getString(1) -> r.getString(2)).toMap
+        val want = keys.distinct.map { k =>
+          val h = k.foldLeft(7L)((a, c) => (a * 31L + c.toLong) % 1000000007L)
+          val b = (h * 2654435761L) % 1000000007L % 1000L
+          k -> (if (b < 800) "train" else if (b < 900) "val" else "test")
+        }.toMap
+        assert(got == want)
+      }
+    }
+  }
+
   test("RangeJoin: equals the in-Scala naive BETWEEN join on random keyed inputs") {
     import spark.implicits._
     val gen = for {
