@@ -2592,6 +2592,29 @@ object SparkEntry {
       "doc_id", "dhash", maxHamming = 2)
   }
 
+  /** q175: audio near-dup ([[graft.multimodal.Multimodal
+    * .audioFingerprints]]) — the perceptual-AUDIO side of the
+    * curation family, completing the modality set (q130 images, this
+    * audio): the corpus's audio docs re-mux as REAL 8-bit PCM WAVs
+    * (text bytes as samples — near-dup texts become near-dup
+    * waveforms), decode through the real javax.sound codec, and
+    * fingerprint as the 64-bit dHash of the energy ENVELOPE (65
+    * integer window sums, one adjacent-gradient bit each,
+    * cross-multiplied so every bit is an exact integer decision);
+    * pairs ride the SAME pigeonhole banding as q130. Rows-only (no
+    * SQL engine decodes WAV); the spec pins codec round-trip
+    * identity, gain invariance, envelope sensitivity, and that
+    * exact-dup documents collapse to hamming-0 through the real
+    * codec. At 100 TB the decode is a narrow batched map and the
+    * pair join moves (id, long) rows — PCM bytes never shuffle. */
+  def q175AudioNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val audio = Multimodal.asAudioTable(
+      Tables.documents(spark, dir), "doc_id", "text")
+    graft.multimodal.ImageDedup.dHashPairs(
+      Multimodal.audioFingerprints(audio).where(col("decoded")),
+      "doc_id", "afp", maxHamming = 2)
+  }
+
   /** q131: HTML → text extraction ([[text.TextOps.stripHtml]]) — the
     * boilerplate strip every web-crawl corpus runs before quality
     * scoring and dedup. The synthetic corpus is plain text, so half
@@ -4966,7 +4989,8 @@ object SparkEntry {
     "q171_declared_topk"         -> (q171DeclaredTopK _),
     "q172_perplexity_filter"     -> (q172PerplexityFilter _),
     "q173_grouped_split"         -> (q173GroupedSplit _),
-    "q174_split_export"          -> (q174SplitExport _)
+    "q174_split_export"          -> (q174SplitExport _),
+    "q175_audio_neardup"         -> (q175AudioNeardup _)
   )
 
   // q10 and q44 compute the same result over different physical

@@ -249,6 +249,111 @@ object Multimodal {
       .toDF()
   }
 
+  /** Audio corpus with REAL WAV payloads ([[Riff.muxWav]], the audio
+    * sibling of the video rows' AVI muxing): each audio-typed doc gets
+    * a deterministic 8-bit PCM waveform, and consecutive audio docs
+    * share a CLUSTER base pattern played at different per-doc gains —
+    * the "same recording, different mastering" population an
+    * audio-content near-dup operator exists to find (the synthetic-
+    * media posture of [[asMediaTable]]'s video frames: the payloads
+    * are synthetic, the codec path and the detector are real). */
+  def asAudioTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    asMediaTable(docs, idCol, textCol)
+      .where(col("media_type") === "audio")
+      .as[MediaRow]
+      .mapPartitions(_.map { r =>
+        val base = r.doc_id / 9        // audio ids step by 3: 3 per cluster
+        val gainIdx = ((r.doc_id / 3) % 3).toInt
+        val (gn, gd) = Seq((1L, 1L), (4L, 5L), (6L, 5L))(gainIdx)
+        val n = 1024
+        val samples = Array.tabulate(n) { i =>
+          val block = i / 16
+          // QUADRATIC mix of (base, block): a linear-only pattern is an
+          // arithmetic progression mod 97 whose envelope SHAPE repeats
+          // across bases (phantom cross-cluster near-dups — found by
+          // the first two runs; min cross-base hamming is 11 with the
+          // square in, 0–2 without)
+          val x = (base * 1000003L + block * 7919L) % 1000000007L
+          val v = (x * x % 1000000007L * 2654435761L % 1000000007L) % 97L - 48L
+          val scaled = 128L + v * gn / gd
+          math.max(0L, math.min(255L, scaled)).toByte
+        }
+        r.copy(payload = Riff.muxWav(8000, samples))
+      })
+      .toDF()
+  }
+
+  case class AudioFp(doc_id: Long, n_frames: Long, afp: Long, decoded: Boolean)
+
+  /** Perceptual audio fingerprint — the time-domain dHash of the
+    * waveform's ENERGY ENVELOPE (the audio sibling of
+    * [[ImageDedup.dHashOf]]): decode the container to PCM through the
+    * real `javax.sound` codec, split the samples into 65 windows,
+    * sum each window's absolute deviation from the 8-bit midpoint,
+    * and emit one bit per adjacent-window energy GRADIENT. Like the
+    * image form, absolute level changes (gain riding, re-encoding
+    * headroom) wash out while the envelope SHAPE — where the energy
+    * rises and falls — survives; the comparison cross-multiplies the
+    * integer window sums by the neighbor's sample count, so the bits
+    * are exact integer decisions (no float, no drift). Payloads that
+    * do not decode or are shorter than 65 samples emit the
+    * deterministic stub with decoded=false (mixed-corpus totality).
+    * One narrow batched map — |docs| rows of (id, long) out. */
+  def audioFingerprints(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.where(col("media_type") === "audio")
+      .select(col("doc_id"), col("media_type"), col("payload")).as[MediaRow]
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(_.map { r =>
+        decodePcm(r.payload) match {
+          case Some(pcm) if pcm.length >= 65 =>
+            AudioFp(r.doc_id, pcm.length.toLong, envelopeHash(pcm), decoded = true)
+          case _ =>
+            AudioFp(r.doc_id, r.payload.length.toLong,
+              r.payload.length * 2654435761L % 1000000007L, decoded = false)
+        }
+      }))
+      .toDF()
+  }
+
+  /** 8-bit unsigned PCM samples via the real codec (container-agnostic:
+    * whatever javax.sound parses), or None for undecodable payloads. */
+  private def decodePcm(bytes: Array[Byte]): Option[Array[Int]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 8 || fmt.getChannels != 1) None
+        else Some(in.readAllBytes().map(b => b & 0xff))
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** 64 adjacent-window energy-gradient bits over 65 windows. */
+  private[multimodal] def envelopeHash(pcm: Array[Int]): Long = {
+    val W = 65
+    val n = pcm.length
+    val sums = new Array[Long](W)
+    val cnts = new Array[Long](W)
+    var i = 0
+    while (i < n) {
+      val w = (i.toLong * W / n).toInt
+      sums(w) += math.abs(pcm(i) - 128)
+      cnts(w) += 1
+      i += 1
+    }
+    var h = 0L
+    var b = 0
+    while (b < 64) {
+      // mean(b+1) > mean(b), cross-multiplied to stay integer-exact
+      if (sums(b + 1) * cnts(b) > sums(b) * cnts(b + 1)) h |= 1L << b
+      b += 1
+    }
+    h
+  }
+
   case class ResizedRow(doc_id: Long, media_type: String, width: Int, height: Int,
       payload: Array[Byte])
   case class FrameRow(doc_id: Long, frame_idx: Int, src_frame: Int, byte_offset: Int,

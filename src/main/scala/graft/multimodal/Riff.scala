@@ -233,4 +233,26 @@ object Riff {
     if (frames.isEmpty) None
     else Some(AviInfo(width, height, usPerFrame, frames))
   }
+
+  /** Mux raw 8-bit unsigned mono PCM into a canonical WAV container
+    * (the audio sibling of [[muxMjpeg]]): RIFF/WAVE + the 16-byte PCM
+    * fmt chunk + one data chunk. `javax.sound.sampled` round-trips it
+    * bit-exactly, which is what makes audio-CONTENT operators real
+    * rather than header stubs. */
+  def muxWav(sampleRate: Int, samples: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val dataLen = samples.length
+    out.write(fourCC("RIFF")); out.write(u32le(36L + dataLen))
+    out.write(fourCC("WAVE"))
+    out.write(fourCC("fmt ")); out.write(u32le(16L))
+    out.write(u16le(1))            // PCM
+    out.write(u16le(1))            // mono
+    out.write(u32le(sampleRate.toLong))
+    out.write(u32le(sampleRate.toLong)) // byte rate (8-bit mono)
+    out.write(u16le(1))            // block align
+    out.write(u16le(8))            // bits per sample
+    out.write(fourCC("data")); out.write(u32le(dataLen.toLong))
+    out.write(samples)
+    out.toByteArray
+  }
 }

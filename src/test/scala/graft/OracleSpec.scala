@@ -30,7 +30,7 @@ class OracleSpec extends AnyFunSuite {
       "q45_percentiles_approx", "q46_frame_sample", "q50_dedup_simhash_wide",
       "q56_approx_distinct", "q64_audio_meta", "q75_frame_decode",
       "q82_heavy_hitters_sketch", "q86_rolling_distinct_hll",
-      "q87_percentile_sketch", "q130_image_neardup",
+      "q87_percentile_sketch", "q130_image_neardup", "q175_audio_neardup",
       "q166_incremental_neardup")
     assert(rowsOnly == documented,
       s"rows-only set drifted: new=${rowsOnly -- documented} gone=${documented -- rowsOnly}")
