@@ -63,6 +63,53 @@ object PrefixSum {
     * with `numPartitions`. "Partition count is a physical knob, not
     * semantic" is therefore EXACT for integral measures only;
     * compare floating outputs with a tolerance (PrefixSumSpec does). */
+  /** Append `outCol` = 1-based GLOBAL row number over `orderCols`
+    * (ascending) — `ROW_NUMBER() OVER (ORDER BY …)` with no partition
+    * key — and return the total row count alongside, for free: pass 1
+    * already counts every partition, so callers that need rank AND N
+    * (ntile, percent_rank) pay no extra job. Same two-pass shape and
+    * same total-order requirement as [[globalRunningSum]]; the count
+    * is an eager driver-side scalar (pass 1 runs at call time). */
+  def globalRowNumber(
+      df: DataFrame,
+      orderCols: Seq[String],
+      outCol: String,
+      numPartitions: Int = 0): (DataFrame, Long) = {
+    require(orderCols.nonEmpty, "global row number needs an order")
+    require(!df.columns.contains(outCol),
+      s"output column '$outCol' already exists on the input")
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+            else spark.sessionState.conf.numShufflePartitions
+
+    val sorted = df
+      .repartitionByRange(n, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+    val schema = sorted.schema
+    val rdd = sorted.rdd
+
+    // pass 1: per-partition row counts (numPartitions scalars)
+    val counts = rdd.mapPartitionsWithIndex { (pid, it) =>
+      Iterator((pid, it.size.toLong))
+    }.collect()
+
+    val off = new Array[Long](n)
+    counts.sortBy(_._1).foreach { case (pid, c) =>
+      if (pid + 1 < n) off(pid + 1) = c
+    }
+    for (i <- 1 until n) off(i) += off(i - 1)
+    val total = counts.map(_._2).sum
+
+    // pass 2: seed each partition with its exclusive prefix count
+    val outRows = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var rk = off(pid)
+      it.map { r => rk += 1; Row.fromSeq(r.toSeq :+ rk) }
+    }
+    val out = spark.createDataFrame(outRows,
+      StructType(schema.fields :+ StructField(outCol, LongType, nullable = false)))
+    (out, total)
+  }
+
   def globalRunningSum(
       df: DataFrame,
       orderCols: Seq[String],

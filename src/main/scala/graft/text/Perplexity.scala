@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** CCNet-style language-model quality filtering (Wenzek et al.,
@@ -33,11 +32,14 @@ import org.apache.spark.sql.functions._
   * model lookups are joins against model tables bounded
   * by the REFERENCE corpus (AQE broadcasts them while they fit,
   * ordinary hash joins when they do not — no forced hint); the per-doc
-  * aggregate is map-side combined on the doc id. The one global sort
-  * is the tercile ntile over |docs| SCORE rows (not tokens) — the
-  * exact form; at corpus scale the cutoffs come from the KLL sketch
-  * (`graft_kll_agg`, the q87 path) and only the two thresholds change
-  * hands.
+  * aggregate is map-side combined on the doc id. Terciles are exact
+  * but DISTRIBUTED: ntile(3) is a pure function of (global rank,
+  * total count), so the rank comes from [[graft.operators.PrefixSum]]
+  * (range exchange + per-partition fold — no single-task window) over
+  * |docs| SCORE rows and the tile is long-exact integer arithmetic;
+  * the KLL sketch (`graft_kll_agg`, the q87 path) remains the
+  * approximate alternative when even one range exchange of the score
+  * rows is too much.
   */
 object Perplexity {
 
@@ -106,13 +108,36 @@ object Perplexity {
       .join(scored, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("__ce"))
-    val tile = ntile(3).over(
-      Window.orderBy(col("__ce").asc_nulls_last, col(idCol)))
-    all
+
+    // Terciles WITHOUT a single-task global window: ntile(3) is a
+    // pure function of (global row number, total count), so compute
+    // the rank with the distributed two-pass PrefixSum (range
+    // exchange + per-partition fold — every partition works) and
+    // apply SQL-standard ntile arithmetic in long-exact integer
+    // division. NULLS LAST with the unique id tiebreaker is encoded
+    // as the non-null sort key (__nl, coalesced ce, id) — bit-for-bit
+    // the oracle's ORDER BY ce ASC NULLS LAST, id.
+    val keyed = all
+      .withColumn("__nl", when(col("__ce").isNull, lit(1)).otherwise(lit(0)))
+      .withColumn("__ck", coalesce(col("__ce"), lit(0.0)))
+    val (ranked, total) = graft.operators.PrefixSum.globalRowNumber(
+      keyed, Seq("__nl", "__ck", idCol), "__rk")
+    // SQL ntile(k): the first (total mod k) tiles get ceil(total/k)
+    // rows, the rest floor(total/k) — exact long division, no floats
+    val tile: Column =
+      if (total < 3L) col("__rk")
+      else {
+        val q = total / 3L
+        val r = total % 3L
+        when(col("__rk") <= lit(r * (q + 1)),
+          expr(s"(__rk - 1) DIV ${q + 1} + 1"))
+          .otherwise(expr(s"$r + (__rk - ${r * (q + 1)} - 1) DIV $q + 1"))
+      }
+    ranked
       .withColumn("bucket",
         when(col("__ce").isNull, lit("tail"))
           .otherwise(element_at(
-            array(lit("head"), lit("middle"), lit("tail")), tile)))
+            array(lit("head"), lit("middle"), lit("tail")), tile.cast("int"))))
       .select(col(idCol), col("n_bigrams"),
         round(col("__ce"), 6).as("ce"), col("bucket"))
   }

@@ -63,4 +63,30 @@ class PerplexitySpec extends SparkSpec {
     // ce here — every doc has ≥ 2 tokens)
     assert(buckets == Map("head" -> 10, "middle" -> 10, "tail" -> 10))
   }
+
+  test("plan shape: terciles run distributed — no window, no single-task sort") {
+    val docs = (1L to 20L).map(i => (i, s"w${i % 3} w${(i + 1) % 3} x$i"))
+      .toDF("doc_id", "text")
+    val out = Perplexity.lmScore(docs, "doc_id", "text",
+      referencePred = col("doc_id") <= 5L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "tercile cut must not plan a window operator")
+    assert(!plan.contains("SinglePartition"),
+      "no stage may collapse the score rows to one task")
+    // the rank path is the two-pass PrefixSum: a RANGE exchange over
+    // the sort key, never a global Sort node feeding one partition
+    assert(!plan.toLowerCase.contains("sort global"),
+      "no global sort in the tercile plan")
+  }
+
+  test("ntile arithmetic matches SQL ntile for non-multiple-of-3 counts") {
+    // 11 docs → tiles of 4, 4, 3 (first total%3=2 tiles get ceil)
+    val docs = (1L to 11L).map(i => (i, s"a b c$i")).toDF("doc_id", "text")
+    val out = Perplexity.lmScore(docs, "doc_id", "text",
+      referencePred = col("doc_id") <= 4L).collect()
+    val byBucket = out.groupBy(_.getString(3)).view.mapValues(_.length).toMap
+    assert(byBucket.values.sum == 11)
+    assert(byBucket("head") == 4 && byBucket("middle") == 4 && byBucket("tail") == 3)
+  }
 }
