@@ -224,7 +224,9 @@ class GraftCatalog extends TableCatalog
         }
         new GraftCatalog.ChangesTable(
           s"$catalogName.${ident.name()}", tr, keys, values, baseSchema,
-          earliest = versions.min, live = live)
+          earliest = versions.min, live = live,
+          startVersion = Option(catOptions.get(s"changes.$base.startVersion"))
+            .map(_.trim.toLong))
       case other => throw new UnsupportedOperationException(
         s"unknown metadata table suffix '$other' — available: " +
           s"`$base$$history`, `$base$$files`, `$base$$changes`")
@@ -677,12 +679,18 @@ object GraftCatalog {
     * from_version >= a AND to_version <= b` predicates push into the
     * step range (only the asked snapshots are read and diffed — the
     * incremental one-step-per-tick consumption pattern straight from
-    * SQL); asking past a vacuumed horizon refuses with the retention
-    * error rather than serving a silently truncated feed. */
+    * SQL). WHERE bounds are FILTER semantics — the unfiltered relation
+    * already starts at the surviving horizon, so a pushed lower bound
+    * at or below it cannot change the result and clamps up (whether
+    * Spark pushes a redundant predicate must never flip a query into
+    * an error). Asking for history past the vacuumed horizon is the
+    * dedicated `changes.<t>.startVersion` catalog option, which passes
+    * VERBATIM and refuses with the retention error rather than serving
+    * a silently truncated feed. */
   private[sources] final class ChangesTable(
       tname: String, tableRoot: String,
       keys: Seq[String], values: Seq[String], baseSchema: StructType,
-      earliest: Long, live: Long)
+      earliest: Long, live: Long, startVersion: Option[Long] = None)
     extends Table with SupportsRead {
     import org.apache.spark.sql.types._
 
@@ -704,12 +712,15 @@ object GraftCatalog {
       new ScanBuilder
           with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
         import org.apache.spark.sql.sources._
-        // requested bounds, kept separate from the defaults: an
-        // EXPLICIT lower bound below the surviving horizon must reach
-        // changeFeedBetween verbatim so the scan REFUSES with the
-        // retention error (clamping it to `earliest` would silently
-        // truncate the feed); an upper bound past `live` clamps (no
-        // step above live ever existed, so the result is identical)
+        // requested bounds, kept separate from the defaults. BOTH
+        // directions of WHERE pushdown clamp: an upper bound past
+        // `live` clamps down (no step above live ever existed) and a
+        // lower bound at or below `earliest` clamps up (the relation
+        // already starts there — the filter is redundant, and whether
+        // Spark happens to push it must not change the result, let
+        // alone turn it into a retention error). Only the explicit
+        // startVersion OPTION reaches changeFeedBetween verbatim, so
+        // asking for vacuumed history refuses instead of truncating.
         private var loReq: Option[Long] = None
         private var hiReq: Option[Long] = None
         private var accepted: Array[Filter] = Array.empty
@@ -735,8 +746,13 @@ object GraftCatalog {
         override def pushedFilters(): Array[Filter] = accepted
 
         // versions start at 1, so a lower bound below 1 is a no-op
-        // filter, not a horizon request
-        private def lo: Long = loReq.getOrElse(earliest) max 1L
+        // filter, not a horizon request; pushed bounds clamp to the
+        // surviving horizon, the startVersion option passes verbatim
+        private def lo: Long = {
+          val base = startVersion.getOrElse(earliest)
+          val pushed = loReq.map(_ max earliest)
+          math.max(pushed.fold(base)(p => math.max(base, p)), 1L)
+        }
         private def hi: Long = hiReq.getOrElse(live) min live
 
         override def build(): org.apache.spark.sql.connector.read.Scan =

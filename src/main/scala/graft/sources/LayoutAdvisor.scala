@@ -231,6 +231,13 @@ object LayoutAdvisor {
         (r.getLong(0), mm)
       }
     val n = files.map(_._1).sum
+    // empty / just-created table: nothing to measure, nothing a
+    // re-layout could gain — keep, with measured = predicted = 0
+    // (and no 0^(p−1) divisor reaching the independence model below)
+    if (n == 0) {
+      return ReclusterAdvice(
+        layouts.map(_.mkString("+")).min, 0L, 0L, 0L, recluster = false)
+    }
     val byQuery = workload.groupBy(_._1).toSeq.sortBy(_._1)
 
     // measured: candidateFiles' min/max intersection, exact

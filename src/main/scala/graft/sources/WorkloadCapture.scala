@@ -56,10 +56,15 @@ final class WorkloadCapture(tablePath: String, dims: Seq[(String, String)])
   private val targetPath = new java.io.File(tablePath).getAbsolutePath
 
   override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
-    val captured = WorkloadCapture.extract(qe.optimizedPlan, targetPath, dimByCol)
-    if (captured.nonEmpty) {
-      val qid = nextId.incrementAndGet()
-      rows.synchronized { captured.foreach { case (d, lo, hi) => rows += ((qid, d, lo, hi)) } }
+    // one query_id per SCAN LEG: a self-join reads the target twice
+    // with independent predicates — two observed accesses, never one
+    // intersected (possibly impossible) box
+    val legs = WorkloadCapture.extract(qe.optimizedPlan, targetPath, dimByCol)
+    legs.foreach { captured =>
+      if (captured.nonEmpty) {
+        val qid = nextId.incrementAndGet()
+        rows.synchronized { captured.foreach { case (d, lo, hi) => rows += ((qid, d, lo, hi)) } }
+      }
     }
   }
 
@@ -88,25 +93,36 @@ final class WorkloadCapture(tablePath: String, dims: Seq[(String, String)])
 
 object WorkloadCapture {
 
-  /** Pure extraction: the `(dim, lo, hi)` ranges a plan's Filter over
-    * the target scan implies. Public seam so the listener's plan
+  /** Pure extraction: the `(dim, lo, hi)` ranges each Filter-over-scan
+    * of the target implies — ONE box set per Filter instance, so a
+    * self-join scanning the target twice with disjoint ranges yields
+    * two independent legs instead of intersecting into an impossible
+    * lo>hi box. Conjuncts on one dim WITHIN a leg still intersect;
+    * an intersection that comes up empty (contradictory conjuncts —
+    * the leg matches nothing on that dim) is dropped rather than
+    * recorded as a negative-width range the advisor's selectivity
+    * arithmetic would misread. Public seam so the listener's plan
     * walking is testable without the event bus. */
   def extract(
       plan: LogicalPlan,
       targetPath: String,
-      dimByCol: Map[String, String]): Seq[(String, Long, Long)] = {
-    val bounds = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      dimByCol: Map[String, String]): Seq[Seq[(String, Long, Long)]] = {
+    val legs = ArrayBuffer.empty[Seq[(String, Long, Long)]]
     plan.foreach {
       case Filter(cond, child) if scansTarget(child, targetPath) =>
+        val bounds = scala.collection.mutable.Map.empty[String, (Long, Long)]
         conjuncts(cond).foreach { e =>
           rangeOf(e, dimByCol).foreach { case (d, lo, hi) =>
             val (plo, phi) = bounds.getOrElse(d, (Long.MinValue, Long.MaxValue))
             bounds(d) = (math.max(plo, lo), math.min(phi, hi))
           }
         }
+        val boxes = bounds.toSeq.sortBy(_._1)
+          .collect { case (d, (lo, hi)) if lo <= hi => (d, lo, hi) }
+        if (boxes.nonEmpty) legs += boxes
       case _ => ()
     }
-    bounds.toSeq.sortBy(_._1).map { case (d, (lo, hi)) => (d, lo, hi) }
+    legs.toSeq
   }
 
   /** The Filter's child must scan the target table and nothing else —

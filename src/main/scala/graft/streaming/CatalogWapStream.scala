@@ -132,10 +132,15 @@ object CatalogWapStream {
     val refKeys = referential.map(r => s"${r.fact}.${r.name}")
     require(refKeys.distinct == refKeys,
       s"duplicate referential (fact, name) pairs: $refKeys")
-    def dimKeysOf(r: Referential): DataFrame =
-      dropCleaned(r.dim).select(
-        r.dimKeys.zip(r.factKeys).map { case (d, f) => col(d).as(f) }: _*)
     var cleaned = dropCleaned
+    // dim side reads the EVOLVING cleaned map, not the drop-only
+    // snapshot: with chained referential drops (facts→A, A→B) a dim
+    // row of A quarantined by the A→B check must not vouch for its
+    // facts — declaration-order chaining covers dims pruned by prior
+    // referential drops, not just per-table drops
+    def dimKeysOf(r: Referential): DataFrame =
+      cleaned(r.dim).select(
+        r.dimKeys.zip(r.factKeys).map { case (d, f) => col(d).as(f) }: _*)
     val refDangling: Seq[(Referential, DataFrame)] = referential.map { r =>
       val dangling = cleaned(r.fact).join(dimKeysOf(r), r.factKeys, "left_anti")
       if (r.severity == Wap.Severity.Drop) {

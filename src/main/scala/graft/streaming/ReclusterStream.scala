@@ -103,10 +103,11 @@ object ReclusterStream {
     // the audit trail: every tick's verdict lands in the sidecar (a
     // KEEP must show the decision was MADE, without churning a
     // version for a no-op); a recluster tick also commits it as
-    // manifest meta, atomic with the rewrite it justifies
-    Files.write(Paths.get(root).resolve("_last_verdict.json"),
-      verdict.toSeq.sorted.map { case (k, v) => s"$k=$v" }
-        .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    // manifest meta, atomic with the rewrite it justifies. The
+    // sidecar is a commit-plane pointer like any other — stage + an
+    // atomic move, never a bare write a crash can tear mid-line
+    Publish.store.putAtomic(Paths.get(root).resolve("_last_verdict.json"),
+      verdict.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("\n"))
     if (advice.recluster) {
       // the best layout's FIRST dim drives the range clustering (the
       // advisor's layouts are orderings; range-partition on the
@@ -132,7 +133,7 @@ object ReclusterStream {
     if (!Files.exists(p)) None
     else Some(new String(Files.readAllBytes(p),
         java.nio.charset.StandardCharsets.UTF_8)
-      .split('\n').filter(_.nonEmpty)
+      .split('\n').filter(l => l.nonEmpty && l.contains('='))
       .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap)
   }
 

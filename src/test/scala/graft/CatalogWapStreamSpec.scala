@@ -158,6 +158,51 @@ class CatalogWapStreamSpec extends SparkSpec {
     } finally graft.sources.Sinks.deleteRecursively(Paths.get(root))
   }
 
+  test("chained referential drops: a dim pruned by an EARLIER referential drop cannot vouch for facts") {
+    val sess = spark
+    import sess.implicits._
+    val root = Files.createTempDirectory("graft_catwap_chain").toString
+    try {
+      // three-level star: facts → mid → dims. dims only admits
+      // cust < 100, so mid's cust-200 row is REFERENTIALLY dropped by
+      // the first check; the second check must see that evolving
+      // cleaned mid — fact 2 (cust 200) references a mid row that
+      // never publishes and must cascade to quarantine, not dangle
+      val deriv3: Map[String, (Option[DataFrame], DataFrame) => DataFrame] = Map(
+        "facts" -> ((cur, b) => {
+          val fresh = b.select(col("order_id"), col("cust"), col("amount"))
+          cur.fold(fresh)(_.unionByName(fresh))
+        }),
+        "mid" -> ((cur, b) => {
+          val fresh = b.select(col("cust")).distinct()
+          cur.fold(fresh)(_.unionByName(fresh).distinct())
+        }),
+        "dims" -> ((cur, b) => {
+          val fresh = b.where(col("cust") < 100).select(col("cust")).distinct()
+          cur.fold(fresh)(_.unionByName(fresh).distinct())
+        }))
+      val chainRefs = Seq(
+        Referential("mid_has_dim", "mid", Seq("cust"), "dims", Seq("cust"),
+          Wap.Severity.Drop),
+        Referential("fact_has_mid", "facts", Seq("cust"), "mid", Seq("cust"),
+          Wap.Severity.Drop))
+      assert(CatalogWapStream.applyBatch(
+        Seq(StarRow(1, 10, 100, 1), StarRow(2, 200, 50, 1)).toDF(),
+        0L, root, deriv3, Map.empty, chainRefs))
+      assert(Catalog.read(spark, root, "mid")
+        .select("cust").as[Long].collect().toSet == Set(10L))
+      assert(Catalog.read(spark, root, "facts")
+        .select("order_id").as[Long].collect().toSet == Set(1L),
+        "fact referencing the referentially-quarantined mid row must drop")
+      val rej = Catalog.read(spark, root, CatalogWapStream.RejectsTable)
+        .collect().map(r => (r.getString(0), r.getSeq[String](1).toList))
+      assert(rej.toSet == Set(
+        ("mid", List("mid_has_dim")), ("facts", List("fact_has_mid"))))
+      assert(Catalog.currentMetaValue(root, "expect.mid.mid_has_dim").contains("1"))
+      assert(Catalog.currentMetaValue(root, "expect.facts.fact_has_mid").contains("1"))
+    } finally graft.sources.Sinks.deleteRecursively(Paths.get(root))
+  }
+
   test("a crash BETWEEN audit and catalog flip leaks nothing; the retried batch commits exactly once") {
     val sess = spark
     import sess.implicits._

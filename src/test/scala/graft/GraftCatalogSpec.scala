@@ -337,16 +337,35 @@ class GraftCatalogSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getString(1)))
       assert(step2.toSet == Set((5L, "delete")), step2.toSeq)
 
-      // a feed request past the vacuumed horizon REFUSES (no silent
-      // truncation): expire v1, then ask from_version >= 1
+      // expire v1. The relation re-resolves its horizon per query
+      // (earliest=2 now), so WHERE from_version >= 1 is a REDUNDANT
+      // filter — it cannot change the rows of a feed that already
+      // starts at 2 and must serve them, not refuse: whether Spark
+      // happens to push a no-op predicate must never flip a query
+      // into a retention error (filter semantics, not a history ask)
       Publish.expireVersions(tdir, keepLast = 2): Unit
-      val e = intercept[Exception](spark.sql(
-        s"SELECT * FROM $cat.`t$$changes` WHERE from_version >= 1").collect())
-      assert(e.getMessage.contains("retention"), e.getMessage)
-      // while the surviving span still serves (defaults re-resolve)
+      assert(spark.sql(
+        s"SELECT count(*) FROM $cat.`t$$changes` WHERE from_version >= 1")
+        .head.getLong(0) == 1L,
+        "a redundant pushed lower bound must clamp, not refuse")
+      // …and the unfiltered surviving span serves identically
       val cat2 = catalogFor(root)
       spark.conf.set(s"spark.sql.catalog.$cat2.changes.t.keys", "id")
       assert(spark.sql(s"SELECT count(*) FROM $cat2.`t$$changes`")
+        .head.getLong(0) == 1L)
+      // vacuumed history is an EXPLICIT ask: the startVersion option
+      // passes verbatim and refuses with the retention error
+      val cat4 = catalogFor(root)
+      spark.conf.set(s"spark.sql.catalog.$cat4.changes.t.keys", "id")
+      spark.conf.set(s"spark.sql.catalog.$cat4.changes.t.startVersion", "1")
+      val e2 = intercept[Exception](spark.sql(
+        s"SELECT * FROM $cat4.`t$$changes`").collect())
+      assert(e2.getMessage.contains("retention"), e2.getMessage)
+      // …while a surviving startVersion serves normally
+      val cat5 = catalogFor(root)
+      spark.conf.set(s"spark.sql.catalog.$cat5.changes.t.keys", "id")
+      spark.conf.set(s"spark.sql.catalog.$cat5.changes.t.startVersion", "2")
+      assert(spark.sql(s"SELECT count(*) FROM $cat5.`t$$changes`")
         .head.getLong(0) == 1L)
 
       // a catalog with NO feed-key declaration fails with the hint

@@ -154,6 +154,24 @@ class LayoutAdvisorSpec extends SparkSpec {
     graft.sources.Sinks.deleteRecursively(java.nio.file.Paths.get(root))
   }
 
+  test("reclusterAdvice on an empty table keeps (no zero-divisor in the independence model)") {
+    val sess = spark
+    import sess.implicits._
+    val root = Files.createTempDirectory("graft_reclust_empty").toString
+    val path = s"$root/t"
+    // just-created table: zero rows, schema only — a ≥2-dim layout
+    // would otherwise divide by N^(p−1) = 0
+    Seq.empty[(Long, Long)].toDF("u", "s").write.parquet(path)
+    FileStats.build(spark, path, cols = Seq("u", "s"))
+    val a = LayoutAdvisor.reclusterAdvice(spark, path,
+      dims = Seq("u" -> "u", "s" -> "s"),
+      workload = Seq((1L, "u", 2L, 3L), (1L, "s", 0L, 9L)),
+      layouts = Seq(Seq("u", "s"), Seq("s")), amortizeRuns = 4L)
+    assert(!a.recluster && a.measuredRows == 0L &&
+      a.predictedRows == 0L && a.tableRows == 0L, a.toString)
+    graft.sources.Sinks.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
   test("manifest-scored advisor ranks like the data pass and reads only the sidecar") {
     val ev = Tables.events(spark, SfDir)
       .select(col("user_id"), col("value"))

@@ -121,4 +121,23 @@ class ReclusterStreamSpec extends SparkSpec {
       s"rows lost, invented, or replayed: $got")
     graft.sources.Sinks.deleteRecursively(Paths.get(root).getParent)
   }
+
+  test("keepVerdict tolerates a torn sidecar line (no '=') instead of mis-parsing") {
+    val root = Files.createTempDirectory("graft_reclust_torn").toString
+    try {
+      // simulate the pre-atomic-write failure mode: a crash mid-write
+      // leaves a final line cut before its '='
+      Files.write(Paths.get(root).resolve("_last_verdict.json"),
+        ("graft.recluster.decision=keep\n" +
+          "graft.recluster.best=u\n" +
+          "graft.recluster.measured=40\n" +
+          "graft.recluster.predic").getBytes(
+          java.nio.charset.StandardCharsets.UTF_8)): Unit
+      val m = ReclusterStream.keepVerdict(root).get
+      assert(m == Map(
+        "graft.recluster.decision" -> "keep",
+        "graft.recluster.best" -> "u",
+        "graft.recluster.measured" -> "40"), m.toString)
+    } finally graft.sources.Sinks.deleteRecursively(Paths.get(root))
+  }
 }

@@ -30,6 +30,7 @@ class WorkloadCaptureSpec extends SparkSpec {
 
   private def extracted(df: DataFrame): Seq[(String, Long, Long)] =
     WorkloadCapture.extract(df.queryExecution.optimizedPlan, target, dimMap)
+      .flatten
 
   test("BETWEEN and equality become closed boxes; strict bounds close by one") {
     val t = spark.read.parquet(root)
@@ -77,6 +78,27 @@ class WorkloadCaptureSpec extends SparkSpec {
     val joined = t.crossJoin(u).where(col("x") + col("x2") > 5)
     assert(WorkloadCapture.extract(
       joined.queryExecution.optimizedPlan, target, dimMap).isEmpty)
+  }
+
+  test("a self-join's two scan legs capture as two boxes, never an impossible intersection") {
+    val t = spark.read.parquet(root)
+    // the same table scanned twice with DISJOINT ranges: one box per
+    // Filter leg (intersecting them would yield lo=80 > hi=10)
+    val a = t.where(col("x") <= 10)
+    val b = t.where(col("x") >= 80).select(col("x").as("xb"), col("y").as("yb"))
+    val selfJoin = a.crossJoin(b)
+    val legs = WorkloadCapture.extract(
+      selfJoin.queryExecution.optimizedPlan, target, dimMap)
+    assert(legs.map(_.toSet).toSet == Set(
+      Set(("ux", Long.MinValue, 10L)), Set(("ux", 80L, Long.MaxValue))))
+  }
+
+  test("contradictory conjuncts within one leg drop the box instead of going negative") {
+    val t = spark.read.parquet(root)
+    // Catalyst may fold x>=50 && x<=10 to an empty relation; plant the
+    // contradiction through a non-foldable shape instead: intersect a
+    // covering IN box with a disjoint range conjunct
+    assert(extracted(t.where(col("x").isin(60, 90) && col("x") <= 10)).isEmpty)
   }
 
   test("the listener captures planted executions through the bus, per-query grouped") {
