@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, LogicalPlan, Project, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{IntegerType, StructType}
 
 /** Injected optimizer rule: the `row_number() <= k` top-k-per-group
@@ -43,6 +44,18 @@ import org.apache.spark.sql.types.{IntegerType, StructType}
   * memory pressure — the window plan's cost shape); the upside grows
   * with rows-per-group, so the rule defaults ON like Flink's Rank.
   *
+  * STATS-GATED DISPATCH: when the window's child scans ONE parquet
+  * table carrying an `_fstats` sidecar with `kmv_<c>` sketches for
+  * every partition key ([[graft.sources.FileStats.build]]'s
+  * `kmvCols`), the rule estimates rows-per-group = N / min(Πndv, N)
+  * from the merged per-file KMVs (the sidecar's own (k−1)·2^60/h_k
+  * estimator) and SKIPS the heap rewrite below
+  * `spark.graft.topK.minRowsPerGroup` (default 16) — the measured
+  * groups≈rows loss regime keeps its codegen'd sort, the leaderboard
+  * regime keeps the heap, and tables without stats keep the default-ON
+  * posture. The sidecar read is driver-side, |files|-sized, and cached
+  * by the sidecar directory's mtime.
+  *
   * Eligibility mirrors [[TopRowRewrite]] (conservative; anything else
   * is untouched):
   *   - `Filter` over a `Window` (possibly through an attribute-only
@@ -69,7 +82,9 @@ import org.apache.spark.sql.types.{IntegerType, StructType}
   * exact, rank column included.
   *
   * Session conf: `spark.graft.topK.auto` (default true),
-  * `spark.graft.topK.maxK` (default 1024).
+  * `spark.graft.topK.maxK` (default 1024),
+  * `spark.graft.topK.statsGate` (default true),
+  * `spark.graft.topK.minRowsPerGroup` (default 16).
   */
 case class TopKRewrite(spark: SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper {
@@ -157,6 +172,10 @@ case class TopKRewrite(spark: SparkSession)
       case WindowGroupLimit(_, _, _, _, gchild) => gchild
       case c => c
     }
+
+    // stats-gated dispatch: a scanned table whose sidecar says
+    // groups ≈ rows keeps the window plan (the measured loss regime)
+    if (!statsGateAllows(child, partKeys)) return None
     val partSet = AttributeSet(partKeys)
     // order keys lead the struct (they ARE the comparison); the rest of
     // the child's output follows once — not duplicated under both roles
@@ -207,5 +226,95 @@ case class TopKRewrite(spark: SparkSession)
       }
     }
     Some(Project(restored, gen))
+  }
+
+  /** True when the heap rewrite should proceed. False ONLY when the
+    * child scans exactly one parquet relation whose `_fstats` sidecar
+    * carries KMV sketches for every partition key AND the estimated
+    * rows-per-group sits below the configured floor — absent or
+    * partial stats keep the default-ON posture. */
+  private def statsGateAllows(
+      child: LogicalPlan,
+      partKeys: Seq[AttributeReference]): Boolean = {
+    val conf = spark.sessionState.conf
+    if (!conf.getConfString("spark.graft.topK.statsGate", "true").toBoolean)
+      return true
+    if (partKeys.isEmpty) return true
+    val minRpg =
+      conf.getConfString("spark.graft.topK.minRowsPerGroup", "16").toDouble
+    child.collect {
+      case lr @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _) => (lr, fs)
+    } match {
+      case Seq((lr, fs)) =>
+        // partition keys must be DIRECT scan columns (same exprId —
+        // a derived key's group count is not the column's ndv)
+        val nameById = lr.output.map(a => a.exprId -> a.name).toMap
+        val names = partKeys.flatMap(a => nameById.get(a.exprId))
+        if (names.length != partKeys.length) return true
+        val path = fs.location.rootPaths match {
+          case Seq(p) => p.toUri.getPath
+          case _ => return true
+        }
+        TopKRewrite.rowsPerGroup(spark, path, names) match {
+          case Some(rpg) => rpg >= minRpg
+          case None => true
+        }
+      case _ => true
+    }
+  }
+}
+
+object TopKRewrite {
+
+  // driver-side sidecar cache: statsDir -> (mtime, totalRows, ndvByCol)
+  private val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Map[String, Double])]()
+
+  /** Estimated rows-per-group for a grouping on `keyCols` of the
+    * table at `tablePath`, from its `_fstats` sidecar: total rows /
+    * min(Π per-key ndv, total rows). ndv merges the per-file KMV
+    * sketches ([[graft.sources.FileStats]]'s 60-bit content hashes):
+    * exact below saturation, (k−1)·2^60/h_k past it. None when the
+    * sidecar or any key's sketch is absent — the caller treats
+    * "unknown" as "don't gate". */
+  private[plans] def rowsPerGroup(
+      spark: SparkSession,
+      tablePath: String,
+      keyCols: Seq[String]): Option[Double] = {
+    val statsDir = graft.sources.FileStats.statsPath(tablePath)
+    try {
+      val p = new org.apache.hadoop.fs.Path(statsDir)
+      val fsys = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fsys.exists(p)) return None
+      val sig = fsys.getFileStatus(p).getModificationTime
+      val cached = statsCache.get(statsDir)
+      val (rows, ndvByCol) =
+        if (cached != null && cached._1 == sig) (cached._2, cached._3)
+        else {
+          import org.apache.spark.sql.functions.col
+          val df = spark.read.parquet(statsDir)
+          val kmvCols = df.columns.filter(_.startsWith("kmv_")).toSeq
+          val rs = df.select(col("n_rows") +: kmvCols.map(col): _*).collect()
+          val total = rs.map(_.getLong(0)).sum
+          val ndv = kmvCols.zipWithIndex.map { case (c, i) =>
+            val perFile = rs.map(_.getSeq[Long](i + 1))
+            val k = perFile.foldLeft(0)((m, a) => math.max(m, a.size))
+            val merged = perFile.flatten.distinct.sorted
+            val est =
+              if (k == 0) 0.0
+              else if (merged.length < k) merged.length.toDouble
+              else (k - 1).toDouble * graft.similarity.Overlap.Space /
+                merged(k - 1).toDouble
+            c.stripPrefix("kmv_") -> est
+          }.toMap
+          statsCache.put(statsDir, (sig, total, ndv))
+          (total, ndv)
+        }
+      if (rows <= 0L) return None
+      val ndvs = keyCols.map(ndvByCol.get)
+      if (ndvs.exists(_.isEmpty)) return None
+      val groups = math.min(ndvs.flatten.product, rows.toDouble)
+      if (groups <= 0.0) None else Some(rows.toDouble / groups)
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 }

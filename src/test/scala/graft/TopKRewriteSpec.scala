@@ -154,4 +154,53 @@ class TopKRewriteSpec extends SparkSpec {
     assert(!plan.contains("Window") && plan.contains("min_by") &&
       !plan.contains("collect_top_k"), plan)
   }
+
+  test("stats gate: the KMV sidecar flips the dispatch in the groups≈rows regime") {
+    val sess = spark
+    import sess.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_topk_gate").toString
+    try {
+      // leaderboard regime: 8 groups × 500 rows — rows-per-group 500
+      val lead = s"$root/lead"
+      (0 until 4000).map(i => (i.toLong % 8, i.toLong, i.toDouble))
+        .toDF("g", "t", "v").repartition(4).write.parquet(lead)
+      graft.sources.FileStats.build(spark, lead, cols = Nil, kmvCols = Seq("g"))
+      // churn regime: near-unique key — rows-per-group ≈ 1
+      val churn = s"$root/churn"
+      (0 until 4000).map(i => (i.toLong, i.toLong % 7, i.toDouble))
+        .toDF("g", "t", "v").repartition(4).write.parquet(churn)
+      graft.sources.FileStats.build(spark, churn, cols = Nil, kmvCols = Seq("g"))
+
+      def q(path: String) = spark.read.parquet(path)
+        .selectExpr("g", "t", "v",
+          "row_number() OVER (PARTITION BY g ORDER BY t, v) AS rn")
+        .where(col("rn") <= 3)
+
+      val leadPlan = q(lead).queryExecution.executedPlan.toString
+      assert(!leadPlan.contains("Window") &&
+        leadPlan.contains("partial_collect_top_k"),
+        s"leaderboard regime must keep the heap:\n$leadPlan")
+      val churnPlan = q(churn).queryExecution.executedPlan.toString
+      assert(churnPlan.contains("Window"),
+        s"groups≈rows must keep the codegen'd window sort:\n$churnPlan")
+      // the gate changes PLANS only — both regimes' rows match rule-off
+      val churnRows = q(churn).collect().map(_.toSeq).toSet
+      val leadRows = q(lead).collect().map(_.toSeq).toSet
+      val (churnOff, leadOff) = withRuleOff(
+        (q(churn).collect().map(_.toSeq).toSet,
+          q(lead).collect().map(_.toSeq).toSet))
+      assert(churnRows == churnOff && leadRows == leadOff)
+      // gate disabled: the default-ON posture returns for churn too
+      spark.conf.set("spark.graft.topK.statsGate", "false")
+      try assert(!q(churn).queryExecution.executedPlan.toString.contains("Window"),
+        "statsGate=false must restore the unconditional rewrite")
+      finally spark.conf.set("spark.graft.topK.statsGate", "true")
+      // a table WITHOUT a sidecar keeps default-ON (unknown ≠ gated)
+      val bare = s"$root/bare"
+      (0 until 100).map(i => (i.toLong, i.toLong, i.toDouble))
+        .toDF("g", "t", "v").write.parquet(bare)
+      assert(!q(bare).queryExecution.executedPlan.toString.contains("Window"))
+    } finally graft.sources.Sinks.deleteRecursively(java.nio.file.Paths.get(root))
+  }
 }
