@@ -59,22 +59,34 @@ object Perplexity {
       .select(col(idCol), col("g.p").as("p"), col("g.w").as("w"))
   }
 
-  /** Score every document against a bigram LM trained on the
-    * `referencePred` slice; output (id, n_bigrams, ce, bucket). */
-  def lmScore(
+  /** The model tables of a bigram LM trained on `refDocs`: exact
+    * integer (p, w, cpw) counts and the distinct vocabulary — the
+    * publishable form ([[graft.streaming.PerplexityAdmitStream]]
+    * publishes exactly these once; c(p) and V re-derive from them). */
+  def trainBigramModel(
+      refDocs: DataFrame,
+      idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
+    val refBigrams = bigramPairs(refDocs, idCol, textCol)
+      .groupBy("p", "w").agg(count(lit(1)).as("cpw"))
+    val vocab = refDocs
+      .select(explode(filter(split(col(textCol), " "), w => length(w) > 0)).as("word"))
+      .distinct()
+    (refBigrams, vocab)
+  }
+
+  /** Score `docs` against an EXPLICIT bigram model (`refBigrams` =
+    * (p, w, cpw), `vocab` = (word)): (id, n_bigrams, __ce) with __ce
+    * the full-precision mean −ln P (null when the doc has no bigram).
+    * The scoring core shared by [[lmScore]]'s train-on-a-slice form
+    * and the streaming admission gate's fixed published model. */
+  def scoreAgainst(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      referencePred: Column): DataFrame = {
-    val refDocs = docs.where(referencePred)
-    val refBigrams = graft.CacheScope.persisted(
-      bigramPairs(refDocs, idCol, textCol)
-        .groupBy("p", "w").agg(count(lit(1)).as("cpw")))
+      refBigrams: DataFrame,
+      vocab: DataFrame): DataFrame = {
     val refPrev = refBigrams.groupBy("p").agg(sum("cpw").as("cp"))
-    val vocab = graft.CacheScope.persisted(
-      refDocs
-        .select(explode(filter(split(col(textCol), " "), w => length(w) > 0)).as("word"))
-        .distinct())
     val vCount = vocab.agg(count(lit(1)).as("v"))
 
     // UNK-map both legs of every scored bigram against the vocab
@@ -103,11 +115,25 @@ object Perplexity {
       .select(col(idCol), col("n_bigrams"),
         (col("__s").cast("double") / col("n_bigrams").cast("double")).as("__ce"))
 
-    // every doc survives — bigram-less docs score null and bin tail
-    val all = docs.select(col(idCol))
+    // every doc survives — bigram-less docs score null
+    docs.select(col(idCol))
       .join(scored, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("__ce"))
+  }
+
+  /** Score every document against a bigram LM trained on the
+    * `referencePred` slice; output (id, n_bigrams, ce, bucket). */
+  def lmScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      referencePred: Column): DataFrame = {
+    val (refBigrams0, vocab0) = trainBigramModel(
+      docs.where(referencePred), idCol, textCol)
+    val refBigrams = graft.CacheScope.persisted(refBigrams0)
+    val vocab = graft.CacheScope.persisted(vocab0)
+    val all = scoreAgainst(docs, idCol, textCol, refBigrams, vocab)
 
     // Terciles WITHOUT a single-task global window: ntile(3) is a
     // pure function of (global row number, total count), so compute
