@@ -2615,6 +2615,23 @@ object SparkEntry {
       "doc_id", "afp", maxHamming = 2)
   }
 
+  /** q176: audio band near-dup ([[graft.multimodal.Multimodal
+    * .audioBandFingerprints]]) — q175's frequency-domain depth: per
+    * window, integer Goertzel power at three fixed bands (2·cos ω ∈
+    * {1, 0, −1}), fingerprinted as the dominant-band TRANSITION bits,
+    * so a melody pitch-shifted across the band set collapses to
+    * hamming 0 where the envelope dHash scatters (AudioBandDedupSpec's
+    * planted cluster); pairs ride q130's pigeonhole banding. Rows-only
+    * (no SQL engine decodes WAV); the same narrow batched decode map —
+    * PCM bytes never shuffle, the pair join moves (id, long) rows. */
+  def q176AudioBandNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val audio = Multimodal.asAudioTable(
+      Tables.documents(spark, dir), "doc_id", "text")
+    graft.multimodal.ImageDedup.dHashPairs(
+      Multimodal.audioBandFingerprints(audio).where(col("decoded")),
+      "doc_id", "bfp", maxHamming = 2)
+  }
+
   /** q131: HTML → text extraction ([[text.TextOps.stripHtml]]) — the
     * boilerplate strip every web-crawl corpus runs before quality
     * scoring and dedup. The synthetic corpus is plain text, so half
@@ -4990,7 +5007,8 @@ object SparkEntry {
     "q172_perplexity_filter"     -> (q172PerplexityFilter _),
     "q173_grouped_split"         -> (q173GroupedSplit _),
     "q174_split_export"          -> (q174SplitExport _),
-    "q175_audio_neardup"         -> (q175AudioNeardup _)
+    "q175_audio_neardup"         -> (q175AudioNeardup _),
+    "q176_audio_band_neardup"    -> (q176AudioBandNeardup _)
   )
 
   // q10 and q44 compute the same result over different physical

@@ -331,6 +331,88 @@ object Multimodal {
       } finally in.close()
     } catch { case _: Exception => None }
 
+  case class AudioBandFp(doc_id: Long, n_frames: Long, bfp: Long, decoded: Boolean)
+
+  /** Band-energy audio fingerprint — the FREQUENCY-domain sibling of
+    * [[audioFingerprints]]: per window, resonant power at three fixed
+    * frequencies whose Goertzel coefficients are exact integers
+    * (2·cos ω ∈ {1, 0, −1} ⇔ periods 6, 4, 3 samples ⇔ fs/6, fs/4,
+    * fs/3); the bit for window w marks whether the DOMINANT band
+    * changed from window w to w+1 — the note-boundary rhythm of the
+    * clip. Dominance transitions are invariant under any permutation
+    * of the band set, so a copy whose melody is PITCH-SHIFTED across
+    * the bands fingerprints identically — while the time-domain
+    * envelope sees the waveform's pitch-dependent mean |amplitude|
+    * change at every note boundary and scatters its gradient bits
+    * (the planted case AudioBandDedupSpec pins). The converse caveat
+    * is stated: two different melodies with the same note RHYTHM
+    * collide here — this is the candidate-recall half of a
+    * near-dup pipeline, like every LSH family in the repo; the
+    * verify stage separates them. Integer-exact end to end: integer
+    * Goertzel recurrence, within-window power comparisons between
+    * equal-length signals (no floats, ties break to the lower band).
+    * Same banding, same (id, long) shuffle shape as q175/q130. */
+  def audioBandFingerprints(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.where(col("media_type") === "audio")
+      .select(col("doc_id"), col("media_type"), col("payload")).as[MediaRow]
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(_.map { r =>
+        decodePcm(r.payload) match {
+          case Some(pcm) if pcm.length >= 65 =>
+            AudioBandFp(r.doc_id, pcm.length.toLong, bandEnergyHash(pcm), decoded = true)
+          case _ =>
+            AudioBandFp(r.doc_id, r.payload.length.toLong,
+              r.payload.length * 2654435761L % 1000000007L, decoded = false)
+        }
+      }))
+      .toDF()
+  }
+
+  /** 64 dominant-band TRANSITION bits over 65 windows. Goertzel with
+    * integer coefficient k = 2·cos ω: s₀ = x + k·s₁ − s₂; power =
+    * s₁² + s₂² − k·s₁·s₂ — exact integers throughout (|s| ≤ 128·N
+    * keeps the recurrence in Long; powers go through BigInt). The
+    * dominant band per window is the argmax of the three powers
+    * (equal-length signals within one window — direct comparison;
+    * ties break to the lower band index). */
+  private[multimodal] def bandEnergyHash(pcm: Array[Int]): Long = {
+    val W = 65
+    val n = pcm.length
+    val dom = new Array[Int](W)
+    val coefs = Array(1, 0, -1)
+    var start = 0
+    var w = 0
+    while (w < W) {
+      val end = (((w + 1).toLong * n) / W).toInt
+      var best = BigInt(-1)
+      var c = 0
+      while (c < 3) {
+        val k = coefs(c)
+        var s1 = 0L
+        var s2 = 0L
+        var i = start
+        while (i < end) {
+          val s0 = (pcm(i) - 128).toLong + k * s1 - s2
+          s2 = s1; s1 = s0
+          i += 1
+        }
+        val p = BigInt(s1) * s1 + BigInt(s2) * s2 - BigInt(k) * s1 * s2
+        if (p > best) { best = p; dom(w) = c }
+        c += 1
+      }
+      start = end
+      w += 1
+    }
+    var h = 0L
+    var b = 0
+    while (b < 64) {
+      if (dom(b + 1) != dom(b)) h |= 1L << b
+      b += 1
+    }
+    h
+  }
+
   /** 64 adjacent-window energy-gradient bits over 65 windows. */
   private[multimodal] def envelopeHash(pcm: Array[Int]): Long = {
     val W = 65
