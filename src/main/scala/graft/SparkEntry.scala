@@ -3386,6 +3386,30 @@ object SparkEntry {
           .as("ewma"))
   }
 
+  /** q177: exact trailing Holt smoothing
+    * ([[graft.operators.LinearRecurrence]]) — q149's determinism
+    * posture lifted from the scalar EWMA recurrence to Holt's
+    * level+trend matrix recurrence (α = β = ½): 4A and 4c are integer,
+    * so every lag's level/trend weight is an exact integer over the
+    * common denominator 4^16, computed once by exact BigInt matrix
+    * powers and shared VERBATIM with the oracle (the hash gates the
+    * windowed-sum machinery; the spec gates the weights against the
+    * sequential recurrence itself — exact for series shorter than the
+    * window, where truncation drops nothing). Accumulation is
+    * decimal(38,0) ↔ HUGEINT (Σ|W|·micro brushes Long range — the q97
+    * rule), one double division at the very end. Same plan as q149:
+    * daily grain once, then the trailing merge rides the RangeJoin
+    * bin rewrite — O(|days|·w) candidates per asset. */
+  def q177HoltTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type").as("asset"), to_date(col("ts")).as("date"))
+      .agg((round(max("value"), 6).cast("decimal(18,6)") * 1000000L)
+        .cast("long").as("micro"))
+      .withColumn("day_i", datediff(col("date"), lit("1970-01-01").cast("date")))
+    graft.operators.LinearRecurrence.holtSmooth(
+      daily, "asset", "day_i", "micro", w = 16)
+  }
+
   /** q150: Hilbert-curve data skipping
     * ([[graft.sources.ZOrder.writeHilbert]] +
     * [[graft.functions.HilbertIndex2D]]) — q100's box query over the
@@ -5008,7 +5032,8 @@ object SparkEntry {
     "q173_grouped_split"         -> (q173GroupedSplit _),
     "q174_split_export"          -> (q174SplitExport _),
     "q175_audio_neardup"         -> (q175AudioNeardup _),
-    "q176_audio_band_neardup"    -> (q176AudioBandNeardup _)
+    "q176_audio_band_neardup"    -> (q176AudioBandNeardup _),
+    "q177_holt_trend"            -> (q177HoltTrend _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -5906,6 +5931,30 @@ object SparkEntry {
         |FROM daily l JOIN daily r
         |  ON r.asset = l.asset AND r.day_i BETWEEN l.day_i - 15 AND l.day_i
         |GROUP BY l.asset, l.date""".stripMargin,
+
+    "q177_holt_trend" -> {
+      // the SAME exact BigInt impulse weights the operator uses
+      // (shared generation — the hash gates the windowed-sum
+      // machinery; LinearRecurrenceSpec gates the weights against the
+      // sequential Holt recurrence); HUGEINT accumulation is DuckDB's
+      // exact twin of the Spark side's decimal(38,0)
+      val (lvl, trd) = graft.operators.LinearRecurrence.holtWeights(16)
+      def arr(ws: Seq[BigInt]) = ws.mkString("[", ", ", "]")
+      s"""WITH daily AS (
+         |  SELECT event_type AS asset, CAST(ts AS DATE) AS date,
+         |    CAST(CAST(ROUND(MAX(value), 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS micro,
+         |    DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_i
+         |  FROM events GROUP BY 1, 2, 4
+         |)
+         |SELECT l.asset, CAST(l.day_i AS BIGINT) AS day, COUNT(*) AS n_obs,
+         |  ROUND(CAST(SUM(CAST((${arr(lvl)})[CAST(l.day_i - r.day_i AS INT) + 1] AS HUGEINT)
+         |                 * r.micro) AS DOUBLE) / 4294967296.0 / 1000000.0, 6) AS level,
+         |  ROUND(CAST(SUM(CAST((${arr(trd)})[CAST(l.day_i - r.day_i AS INT) + 1] AS HUGEINT)
+         |                 * r.micro) AS DOUBLE) / 4294967296.0 / 1000000.0, 6) AS trend
+         |FROM daily l JOIN daily r
+         |  ON r.asset = l.asset AND r.day_i BETWEEN l.day_i - 15 AND l.day_i
+         |GROUP BY 1, 2""".stripMargin
+    },
 
     "q148_text_normalize" ->
       // nfc_normalize is DuckDB's UAX #15 twin of graft_nfc; both

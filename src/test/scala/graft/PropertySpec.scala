@@ -424,9 +424,15 @@ class PropertySpec extends SparkSpec {
         val hi = cs.collect { case (_, "le", v) => v }
         (lo.foldLeft(Long.MinValue)(math.max), hi.foldLeft(Long.MaxValue)(math.min))
       }.toMap
+      // one Filter leg here (single scan); a contradictory
+      // intersection (lo > hi — the leg matches nothing on that dim)
+      // is DROPPED by contract rather than recorded negative-width
       val wantSeq = want.toSeq.map { case (c, (lo, hi)) => (dimMap(c), lo, hi) }
+        .filter { case (_, lo, hi) => lo <= hi }
         .sortBy(_._1)
-      assert(got == wantSeq, s"got=$got want=$wantSeq conds=$conds")
+      val gotFlat = got.flatten
+      assert(got.size <= 1 && gotFlat == wantSeq,
+        s"got=$got want=$wantSeq conds=$conds")
     }
     graft.sources.Sinks.deleteRecursively(
       java.nio.file.Paths.get(dir).getParent)
