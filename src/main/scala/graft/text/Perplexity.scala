@@ -143,6 +143,17 @@ object Perplexity {
     // division. NULLS LAST with the unique id tiebreaker is encoded
     // as the non-null sort key (__nl, coalesced ce, id) — bit-for-bit
     // the oracle's ORDER BY ce ASC NULLS LAST, id.
+    // NOT persisted, deliberately (measured): the rank's passes go
+    // through .rdd, which compiles without AQE — and a persist()
+    // cache-fill ALSO materializes without AQE, so caching here makes
+    // the no-AQE execution of the model joins THE plan (3.0 s at
+    // sf0.1) where the unpersisted form pays one no-AQE run whose
+    // shuffle files pass 2 then reuses (1.9 s; the AQE-planned
+    // Dataset run of the same pipeline is 0.2 s — the delta is
+    // broadcast-vs-hash on the reference-bounded model joins, which
+    // still distribute fine at scale). A pipeline that scores once
+    // and ranks many times should write the score table to storage
+    // and rank THAT.
     val keyed = all
       .withColumn("__nl", when(col("__ce").isNull, lit(1)).otherwise(lit(0)))
       .withColumn("__ck", coalesce(col("__ce"), lit(0.0)))
