@@ -133,8 +133,16 @@ object Perplexity {
       docs.where(referencePred), idCol, textCol)
     val refBigrams = graft.CacheScope.persisted(refBigrams0)
     val vocab = graft.CacheScope.persisted(vocab0)
-    val all = scoreAgainst(docs, idCol, textCol, refBigrams, vocab)
+    terciles(scoreAgainst(docs, idCol, textCol, refBigrams, vocab), idCol)
+  }
 
+  /** Tercile-cut a score table (the `(id, n_bigrams, __ce)` shape
+    * [[scoreAgainst]] emits — live lineage or re-read from storage):
+    * (id, n_bigrams, ce, bucket). Public as its own stage because the
+    * production posture is score ONCE to storage and rank the stored
+    * table — the rank's .rdd passes then read a plain scan instead of
+    * re-running the LM pipeline without AQE (see below). */
+  def terciles(all: DataFrame, idCol: String): DataFrame = {
     // Terciles WITHOUT a single-task global window: ntile(3) is a
     // pure function of (global row number, total count), so compute
     // the rank with the distributed two-pass PrefixSum (range

@@ -80,6 +80,26 @@ class PerplexitySpec extends SparkSpec {
       "no global sort in the tercile plan")
   }
 
+  test("terciles over a STORED score table equal the live-lineage cut (q178's posture)") {
+    val docs = (1L to 20L).map(i => (i, s"w${i % 3} w${(i + 1) % 3} x$i"))
+      .toDF("doc_id", "text")
+    val live = Perplexity.lmScore(docs, "doc_id", "text",
+      referencePred = col("doc_id") <= 5L)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_pplx_spec")
+      .resolve("scores").toString
+    try {
+      val (rb, vc) = Perplexity.trainBigramModel(
+        docs.where(col("doc_id") <= 5L), "doc_id", "text")
+      Perplexity.scoreAgainst(docs, "doc_id", "text", rb, vc)
+        .write.parquet(dir)
+      val stored = Perplexity.terciles(spark.read.parquet(dir), "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+      assert(stored == live, "the rank stage must be storage-agnostic")
+    } finally graft.sources.Sinks.deleteRecursively(
+      java.nio.file.Paths.get(dir).getParent)
+  }
+
   test("ntile arithmetic matches SQL ntile for non-multiple-of-3 counts") {
     // 11 docs → tiles of 4, 4, 3 (first total%3=2 tiles get ceil)
     val docs = (1L to 11L).map(i => (i, s"a b c$i")).toDF("doc_id", "text")
