@@ -45,7 +45,9 @@ import org.apache.spark.sql.types.{IntegerType, StructType}
   * with rows-per-group, so the rule defaults ON like Flink's Rank.
   *
   * STATS-GATED DISPATCH: when the window's child scans ONE parquet
-  * table carrying an `_fstats` sidecar with `kmv_<c>` sketches for
+  * table — a direct scan, or a GraftCatalog-served DSv2 relation
+  * (the live table's sidecar sits in its current version dir) —
+  * carrying an `_fstats` sidecar with `kmv_<c>` sketches for
   * every partition key ([[graft.sources.FileStats.build]]'s
   * `kmvCols`), the rule estimates rows-per-group = N / min(Πndv, N)
   * from the merged per-file KMVs (the sidecar's own (k−1)·2^60/h_k
@@ -242,19 +244,40 @@ case class TopKRewrite(spark: SparkSession)
     if (partKeys.isEmpty) return true
     val minRpg =
       conf.getConfString("spark.graft.topK.minRowsPerGroup", "16").toDouble
-    child.collect {
-      case lr @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _) => (lr, fs)
-    } match {
-      case Seq((lr, fs)) =>
+    // one scanned table, two serving paths: a direct parquet scan
+    // (LogicalRelation over HadoopFsRelation) or a GraftCatalog DSv2
+    // scan (ParquetTable at a version dir / a writable live table,
+    // whose stats sidecar sits in the live version dir)
+    import org.apache.spark.sql.connector.catalog.Table
+    import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
+    import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+    def v2Path(table: Table): Option[String] = table match {
+      case w: graft.sources.GraftCatalog.GraftWritable =>
+        graft.sources.Publish.currentVersion(w.graftRoot)
+          .map(v => s"${w.graftRoot}/v=$v")
+      case pt: ParquetTable => pt.paths match {
+        case Seq(p) => Some(p.stripPrefix("file:"))
+        case _ => None
+      }
+      case _ => None
+    }
+    val scans: Seq[(Seq[Attribute], Option[String])] = child.collect {
+      case lr @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        (lr.output,
+          fs.location.rootPaths match {
+            case Seq(p) => Some(p.toUri.getPath)
+            case _ => None
+          })
+      case r: DataSourceV2Relation => (r.output, v2Path(r.table))
+      case s: DataSourceV2ScanRelation => (s.output, v2Path(s.relation.table))
+    }
+    scans match {
+      case Seq((out, Some(path))) =>
         // partition keys must be DIRECT scan columns (same exprId —
         // a derived key's group count is not the column's ndv)
-        val nameById = lr.output.map(a => a.exprId -> a.name).toMap
+        val nameById = out.map(a => a.exprId -> a.name).toMap
         val names = partKeys.flatMap(a => nameById.get(a.exprId))
         if (names.length != partKeys.length) return true
-        val path = fs.location.rootPaths match {
-          case Seq(p) => p.toUri.getPath
-          case _ => return true
-        }
         TopKRewrite.rowsPerGroup(spark, path, names) match {
           case Some(rpg) => rpg >= minRpg
           case None => true

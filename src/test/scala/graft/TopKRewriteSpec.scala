@@ -203,4 +203,38 @@ class TopKRewriteSpec extends SparkSpec {
       assert(!q(bare).queryExecution.executedPlan.toString.contains("Window"))
     } finally graft.sources.Sinks.deleteRecursively(java.nio.file.Paths.get(root))
   }
+
+  test("stats gate reaches GraftCatalog-served tables (DSv2 scan, live version sidecar)") {
+    val sess = spark
+    import sess.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_topk_cat").toString
+    try {
+      // churn regime published through the catalog protocol, stats on
+      // the LIVE version dir (where maintenance builds them)
+      val tdir = s"$root/churn"
+      graft.sources.Publish.publish(
+        (0 until 4000).map(i => (i.toLong, i.toLong % 7, i.toDouble))
+          .toDF("g", "t", "v"), tdir): Unit
+      val live = graft.sources.Publish.currentVersion(tdir).get
+      graft.sources.FileStats.build(spark, s"$tdir/v=$live",
+        cols = Nil, kmvCols = Seq("g"))
+      val cat = s"gtopk${System.nanoTime() % 1000}"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val sql =
+        s"""SELECT g, t, v, rn FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY g ORDER BY t, v) AS rn
+           |  FROM $cat.churn) WHERE rn <= 3""".stripMargin
+      val plan = spark.sql(sql).queryExecution.executedPlan.toString
+      assert(plan.contains("Window"),
+        s"the catalog-served churn table must keep the window sort:\n$plan")
+      // …and the gate is the reason: disabled, the heap returns
+      spark.conf.set("spark.graft.topK.statsGate", "false")
+      try assert(!spark.sql(sql).queryExecution.executedPlan.toString
+        .contains("Window"))
+      finally spark.conf.set("spark.graft.topK.statsGate", "true")
+    } finally graft.sources.Sinks.deleteRecursively(java.nio.file.Paths.get(root))
+  }
 }
