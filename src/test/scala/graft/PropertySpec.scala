@@ -394,6 +394,70 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("Holt windowed convolution equals the sequential recurrence on random short series") {
+    import spark.implicits._
+    // gapless series shorter than the window: the 16-lag truncation
+    // drops nothing, so the convolution must equal running Holt from
+    // zero init at every step — for any values, any length, any key
+    val seriesGen: Gen[(List[Long], Long)] = for {
+      n <- Gen.choose(1, 15)
+      vs <- Gen.listOfN(n, Gen.choose(-500000000L, 500000000L))
+      d0 <- Gen.choose(0L, 100000L)
+    } yield (vs, d0)
+    forAll(seriesGen) { case (micros, d0) =>
+      val daily = micros.zipWithIndex
+        .map { case (m, i) => ("K", d0 + i, m) }.toDF("asset", "day_i", "micro")
+      val got = graft.operators.LinearRecurrence
+        .holtSmooth(daily, "asset", "day_i", "micro")
+        .collect().map(r => r.getLong(1) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+      var level = 0.0
+      var trend = 0.0
+      micros.zipWithIndex.foreach { case (m, i) =>
+        val y = m / 1e6
+        val prev = level
+        level = 0.5 * y + 0.5 * (level + trend)
+        trend = 0.5 * (level - prev) + 0.5 * trend
+        val (gl, gt) = got(d0 + i)
+        assert(math.abs(gl - level) < 1e-4, s"level day $i: $gl vs $level")
+        assert(math.abs(gt - trend) < 1e-4, s"trend day $i: $gt vs $trend")
+      }
+    }
+  }
+
+  test("band transition hash is invariant under any whole-band pitch shift") {
+    import spark.implicits._
+    // random melodies (note per window-run from a rhythm seed),
+    // random transposition across the band set: the dominant-band
+    // TRANSITION bits must not move — the q176 pitch-shift contract
+    // on arbitrary rhythms, not just the planted fixture
+    val cosTab = Map(0 -> Array(2, 1, -1, -2, -1, 1),
+      1 -> Array(2, 0, -2, 0), 2 -> Array(2, -1, -1))
+    def melody(shift: Int, rhythmSeed: Long, runLen: Int, n: Int): Array[Byte] =
+      Array.tabulate(n) { i =>
+        val w = (i.toLong * 65 / n).toInt
+        val note = (((w / runLen + rhythmSeed) * 2654435761L % 97L) % 3L).toInt
+        val band = (note + shift) % 3
+        (128 + 20 * cosTab(band)(i % cosTab(band).length)).max(0).min(255).toByte
+      }
+    val caseGen: Gen[(Long, Int, Int)] = for {
+      seed <- Gen.choose(0L, 1000L)
+      runLen <- Gen.choose(2, 6)
+      shift <- Gen.choose(1, 2)
+    } yield (seed, runLen, shift)
+    forAll(caseGen) { case (seed, runLen, shift) =>
+      val n = 65 * 97 + 13
+      val df = Seq(
+        (1L, "audio", graft.multimodal.Riff.muxWav(8000, melody(0, seed, runLen, n))),
+        (2L, "audio", graft.multimodal.Riff.muxWav(8000, melody(shift, seed, runLen, n))))
+        .toDF("doc_id", "media_type", "payload")
+      val fp = graft.multimodal.Multimodal.audioBandFingerprints(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(fp(1L) == fp(2L),
+        s"seed=$seed runLen=$runLen shift=$shift moved " +
+          s"${java.lang.Long.bitCount(fp(1L) ^ fp(2L))} bits")
+    }
+  }
+
   test("WorkloadCapture.extract equals the per-dim interval intersection of planted conjuncts") {
     val dir = java.nio.file.Files.createTempDirectory("graft_wcap_prop").resolve("t").toString
     locally {
