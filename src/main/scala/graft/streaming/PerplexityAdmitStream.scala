@@ -39,7 +39,12 @@ object PerplexityAdmitStream {
 
   /** Train and publish the FIXED bigram model once (idempotent): the
     * exact (p, w, cpw) counts and distinct vocabulary of the curated
-    * reference slice ([[Perplexity.trainBigramModel]]). */
+    * reference slice ([[Perplexity.trainBigramModel]]). The bigrams
+    * root is the COMMIT MARKER and publishes LAST: a crash between
+    * the two publishes leaves only the vocab table, and the retry —
+    * keyed on the marker — completes the model instead of skipping
+    * the missing half (each member is individually guarded, so
+    * nothing double-publishes either). */
   def publishModel(
       refDocs: DataFrame,
       idCol: String,
@@ -47,8 +52,9 @@ object PerplexityAdmitStream {
       modelRoot: String): Unit =
     if (Publish.currentVersion(bigramsRoot(modelRoot)).isEmpty) {
       val (bigrams, vocab) = Perplexity.trainBigramModel(refDocs, idCol, textCol)
+      if (Publish.currentVersion(vocabRoot(modelRoot)).isEmpty)
+        Publish.publish(vocab, vocabRoot(modelRoot)): Unit
       Publish.publish(bigrams, bigramsRoot(modelRoot)): Unit
-      Publish.publish(vocab, vocabRoot(modelRoot)): Unit
     }
 
   /** Score `docs` against the published model: (id, n_bigrams, __ce). */

@@ -71,6 +71,26 @@ class PerplexityAdmitStreamSpec extends SparkSpec {
     assert(PerplexityAdmitStream.lastBatch(corpRoot).contains(2L))
   }
 
+  test("torn model setup (vocab published, crash before bigrams) completes on retry") {
+    val (modelRoot, corpRoot) = roots()
+    // simulate the crash: only the vocab member exists
+    val (_, vocab) = graft.text.Perplexity.trainBigramModel(
+      refDocs, "doc_id", "text")
+    Publish.publish(vocab, s"$modelRoot/vocab"): Unit
+    // retry must publish the MISSING bigrams half without minting a
+    // second vocab version — then the gate works normally
+    PerplexityAdmitStream.publishModel(refDocs, "doc_id", "text", modelRoot)
+    assert(Publish.currentVersion(s"$modelRoot/vocab").contains(1L),
+      "retry double-published the surviving member")
+    assert(Publish.currentVersion(s"$modelRoot/bigrams").contains(1L),
+      "retry skipped the missing member")
+    val b = Seq((1L, "a b c d"), (2L, "d c b a")).toDF("doc_id", "text")
+    assert(PerplexityAdmitStream.applyBatch(b, 0L, "doc_id", "text",
+      MaxCe, modelRoot, corpRoot))
+    assert(Publish.read(spark, corpRoot).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
   test("S35r: kill-and-restart resumes admissions exactly once") {
     val (modelRoot, corpRoot) = roots()
     val inDir = java.nio.file.Files.createTempDirectory("graft_s35r_in").toString
