@@ -3455,6 +3455,20 @@ object SparkEntry {
     TextOps.bm25Rank(Tables.documents(spark, dir), "doc_id", "text",
       Seq("merge", "window", "scan"), k = 10)
 
+  /** q179: hard-negative mining ([[text.TextOps.hardNegatives]]) —
+    * the retriever-training prep step: for each query document
+    * (every 97th doc), the top-5 BM25-similar corpus documents that
+    * are neither the query nor share its rolling-hash fingerprint
+    * (textual duplicates are FALSE negatives — excluded before the
+    * cut, so ranks are dense over true negatives). Batch BM25 over
+    * one (doc, term) index restricted by a distinct-query-term JOIN
+    * (never isin literals — queries are data-sized); q151's exact
+    * determinism recipe per contribution; top-k is a per-query keyed
+    * window, never a global sort. */
+  def q179HardNegatives(spark: SparkSession, dir: String): DataFrame =
+    TextOps.hardNegatives(Tables.documents(spark, dir), "doc_id", "text",
+      queryPred = col("doc_id") % 97 === 0, k = 5)
+
   /** q152: event-transition matrix — first-order Markov path
     * analysis over the per-user event stream (the clickstream
     * "what follows what" table every product-analytics stack keeps):
@@ -5058,7 +5072,8 @@ object SparkEntry {
     "q175_audio_neardup"         -> (q175AudioNeardup _),
     "q176_audio_band_neardup"    -> (q176AudioBandNeardup _),
     "q177_holt_trend"            -> (q177HoltTrend _),
-    "q178_perplexity_rank_stored" -> (q178PerplexityRankStored _)
+    "q178_perplexity_rank_stored" -> (q178PerplexityRankStored _),
+    "q179_hard_negatives"        -> (q179HardNegatives _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -5940,6 +5955,57 @@ object SparkEntry {
         |)
         |SELECT doc_id, n_terms, ROUND(CAST(score_d AS DOUBLE), 6) AS score
         |FROM scored ORDER BY score_d DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q179_hard_negatives" ->
+      // q151's BM25 parity recipe in batch form (one index, queries
+      // joined in), q25's fingerprint expression for the false-
+      // negative exclusion, ranks on decimal compare + doc id
+      """WITH terms AS (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+        |),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+        |               COUNT(*) AS n FROM dl),
+        |qterms AS (
+        |  SELECT DISTINCT doc_id AS qid, UNNEST(string_split(text, ' ')) AS term
+        |  FROM documents WHERE doc_id % 97 = 0
+        |),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms
+        |       WHERE term IN (SELECT DISTINCT term FROM qterms) GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |fps AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(text, ' '),
+        |          w -> CAST(LENGTH(w) * 97 + CASE WHEN LENGTH(w) > 0 THEN ascii(w) ELSE 0 END AS BIGINT))),
+        |      (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        |  FROM documents
+        |),
+        |scored AS (
+        |  SELECT q.qid, t.doc_id, COUNT(*) AS n_terms,
+        |    SUM(CAST(ROUND(
+        |      LN(1.0 + (CAST((SELECT n FROM tot) AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+        |        * ((t.tf * (1.2 + 1.0)) /
+        |           (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / (SELECT avgdl FROM tot)))),
+        |      9) AS DECIMAL(28,9))) AS score_d
+        |  FROM qterms q
+        |  JOIN tf t ON t.term = q.term
+        |  JOIN dfreq d ON d.term = t.term
+        |  JOIN dl l ON l.doc_id = t.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT qid, rn AS rank, doc_id AS neg_id, n_terms,
+        |  ROUND(CAST(score_d AS DOUBLE), 6) AS score
+        |FROM (
+        |  SELECT s.*, ROW_NUMBER() OVER (
+        |    PARTITION BY s.qid ORDER BY s.score_d DESC, s.doc_id) AS rn
+        |  FROM scored s
+        |  JOIN fps fq ON fq.doc_id = s.qid
+        |  JOIN fps fd ON fd.doc_id = s.doc_id
+        |  WHERE s.doc_id <> s.qid AND fd.fp <> fq.fp
+        |)
+        |WHERE rn <= 5""".stripMargin,
 
     "q149_ewma" ->
       // integer half-life weights (2^(15−d)), micro-unit prices via a

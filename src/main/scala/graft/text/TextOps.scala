@@ -444,6 +444,72 @@ object TextOps {
         round(col("__s").cast("double"), 6).as("score"))
   }
 
+  /** Hard-negative mining — the retrieval-training prep step every
+    * embedding/retriever pipeline runs: for each QUERY document, the
+    * top-k lexically-similar corpus documents that are NOT the query
+    * and NOT its textual duplicates. BM25-similar non-duplicates are
+    * exactly the "hard" negatives (lexically close, semantically
+    * distinct) contrastive training wants; excluding duplicate text
+    * removes FALSE negatives — an exact copy of the query labeled
+    * "negative" teaches the model the wrong thing.
+    *
+    * Batch form of [[bm25Rank]]: ONE corpus pass to the (doc, term)
+    * index; the distinct query-term table restricts it by a join
+    * (never an isin literal — |queries| is data-sized); per-(query,
+    * doc) scores are the same Lucene BM25 arithmetic under the same
+    * determinism recipe (engine-side k1+1, round(9) → DECIMAL per
+    * contribution, exact commutative decimal sum, ranks on decimal
+    * compare + doc id). Exclusions join the [[fingerprint]] table:
+    * self and same-fingerprint candidates drop BEFORE the cut, so
+    * rank 1..k is dense over true negatives. Top-k is a per-query
+    * keyed window — partitioned by qid, never global. Output:
+    * (qid, rank, neg_id, n_terms, score). */
+  def hardNegatives(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryPred: org.apache.spark.sql.Column,
+      k: Int = 5): DataFrame = {
+    val terms = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .transform(graft.CacheScope.persisted(_))
+    val dl = terms.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+      .transform(graft.CacheScope.persisted(_))
+    val totals = dl.agg(sum("dl").as("t"), count(lit(1)).as("n")).collect()(0)
+    val avgdl = lit(totals.getLong(0)).cast("double") /
+      lit(totals.getLong(1)).cast("double")
+    val n = totals.getLong(1)
+
+    val qTerms = docs.where(queryPred)
+      .select(col(idCol).as("qid"), explode(tokens(col(textCol))).as("term"))
+      .distinct()
+      .transform(graft.CacheScope.persisted(_))
+    val tf = terms.join(qTerms.select("term").distinct(), "term")
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0d) +
+      (lit(n).cast("double") - col("df") + lit(0.5d)) / (col("df") + lit(0.5d)))
+    val tfNorm = (col("tf") * (lit(1.2d) + lit(1.0d))) /
+      (col("tf") + lit(1.2d) * (lit(1.0d) - lit(0.75d) +
+        lit(0.75d) * col("dl") / avgdl))
+    val scored = qTerms
+      .join(tf, "term").join(dfreq, "term").join(dl, idCol)
+      .withColumn("__c", round(idf * tfNorm, 9).cast("decimal(28,9)"))
+      .groupBy(col("qid"), col(idCol))
+      .agg(count(lit(1)).as("n_terms"), sum(col("__c")).as("__s"))
+
+    val fps = fingerprint(docs, idCol, textCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("__s").desc, col(idCol))
+    scored
+      .join(fps.select(col(idCol).as("qid"), col("fingerprint").as("__qfp")), "qid")
+      .join(fps, idCol)
+      .where(col(idCol) =!= col("qid") && col("fingerprint") =!= col("__qfp"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col(idCol).as("neg_id"),
+        col("n_terms"), round(col("__s").cast("double"), 6).as("score"))
+  }
+
   /** Unicode text canonicalization — the cleanup pass a crawl corpus
     * runs BEFORE any hashing/shingling/dedup, because every identity
     * operator downstream compares bytes: `é` composed and `e`+U+0301

@@ -228,6 +228,32 @@ class TextQualitySpec extends SparkSpec {
     assert(got.toSeq == again.toSeq)
   }
 
+  test("hardNegatives: self and duplicate text excluded, lexically-near docs rank, unrelated absent") {
+    // query doc 10; doc 11 is its EXACT duplicate (false negative —
+    // must be excluded); docs 12/13 share terms (the hard negatives,
+    // 12 shares more → rank 1); doc 14 shares nothing (absent)
+    val docs = Seq(
+      (10L, "spark shuffle join window"),
+      (11L, "spark shuffle join window"),
+      (12L, "spark shuffle join elsewhere"),
+      (13L, "spark alone here today"),
+      (14L, "completely unrelated words")
+    ).toDF("doc_id", "text")
+    val got = TextOps.hardNegatives(docs, "doc_id", "text",
+      queryPred = col("doc_id") === 10L, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.forall(_._1 == 10L))
+    assert(!got.exists(_._3 == 10L), "self leaked as a negative")
+    assert(!got.exists(_._3 == 11L), "an exact duplicate is a FALSE negative")
+    assert(!got.exists(_._3 == 14L), "no shared term → no candidate")
+    assert(got.map(g => (g._2, g._3)).toSeq == Seq((1, 12L), (2, 13L)),
+      s"rank order wrong: ${got.toSeq}")
+    assert(got.find(_._3 == 12L).get._4 == 3L &&
+      got.find(_._3 == 13L).get._4 == 1L, "matched-term counts wrong")
+    // ranks stay DENSE after exclusion (1..n, no gaps where the dup sat)
+    assert(got.map(_._2).toSeq == (1 to got.length).toSeq)
+  }
+
   test("normalizeText: NFC composition, control strip, whitespace collapse, idempotence") {
     val decomposed = "cafe\u0301" // e + combining acute (NFD)
     val composed = "caf\u00e9"     // precomposed (NFC)
