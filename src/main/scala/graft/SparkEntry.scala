@@ -2632,6 +2632,23 @@ object SparkEntry {
       "doc_id", "bfp", maxHamming = 2)
   }
 
+  /** q180: video perceptual near-dup
+    * ([[graft.multimodal.Multimodal.videoNearDupPairs]]) — the video
+    * member completing the perceptual family (q130 images, q175/q176
+    * audio, THIS): corpus docs re-mux as real MJPEG AVIs with planted
+    * brightness-variant clusters (same footage, different exposure —
+    * dHash's gradient bits survive the shift through the REAL JPEG
+    * codec), per-sampled-frame dHashes band exactly like q130, and
+    * two videos pair iff EVERY frame position matches — an inserted
+    * scene breaks the pair. Rows-only (no SQL engine decodes AVI);
+    * the spec pins cluster collapse, cross-base separation, the
+    * sequence rule, and stub totality. At 100 TB: decode is a narrow
+    * batched map, the pair join moves (id, int, long) frame-hash
+    * rows — raster bytes never shuffle. */
+  def q180VideoNeardup(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.videoNearDupPairs(
+      Multimodal.asVideoTable(Tables.documents(spark, dir), "doc_id", "text"))
+
   /** q131: HTML → text extraction ([[text.TextOps.stripHtml]]) — the
     * boilerplate strip every web-crawl corpus runs before quality
     * scoring and dedup. The synthetic corpus is plain text, so half
@@ -5073,7 +5090,8 @@ object SparkEntry {
     "q176_audio_band_neardup"    -> (q176AudioBandNeardup _),
     "q177_holt_trend"            -> (q177HoltTrend _),
     "q178_perplexity_rank_stored" -> (q178PerplexityRankStored _),
-    "q179_hard_negatives"        -> (q179HardNegatives _)
+    "q179_hard_negatives"        -> (q179HardNegatives _),
+    "q180_video_neardup"         -> (q180VideoNeardup _)
   )
 
   // q10 and q44 compute the same result over different physical

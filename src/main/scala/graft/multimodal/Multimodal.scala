@@ -176,6 +176,129 @@ object Multimodal {
       .toDF()
   }
 
+  /** Wrap a text table into a VIDEO table with planted perceptual
+    * near-dup clusters — the video twin of [[asAudioTable]]'s gain
+    * clusters: every 9-block of doc ids shares one base CONTENT
+    * (cell-structured rasters keyed by (base, frame, cell) — strong
+    * ≥24-level gaps between dHash cells, far above JPEG quantization
+    * noise) and each member re-encodes it at a different BRIGHTNESS
+    * (+8·(id%9), the "same footage, different exposure/grading"
+    * population). dHash is a gradient code, so a global brightness
+    * shift through the REAL JPEG encode/decode must not move a bit —
+    * while different bases randomize every cell. Frames mux into a
+    * genuine MJPEG AVI ([[Riff.muxMjpeg]]), so the near-dup pipeline
+    * exercises the actual container and image codecs end to end. */
+  def asVideoTable(docs: DataFrame, idCol: String, textCol: String,
+      framesPerDoc: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      lit("video").as("media_type"),
+      encode(col(textCol), "UTF-8").as("payload"))
+      .as[MediaRow]
+      .mapPartitions(_.map { r =>
+        val base = r.doc_id / 9
+        val bright = (r.doc_id % 9).toInt * 8
+        val (w, h) = (32, 32)
+        val frames = (0 until framesPerDoc).map { f =>
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              // one level per dHash GRID cell (9×8 — dHashOf's exact
+              // geometry, so every gradient comparison sees two
+              // independent (base, frame, cell)-keyed levels, never a
+              // same-block tie), 7 levels 24 apart ≫ JPEG noise. The
+              // mix is QUADRATIC in the key (the q175 lesson, pinned
+              // there in code comments): a linear pattern differs
+              // between bases by a constant shift, and whenever that
+              // shift ≡ 0 mod the level count the two bases render
+              // near-identical rasters — phantom cross-cluster pairs
+              val cell = (x * 9 / w) + (y * 8 / h) * 9
+              val key = (base * 1000003L + f * 7919L + cell * 2654435761L) %
+                1000000007L
+              val mix = key * key % 1000000007L * 2654435761L % 1000000007L
+              val v = math.min(255, 16 + (mix % 7L).toInt * 24 + bright)
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", baos)
+          baos.toByteArray
+        }
+        r.copy(payload = Riff.muxMjpeg(w, h, fps = 24, frames))
+      })
+      .toDF()
+  }
+
+  case class FrameHash(doc_id: Long, frame_idx: Int, fhash: Long, decoded: Boolean)
+
+  /** Per-sampled-frame perceptual hashes — [[decodeFrames]]'s frame
+    * sampling with [[ImageDedup.dHashOf]] over each decoded raster:
+    * (doc_id, frame_idx, fhash, decoded). Frames that don't
+    * image-decode and non-AVI payloads stub deterministically. */
+  def videoFrameHashes(media: DataFrame, framesPerDoc: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.where(col("media_type") === "video")
+      .select(col("doc_id"), col("media_type"), col("payload")).as[MediaRow]
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(_.flatMap { r =>
+        val n = r.payload.length
+        val ranges = Riff.parseAvi(r.payload) match {
+          case Some(info) =>
+            val k = math.max(1, math.min(framesPerDoc, info.nFrames))
+            (0 until k).map(i => (i, info.frames(info.nFrames * i / k)))
+          case None =>
+            val k = math.max(1, math.min(framesPerDoc, n))
+            (0 until k).map { i =>
+              val off = (n.toLong * i / k).toInt
+              (i, (off, math.min(16, n - off)))
+            }
+        }
+        ranges.map { case (i, (off, len)) =>
+          val bytes = java.util.Arrays.copyOfRange(r.payload, off, off + len)
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img != null)
+            FrameHash(r.doc_id, i, ImageDedup.dHashOf(img), decoded = true)
+          else FrameHash(r.doc_id, i,
+            (off.toLong * 2654435761L + len) % 1000000007L, decoded = false)
+        }
+      }))
+      .toDF()
+  }
+
+  /** Video perceptual near-dup — the SEQUENCE rule over frame
+    * hashes: two videos pair iff EVERY sampled frame position's
+    * dHashes band-match within `maxHamming` (per-position
+    * [[ImageDedup.dHashPairs]] banding — exact recall at the frame
+    * level — then an all-positions conjunction). Matching clips with
+    * one divergent frame (an inserted scene) do NOT pair: stricter
+    * and deterministic. Output: (doc_a, doc_b, n_frames,
+    * max_hamming). Scale shape: frame hashes are |docs|·k rows of
+    * (id, int, long); each per-position banding joins only that
+    * position's slice; the conjunction is one (a, b) aggregate. */
+  def videoNearDupPairs(
+      media: DataFrame,
+      framesPerDoc: Int = 4,
+      maxHamming: Int = 2): DataFrame = {
+    val fh = graft.CacheScope.persisted(
+      videoFrameHashes(media, framesPerDoc).where(col("decoded")))
+    val perFrame = (0 until framesPerDoc).map { i =>
+      ImageDedup.dHashPairs(fh.where(col("frame_idx") === i),
+        "doc_id", "fhash", maxHamming)
+    }.reduce(_ unionByName _)
+    perFrame
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_frames"), max(col("hamming")).as("max_hamming"))
+      .where(col("n_frames") === framesPerDoc)
+  }
+
   /** Decode/feature-extract pass: per-partition, batched. The only
     * wide operation a real pipeline adds here is an optional
     * repartition to match decoder parallelism; the decode itself is a

@@ -31,7 +31,8 @@ class OracleSpec extends AnyFunSuite {
       "q56_approx_distinct", "q64_audio_meta", "q75_frame_decode",
       "q82_heavy_hitters_sketch", "q86_rolling_distinct_hll",
       "q87_percentile_sketch", "q130_image_neardup", "q175_audio_neardup",
-      "q176_audio_band_neardup", "q166_incremental_neardup")
+      "q176_audio_band_neardup", "q180_video_neardup",
+      "q166_incremental_neardup")
     assert(rowsOnly == documented,
       s"rows-only set drifted: new=${rowsOnly -- documented} gone=${documented -- rowsOnly}")
   }
