@@ -279,10 +279,17 @@ object Multimodal {
     * [[ImageDedup.dHashPairs]] banding — exact recall at the frame
     * level — then an all-positions conjunction). Matching clips with
     * one divergent frame (an inserted scene) do NOT pair: stricter
-    * and deterministic. Output: (doc_a, doc_b, n_frames,
-    * max_hamming). Scale shape: frame hashes are |docs|·k rows of
-    * (id, int, long); each per-position banding joins only that
-    * position's slice; the conjunction is one (a, b) aggregate. */
+    * and deterministic. "Every sampled position" means BOTH docs'
+    * actual decoded-frame counts, not the `framesPerDoc` constant —
+    * [[videoFrameHashes]] samples k = min(framesPerDoc, nFrames)
+    * frames, so two identical short clips (k < framesPerDoc) must
+    * still pair, and a doc with an undecodable frame must match on
+    * every frame it DID decode, on both sides. Output: (doc_a,
+    * doc_b, n_frames, max_hamming). Scale shape: frame hashes are
+    * |docs|·k rows of (id, int, long); each per-position banding
+    * joins only that position's slice; the conjunction is one
+    * (a, b) aggregate joined to the |docs|-row per-doc frame-count
+    * table (broadcast-sized). */
   def videoNearDupPairs(
       media: DataFrame,
       framesPerDoc: Int = 4,
@@ -293,10 +300,14 @@ object Multimodal {
       ImageDedup.dHashPairs(fh.where(col("frame_idx") === i),
         "doc_id", "fhash", maxHamming)
     }.reduce(_ unionByName _)
+    val cnt = fh.groupBy(col("doc_id")).agg(count(lit(1)).as("__n"))
     perFrame
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_frames"), max(col("hamming")).as("max_hamming"))
-      .where(col("n_frames") === framesPerDoc)
+      .join(cnt.select(col("doc_id").as("doc_a"), col("__n").as("__na")), "doc_a")
+      .join(cnt.select(col("doc_id").as("doc_b"), col("__n").as("__nb")), "doc_b")
+      .where(col("n_frames") === col("__na") && col("n_frames") === col("__nb"))
+      .select(col("doc_a"), col("doc_b"), col("n_frames"), col("max_hamming"))
   }
 
   /** Decode/feature-extract pass: per-partition, batched. The only

@@ -51,18 +51,6 @@ import org.apache.spark.sql.types._
   */
 object PrefixSum {
 
-  /** Append `outCol` = running sum of `valueCol` over the global
-    * order given by `orderCols` (ascending, inclusive of the current
-    * row). Integral measures accumulate in Long (BIGINT sum
-    * semantics), floating-point in Double.
-    *
-    * Float caveat: for Double measures the two-pass scheme associates
-    * additions differently than a sequential `SUM OVER` — per
-    * partition, then offsets — so results can differ from a
-    * single-task window (or an oracle) in the last ulps, and can vary
-    * with `numPartitions`. "Partition count is a physical knob, not
-    * semantic" is therefore EXACT for integral measures only;
-    * compare floating outputs with a tolerance (PrefixSumSpec does). */
   /** Append `outCol` = 1-based GLOBAL row number over `orderCols`
     * (ascending) — `ROW_NUMBER() OVER (ORDER BY …)` with no partition
     * key — and return the total row count alongside, for free: pass 1
@@ -110,6 +98,18 @@ object PrefixSum {
     (out, total)
   }
 
+  /** Append `outCol` = running sum of `valueCol` over the global
+    * order given by `orderCols` (ascending, inclusive of the current
+    * row). Integral measures accumulate in Long (BIGINT sum
+    * semantics), floating-point in Double.
+    *
+    * Float caveat: for Double measures the two-pass scheme associates
+    * additions differently than a sequential `SUM OVER` — per
+    * partition, then offsets — so results can differ from a
+    * single-task window (or an oracle) in the last ulps, and can vary
+    * with `numPartitions`. "Partition count is a physical knob, not
+    * semantic" is therefore EXACT for integral measures only;
+    * compare floating outputs with a tolerance (PrefixSumSpec does). */
   def globalRunningSum(
       df: DataFrame,
       orderCols: Seq[String],

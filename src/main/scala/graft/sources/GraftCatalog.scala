@@ -749,6 +749,17 @@ object GraftCatalog {
         // filter, not a horizon request; pushed bounds clamp to the
         // surviving horizon, the startVersion option passes verbatim
         private def lo: Long = {
+          // validate the explicit option against the surviving horizon
+          // UP FRONT: a pushed lower bound (clamped to earliest) must
+          // not out-max a below-horizon startVersion into silently
+          // serving the truncated feed — refusal is the option's
+          // contract whether or not Spark happened to push a predicate
+          startVersion.foreach { sv =>
+            if (math.max(sv, 1L) < earliest) throw new IllegalStateException(
+              s"changes startVersion $sv on '$tname' is below the " +
+              s"surviving horizon $earliest — history was vacuumed past " +
+              "retention; refusing to serve a truncated feed")
+          }
           val base = startVersion.getOrElse(earliest)
           val pushed = loReq.map(_ max earliest)
           math.max(pushed.fold(base)(p => math.max(base, p)), 1L)

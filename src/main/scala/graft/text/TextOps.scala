@@ -422,8 +422,13 @@ object TextOps {
     val dl = terms.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
       .transform(graft.CacheScope.persisted(_))
     val totals = dl.agg(sum("dl").as("t"), count(lit(1)).as("n")).collect()(0)
-    val totTok = totals.getLong(0)
     val n = totals.getLong(1)
+    // empty corpus: SUM is NULL — return an empty, correctly-typed frame
+    // instead of an NPE at plan-build time
+    if (n == 0L)
+      return docs.limit(0).select(col(idCol),
+        lit(0L).as("n_terms"), lit(0.0d).as("score"))
+    val totTok = totals.getLong(0)
     // exact integers divided engine-side: identical double both engines
     val avgdl = lit(totTok).cast("double") / lit(n).cast("double")
     val tf = terms.where(col("term").isin(queryTerms: _*))
@@ -475,9 +480,14 @@ object TextOps {
     val dl = terms.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
       .transform(graft.CacheScope.persisted(_))
     val totals = dl.agg(sum("dl").as("t"), count(lit(1)).as("n")).collect()(0)
-    val avgdl = lit(totals.getLong(0)).cast("double") /
-      lit(totals.getLong(1)).cast("double")
     val n = totals.getLong(1)
+    // same empty-corpus guard as bm25Rank: SUM(dl) is NULL when no docs
+    if (n == 0L)
+      return docs.limit(0).select(col(idCol).as("qid"),
+        lit(0).as("rank"), col(idCol).as("neg_id"),
+        lit(0L).as("n_terms"), lit(0.0d).as("score"))
+    val avgdl = lit(totals.getLong(0)).cast("double") /
+      lit(n).cast("double")
 
     val qTerms = docs.where(queryPred)
       .select(col(idCol).as("qid"), explode(tokens(col(textCol))).as("term"))

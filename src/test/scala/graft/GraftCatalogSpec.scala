@@ -361,6 +361,13 @@ class GraftCatalogSpec extends SparkSpec {
       val e2 = intercept[Exception](spark.sql(
         s"SELECT * FROM $cat4.`t$$changes`").collect())
       assert(e2.getMessage.contains("retention"), e2.getMessage)
+      // …and a pushed lower bound must NOT bypass the refusal: the
+      // option is validated against the horizon up front, so a query
+      // carrying WHERE from_version >= earliest still refuses instead
+      // of silently serving the truncated feed
+      val e3 = intercept[Exception](spark.sql(
+        s"SELECT * FROM $cat4.`t$$changes` WHERE from_version >= 2").collect())
+      assert(e3.getMessage.contains("retention"), e3.getMessage)
       // …while a surviving startVersion serves normally
       val cat5 = catalogFor(root)
       spark.conf.set(s"spark.sql.catalog.$cat5.changes.t.keys", "id")

@@ -254,6 +254,19 @@ class TextQualitySpec extends SparkSpec {
     assert(got.map(_._2).toSeq == (1 to got.length).toSeq)
   }
 
+  test("bm25Rank / hardNegatives: an empty corpus yields an empty frame, not an NPE") {
+    // SUM(dl) over zero docs is NULL — the plan-build-time scalar read
+    // must guard it and return a correctly-typed empty result
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val r1 = TextOps.bm25Rank(empty, "doc_id", "text", Seq("scan"), k = 5)
+    assert(r1.columns.toSeq == Seq("doc_id", "n_terms", "score"))
+    assert(r1.isEmpty)
+    val r2 = TextOps.hardNegatives(empty, "doc_id", "text",
+      queryPred = col("doc_id") === 1L, k = 5)
+    assert(r2.columns.toSeq == Seq("qid", "rank", "neg_id", "n_terms", "score"))
+    assert(r2.isEmpty)
+  }
+
   test("normalizeText: NFC composition, control strip, whitespace collapse, idempotence") {
     val decomposed = "cafe\u0301" // e + combining acute (NFD)
     val composed = "caf\u00e9"     // precomposed (NFC)

@@ -64,6 +64,39 @@ class VideoDedupSpec extends SparkSpec {
     assert(pairs3.contains((0L, 901L)), s"byte-identical frames must pair: $pairs3")
   }
 
+  test("short clips (fewer frames than framesPerDoc) pair on their ACTUAL sampled count") {
+    // two identical 2-frame clips: videoFrameHashes samples only
+    // k = min(framesPerDoc, nFrames) = 2 positions, so the old
+    // `n_frames === framesPerDoc` rule could never pair them
+    def checker(phase: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32)
+        img.setRGB(x, y,
+          if (((x / 4) + (y / 4) + phase) % 2 == 0) 0xFFFFFF else 0)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
+    val a = checker(0); val b = checker(1) // inverted board: dHash far apart
+    val short1 = Riff.muxMjpeg(32, 32, fps = 24, Seq(a, b))
+    val short2 = Riff.muxMjpeg(32, 32, fps = 24, Seq(a, b))
+    val diverge = Riff.muxMjpeg(32, 32, fps = 24, Seq(a, a)) // differs at pos 1
+    val long4 = Riff.muxMjpeg(32, 32, fps = 24, Seq(a, b, a, b))
+    val media = Seq(
+      (1L, "video", short1), (2L, "video", short2),
+      (3L, "video", diverge), (4L, "video", long4))
+      .toDF("doc_id", "media_type", "payload")
+    val pairs = Multimodal.videoNearDupPairs(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.contains((1L, 2L, 2L)),
+      s"identical 2-frame clips must pair with n_frames = 2: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "a short clip divergent at one sampled position must not pair")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      "clips with different sampled-frame counts must not pair")
+  }
+
   test("stub totality: non-AVI video payloads hash deterministically, excluded from pairs") {
     val media = Seq(
       (1L, "video", "not an avi at all".getBytes("UTF-8")),
