@@ -289,9 +289,15 @@ case class TopKRewrite(spark: SparkSession)
 
 object TopKRewrite {
 
-  // driver-side sidecar cache: statsDir -> (mtime, totalRows, ndvByCol)
+  // driver-side sidecar cache: statsDir -> (listing signature,
+  // totalRows, ndvByCol). The signature is the sidecar's FILE LISTING
+  // (names + lengths + mtimes), NOT the directory mtime: local
+  // filesystems stamp directories at second granularity (two sidecar
+  // rewrites inside one tick would serve stale ndv) and object stores
+  // synthesize directory mtimes entirely — the listing changes
+  // whenever the sidecar's contents do, on both.
   private val statsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Map[String, Double])]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long, Map[String, Double])]()
 
   /** Estimated rows-per-group for a grouping on `keyCols` of the
     * table at `tablePath`, from its `_fstats` sidecar: total rows /
@@ -309,7 +315,9 @@ object TopKRewrite {
       val p = new org.apache.hadoop.fs.Path(statsDir)
       val fsys = p.getFileSystem(spark.sessionState.newHadoopConf())
       if (!fsys.exists(p)) return None
-      val sig = fsys.getFileStatus(p).getModificationTime
+      val sig = fsys.listStatus(p)
+        .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .sorted.mkString("|")
       val cached = statsCache.get(statsDir)
       val (rows, ndvByCol) =
         if (cached != null && cached._1 == sig) (cached._2, cached._3)

@@ -204,6 +204,42 @@ class TopKRewriteSpec extends SparkSpec {
     } finally graft.sources.Sinks.deleteRecursively(java.nio.file.Paths.get(root))
   }
 
+  test("stats-cache keys on the sidecar LISTING: a rewrite inside one dir-mtime tick still flips the gate") {
+    val sess = spark
+    import sess.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_topk_sig").toString
+    try {
+      val t = s"$root/t"
+      // churn regime first: near-unique key → the gate keeps the Window
+      (0 until 4000).map(i => (i.toLong, i.toLong % 7, i.toDouble))
+        .toDF("g", "t", "v").repartition(4).write.parquet(t)
+      graft.sources.FileStats.build(spark, t, cols = Nil, kmvCols = Seq("g"))
+      def q() = spark.read.parquet(t)
+        .selectExpr("g", "t", "v",
+          "row_number() OVER (PARTITION BY g ORDER BY t, v) AS rn")
+        .where(col("rn") <= 3)
+      assert(q().queryExecution.executedPlan.toString.contains("Window"),
+        "churn sidecar must gate the rewrite off (and warm the cache)")
+      val statsDir = java.nio.file.Paths.get(
+        graft.sources.FileStats.statsPath(t))
+      val m0 = java.nio.file.Files.getLastModifiedTime(statsDir)
+      // rewrite the data to the leaderboard regime, rebuild the
+      // sidecar, then PIN the sidecar directory's mtime back to the
+      // first observation — the same-tick rewrite (local FS) and the
+      // synthetic-mtime case (object stores) a directory-mtime cache
+      // key cannot distinguish from "unchanged"
+      (0 until 4000).map(i => (i.toLong % 8, i.toLong, i.toDouble))
+        .toDF("g", "t", "v").repartition(4)
+        .write.mode("overwrite").parquet(t)
+      graft.sources.FileStats.build(spark, t, cols = Nil, kmvCols = Seq("g"))
+      java.nio.file.Files.setLastModifiedTime(statsDir, m0)
+      val plan = q().queryExecution.executedPlan.toString
+      assert(!plan.contains("Window") && plan.contains("partial_collect_top_k"),
+        s"a sidecar rewrite inside one dir-mtime tick must flip the gate:\n$plan")
+    } finally graft.sources.Sinks.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
   test("stats gate reaches GraftCatalog-served tables (DSv2 scan, live version sidecar)") {
     val sess = spark
     import sess.implicits._
