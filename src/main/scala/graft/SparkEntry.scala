@@ -2649,6 +2649,46 @@ object SparkEntry {
     Multimodal.videoNearDupPairs(
       Multimodal.asVideoTable(Tables.documents(spark, dir), "doc_id", "text"))
 
+  /** q181: INCREMENTAL media near-dup
+    * ([[graft.multimodal.ImageDedup.incrementalDHashPairs]]) — q166's
+    * crawl-ingest posture carried to the PERCEPTUAL family: the
+    * corpus (2/3 of documents, rendered as real MJPEG clips with
+    * q180's planted brightness clusters) decodes and
+    * fingerprints ONCE and its `(doc_id, dhash)` table is published
+    * as a maintained index under the commit protocol; per batch the
+    * held-out third decodes only ITSELF, bands both sides at join
+    * time (narrow column algebra over (id, long) rows — the media
+    * bytes never shuffle), equi-joins the index on `(band, sig)` and
+    * hamming-verifies each candidate. Admitted batches append their
+    * fingerprints via `Txn.append` (cost ∝ batch) — which is what
+    * "maintained" means at 100 TB: a crawl pipeline ingesting media
+    * re-decodes nothing it already admitted. Rows-only (no SQL
+    * engine decodes JPEG); IncrementalMediaDedupSpec pins (a)
+    * incremental pairs ≡ the corpus×batch cross slice of a
+    * from-scratch run for ALL THREE perceptual fingerprint families
+    * (image dHash, audio envelope, audio band-energy) and (b)
+    * append-maintained index ≡ full re-fingerprint, so the registry
+    * gate is rows>0 while the semantics are spec-exact. */
+  private def mediaNearDupIndex(spark: SparkSession, dir: String): String =
+    graft.tools.Scratch.cachedArtifact(
+      "graft_mndidx", dir, s"$dir/documents.parquet") { (root, _) =>
+      val corpus = Multimodal.asVideoTable(
+        Tables.documents(spark, dir).where(col("doc_id") % 3 =!= 0),
+        "doc_id", "text")
+      graft.sources.Publish.publish(
+        graft.multimodal.ImageDedup.imageDHashes(corpus), root): Unit
+    }
+
+  def q181IncrementalMediaNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val idx = graft.sources.Publish.read(spark, mediaNearDupIndex(spark, dir))
+    val batch = Multimodal.asVideoTable(
+      Tables.documents(spark, dir).where(col("doc_id") % 3 === 0),
+      "doc_id", "text")
+    graft.multimodal.ImageDedup.incrementalDHashPairs(
+      idx, graft.multimodal.ImageDedup.imageDHashes(batch),
+      "doc_id", "dhash", maxHamming = 2)
+  }
+
   /** q131: HTML → text extraction ([[text.TextOps.stripHtml]]) — the
     * boilerplate strip every web-crawl corpus runs before quality
     * scoring and dedup. The synthetic corpus is plain text, so half
@@ -5091,7 +5131,8 @@ object SparkEntry {
     "q177_holt_trend"            -> (q177HoltTrend _),
     "q178_perplexity_rank_stored" -> (q178PerplexityRankStored _),
     "q179_hard_negatives"        -> (q179HardNegatives _),
-    "q180_video_neardup"         -> (q180VideoNeardup _)
+    "q180_video_neardup"         -> (q180VideoNeardup _),
+    "q181_incremental_media_neardup" -> (q181IncrementalMediaNeardup _)
   )
 
   // q10 and q44 compute the same result over different physical

@@ -109,6 +109,33 @@ object ImageDedup {
       .toDF("doc_id", "dhash")
   }
 
+  /** The `(id, hash, band, sig)` banded form of a 64-bit fingerprint
+    * table — pure column algebra over `(id, long)` rows (shift, mask,
+    * stack: no shuffle), exposed so incremental pipelines can band a
+    * PUBLISHED fingerprint index at join time instead of re-decoding
+    * anything. Band layout is the smallest band count ≥ maxHamming+1
+    * dividing 64 (the simhash pigeonhole rule), a pure function of
+    * `maxHamming` — so bands computed for a batch today join exactly
+    * against bands computed over an index published last month. */
+  private[graft] def bandedHashes(
+      hashes: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int): DataFrame = {
+    val bands = (maxHamming + 1 to 64)
+      .find(b => 64 % b == 0 && 64 / b <= 63)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no band layout for maxHamming=$maxHamming"))
+    val bandBits = 64 / bands
+    val mask = (1L << bandBits) - 1
+    val stackExpr = "stack(" + bands + ", " +
+      (0 until bands).map(b => s"$b, __band$b").mkString(", ") + ") AS (band, sig)"
+    (0 until bands).foldLeft(hashes.select(col(idCol), col(hashCol))) {
+      (df, b) => df.withColumn(s"__band$b",
+        shiftrightunsigned(col(hashCol), b * bandBits).bitwiseAND(lit(mask)))
+    }.select(col(idCol), col(hashCol), expr(stackExpr))
+  }
+
   /** Near-duplicate pairs among (idCol, hashCol) fingerprints:
     * banding candidates (exact recall at the threshold by
     * pigeonhole), one xor+bit_count verification per candidate.
@@ -118,19 +145,7 @@ object ImageDedup {
       idCol: String,
       hashCol: String,
       maxHamming: Int = 2): DataFrame = {
-    // smallest band count ≥ maxHamming+1 dividing 64 (the simhash rule)
-    val bands = (maxHamming + 1 to 64)
-      .find(b => 64 % b == 0 && 64 / b <= 63)
-      .getOrElse(throw new IllegalArgumentException(
-        s"no band layout for maxHamming=$maxHamming"))
-    val bandBits = 64 / bands
-    val mask = (1L << bandBits) - 1
-    val stackExpr = "stack(" + bands + ", " +
-      (0 until bands).map(b => s"$b, __band$b").mkString(", ") + ") AS (band, sig)"
-    val banded = (0 until bands).foldLeft(hashes.select(col(idCol), col(hashCol))) {
-      (df, b) => df.withColumn(s"__band$b",
-        shiftrightunsigned(col(hashCol), b * bandBits).bitwiseAND(lit(mask)))
-    }.select(col(idCol), col(hashCol), expr(stackExpr))
+    val banded = bandedHashes(hashes, idCol, hashCol, maxHamming)
     val a = banded.select(col(idCol).as("doc_a"), col(hashCol).as("__ha"),
       col("band"), col("sig"))
     val b = banded.select(col(idCol).as("doc_b"), col(hashCol).as("__hb"),
@@ -138,6 +153,48 @@ object ImageDedup {
     a.join(b, Seq("band", "sig"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Incremental perceptual near-dup of a batch against a MAINTAINED
+    * fingerprint index — [[graft.similarity.Dedup
+    * .incrementalNearDupPairs]]'s crawl-ingest posture carried to the
+    * perceptual media family. `index` is the published `(id, hash)`
+    * fingerprint table of everything ingested so far (versioned under
+    * the commit protocol; each admitted batch appends its own
+    * fingerprints via `Txn.append`, cost ∝ batch — corpus media is
+    * never re-decoded). The fingerprints (image dHash, audio
+    * envelope/band-energy hashes, video frame hashes) are
+    * corpus-independent integers, so the q166 identity carries
+    * directly: banding both sides at join time is narrow column
+    * algebra, the equi-join on `(band, sig)` is one index scan per
+    * batch with the batch side broadcast-able (the daily-crawl
+    * shape), and hamming verifies each candidate exactly. Returns
+    * `(corpus_doc, batch_doc, hamming)`; same-id rows are excluded
+    * (a re-ingested identical payload is the exact gate's job).
+    *
+    * Equivalence contract (IncrementalMediaDedupSpec): the pair set
+    * is exactly the corpus×batch cross slice of a from-scratch
+    * [[dHashPairs]] run over corpus ∪ batch fingerprints —
+    * maintaining the index is an optimization, never a recall
+    * change. */
+  def incrementalDHashPairs(
+      index: DataFrame,
+      batchHashes: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int = 2): DataFrame = {
+    val a = bandedHashes(index, idCol, hashCol, maxHamming)
+      .select(col(idCol).as("corpus_doc"), col(hashCol).as("__ha"),
+        col("band"), col("sig"))
+    val b = bandedHashes(batchHashes, idCol, hashCol, maxHamming)
+      .select(col(idCol).as("batch_doc"), col(hashCol).as("__hb"),
+        col("band"), col("sig"))
+    a.join(b, Seq("band", "sig"))
+      .where(col("corpus_doc") =!= col("batch_doc"))
+      .select(col("corpus_doc"), col("batch_doc"),
         bit_count(col("__ha").bitwiseXOR(col("__hb"))).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)

@@ -32,7 +32,7 @@ class OracleSpec extends AnyFunSuite {
       "q82_heavy_hitters_sketch", "q86_rolling_distinct_hll",
       "q87_percentile_sketch", "q130_image_neardup", "q175_audio_neardup",
       "q176_audio_band_neardup", "q180_video_neardup",
-      "q166_incremental_neardup")
+      "q166_incremental_neardup", "q181_incremental_media_neardup")
     assert(rowsOnly == documented,
       s"rows-only set drifted: new=${rowsOnly -- documented} gone=${documented -- rowsOnly}")
   }
