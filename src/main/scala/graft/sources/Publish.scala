@@ -291,10 +291,22 @@ object Publish {
     * also match the key inside ANOTHER meta value or the schema DDL
     * string. */
   def currentMetaValue(root: String, key: String): Option[String] =
-    currentManifest(root).flatMap { m =>
-      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(m)
-      Option(node.get("meta")).flatMap(o => Option(o.get(key))).map(_.asText)
-    }
+    currentManifest(root).flatMap(metaValueIn(_, key))
+
+  /** [[currentMetaValue]] at a SPECIFIC version — the provenance
+    * read: a superseded version's manifest keeps recording the meta
+    * its writer attached (e.g. which model version admitted a batch)
+    * for as long as the version survives vacuum. */
+  def metaValueAt(root: String, version: Long, key: String): Option[String] = {
+    val p = Paths.get(root).resolve(s"v=$version").resolve(Manifest)
+    if (!Files.exists(p)) None
+    else metaValueIn(new String(Files.readAllBytes(p), StandardCharsets.UTF_8), key)
+  }
+
+  private def metaValueIn(manifest: String, key: String): Option[String] = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(manifest)
+    Option(node.get("meta")).flatMap(o => Option(o.get(key))).map(_.asText)
+  }
 
   /** [[read]] CONFORMED to the live manifest's recorded schema — the
     * read path for tables whose files legitimately differ in width

@@ -49,6 +49,10 @@ object AppendStream {
     * batch files), then run the maintenance loop on cadence. Returns
     * false (no writes at all) for an already-committed batch id.
     *
+    * @param extraMeta caller key/values recorded alongside the
+    *   batch-id marker in the append version's manifest — the
+    *   provenance channel (e.g. which model version scored the
+    *   batch). The batch-id key itself is reserved and always wins.
     * @param statsCols when non-empty, the compaction cadence also
     *   refreshes the new version's [[graft.sources.FileStats]]
     *   `_fstats` manifest INCREMENTALLY (carried files re-point their
@@ -66,7 +70,8 @@ object AppendStream {
       targetBytes: Long = 128L * 1024 * 1024,
       retain: Int = 1,
       statsCols: Seq[String] = Nil,
-      statsKeyCols: Seq[String] = Nil): Boolean = {
+      statsKeyCols: Seq[String] = Nil,
+      extraMeta: Map[String, String] = Map.empty): Boolean = {
     if (lastBatch(root).exists(_ >= batchId)) false
     else {
       val spark = batch.sparkSession
@@ -81,7 +86,7 @@ object AppendStream {
         // grew a column) — the new manifest must record the union,
         // never a sampled footer's width
         Publish.publishStagedIf(spark, root, expectedLive = live,
-          meta = Map(BatchKey -> batchId.toString),
+          meta = extraMeta ++ Map(BatchKey -> batchId.toString),
           mergeSchema = true) { staging =>
           Files.createDirectories(Paths.get(staging)): Unit
           live.foreach { v =>

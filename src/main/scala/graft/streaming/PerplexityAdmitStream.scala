@@ -30,12 +30,30 @@ import graft.text.Perplexity
   * [[Perplexity.scoreAgainst]] verbatim (exact integer counts, one
   * rounded-decimal −ln P per bigram), so a doc's ce here equals its
   * q172 ce under the same reference. Exactly-once is [[AppendStream]]'s
-  * batch-id refusal on the single corpus root — the model tables are
-  * write-once at setup and never touched by the stream. */
+  * batch-id refusal on the single corpus root — the stream never
+  * writes the model tables; they change only through the explicit
+  * [[republishModel]] cutover, each batch pins the version it scored
+  * against, and the admitted manifest records that version as
+  * provenance ([[ModelKey]]). */
 object PerplexityAdmitStream {
 
   private def bigramsRoot(modelRoot: String) = s"$modelRoot/bigrams"
   private def vocabRoot(modelRoot: String) = s"$modelRoot/vocab"
+
+  /** bigrams-manifest meta key naming the vocab version this model
+    * version pairs with — the two halves of one trained model must
+    * never mix across versions. */
+  private val VocabKey = "graft.vocabVersion"
+
+  /** corpus-manifest meta key recording which model version scored
+    * an admitted batch (provenance; read back via
+    * [[Publish.metaValueAt]]). */
+  val ModelKey = "graft.modelVersion"
+
+  /** The live model version (= the bigrams table's live version) —
+    * None until [[publishModel]] has committed once. */
+  def modelVersion(modelRoot: String): Option[Long] =
+    Publish.currentVersion(bigramsRoot(modelRoot))
 
   /** Train and publish the FIXED bigram model once (idempotent): the
     * exact (p, w, cpw) counts and distinct vocabulary of the curated
@@ -43,8 +61,9 @@ object PerplexityAdmitStream {
     * root is the COMMIT MARKER and publishes LAST: a crash between
     * the two publishes leaves only the vocab table, and the retry —
     * keyed on the marker — completes the model instead of skipping
-    * the missing half (each member is individually guarded, so
-    * nothing double-publishes either). */
+    * the missing half. The bigrams manifest records WHICH vocab
+    * version it pairs with, so a later [[republishModel]] cutover
+    * can never mix one model's counts with another's vocabulary. */
   def publishModel(
       refDocs: DataFrame,
       idCol: String,
@@ -52,26 +71,71 @@ object PerplexityAdmitStream {
       modelRoot: String): Unit =
     if (Publish.currentVersion(bigramsRoot(modelRoot)).isEmpty) {
       val (bigrams, vocab) = Perplexity.trainBigramModel(refDocs, idCol, textCol)
-      if (Publish.currentVersion(vocabRoot(modelRoot)).isEmpty)
-        Publish.publish(vocab, vocabRoot(modelRoot)): Unit
-      Publish.publish(bigrams, bigramsRoot(modelRoot)): Unit
+      val vv = Publish.currentVersion(vocabRoot(modelRoot)).getOrElse(
+        Publish.publish(vocab, vocabRoot(modelRoot)))
+      Publish.publish(bigrams, bigramsRoot(modelRoot),
+        meta = Map(VocabKey -> vv.toString)): Unit
     }
 
-  /** Score `docs` against the published model: (id, n_bigrams, __ce). */
+  /** Model CUTOVER — retrain on a new curated reference and publish
+    * it as the NEXT model version. Real reference corpora drift;
+    * write-once would freeze the gate on the first curation forever.
+    *
+    * Commit order is [[publishModel]]'s torn-crash argument run
+    * again: the vocab half publishes first (a new version under the
+    * vocab root), the bigrams half LAST carrying that vocab version
+    * in its manifest meta — the bigrams pointer flip IS the cutover.
+    * A crash between the two leaves the old model fully live (the
+    * new vocab version is dangling but harmless — versions are
+    * immutable and unvacuumed) and a retry simply publishes a fresh
+    * pair. Batches admitted before the flip keep their recorded
+    * [[ModelKey]] provenance; batches after score against the new
+    * version. Returns the new model version. */
+  def republishModel(
+      refDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      modelRoot: String): Long = {
+    val (bigrams, vocab) = Perplexity.trainBigramModel(refDocs, idCol, textCol)
+    val vv = Publish.publish(vocab, vocabRoot(modelRoot))
+    Publish.publish(bigrams, bigramsRoot(modelRoot),
+      meta = Map(VocabKey -> vv.toString))
+  }
+
+  /** Score `docs` against the published model: (id, n_bigrams, __ce).
+    *
+    * @param version pin a specific model version; default = live.
+    *   Both halves resolve through the PINNED bigrams manifest (its
+    *   recorded vocab version), so a concurrent [[republishModel]]
+    *   can never hand one batch the new counts and the old vocab. */
   def score(
       spark: SparkSession,
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      modelRoot: String): DataFrame =
+      modelRoot: String,
+      version: Option[Long] = None): DataFrame = {
+    val mv = version.orElse(modelVersion(modelRoot)).getOrElse(
+      throw new IllegalStateException(s"no published model at $modelRoot"))
+    val vv = Publish.metaValueAt(bigramsRoot(modelRoot), mv, VocabKey)
+      .map(_.toLong)
+      // pre-versioning roots carry no pairing meta; their vocab was
+      // write-once, so live IS the pair
+      .orElse(Publish.currentVersion(vocabRoot(modelRoot)))
+      .getOrElse(throw new IllegalStateException(s"no vocab at $modelRoot"))
     Perplexity.scoreAgainst(docs, idCol, textCol,
-      Publish.read(spark, bigramsRoot(modelRoot)),
-      Publish.read(spark, vocabRoot(modelRoot)))
+      Publish.readVersion(spark, bigramsRoot(modelRoot), mv),
+      Publish.readVersion(spark, vocabRoot(modelRoot), vv))
+  }
 
-  /** Fold one micro-batch: score against the fixed model, append
-    * documents whose mean cross-entropy clears the ceiling (ce ≤
-    * `maxCe`, in nats). Bigram-less docs (null ce — too short to be
-    * prose) are rejected. Returns false untouched on replay. */
+  /** Fold one micro-batch: score against the LIVE model version,
+    * append documents whose mean cross-entropy clears the ceiling
+    * (ce ≤ `maxCe`, in nats). Bigram-less docs (null ce — too short
+    * to be prose) are rejected. The model version is resolved ONCE
+    * and pinned for the whole batch — scoring and the manifest's
+    * [[ModelKey]] provenance record can never disagree even if a
+    * [[republishModel]] cutover lands mid-batch. Returns false
+    * untouched on replay. */
   def applyBatch(
       batch: DataFrame,
       batchId: Long,
@@ -82,12 +146,15 @@ object PerplexityAdmitStream {
       corpusRoot: String): Boolean = {
     if (AppendStream.lastBatch(corpusRoot).exists(_ >= batchId)) return false
     val spark = batch.sparkSession
+    val mv = modelVersion(modelRoot).getOrElse(
+      throw new IllegalStateException(s"no published model at $modelRoot"))
     val admitted = batch.join(
-      score(spark, batch, idCol, textCol, modelRoot)
+      score(spark, batch, idCol, textCol, modelRoot, version = Some(mv))
         .where(col("__ce").isNotNull && col("__ce") <= lit(maxCe))
         .select(col(idCol), round(col("__ce"), 6).as("ce")),
       Seq(idCol))
-    AppendStream.applyBatch(admitted, batchId, corpusRoot)
+    AppendStream.applyBatch(admitted, batchId, corpusRoot,
+      extraMeta = Map(ModelKey -> mv.toString))
   }
 
   /** Start the fluency gate over a document stream. */

@@ -138,4 +138,81 @@ class PerplexityAdmitStreamSpec extends SparkSpec {
         graft.sources.Sinks.deleteRecursively(java.nio.file.Paths.get(d)))
     }
   }
+
+  test("versioned model cutover: new batches score the new model, old batches keep their provenance, torn cutover leaves the old model live") {
+    val (modelRoot, corpRoot) = roots()
+    PerplexityAdmitStream.publishModel(refDocs, "doc_id", "text", modelRoot)
+    assert(PerplexityAdmitStream.modelVersion(modelRoot).contains(1L))
+
+    // batch 0 under model v1: "a b c d" is the fluent order
+    val b0 = Seq((1L, "a b c d"), (2L, "d c b a")).toDF("doc_id", "text")
+    assert(PerplexityAdmitStream.applyBatch(b0, 0L, "doc_id", "text",
+      MaxCe, modelRoot, corpRoot))
+    val v0 = Publish.currentVersion(corpRoot).get
+    assert(Publish.metaValueAt(corpRoot, v0,
+      PerplexityAdmitStream.ModelKey).contains("1"),
+      "admitted manifest must record the model version that scored it")
+
+    // CUTOVER: retrain on a drifted reference where the fluent order
+    // is REVERSED — the starkest possible semantic flip
+    val refB = (910L to 913L).map(i => (i, "d c b a")).toDF("doc_id", "text")
+    val mv2 = PerplexityAdmitStream.republishModel(refB, "doc_id", "text", modelRoot)
+    assert(mv2 == 2L)
+    assert(PerplexityAdmitStream.modelVersion(modelRoot).contains(2L))
+
+    // batch 1 scores against v2: the SAME pair of texts now admits
+    // the other member — proof the cutover took effect
+    val b1 = Seq((10L, "a b c d"), (11L, "d c b a")).toDF("doc_id", "text")
+    assert(PerplexityAdmitStream.applyBatch(b1, 1L, "doc_id", "text",
+      MaxCe, modelRoot, corpRoot))
+    val v1c = Publish.currentVersion(corpRoot).get
+    val nowIn = Publish.read(spark, corpRoot)
+      .select("doc_id", "ce").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(nowIn.keySet == Set(1L, 11L),
+      s"v1 admitted doc 1, v2 must admit doc 11 and reject doc 10: $nowIn")
+    assert(math.abs(nowIn(11L) - nowIn(1L)) < 1e-9,
+      "the reversed model scores the reversed text identically")
+    assert(Publish.metaValueAt(corpRoot, v1c,
+      PerplexityAdmitStream.ModelKey).contains("2"))
+    // provenance of the PRE-cutover batch is untouched
+    assert(Publish.metaValueAt(corpRoot, v0,
+      PerplexityAdmitStream.ModelKey).contains("1"))
+
+    // torn cutover: a third retrain crashes after its vocab publish.
+    // The live model must stay (bigrams v2 → vocab v2) — scoring
+    // CANNOT pair v2 counts with the dangling v3 vocabulary.
+    val (_, vocabC) = graft.text.Perplexity.trainBigramModel(
+      (920L to 923L).map(i => (i, "x y z w")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    Publish.publish(vocabC, s"$modelRoot/vocab"): Unit
+    assert(PerplexityAdmitStream.modelVersion(modelRoot).contains(2L),
+      "a torn cutover must not move the live model")
+    val b2 = Seq((20L, "d c b a")).toDF("doc_id", "text")
+    assert(PerplexityAdmitStream.applyBatch(b2, 2L, "doc_id", "text",
+      MaxCe, modelRoot, corpRoot))
+    val afterTorn = Publish.read(spark, corpRoot)
+      .select("doc_id", "ce").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(afterTorn(20L) - afterTorn(11L)) < 1e-9,
+      "mid-torn scoring must still use the v2 pairing (v2 vocab, not the dangling one)")
+
+    // the retry completes the torn cutover as a fresh coherent pair
+    val refC = (920L to 923L).map(i => (i, "x y z w")).toDF("doc_id", "text")
+    val mv3 = PerplexityAdmitStream.republishModel(refC, "doc_id", "text", modelRoot)
+    assert(mv3 == 3L)
+    val b3 = Seq((30L, "x y z w"), (31L, "d c b a")).toDF("doc_id", "text")
+    assert(PerplexityAdmitStream.applyBatch(b3, 3L, "doc_id", "text",
+      MaxCe, modelRoot, corpRoot))
+    val finalIn = Publish.read(spark, corpRoot)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(finalIn == Set(1L, 11L, 20L, 30L), finalIn.toString)
+
+    // replay under the NEW model is still a no-op: refusal precedes
+    // scoring, so a cutover can never double-admit an old batch
+    val cv = Publish.currentVersion(corpRoot)
+    assert(!PerplexityAdmitStream.applyBatch(b1, 1L, "doc_id", "text",
+      MaxCe, modelRoot, corpRoot))
+    assert(Publish.currentVersion(corpRoot) == cv)
+  }
 }
