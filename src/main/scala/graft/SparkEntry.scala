@@ -3512,19 +3512,36 @@ object SparkEntry {
     TextOps.bm25Rank(Tables.documents(spark, dir), "doc_id", "text",
       Seq("merge", "window", "scan"), k = 10)
 
-  /** q179: hard-negative mining ([[text.TextOps.hardNegatives]]) —
-    * the retriever-training prep step: for each query document
-    * (every 97th doc), the top-5 BM25-similar corpus documents that
-    * are neither the query nor share its rolling-hash fingerprint
-    * (textual duplicates are FALSE negatives — excluded before the
-    * cut, so ranks are dense over true negatives). Batch BM25 over
-    * one (doc, term) index restricted by a distinct-query-term JOIN
-    * (never isin literals — queries are data-sized); q151's exact
-    * determinism recipe per contribution; top-k is a per-query keyed
-    * window, never a global sort. */
+  /** q179: hard-negative mining over the PUBLISHED BM25 index
+    * ([[text.TextOps.bm25Index]] →
+    * [[text.TextOps.hardNegativesFromIndex]]) — the retriever-
+    * training prep step in its production posture: the corpus is
+    * tokenized ONCE into a (doc, term, tf, dl, fp) index published
+    * under the commit protocol (the q166/q178 storage posture), and
+    * each mining run is joins over the STORED table — no per-run
+    * corpus-sized cache, no re-tokenization; crawl batches extend
+    * the index via `Txn.append` because every index row is a per-doc
+    * quantity (Bm25IndexSpec pins append ≡ rebuild). For each query
+    * document (every 97th doc), the top-5 BM25-similar corpus
+    * documents that are neither the query nor share its rolling-hash
+    * fingerprint (textual duplicates are FALSE negatives — excluded
+    * before the cut, so ranks are dense over true negatives). Query
+    * terms restrict the postings by a JOIN (never isin literals —
+    * queries are data-sized); q151's exact determinism recipe per
+    * contribution; top-k is a per-query keyed window, never a global
+    * sort. */
+  private def bm25IndexRoot(spark: SparkSession, dir: String): String =
+    graft.tools.Scratch.cachedArtifact(
+      "graft_bm25idx", dir, s"$dir/documents.parquet") { (root, _) =>
+      graft.sources.Publish.publish(
+        TextOps.bm25Index(Tables.documents(spark, dir), "doc_id", "text"),
+        root): Unit
+    }
+
   def q179HardNegatives(spark: SparkSession, dir: String): DataFrame =
-    TextOps.hardNegatives(Tables.documents(spark, dir), "doc_id", "text",
-      queryPred = col("doc_id") % 97 === 0, k = 5)
+    TextOps.hardNegativesFromIndex(
+      graft.sources.Publish.read(spark, bm25IndexRoot(spark, dir)),
+      "doc_id", queryPred = col("doc_id") % 97 === 0, k = 5)
 
   /** q152: event-transition matrix — first-order Markov path
     * analysis over the per-user event stream (the clickstream

@@ -449,6 +449,31 @@ object TextOps {
         round(col("__s").cast("double"), 6).as("score"))
   }
 
+  /** The BM25 retrieval INDEX at the (doc, term) grain — the
+    * materialization every stored-ranking consumer shares: one row
+    * per (doc, term) with the term count (`tf`), the doc's total
+    * token length (`dl`, repeated per posting the way Lucene stores
+    * per-doc norms), and the doc's rolling-hash [[fingerprintCol]]
+    * (`fp`, the duplicate-exclusion key). Everything BM25 needs —
+    * df, N, avgdl — is derivable from these rows by aggregation, so
+    * the index is SELF-CONTAINED: publish it once and every later
+    * ranking run is joins over the stored table, no re-tokenization.
+    * Per-doc quantities are corpus-INDEPENDENT, so a crawl batch's
+    * index rows can be computed from the batch alone and appended
+    * ([[graft.sources.Txn.append]]) — incremental maintenance ≡
+    * from-scratch rebuild by construction (Bm25IndexSpec pins it).
+    * One corpus pass: tf from the exploded tokens, dl = Σtf per doc
+    * (never a second token scan), fp a narrow per-doc column. */
+  def bm25Index(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col(idCol)).agg(sum("tf").as("dl"))
+    tf.join(dl, idCol)
+      .join(fingerprint(docs, idCol, textCol)
+        .select(col(idCol), col("fingerprint").as("fp")), idCol)
+      .select(col(idCol), col("term"), col("tf"), col("dl"), col("fp"))
+  }
+
   /** Hard-negative mining — the retrieval-training prep step every
     * embedding/retriever pipeline runs: for each QUERY document, the
     * top-k lexically-similar corpus documents that are NOT the query
@@ -458,43 +483,43 @@ object TextOps {
     * removes FALSE negatives — an exact copy of the query labeled
     * "negative" teaches the model the wrong thing.
     *
-    * Batch form of [[bm25Rank]]: ONE corpus pass to the (doc, term)
-    * index; the distinct query-term table restricts it by a join
+    * Ranks a [[bm25Index]] relation (stored or in-memory): the
+    * distinct query-term table restricts the postings by a join
     * (never an isin literal — |queries| is data-sized); per-(query,
-    * doc) scores are the same Lucene BM25 arithmetic under the same
-    * determinism recipe (engine-side k1+1, round(9) → DECIMAL per
-    * contribution, exact commutative decimal sum, ranks on decimal
-    * compare + doc id). Exclusions join the [[fingerprint]] table:
-    * self and same-fingerprint candidates drop BEFORE the cut, so
-    * rank 1..k is dense over true negatives. Top-k is a per-query
-    * keyed window — partitioned by qid, never global. Output:
-    * (qid, rank, neg_id, n_terms, score). */
-  def hardNegatives(
-      docs: DataFrame,
+    * doc) scores are [[bm25Rank]]'s Lucene BM25 arithmetic under the
+    * same determinism recipe (engine-side k1+1, round(9) → DECIMAL
+    * per contribution, exact commutative decimal sum, ranks on
+    * decimal compare + doc id). Exclusions use the index's own `fp`
+    * column: self and same-fingerprint candidates drop BEFORE the
+    * cut, so rank 1..k is dense over true negatives. Top-k is a
+    * per-query keyed window — partitioned by qid, never global.
+    * `queryPred` must be expressible over the index's columns
+    * (typically the id). Output: (qid, rank, neg_id, n_terms,
+    * score). */
+  def hardNegativesFromIndex(
+      index: DataFrame,
       idCol: String,
-      textCol: String,
       queryPred: org.apache.spark.sql.Column,
       k: Int = 5): DataFrame = {
-    val terms = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
-      .transform(graft.CacheScope.persisted(_))
-    val dl = terms.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
-      .transform(graft.CacheScope.persisted(_))
+    val dl = index.select(col(idCol), col("dl")).distinct()
     val totals = dl.agg(sum("dl").as("t"), count(lit(1)).as("n")).collect()(0)
     val n = totals.getLong(1)
     // same empty-corpus guard as bm25Rank: SUM(dl) is NULL when no docs
     if (n == 0L)
-      return docs.limit(0).select(col(idCol).as("qid"),
+      return index.limit(0).select(col(idCol).as("qid"),
         lit(0).as("rank"), col(idCol).as("neg_id"),
         lit(0L).as("n_terms"), lit(0.0d).as("score"))
     val avgdl = lit(totals.getLong(0)).cast("double") /
       lit(n).cast("double")
 
-    val qTerms = docs.where(queryPred)
-      .select(col(idCol).as("qid"), explode(tokens(col(textCol))).as("term"))
-      .distinct()
+    // the (doc, term) grain is distinct by construction, so the
+    // query-term table needs no dedup pass of its own
+    val qTerms = index.where(queryPred)
+      .select(col(idCol).as("qid"), col("term"))
       .transform(graft.CacheScope.persisted(_))
-    val tf = terms.join(qTerms.select("term").distinct(), "term")
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val tf = index.select(col(idCol), col("term"), col("tf"))
+      .join(qTerms.select("term").distinct(), "term")
+      .transform(graft.CacheScope.persisted(_))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = log(lit(1.0d) +
       (lit(n).cast("double") - col("df") + lit(0.5d)) / (col("df") + lit(0.5d)))
@@ -507,7 +532,7 @@ object TextOps {
       .groupBy(col("qid"), col(idCol))
       .agg(count(lit(1)).as("n_terms"), sum(col("__c")).as("__s"))
 
-    val fps = fingerprint(docs, idCol, textCol)
+    val fps = index.select(col(idCol), col("fp").as("fingerprint")).distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("__s").desc, col(idCol))
     scored
@@ -519,6 +544,21 @@ object TextOps {
       .select(col("qid"), col("rank"), col(idCol).as("neg_id"),
         col("n_terms"), round(col("__s").cast("double"), 6).as("score"))
   }
+
+  /** [[hardNegativesFromIndex]] over an index built in-line from the
+    * documents — the one-shot form (tokenize, rank, discard). A
+    * pipeline that mines negatives repeatedly should [[bm25Index]] →
+    * publish once and rank the stored table instead (`queryPred`
+    * must then reference index columns, typically the id). */
+  def hardNegatives(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryPred: org.apache.spark.sql.Column,
+      k: Int = 5): DataFrame =
+    hardNegativesFromIndex(
+      graft.CacheScope.persisted(bm25Index(docs, idCol, textCol)),
+      idCol, queryPred, k)
 
   /** Unicode text canonicalization — the cleanup pass a crawl corpus
     * runs BEFORE any hashing/shingling/dedup, because every identity
