@@ -2689,6 +2689,43 @@ object SparkEntry {
       "doc_id", "dhash", maxHamming = 2)
   }
 
+  /** q182: corpus-level segment dedup
+    * ([[text.TextOps.segmentDedup]]) — CCNet/RefinedWeb boilerplate
+    * removal at the sub-document grain: any 12-token segment
+    * repeating more than twice across the corpus is cut out of EVERY
+    * document carrying it; each doc's unique prose survives and
+    * reassembles in order. The testdata corpus carries naturally
+    * repeating segments at every SF (11–13 over-frequency segments
+    * at sf0.001/sf0.01), so the gate is never vacuous. Segments
+    * materialize inside the token array (one narrow pass — tokens
+    * never duplicate per segment); frequency is one exact hash agg
+    * on segment text; reassembly is a struct-sorted collect per doc.
+    * The oracle re-derives the identical segmentation, frequency
+    * cut, and ordered reassembly, so the hash covers the CLEANED
+    * TEXT itself. */
+  def q182SegmentDedup(spark: SparkSession, dir: String): DataFrame =
+    TextOps.segmentDedup(Tables.documents(spark, dir), "doc_id", "text",
+      segLen = 12, maxFreq = 2)
+
+  /** q183: BPE merge training ([[text.Bpe.trainMerges]]) — the
+    * tokenizer-construction step of an LLM data pipeline: from
+    * characters, repeatedly fuse the corpus's most frequent adjacent
+    * symbol pair; the ordered merge list IS the tokenizer. The corpus
+    * collapses to the bounded (word, count) grain first (the real-
+    * trainer trick), so all 8 rounds iterate over that relation —
+    * per round one narrow zip_with pair expansion, one small weighted
+    * agg, a 1-row argmax to the driver (the PQ-codebook Lloyd
+    * posture), one codegen'd literal replace. Oracle-carrying where
+    * real trainers aren't comparable: ties break (count DESC, l ASC,
+    * r ASC) and merge application is one leftmost non-overlapping
+    * literal replace — semantics identical in Java and DuckDB — and
+    * the oracle SQL is GENERATED with the rounds unrolled as CTEs
+    * ([[text.Bpe.oracleSql]]), so the hash covers the actual learned
+    * merges (e.g. e+r→er, then p+ar→par at sf0.001). */
+  def q183BpeMerges(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Bpe.trainMerges(Tables.documents(spark, dir), "doc_id", "text",
+      rounds = 8)
+
   /** q131: HTML → text extraction ([[text.TextOps.stripHtml]]) — the
     * boilerplate strip every web-crawl corpus runs before quality
     * scoring and dedup. The synthetic corpus is plain text, so half
@@ -5149,7 +5186,9 @@ object SparkEntry {
     "q178_perplexity_rank_stored" -> (q178PerplexityRankStored _),
     "q179_hard_negatives"        -> (q179HardNegatives _),
     "q180_video_neardup"         -> (q180VideoNeardup _),
-    "q181_incremental_media_neardup" -> (q181IncrementalMediaNeardup _)
+    "q181_incremental_media_neardup" -> (q181IncrementalMediaNeardup _),
+    "q182_segment_dedup"         -> (q182SegmentDedup _),
+    "q183_bpe_merges"            -> (q183BpeMerges _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -5176,7 +5215,10 @@ object SparkEntry {
       "q159_sql_changes"            -> m("q138_change_feed"),
       // rank-over-stored-scores must equal rank-over-live-lineage
       // bit-for-bit — the q172 oracle states both postures
-      "q178_perplexity_rank_stored" -> m("q172_perplexity_filter"))
+      "q178_perplexity_rank_stored" -> m("q172_perplexity_filter"),
+      // generated with the rounds unrolled as CTEs so the two engines
+      // can never drift round-structure (text.Bpe.oracleSql)
+      "q183_bpe_merges" -> graft.text.Bpe.oracleSql("documents", "text", 8))
   }
 
   /** q84's oracle: GraphOps.pageRank's integer recurrence unrolled,
@@ -6142,6 +6184,33 @@ object SparkEntry {
         |  LENGTH(norm_text) AS n_chars,
         |  norm_text IS DISTINCT FROM text AS changed
         |FROM n""".stripMargin,
+
+    "q182_segment_dedup" ->
+      // list_slice is START/END-inclusive where Spark's slice is
+      // START/LENGTH — i*12+1 .. i*12+12 is the same 12-token window
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), segs AS (
+        |  SELECT doc_id, i AS seg_idx,
+        |    array_to_string(list_slice(t, i*12 + 1, i*12 + 12), ' ') AS seg
+        |  FROM toks, UNNEST(range((len(t) + 11) // 12)) AS u(i)
+        |), freq AS (
+        |  SELECT seg, COUNT(*) AS n FROM segs GROUP BY seg
+        |), kept AS (
+        |  SELECT s.doc_id, s.seg_idx, s.seg
+        |  FROM segs s JOIN freq f USING (seg) WHERE f.n <= 2
+        |), re AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |    STRING_AGG(seg, ' ' ORDER BY seg_idx) AS clean_text
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CAST((len(string_split(d.text, ' ')) + 11) // 12 AS BIGINT) AS n_segs,
+        |  CAST(COALESCE(re.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST((len(string_split(d.text, ' ')) + 11) // 12
+        |    - COALESCE(re.n_kept, 0) AS BIGINT) AS n_dropped,
+        |  COALESCE(re.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN re ON d.doc_id = re.doc_id""".stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

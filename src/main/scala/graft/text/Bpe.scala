@@ -1,0 +1,134 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge training — the tokenizer-construction
+  * step of an LLM data pipeline (Sennrich et al.'s algorithm, the
+  * GPT/Llama tokenizer family's core): starting from characters,
+  * repeatedly find the most frequent ADJACENT symbol pair across the
+  * corpus and fuse it into one symbol; the ordered merge list IS the
+  * trained tokenizer.
+  *
+  * Scale shape (the trick every real BPE trainer uses): the corpus
+  * collapses to the (word, count) grain FIRST — one tokenize pass and
+  * one aggregate — and all `rounds` iterations run over that bounded
+  * relation, never the corpus. Per round: one narrow pair expansion
+  * (`zip_with` over the symbol array — no shuffle), one small
+  * (pair → weighted count) aggregate, a 1-row argmax collected to the
+  * driver (the Lloyd-iteration posture PQ codebook training already
+  * uses), and one codegen'd literal `replace` applying the merge to
+  * every word's symbol string.
+  *
+  * Determinism contract (what makes this ORACLE-CHECKABLE where real
+  * trainers differ in tie handling): argmax ties break on (count
+  * DESC, left ASC, right ASC); merge application is ONE leftmost
+  * non-overlapping literal-string replace pass — `replace(s, ' l r ',
+  * ' lr ')` over the space-joined, space-padded symbol string — whose
+  * semantics are identical in Java and DuckDB (an occurrence sharing
+  * its boundary space with a just-replaced occurrence defers to a
+  * later round; stated variant of greedy pair fusion). Symbols must
+  * stay free of spaces and quotes — true from character
+  * initialization over a whitespace-tokenized corpus, and required
+  * (the merge of two clean symbols is clean).
+  *
+  * Output: one row per executed round — (round, l_sym, r_sym, merged,
+  * pair_n); stops early if every word has fused to a single symbol. */
+object Bpe {
+
+  def trainMerges(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, "rounds must be in [1, 64]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    // corpus → bounded (symbol-string, count) grain: ' a b c ' padded
+    // so every symbol occurrence is space-delimited on both sides
+    val words = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("c"))
+      .select(
+        concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("s"),
+        col("c"))
+
+    var state = graft.CacheScope.persisted(words)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    for (round <- 1 to rounds if !exhausted) {
+      val top: Array[Row] = state
+        // single-symbol words carry no pairs (and slice-length 0 is
+        // not worth relying on) — drop them before the expansion
+        .where(expr("size(split(trim(s), ' ')) >= 2"))
+        .select(expr(
+          "explode(zip_with(" +
+            "slice(split(trim(s), ' '), 1, size(split(trim(s), ' ')) - 1), " +
+            "slice(split(trim(s), ' '), 2, size(split(trim(s), ' ')) - 1), " +
+            "(x, y) -> struct(x AS l, y AS r))) AS p"), col("c"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("c").as("n"))
+        .orderBy(col("n").desc, col("l").asc, col("r").asc)
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        require(!l.contains("'") && !r.contains("'"),
+          "symbol universe must be quote-free (whitespace-tokenized corpus)")
+        merges += ((round, l, r, n))
+        // one leftmost non-overlapping literal replace — the merge
+        val next = state
+          .select(expr(s"replace(s, ' $l $r ', ' $l$r ')").as("s"), col("c"))
+        state = graft.CacheScope.persisted(next)
+      }
+    }
+    merges.toSeq
+      .toDF("round", "l_sym", "r_sym", "pair_n")
+      .select(col("round"), col("l_sym"), col("r_sym"),
+        concat(col("l_sym"), col("r_sym")).as("merged"), col("pair_n"))
+  }
+
+  /** The DuckDB twin of [[trainMerges]], `rounds` unrolled as CTE
+    * pairs (pN = weighted adjacent-pair counts over sN-1's symbol
+    * strings, mN = the tie-broken argmax, sN = the replace applied
+    * corpus-wide) — generated, not hand-maintained, so the two
+    * engines can never drift round-structure. Exhaustion composes
+    * identically: an empty mN empties every later sN/mN, so both
+    * engines emit exactly the executed rounds. */
+  def oracleSql(table: String, textCol: String, rounds: Int): String = {
+    val init =
+      s"""w0 AS (
+         |  SELECT word, COUNT(*) AS c FROM (
+         |    SELECT UNNEST(string_split($textCol, ' ')) AS word FROM $table
+         |  ) WHERE word <> '' GROUP BY word
+         |), s0 AS (
+         |  SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS s, c
+         |  FROM w0
+         |)""".stripMargin
+    val roundCtes = (1 to rounds).map { i =>
+      val prev = s"s${i - 1}"
+      s"""p$i AS (
+         |  SELECT t[i + 1] AS l_sym, t[i + 2] AS r_sym, SUM(c) AS n
+         |  FROM (SELECT string_split(trim(s), ' ') AS t, c FROM $prev),
+         |       UNNEST(range(len(t) - 1)) AS u(i)
+         |  GROUP BY 1, 2
+         |), m$i AS (
+         |  SELECT l_sym, r_sym, n FROM p$i
+         |  ORDER BY n DESC, l_sym ASC, r_sym ASC LIMIT 1
+         |), s$i AS (
+         |  SELECT replace(s, ' ' || m.l_sym || ' ' || m.r_sym || ' ',
+         |                 ' ' || m.l_sym || m.r_sym || ' ') AS s, c
+         |  FROM $prev, m$i m
+         |)""".stripMargin
+    }
+    val rows = (1 to rounds).map { i =>
+      s"SELECT $i AS round, l_sym, r_sym, l_sym || r_sym AS merged, " +
+        s"CAST(n AS BIGINT) AS pair_n FROM m$i"
+    }
+    (Seq(init) ++ roundCtes).mkString("WITH ", ",\n", "\n") +
+      rows.mkString("", "\nUNION ALL\n", "")
+  }
+}

@@ -576,6 +576,68 @@ object TextOps {
     * itself. Pure narrow column algebra: one codegen'd pass, no
     * shuffle at any scale.
     * Output: id, `norm_text`, `n_chars_raw`, `n_chars`, `changed`. */
+  /** Corpus-level SEGMENT dedup — CCNet/RefinedWeb boilerplate
+    * removal at the sub-document grain: a span of text that repeats
+    * across the corpus more than `maxFreq` times is boilerplate
+    * (navigation chrome, license footers, template headers) and is
+    * cut OUT of every document that carries it, while each document's
+    * unique prose survives. The reference corpora split on newlines;
+    * this corpus is flat token streams, so the segment is a fixed
+    * `segLen`-token window — same machinery, deterministic
+    * segmentation both engines can re-derive.
+    *
+    * Plan: segments materialize INSIDE the token array (`transform` +
+    * `slice` + `array_join`, one narrow codegen'd pass — tokens are
+    * never duplicated per segment) and explode to the (doc, seg_idx,
+    * seg) grain; corpus frequency is one hash agg on the segment
+    * text (exact — the hash-collision-free twin of CCNet's sha1
+    * buckets, and the shuffle carries each segment once, the same
+    * mass as one tokenize pass); survivors left-anti the
+    * over-frequency set and reassemble per doc via
+    * `array_sort(collect_list(struct(seg_idx, seg)))` — order
+    * restored by the struct sort, never by shuffle luck. Totality:
+    * every input doc returns (a fully-boilerplate doc keeps
+    * n_kept = 0 and empty clean_text).
+    * Output: (id, n_segs, n_kept, n_dropped, clean_text). */
+  def segmentDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      segLen: Int = 12,
+      maxFreq: Long = 2): DataFrame = {
+    require(segLen > 0, "segLen must be positive")
+    require(maxFreq >= 1, "maxFreq must be at least 1")
+    val segs = docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__nseg",
+        expr(s"(size(__toks) + ${segLen - 1}) div $segLen"))
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, __nseg - 1), " +
+        s"i -> array_join(slice(__toks, i * $segLen + 1, $segLen), ' '))"))
+        .as(Seq("seg_idx", "seg")))
+    val boiler = segs.groupBy("seg").agg(count(lit(1)).as("__n"))
+      .where(col("__n") > maxFreq)
+      .select("seg")
+    val rebuilt = segs.join(boiler, Seq("seg"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+            x => x.getField("seg")),
+          " ").as("clean_text"))
+    docs
+      .select(col(idCol),
+        expr(s"(size(split($textCol, ' ')) + ${segLen - 1}) div $segLen")
+          .as("n_segs"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_segs") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   def normalizeText(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.select(col(idCol), col(textCol).as("__raw"))
