@@ -2726,6 +2726,24 @@ object SparkEntry {
     graft.text.Bpe.trainMerges(Tables.documents(spark, dir), "doc_id", "text",
       rounds = 8)
 
+  /** q184: BPE encode ([[text.Bpe.trainAndEncode]]) — the APPLY side
+    * of q183's tokenizer, and the number a data pipeline actually
+    * bills by: context-window budgeting, token accounting, and
+    * packing consume ENCODED lengths, not characters. The corpus
+    * trains its own 8-round merge list (q183's loop verbatim), then
+    * encoding is ONE narrow codegen'd map pass — the merge list is
+    * driver-bounded (≤ rounds rows), each word char-splits and the
+    * replaces apply in merge order inside a transform/aggregate fold,
+    * word boundaries structurally hard. No shuffle, no explode, no
+    * join at any scale. Oracle: the generated q183 CTE chain learns
+    * the same merges, applies the same replace chain at the (doc,
+    * word) grain, and LEFT JOINs for totality — the hash covers
+    * every document's exact post-merge token count (compression =
+    * n_chars_sym − n_bpe_tokens, integer-exact). */
+  def q184BpeEncode(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Bpe.trainAndEncode(Tables.documents(spark, dir), "doc_id", "text",
+      rounds = 8)
+
   /** q131: HTML → text extraction ([[text.TextOps.stripHtml]]) — the
     * boilerplate strip every web-crawl corpus runs before quality
     * scoring and dedup. The synthetic corpus is plain text, so half
@@ -5188,7 +5206,8 @@ object SparkEntry {
     "q180_video_neardup"         -> (q180VideoNeardup _),
     "q181_incremental_media_neardup" -> (q181IncrementalMediaNeardup _),
     "q182_segment_dedup"         -> (q182SegmentDedup _),
-    "q183_bpe_merges"            -> (q183BpeMerges _)
+    "q183_bpe_merges"            -> (q183BpeMerges _),
+    "q184_bpe_encode"            -> (q184BpeEncode _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -5218,7 +5237,9 @@ object SparkEntry {
       "q178_perplexity_rank_stored" -> m("q172_perplexity_filter"),
       // generated with the rounds unrolled as CTEs so the two engines
       // can never drift round-structure (text.Bpe.oracleSql)
-      "q183_bpe_merges" -> graft.text.Bpe.oracleSql("documents", "text", 8))
+      "q183_bpe_merges" -> graft.text.Bpe.oracleSql("documents", "text", 8),
+      "q184_bpe_encode" ->
+        graft.text.Bpe.encodeOracleSql("documents", "doc_id", "text", 8))
   }
 
   /** q84's oracle: GraphOps.pageRank's integer recurrence unrolled,

@@ -91,6 +91,100 @@ object Bpe {
         concat(col("l_sym"), col("r_sym")).as("merged"), col("pair_n"))
   }
 
+  /** The ENCODE side of the tokenizer — apply a learned merge list to
+    * the corpus and report each document's token counts (the step a
+    * data pipeline actually bills by: context-window budgeting, token
+    * accounting, packing all consume ENCODED lengths, not characters).
+    *
+    * The merge list is driver-bounded by construction (≤ `rounds`
+    * rows), so application is ONE narrow codegen'd expression per
+    * document: the word array is transformed with the merge chain —
+    * each word char-splits to its padded symbol string and the
+    * `rounds` literal replaces apply IN MERGE ORDER (order is the
+    * tokenizer: applying p+ar before a+r would never fire) — and the
+    * per-word symbol counts fold to the doc total. No shuffle, no
+    * explode, no join: encode cost is a single corpus map pass at any
+    * scale. Word boundaries are hard (symbols never merge across
+    * words — the padded per-word string makes that structural).
+    * Output: (id, n_words, n_chars_sym, n_bpe_tokens) — n_chars_sym
+    * is the pre-merge symbol count, so the compression the merges
+    * bought is n_chars_sym − n_bpe_tokens, exactly. */
+  def encode(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    merges.foreach { case (l, r) =>
+      require(!l.contains("'") && !r.contains("'"), "quote-free symbols required")
+    }
+    val applied = merges.foldLeft(
+      "concat(' ', regexp_replace(w, '(.)', '$1 '))") { case (acc, (l, r)) =>
+      s"replace($acc, ' $l $r ', ' $l$r ')"
+    }
+    docs.select(
+      col(idCol),
+      expr(s"size(filter(split($textCol, ' '), w -> w <> ''))")
+        .cast("long").as("n_words"),
+      expr(s"aggregate(filter(split($textCol, ' '), w -> w <> ''), " +
+        "0, (a, w) -> a + length(w))").cast("long").as("n_chars_sym"),
+      expr(s"aggregate(transform(filter(split($textCol, ' '), w -> w <> ''), " +
+        s"w -> size(split(trim($applied), ' '))), 0, (a, x) -> a + x)")
+        .cast("long").as("n_bpe_tokens"))
+  }
+
+  /** [[encode]] with the merges trained on the same corpus — the
+    * standard self-tokenization posture (train the tokenizer on the
+    * corpus, then bill the corpus in its own tokens). */
+  def trainAndEncode(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      rounds: Int): DataFrame = {
+    val merges = trainMerges(docs, idCol, textCol, rounds)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    encode(docs, idCol, textCol, merges)
+  }
+
+  /** The DuckDB twin of [[trainAndEncode]]: the [[oracleSql]] CTE
+    * chain learns the merges, then the corpus explodes to the
+    * (doc, word) grain and the same replace chain applies round by
+    * round (dN = d(N−1) ⋈ mN); per-doc counts aggregate at the end.
+    * LEFT JOIN restores totality for documents with no non-empty
+    * words (the Spark side's fold over an empty array is 0). */
+  def encodeOracleSql(
+      table: String, idCol: String, textCol: String, rounds: Int): String = {
+    val trainCtes = oracleSql(table, textCol, rounds)
+    val withClause = trainCtes.substring(0, trainCtes.indexOf("\nSELECT 1 AS round"))
+    val d0 =
+      s"""d0 AS (
+         |  SELECT $idCol, length(word) AS n_chars_sym,
+         |    ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS s
+         |  FROM (SELECT $idCol, UNNEST(string_split($textCol, ' ')) AS word FROM $table)
+         |  WHERE word <> ''
+         |)""".stripMargin
+    val dCtes = (1 to rounds).map { i =>
+      s"""d$i AS (
+         |  SELECT $idCol, n_chars_sym,
+         |    replace(s, ' ' || m.l_sym || ' ' || m.r_sym || ' ',
+         |            ' ' || m.l_sym || m.r_sym || ' ') AS s
+         |  FROM d${i - 1}, m$i m
+         |)""".stripMargin
+    }
+    val agg =
+      s"""enc AS (
+         |  SELECT $idCol, COUNT(*) AS n_words, SUM(n_chars_sym) AS n_chars_sym,
+         |    SUM(len(string_split(trim(s), ' '))) AS n_bpe_tokens
+         |  FROM d$rounds GROUP BY $idCol
+         |)""".stripMargin
+    (Seq(withClause) ++ Seq(d0) ++ dCtes ++ Seq(agg)).mkString("", ",\n", "\n") +
+      s"""SELECT t.$idCol,
+         |  CAST(COALESCE(enc.n_words, 0) AS BIGINT) AS n_words,
+         |  CAST(COALESCE(enc.n_chars_sym, 0) AS BIGINT) AS n_chars_sym,
+         |  CAST(COALESCE(enc.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+         |FROM $table t LEFT JOIN enc ON t.$idCol = enc.$idCol""".stripMargin
+  }
+
   /** The DuckDB twin of [[trainMerges]], `rounds` unrolled as CTE
     * pairs (pN = weighted adjacent-pair counts over sN-1's symbol
     * strings, mN = the tie-broken argmax, sN = the replace applied

@@ -605,9 +605,23 @@ object TextOps {
       textCol: String,
       segLen: Int = 12,
       maxFreq: Long = 2): DataFrame = {
-    require(segLen > 0, "segLen must be positive")
     require(maxFreq >= 1, "maxFreq must be at least 1")
-    val segs = docs
+    val segs = segmentize(docs, idCol, textCol, segLen)
+    val boiler = segs.groupBy("seg").agg(count(lit(1)).as("__n"))
+      .where(col("__n") > maxFreq)
+      .select("seg")
+    segmentDedupAgainst(docs, idCol, textCol, segLen, boiler)
+  }
+
+  /** The (doc, seg_idx, seg) segmentation relation — fixed
+    * `segLen`-token windows built INSIDE the token array (one narrow
+    * codegen'd pass; tokens never duplicate per segment). Shared by
+    * [[segmentDedup]] (in-line frequency), [[segmentCounts]] (the
+    * streaming-maintained frequency deltas), and the cut itself. */
+  def segmentize(
+      docs: DataFrame, idCol: String, textCol: String, segLen: Int): DataFrame = {
+    require(segLen > 0, "segLen must be positive")
+    docs
       .select(col(idCol), tokens(col(textCol)).as("__toks"))
       .withColumn("__nseg",
         expr(s"(size(__toks) + ${segLen - 1}) div $segLen"))
@@ -615,10 +629,32 @@ object TextOps {
         s"transform(sequence(0, __nseg - 1), " +
         s"i -> array_join(slice(__toks, i * $segLen + 1, $segLen), ' '))"))
         .as(Seq("seg_idx", "seg")))
-    val boiler = segs.groupBy("seg").agg(count(lit(1)).as("__n"))
-      .where(col("__n") > maxFreq)
-      .select("seg")
-    val rebuilt = segs.join(boiler, Seq("seg"), "left_anti")
+  }
+
+  /** Per-segment occurrence counts — a batch's ADDITIVE contribution
+    * to the corpus frequency table (counts are per-doc quantities
+    * summed, so deltas from disjoint batches sum to the from-scratch
+    * corpus counts exactly). */
+  def segmentCounts(
+      docs: DataFrame, idCol: String, textCol: String, segLen: Int): DataFrame =
+    segmentize(docs, idCol, textCol, segLen)
+      .groupBy("seg").agg(count(lit(1)).as("n"))
+
+  /** [[segmentDedup]]'s cut against an EXTERNALLY-derived boilerplate
+    * set (one `seg` column) — the read side of the maintained-
+    * frequency posture: frequency upkeep rides ingest, the cut is
+    * applied here at read time, retroactively covering every stored
+    * document (a segment that crossed the threshold in a LATER batch
+    * drops from earlier carriers too, exactly as the one-shot
+    * [[segmentDedup]] would). */
+  def segmentDedupAgainst(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      segLen: Int,
+      boiler: DataFrame): DataFrame = {
+    val segs = segmentize(docs, idCol, textCol, segLen)
+    val rebuilt = segs.join(boiler.select("seg"), Seq("seg"), "left_anti")
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_kept"),

@@ -45,6 +45,35 @@ class BpeSpec extends SparkSpec {
       (2, "aa", "a", "aaa", 1L)), got.toString)
   }
 
+  private def enc(texts: Seq[String], merges: Seq[(String, String)]) =
+    Bpe.encode(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+      "doc_id", "text", merges)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+
+  test("encode: merges apply in order, word boundaries are hard, totality on empty text") {
+    val merges = Seq(("a", "b"), ("ab", "c"))
+    // 'abc' fuses fully through the hierarchy; 'a b' never merges
+    // across the word boundary; '' has zero words and zero tokens
+    assert(enc(Seq("abc", "a b", ""), merges) ==
+      Seq((1L, 3L, 1L), (2L, 2L, 2L), (0L, 0L, 0L)))
+    // REVERSED order breaks the hierarchy: (ab,c) fires before 'ab'
+    // exists, so 'abc' encodes to 2 tokens, not 1 — order IS the
+    // tokenizer
+    assert(enc(Seq("abc"), merges.reverse) == Seq((1L, 3L, 2L)))
+  }
+
+  test("trainAndEncode: the corpus billed in its own learned tokens") {
+    // q183's planted corpus trains [(a,b), (ab,c), (b,c)]; every word
+    // then encodes to ONE token
+    val docs = Seq((1L, "ab ab abc"), (2L, "ab abc bc")).toDF("doc_id", "text")
+    val got = Bpe.trainAndEncode(docs, "doc_id", "text", rounds = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((1L, 3L, 7L, 3L), (2L, 3L, 7L, 3L)), got.toString)
+  }
+
   test("non-vacuous at the real testdata: 8 full rounds of plausible English-ish merges") {
     val got = Bpe.trainMerges(
       Tables.documents(spark, SfDir), "doc_id", "text", rounds = 8)
