@@ -2744,6 +2744,22 @@ object SparkEntry {
     graft.text.Bpe.trainAndEncode(Tables.documents(spark, dir), "doc_id", "text",
       rounds = 8)
 
+  /** q185: BPE vocabulary ([[text.Bpe.vocabulary]]) — the artifact
+    * q183's training actually ships: every symbol surviving the 8
+    * merge rounds with its corpus occurrence count and its dense
+    * token id (rank by count DESC, symbol ASC — the deterministic id
+    * assignment an embedding table is sized against). Completes the
+    * tokenizer family: q183 learns the merges, THIS is the vocab
+    * artifact, q184 bills the corpus in it. The vocabulary grain is
+    * driver-bounded (|alphabet| + ≤ rounds merged symbols), so the
+    * id window runs over a few dozen rows — the documented k-row
+    * exception; the corpus aggregates at the bounded word grain
+    * first. Oracle: the generated q183 CTE chain, final-state
+    * symbols aggregated and ranked identically. */
+  def q185BpeVocab(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Bpe.vocabulary(Tables.documents(spark, dir), "doc_id", "text",
+      rounds = 8)
+
   /** q131: HTML → text extraction ([[text.TextOps.stripHtml]]) — the
     * boilerplate strip every web-crawl corpus runs before quality
     * scoring and dedup. The synthetic corpus is plain text, so half
@@ -5207,7 +5223,8 @@ object SparkEntry {
     "q181_incremental_media_neardup" -> (q181IncrementalMediaNeardup _),
     "q182_segment_dedup"         -> (q182SegmentDedup _),
     "q183_bpe_merges"            -> (q183BpeMerges _),
-    "q184_bpe_encode"            -> (q184BpeEncode _)
+    "q184_bpe_encode"            -> (q184BpeEncode _),
+    "q185_bpe_vocab"             -> (q185BpeVocab _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -5239,7 +5256,9 @@ object SparkEntry {
       // can never drift round-structure (text.Bpe.oracleSql)
       "q183_bpe_merges" -> graft.text.Bpe.oracleSql("documents", "text", 8),
       "q184_bpe_encode" ->
-        graft.text.Bpe.encodeOracleSql("documents", "doc_id", "text", 8))
+        graft.text.Bpe.encodeOracleSql("documents", "doc_id", "text", 8),
+      "q185_bpe_vocab" ->
+        graft.text.Bpe.vocabOracleSql("documents", "text", 8))
   }
 
   /** q84's oracle: GraphOps.pageRank's integer recurrence unrolled,

@@ -40,7 +40,16 @@ object Bpe {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      rounds: Int): DataFrame = {
+      rounds: Int): DataFrame =
+    trainLoop(docs, textCol, rounds)._1
+
+  /** The shared training loop: returns (merge table, final
+    * (symbol-string, count) state) — [[trainMerges]] publishes the
+    * first, [[vocabulary]] aggregates the second. */
+  private def trainLoop(
+      docs: DataFrame,
+      textCol: String,
+      rounds: Int): (DataFrame, DataFrame) = {
     require(rounds >= 1 && rounds <= 64, "rounds must be in [1, 64]")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -85,10 +94,55 @@ object Bpe {
         state = graft.CacheScope.persisted(next)
       }
     }
-    merges.toSeq
+    val mergeTable = merges.toSeq
       .toDF("round", "l_sym", "r_sym", "pair_n")
       .select(col("round"), col("l_sym"), col("r_sym"),
         concat(col("l_sym"), col("r_sym")).as("merged"), col("pair_n"))
+    (mergeTable, state)
+  }
+
+  /** The trained VOCABULARY — the artifact a tokenizer actually
+    * ships: every symbol surviving `rounds` merges, its corpus
+    * occurrence count, and its dense token id (rank by count DESC,
+    * symbol ASC — the deterministic id assignment an embedding table
+    * is sized against). The vocabulary grain is DRIVER-BOUNDED by
+    * construction: |initial alphabet| + at most `rounds` merged
+    * symbols, so the id-assignment window runs over a few dozen rows
+    * — the documented k-row exception to the no-global-window rule
+    * (the CORPUS never passes through it; counts aggregate at the
+    * bounded word grain first).
+    * Output: (token_id, symbol, n_occurrences). */
+  def vocabulary(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      rounds: Int): DataFrame = {
+    val (_, state) = trainLoop(docs, textCol, rounds)
+    val counts = state
+      .select(explode(split(trim(col("s")), " ")).as("symbol"), col("c"))
+      .groupBy("symbol").agg(sum("c").as("n_occurrences"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_occurrences").desc, col("symbol").asc)
+    counts
+      .withColumn("token_id", row_number().over(w).cast("long"))
+      .select(col("token_id"), col("symbol"), col("n_occurrences"))
+  }
+
+  /** The DuckDB twin of [[vocabulary]]: the [[oracleSql]] CTE chain,
+    * then the final state's symbols aggregate and rank. */
+  def vocabOracleSql(table: String, textCol: String, rounds: Int): String = {
+    val trainCtes = oracleSql(table, textCol, rounds)
+    val withClause = trainCtes.substring(0, trainCtes.indexOf("\nSELECT 1 AS round"))
+    withClause + ",\n" +
+      s"""v AS (
+         |  SELECT sym AS symbol, SUM(c) AS n_occurrences
+         |  FROM (SELECT UNNEST(string_split(trim(s), ' ')) AS sym, c FROM s$rounds)
+         |  GROUP BY sym
+         |)
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, symbol ASC) AS BIGINT)
+         |    AS token_id,
+         |  symbol, CAST(n_occurrences AS BIGINT) AS n_occurrences
+         |FROM v""".stripMargin
   }
 
   /** The ENCODE side of the tokenizer — apply a learned merge list to

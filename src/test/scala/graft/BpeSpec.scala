@@ -74,6 +74,22 @@ class BpeSpec extends SparkSpec {
     assert(got == Seq((1L, 3L, 7L, 3L), (2L, 3L, 7L, 3L)), got.toString)
   }
 
+  test("vocabulary: post-merge symbols with exact weighted counts and deterministic ids") {
+    // q183's corpus after 3 merges: ab×3 → 'ab'; abc×2 → 'abc';
+    // bc×1 → 'bc' — three fully-fused symbols, ids by (count, sym)
+    val docs = Seq((1L, "ab ab abc"), (2L, "ab abc bc")).toDF("doc_id", "text")
+    val got = Bpe.vocabulary(docs, "doc_id", "text", rounds = 5)
+      .orderBy("token_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "ab", 3L), (2L, "abc", 2L), (3L, "bc", 1L)), got.toString)
+    // partial fusion keeps residual symbols in the vocabulary: one
+    // round fuses only (a,b) — 'c' survives as a character symbol
+    val got1 = Bpe.vocabulary(docs, "doc_id", "text", rounds = 1)
+      .orderBy("token_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got1 == Seq((1L, "ab", 5L), (2L, "c", 3L), (3L, "b", 1L)), got1.toString)
+  }
+
   test("non-vacuous at the real testdata: 8 full rounds of plausible English-ish merges") {
     val got = Bpe.trainMerges(
       Tables.documents(spark, SfDir), "doc_id", "text", rounds = 8)
