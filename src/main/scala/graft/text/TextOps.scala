@@ -513,13 +513,16 @@ object TextOps {
       lit(n).cast("double")
 
     // the (doc, term) grain is distinct by construction, so the
-    // query-term table needs no dedup pass of its own
+    // query-term table needs no dedup pass of its own. NO caching
+    // here: the stored path re-reads column-pruned parquet (cheap),
+    // the in-line wrapper persists the index INPUT once — restricted
+    // postings are query-dependent and would be corpus-sized cache
+    // pressure under a dense query set (the per-run-cache critique
+    // this stored posture exists to close)
     val qTerms = index.where(queryPred)
       .select(col(idCol).as("qid"), col("term"))
-      .transform(graft.CacheScope.persisted(_))
     val tf = index.select(col(idCol), col("term"), col("tf"))
       .join(qTerms.select("term").distinct(), "term")
-      .transform(graft.CacheScope.persisted(_))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = log(lit(1.0d) +
       (lit(n).cast("double") - col("df") + lit(0.5d)) / (col("df") + lit(0.5d)))
