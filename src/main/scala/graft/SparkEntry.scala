@@ -2726,12 +2726,15 @@ object SparkEntry {
     graft.text.Bpe.trainMerges(Tables.documents(spark, dir), "doc_id", "text",
       rounds = 8)
 
-  /** q184: BPE encode ([[text.Bpe.trainAndEncode]]) — the APPLY side
-    * of q183's tokenizer, and the number a data pipeline actually
-    * bills by: context-window budgeting, token accounting, and
-    * packing consume ENCODED lengths, not characters. The corpus
-    * trains its own 8-round merge list (q183's loop verbatim), then
-    * encoding is ONE narrow codegen'd map pass — the merge list is
+  /** q184: BPE encode ([[text.Bpe.encode]] over PUBLISHED merges) —
+    * the APPLY side of q183's tokenizer, and the number a data
+    * pipeline actually bills by: context-window budgeting, token
+    * accounting, and packing consume ENCODED lengths, not
+    * characters. The 8-round merge list trains ONCE and publishes
+    * under the commit protocol (the q178/q179 storage posture —
+    * encode jobs vastly outnumber train jobs); every encode run
+    * reads the stored list, and encoding is ONE narrow codegen'd
+    * map pass — the merge list is
     * driver-bounded (≤ rounds rows), each word char-splits and the
     * replaces apply in merge order inside a transform/aggregate fold,
     * word boundaries structurally hard. No shuffle, no explode, no
@@ -2740,9 +2743,25 @@ object SparkEntry {
     * word) grain, and LEFT JOINs for totality — the hash covers
     * every document's exact post-merge token count (compression =
     * n_chars_sym − n_bpe_tokens, integer-exact). */
-  def q184BpeEncode(spark: SparkSession, dir: String): DataFrame =
-    graft.text.Bpe.trainAndEncode(Tables.documents(spark, dir), "doc_id", "text",
-      rounds = 8)
+  private def bpeMergesRoot(spark: SparkSession, dir: String): String =
+    graft.tools.Scratch.cachedArtifact(
+      "graft_bpemrg", dir, s"$dir/documents.parquet") { (root, _) =>
+      graft.sources.Publish.publish(
+        graft.text.Bpe.trainMerges(Tables.documents(spark, dir),
+          "doc_id", "text", rounds = 8), root): Unit
+    }
+
+  def q184BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    // the q178/q179 storage posture for the tokenizer family: train
+    // ONCE, publish the merge table, every encode run reads the
+    // stored list (encode jobs vastly outnumber train jobs; the
+    // merge list is the tokenizer ARTIFACT, not a per-run derivation)
+    val merges = graft.sources.Publish
+      .read(spark, bpeMergesRoot(spark, dir))
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.text.Bpe.encode(Tables.documents(spark, dir), "doc_id", "text", merges)
+  }
 
   /** q185: BPE vocabulary ([[text.Bpe.vocabulary]]) — the artifact
     * q183's training actually ships: every symbol surviving the 8
