@@ -37,8 +37,11 @@ import graft.text.TextOps
   * double-counting the already-refused frequency delta. */
 object SegmentFreqStream {
 
-  /** Fold one micro-batch: frequency deltas, then documents. Returns
-    * false when BOTH roots had already committed this batch. */
+  /** Fold one micro-batch: frequency deltas, then documents. Every
+    * `foldEvery` batches the delta rows FOLD to one row per segment
+    * ([[foldFrequencies]]) — the row-count twin of compaction's
+    * file-count bound. Returns false when BOTH roots had already
+    * committed this batch. */
   def applyBatch(
       batch: DataFrame,
       batchId: Long,
@@ -46,12 +49,35 @@ object SegmentFreqStream {
       textCol: String,
       segLen: Int,
       corpusRoot: String,
-      freqRoot: String): Boolean = {
+      freqRoot: String,
+      foldEvery: Int = 0): Boolean = {
     val f = AppendStream.applyBatch(
       TextOps.segmentCounts(batch, idCol, textCol, segLen), batchId, freqRoot)
+    if (f && foldEvery > 0 && (batchId + 1) % foldEvery == 0)
+      foldFrequencies(batch.sparkSession, freqRoot): Unit
     val c = AppendStream.applyBatch(batch, batchId, corpusRoot)
     f || c
   }
+
+  /** MAINTENANCE: collapse the accreted delta rows to one (seg, n)
+    * row per segment and commit the folded table as the next
+    * version. Safe by the spec's identity (summed deltas ≡ re-count
+    * — folding is just doing part of the read-side SUM early), and
+    * replay-safe because the folded version CARRIES the sink's
+    * batch-id marker ([[Publish.carryReplayMarker]]) — a marker-less
+    * maintenance commit would silently reset exactly-once refusal
+    * (the S20 lesson). CAS-retried like any other writer on the
+    * root. Returns the committed version. */
+  def foldFrequencies(spark: SparkSession, freqRoot: String): Long =
+    graft.sources.Txn.retry(freqRoot) { live =>
+      val folded = Publish.readVersion(spark, freqRoot,
+        live.getOrElse(throw new IllegalStateException(s"nothing to fold at $freqRoot")))
+        .groupBy("seg").agg(sum("n").as("n"))
+      Publish.publishStagedIf(spark, freqRoot, expectedLive = live,
+        meta = Publish.carryReplayMarker(freqRoot, Map.empty)) { staging =>
+        folded.write.parquet(staging)
+      }
+    }
 
   /** The maintained corpus frequency: deltas summed to (seg, n).
     * Delta rows accrete one batch-count per segment per batch; the

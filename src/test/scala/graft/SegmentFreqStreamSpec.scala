@@ -109,6 +109,42 @@ class SegmentFreqStreamSpec extends SparkSpec {
     graft.sources.Sinks.deleteRecursively(base)
   }
 
+  test("fold maintenance: one row per segment, frequencies unchanged, replay refusal survives") {
+    val (corpus, freq, base) = roots()
+    val b0 = Seq((1L, s"alpha beta gamma delta $footer")).toDF("doc_id", "text")
+    val b1 = Seq((2L, s"epsilon zeta eta theta $footer")).toDF("doc_id", "text")
+    // foldEvery = 2 → the fold fires after batch 1's delta commits
+    assert(SegmentFreqStream.applyBatch(b0, 0L, "doc_id", "text", SegLen,
+      corpus, freq, foldEvery = 2))
+    assert(SegmentFreqStream.applyBatch(b1, 1L, "doc_id", "text", SegLen,
+      corpus, freq, foldEvery = 2))
+
+    // the footer's two delta rows folded to one; frequencies identical
+    val rows = Publish.read(spark, freq)
+    assert(rows.where(col("seg") === footer).count() == 1L,
+      "fold must collapse the per-batch delta rows")
+    val maintained = SegmentFreqStream.frequencies(spark, freq)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val scratch = TextOps.segmentCounts(
+      b0.unionByName(b1), "doc_id", "text", SegLen)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(maintained == scratch, "folding changed a frequency")
+
+    // the folded version carried the batch-id marker: replay refused
+    val (vc, vf) = (Publish.currentVersion(corpus), Publish.currentVersion(freq))
+    assert(!SegmentFreqStream.applyBatch(b1, 1L, "doc_id", "text", SegLen,
+      corpus, freq, foldEvery = 2))
+    assert(Publish.currentVersion(corpus) == vc && Publish.currentVersion(freq) == vf,
+      "a marker-less fold would have reset exactly-once refusal")
+
+    // the view still equals the one-shot operator after folding
+    assert(cleanRows(corpus, freq) ==
+      TextOps.segmentDedup(b0.unionByName(b1), "doc_id", "text", SegLen, MaxFreq)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getString(4)))).toMap)
+
+    graft.sources.Sinks.deleteRecursively(base)
+  }
+
   test("S38r: kill-and-restart resumes exactly once") {
     val base = java.nio.file.Files.createTempDirectory("graft_s38r")
     val (corpus, freq) = (base.resolve("corpus").toString, base.resolve("freq").toString)
