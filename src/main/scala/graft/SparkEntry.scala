@@ -2779,6 +2779,37 @@ object SparkEntry {
     graft.text.Bpe.vocabulary(Tables.documents(spark, dir), "doc_id", "text",
       rounds = 8)
 
+  /** q186: PRE-TOKENIZED BPE training ([[text.Bpe.trainMerges]] with
+    * `pretokenize = true`) — q183 the way GPT-style trainers actually
+    * run it: merge units are [[text.TextOps.BpeishPattern]] classes
+    * (letter runs / digit runs / single marks), so a merge can NEVER
+    * cross a class boundary — punctuation does not fuse into words
+    * and version strings split into their runs (BpeSpec pins a
+    * corpus where whitespace-mode fuses '.' into a word and
+    * pre-tokenized mode provably cannot). The synthetic corpus is
+    * space-clean lowercase, so each doc gains a deterministic
+    * doc_id-derived version/punctuation tail (the q131 planted-input
+    * pattern) — the classes have something real to separate, at
+    * every SF. Same bounded-grain loop, argmax, and replace
+    * semantics as q183; the generated oracle extracts the identical
+    * units (regexp_extract_all in the Java ∩ RE2 subset) and
+    * re-learns the identical merges. */
+  private val bpeDecorTailSql: String =
+    " v' || CAST(doc_id % 7 AS VARCHAR) || '.' || " +
+      "CAST(doc_id % 13 AS VARCHAR) || ', (rev-' || " +
+      "CAST(doc_id % 4 AS VARCHAR) || '!)"
+
+  private def bpeDecorated(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"),
+      concat(col("text"), lit(" v"),
+        (col("doc_id") % 7).cast("string"), lit("."),
+        (col("doc_id") % 13).cast("string"), lit(", (rev-"),
+        (col("doc_id") % 4).cast("string"), lit("!)")).as("text"))
+
+  def q186BpePretokenized(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Bpe.trainMerges(bpeDecorated(spark, dir), "doc_id", "text",
+      rounds = 8, pretokenize = true)
+
   /** q131: HTML → text extraction ([[text.TextOps.stripHtml]]) — the
     * boilerplate strip every web-crawl corpus runs before quality
     * scoring and dedup. The synthetic corpus is plain text, so half
@@ -5243,7 +5274,8 @@ object SparkEntry {
     "q182_segment_dedup"         -> (q182SegmentDedup _),
     "q183_bpe_merges"            -> (q183BpeMerges _),
     "q184_bpe_encode"            -> (q184BpeEncode _),
-    "q185_bpe_vocab"             -> (q185BpeVocab _)
+    "q185_bpe_vocab"             -> (q185BpeVocab _),
+    "q186_bpe_pretokenized"      -> (q186BpePretokenized _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -5277,7 +5309,11 @@ object SparkEntry {
       "q184_bpe_encode" ->
         graft.text.Bpe.encodeOracleSql("documents", "doc_id", "text", 8),
       "q185_bpe_vocab" ->
-        graft.text.Bpe.vocabOracleSql("documents", "text", 8))
+        graft.text.Bpe.vocabOracleSql("documents", "text", 8),
+      "q186_bpe_pretokenized" ->
+        graft.text.Bpe.oracleSql(
+          s"(SELECT doc_id, text || '$bpeDecorTailSql' AS text FROM documents)",
+          "text", 8, pretokenized = true))
   }
 
   /** q84's oracle: GraphOps.pageRank's integer recurrence unrolled,

@@ -40,24 +40,39 @@ object Bpe {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      rounds: Int): DataFrame =
-    trainLoop(docs, textCol, rounds)._1
+      rounds: Int,
+      pretokenize: Boolean = false): DataFrame =
+    trainLoop(docs, textCol, rounds, pretokenize)._1
 
   /** The shared training loop: returns (merge table, final
     * (symbol-string, count) state) — [[trainMerges]] publishes the
-    * first, [[vocabulary]] aggregates the second. */
+    * first, [[vocabulary]] aggregates the second.
+    *
+    * `pretokenize` = GPT-style class pre-tokenization: instead of
+    * whitespace words, the merge units are [[TextOps.BpeishPattern]]
+    * classes (letter runs / digit runs / single marks), so a merge
+    * can NEVER cross a class boundary — punctuation does not fuse
+    * into words, version strings split into their runs. The regex
+    * lives in the Java ∩ RE2 subset, so the oracle extracts the
+    * identical units. */
   private def trainLoop(
       docs: DataFrame,
       textCol: String,
-      rounds: Int): (DataFrame, DataFrame) = {
+      rounds: Int,
+      pretokenize: Boolean = false): (DataFrame, DataFrame) = {
     require(rounds >= 1 && rounds <= 64, "rounds must be in [1, 64]")
     val spark = docs.sparkSession
     import spark.implicits._
 
     // corpus → bounded (symbol-string, count) grain: ' a b c ' padded
     // so every symbol occurrence is space-delimited on both sides
+    val units =
+      if (pretokenize)
+        explode(expr(
+          s"regexp_extract_all($textCol, '${TextOps.BpeishPattern}', 0)"))
+      else explode(split(col(textCol), " "))
     val words = docs
-      .select(explode(split(col(textCol), " ")).as("word"))
+      .select(units.as("word"))
       .where(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("c"))
       .select(
@@ -246,11 +261,17 @@ object Bpe {
     * engines can never drift round-structure. Exhaustion composes
     * identically: an empty mN empties every later sN/mN, so both
     * engines emit exactly the executed rounds. */
-  def oracleSql(table: String, textCol: String, rounds: Int): String = {
+  def oracleSql(
+      table: String, textCol: String, rounds: Int,
+      pretokenized: Boolean = false): String = {
+    val unitExpr =
+      if (pretokenized)
+        s"UNNEST(regexp_extract_all($textCol, '${TextOps.BpeishPattern}'))"
+      else s"UNNEST(string_split($textCol, ' '))"
     val init =
       s"""w0 AS (
          |  SELECT word, COUNT(*) AS c FROM (
-         |    SELECT UNNEST(string_split($textCol, ' ')) AS word FROM $table
+         |    SELECT $unitExpr AS word FROM $table
          |  ) WHERE word <> '' GROUP BY word
          |), s0 AS (
          |  SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS s, c

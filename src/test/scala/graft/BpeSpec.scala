@@ -90,6 +90,27 @@ class BpeSpec extends SparkSpec {
     assert(got1 == Seq((1L, "ab", 5L), (2L, "c", 3L), (3L, "b", 1L)), got1.toString)
   }
 
+  test("pre-tokenization: merges cannot cross class boundaries; whitespace mode provably can") {
+    val docs = Seq((1L, "ab.cd ab.cd")).toDF("doc_id", "text")
+    // whitespace mode sees the word 'ab.cd' — all four adjacent pairs
+    // tie at 2 and the (l ASC) break picks '.' + 'c': punctuation
+    // FUSES into the word
+    val ws = Bpe.trainMerges(docs, "doc_id", "text", rounds = 1)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(ws == Seq((".", "c")), ws.toString)
+    // pre-tokenized units are 'ab', '.', 'cd' — the cross-class pairs
+    // (b,.) and (.,c) never exist, so letters merge first
+    val pt = Bpe.trainMerges(docs, "doc_id", "text", rounds = 1, pretokenize = true)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(pt == Seq(("a", "b")), pt.toString)
+    // digit runs are their own class: '9.25' contributes only (2,5)
+    val dig = Bpe.trainMerges(
+      Seq((1L, "x9.25 x9.25")).toDF("doc_id", "text"),
+      "doc_id", "text", rounds = 1, pretokenize = true)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(dig == Seq(("2", "5", 2L)), dig.toString)
+  }
+
   test("non-vacuous at the real testdata: 8 full rounds of plausible English-ish merges") {
     val got = Bpe.trainMerges(
       Tables.documents(spark, SfDir), "doc_id", "text", rounds = 8)
