@@ -452,6 +452,23 @@ object SparkEntry {
   def q21LshKnn(spark: SparkSession, dir: String): DataFrame =
     Ann.lshKnn(Tables.embeddings(spark, dir), "vec_id", "embedding", k = 5)
 
+  /** q187: ANN recall harness ([[similarity.Ann.recallAtK]]) — the
+    * retrieval-eval job a pipeline ships beside its index: per query
+    * vector, how much of the exact brute-force top-5 (q20) the
+    * auto-tuned multi-probe LSH index (q21) actually returned,
+    * integer-ppm recall by floor division. Rows-only (the LSH side
+    * is seeded-hash); AnnRecallSpec pins the harness itself —
+    * exact-vs-exact is 1e6 ppm for every query by construction, and
+    * the registry corpus's measured LSH recall floor is asserted so
+    * the gate is never vacuous. One top-k-grain equi-join + two
+    * k-bounded aggregates: |queries|·k rows at any scale. */
+  def q187AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Ann.recallAtK(
+      Ann.bruteForceKnn(emb, "vec_id", "embedding", k = 5),
+      Ann.lshKnn(emb, "vec_id", "embedding", k = 5))
+  }
+
   /** q22: whitespace + BPE-ish regex token counts. */
   def q22TokenCount(spark: SparkSession, dir: String): DataFrame =
     TextOps.tokenCounts(Tables.documents(spark, dir), "doc_id", "text")
@@ -5275,7 +5292,8 @@ object SparkEntry {
     "q183_bpe_merges"            -> (q183BpeMerges _),
     "q184_bpe_encode"            -> (q184BpeEncode _),
     "q185_bpe_vocab"             -> (q185BpeVocab _),
-    "q186_bpe_pretokenized"      -> (q186BpePretokenized _)
+    "q186_bpe_pretokenized"      -> (q186BpePretokenized _),
+    "q187_ann_recall"            -> (q187AnnRecall _)
   )
 
   // q10 and q44 compute the same result over different physical

@@ -857,4 +857,29 @@ object Ann {
 
     rankCandidates(cands, e, idCol, k)
   }
+
+  /** Retrieval-recall harness — the eval job every pipeline ships
+    * beside its ANN index: per query, how much of the EXACT top-k an
+    * approximate index actually returned. Takes any two top-k
+    * relations on the (vec_id, neighbor_id) grain (exact from
+    * [[bruteForceKnn]], approximate from [[lshKnn]]/[[ivfKnn]]/a PQ
+    * variant), so the harness is decoupled from any one index — and
+    * harness correctness is testable independently of index quality
+    * (exact vs itself is 1.0 by construction; AnnRecallSpec pins it).
+    * recall is integer ppm by FLOOR division (the q23/q74 posture) —
+    * no float ratios. One equi-join on the top-k grain + two k-bounded
+    * aggregates: cost is |queries|·k rows at any scale, nothing
+    * corpus-sized moves.
+    * Output: (vec_id, n_exact, n_hits, recall_ppm). */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val e = exact.select("vec_id", "neighbor_id")
+    val hits = e.join(approx.select("vec_id", "neighbor_id"),
+        Seq("vec_id", "neighbor_id"))
+      .groupBy("vec_id").agg(count(lit(1)).as("n_hits"))
+    e.groupBy("vec_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr("(coalesce(n_hits, 0) * 1000000) div n_exact").as("recall_ppm"))
+  }
 }
