@@ -501,4 +501,36 @@ class PropertySpec extends SparkSpec {
     graft.sources.Sinks.deleteRecursively(
       java.nio.file.Paths.get(dir).getParent)
   }
+
+  test("Bpe: merge counts are non-increasing across rounds; vocab conserves characters") {
+    import spark.implicits._
+    // why non-increasing: round r picks the GLOBAL max pair count;
+    // a merge only removes or preserves existing adjacencies, and
+    // every NEW pair adjacency involves an occurrence of the merged
+    // symbol, so its count is bounded by the merged pair's count —
+    // round r+1's max can never exceed round r's
+    val textGen = Gen.choose(1, 10).flatMap(len =>
+      Gen.listOfN(len, Gen.choose(2, 6).flatMap(wl =>
+        Gen.listOfN(wl, Gen.oneOf("a", "b", "c", "d")).map(_.mkString)))
+        .map(_.mkString(" ")))
+    forAll(Gen.listOfN(6, textGen)) { texts =>
+      whenever(texts.exists(_.nonEmpty)) {
+        val docs = texts.zipWithIndex
+          .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val counts = graft.text.Bpe.trainMerges(docs, "doc_id", "text", rounds = 6)
+          .orderBy("round").collect().map(_.getLong(4)).toSeq
+        assert(counts == counts.sorted(Ordering[Long].reverse),
+          s"merge counts increased across rounds: $counts")
+        // character conservation: merges re-group characters, never
+        // create or destroy them — Σ n_occ(sym)·len(sym) over the
+        // vocabulary equals the corpus's non-space character count
+        val vocabMass = graft.text.Bpe.vocabulary(docs, "doc_id", "text", rounds = 6)
+          .select(sum(length(col("symbol")) * col("n_occurrences")))
+          .head.getLong(0)
+        val charMass = texts.map(_.count(_ != ' ')).sum
+        assert(vocabMass == charMass.toLong,
+          s"vocabulary lost or minted characters: $vocabMass vs $charMass")
+      }
+    }
+  }
 }
