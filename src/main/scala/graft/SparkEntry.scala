@@ -469,6 +469,27 @@ object SparkEntry {
       Ann.lshKnn(emb, "vec_id", "embedding", k = 5))
   }
 
+  /** q188: BPE token-id streams ([[text.Bpe.encodeIds]]) — the
+    * artifact training actually consumes: every document as its
+    * in-order sequence of vocabulary ids (what sequence packing /
+    * context-window assembly take as input; q184's counts are this
+    * stream's lengths). Merges come from the PUBLISHED merge table
+    * (q184's stored posture), the vocabulary from q185's derivation;
+    * position is a per-doc row_number over (word, symbol) order —
+    * partitioned by document, never a global sort. The oracle
+    * re-derives merges, vocabulary, AND the ordered stream (list
+    * index over range(len) — order by construction), so the hash
+    * covers every document's exact token sequence. */
+  def q188BpeTokenStream(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = graft.sources.Publish
+      .read(spark, bpeMergesRoot(spark, dir))
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.text.Bpe.encodeIds(docs, "doc_id", "text", merges,
+      graft.text.Bpe.vocabulary(docs, "doc_id", "text", rounds = 8))
+  }
+
   /** q22: whitespace + BPE-ish regex token counts. */
   def q22TokenCount(spark: SparkSession, dir: String): DataFrame =
     TextOps.tokenCounts(Tables.documents(spark, dir), "doc_id", "text")
@@ -5293,7 +5314,8 @@ object SparkEntry {
     "q184_bpe_encode"            -> (q184BpeEncode _),
     "q185_bpe_vocab"             -> (q185BpeVocab _),
     "q186_bpe_pretokenized"      -> (q186BpePretokenized _),
-    "q187_ann_recall"            -> (q187AnnRecall _)
+    "q187_ann_recall"            -> (q187AnnRecall _),
+    "q188_bpe_token_stream"      -> (q188BpeTokenStream _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -5331,7 +5353,9 @@ object SparkEntry {
       "q186_bpe_pretokenized" ->
         graft.text.Bpe.oracleSql(
           s"(SELECT doc_id, text || '$bpeDecorTailSql' AS text FROM documents)",
-          "text", 8, pretokenized = true))
+          "text", 8, pretokenized = true),
+      "q188_bpe_token_stream" ->
+        graft.text.Bpe.encodeIdsOracleSql("documents", "doc_id", "text", 8))
   }
 
   /** q84's oracle: GraphOps.pageRank's integer recurrence unrolled,

@@ -215,6 +215,98 @@ object Bpe {
     encode(docs, idCol, textCol, merges)
   }
 
+  /** Encode to the ordered TOKEN-ID STREAM — the artifact training
+    * actually consumes: every document becomes its in-order sequence
+    * of vocabulary ids (the rows sequence packing / context-window
+    * assembly take as input; [[encode]]'s counts are this stream's
+    * lengths). Same driver-bounded merge chain as [[encode]] applied
+    * per word; symbols join the vocabulary for their ids; position is
+    * a PER-DOC row_number over (word_pos, sym_pos) — partitioned by
+    * document, never a global sort. Empty documents have no tokens
+    * (a stream, not a stats row — totality is [[encode]]'s job).
+    * `vocab` must cover the corpus's post-merge symbols (true by
+    * construction under self-tokenization: [[vocabulary]] from the
+    * same corpus and rounds).
+    * Output: (id, pos, token_id, symbol), pos 1-based per doc. */
+  def encodeIds(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)],
+      vocab: DataFrame): DataFrame = {
+    merges.foreach { case (l, r) =>
+      require(!l.contains("'") && !r.contains("'"), "quote-free symbols required")
+    }
+    val applied = merges.foldLeft(
+      "concat(' ', regexp_replace(w, '(.)', '$1 '))") { case (acc, (l, r)) =>
+      s"replace($acc, ' $l $r ', ' $l$r ')"
+    }
+    val words = docs.select(col(idCol),
+      posexplode(expr(s"filter(split($textCol, ' '), w -> w <> '')"))
+        .as(Seq("word_pos", "w")))
+    val syms = words
+      .withColumn("__s", expr(applied))
+      .select(col(idCol), col("word_pos"),
+        posexplode(split(trim(col("__s")), " ")).as(Seq("sym_pos", "symbol")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("word_pos"), col("sym_pos"))
+    syms.join(vocab.select(col("token_id"), col("symbol")), Seq("symbol"))
+      .withColumn("pos", row_number().over(win).cast("long"))
+      .select(col(idCol), col("pos"), col("token_id"), col("symbol"))
+  }
+
+  /** The DuckDB twin of [[encodeIds]] under self-tokenization: the
+    * [[oracleSql]] CTE chain learns the merges, the vocabulary ranks
+    * the final state's symbols, and the corpus re-explodes at the
+    * (doc, word_pos) grain (list index over `range(len)` — order by
+    * construction, not engine luck), applies the same replace chain,
+    * and joins its post-merge symbols to their ids. */
+  def encodeIdsOracleSql(
+      table: String, idCol: String, textCol: String, rounds: Int): String = {
+    val trainCtes = oracleSql(table, textCol, rounds)
+    val withClause = trainCtes.substring(0, trainCtes.indexOf("\nSELECT 1 AS round"))
+    val tail =
+      s"""v AS (
+         |  SELECT sym AS symbol, SUM(c) AS n_occurrences
+         |  FROM (SELECT UNNEST(string_split(trim(s), ' ')) AS sym, c FROM s$rounds)
+         |  GROUP BY sym
+         |), vv AS (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, symbol ASC)
+         |      AS token_id, symbol
+         |  FROM v
+         |), dw AS (
+         |  SELECT $idCol, i AS word_pos, t[i + 1] AS word
+         |  FROM (SELECT $idCol,
+         |          list_filter(string_split($textCol, ' '), w -> w <> '') AS t
+         |        FROM $table),
+         |       UNNEST(range(len(t))) AS u(i)
+         |), e0 AS (
+         |  SELECT $idCol, word_pos,
+         |    ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS s
+         |  FROM dw
+         |)""".stripMargin
+    val eCtes = (1 to rounds).map { i =>
+      s"""e$i AS (
+         |  SELECT $idCol, word_pos,
+         |    replace(s, ' ' || m.l_sym || ' ' || m.r_sym || ' ',
+         |            ' ' || m.l_sym || m.r_sym || ' ') AS s
+         |  FROM e${i - 1}, m$i m
+         |)""".stripMargin
+    }
+    val tok =
+      s"""tok AS (
+         |  SELECT $idCol, word_pos, j AS sym_pos, y[j + 1] AS symbol
+         |  FROM (SELECT $idCol, word_pos, string_split(trim(s), ' ') AS y FROM e$rounds),
+         |       UNNEST(range(len(y))) AS u(j)
+         |)""".stripMargin
+    (Seq(withClause, tail) ++ eCtes ++ Seq(tok)).mkString("", ",\n", "\n") +
+      s"""SELECT tok.$idCol,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY tok.$idCol
+         |    ORDER BY tok.word_pos, tok.sym_pos) AS BIGINT) AS pos,
+         |  CAST(vv.token_id AS BIGINT) AS token_id, tok.symbol
+         |FROM tok JOIN vv USING (symbol)""".stripMargin
+  }
+
   /** The DuckDB twin of [[trainAndEncode]]: the [[oracleSql]] CTE
     * chain learns the merges, then the corpus explodes to the
     * (doc, word) grain and the same replace chain applies round by

@@ -90,6 +90,30 @@ class BpeSpec extends SparkSpec {
     assert(got1 == Seq((1L, "ab", 5L), (2L, "c", 3L), (3L, "b", 1L)), got1.toString)
   }
 
+  test("encodeIds: the ordered token-id stream, exact under full and partial fusion") {
+    val docs = Seq((1L, "ab ab abc"), (2L, "ab abc bc")).toDF("doc_id", "text")
+    def stream(rounds: Int): Seq[(Long, Long, Long, String)] = {
+      val merges = Bpe.trainMerges(docs, "doc_id", "text", rounds)
+        .orderBy("round").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.encodeIds(docs, "doc_id", "text", merges,
+        Bpe.vocabulary(docs, "doc_id", "text", rounds))
+        .orderBy("doc_id", "pos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    }
+    // full fusion: vocab ab→1 abc→2 bc→3; doc 1 = [1,1,2], doc 2 = [1,2,3]
+    assert(stream(5) == Seq(
+      (1L, 1L, 1L, "ab"), (1L, 2L, 1L, "ab"), (1L, 3L, 2L, "abc"),
+      (2L, 1L, 1L, "ab"), (2L, 2L, 2L, "abc"), (2L, 3L, 3L, "bc")),
+      stream(5).toString)
+    // partial fusion (1 round): 'abc' is [ab, c], 'bc' is [b, c] —
+    // multi-symbol words stream in symbol order; vocab ab→1 c→2 b→3
+    assert(stream(1) == Seq(
+      (1L, 1L, 1L, "ab"), (1L, 2L, 1L, "ab"), (1L, 3L, 1L, "ab"), (1L, 4L, 2L, "c"),
+      (2L, 1L, 1L, "ab"), (2L, 2L, 1L, "ab"), (2L, 3L, 2L, "c"),
+      (2L, 4L, 3L, "b"), (2L, 5L, 2L, "c")),
+      stream(1).toString)
+  }
+
   test("pre-tokenization: merges cannot cross class boundaries; whitespace mode provably can") {
     val docs = Seq((1L, "ab.cd ab.cd")).toDF("doc_id", "text")
     // whitespace mode sees the word 'ab.cd' — all four adjacent pairs
