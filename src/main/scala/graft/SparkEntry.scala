@@ -487,7 +487,7 @@ object SparkEntry {
       .orderBy("round").collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
     graft.text.Bpe.encodeIds(docs, "doc_id", "text", merges,
-      graft.text.Bpe.vocabulary(docs, "doc_id", "text", rounds = 8))
+      graft.text.Bpe.vocabularyFromMerges(docs, "doc_id", "text", merges))
   }
 
   /** q22: whitespace + BPE-ish regex token counts. */

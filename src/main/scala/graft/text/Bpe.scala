@@ -143,6 +143,38 @@ object Bpe {
       .select(col("token_id"), col("symbol"), col("n_occurrences"))
   }
 
+  /** [[vocabulary]] derived from an ALREADY-TRAINED merge list — the
+    * stored-posture form: no iterative argmax, just the corpus's
+    * word grain with the merge chain applied in order (identical to
+    * the training loop's final state by construction: the loop's
+    * state IS the word table with each round's replace applied) and
+    * one bounded aggregate. What a pipeline reading the published
+    * merge table uses to size its embedding table. */
+  def vocabularyFromMerges(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    merges.foreach { case (l, r) =>
+      require(!l.contains("'") && !r.contains("'"), "quote-free symbols required")
+    }
+    val applied = merges.foldLeft(
+      "concat(' ', regexp_replace(word, '(.)', '$1 '))") { case (acc, (l, r)) =>
+      s"replace($acc, ' $l $r ', ' $l$r ')"
+    }
+    val counts = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("c"))
+      .select(explode(split(trim(expr(applied)), " ")).as("symbol"), col("c"))
+      .groupBy("symbol").agg(sum("c").as("n_occurrences"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_occurrences").desc, col("symbol").asc)
+    counts
+      .withColumn("token_id", row_number().over(w).cast("long"))
+      .select(col("token_id"), col("symbol"), col("n_occurrences"))
+  }
+
   /** The DuckDB twin of [[vocabulary]]: the [[oracleSql]] CTE chain,
     * then the final state's symbols aggregate and rank. */
   def vocabOracleSql(table: String, textCol: String, rounds: Int): String = {

@@ -114,6 +114,19 @@ class BpeSpec extends SparkSpec {
       stream(1).toString)
   }
 
+  test("vocabularyFromMerges equals the training loop's own vocabulary") {
+    val docs = Seq((1L, "ab ab abc"), (2L, "ab abc bc")).toDF("doc_id", "text")
+    for (rounds <- Seq(1, 3, 5)) {
+      val merges = Bpe.trainMerges(docs, "doc_id", "text", rounds)
+        .orderBy("round").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      val fromMerges = Bpe.vocabularyFromMerges(docs, "doc_id", "text", merges)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val trained = Bpe.vocabulary(docs, "doc_id", "text", rounds)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(fromMerges == trained, s"rounds=$rounds: $fromMerges vs $trained")
+    }
+  }
+
   test("pre-tokenization: merges cannot cross class boundaries; whitespace mode provably can") {
     val docs = Seq((1L, "ab.cd ab.cd")).toDF("doc_id", "text")
     // whitespace mode sees the word 'ab.cd' — all four adjacent pairs
