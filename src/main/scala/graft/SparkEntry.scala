@@ -490,6 +490,70 @@ object SparkEntry {
       graft.text.Bpe.vocabularyFromMerges(docs, "doc_id", "text", merges))
   }
 
+  /** q189: context-window assembly ([[text.Bpe.contextWindows]]) —
+    * the final artifact between q188's per-document token streams and
+    * the training loader: streams packed into 512-token-budget
+    * windows per q158's shard/scramble keys, every token placed at
+    * its absolute window position (offset of its document's
+    * predecessors + its in-doc position). The composition is where
+    * the bugs live — a packing that disagrees with the stream about
+    * one document's length shifts every later token in the window —
+    * so lengths come FROM the stream and the oracle re-derives
+    * tokenization, packing recurrence (recursive CTE), and placement
+    * together: the hash covers every token's (shard, window,
+    * position) at once. */
+  def q189ContextWindows(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = graft.sources.Publish
+      .read(spark, bpeMergesRoot(spark, dir))
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.text.Bpe.contextWindows(docs, "doc_id", "text", merges,
+      shards = 8, budget = 512L)
+  }
+
+  /** q190: tokenizer FERTILITY by language ([[text.Bpe.fertility]]) —
+    * the standard cross-lingual tokenizer-eval metric (tokens per
+    * word, ppm): a tokenizer trained on one language family bills
+    * others at a worse rate, and a token-budgeted training mixture
+    * (q74) silently re-weights languages by exactly this ratio — the
+    * number a mixture designer must read before setting domain caps.
+    * One stored-merges encode pass, one join to the language label,
+    * one |languages|-grain aggregate; ppm by truncating division on
+    * non-negatives (= floor = DuckDB `//`), so the hash is exact. */
+  def q190TokenFertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = graft.sources.Publish
+      .read(spark, bpeMergesRoot(spark, dir))
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.text.Bpe.fertility(docs, "doc_id", "text", "lang", merges)
+  }
+
+  /** Candidate vocabulary truncation points for q191 — spanning the
+    * testdata vocabulary size (|alphabet| + 8 merges ≈ 32) so the
+    * curve has both a climbing region and its saturated tail at
+    * every SF. */
+  private val VocabCuts: Seq[Long] = Seq(2L, 4L, 8L, 16L, 32L, 64L)
+
+  /** q191: truncated-vocabulary COVERAGE ([[text.Bpe.coverage]]) —
+    * the embedding-table-sizing curve: for each candidate cut m, the
+    * ppm of corpus token occurrences the top-m vocabulary ids cover.
+    * The id order is q185's own (count DESC, symbol ASC), so
+    * coverage(m) is the best any m-row truncation can do; cuts above
+    * |vocab| saturate at 1e6 (the flat tail is part of the answer).
+    * All arithmetic happens at the driver-bounded vocabulary grain;
+    * the corpus contributes through the one bounded word aggregate
+    * the stored-merges vocabulary derivation already runs. */
+  def q191VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = graft.sources.Publish
+      .read(spark, bpeMergesRoot(spark, dir))
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.text.Bpe.coverage(docs, "doc_id", "text", merges, VocabCuts)
+  }
+
   /** q22: whitespace + BPE-ish regex token counts. */
   def q22TokenCount(spark: SparkSession, dir: String): DataFrame =
     TextOps.tokenCounts(Tables.documents(spark, dir), "doc_id", "text")
@@ -5315,7 +5379,10 @@ object SparkEntry {
     "q185_bpe_vocab"             -> (q185BpeVocab _),
     "q186_bpe_pretokenized"      -> (q186BpePretokenized _),
     "q187_ann_recall"            -> (q187AnnRecall _),
-    "q188_bpe_token_stream"      -> (q188BpeTokenStream _)
+    "q188_bpe_token_stream"      -> (q188BpeTokenStream _),
+    "q189_context_windows"       -> (q189ContextWindows _),
+    "q190_token_fertility"       -> (q190TokenFertility _),
+    "q191_vocab_coverage"        -> (q191VocabCoverage _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -5355,7 +5422,14 @@ object SparkEntry {
           s"(SELECT doc_id, text || '$bpeDecorTailSql' AS text FROM documents)",
           "text", 8, pretokenized = true),
       "q188_bpe_token_stream" ->
-        graft.text.Bpe.encodeIdsOracleSql("documents", "doc_id", "text", 8))
+        graft.text.Bpe.encodeIdsOracleSql("documents", "doc_id", "text", 8),
+      "q189_context_windows" ->
+        graft.text.Bpe.contextWindowsOracleSql(
+          "documents", "doc_id", "text", 8, shards = 8, budget = 512L),
+      "q190_token_fertility" ->
+        graft.text.Bpe.fertilityOracleSql("documents", "doc_id", "text", "lang", 8),
+      "q191_vocab_coverage" ->
+        graft.text.Bpe.coverageOracleSql("documents", "text", 8, VocabCuts))
   }
 
   /** q84's oracle: GraphOps.pageRank's integer recurrence unrolled,

@@ -258,14 +258,21 @@ object Bpe {
     * (a stream, not a stats row — totality is [[encode]]'s job).
     * `vocab` must cover the corpus's post-merge symbols (true by
     * construction under self-tokenization: [[vocabulary]] from the
-    * same corpus and rounds).
+    * same corpus and rounds) UNLESS `oovId` is set: a streaming
+    * encoder applies a FIXED reference tokenizer to arbitrary crawl
+    * batches, where unseen symbols are a fact of life — with
+    * `oovId = Some(v)` an out-of-vocabulary symbol keeps its place in
+    * the stream carrying token id `v` (the UNK id; reference
+    * vocabularies start ids at 1, so 0 is free) instead of silently
+    * dropping, which would corrupt every later position.
     * Output: (id, pos, token_id, symbol), pos 1-based per doc. */
   def encodeIds(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       merges: Seq[(String, String)],
-      vocab: DataFrame): DataFrame = {
+      vocab: DataFrame,
+      oovId: Option[Long] = None): DataFrame = {
     merges.foreach { case (l, r) =>
       require(!l.contains("'") && !r.contains("'"), "quote-free symbols required")
     }
@@ -282,7 +289,13 @@ object Bpe {
         posexplode(split(trim(col("__s")), " ")).as(Seq("sym_pos", "symbol")))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("word_pos"), col("sym_pos"))
-    syms.join(vocab.select(col("token_id"), col("symbol")), Seq("symbol"))
+    val joined = oovId match {
+      case None => syms.join(vocab.select(col("token_id"), col("symbol")), Seq("symbol"))
+      case Some(v) => syms
+        .join(vocab.select(col("token_id"), col("symbol")), Seq("symbol"), "left_outer")
+        .withColumn("token_id", coalesce(col("token_id"), lit(v)))
+    }
+    joined
       .withColumn("pos", row_number().over(win).cast("long"))
       .select(col(idCol), col("pos"), col("token_id"), col("symbol"))
   }
@@ -423,5 +436,225 @@ object Bpe {
     }
     (Seq(init) ++ roundCtes).mkString("WITH ", ",\n", "\n") +
       rows.mkString("", "\nUNION ALL\n", "")
+  }
+
+  /** Tokenizer FERTILITY by language — the standard cross-lingual
+    * tokenizer-eval metric (tokens per word; a tokenizer trained on
+    * one language family bills others at a worse rate, and a training
+    * mixture budgeted in tokens silently re-weights languages by
+    * exactly this ratio). One [[encode]] pass with the stored merge
+    * chain, one join to the per-doc language label, one aggregate at
+    * the |languages| grain; ratios are integer ppm by truncating
+    * division on non-negatives (= floor = DuckDB `//`), so the hash
+    * is exact. Output: (lang, n_docs, n_words, n_chars_sym,
+    * n_bpe_tokens, fertility_ppm, compression_ppm). */
+  def fertility(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    docs.select(col(idCol), col(langCol))
+      .join(encode(docs, idCol, textCol, merges), Seq(idCol))
+      .groupBy(col(langCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"),
+        sum("n_chars_sym").as("n_chars_sym"),
+        sum("n_bpe_tokens").as("n_bpe_tokens"))
+      .select(col(langCol), col("n_docs"), col("n_words"),
+        col("n_chars_sym"), col("n_bpe_tokens"),
+        expr("n_bpe_tokens * 1000000 div greatest(n_words, 1)")
+          .as("fertility_ppm"),
+        expr("n_bpe_tokens * 1000000 div greatest(n_chars_sym, 1)")
+          .as("compression_ppm"))
+
+  /** The DuckDB twin of [[fertility]]: [[encodeOracleSql]]'s CTE
+    * chain (train + per-doc encode), re-aggregated at the language
+    * grain with `//` for the ppm ratios. */
+  def fertilityOracleSql(
+      table: String, idCol: String, textCol: String, langCol: String,
+      rounds: Int): String = {
+    val enc = encodeOracleSql(table, idCol, textCol, rounds)
+    val withClause = enc.substring(0, enc.indexOf(s"\nSELECT t.$idCol"))
+    withClause + "\n" +
+      s"""SELECT t.$langCol AS $langCol,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(COALESCE(enc.n_words, 0)) AS BIGINT) AS n_words,
+         |  CAST(SUM(COALESCE(enc.n_chars_sym, 0)) AS BIGINT) AS n_chars_sym,
+         |  CAST(SUM(COALESCE(enc.n_bpe_tokens, 0)) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(SUM(COALESCE(enc.n_bpe_tokens, 0)) * 1000000
+         |    // GREATEST(SUM(COALESCE(enc.n_words, 0)), 1) AS BIGINT) AS fertility_ppm,
+         |  CAST(SUM(COALESCE(enc.n_bpe_tokens, 0)) * 1000000
+         |    // GREATEST(SUM(COALESCE(enc.n_chars_sym, 0)), 1) AS BIGINT) AS compression_ppm
+         |FROM $table t LEFT JOIN enc ON t.$idCol = enc.$idCol
+         |GROUP BY t.$langCol""".stripMargin
+  }
+
+  /** Truncated-vocabulary COVERAGE — the embedding-table-sizing
+    * curve: for each candidate vocabulary cut m, how many of the
+    * corpus's token OCCURRENCES the top-m ids cover (ppm). The id
+    * order is [[vocabulary]]'s own (count DESC, symbol ASC), so
+    * coverage(m) is the best any m-row truncation can do; cuts above
+    * |vocab| saturate at 1e6 — the curve's flat tail is part of the
+    * answer, not a vacuous row. All work happens at the
+    * driver-bounded vocabulary grain (|alphabet| + ≤ rounds symbols);
+    * the corpus contributes through the one bounded word aggregate
+    * [[vocabularyFromMerges]] already runs.
+    * Output: (vocab_cut, n_symbols, covered_occurrences, coverage_ppm). */
+  def coverage(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)],
+      cuts: Seq[Long]): DataFrame = {
+    require(cuts.nonEmpty && cuts.forall(_ >= 1), "cuts must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = vocabularyFromMerges(docs, idCol, textCol, merges)
+    val total = vocab.agg(sum("n_occurrences").as("__total"))
+    cuts.toDF("vocab_cut")
+      .join(vocab, col("token_id") <= col("vocab_cut"))
+      .groupBy("vocab_cut")
+      .agg(count(lit(1)).as("n_symbols"),
+        sum("n_occurrences").as("covered_occurrences"))
+      .crossJoin(total)
+      .select(col("vocab_cut"), col("n_symbols"), col("covered_occurrences"),
+        expr("covered_occurrences * 1000000 div greatest(__total, 1)")
+          .as("coverage_ppm"))
+  }
+
+  /** The DuckDB twin of [[coverage]]: the training CTE chain, the
+    * ranked-vocabulary CTE, and a VALUES cut list joined on
+    * token_id <= cut. */
+  def coverageOracleSql(
+      table: String, textCol: String, rounds: Int, cuts: Seq[Long]): String = {
+    val trainCtes = oracleSql(table, textCol, rounds)
+    val withClause = trainCtes.substring(0, trainCtes.indexOf("\nSELECT 1 AS round"))
+    val values = cuts.map(c => s"($c)").mkString(", ")
+    withClause + ",\n" +
+      s"""v AS (
+         |  SELECT sym AS symbol, SUM(c) AS n_occurrences
+         |  FROM (SELECT UNNEST(string_split(trim(s), ' ')) AS sym, c FROM s$rounds)
+         |  GROUP BY sym
+         |), vv AS (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, symbol ASC)
+         |      AS token_id, symbol, n_occurrences
+         |  FROM v
+         |)
+         |SELECT CAST(cuts.vocab_cut AS BIGINT) AS vocab_cut,
+         |  CAST(COUNT(*) AS BIGINT) AS n_symbols,
+         |  CAST(SUM(vv.n_occurrences) AS BIGINT) AS covered_occurrences,
+         |  CAST(SUM(vv.n_occurrences) * 1000000
+         |    // GREATEST((SELECT SUM(n_occurrences) FROM v), 1) AS BIGINT) AS coverage_ppm
+         |FROM (VALUES $values) cuts(vocab_cut)
+         |JOIN vv ON vv.token_id <= cuts.vocab_cut
+         |GROUP BY cuts.vocab_cut""".stripMargin
+  }
+
+  /** CONTEXT-WINDOW assembly — the final artifact between [[encodeIds]]'s
+    * per-document streams and the training loader: token-id streams
+    * packed into fixed-budget windows, every token placed at its
+    * absolute position within its window. Composes the two audited
+    * pieces: per-doc stream lengths (from the stream itself, so the
+    * packing and the placement can never disagree about a length)
+    * feed [[graft.operators.Packing.packNextFit]]'s order-preserving
+    * next-fit recurrence per shard; inside a window, a document's
+    * tokens sit at offset + pos where offset is the windowed prefix
+    * sum of its predecessors' lengths (the q158 posture) — so
+    * win_pos is 1-based and gapless per (shard, seq_id). Documents
+    * with no tokens pack nothing (a window stream, not a stats row).
+    *
+    * Scale shape: the stream is persisted (it is consumed by the
+    * length aggregate AND the final placement join); packing
+    * shuffles |docs|-grain length rows on the shard key; the
+    * placement is one |tokens|-grain equi-join on the doc id —
+    * token rows shuffle once, text never re-tokenizes.
+    * Output: (shard, seq_id, win_pos, idCol, token_id). */
+  def contextWindows(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)],
+      shards: Int,
+      budget: Long): DataFrame = {
+    require(shards >= 1, "shards must be >= 1")
+    val vocab = vocabularyFromMerges(docs, idCol, textCol, merges)
+    val stream = graft.CacheScope.persisted(
+      encodeIds(docs, idCol, textCol, merges, vocab))
+    val scramble = pmod(
+      pmod(col(idCol), lit(1000003L)) * lit(2654435761L), lit(1000000007L))
+    val lens = stream.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"))
+      .select(col(idCol), col("n_tokens"), scramble.as("scramble"),
+        pmod(scramble, lit(shards.toLong)).as("shard"))
+    val packed = graft.operators.Packing
+      .packNextFit(lens, "shard", "scramble", idCol, "n_tokens", budget)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard", "seq_id").orderBy(col("scramble"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = packed
+      .join(lens.select(col(idCol), col("scramble")), Seq(idCol))
+      .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col(idCol), col("shard"), col("seq_id"), col("offset"))
+    stream.join(offsets, Seq(idCol))
+      .select(col("shard"), col("seq_id"),
+        (col("offset") + col("pos")).as("win_pos"),
+        col(idCol), col("token_id"))
+  }
+
+  /** The DuckDB twin of [[contextWindows]] under self-tokenization:
+    * [[encodeIdsOracleSql]]'s CTE chain re-derives the ordered
+    * stream, per-doc lengths feed the q158-shape recursive next-fit
+    * CTE, and the final select places every token at offset + pos.
+    * The whole chain lives in one WITH RECURSIVE clause (DuckDB
+    * allows non-recursive CTEs alongside the recursive member). */
+  def contextWindowsOracleSql(
+      table: String, idCol: String, textCol: String, rounds: Int,
+      shards: Int, budget: Long): String = {
+    val enc = encodeIdsOracleSql(table, idCol, textCol, rounds)
+    val cut = enc.indexOf(s"\nSELECT tok.$idCol")
+    val withClause = enc.substring(0, cut)
+      .replaceFirst("^WITH ", "WITH RECURSIVE ")
+    withClause + ",\n" +
+      s"""ts AS (
+         |  SELECT tok.$idCol,
+         |    ROW_NUMBER() OVER (PARTITION BY tok.$idCol
+         |      ORDER BY tok.word_pos, tok.sym_pos) AS pos,
+         |    vv.token_id
+         |  FROM tok JOIN vv USING (symbol)
+         |), ln AS (
+         |  SELECT $idCol, COUNT(*) AS n_tokens,
+         |    (($idCol % 1000003) * 2654435761) % 1000000007 AS scramble,
+         |    (($idCol % 1000003) * 2654435761) % 1000000007 % $shards AS shard
+         |  FROM ts GROUP BY $idCol
+         |), o AS (
+         |  SELECT shard, $idCol, n_tokens, scramble,
+         |    ROW_NUMBER() OVER (PARTITION BY shard
+         |                       ORDER BY scramble, $idCol) AS rn
+         |  FROM ln
+         |), packed AS (
+         |  SELECT shard, $idCol, n_tokens, rn,
+         |    CAST(1 AS BIGINT) AS seq_id, n_tokens AS acc
+         |  FROM o WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.shard, o.$idCol, o.n_tokens, o.rn,
+         |    CASE WHEN p.acc + o.n_tokens > $budget
+         |         THEN p.seq_id + 1 ELSE p.seq_id END,
+         |    CASE WHEN p.acc + o.n_tokens > $budget
+         |         THEN o.n_tokens ELSE p.acc + o.n_tokens END
+         |  FROM packed p JOIN o ON o.shard = p.shard AND o.rn = p.rn + 1
+         |), off AS (
+         |  SELECT shard, seq_id, $idCol,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (
+         |      PARTITION BY shard, seq_id ORDER BY rn
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0) AS BIGINT) AS o_set
+         |  FROM packed
+         |)
+         |SELECT off.shard, off.seq_id,
+         |  CAST(off.o_set + ts.pos AS BIGINT) AS win_pos,
+         |  ts.$idCol, CAST(ts.token_id AS BIGINT) AS token_id
+         |FROM ts JOIN off USING ($idCol)""".stripMargin
   }
 }

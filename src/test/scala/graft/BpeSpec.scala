@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.text.Bpe
 
 /** q183 (text.Bpe.trainMerges): BPE merge training. Hand-computed
@@ -146,6 +148,106 @@ class BpeSpec extends SparkSpec {
       "doc_id", "text", rounds = 1, pretokenize = true)
       .collect().map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
     assert(dig == Seq(("2", "5", 2L)), dig.toString)
+  }
+
+  test("encodeIds oovId: out-of-vocabulary symbols keep their position carrying the UNK id") {
+    val docs = Seq((1L, "ab b")).toDF("doc_id", "text")
+    val vocab = Seq((1L, "ab", 5L)).toDF("token_id", "symbol", "n_occurrences")
+    val merges = Seq(("a", "b"))
+    // default (self-tokenization contract): the uncovered symbol drops
+    // — and takes every later position with it, which is exactly why
+    // a FIXED-reference encoder must not use this mode
+    val strict = Bpe.encodeIds(docs, "doc_id", "text", merges, vocab)
+      .orderBy("pos").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(strict == Seq((1L, 1L)), strict.toString)
+    // oovId: 'b' holds position 2 with the UNK id
+    val unk = Bpe.encodeIds(docs, "doc_id", "text", merges, vocab, oovId = Some(0L))
+      .orderBy("pos").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(unk == Seq((1L, 1L, "ab"), (2L, 0L, "b")), unk.toString)
+  }
+
+  test("fertility: per-language tokens-per-word and compression, integer-exact ppm") {
+    val docs = Seq(
+      (1L, "ab ab abc", "en"),
+      (2L, "ab abc bc", "xx"),
+      (3L, "", "en") // empty doc: counted, contributes zeros
+    ).toDF("doc_id", "text", "lang")
+    // merges [(a,b)]: doc1 = ab(1) ab(1) abc(2) → 4 tokens / 3 words
+    //                 doc2 = ab(1) abc(2) bc(2) → 5 tokens / 3 words
+    val got = Bpe.fertility(docs, "doc_id", "text", "lang", Seq(("a", "b")))
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == Seq(
+      ("en", 2L, 3L, 7L, 4L, 1333333L, 571428L),
+      ("xx", 1L, 3L, 7L, 5L, 1666666L, 714285L)), got.toString)
+  }
+
+  test("coverage: the truncation curve climbs exactly and saturates above |vocab|") {
+    val docs = Seq((1L, "ab ab abc"), (2L, "ab abc bc")).toDF("doc_id", "text")
+    // merges [(a,b)] → symbols ab=5, c=3, b=1 (total 9); ids ab=1 c=2 b=3
+    val got = Bpe.coverage(docs, "doc_id", "text", Seq(("a", "b")),
+      cuts = Seq(1L, 2L, 3L, 64L))
+      .orderBy("vocab_cut").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, 1L, 5L, 555555L),
+      (2L, 2L, 8L, 888888L),
+      (3L, 3L, 9L, 1000000L),
+      (64L, 3L, 9L, 1000000L)), got.toString)
+  }
+
+  test("contextWindows: packing, offsets, and placement agree; empty docs pack nothing") {
+    // scrambles: doc2 (308871487) < doc1 (654435747) < doc3 (963307234)
+    // — the packing order under one shard
+    val docs = Seq((1L, "ab ab"), (2L, "abc"), (3L, "b c"), (4L, ""))
+      .toDF("doc_id", "text")
+    // merges [(a,b)] → vocab ab=1(3), c=2(2), b=3(1)
+    // streams: doc1=[1,1] doc2=[1,2] doc3=[3,2]; all length 2
+    def run(budget: Long) =
+      Bpe.contextWindows(docs, "doc_id", "text", Seq(("a", "b")),
+        shards = 1, budget = budget)
+        .orderBy("seq_id", "win_pos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+    // budget 4: [doc2, doc1] fill window 1; doc3 opens window 2
+    assert(run(4L) == Seq(
+      (0L, 1L, 1L, 2L, 1L), (0L, 1L, 2L, 2L, 2L),
+      (0L, 1L, 3L, 1L, 1L), (0L, 1L, 4L, 1L, 1L),
+      (0L, 2L, 1L, 3L, 3L), (0L, 2L, 2L, 3L, 2L)), run(4L).toString)
+    // budget 1 (every doc oversized): one window per doc, win_pos = pos
+    assert(run(1L) == Seq(
+      (0L, 1L, 1L, 2L, 1L), (0L, 1L, 2L, 2L, 2L),
+      (0L, 2L, 1L, 1L, 1L), (0L, 2L, 2L, 1L, 1L),
+      (0L, 3L, 1L, 3L, 3L), (0L, 3L, 2L, 3L, 2L)), run(1L).toString)
+  }
+
+  test("contextWindows: windows are gapless and budget-bounded on the real testdata") {
+    val docs = Tables.documents(spark, SfDir)
+    val merges = Bpe.trainMerges(docs, "doc_id", "text", rounds = 8)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val wins = Bpe.contextWindows(docs, "doc_id", "text", merges,
+      shards = 8, budget = 512L)
+    val stats = wins.groupBy("shard", "seq_id")
+      .agg(count(lit(1)).as("n"), max("win_pos").as("mx"), min("win_pos").as("mn"),
+        countDistinct("win_pos").as("nd"))
+      .collect()
+    assert(stats.nonEmpty)
+    stats.foreach { r =>
+      val (n, mx, mn, nd) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(mn == 1L && mx == n && nd == n,
+        s"window ${r.getLong(0)}/${r.getLong(1)} not gapless: n=$n mx=$mx mn=$mn nd=$nd")
+    }
+    // budget holds unless a single document overflows it alone (its
+    // own window by the next-fit contract)
+    val perDoc = wins.groupBy("shard", "seq_id", "doc_id")
+      .agg(count(lit(1)).as("dn"))
+    val over = perDoc.groupBy("shard", "seq_id")
+      .agg(sum("dn").as("tot"), count(lit(1)).as("docs"))
+      .where(col("tot") > 512L && col("docs") > 1L)
+    assert(over.isEmpty, "a multi-doc window exceeded the budget")
   }
 
   test("non-vacuous at the real testdata: 8 full rounds of plausible English-ish merges") {
