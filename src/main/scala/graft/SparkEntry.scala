@@ -554,6 +554,32 @@ object SparkEntry {
     graft.text.Bpe.coverage(docs, "doc_id", "text", merges, VocabCuts)
   }
 
+  /** Candidate window budgets for q192 — bracketing the corpus's
+    * per-doc token lengths (~200 at every SF) so the curve shows both
+    * regimes: small budgets where single documents overflow (padding
+    * → 0 from the overflow side) and large ones where tail windows
+    * under-fill. */
+  private val PackBudgets: Seq[Long] = Seq(128L, 256L, 512L, 1024L)
+
+  /** q192: PACKING-EFFICIENCY curve ([[text.Bpe.packingEfficiency]])
+    * — the budget-tuning eval beside q191's vocab-sizing curve: for
+    * each candidate context-window budget, how many windows the
+    * corpus packs into (q189's next-fit, same shard keys) and what
+    * ppm of their capacity is padding — the attention mass a loader
+    * wastes at that budget. One stream aggregate feeds every
+    * budget's |docs|-grain packing; the oracle unrolls one recursive
+    * next-fit CTE per budget and UNION ALLs the curve, so every
+    * window count and padding ratio sits under the hash. */
+  def q192PackingEfficiency(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = graft.sources.Publish
+      .read(spark, bpeMergesRoot(spark, dir))
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.text.Bpe.packingEfficiency(docs, "doc_id", "text", merges,
+      shards = 8, budgets = PackBudgets)
+  }
+
   /** q22: whitespace + BPE-ish regex token counts. */
   def q22TokenCount(spark: SparkSession, dir: String): DataFrame =
     TextOps.tokenCounts(Tables.documents(spark, dir), "doc_id", "text")
@@ -5382,7 +5408,8 @@ object SparkEntry {
     "q188_bpe_token_stream"      -> (q188BpeTokenStream _),
     "q189_context_windows"       -> (q189ContextWindows _),
     "q190_token_fertility"       -> (q190TokenFertility _),
-    "q191_vocab_coverage"        -> (q191VocabCoverage _)
+    "q191_vocab_coverage"        -> (q191VocabCoverage _),
+    "q192_packing_efficiency"    -> (q192PackingEfficiency _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -5429,7 +5456,10 @@ object SparkEntry {
       "q190_token_fertility" ->
         graft.text.Bpe.fertilityOracleSql("documents", "doc_id", "text", "lang", 8),
       "q191_vocab_coverage" ->
-        graft.text.Bpe.coverageOracleSql("documents", "text", 8, VocabCuts))
+        graft.text.Bpe.coverageOracleSql("documents", "text", 8, VocabCuts),
+      "q192_packing_efficiency" ->
+        graft.text.Bpe.packingEfficiencyOracleSql(
+          "documents", "doc_id", "text", 8, shards = 8, budgets = PackBudgets))
   }
 
   /** q84's oracle: GraphOps.pageRank's integer recurrence unrolled,

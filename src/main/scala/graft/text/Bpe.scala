@@ -578,10 +578,25 @@ object Bpe {
       merges: Seq[(String, String)],
       shards: Int,
       budget: Long): DataFrame = {
-    require(shards >= 1, "shards must be >= 1")
     val vocab = vocabularyFromMerges(docs, idCol, textCol, merges)
     val stream = graft.CacheScope.persisted(
       encodeIds(docs, idCol, textCol, merges, vocab))
+    windowsFromStream(stream, idCol, shards, budget)
+  }
+
+  /** The packing + placement half of [[contextWindows]] over an
+    * ALREADY-ENCODED (id, pos, token_id) stream — what a streaming
+    * assembler applies per batch (the stream arrives encoded from the
+    * versioned tokenizer; re-deriving it here would re-tokenize).
+    * The caller persists the stream if it is not already
+    * materialized — it is consumed by the length aggregate AND the
+    * placement join. */
+  def windowsFromStream(
+      stream: DataFrame,
+      idCol: String,
+      shards: Int,
+      budget: Long): DataFrame = {
+    require(shards >= 1, "shards must be >= 1")
     val scramble = pmod(
       pmod(col(idCol), lit(1000003L)) * lit(2654435761L), lit(1000000007L))
     val lens = stream.groupBy(col(idCol))
@@ -601,6 +616,98 @@ object Bpe {
       .select(col("shard"), col("seq_id"),
         (col("offset") + col("pos")).as("win_pos"),
         col(idCol), col("token_id"))
+  }
+
+  /** PACKING-EFFICIENCY curve — the budget-tuning eval beside
+    * [[coverage]]'s vocab-sizing curve: for each candidate window
+    * budget, how many windows the corpus packs into and what fraction
+    * of their capacity is PADDING (ppm) — the attention mass a loader
+    * wastes at that budget. Oversized documents (longer than the
+    * budget) still take one window each under next-fit, so their
+    * overflow makes padding_ppm exact-by-definition against the
+    * n_windows × budget capacity, clamped at 0 via GREATEST — the
+    * curve stays meaningful even where single documents dominate.
+    * All packing runs over the |docs|-grain length table (one stream
+    * aggregate, shared across budgets via the caller's persisted
+    * stream); output is |budgets| rows.
+    * Output: (budget, n_windows, total_tokens, padding_ppm). */
+  def packingEfficiency(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)],
+      shards: Int,
+      budgets: Seq[Long]): DataFrame = {
+    require(budgets.nonEmpty && budgets.forall(_ >= 1), "budgets must be >= 1")
+    val vocab = vocabularyFromMerges(docs, idCol, textCol, merges)
+    val stream = graft.CacheScope.persisted(
+      encodeIds(docs, idCol, textCol, merges, vocab))
+    val scramble = pmod(
+      pmod(col(idCol), lit(1000003L)) * lit(2654435761L), lit(1000000007L))
+    val lens = graft.CacheScope.persisted(stream.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"))
+      .select(col(idCol), col("n_tokens"), scramble.as("scramble"),
+        pmod(scramble, lit(shards.toLong)).as("shard")))
+    budgets.map { b =>
+      graft.operators.Packing
+        .packNextFit(lens, "shard", "scramble", idCol, "n_tokens", b)
+        .groupBy()
+        .agg(countDistinct(col("shard"), col("seq_id")).as("n_windows"),
+          sum(col("n_tokens")).as("total_tokens"))
+        .select(lit(b).as("budget"), col("n_windows"), col("total_tokens"),
+          expr(s"greatest(n_windows * $b - total_tokens, 0) * 1000000 " +
+            s"div greatest(n_windows * $b, 1)").as("padding_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The DuckDB twin of [[packingEfficiency]]: the token-stream CTE
+    * chain aggregates to per-doc lengths once; each budget's next-fit
+    * recurrence unrolls as its own recursive CTE pair and the curve
+    * rows UNION ALL. */
+  def packingEfficiencyOracleSql(
+      table: String, idCol: String, textCol: String, rounds: Int,
+      shards: Int, budgets: Seq[Long]): String = {
+    val enc = encodeIdsOracleSql(table, idCol, textCol, rounds)
+    val cut = enc.indexOf(s"\nSELECT tok.$idCol")
+    val withClause = enc.substring(0, cut)
+      .replaceFirst("^WITH ", "WITH RECURSIVE ")
+    val lens =
+      s"""ln AS (
+         |  SELECT $idCol, COUNT(*) AS n_tokens,
+         |    (($idCol % 1000003) * 2654435761) % 1000000007 AS scramble,
+         |    (($idCol % 1000003) * 2654435761) % 1000000007 % $shards AS shard
+         |  FROM tok GROUP BY $idCol
+         |), o AS (
+         |  SELECT shard, $idCol, n_tokens,
+         |    ROW_NUMBER() OVER (PARTITION BY shard
+         |                       ORDER BY scramble, $idCol) AS rn
+         |  FROM ln
+         |)""".stripMargin
+    val perBudget = budgets.map { b =>
+      s"""pk$b AS (
+         |  SELECT shard, n_tokens, rn, CAST(1 AS BIGINT) AS seq_id, n_tokens AS acc
+         |  FROM o WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.shard, o.n_tokens, o.rn,
+         |    CASE WHEN p.acc + o.n_tokens > $b
+         |         THEN p.seq_id + 1 ELSE p.seq_id END,
+         |    CASE WHEN p.acc + o.n_tokens > $b
+         |         THEN o.n_tokens ELSE p.acc + o.n_tokens END
+         |  FROM pk$b p JOIN o ON o.shard = p.shard AND o.rn = p.rn + 1
+         |)""".stripMargin
+    }
+    val rows = budgets.map { b =>
+      s"""SELECT CAST($b AS BIGINT) AS budget,
+         |  CAST(COUNT(DISTINCT (shard, seq_id)) AS BIGINT) AS n_windows,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(GREATEST(COUNT(DISTINCT (shard, seq_id)) * $b - SUM(n_tokens), 0)
+         |    * 1000000
+         |    // GREATEST(COUNT(DISTINCT (shard, seq_id)) * $b, 1) AS BIGINT)
+         |    AS padding_ppm
+         |FROM pk$b""".stripMargin
+    }
+    (Seq(withClause, lens) ++ perBudget).mkString("", ",\n", "\n") +
+      rows.mkString("", "\nUNION ALL\n", "")
   }
 
   /** The DuckDB twin of [[contextWindows]] under self-tokenization:

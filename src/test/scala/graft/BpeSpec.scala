@@ -223,6 +223,27 @@ class BpeSpec extends SparkSpec {
       (0L, 3L, 1L, 3L, 3L), (0L, 3L, 2L, 3L, 2L)), run(1L).toString)
   }
 
+  test("packingEfficiency: exact window counts and padding across the budget regimes") {
+    // docs/merges as in the contextWindows case: three 2-token docs
+    val docs = Seq((1L, "ab ab"), (2L, "abc"), (3L, "b c"), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = Bpe.packingEfficiency(docs, "doc_id", "text", Seq(("a", "b")),
+      shards = 1, budgets = Seq(1L, 2L, 4L, 100L))
+      .orderBy("budget").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      // oversized regime: every doc overflows alone — capacity 3 < 6
+      // tokens, padding clamps at 0
+      (1L, 3L, 6L, 0L),
+      // exact fit: three windows of 2
+      (2L, 3L, 6L, 0L),
+      // [doc2, doc1] fill one window, doc3 under-fills the tail:
+      // capacity 8, tokens 6 → 250000 ppm padding
+      (4L, 2L, 6L, 250000L),
+      // everything in one window: 94/100 wasted
+      (100L, 1L, 6L, 940000L)), got.toString)
+  }
+
   test("contextWindows: windows are gapless and budget-bounded on the real testdata") {
     val docs = Tables.documents(spark, SfDir)
     val merges = Bpe.trainMerges(docs, "doc_id", "text", rounds = 8)
