@@ -2777,6 +2777,25 @@ object SparkEntry {
     Multimodal.videoNearDupPairs(
       Multimodal.asVideoTable(Tables.documents(spark, dir), "doc_id", "text"))
 
+  /** q193: video SCENE-CHANGE detection + keyframe selection
+    * ([[graft.multimodal.Multimodal.sceneChanges]]) — the curation
+    * step between decode and training-data sampling: uniform frame
+    * sampling (q46) wastes budget re-sampling one long scene and
+    * misses short ones; sampling at scene boundaries keeps each
+    * distinct shot once. Consecutive-frame dHash hamming above the
+    * intra-scene band marks a boundary; each frame reports its scene
+    * id and whether it is its scene's keyframe. The corpus re-muxes
+    * as real MJPEG clips with PLANTED scene structure (scene length
+    * 1 + doc_id % 3; intra-scene frames render bit-identical through
+    * the real JPEG codec, boundaries re-key every dHash cell), so the
+    * spec asserts exact recovery of every boundary at every SF.
+    * Rows-only (no SQL engine decodes AVI/JPEG); scale shape is
+    * q180's — decode is a narrow batched map, the lag/cumsum windows
+    * partition by document, rasters never shuffle. */
+  def q193SceneChanges(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.sceneChanges(
+      Multimodal.asSceneVideoTable(Tables.documents(spark, dir), "doc_id", "text"))
+
   /** q181: INCREMENTAL media near-dup
     * ([[graft.multimodal.ImageDedup.incrementalDHashPairs]]) — q166's
     * crawl-ingest posture carried to the PERCEPTUAL family: the
@@ -5409,7 +5428,8 @@ object SparkEntry {
     "q189_context_windows"       -> (q189ContextWindows _),
     "q190_token_fertility"       -> (q190TokenFertility _),
     "q191_vocab_coverage"        -> (q191VocabCoverage _),
-    "q192_packing_efficiency"    -> (q192PackingEfficiency _)
+    "q192_packing_efficiency"    -> (q192PackingEfficiency _),
+    "q193_scene_changes"         -> (q193SceneChanges _)
   )
 
   // q10 and q44 compute the same result over different physical

@@ -235,6 +235,58 @@ object Multimodal {
       .toDF()
   }
 
+  /** The SCENE-STRUCTURED twin of [[asVideoTable]] — synthetic MJPEG
+    * clips whose frames group into planted SCENES: frames inside one
+    * scene render the IDENTICAL raster (same quadratic cell mix keyed
+    * on the scene index, so the real JPEG encode emits identical
+    * bytes and dHash hamming is exactly 0), while a scene boundary
+    * re-keys every cell (≥24-level gaps — dHash hamming far above any
+    * intra-scene value). Scene length is doc-derived
+    * (1 + doc_id % 3), so every document plants a KNOWN boundary
+    * structure for [[sceneChanges]] to recover — the q131/q180
+    * planted-input pattern. */
+  def asSceneVideoTable(docs: DataFrame, idCol: String, textCol: String,
+      framesPerDoc: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      lit("video").as("media_type"),
+      encode(col(textCol), "UTF-8").as("payload"))
+      .as[MediaRow]
+      .mapPartitions(_.map { r =>
+        val sceneLen = 1 + (r.doc_id % 3).toInt
+        val (w, h) = (32, 32)
+        val frames = (0 until framesPerDoc).map { f =>
+          val scene = f / sceneLen
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              // one level per dHash grid cell, quadratic mix (the
+              // q175/q180 lesson) keyed on the SCENE index — frames
+              // of one scene are bit-identical, a boundary re-keys
+              // every cell
+              val cell = (x * 9 / w) + (y * 8 / h) * 9
+              val key = (r.doc_id * 1000003L + scene * 7919L +
+                cell * 2654435761L) % 1000000007L
+              val mix = key * key % 1000000007L * 2654435761L % 1000000007L
+              val v = math.min(255, 16 + (mix % 7L).toInt * 24)
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", baos)
+          baos.toByteArray
+        }
+        r.copy(payload = Riff.muxMjpeg(w, h, fps = 24, frames))
+      })
+      .toDF()
+  }
+
   case class FrameHash(doc_id: Long, frame_idx: Int, fhash: Long, decoded: Boolean)
 
   /** Per-sampled-frame perceptual hashes — [[decodeFrames]]'s frame
@@ -271,6 +323,47 @@ object Multimodal {
         }
       }))
       .toDF()
+  }
+
+  /** SCENE-CHANGE detection + keyframe selection — the video-curation
+    * step between decode and training-data sampling: uniform frame
+    * sampling (q46) wastes its budget re-sampling one long scene and
+    * misses short ones; sampling at scene BOUNDARIES captures each
+    * distinct shot once. A boundary is a consecutive-frame perceptual
+    * jump: dHash hamming between frame i and i−1 above
+    * `maxIntraHamming` (dHash is a gradient code — same-shot frames
+    * land within JPEG-noise hamming, a cut re-keys most gradient
+    * bits). Per frame: its hamming to the previous frame (−1 for the
+    * first), its scene id (1 + running boundary count), and whether
+    * it is the scene's KEYFRAME (first frame of its scene — the
+    * frame a sampler keeps).
+    *
+    * Scale shape: decode is [[videoFrameHashes]]'s narrow batched
+    * map; the lag/cumsum windows partition BY DOCUMENT over
+    * |docs|·framesPerDoc (id, int, long) rows — raster bytes never
+    * shuffle, and no window is unpartitioned. Undecodable frames are
+    * excluded (their stub hashes would fabricate boundaries).
+    * Output: (doc_id, frame_idx, hamming_prev, scene_id, is_keyframe). */
+  def sceneChanges(
+      media: DataFrame,
+      framesPerDoc: Int = 6,
+      maxIntraHamming: Int = 8): DataFrame = {
+    val fh = videoFrameHashes(media, framesPerDoc).where(col("decoded"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    fh.withColumn("__prev", lag(col("fhash"), 1).over(w))
+      .withColumn("hamming_prev",
+        when(col("__prev").isNull, lit(-1L))
+          .otherwise(expr("bit_count(fhash ^ __prev)").cast("long")))
+      .withColumn("__chg",
+        when(col("hamming_prev") > lit(maxIntraHamming.toLong), lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("scene_id", lit(1L) + sum(col("__chg")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .withColumn("is_keyframe", col("frame_idx") === 0 || col("__chg") === 1L)
+      .select(col("doc_id"), col("frame_idx"), col("hamming_prev"),
+        col("scene_id"), col("is_keyframe"))
   }
 
   /** Video perceptual near-dup — the SEQUENCE rule over frame

@@ -35,7 +35,10 @@ class OracleSpec extends AnyFunSuite {
       "q166_incremental_neardup", "q181_incremental_media_neardup",
       // the LSH side of the recall harness is seeded-hash (q21's
       // posture); the harness arithmetic itself is AnnRecallSpec-exact
-      "q187_ann_recall")
+      "q187_ann_recall",
+      // binary media (AVI/JPEG decode) like q180; planted scene
+      // structure recovered exactly in SceneChangeSpec
+      "q193_scene_changes")
     assert(rowsOnly == documented,
       s"rows-only set drifted: new=${rowsOnly -- documented} gone=${documented -- rowsOnly}")
   }

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+
+/** q193 (Multimodal.sceneChanges): video scene-change detection over
+  * real MJPEG decode. The scene-structured table plants a KNOWN
+  * boundary layout (scene length 1 + doc_id % 3 over 6 frames), so
+  * recovery is asserted exactly: every frame's scene id, every
+  * keyframe, intra-scene hamming 0 through the real JPEG codec, and
+  * boundary hammings far above the gate. */
+class SceneChangeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("planted scene structure is recovered exactly through the real codecs") {
+    val docs = Tables.documents(spark, SfDir).where(col("doc_id") < 90L)
+    val got = Multimodal.sceneChanges(
+      Multimodal.asSceneVideoTable(docs, "doc_id", "text"))
+      .persist()
+    assert(got.count() == docs.count() * 6, "every frame decodes")
+
+    // expected: sceneLen L = 1 + doc_id % 3; frame f belongs to scene
+    // f/L + 1 and is the keyframe iff f % L == 0
+    val bad = got
+      .withColumn("L", lit(1L) + pmod(col("doc_id"), lit(3L)))
+      .where(
+        col("scene_id") =!= expr("cast(frame_idx AS bigint) div L") + 1L ||
+        col("is_keyframe") =!= (pmod(col("frame_idx").cast("long"), col("L")) === 0L))
+    assert(bad.isEmpty, s"mis-assigned frames: ${bad.collect().take(5).mkString}")
+
+    // intra-scene consecutive frames are BIT-IDENTICAL through the
+    // real JPEG encode/decode (hamming exactly 0); boundaries sit far
+    // above the gate, not just barely over it
+    val intra = got.where(col("hamming_prev") >= 0L && !col("is_keyframe"))
+    assert(intra.where(col("hamming_prev") =!= 0L).isEmpty,
+      "JPEG noise leaked into an intra-scene hamming")
+    val boundary = got.where(col("hamming_prev") >= 0L && col("is_keyframe"))
+    val minB = boundary.agg(min("hamming_prev")).head.getLong(0)
+    assert(minB > 16L, s"weakest boundary hamming $minB — the gate has no margin")
+    got.unpersist(): Unit
+  }
+
+  test("single-scene clips yield one scene and one keyframe") {
+    // doc_id % 3 == 2 → L = 3 over 6 frames = exactly 2 scenes; a
+    // constant-scene table comes from L ≥ frames: build 4-frame clips
+    // on L=3 docs → scenes = {1,2} with frame 3 opening scene 2
+    val docs = Tables.documents(spark, SfDir)
+      .where(pmod(col("doc_id"), lit(3L)) === 2L && col("doc_id") < 90L)
+    val got = Multimodal.sceneChanges(
+      Multimodal.asSceneVideoTable(docs, "doc_id", "text", framesPerDoc = 3))
+    // 3 frames at L=3: all one scene, single keyframe at frame 0
+    val perDoc = got.groupBy("doc_id")
+      .agg(countDistinct("scene_id").as("n_scenes"),
+        sum(when(col("is_keyframe"), 1L).otherwise(0L)).as("n_keys"))
+    assert(perDoc.where(col("n_scenes") =!= 1L || col("n_keys") =!= 1L).isEmpty)
+  }
+}
