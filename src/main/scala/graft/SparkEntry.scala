@@ -554,6 +554,28 @@ object SparkEntry {
     graft.text.Bpe.coverage(docs, "doc_id", "text", merges, VocabCuts)
   }
 
+  /** q194: token-budget APPORTIONMENT by language
+    * ([[text.Bpe.tokenBudget]]) — the mixture-planning step q190's
+    * fertility numbers feed: split a global training token budget
+    * (1M here) across languages proportionally to WORD mass (raw
+    * token counts would hand fertile-tokenizing languages extra share
+    * for the same content), integer-exactly via largest-remainder
+    * apportionment — per-language targets sum to the budget EXACTLY,
+    * the property float shares cannot give, and remainder ties break
+    * deterministically so both engines allocate the same seats. One
+    * stored-merges encode pass, one |languages|-grain aggregate; the
+    * apportionment windows run at that bounded grain (the documented
+    * k-row exception). */
+  def q194TokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = graft.sources.Publish
+      .read(spark, bpeMergesRoot(spark, dir))
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.text.Bpe.tokenBudget(docs, "doc_id", "text", "lang", merges,
+      budget = 1000000L)
+  }
+
   /** Candidate window budgets for q192 — bracketing the corpus's
     * per-doc token lengths (~200 at every SF) so the curve shows both
     * regimes: small budgets where single documents overflow (padding
@@ -5429,7 +5451,8 @@ object SparkEntry {
     "q190_token_fertility"       -> (q190TokenFertility _),
     "q191_vocab_coverage"        -> (q191VocabCoverage _),
     "q192_packing_efficiency"    -> (q192PackingEfficiency _),
-    "q193_scene_changes"         -> (q193SceneChanges _)
+    "q193_scene_changes"         -> (q193SceneChanges _),
+    "q194_token_budget"          -> (q194TokenBudget _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -5479,7 +5502,10 @@ object SparkEntry {
         graft.text.Bpe.coverageOracleSql("documents", "text", 8, VocabCuts),
       "q192_packing_efficiency" ->
         graft.text.Bpe.packingEfficiencyOracleSql(
-          "documents", "doc_id", "text", 8, shards = 8, budgets = PackBudgets))
+          "documents", "doc_id", "text", 8, shards = 8, budgets = PackBudgets),
+      "q194_token_budget" ->
+        graft.text.Bpe.tokenBudgetOracleSql(
+          "documents", "doc_id", "text", "lang", 8, budget = 1000000L))
   }
 
   /** q84's oracle: GraphOps.pageRank's integer recurrence unrolled,

@@ -491,6 +491,67 @@ object Bpe {
          |GROUP BY t.$langCol""".stripMargin
   }
 
+  /** TOKEN-BUDGET apportionment by language — the mixture-planning
+    * step [[fertility]]'s numbers feed: split a global training token
+    * budget across languages proportionally to their WORD mass (the
+    * size measure fertility doesn't distort — budgeting on raw token
+    * counts would hand fertile-tokenizing languages extra share for
+    * the same content), integer-exactly via
+    * [[graft.operators.Apportion.largestRemainder]]: the per-language
+    * targets sum to the budget EXACTLY, the property float shares
+    * cannot give. One stored-merges encode pass and one |languages|-
+    * grain aggregate; apportionment runs at that bounded grain.
+    * Output: (lang, n_words, n_bpe_tokens, target_tokens). */
+  def tokenBudget(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      merges: Seq[(String, String)],
+      budget: Long): DataFrame = {
+    val agg = docs.select(col(idCol), col(langCol))
+      .join(encode(docs, idCol, textCol, merges), Seq(idCol))
+      .groupBy(col(langCol))
+      .agg(sum("n_words").as("n_words"),
+        sum("n_bpe_tokens").as("n_bpe_tokens"))
+    graft.operators.Apportion
+      .largestRemainder(agg, langCol, "n_words", budget, "target_tokens")
+  }
+
+  /** The DuckDB twin of [[tokenBudget]]: the encode CTE chain
+    * aggregated at the language grain, then the largest-remainder
+    * arithmetic restated relationally (floor quota + remainder-ranked
+    * top-up; `//` ≡ Spark `div` on the non-negative operands). */
+  def tokenBudgetOracleSql(
+      table: String, idCol: String, textCol: String, langCol: String,
+      rounds: Int, budget: Long): String = {
+    val enc = encodeOracleSql(table, idCol, textCol, rounds)
+    val withClause = enc.substring(0, enc.indexOf(s"\nSELECT t.$idCol"))
+    withClause + ",\n" +
+      s"""agg AS (
+         |  SELECT t.$langCol AS $langCol,
+         |    SUM(COALESCE(enc.n_words, 0)) AS n_words,
+         |    SUM(COALESCE(enc.n_bpe_tokens, 0)) AS n_tok
+         |  FROM $table t LEFT JOIN enc ON t.$idCol = enc.$idCol
+         |  GROUP BY t.$langCol
+         |), ap AS (
+         |  SELECT $langCol, n_words, n_tok,
+         |    (n_words * $budget) // GREATEST(SUM(n_words) OVER (), 1) AS base,
+         |    (n_words * $budget) % GREATEST(SUM(n_words) OVER (), 1) AS rem
+         |  FROM agg
+         |), rk AS (
+         |  SELECT $langCol, n_words, n_tok, base,
+         |    ROW_NUMBER() OVER (ORDER BY rem DESC, $langCol ASC) AS rk,
+         |    $budget - SUM(base) OVER () AS leftover
+         |  FROM ap
+         |)
+         |SELECT $langCol, CAST(n_words AS BIGINT) AS n_words,
+         |  CAST(n_tok AS BIGINT) AS n_bpe_tokens,
+         |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         |    AS target_tokens
+         |FROM rk""".stripMargin
+  }
+
   /** Truncated-vocabulary COVERAGE — the embedding-table-sizing
     * curve: for each candidate vocabulary cut m, how many of the
     * corpus's token OCCURRENCES the top-m ids cover (ppm). The id

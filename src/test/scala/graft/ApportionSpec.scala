@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Apportion
+
+/** q194 (operators.Apportion + text.Bpe.tokenBudget): largest-
+  * remainder apportionment. Hand cases pin the floor quotas, the
+  * remainder-ranked top-up, the deterministic remainder tie-break,
+  * and the exact-sum invariant; the registry query's targets sum to
+  * the budget on the real testdata. */
+class ApportionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(weights: Seq[(String, Long)], budget: Long) =
+    Apportion.largestRemainder(
+      weights.toDF("k", "w"), "k", "w", budget)
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(2))).toSeq
+
+  test("floor quotas + largest-remainder top-up; targets sum to the budget exactly") {
+    // W=7, B=10: quotas 30/7, 30/7, 10/7 → floors 4,4,1 (Σ9); de's
+    // remainder 3 beats the 2s → de takes the open seat
+    assert(run(Seq(("de", 1L), ("en", 3L), ("fr", 3L)), 10L) ==
+      Seq(("de", 2L), ("en", 4L), ("fr", 4L)))
+    // B=9: floors 3,3,1 (Σ7), two seats open; en and fr tie at
+    // remainder 6 and both rank above de's 2 → en, fr
+    assert(run(Seq(("de", 1L), ("en", 3L), ("fr", 3L)), 9L) ==
+      Seq(("de", 1L), ("en", 4L), ("fr", 4L)))
+    // remainder TIE with one seat: key ASC wins — en, not fr
+    // (W=2, B=3: floors 1,1; remainders 1,1)
+    assert(run(Seq(("en", 1L), ("fr", 1L)), 3L) ==
+      Seq(("en", 2L), ("fr", 1L)))
+  }
+
+  test("degenerate shapes: zero weights, zero budget, single key") {
+    // a zero-weight key takes a seat only from the remainder pool
+    // (rem 0 ranks last — here the seats go to the weighted keys)
+    assert(run(Seq(("a", 0L), ("b", 1L)), 5L) == Seq(("a", 0L), ("b", 5L)))
+    assert(run(Seq(("a", 2L), ("b", 3L)), 0L) == Seq(("a", 0L), ("b", 0L)))
+    assert(run(Seq(("only", 7L)), 42L) == Seq(("only", 42L)))
+  }
+
+  test("q194 on the real testdata: targets sum to the budget, share follows word mass") {
+    val got = SparkEntry.q194TokenBudget(spark, SfDir).persist()
+    val tot = got.agg(sum("target_tokens")).head.getLong(0)
+    assert(tot == 1000000L, s"apportionment leaked: $tot")
+    // proportionality sanity: every language's target is within one
+    // seat of its exact float share (Hamilton's defining property)
+    val w = got.agg(sum("n_words")).head.getLong(0)
+    got.collect().foreach { r =>
+      val exact = r.getLong(1).toDouble * 1000000L / w
+      val target = r.getLong(3)
+      assert(math.abs(target - exact) < 1.0,
+        s"${r.getString(0)}: target $target vs exact share $exact")
+    }
+    got.unpersist(): Unit
+  }
+}
