@@ -21,9 +21,12 @@ import org.apache.spark.sql.functions._
 object Apportion {
 
   /** @param weightCol non-negative integral weights (a zero-weight
-    *   key receives only remainder seats, i.e. normally 0)
+    *   key receives only remainder seats, i.e. normally 0). The
+    *   exact-sum property requires at least one POSITIVE weight —
+    *   with every weight zero there is no proportion to follow and
+    *   each key receives at most one remainder seat.
     * @return input columns + `outCol` (the key's integer share;
-    *   Σ outCol = budget exactly) */
+    *   Σ outCol = budget exactly when Σ weights > 0) */
   def largestRemainder(
       df: DataFrame,
       keyCol: String,

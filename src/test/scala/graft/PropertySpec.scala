@@ -533,4 +533,62 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("Apportion equals the in-Scala Hamilton reference on random weights") {
+    import spark.implicits._
+    val wGen = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0L, 50L))).map(_.zipWithIndex
+        .map { case (w, i) => (s"k$i", w) })
+    val bGen = Gen.choose(0L, 200L)
+    forAll(Gen.zip(wGen, bGen)) { case (weights, budget) =>
+      val wtot = math.max(weights.map(_._2).sum, 1L)
+      val base = weights.map { case (k, w) => (k, w * budget / wtot, w * budget % wtot) }
+      val leftover = budget - base.map(_._2).sum
+      val topUp = base.sortBy { case (k, _, rem) => (-rem, k) }
+        .take(leftover.toInt).map(_._1).toSet
+      val expect = base.map { case (k, b, _) =>
+        k -> (b + (if (topUp(k)) 1L else 0L)) }.toMap
+      val got = graft.operators.Apportion
+        .largestRemainder(weights.toDF("k", "w"), "k", "w", budget)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(got == expect, s"weights=$weights budget=$budget")
+      whenever(weights.exists(_._2 > 0)) {
+        assert(got.values.sum == budget, "targets must sum to the budget exactly")
+      }
+    }
+  }
+
+  test("windowsFromStream equals the in-Scala next-fit placement on random streams") {
+    import spark.implicits._
+    val docsGen = Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(1, 9)).map(_.zipWithIndex
+        .map { case (len, i) => (i.toLong + 1L, len) }))
+    forAll(Gen.zip(docsGen, Gen.choose(1L, 12L))) { case (docs, budget) =>
+      val shards = 2
+      // the operator's scramble/shard math, in Scala
+      def scramble(id: Long) = ((id % 1000003L) * 2654435761L) % 1000000007L
+      val expect = docs
+        .groupBy { case (id, _) => scramble(id) % shards }
+        .flatMap { case (shard, members) =>
+          val ordered = members.sortBy { case (id, _) => (scramble(id), id) }
+          var (seq, acc) = (0L, budget + 1) // first row opens seq 1
+          ordered.flatMap { case (id, len) =>
+            if (acc + len > budget) { seq += 1; acc = len.toLong }
+            else acc += len
+            // the doc's tokens start after its predecessors' mass
+            val start = acc - len
+            (1 to len).map(p => (shard, seq, start + p, id))
+          }
+        }.toSet
+      val stream = docs.flatMap { case (id, len) =>
+        (1 to len).map(p => (id, p.toLong, 0L)) }
+        .toDF("doc_id", "pos", "token_id")
+      val got = graft.text.Bpe
+        .windowsFromStream(stream, "doc_id", shards, budget)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == expect, s"docs=$docs budget=$budget")
+    }
+  }
 }
