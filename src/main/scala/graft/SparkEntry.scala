@@ -576,6 +576,28 @@ object SparkEntry {
       budget = 1000000L)
   }
 
+  /** q196: deterministic EPOCH ordering ([[text.Bpe.epochOrder]]) —
+    * the loader's last mile over q189's windows: a training epoch
+    * consumes windows in a seeded pseudo-random order (fixed-order
+    * consumption correlates neighboring batches with corpus layout; a
+    * float rand() is irreproducible across engines and retries). Each
+    * window keys a Knuth-style integer scramble of (shard, seq_id,
+    * seed); epoch position is its GLOBAL rank via the two-pass
+    * distributed row number — the window-index grain is corpus
+    * tokens / budget, far too large for a single-task window at
+    * 100 TB. Same seed replays bit-identically (the oracle proves it:
+    * DuckDB re-derives tokenization, packing, the scramble, and the
+    * full permutation); re-seeding permutes epochs. */
+  def q196EpochOrder(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = graft.sources.Publish
+      .read(spark, bpeMergesRoot(spark, dir))
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.text.Bpe.epochOrder(docs, "doc_id", "text", merges,
+      shards = 8, budget = 512L, seed = 1L)
+  }
+
   /** Candidate window budgets for q192 — bracketing the corpus's
     * per-doc token lengths (~200 at every SF) so the curve shows both
     * regimes: small budgets where single documents overflow (padding
@@ -2816,6 +2838,20 @@ object SparkEntry {
     * partition by document, rasters never shuffle. */
   def q193SceneChanges(spark: SparkSession, dir: String): DataFrame =
     Multimodal.sceneChanges(
+      Multimodal.asSceneVideoTable(Tables.documents(spark, dir), "doc_id", "text"))
+
+  /** q195: scene-budgeted KEYFRAME sampling
+    * ([[graft.multimodal.Multimodal.sampleKeyframes]]) — q193's
+    * consumer: up to 4 frames per clip, keyframes (scene openers)
+    * first, earliest non-keyframes filling the remainder — so when
+    * the budget covers the scene count EVERY scene contributes a
+    * frame, the property uniform sampling (q46) cannot give (a long
+    * scene eats a uniform budget and short shots vanish). Totally
+    * ordered rank → deterministic sample sets, pinned exactly against
+    * the planted scene structure in SceneChangeSpec. Rows-only
+    * (binary decode, q193's posture). */
+  def q195KeyframeSample(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleKeyframes(
       Multimodal.asSceneVideoTable(Tables.documents(spark, dir), "doc_id", "text"))
 
   /** q181: INCREMENTAL media near-dup
@@ -5452,7 +5488,9 @@ object SparkEntry {
     "q191_vocab_coverage"        -> (q191VocabCoverage _),
     "q192_packing_efficiency"    -> (q192PackingEfficiency _),
     "q193_scene_changes"         -> (q193SceneChanges _),
-    "q194_token_budget"          -> (q194TokenBudget _)
+    "q194_token_budget"          -> (q194TokenBudget _),
+    "q195_keyframe_sample"       -> (q195KeyframeSample _),
+    "q196_epoch_order"           -> (q196EpochOrder _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -5505,7 +5543,10 @@ object SparkEntry {
           "documents", "doc_id", "text", 8, shards = 8, budgets = PackBudgets),
       "q194_token_budget" ->
         graft.text.Bpe.tokenBudgetOracleSql(
-          "documents", "doc_id", "text", "lang", 8, budget = 1000000L))
+          "documents", "doc_id", "text", "lang", 8, budget = 1000000L),
+      "q196_epoch_order" ->
+        graft.text.Bpe.epochOrderOracleSql(
+          "documents", "doc_id", "text", 8, shards = 8, budget = 512L, seed = 1L))
   }
 
   /** q84's oracle: GraphOps.pageRank's integer recurrence unrolled,

@@ -366,6 +366,33 @@ object Multimodal {
         col("scene_id"), col("is_keyframe"))
   }
 
+  /** SCENE-BUDGETED frame sampling — [[sceneChanges]]'s consumer: pick
+    * up to `budget` frames per video, KEYFRAMES FIRST (scene openers,
+    * in frame order), then fill the remainder with the earliest
+    * non-keyframes. The property uniform sampling (q46) lacks: when
+    * the budget covers the scene count, EVERY scene contributes a
+    * frame — no shot is unrepresented because a long scene ate the
+    * budget. Deterministic (the rank's tie order is total), so the
+    * planted-structure spec pins exact sample sets. One ranked window
+    * per document over |docs|·framesPerDoc rows.
+    * Output: (doc_id, frame_idx, scene_id, is_keyframe, sample_rank). */
+  def sampleKeyframes(
+      media: DataFrame,
+      framesPerDoc: Int = 6,
+      budget: Int = 4,
+      maxIntraHamming: Int = 8): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    val scenes = sceneChanges(media, framesPerDoc, maxIntraHamming)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("is_keyframe").desc, col("frame_idx").asc)
+    scenes
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .where(col("sample_rank") <= budget)
+      .select(col("doc_id"), col("frame_idx"), col("scene_id"),
+        col("is_keyframe"), col("sample_rank"))
+  }
+
   /** Video perceptual near-dup — the SEQUENCE rule over frame
     * hashes: two videos pair iff EVERY sampled frame position's
     * dHashes band-match within `maxHamming` (per-position

@@ -491,6 +491,59 @@ object Bpe {
          |GROUP BY t.$langCol""".stripMargin
   }
 
+  /** Deterministic EPOCH ORDERING over packed windows — the loader's
+    * last mile: a training epoch consumes [[contextWindows]]'s
+    * windows in a seeded pseudo-random order (fixed-order consumption
+    * correlates neighboring batches with corpus layout; a float
+    * `rand()` is irreproducible across engines and retries). Each
+    * window keys a Knuth-style integer scramble of
+    * (shard, seq_id, seed); the epoch position is the GLOBAL rank of
+    * that scramble — computed by the two-pass distributed row number
+    * ([[graft.operators.PrefixSum.globalRowNumber]]), never a
+    * single-task window: the window-index grain is corpus tokens /
+    * budget, far too large to funnel through one task at 100 TB.
+    * Re-seeding permutes epochs; the same seed replays identically.
+    * Output: (epoch_pos, shard, seq_id, n_tokens), epoch_pos a
+    * 1..|windows| permutation. */
+  def epochOrder(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)],
+      shards: Int,
+      budget: Long,
+      seed: Long): DataFrame = {
+    val wins = contextWindows(docs, idCol, textCol, merges, shards, budget)
+    val idx = wins.groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_tokens"))
+      .withColumn("__h", pmod(
+        (col("shard") * lit(1000003L) + col("seq_id") * lit(7919L) + lit(seed))
+          * lit(2654435761L), lit(1000000007L)))
+    graft.operators.PrefixSum
+      .globalRowNumber(idx, Seq("__h", "shard", "seq_id"), "epoch_pos")._1
+      .select(col("epoch_pos"), col("shard"), col("seq_id"), col("n_tokens"))
+  }
+
+  /** The DuckDB twin of [[epochOrder]]: the [[contextWindowsOracleSql]]
+    * CTE chain up to the packed assignment, aggregated to the window
+    * index and ranked by the identical integer scramble. */
+  def epochOrderOracleSql(
+      table: String, idCol: String, textCol: String, rounds: Int,
+      shards: Int, budget: Long, seed: Long): String = {
+    val cw = contextWindowsOracleSql(table, idCol, textCol, rounds, shards, budget)
+    val withClause = cw.substring(0, cw.indexOf("\nSELECT off.shard"))
+    withClause + ",\n" +
+      s"""widx AS (
+         |  SELECT shard, seq_id, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         |  FROM packed GROUP BY shard, seq_id
+         |)
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+         |    ((shard * 1000003 + seq_id * 7919 + $seed) * 2654435761) % 1000000007,
+         |    shard, seq_id) AS BIGINT) AS epoch_pos,
+         |  shard, seq_id, n_tokens
+         |FROM widx""".stripMargin
+  }
+
   /** TOKEN-BUDGET apportionment by language — the mixture-planning
     * step [[fertility]]'s numbers feed: split a global training token
     * budget across languages proportionally to their WORD mass (the

@@ -244,6 +244,32 @@ class BpeSpec extends SparkSpec {
       (100L, 1L, 6L, 940000L)), got.toString)
   }
 
+  test("epochOrder: a seeded permutation of the window index, replayable and seed-sensitive") {
+    val docs = Tables.documents(spark, SfDir)
+    val merges = Bpe.trainMerges(docs, "doc_id", "text", rounds = 8)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    def order(seed: Long): Seq[(Long, Long, Long)] =
+      Bpe.epochOrder(docs, "doc_id", "text", merges,
+        shards = 8, budget = 512L, seed = seed)
+        .orderBy("epoch_pos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val e1 = order(1L)
+    // a permutation: positions are exactly 1..N, windows distinct
+    assert(e1.map(_._1) == (1L to e1.size.toLong), "positions must be 1..N")
+    assert(e1.map(t => (t._2, t._3)).distinct.size == e1.size)
+    // replayable: the same seed is bit-identical
+    assert(order(1L) == e1, "same seed must replay the same epoch")
+    // seed-sensitive: another seed visits the same windows differently
+    val e2 = order(2L)
+    assert(e2.map(t => (t._2, t._3)).toSet == e1.map(t => (t._2, t._3)).toSet)
+    assert(e2 != e1, "re-seeding must permute the epoch")
+    // and the scramble rank matches an in-Scala reference
+    val ref = e1.map(t => (t._2, t._3)).sortBy { case (s, q) =>
+      (((s * 1000003L + q * 7919L + 1L) * 2654435761L) % 1000000007L, s, q) }
+    assert(e1.map(t => (t._2, t._3)) == ref, "rank diverged from the scramble")
+  }
+
   test("contextWindows: windows are gapless and budget-bounded on the real testdata") {
     val docs = Tables.documents(spark, SfDir)
     val merges = Bpe.trainMerges(docs, "doc_id", "text", rounds = 8)

@@ -38,7 +38,7 @@ class OracleSpec extends AnyFunSuite {
       "q187_ann_recall",
       // binary media (AVI/JPEG decode) like q180; planted scene
       // structure recovered exactly in SceneChangeSpec
-      "q193_scene_changes")
+      "q193_scene_changes", "q195_keyframe_sample")
     assert(rowsOnly == documented,
       s"rows-only set drifted: new=${rowsOnly -- documented} gone=${documented -- rowsOnly}")
   }

@@ -41,6 +41,41 @@ class SceneChangeSpec extends SparkSpec {
     got.unpersist(): Unit
   }
 
+  test("keyframe sampling: keyframes first, every scene covered when the budget reaches") {
+    val docs = Tables.documents(spark, SfDir).where(col("doc_id") < 90L)
+    val got = Multimodal.sampleKeyframes(
+      Multimodal.asSceneVideoTable(docs, "doc_id", "text"), budget = 4)
+      .persist()
+    // exact sample sets per planted scene length L = 1 + doc_id % 3
+    // over 6 frames, budget 4:
+    //   L=1: all frames are keyframes → frames {0,1,2,3}
+    //   L=2: keyframes {0,2,4} then earliest non-keyframe 1
+    //   L=3: keyframes {0,3} then non-keyframes {1,2}
+    val bad = got
+      .withColumn("L", lit(1L) + pmod(col("doc_id"), lit(3L)))
+      .withColumn("want", when(col("L") === 1L,
+          col("frame_idx") <= 3)
+        .when(col("L") === 2L,
+          col("frame_idx").isin(0, 2, 4, 1))
+        .otherwise(col("frame_idx").isin(0, 3, 1, 2)))
+      .where(!col("want"))
+    assert(bad.isEmpty, s"unexpected sample: ${bad.collect().take(5).mkString}")
+    val sizes = got.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .where(col("n") =!= 4L)
+    assert(sizes.isEmpty, "every doc must fill its budget of 4")
+    // the q46 contrast: every scene contributes ≥1 sampled frame
+    // wherever budget ≥ scene count (L=2 → 3 scenes; L=3 → 2 scenes)
+    val uncovered = Multimodal.sceneChanges(
+      Multimodal.asSceneVideoTable(docs, "doc_id", "text"))
+      .select("doc_id", "scene_id").distinct()
+      .join(got.select("doc_id", "scene_id").distinct(),
+        Seq("doc_id", "scene_id"), "left_anti")
+      .withColumn("L", lit(1L) + pmod(col("doc_id"), lit(3L)))
+      .where(col("L") =!= 1L) // L=1 has 6 scenes > budget 4: 2 uncovered OK
+    assert(uncovered.isEmpty, "a scene inside the budget went unsampled")
+    got.unpersist(): Unit
+  }
+
   test("single-scene clips yield one scene and one keyframe") {
     // doc_id % 3 == 2 → L = 3 over 6 frames = exactly 2 scenes; a
     // constant-scene table comes from L ≥ frames: build 4-frame clips
