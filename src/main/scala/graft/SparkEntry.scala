@@ -598,6 +598,47 @@ object SparkEntry {
       shards = 8, budget = 512L, seed = 1L)
   }
 
+  /** q197: WINDOW EXPORT roundtrip — q189's packed windows handed to
+    * the loader as q156's shard-tree JSONL (one writer per shard →
+    * file count engine-reproducible as ceil(rows/cap); a trainer
+    * points its loader at `shard=N/` directly). The query aggregates
+    * the READ-BACK files per (shard, window): token count, distinct
+    * docs, an order-sensitive placement checksum (Σ token_id ·
+    * win_pos — a token at the wrong position moves it), and the
+    * per-shard file count from the export manifest; the oracle
+    * re-derives all of it from the SOURCE table through the full
+    * tokenize/pack/place chain — the export must be LOSSLESS for the
+    * hash to close. */
+  private def windowExportRoot(spark: SparkSession, dir: String): String =
+    graft.tools.Scratch.cachedArtifact(
+      "graft_winexp", dir, s"$dir/documents.parquet") { (outDir, _) =>
+      val merges = graft.sources.Publish
+        .read(spark, bpeMergesRoot(spark, dir))
+        .orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.sources.Export.writeJsonlShards(
+        graft.text.Bpe.contextWindows(Tables.documents(spark, dir),
+            "doc_id", "text", merges, shards = 8, budget = 512L)
+          .repartition(col("shard")),
+        "shard", outDir, maxRecordsPerFile = 4096L)
+    }
+
+  def q197WindowExport(spark: SparkSession, dir: String): DataFrame = {
+    val out = windowExportRoot(spark, dir)
+    val back = graft.sources.Export.readJsonlShards(spark, out,
+      "seq_id LONG, win_pos LONG, doc_id LONG, token_id LONG")
+    val files = graft.sources.Export.manifest(spark, out)
+      .groupBy("shard").agg(count(lit(1)).as("n_files"))
+    back.groupBy("shard", "seq_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("token_id") * col("win_pos")).as("placement_sum"))
+      .join(files, Seq("shard"))
+      .select(col("shard"), col("seq_id"), col("n_tokens"), col("n_docs"),
+        col("placement_sum"), col("n_files"))
+  }
+
   /** Candidate window budgets for q192 — bracketing the corpus's
     * per-doc token lengths (~200 at every SF) so the curve shows both
     * regimes: small budgets where single documents overflow (padding
@@ -5490,7 +5531,8 @@ object SparkEntry {
     "q193_scene_changes"         -> (q193SceneChanges _),
     "q194_token_budget"          -> (q194TokenBudget _),
     "q195_keyframe_sample"       -> (q195KeyframeSample _),
-    "q196_epoch_order"           -> (q196EpochOrder _)
+    "q196_epoch_order"           -> (q196EpochOrder _),
+    "q197_window_export"         -> (q197WindowExport _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -5546,7 +5588,11 @@ object SparkEntry {
           "documents", "doc_id", "text", "lang", 8, budget = 1000000L),
       "q196_epoch_order" ->
         graft.text.Bpe.epochOrderOracleSql(
-          "documents", "doc_id", "text", 8, shards = 8, budget = 512L, seed = 1L))
+          "documents", "doc_id", "text", 8, shards = 8, budget = 512L, seed = 1L),
+      "q197_window_export" ->
+        graft.text.Bpe.windowExportOracleSql(
+          "documents", "doc_id", "text", 8, shards = 8, budget = 512L,
+          maxRecordsPerFile = 4096L))
   }
 
   /** q84's oracle: GraphOps.pageRank's integer recurrence unrolled,

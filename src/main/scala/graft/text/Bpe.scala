@@ -544,6 +544,43 @@ object Bpe {
          |FROM widx""".stripMargin
   }
 
+  /** The DuckDB twin of the WINDOW-EXPORT roundtrip (q197): the
+    * [[contextWindowsOracleSql]] chain re-derives every placed token,
+    * then per-(shard, window) the exported aggregate — token count,
+    * distinct docs, and an ORDER-SENSITIVE placement checksum
+    * Σ token_id · win_pos (a token at the wrong position moves it) —
+    * plus the per-shard file count the one-writer-per-shard JSONL
+    * export must produce (ceil(rows / cap)). The export is validated
+    * LOSSLESS: the aggregates compute from the read-back files on the
+    * Spark side and from the source table here. */
+  def windowExportOracleSql(
+      table: String, idCol: String, textCol: String, rounds: Int,
+      shards: Int, budget: Long, maxRecordsPerFile: Long): String = {
+    val cw = contextWindowsOracleSql(table, idCol, textCol, rounds, shards, budget)
+    val cut = cw.indexOf("\nSELECT off.shard")
+    val withClause = cw.substring(0, cut)
+    val finalSelect = cw.substring(cut + 1)
+    withClause + ",\n" +
+      s"""wexp AS (
+         |$finalSelect
+         |), exp AS (
+         |  SELECT shard, seq_id, COUNT(*) AS n_tokens,
+         |    COUNT(DISTINCT $idCol) AS n_docs,
+         |    SUM(token_id * win_pos) AS placement_sum
+         |  FROM wexp GROUP BY shard, seq_id
+         |), shf AS (
+         |  SELECT shard,
+         |    CAST((COUNT(*) + $maxRecordsPerFile - 1) // $maxRecordsPerFile
+         |      AS BIGINT) AS n_files
+         |  FROM wexp GROUP BY shard
+         |)
+         |SELECT e.shard, e.seq_id, CAST(e.n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(e.n_docs AS BIGINT) AS n_docs,
+         |  CAST(e.placement_sum AS BIGINT) AS placement_sum,
+         |  shf.n_files
+         |FROM exp e JOIN shf USING (shard)""".stripMargin
+  }
+
   /** TOKEN-BUDGET apportionment by language — the mixture-planning
     * step [[fertility]]'s numbers feed: split a global training token
     * budget across languages proportionally to their WORD mass (the
