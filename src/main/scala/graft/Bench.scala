@@ -48,16 +48,23 @@ object Bench {
       name -> ((settled, spread))
     }
     // the stdout contract line must survive the driver's bounded tail
-    // capture (~3 KB): r7's full-name, full-precision, two-dict line
-    // was ~7.7 KB and got truncated to parsed:null. Short qNN keys
-    // (every registry name's unique prefix) at millisecond precision
-    // keep the line ~1.2 KB with room for the registry to grow; the
-    // full-name, full-precision timings + spreads go to a sidecar
-    // file that nothing truncates.
+    // capture: r12 showed it keeps only the LAST 2000 chars, and the
+    // full 197-entry short-key dict (~2.8 KB) lost its head →
+    // parsed:null. The per-query dict is therefore BUDGETED: entries
+    // sorted by time DESC (the informative tail) are added while the
+    // dict stays under 1500 chars, so total + sf + the heaviest ~100
+    // queries always parse; the full-name, full-precision timings +
+    // spreads go to the sidecar file that nothing truncates.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def shortKey(k: String): String = k.takeWhile(_ != '_')
-    val qs = results.map { case (k, (v, _)) => "\"" + shortKey(k) + "\":" + f3(v) }
-      .mkString("{", ",", "}")
+    val entries = results.toSeq.sortBy { case (_, (v, _)) => -v }
+      .map { case (k, (v, _)) => "\"" + shortKey(k) + "\":" + f3(v) }
+    val budgeted = scala.collection.mutable.ArrayBuffer.empty[String]
+    var dictLen = 2 // braces
+    for (e <- entries if dictLen + e.length + 1 <= 1500) {
+      budgeted += e; dictLen += e.length + 1
+    }
+    val qs = budgeted.mkString("{", ",", "}")
     // failures (-1 markers) stay visible per-query but must not
     // subtract from (or fake-improve) the headline total
     val total = results.values.map(_._1).filter(_ >= 0).sum

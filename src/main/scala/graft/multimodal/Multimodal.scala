@@ -361,7 +361,13 @@ object Multimodal {
       .withColumn("scene_id", lit(1L) + sum(col("__chg")).over(
         w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)))
-      .withColumn("is_keyframe", col("frame_idx") === 0 || col("__chg") === 1L)
+      // the first SURVIVING frame (lag-null ⇒ hamming_prev = −1) opens
+      // scene 1 — not frame_idx 0, which may have failed decode and
+      // been filtered above; keying on the index would leave scene 1
+      // keyframe-less and break sampleKeyframes' every-scene-covered
+      // property for clips whose opening frame is undecodable
+      .withColumn("is_keyframe",
+        col("hamming_prev") === -1L || col("__chg") === 1L)
       .select(col("doc_id"), col("frame_idx"), col("hamming_prev"),
         col("scene_id"), col("is_keyframe"))
   }

@@ -35,14 +35,27 @@ object Apportion {
       outCol: String = "target"): DataFrame = {
     require(budget >= 0, "budget must be non-negative")
     // NB: Spark resolves column names case-INSENSITIVELY — the weight
-    // and its total need names that differ beyond case
+    // and its total need names that differ beyond case.
+    // __num = w · budget is computed in decimal(38,0), NOT long: at
+    // corpus scale (word counts ~1e13 × token budgets ~1e12) the long
+    // product wraps silently under non-ANSI Spark and the wrong
+    // apportionment would still pass a sum-to-budget check. decimal
+    // `div`/`%` by the long total floor-divide exactly (operands
+    // non-negative), and __base/__rem fit back in long by
+    // construction (__base ≤ budget, __rem < __wtot). The documented
+    // non-negativity contract is ENFORCED per row (assert_true rides
+    // the same projection — no extra pass): a negative weight would
+    // otherwise skew every other key's share with no visible error.
     val withTotals = df
       .withColumn("__w", col(weightCol).cast("long"))
+      .withColumn("__w", when(assert_true(col("__w") >= 0,
+        lit(s"Apportion.largestRemainder: negative weight in $weightCol"))
+        .isNull, col("__w")))
       .withColumn("__wtot", greatest(
         sum(col("__w")).over(Window.partitionBy()), lit(1L)))
-      .withColumn("__num", col("__w") * lit(budget))
-      .withColumn("__base", expr("__num div __wtot"))
-      .withColumn("__rem", expr("__num % __wtot"))
+      .withColumn("__num", col("__w").cast("decimal(38,0)") * lit(budget))
+      .withColumn("__base", expr("CAST(__num div __wtot AS BIGINT)"))
+      .withColumn("__rem", expr("CAST(__num % __wtot AS BIGINT)"))
     val ranked = withTotals
       .withColumn("__rk", row_number().over(
         Window.orderBy(col("__rem").desc, col(keyCol).asc)).cast("long"))

@@ -80,10 +80,12 @@ object EvalStatsStream {
         sum("n_bpe_tokens").as("n_bpe_tokens"))
       .select(col("tok_version"), col(langCol), col("n_docs"), col("n_words"),
         col("n_chars_sym"), col("n_bpe_tokens"),
-        expr("n_bpe_tokens * 1000000 div greatest(n_words, 1)")
-          .as("fertility_ppm"),
-        expr("n_bpe_tokens * 1000000 div greatest(n_chars_sym, 1)")
-          .as("compression_ppm"))
+        // decimal(38,0) numerators — same wrap hazard and same fix as
+        // Bpe.fertility; the additive identity needs bit-equal ratios.
+        expr("CAST(n_bpe_tokens AS DECIMAL(38,0)) * 1000000" +
+          " div greatest(n_words, 1)").as("fertility_ppm"),
+        expr("CAST(n_bpe_tokens AS DECIMAL(38,0)) * 1000000" +
+          " div greatest(n_chars_sym, 1)").as("compression_ppm"))
 
   /** Start the eval-stats maintainer over a document stream. */
   def start(

@@ -315,7 +315,7 @@ object Bpe {
          |  SELECT sym AS symbol, SUM(c) AS n_occurrences
          |  FROM (SELECT UNNEST(string_split(trim(s), ' ')) AS sym, c FROM s$rounds)
          |  GROUP BY sym
-         |), vv AS (
+         |), vv AS MATERIALIZED (
          |  SELECT ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, symbol ASC)
          |      AS token_id, symbol
          |  FROM v
@@ -339,7 +339,7 @@ object Bpe {
          |)""".stripMargin
     }
     val tok =
-      s"""tok AS (
+      s"""tok AS MATERIALIZED (
          |  SELECT $idCol, word_pos, j AS sym_pos, y[j + 1] AS symbol
          |  FROM (SELECT $idCol, word_pos, string_split(trim(s), ' ') AS y FROM e$rounds),
          |       UNNEST(range(len(y))) AS u(j)
@@ -421,10 +421,10 @@ object Bpe {
          |  FROM (SELECT string_split(trim(s), ' ') AS t, c FROM $prev),
          |       UNNEST(range(len(t) - 1)) AS u(i)
          |  GROUP BY 1, 2
-         |), m$i AS (
+         |), m$i AS MATERIALIZED (
          |  SELECT l_sym, r_sym, n FROM p$i
          |  ORDER BY n DESC, l_sym ASC, r_sym ASC LIMIT 1
-         |), s$i AS (
+         |), s$i AS MATERIALIZED (
          |  SELECT replace(s, ' ' || m.l_sym || ' ' || m.r_sym || ' ',
          |                 ' ' || m.l_sym || m.r_sym || ' ') AS s, c
          |  FROM $prev, m$i m
@@ -464,10 +464,14 @@ object Bpe {
         sum("n_bpe_tokens").as("n_bpe_tokens"))
       .select(col(langCol), col("n_docs"), col("n_words"),
         col("n_chars_sym"), col("n_bpe_tokens"),
-        expr("n_bpe_tokens * 1000000 div greatest(n_words, 1)")
-          .as("fertility_ppm"),
-        expr("n_bpe_tokens * 1000000 div greatest(n_chars_sym, 1)")
-          .as("compression_ppm"))
+        // ppm numerators in decimal(38,0): a per-language token total
+        // above ~9.2e12 would wrap the long ×1e6 silently under
+        // non-ANSI Spark while the DuckDB oracle (HUGEINT) stays
+        // exact; div returns BIGINT and the ratio is ≤ 1e6·fertility.
+        expr("CAST(n_bpe_tokens AS DECIMAL(38,0)) * 1000000" +
+          " div greatest(n_words, 1)").as("fertility_ppm"),
+        expr("CAST(n_bpe_tokens AS DECIMAL(38,0)) * 1000000" +
+          " div greatest(n_chars_sym, 1)").as("compression_ppm"))
 
   /** The DuckDB twin of [[fertility]]: [[encodeOracleSql]]'s CTE
     * chain (train + per-doc encode), re-aggregated at the language
@@ -514,10 +518,18 @@ object Bpe {
       budget: Long,
       seed: Long): DataFrame = {
     val wins = contextWindows(docs, idCol, textCol, merges, shards, budget)
+    // The inner (shard, seq_id, seed) sum is reduced mod 1000000007
+    // BEFORE the Knuth multiply (the windowsFromStream pattern): the
+    // reduced value is < 2^30, so ×2654435761 (< 2^32) stays < 2^62 —
+    // no long wrap at any corpus scale or seed, where the unreduced
+    // product wrapped silently past seq_id ~4.4e5. pmod keeps a
+    // negative seed non-negative here; the oracle restates it as the
+    // sign-safe ((x % M) + M) % M so both engines rank identically.
     val idx = wins.groupBy(col("shard"), col("seq_id"))
       .agg(count(lit(1)).as("n_tokens"))
       .withColumn("__h", pmod(
-        (col("shard") * lit(1000003L) + col("seq_id") * lit(7919L) + lit(seed))
+        pmod(col("shard") * lit(1000003L) + col("seq_id") * lit(7919L)
+          + lit(seed), lit(1000000007L))
           * lit(2654435761L), lit(1000000007L)))
     graft.operators.PrefixSum
       .globalRowNumber(idx, Seq("__h", "shard", "seq_id"), "epoch_pos")._1
@@ -538,7 +550,8 @@ object Bpe {
          |  FROM packed GROUP BY shard, seq_id
          |)
          |SELECT CAST(ROW_NUMBER() OVER (ORDER BY
-         |    ((shard * 1000003 + seq_id * 7919 + $seed) * 2654435761) % 1000000007,
+         |    ((((shard * 1000003 + seq_id * 7919 + $seed) % 1000000007
+         |        + 1000000007) % 1000000007) * 2654435761) % 1000000007,
          |    shard, seq_id) AS BIGINT) AS epoch_pos,
          |  shard, seq_id, n_tokens
          |FROM widx""".stripMargin
@@ -561,7 +574,7 @@ object Bpe {
     val withClause = cw.substring(0, cut)
     val finalSelect = cw.substring(cut + 1)
     withClause + ",\n" +
-      s"""wexp AS (
+      s"""wexp AS MATERIALIZED (
          |$finalSelect
          |), exp AS (
          |  SELECT shard, seq_id, COUNT(*) AS n_tokens,
@@ -671,8 +684,10 @@ object Bpe {
         sum("n_occurrences").as("covered_occurrences"))
       .crossJoin(total)
       .select(col("vocab_cut"), col("n_symbols"), col("covered_occurrences"),
-        expr("covered_occurrences * 1000000 div greatest(__total, 1)")
-          .as("coverage_ppm"))
+        // decimal(38,0) numerator: corpus-scale occurrence totals ×1e6
+        // would wrap long silently (the fertility_ppm hazard).
+        expr("CAST(covered_occurrences AS DECIMAL(38,0)) * 1000000" +
+          " div greatest(__total, 1)").as("coverage_ppm"))
   }
 
   /** The DuckDB twin of [[coverage]]: the training CTE chain, the
@@ -688,7 +703,7 @@ object Bpe {
          |  SELECT sym AS symbol, SUM(c) AS n_occurrences
          |  FROM (SELECT UNNEST(string_split(trim(s), ' ')) AS sym, c FROM s$rounds)
          |  GROUP BY sym
-         |), vv AS (
+         |), vv AS MATERIALIZED (
          |  SELECT ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, symbol ASC)
          |      AS token_id, symbol, n_occurrences
          |  FROM v
@@ -806,8 +821,10 @@ object Bpe {
         .agg(countDistinct(col("shard"), col("seq_id")).as("n_windows"),
           sum(col("n_tokens")).as("total_tokens"))
         .select(lit(b).as("budget"), col("n_windows"), col("total_tokens"),
-          expr(s"greatest(n_windows * $b - total_tokens, 0) * 1000000 " +
-            s"div greatest(n_windows * $b, 1)").as("padding_ppm"))
+          // n_windows·budget ≈ corpus tokens; ×1e6 needs decimal(38,0)
+          expr(s"CAST(greatest(n_windows * $b - total_tokens, 0)" +
+            s" AS DECIMAL(38,0)) * 1000000" +
+            s" div greatest(n_windows * $b, 1)").as("padding_ppm"))
     }.reduce(_ unionByName _)
   }
 
@@ -823,12 +840,12 @@ object Bpe {
     val withClause = enc.substring(0, cut)
       .replaceFirst("^WITH ", "WITH RECURSIVE ")
     val lens =
-      s"""ln AS (
+      s"""ln AS MATERIALIZED (
          |  SELECT $idCol, COUNT(*) AS n_tokens,
          |    (($idCol % 1000003) * 2654435761) % 1000000007 AS scramble,
          |    (($idCol % 1000003) * 2654435761) % 1000000007 % $shards AS shard
          |  FROM tok GROUP BY $idCol
-         |), o AS (
+         |), o AS MATERIALIZED (
          |  SELECT shard, $idCol, n_tokens,
          |    ROW_NUMBER() OVER (PARTITION BY shard
          |                       ORDER BY scramble, $idCol) AS rn
@@ -875,18 +892,18 @@ object Bpe {
     val withClause = enc.substring(0, cut)
       .replaceFirst("^WITH ", "WITH RECURSIVE ")
     withClause + ",\n" +
-      s"""ts AS (
+      s"""ts AS MATERIALIZED (
          |  SELECT tok.$idCol,
          |    ROW_NUMBER() OVER (PARTITION BY tok.$idCol
          |      ORDER BY tok.word_pos, tok.sym_pos) AS pos,
          |    vv.token_id
          |  FROM tok JOIN vv USING (symbol)
-         |), ln AS (
+         |), ln AS MATERIALIZED (
          |  SELECT $idCol, COUNT(*) AS n_tokens,
          |    (($idCol % 1000003) * 2654435761) % 1000000007 AS scramble,
          |    (($idCol % 1000003) * 2654435761) % 1000000007 % $shards AS shard
          |  FROM ts GROUP BY $idCol
-         |), o AS (
+         |), o AS MATERIALIZED (
          |  SELECT shard, $idCol, n_tokens, scramble,
          |    ROW_NUMBER() OVER (PARTITION BY shard
          |                       ORDER BY scramble, $idCol) AS rn

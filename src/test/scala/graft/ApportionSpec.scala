@@ -41,6 +41,40 @@ class ApportionSpec extends SparkSpec {
     assert(run(Seq(("only", 7L)), 42L) == Seq(("only", 42L)))
   }
 
+  test("corpus-scale magnitudes: w·budget beyond Long stays exact (decimal numerator)") {
+    // weights ~1e13 words × budget 1e12 tokens: the long product
+    // (~1e25) wraps silently under non-ANSI Spark — the r12 advice
+    // case. The decimal(38,0) numerator keeps Hamilton exact: floors
+    // + remainder seats sum to the budget and match the BigInt
+    // reference allocation.
+    val weights = Seq(("en", 9000000000000L), ("zh", 7000000000000L),
+      ("de", 1000000000007L), ("fr", 999999999993L))
+    val budget = 1000000000000L
+    val got = run(weights, budget)
+    assert(got.map(_._2).sum == budget, s"leaked: $got")
+    val wtot = weights.map(_._2).sum
+    val floors = weights.map { case (k, w) =>
+      (k, (BigInt(w) * budget / wtot).toLong,
+        (BigInt(w) * budget % wtot).toLong) }
+    val open = budget - floors.map(_._2).sum
+    val topUp = floors.sortBy { case (k, _, rem) => (-rem, k) }
+      .take(open.toInt).map(_._1).toSet
+    val want = floors.map { case (k, f, _) =>
+      (k, f + (if (topUp(k)) 1L else 0L)) }.sortBy(_._1)
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("negative weights are rejected, not silently apportioned") {
+    val ex = intercept[Exception] {
+      run(Seq(("a", 5L), ("b", -1L)), 10L)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("negative weight")),
+      s"wrong error: ${messages(ex).mkString(" | ")}")
+  }
+
   test("q194 on the real testdata: targets sum to the budget, share follows word mass") {
     val got = SparkEntry.q194TokenBudget(spark, SfDir).persist()
     val tot = got.agg(sum("target_tokens")).head.getLong(0)

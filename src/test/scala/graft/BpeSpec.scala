@@ -264,10 +264,22 @@ class BpeSpec extends SparkSpec {
     val e2 = order(2L)
     assert(e2.map(t => (t._2, t._3)).toSet == e1.map(t => (t._2, t._3)).toSet)
     assert(e2 != e1, "re-seeding must permute the epoch")
-    // and the scramble rank matches an in-Scala reference
+    // and the scramble rank matches an in-Scala reference — the inner
+    // sum reduces mod 1e9+7 BEFORE the Knuth multiply (the r12 advice
+    // fix: the unreduced product wraps long past seq_id ~4.4e5)
+    def scramble(s: Long, q: Long, seed: Long): Long =
+      math.floorMod(s * 1000003L + q * 7919L + seed, 1000000007L) *
+        2654435761L % 1000000007L
     val ref = e1.map(t => (t._2, t._3)).sortBy { case (s, q) =>
-      (((s * 1000003L + q * 7919L + 1L) * 2654435761L) % 1000000007L, s, q) }
+      (scramble(s, q, 1L), s, q) }
     assert(e1.map(t => (t._2, t._3)) == ref, "rank diverged from the scramble")
+    // overflow regression: at corpus-scale seq_ids the reduced form
+    // stays exact where the old unreduced product wrapped long
+    val big = Seq((7L, 1234567890123L)).map { case (s, q) =>
+      scramble(s, q, 1L) }.head
+    assert(big >= 0L && big < 1000000007L)
+    assert(7L * 1000003L + 1234567890123L * 7919L < Long.MaxValue / 2654435761L
+      == false, "the planted magnitude must actually exceed the old safe range")
   }
 
   test("contextWindows: windows are gapless and budget-bounded on the real testdata") {

@@ -76,6 +76,47 @@ class SceneChangeSpec extends SparkSpec {
     got.unpersist(): Unit
   }
 
+  test("undecodable frame 0: the first surviving frame opens scene 1 as its keyframe") {
+    // a clip whose FIRST frame fails JPEG decode: keying keyframes on
+    // frame_idx == 0 would leave scene 1 keyframe-less (the r12 advice
+    // case); the contract is the first SURVIVING row (hamming_prev −1)
+    def jpeg(level: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        // re-key every dHash cell per level — far-apart rasters
+        val cell = (x * 9 / 32) + (y * 8 / 32) * 9
+        val mix = {
+          val k = (level * 7919L + cell * 2654435761L) % 1000000007L
+          k * k % 1000000007L * 2654435761L % 1000000007L
+        }
+        val v = math.min(255, 16 + (mix % 7L).toInt * 24)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
+    // frame 0 garbage; frames 1–2 scene A (identical raster); frame 3 scene B
+    val a = jpeg(1); val b = jpeg(2)
+    val payload = graft.multimodal.Riff.muxMjpeg(32, 32, fps = 24,
+      Seq(Array.fill[Byte](64)(0x5a), a, a, b))
+    val media = Seq((1L, "video", payload))
+      .toDF("doc_id", "media_type", "payload")
+    val got = Multimodal.sceneChanges(media, framesPerDoc = 4)
+      .orderBy("frame_idx").collect()
+    assert(got.map(_.getInt(1)).toSeq == Seq(1, 2, 3), "frame 0 must be dropped")
+    // (frame_idx, hamming_prev sign, scene_id, is_keyframe)
+    assert(got(0).getLong(2) == -1L && got(0).getLong(3) == 1L &&
+      got(0).getBoolean(4), "first surviving frame must open scene 1 as keyframe")
+    assert(got(1).getLong(3) == 1L && !got(1).getBoolean(4))
+    assert(got(2).getLong(3) == 2L && got(2).getBoolean(4))
+    // and the sampler covers both scenes inside a budget of 2
+    val sampled = Multimodal.sampleKeyframes(media, framesPerDoc = 4, budget = 2)
+      .select("scene_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(sampled == Set(1L, 2L), "every scene must be covered at budget 2")
+  }
+
   test("single-scene clips yield one scene and one keyframe") {
     // doc_id % 3 == 2 → L = 3 over 6 frames = exactly 2 scenes; a
     // constant-scene table comes from L ≥ frames: build 4-frame clips
