@@ -576,6 +576,40 @@ object SparkEntry {
       budget = 1000000L)
   }
 
+  /** The S41/S42 maintained-stats artifact: the corpus ingested in
+    * three disjoint batches through [[graft.streaming.EvalStatsStream]]
+    * under a version-1 tokenizer published from the same corpus at
+    * q194's rounds — so the folded word/token masses equal the
+    * one-shot corpus aggregate exactly (the S41 additive identity)
+    * and q198 hash-shares q194's oracle. */
+  private def evalStatsRoot(spark: SparkSession, dir: String): String =
+    graft.tools.Scratch.cachedArtifact(
+      "graft_evstat", dir, s"$dir/documents.parquet") { (root, _) =>
+      val docs = Tables.documents(spark, dir)
+      graft.streaming.TokenizerStream.publish(
+        docs, "doc_id", "text", rounds = 8, s"$root/tok")
+      (0L until 3L).foreach { b =>
+        graft.streaming.EvalStatsStream.applyBatch(
+          docs.where(pmod(col("doc_id"), lit(3L)) === b), b,
+          "doc_id", "text", "lang", s"$root/tok", s"$root/stats"): Unit
+      }
+    }
+
+  /** q198: token-budget apportionment from MAINTAINED stats
+    * ([[graft.streaming.EvalStatsStream.tokenBudgetView]], S42) —
+    * q194's mixture plan computed from the ingest-maintained
+    * per-(version, language) word masses instead of a corpus
+    * re-encode: the production posture where planning runs vastly
+    * outnumber ingest runs and the replanning input is a
+    * |versions × languages|-grain table. Shares q194's oracle hash
+    * verbatim — the S41 additive identity makes the folded masses
+    * equal the one-shot aggregate, and the apportionment is a pure
+    * function of those masses. */
+  def q198TokenBudgetStored(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EvalStatsStream.tokenBudgetView(
+      spark, s"${evalStatsRoot(spark, dir)}/stats",
+      tokVersion = 1L, budget = 1000000L)
+
   /** q196: deterministic EPOCH ordering ([[text.Bpe.epochOrder]]) —
     * the loader's last mile over q189's windows: a training epoch
     * consumes windows in a seeded pseudo-random order (fixed-order
@@ -662,6 +696,27 @@ object SparkEntry {
       .orderBy("round").collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
     graft.text.Bpe.packingEfficiency(docs, "doc_id", "text", merges,
+      shards = 8, budgets = PackBudgets)
+  }
+
+  /** q199: the PACKING-ORDER sweep ([[text.Bpe.packingOrderSweep]]) —
+    * q192's padding curve crossed with the intra-shard placement
+    * policies (arrival scramble / shortest-first / longest-first).
+    * First-fit-decreasing's classic guarantee does NOT transfer to
+    * next-fit — on this corpus `dec` loses to arrival at budget 512
+    * and wins at 128 — so the policy choice is an empirical,
+    * per-budget call and this sweep is the eval that makes it: one
+    * corpus encode (persisted stream) feeds |policies| × |budgets|
+    * per-shard O(n) folds; every (policy, budget) curve row sits
+    * under the oracle hash (the generated SQL re-derives each
+    * policy's total order and recurrence). */
+  def q199PackingOrderSweep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = graft.sources.Publish
+      .read(spark, bpeMergesRoot(spark, dir))
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.text.Bpe.packingOrderSweep(docs, "doc_id", "text", merges,
       shards = 8, budgets = PackBudgets)
   }
 
@@ -5532,7 +5587,9 @@ object SparkEntry {
     "q194_token_budget"          -> (q194TokenBudget _),
     "q195_keyframe_sample"       -> (q195KeyframeSample _),
     "q196_epoch_order"           -> (q196EpochOrder _),
-    "q197_window_export"         -> (q197WindowExport _)
+    "q197_window_export"         -> (q197WindowExport _),
+    "q198_token_budget_stored"   -> (q198TokenBudgetStored _),
+    "q199_packing_order_sweep"   -> (q199PackingOrderSweep _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -5586,6 +5643,15 @@ object SparkEntry {
       "q194_token_budget" ->
         graft.text.Bpe.tokenBudgetOracleSql(
           "documents", "doc_id", "text", "lang", 8, budget = 1000000L),
+      // q198 computes q194's plan from the S41-maintained stats — the
+      // additive identity makes the same oracle the right gate
+      "q198_token_budget_stored" ->
+        graft.text.Bpe.tokenBudgetOracleSql(
+          "documents", "doc_id", "text", "lang", 8, budget = 1000000L),
+      "q199_packing_order_sweep" ->
+        graft.text.Bpe.packingOrderSweepOracleSql(
+          "documents", "doc_id", "text", 8, shards = 8,
+          budgets = PackBudgets),
       "q196_epoch_order" ->
         graft.text.Bpe.epochOrderOracleSql(
           "documents", "doc_id", "text", 8, shards = 8, budget = 512L, seed = 1L),

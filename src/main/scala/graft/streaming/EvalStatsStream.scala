@@ -87,6 +87,33 @@ object EvalStatsStream {
         expr("CAST(n_bpe_tokens AS DECIMAL(38,0)) * 1000000" +
           " div greatest(n_chars_sym, 1)").as("compression_ppm"))
 
+  /** S42: MIXTURE PLANNING over the maintained stats — q194's
+    * token-budget apportionment computed from [[fertilityView]]'s
+    * summed word masses for ONE tokenizer version, so budget planning
+    * rides ingest-maintained state instead of a corpus re-encode
+    * (planning runs vastly outnumber ingest runs; at 100 TB the
+    * replanning input is the |versions × languages|-grain stats
+    * table, not the corpus). Identity (the spec pins it): for a
+    * version covering every ingested document this equals one-shot
+    * [[Bpe.tokenBudget]] — word mass is additive across disjoint
+    * batches and [[graft.operators.Apportion.largestRemainder]] is a
+    * pure function of the summed masses. Grained by version for the
+    * same reason fertilityView is: n_bpe_tokens under different
+    * tokenizers must never sum, and a budget planned against a stale
+    * version's slice stays reproducible after a cutover.
+    * Output: (lang, n_words, n_bpe_tokens, target_tokens). */
+  def tokenBudgetView(
+      spark: SparkSession,
+      statsRoot: String,
+      tokVersion: Long,
+      budget: Long,
+      langCol: String = "lang"): DataFrame =
+    graft.operators.Apportion.largestRemainder(
+      fertilityView(spark, statsRoot, langCol)
+        .where(col("tok_version") === tokVersion)
+        .select(col(langCol), col("n_words"), col("n_bpe_tokens")),
+      langCol, "n_words", budget, "target_tokens")
+
   /** Start the eval-stats maintainer over a document stream. */
   def start(
       docs: DataFrame,

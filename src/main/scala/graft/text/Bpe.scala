@@ -804,28 +804,82 @@ object Bpe {
       merges: Seq[(String, String)],
       shards: Int,
       budgets: Seq[Long]): DataFrame = {
-    require(budgets.nonEmpty && budgets.forall(_ >= 1), "budgets must be >= 1")
     val vocab = vocabularyFromMerges(docs, idCol, textCol, merges)
     val stream = graft.CacheScope.persisted(
       encodeIds(docs, idCol, textCol, merges, vocab))
+    packingCurve(stream, idCol, shards, budgets, "arrival")
+      .drop("order_policy")
+  }
+
+  /** The packing ORDER POLICIES the sweep measures. `arrival` is the
+    * scramble order production packing uses (q189); `inc`/`dec` place
+    * shortest-/longest-first. NONE dominates under next-fit — that is
+    * the point of measuring: first-fit-decreasing's classic guarantee
+    * does NOT transfer to next-fit (a run of just-over-half-budget
+    * docs packed decreasing closes every window half-empty that
+    * arrival order would have topped up with interleaved short docs;
+    * the real corpus shows dec losing to arrival at budget 512 and
+    * winning at 128) — so the policy choice is an empirical,
+    * per-budget call, and this sweep is the eval that makes it. */
+    val OrderPolicies: Seq[String] = Seq("arrival", "inc", "dec")
+
+  private def packingCurve(
+      stream: DataFrame,
+      idCol: String,
+      shards: Int,
+      budgets: Seq[Long],
+      policy: String): DataFrame = {
+    require(budgets.nonEmpty && budgets.forall(_ >= 1), "budgets must be >= 1")
+    require(OrderPolicies.contains(policy), s"unknown order policy $policy")
     val scramble = pmod(
       pmod(col(idCol), lit(1000003L)) * lit(2654435761L), lit(1000000007L))
+    // the policy only reorders WITHIN a shard (the shard assignment
+    // never moves); ties always break by doc id ASC inside packNextFit,
+    // so every policy is a total order both engines re-derive
+    val ord = policy match {
+      case "arrival" => col("scramble")
+      case "inc"     => col("n_tokens")
+      case "dec"     => -col("n_tokens")
+    }
     val lens = graft.CacheScope.persisted(stream.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"))
       .select(col(idCol), col("n_tokens"), scramble.as("scramble"),
-        pmod(scramble, lit(shards.toLong)).as("shard")))
+        pmod(scramble, lit(shards.toLong)).as("shard"))
+      .withColumn("__ord", ord))
     budgets.map { b =>
       graft.operators.Packing
-        .packNextFit(lens, "shard", "scramble", idCol, "n_tokens", b)
+        .packNextFit(lens, "shard", "__ord", idCol, "n_tokens", b)
         .groupBy()
         .agg(countDistinct(col("shard"), col("seq_id")).as("n_windows"),
           sum(col("n_tokens")).as("total_tokens"))
-        .select(lit(b).as("budget"), col("n_windows"), col("total_tokens"),
+        .select(lit(b).as("budget"), lit(policy).as("order_policy"),
+          col("n_windows"), col("total_tokens"),
           // n_windows·budget ≈ corpus tokens; ×1e6 needs decimal(38,0)
           expr(s"CAST(greatest(n_windows * $b - total_tokens, 0)" +
             s" AS DECIMAL(38,0)) * 1000000" +
             s" div greatest(n_windows * $b, 1)").as("padding_ppm"))
     }.reduce(_ unionByName _)
+  }
+
+  /** PACKING-ORDER sweep — [[packingEfficiency]] extended across the
+    * order policies: one curve row per (budget, policy) answering
+    * "which intra-shard placement order should the packer use at this
+    * budget". The corpus encodes ONCE (persisted stream shared by all
+    * |policies| × |budgets| recurrences, each a per-shard O(n) fold).
+    * Output: (budget, order_policy, n_windows, total_tokens,
+    * padding_ppm). */
+  def packingOrderSweep(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)],
+      shards: Int,
+      budgets: Seq[Long]): DataFrame = {
+    val vocab = vocabularyFromMerges(docs, idCol, textCol, merges)
+    val stream = graft.CacheScope.persisted(
+      encodeIds(docs, idCol, textCol, merges, vocab))
+    OrderPolicies.map(packingCurve(stream, idCol, shards, budgets, _))
+      .reduce(_ unionByName _)
   }
 
   /** The DuckDB twin of [[packingEfficiency]]: the token-stream CTE
@@ -834,7 +888,24 @@ object Bpe {
     * rows UNION ALL. */
   def packingEfficiencyOracleSql(
       table: String, idCol: String, textCol: String, rounds: Int,
-      shards: Int, budgets: Seq[Long]): String = {
+      shards: Int, budgets: Seq[Long]): String =
+    packingCurveOracleSql(table, idCol, textCol, rounds, shards, budgets,
+      Seq("arrival"), withPolicyCol = false)
+
+  /** The DuckDB twin of [[packingOrderSweep]]: one ranked CTE per
+    * policy (each MATERIALIZED — it feeds its budgets' recursions),
+    * one recursive next-fit CTE per (policy, budget), curve rows
+    * UNION ALL with the policy literal. */
+  def packingOrderSweepOracleSql(
+      table: String, idCol: String, textCol: String, rounds: Int,
+      shards: Int, budgets: Seq[Long]): String =
+    packingCurveOracleSql(table, idCol, textCol, rounds, shards, budgets,
+      OrderPolicies, withPolicyCol = true)
+
+  private def packingCurveOracleSql(
+      table: String, idCol: String, textCol: String, rounds: Int,
+      shards: Int, budgets: Seq[Long], policies: Seq[String],
+      withPolicyCol: Boolean): String = {
     val enc = encodeIdsOracleSql(table, idCol, textCol, rounds)
     val cut = enc.indexOf(s"\nSELECT tok.$idCol")
     val withClause = enc.substring(0, cut)
@@ -845,36 +916,47 @@ object Bpe {
          |    (($idCol % 1000003) * 2654435761) % 1000000007 AS scramble,
          |    (($idCol % 1000003) * 2654435761) % 1000000007 % $shards AS shard
          |  FROM tok GROUP BY $idCol
-         |), o AS MATERIALIZED (
+         |)""".stripMargin
+    // Spark's __ord = scramble / n_tokens / −n_tokens with id ASC ties,
+    // restated as the equivalent ORDER BY per policy
+    def orderOf(p: String) = p match {
+      case "arrival" => s"scramble, $idCol"
+      case "inc"     => s"n_tokens ASC, $idCol"
+      case "dec"     => s"n_tokens DESC, $idCol"
+    }
+    val ranked = policies.map { p =>
+      s"""o_$p AS MATERIALIZED (
          |  SELECT shard, $idCol, n_tokens,
          |    ROW_NUMBER() OVER (PARTITION BY shard
-         |                       ORDER BY scramble, $idCol) AS rn
+         |                       ORDER BY ${orderOf(p)}) AS rn
          |  FROM ln
          |)""".stripMargin
-    val perBudget = budgets.map { b =>
-      s"""pk$b AS (
+    }
+    val recursions = for (p <- policies; b <- budgets) yield
+      s"""pk_${p}_$b AS (
          |  SELECT shard, n_tokens, rn, CAST(1 AS BIGINT) AS seq_id, n_tokens AS acc
-         |  FROM o WHERE rn = 1
+         |  FROM o_$p WHERE rn = 1
          |  UNION ALL
          |  SELECT o.shard, o.n_tokens, o.rn,
          |    CASE WHEN p.acc + o.n_tokens > $b
          |         THEN p.seq_id + 1 ELSE p.seq_id END,
          |    CASE WHEN p.acc + o.n_tokens > $b
          |         THEN o.n_tokens ELSE p.acc + o.n_tokens END
-         |  FROM pk$b p JOIN o ON o.shard = p.shard AND o.rn = p.rn + 1
+         |  FROM pk_${p}_$b p JOIN o_$p o ON o.shard = p.shard AND o.rn = p.rn + 1
          |)""".stripMargin
-    }
-    val rows = budgets.map { b =>
-      s"""SELECT CAST($b AS BIGINT) AS budget,
+    val rows = for (p <- policies; b <- budgets) yield {
+      val policyCol =
+        if (withPolicyCol) s"\n  '$p' AS order_policy," else ""
+      s"""SELECT CAST($b AS BIGINT) AS budget,$policyCol
          |  CAST(COUNT(DISTINCT (shard, seq_id)) AS BIGINT) AS n_windows,
          |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
          |  CAST(GREATEST(COUNT(DISTINCT (shard, seq_id)) * $b - SUM(n_tokens), 0)
          |    * 1000000
          |    // GREATEST(COUNT(DISTINCT (shard, seq_id)) * $b, 1) AS BIGINT)
          |    AS padding_ppm
-         |FROM pk$b""".stripMargin
+         |FROM pk_${p}_$b""".stripMargin
     }
-    (Seq(withClause, lens) ++ perBudget).mkString("", ",\n", "\n") +
+    (Seq(withClause, lens) ++ ranked ++ recursions).mkString("", ",\n", "\n") +
       rows.mkString("", "\nUNION ALL\n", "")
   }
 

@@ -76,4 +76,42 @@ class EvalStatsStreamSpec extends SparkSpec {
     assert(Publish.metaValueAt(statsRoot, 3L,
       TokenizerStream.TokenizerKey).contains("2"))
   }
+
+  test("S42: tokenBudgetView over maintained stats equals one-shot Bpe.tokenBudget") {
+    val base = java.nio.file.Files.createTempDirectory("graft_s42").toString
+    val (tokRoot, statsRoot) = (s"$base/tok", s"$base/stats")
+    TokenizerStream.publish(ref1, "doc_id", "text", rounds = 2, tokRoot)
+    val b0 = Seq((10L, "ab abc", "en"), (11L, "ab ab", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val b1 = Seq((12L, "bc bc abc abc", "en"), (13L, "c c", "de"))
+      .toDF("doc_id", "text", "lang")
+    assert(EvalStatsStream.applyBatch(b0, 0L, "doc_id", "text", "lang",
+      tokRoot, statsRoot))
+    assert(EvalStatsStream.applyBatch(b1, 1L, "doc_id", "text", "lang",
+      tokRoot, statsRoot))
+    def rows(df: DataFrame): Seq[(String, Long, Long, Long)] =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq.sorted
+    val merges = Publish.readVersion(spark, s"$tokRoot/merges", 1L)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = rows(EvalStatsStream.tokenBudgetView(
+      spark, statsRoot, tokVersion = 1L, budget = 100L))
+    val want = rows(graft.text.Bpe.tokenBudget(
+      b0.unionByName(b1), "doc_id", "text", "lang", merges, budget = 100L))
+    assert(got == want, s"maintained plan $got vs one-shot $want")
+    assert(got.map(_._4).sum == 100L, "targets must sum to the budget")
+
+    // a tokenizer cutover must not move the version-1 plan: the view
+    // grains by version, so replanning against v1 stays reproducible
+    assert(TokenizerStream.republish(
+      Seq((903L, "qq qq")).toDF("doc_id", "text"),
+      "doc_id", "text", rounds = 1, tokRoot) == 2L)
+    val b2 = Seq((14L, "ab", "en")).toDF("doc_id", "text", "lang")
+    assert(EvalStatsStream.applyBatch(b2, 2L, "doc_id", "text", "lang",
+      tokRoot, statsRoot))
+    assert(rows(EvalStatsStream.tokenBudgetView(
+      spark, statsRoot, tokVersion = 1L, budget = 100L)) == got,
+      "post-cutover v1 plan must be unchanged")
+  }
 }

@@ -90,6 +90,54 @@ class PackingSpec extends SparkSpec {
       (1L, 1L, 1L, 9L, 0L)))   // offsets are SHARD-local
   }
 
+  test("q199: order-policy sweep — planted per-policy placements, sweep shape on the real corpus") {
+    val sess = spark
+    import sess.implicits._
+    // planted: budget 6, arrival lengths 4,3,4,3,4,3.
+    //   arrival: every row overflows its window → 6 windows
+    //   dec (4,4,4,3,3,3): [4][4][4][3,3][3] → 5 windows
+    //   inc (3,3,3,4,4,4): [3,3][3][4][4][4] → 5 windows
+    // NO policy dominates next-fit in general — the sweep exists
+    // because the choice is an empirical per-budget call.
+    val rows = Seq(4L, 3L, 4L, 3L, 4L, 3L).zipWithIndex
+      .map { case (len, i) => (0L, i.toLong, i.toLong, len) }
+      .toDF("shard", "arrival", "doc_id", "len")
+    def windows(ord: org.apache.spark.sql.Column): Seq[(Long, Long)] =
+      Packing.packNextFit(rows.withColumn("__o", ord),
+          "shard", "__o", "doc_id", "len", 6L)
+        .orderBy("seq_id", "doc_id")
+        .select("seq_id", "doc_id").as[(Long, Long)].collect().toSeq
+    val arr = windows(col("arrival"))
+    assert(arr.map(_._1).distinct.size == 6, s"arrival $arr")
+    val dec = windows(-col("len"))
+    assert(dec == Seq((1L, 0L), (2L, 2L), (3L, 4L), (4L, 1L), (4L, 3L), (5L, 5L)),
+      s"dec placement $dec")
+    val inc = windows(col("len"))
+    assert(inc == Seq((1L, 1L), (1L, 3L), (2L, 5L), (3L, 0L), (4L, 2L), (5L, 4L)),
+      s"inc placement $inc")
+
+    // real corpus: the sweep emits one row per (policy, budget), every
+    // policy conserves token mass, and at least two policies DIFFER in
+    // padding somewhere (the sweep is not measuring a constant)
+    val docs = Tables.documents(spark, SfDir)
+    val merges = graft.text.Bpe.trainMerges(docs, "doc_id", "text", rounds = 8)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val budgets = Seq(128L, 256L, 512L)
+    val sweep = graft.text.Bpe.packingOrderSweep(docs, "doc_id", "text",
+      merges, shards = 8, budgets = budgets)
+      .collect()
+      .map(r => ((r.getLong(0), r.getString(1)), (r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(sweep.keySet ==
+      (for (b <- budgets; p <- graft.text.Bpe.OrderPolicies) yield (b, p)).toSet)
+    val masses = sweep.values.map(_._2).toSet
+    assert(masses.size == 1, s"policies must conserve token mass: $masses")
+    assert(budgets.exists(b =>
+      graft.text.Bpe.OrderPolicies.map(p => sweep((b, p))._3).distinct.size > 1),
+      "some budget must separate the policies")
+  }
+
   test("packing is order-preserving: seq_id is monotone in the shard order") {
     val sess = spark
     import sess.implicits._
