@@ -610,6 +610,21 @@ object SparkEntry {
       spark, s"${evalStatsRoot(spark, dir)}/stats",
       tokVersion = 1L, budget = 1000000L)
 
+  /** q200: quality-CURRICULUM ordering ([[text.Curriculum.phaseOrder]])
+    * — the training-schedule step: rank every document by q23's exact
+    * integer quality score, cut the top quarter as the ANNEAL set,
+    * and emit a global epoch position that consumes the bulk phase
+    * first and the anneal set last, seeded-scrambled within each
+    * phase (q196's reproducible-shuffle rationale). Both ranks are
+    * the distributed two-pass global row number — never a single-task
+    * window; the anneal cutoff is a BigInt-exact driver scalar from
+    * the rank's free total. The oracle re-derives score, rank,
+    * cutoff, phase, and the FULL permutation. */
+  def q200CurriculumOrder(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Curriculum.phaseOrder(
+      Tables.documents(spark, dir), "doc_id", "text",
+      annealPpm = 250000L, seed = 1L)
+
   /** q196: deterministic EPOCH ordering ([[text.Bpe.epochOrder]]) —
     * the loader's last mile over q189's windows: a training epoch
     * consumes windows in a seeded pseudo-random order (fixed-order
@@ -5589,7 +5604,8 @@ object SparkEntry {
     "q196_epoch_order"           -> (q196EpochOrder _),
     "q197_window_export"         -> (q197WindowExport _),
     "q198_token_budget_stored"   -> (q198TokenBudgetStored _),
-    "q199_packing_order_sweep"   -> (q199PackingOrderSweep _)
+    "q199_packing_order_sweep"   -> (q199PackingOrderSweep _),
+    "q200_curriculum_order"      -> (q200CurriculumOrder _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -5652,6 +5668,9 @@ object SparkEntry {
         graft.text.Bpe.packingOrderSweepOracleSql(
           "documents", "doc_id", "text", 8, shards = 8,
           budgets = PackBudgets),
+      "q200_curriculum_order" ->
+        graft.text.Curriculum.phaseOrderOracleSql(
+          "documents", "doc_id", "text", annealPpm = 250000L, seed = 1L),
       "q196_epoch_order" ->
         graft.text.Bpe.epochOrderOracleSql(
           "documents", "doc_id", "text", 8, shards = 8, budget = 512L, seed = 1L),
