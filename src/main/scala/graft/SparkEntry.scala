@@ -610,6 +610,25 @@ object SparkEntry {
       spark, s"${evalStatsRoot(spark, dir)}/stats",
       tokVersion = 1L, budget = 1000000L)
 
+  /** q201: TEMPERATURE-scaled token budget
+    * ([[text.Bpe.tokenBudgetTempered]]) — the standard multilingual
+    * rebalancing (exponent smoothing, α = 1/2): budget ∝ raw word
+    * mass starves tail languages, so the mixture weights are integer
+    * SQUARE ROOTS of the word masses — IEEE sqrt floor-corrected to
+    * exactness with division-form ±1 checks (never squares → no Long
+    * wrap), so the whole tempered plan is hash-checkable where a
+    * float pow() would drift between engines. Same scale shape and
+    * exact-sum apportionment as q194. */
+  def q201TokenBudgetTempered(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = graft.sources.Publish
+      .read(spark, bpeMergesRoot(spark, dir))
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.text.Bpe.tokenBudgetTempered(docs, "doc_id", "text", "lang",
+      merges, budget = 1000000L)
+  }
+
   /** q200: quality-CURRICULUM ordering ([[text.Curriculum.phaseOrder]])
     * — the training-schedule step: rank every document by q23's exact
     * integer quality score, cut the top quarter as the ANNEAL set,
@@ -5605,7 +5624,8 @@ object SparkEntry {
     "q197_window_export"         -> (q197WindowExport _),
     "q198_token_budget_stored"   -> (q198TokenBudgetStored _),
     "q199_packing_order_sweep"   -> (q199PackingOrderSweep _),
-    "q200_curriculum_order"      -> (q200CurriculumOrder _)
+    "q200_curriculum_order"      -> (q200CurriculumOrder _),
+    "q201_token_budget_tempered" -> (q201TokenBudgetTempered _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -5671,6 +5691,9 @@ object SparkEntry {
       "q200_curriculum_order" ->
         graft.text.Curriculum.phaseOrderOracleSql(
           "documents", "doc_id", "text", annealPpm = 250000L, seed = 1L),
+      "q201_token_budget_tempered" ->
+        graft.text.Bpe.tokenBudgetTemperedOracleSql(
+          "documents", "doc_id", "text", "lang", 8, budget = 1000000L),
       "q196_epoch_order" ->
         graft.text.Bpe.epochOrderOracleSql(
           "documents", "doc_id", "text", 8, shards = 8, budget = 512L, seed = 1L),

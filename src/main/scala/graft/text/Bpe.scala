@@ -621,6 +621,90 @@ object Bpe {
       .largestRemainder(agg, langCol, "n_words", budget, "target_tokens")
   }
 
+  /** TEMPERATURE-scaled token budget (α = 1/2) — the standard
+    * multilingual rebalancing (the XLM-R/mBERT exponent-smoothing
+    * family): apportioning budget ∝ raw word mass starves tail
+    * languages, so the mixture weights are p^α with α < 1 — here the
+    * α = 1/2 point as INTEGER SQUARE ROOTS of the word masses, so the
+    * whole plan stays hash-checkable where a float pow() would drift
+    * between engines. isqrt is IEEE double sqrt floor-corrected to
+    * exactness with DIVISION-form ±1 checks (`s² > n` restated as
+    * `s > n div s` — never squares, so no Long wrap at any corpus
+    * size; exact for every n in [0, 2^63)). Same one-encode-pass,
+    * |languages|-grain scale shape as [[tokenBudget]]; Apportion's
+    * exact-sum property carries to the tempered weights.
+    * Output: (lang, n_words, n_bpe_tokens, weight_isqrt,
+    * target_tokens). */
+  def tokenBudgetTempered(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      merges: Seq[(String, String)],
+      budget: Long): DataFrame = {
+    val s0 = "CAST(FLOOR(SQRT(CAST(n_words AS DOUBLE))) AS BIGINT)"
+    val s1 = s"($s0 - (CASE WHEN $s0 > n_words div GREATEST($s0, 1)" +
+      " THEN 1 ELSE 0 END))"
+    val s2 = s"($s1 + (CASE WHEN n_words div ($s1 + 1) >= $s1 + 1" +
+      " THEN 1 ELSE 0 END))"
+    val agg = docs.select(col(idCol), col(langCol))
+      .join(encode(docs, idCol, textCol, merges), Seq(idCol))
+      .groupBy(col(langCol))
+      .agg(sum("n_words").as("n_words"),
+        sum("n_bpe_tokens").as("n_bpe_tokens"))
+      .withColumn("weight_isqrt", expr(s2))
+    graft.operators.Apportion
+      .largestRemainder(agg, langCol, "weight_isqrt", budget, "target_tokens")
+  }
+
+  /** The DuckDB twin of [[tokenBudgetTempered]]: the encode chain,
+    * the same division-form corrected isqrt, and the remainder-ranked
+    * apportionment over the tempered weights. */
+  def tokenBudgetTemperedOracleSql(
+      table: String, idCol: String, textCol: String, langCol: String,
+      rounds: Int, budget: Long): String = {
+    val enc = encodeOracleSql(table, idCol, textCol, rounds)
+    val withClause = enc.substring(0, enc.indexOf(s"\nSELECT t.$idCol"))
+    withClause + ",\n" +
+      s"""agg AS (
+         |  SELECT t.$langCol AS $langCol,
+         |    SUM(COALESCE(enc.n_words, 0)) AS n_words,
+         |    SUM(COALESCE(enc.n_bpe_tokens, 0)) AS n_tok
+         |  FROM $table t LEFT JOIN enc ON t.$idCol = enc.$idCol
+         |  GROUP BY t.$langCol
+         |), isq0 AS (
+         |  SELECT $langCol, n_words, n_tok,
+         |    CAST(FLOOR(SQRT(CAST(n_words AS DOUBLE))) AS BIGINT) AS s0
+         |  FROM agg
+         |), isq1 AS (
+         |  SELECT $langCol, n_words, n_tok,
+         |    s0 - (CASE WHEN s0 > n_words // GREATEST(s0, 1)
+         |          THEN 1 ELSE 0 END) AS s1
+         |  FROM isq0
+         |), wgt AS (
+         |  SELECT $langCol, n_words, n_tok,
+         |    s1 + (CASE WHEN n_words // (s1 + 1) >= s1 + 1
+         |          THEN 1 ELSE 0 END) AS w
+         |  FROM isq1
+         |), ap AS (
+         |  SELECT $langCol, n_words, n_tok, w,
+         |    (w * $budget) // GREATEST(SUM(w) OVER (), 1) AS base,
+         |    (w * $budget) % GREATEST(SUM(w) OVER (), 1) AS rem
+         |  FROM wgt
+         |), rk AS (
+         |  SELECT $langCol, n_words, n_tok, w, base,
+         |    ROW_NUMBER() OVER (ORDER BY rem DESC, $langCol ASC) AS rk,
+         |    $budget - SUM(base) OVER () AS leftover
+         |  FROM ap
+         |)
+         |SELECT $langCol, CAST(n_words AS BIGINT) AS n_words,
+         |  CAST(n_tok AS BIGINT) AS n_bpe_tokens,
+         |  CAST(w AS BIGINT) AS weight_isqrt,
+         |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         |    AS target_tokens
+         |FROM rk""".stripMargin
+  }
+
   /** The DuckDB twin of [[tokenBudget]]: the encode CTE chain
     * aggregated at the language grain, then the largest-remainder
     * arithmetic restated relationally (floor quota + remainder-ranked

@@ -75,6 +75,57 @@ class ApportionSpec extends SparkSpec {
       s"wrong error: ${messages(ex).mkString(" | ")}")
   }
 
+  test("q201: tempered budget — exact isqrt weights, tail languages gain share") {
+    val got = SparkEntry.q201TokenBudgetTempered(spark, SfDir).persist()
+    assert(got.agg(sum("target_tokens")).head.getLong(0) == 1000000L)
+    val rows = got.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(3), r.getLong(4))).toSeq
+    // the weight column IS the exact integer sqrt of the word mass
+    rows.foreach { case (lang, w, s, _) =>
+      assert(s * s <= w && (s + 1) * (s + 1) > w, s"$lang: isqrt($w) != $s")
+    }
+    // Hamilton exactness against the tempered float shares
+    val sTot = rows.map(_._3).sum
+    rows.foreach { case (lang, _, s, t) =>
+      val tempered = s.toDouble * 1000000 / sTot
+      assert(math.abs(t - tempered) < 1.0,
+        s"$lang: target $t vs exact tempered share $tempered")
+    }
+    // tempering moves share from the head to the tail: vs the raw q194
+    // plan, the largest-mass language can only LOSE tokens and the
+    // smallest can only GAIN (the α = 1/2 interpolation is guaranteed
+    // at the extremes; ±1 slack for Hamilton seats)
+    val raw = SparkEntry.q194TokenBudget(spark, SfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val maxLang = rows.maxBy(_._2)
+    val minLang = rows.minBy(_._2)
+    assert(maxLang._4 <= raw(maxLang._1) + 1,
+      s"head ${maxLang._1} gained share under tempering")
+    assert(minLang._4 >= raw(minLang._1) - 1,
+      s"tail ${minLang._1} lost share under tempering")
+    got.unpersist(): Unit
+  }
+
+  test("isqrt correction: exact at perfect squares, off-by-one floats, and huge inputs") {
+    val sess = spark
+    import sess.implicits._
+    // the q201 expression, standalone (division-form corrections)
+    val s0 = "CAST(FLOOR(SQRT(CAST(n_words AS DOUBLE))) AS BIGINT)"
+    val s1 = s"($s0 - (CASE WHEN $s0 > n_words div GREATEST($s0, 1) THEN 1 ELSE 0 END))"
+    val s2 = s"($s1 + (CASE WHEN n_words div ($s1 + 1) >= $s1 + 1 THEN 1 ELSE 0 END))"
+    val cases = Seq(0L, 1L, 2L, 3L, 4L, 15L, 16L, 17L,
+      999999999999L, 1000000000000L, 1000000000001L, // around 1e6²
+      4611686014132420608L, // (2^31 + 10)² − 1-ish region past 2^53
+      4611686018427387903L, // 2^62 − 1
+      Long.MaxValue)
+    val got = cases.toDF("n_words").selectExpr("n_words", s"$s2 AS s")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    got.foreach { case (n, s) =>
+      val ref = new java.math.BigInteger(n.toString).sqrt().longValueExact()
+      assert(s == ref, s"isqrt($n): got $s want $ref")
+    }
+  }
+
   test("q194 on the real testdata: targets sum to the budget, share follows word mass") {
     val got = SparkEntry.q194TokenBudget(spark, SfDir).persist()
     val tot = got.agg(sum("target_tokens")).head.getLong(0)
