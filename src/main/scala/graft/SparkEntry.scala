@@ -629,6 +629,23 @@ object SparkEntry {
       merges, budget = 1000000L)
   }
 
+  /** q202: SLIDING-WINDOW eval layout ([[text.Bpe.evalWindows]]) —
+    * the standard long-document perplexity-eval shape: overlapping
+    * (W=512, S=256) windows where every token is scored exactly once
+    * with ≥ W−S tokens of left context (the head has all that
+    * exists). Per-window numbers are closed forms of the stored-
+    * merges token count — no token explode; row mass is Σ L/S
+    * windows and the only corpus pass is the encode. */
+  def q202EvalWindows(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = graft.sources.Publish
+      .read(spark, bpeMergesRoot(spark, dir))
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.text.Bpe.evalWindows(docs, "doc_id", "text", merges,
+      windowSize = 512L, stride = 256L)
+  }
+
   /** q200: quality-CURRICULUM ordering ([[text.Curriculum.phaseOrder]])
     * — the training-schedule step: rank every document by q23's exact
     * integer quality score, cut the top quarter as the ANNEAL set,
@@ -5625,7 +5642,8 @@ object SparkEntry {
     "q198_token_budget_stored"   -> (q198TokenBudgetStored _),
     "q199_packing_order_sweep"   -> (q199PackingOrderSweep _),
     "q200_curriculum_order"      -> (q200CurriculumOrder _),
-    "q201_token_budget_tempered" -> (q201TokenBudgetTempered _)
+    "q201_token_budget_tempered" -> (q201TokenBudgetTempered _),
+    "q202_eval_windows"          -> (q202EvalWindows _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -5694,6 +5712,10 @@ object SparkEntry {
       "q201_token_budget_tempered" ->
         graft.text.Bpe.tokenBudgetTemperedOracleSql(
           "documents", "doc_id", "text", "lang", 8, budget = 1000000L),
+      "q202_eval_windows" ->
+        graft.text.Bpe.evalWindowsOracleSql(
+          "documents", "doc_id", "text", 8,
+          windowSize = 512L, stride = 256L),
       "q196_epoch_order" ->
         graft.text.Bpe.epochOrderOracleSql(
           "documents", "doc_id", "text", 8, shards = 8, budget = 512L, seed = 1L),

@@ -621,6 +621,78 @@ object Bpe {
       .largestRemainder(agg, langCol, "n_words", budget, "target_tokens")
   }
 
+  /** SLIDING-WINDOW evaluation layout — the standard long-document
+    * perplexity-eval shape (score a document longer than the context
+    * in overlapping windows so every token is scored EXACTLY ONCE
+    * with at least `windowSize − stride` tokens of left context,
+    * except the document head which has all the context that exists):
+    * window w of a doc with L tokens covers [w·S, min(L, w·S + W));
+    * window 0 scores its whole span, window w > 0 scores only its
+    * non-overlapped tail [(w−1)·S + W, win_end). The per-window
+    * numbers are CLOSED FORMS of (L, w) — no token explode, the row
+    * mass is Σ L/S windows, and the only corpus pass is the stored-
+    * merges token count. Empty documents carry no windows (nothing
+    * to score). Scored spans tile [0, L) exactly — the spec pins the
+    * Σ n_scored = L identity and the disjoint-cover property.
+    * Output: (id, win_id, win_start, win_end, n_tokens, n_scored). */
+  def evalWindows(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)],
+      windowSize: Long,
+      stride: Long): DataFrame = {
+    require(windowSize >= 1, "windowSize must be >= 1")
+    require(stride >= 1 && stride <= windowSize,
+      "stride must be in [1, windowSize]")
+    val (w, s) = (windowSize, stride)
+    encode(docs, idCol, textCol, merges)
+      .select(col(idCol), col("n_bpe_tokens").as("__L"))
+      .where(col("__L") >= 1L)
+      .withColumn("__nw",
+        when(col("__L") <= w, lit(1L))
+          .otherwise(expr(s"(__L - $w + $s - 1) div $s") + lit(1L)))
+      .withColumn("win_id", explode(expr("sequence(0L, __nw - 1L)")))
+      .withColumn("win_start", col("win_id") * s)
+      .withColumn("win_end", least(col("__L"), col("win_id") * s + w))
+      .select(col(idCol), col("win_id"), col("win_start"), col("win_end"),
+        (col("win_end") - col("win_start")).as("n_tokens"),
+        when(col("win_id") === 0L, least(col("__L"), lit(w)))
+          .otherwise(greatest(
+            col("win_end") - ((col("win_id") - 1L) * s + w), lit(0L)))
+          .as("n_scored"))
+  }
+
+  /** The DuckDB twin of [[evalWindows]]: the encode chain's per-doc
+    * token counts, windows via `range`, the same closed forms. */
+  def evalWindowsOracleSql(
+      table: String, idCol: String, textCol: String, rounds: Int,
+      windowSize: Long, stride: Long): String = {
+    val enc = encodeOracleSql(table, idCol, textCol, rounds)
+    val withClause = enc.substring(0, enc.indexOf(s"\nSELECT t.$idCol"))
+    val (w, s) = (windowSize, stride)
+    withClause + ",\n" +
+      s"""lw AS (
+         |  -- enc's raw SUM is HUGEINT in DuckDB; range() needs BIGINT
+         |  SELECT $idCol, CAST(n_bpe_tokens AS BIGINT) AS L
+         |  FROM enc WHERE n_bpe_tokens >= 1
+         |), wins AS (
+         |  SELECT $idCol, L, UNNEST(range(CAST(
+         |    CASE WHEN L <= $w THEN 1 ELSE (L - $w + $s - 1) // $s + 1 END
+         |    AS BIGINT))) AS win_id
+         |  FROM lw
+         |)
+         |SELECT $idCol, CAST(win_id AS BIGINT) AS win_id,
+         |  CAST(win_id * $s AS BIGINT) AS win_start,
+         |  CAST(LEAST(L, win_id * $s + $w) AS BIGINT) AS win_end,
+         |  CAST(LEAST(L, win_id * $s + $w) - win_id * $s AS BIGINT) AS n_tokens,
+         |  CAST(CASE WHEN win_id = 0 THEN LEAST(L, $w)
+         |       ELSE GREATEST(LEAST(L, win_id * $s + $w)
+         |                     - ((win_id - 1) * $s + $w), 0) END AS BIGINT)
+         |    AS n_scored
+         |FROM wins""".stripMargin
+  }
+
   /** TEMPERATURE-scaled token budget (α = 1/2) — the standard
     * multilingual rebalancing (the XLM-R/mBERT exponent-smoothing
     * family): apportioning budget ∝ raw word mass starves tail

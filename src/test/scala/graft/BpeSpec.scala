@@ -282,6 +282,60 @@ class BpeSpec extends SparkSpec {
       == false, "the planted magnitude must actually exceed the old safe range")
   }
 
+  test("evalWindows: hand layouts, the scored-once identity, and the context guarantee") {
+    val sess = spark
+    import sess.implicits._
+    // single-char words → n_bpe_tokens == word count under 1-round
+    // merges on a disjoint corpus (no merge applies to these docs)
+    def doc(id: Long, n: Int) = (id, Seq.fill(n)("z").mkString(" "))
+    val docs = Seq(doc(1L, 3), doc(2L, 8), doc(3L, 9), doc(4L, 20), (5L, ""))
+      .toDF("doc_id", "text")
+    val merges = Seq(("q", "q")) // never fires on z-only docs
+    val got = graft.text.Bpe.evalWindows(docs, "doc_id", "text", merges,
+      windowSize = 8L, stride = 4L)
+      .orderBy("doc_id", "win_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    // L=3 < W: one window scoring everything; L=8 = W: same
+    assert(got.filter(_._1 == 1L) == Seq((1L, 0L, 0L, 3L, 3L, 3L)))
+    assert(got.filter(_._1 == 2L) == Seq((2L, 0L, 0L, 8L, 8L, 8L)))
+    // L=9 = W+1: second window scores exactly the 1 overflow token
+    assert(got.filter(_._1 == 3L) ==
+      Seq((3L, 0L, 0L, 8L, 8L, 8L), (3L, 1L, 4L, 9L, 5L, 1L)))
+    // L=20, W=8, S=4: windows at 0,4,8,12 — tail window ends at L
+    assert(got.filter(_._1 == 4L) == Seq(
+      (4L, 0L, 0L, 8L, 8L, 8L), (4L, 1L, 4L, 12L, 8L, 4L),
+      (4L, 2L, 8L, 16L, 8L, 4L), (4L, 3L, 12L, 20L, 8L, 4L)))
+    // the empty doc carries no windows
+    assert(!got.exists(_._1 == 5L))
+    // identities: scored spans tile [0, L) exactly and disjointly
+    got.groupBy(_._1).foreach { case (_, ws) =>
+      val l = ws.map(_._4).max
+      assert(ws.map(_._6).sum == l, s"scored-once violated: $ws")
+      val spans = ws.map(t => (t._4 - t._6, t._4)) // (scored_start, end)
+      assert(spans.sortBy(_._1).sliding(2).forall {
+        case Seq((_, e), (s2, _)) => e == s2
+        case _ => true
+      }, s"scored spans must tile: $spans")
+    }
+    // context guarantee: every non-head window's scored start sits
+    // ≥ W−S=4 tokens into its own window
+    got.filter(_._2 > 0L).foreach { t =>
+      assert((t._4 - t._6) - t._3 >= 4L, s"context shortfall: $t")
+    }
+
+    // real corpus under the trained merges: the identity holds corpus-wide
+    val real = Tables.documents(spark, SfDir)
+    val rm = graft.text.Bpe.trainMerges(real, "doc_id", "text", rounds = 8)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val rw = graft.text.Bpe.evalWindows(real, "doc_id", "text", rm, 64L, 32L)
+    val perDoc = rw.groupBy("doc_id")
+      .agg(sum("n_scored").as("scored"), max("win_end").as("l"))
+      .where(col("scored") =!= col("l"))
+    assert(perDoc.isEmpty, "corpus scored-once identity failed")
+  }
+
   test("contextWindows: windows are gapless and budget-bounded on the real testdata") {
     val docs = Tables.documents(spark, SfDir)
     val merges = Bpe.trainMerges(docs, "doc_id", "text", rounds = 8)
