@@ -661,6 +661,29 @@ object SparkEntry {
       Tables.documents(spark, dir), "doc_id", "text",
       annealPpm = 250000L, seed = 1L)
 
+  /** The published per-document quality-score table — scoring runs
+    * once, plans re-rank the stored table (the q178 stored-score
+    * posture applied to the curriculum family). */
+  private def qualityScoreTable(spark: SparkSession, dir: String): String =
+    graft.tools.Scratch.cachedArtifact(
+      "graft_qscore", dir, s"$dir/documents.parquet") { (tableDir, _) =>
+      graft.text.TextOps.qualityScore(
+          Tables.documents(spark, dir), "doc_id", "text")
+        .select(col("doc_id"), col("quality_score_ppm"))
+        .write.parquet(tableDir)
+    }
+
+  /** q203: curriculum ordering from the STORED score table
+    * ([[text.Curriculum.orderFromScores]]) — q200's schedule computed
+    * without touching the corpus text: scoring runs once at ingest
+    * and is published; a seed change or anneal-fraction sweep
+    * re-plans over (id, score) rows only. Shares q200's oracle hash
+    * (the stored table IS the scoring pass's output). */
+  def q203CurriculumStored(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Curriculum.orderFromScores(
+      spark.read.parquet(qualityScoreTable(spark, dir)), "doc_id",
+      annealPpm = 250000L, seed = 1L)
+
   /** q196: deterministic EPOCH ordering ([[text.Bpe.epochOrder]]) —
     * the loader's last mile over q189's windows: a training epoch
     * consumes windows in a seeded pseudo-random order (fixed-order
@@ -5643,7 +5666,8 @@ object SparkEntry {
     "q199_packing_order_sweep"   -> (q199PackingOrderSweep _),
     "q200_curriculum_order"      -> (q200CurriculumOrder _),
     "q201_token_budget_tempered" -> (q201TokenBudgetTempered _),
-    "q202_eval_windows"          -> (q202EvalWindows _)
+    "q202_eval_windows"          -> (q202EvalWindows _),
+    "q203_curriculum_stored"     -> (q203CurriculumStored _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -5716,6 +5740,10 @@ object SparkEntry {
         graft.text.Bpe.evalWindowsOracleSql(
           "documents", "doc_id", "text", 8,
           windowSize = 512L, stride = 256L),
+      // q203 ranks the published score table — same plan, same hash
+      "q203_curriculum_stored" ->
+        graft.text.Curriculum.phaseOrderOracleSql(
+          "documents", "doc_id", "text", annealPpm = 250000L, seed = 1L),
       "q196_epoch_order" ->
         graft.text.Bpe.epochOrderOracleSql(
           "documents", "doc_id", "text", 8, shards = 8, budget = 512L, seed = 1L),

@@ -44,11 +44,29 @@ object Curriculum {
       idCol: String,
       textCol: String,
       annealPpm: Long,
+      seed: Long = 1L): DataFrame =
+    orderFromScores(
+      TextOps.qualityScore(docs, idCol, textCol)
+        .select(col(idCol), col("quality_score_ppm")),
+      idCol, annealPpm, seed)
+
+  /** The ordering half over an ALREADY-SCORED (id, quality_score_ppm)
+    * relation — the stored-score production posture (the q178/q198
+    * storage pattern): scoring runs once at ingest and is published;
+    * every schedule (re)plan ranks the STORED table — a seed change
+    * or anneal-fraction sweep re-plans without touching the corpus
+    * text. [[phaseOrder]] is this over a fresh scoring pass; both
+    * share the oracle hash because the score table IS the scoring
+    * pass's output. */
+  def orderFromScores(
+      scores: DataFrame,
+      idCol: String,
+      annealPpm: Long,
       seed: Long = 1L): DataFrame = {
     require(annealPpm >= 0L && annealPpm <= 1000000L,
       "annealPpm must be a ppm fraction in [0, 1000000]")
     val M = 1000000007L
-    val scored = TextOps.qualityScore(docs, idCol, textCol)
+    val scored = scores
       .select(col(idCol), col("quality_score_ppm"))
       // rank wants score DESC; globalRowNumber ranks ASC — negate
       // (ppm ≤ 1e6, negation exact)

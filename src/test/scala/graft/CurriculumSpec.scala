@@ -51,6 +51,26 @@ class CurriculumSpec extends SparkSpec {
     got.unpersist(): Unit
   }
 
+  test("q203: the stored-score plan is identical to the fresh-scoring plan") {
+    val fresh = SparkEntry.q200CurriculumOrder(spark, SfDir)
+      .orderBy("epoch_pos").collect().map(_.toSeq).toSeq
+    val stored = SparkEntry.q203CurriculumStored(spark, SfDir)
+      .orderBy("epoch_pos").collect().map(_.toSeq).toSeq
+    assert(stored == fresh, "stored-score plan diverged from fresh scoring")
+    // and re-planning with a different seed over the score relation
+    // keeps phase membership (the stored posture's point: schedule
+    // sweeps re-rank (id, score) rows, never the corpus text)
+    val scores = graft.text.TextOps.qualityScore(
+        Tables.documents(spark, SfDir), "doc_id", "text")
+      .select(col("doc_id"), col("quality_score_ppm"))
+    val reseeded = graft.text.Curriculum.orderFromScores(
+        scores, "doc_id", annealPpm = 250000L, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    val base = fresh.map(s => (s(0).asInstanceOf[Long],
+      s(3).asInstanceOf[Long])).toSet
+    assert(reseeded == base, "seed must not move phase membership")
+  }
+
   test("real corpus: permutation, replay, seed sensitivity, cutoff arithmetic") {
     val docs = Tables.documents(spark, SfDir)
     val n = docs.count()
