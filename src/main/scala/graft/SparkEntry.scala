@@ -673,6 +673,31 @@ object SparkEntry {
         .write.parquet(tableDir)
     }
 
+  /** q204: DATA-CONSTRAINED repeat allocation
+    * ([[text.Curriculum.repeatAllocation]]) — the epochs-and-
+    * remainder plan for a token budget LARGER than the corpus
+    * (the data-constrained scaling regime: bounded repetition keeps
+    * near-fresh value): every document repeats min(cap, budget div
+    * corpusTokens) times, and the leftover fills with one extra
+    * repeat per document in seeded scramble order while the whole
+    * document fits — never overshooting the budget, engine-exact.
+    * One encode pass, one distributed global running sum; the budget
+    * here (3× corpus at cap 4) exercises the remainder path at every
+    * SF. */
+  def q204RepeatAllocation(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = graft.sources.Publish
+      .read(spark, bpeMergesRoot(spark, dir))
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val corpusTokens = graft.text.Bpe
+      .encode(docs, "doc_id", "text", merges)
+      .agg(sum("n_bpe_tokens")).head.getLong(0)
+    graft.text.Curriculum.repeatAllocation(docs, "doc_id", "text", merges,
+      budget = corpusTokens * 3L + corpusTokens / 2L, maxRepeats = 4L,
+      seed = 1L)
+  }
+
   /** q203: curriculum ordering from the STORED score table
     * ([[text.Curriculum.orderFromScores]]) — q200's schedule computed
     * without touching the corpus text: scoring runs once at ingest
@@ -5667,7 +5692,8 @@ object SparkEntry {
     "q200_curriculum_order"      -> (q200CurriculumOrder _),
     "q201_token_budget_tempered" -> (q201TokenBudgetTempered _),
     "q202_eval_windows"          -> (q202EvalWindows _),
-    "q203_curriculum_stored"     -> (q203CurriculumStored _)
+    "q203_curriculum_stored"     -> (q203CurriculumStored _),
+    "q204_repeat_allocation"     -> (q204RepeatAllocation _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -5744,6 +5770,12 @@ object SparkEntry {
       "q203_curriculum_stored" ->
         graft.text.Curriculum.phaseOrderOracleSql(
           "documents", "doc_id", "text", annealPpm = 250000L, seed = 1L),
+      // the budget is corpus-derived (3.5×), so the oracle restates it
+      // over the total `t` — one text valid at every SF
+      "q204_repeat_allocation" ->
+        graft.text.Curriculum.repeatAllocationOracleSql(
+          "documents", "doc_id", "text", 8,
+          budgetSql = "3 * t + t // 2", maxRepeats = 4L, seed = 1L),
       "q196_epoch_order" ->
         graft.text.Bpe.epochOrderOracleSql(
           "documents", "doc_id", "text", 8, shards = 8, budget = 512L, seed = 1L),

@@ -89,6 +89,103 @@ object Curriculum {
         col("phase"), col("epoch_pos"))
   }
 
+  /** DATA-CONSTRAINED repeat allocation — the epochs-and-remainder
+    * plan for budgets LARGER than the corpus (the data-constrained
+    * scaling regime, Muennighoff et al.: repeating data a bounded
+    * number of times keeps near-fresh value; unbounded repetition
+    * does not): every document repeats `e = min(maxRepeats,
+    * budget div corpusTokens)` times, and — when the cap is not
+    * binding — the leftover `budget − e·corpusTokens` is filled with
+    * ONE extra repeat per document, granted in seeded scramble order
+    * while the whole document still fits (whole-doc granularity, so
+    * the plan never overshoots the budget and is engine-exact; a
+    * fractional tail would be a training-time truncation decision,
+    * not a planning one).
+    *
+    * Scale shape: one stored-merges encode pass to the |docs|-grain
+    * length table, one 2-scalar driver aggregate (corpus tokens via
+    * the rank pass's sum), and ONE distributed global running sum
+    * over (id, long) rows ([[graft.operators.PrefixSum
+    * .globalRunningSum]] — range exchange, write-once-read-twice,
+    * never a single-task window). Driver math in BigInt (e·T at
+    * 100 TB token counts exceeds Long×K only in BigInt-safe space).
+    * Output: (id, n_tokens, n_repeats); Σ n_repeats·n_tokens ≤ budget
+    * and ≤ maxRepeats·corpusTokens, exactly. */
+  def repeatAllocation(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)],
+      budget: Long,
+      maxRepeats: Long,
+      seed: Long = 1L): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    require(maxRepeats >= 1, "maxRepeats must be >= 1")
+    val M = 1000000007L
+    val lens = Bpe.encode(docs, idCol, textCol, merges)
+      .select(col(idCol), col("n_bpe_tokens").as("n_tokens"))
+      .where(col("n_tokens") >= 1L)
+      .withColumn("__h", pmod(
+        pmod(pmod(col(idCol), lit(1000003L)) * lit(7919L)
+          + pmod(lit(seed), lit(M)), lit(M))
+          * lit(2654435761L), lit(M)))
+    val cum = graft.operators.PrefixSum
+      .globalRunningSum(lens, Seq("__h", idCol), "n_tokens", "__cum")
+    // an all-empty corpus yields a NULL sum and an empty output — the
+    // floor of 1 only guards the driver division, never a real plan
+    val totRow = lens.agg(sum(col("n_tokens"))).head
+    val total = BigInt(
+      if (totRow.isNullAt(0)) 1L else math.max(totRow.getLong(0), 1L))
+    val e = (BigInt(budget) / total).min(BigInt(maxRepeats)).toLong
+    // the remainder exists only while the cap is not binding; at the
+    // cap every doc already carries maxRepeats and nothing tops up
+    val remainder =
+      if (e >= maxRepeats) 0L else (BigInt(budget) - e * total).toLong
+    cum.select(col(idCol), col("n_tokens"),
+      (lit(e) + when(col("__cum") <= remainder, 1L).otherwise(0L))
+        .as("n_repeats"))
+  }
+
+  /** The DuckDB twin of [[repeatAllocation]]: the encode chain's
+    * length table, the same seeded scramble, a window cumulative sum,
+    * and the epochs/remainder arithmetic restated with the corpus
+    * total as a scalar subquery (HUGEINT-exact). */
+  def repeatAllocationOracleSql(
+      table: String, idCol: String, textCol: String, rounds: Int,
+      budgetSql: String, maxRepeats: Long, seed: Long): String = {
+    val enc = Bpe.encodeOracleSql(table, idCol, textCol, rounds)
+    val withClause = enc.substring(0, enc.indexOf(s"\nSELECT t.$idCol"))
+    // budgetSql is an expression over the corpus total `t` (e.g.
+    // "3 * t + t // 2") — the registry's budget is corpus-derived so
+    // one oracle text holds at every SF
+    val b = s"($budgetSql)"
+    withClause + ",\n" +
+      s"""lens AS MATERIALIZED (
+         |  SELECT $idCol, CAST(n_bpe_tokens AS BIGINT) AS n_tokens,
+         |    (((($idCol % 1000003) * 7919
+         |        + ($seed % 1000000007 + 1000000007) % 1000000007) % 1000000007)
+         |      * 2654435761) % 1000000007 AS h
+         |  FROM enc WHERE n_bpe_tokens >= 1
+         |), tot AS (
+         |  SELECT SUM(n_tokens) AS t FROM lens
+         |), plan AS (
+         |  SELECT LEAST($maxRepeats, $b // t) AS e,
+         |    CASE WHEN LEAST($maxRepeats, $b // t) >= $maxRepeats
+         |         THEN 0
+         |         ELSE $b - LEAST($maxRepeats, $b // t) * t END AS r
+         |  FROM tot
+         |), cum AS (
+         |  SELECT $idCol, n_tokens,
+         |    SUM(n_tokens) OVER (ORDER BY h, $idCol
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+         |  FROM lens
+         |)
+         |SELECT cum.$idCol, cum.n_tokens,
+         |  CAST(plan.e + CASE WHEN cum.c <= plan.r THEN 1 ELSE 0 END
+         |    AS BIGINT) AS n_repeats
+         |FROM cum, plan""".stripMargin
+  }
+
   /** The DuckDB twin of [[phaseOrder]]: q23's quality expression, the
     * (score DESC, id) rank, the BigInt-exact anneal cutoff restated as
     * HUGEINT `//`, and the phase-major seeded re-rank — the full

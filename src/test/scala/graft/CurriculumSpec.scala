@@ -71,6 +71,46 @@ class CurriculumSpec extends SparkSpec {
     assert(reseeded == base, "seed must not move phase membership")
   }
 
+  test("q204: repeat allocation — in-Scala reference, cap binding, subsample regime") {
+    val docs = Tables.documents(spark, SfDir)
+    val merges = graft.text.Bpe.trainMerges(docs, "doc_id", "text", rounds = 8)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val lens = graft.text.Bpe.encode(docs, "doc_id", "text", merges)
+      .select("doc_id", "n_bpe_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).filter(_._2 >= 1L).toSeq
+    val t = lens.map(_._2).sum
+    val M = 1000000007L
+    def h(id: Long) =
+      (math.floorMod(id, 1000003L) * 7919L + 1L) % M * 2654435761L % M
+
+    def run(budget: Long, cap: Long): Map[Long, Long] =
+      graft.text.Curriculum.repeatAllocation(docs, "doc_id", "text", merges,
+        budget, cap, seed = 1L)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+
+    // remainder regime: budget 3.5×T at cap 4 — exact vs the in-Scala
+    // greedy reference, and the plan never overshoots
+    val budget = 3L * t + t / 2L
+    val got = run(budget, 4L)
+    var cum = 0L
+    val want = lens.sortBy { case (id, _) => (h(id), id) }.map { case (id, l) =>
+      cum += l; id -> (3L + (if (cum <= t / 2L) 1L else 0L))
+    }.toMap
+    assert(got == want, "allocation diverged from the greedy reference")
+    val spent = lens.map { case (id, l) => got(id) * l }.sum
+    assert(spent <= budget && spent > budget - lens.map(_._2).max,
+      s"spent $spent vs budget $budget")
+
+    // cap binding: a huge budget grants exactly cap everywhere
+    assert(run(100L * t, 4L).values.toSet == Set(4L))
+    // subsample regime: budget < T → zero full epochs, scramble prefix
+    val sub = run(t / 4L, 4L)
+    assert(sub.values.toSet == Set(0L, 1L), s"subsample values ${sub.values.toSet}")
+    val subSpent = lens.map { case (id, l) => sub(id) * l }.sum
+    assert(subSpent <= t / 4L)
+  }
+
   test("real corpus: permutation, replay, seed sensitivity, cutoff arithmetic") {
     val docs = Tables.documents(spark, SfDir)
     val n = docs.count()
