@@ -10,9 +10,9 @@ import org.apache.spark.sql.functions._
   * place a quality-ranked anneal set after the bulk phase while
   * keeping everything reproducible across engines and retries.
   *
-  * Reference semantics (mirrors the data-ordering stages of the
-  * reference's training-prep flows, e.g. the ranked-export step in
-  * etl-pipelines' dataset builders): rank every document by the
+  * Part of the beyond-reference LLM-data-pipeline surface (the
+  * curriculum/annealing practice of staged pretraining data
+  * schedules): rank every document by the
   * integer quality score (q23's exact ppm arithmetic — no float
   * model scores, so the rank is hash-checkable), cut the top
   * `annealPpm` fraction as phase 2, and emit a global epoch position
