@@ -646,6 +646,23 @@ object SparkEntry {
       windowSize = 512L, stride = 256L)
   }
 
+  /** q205: MIXTURE-TEMPERATURE sweep ([[text.Bpe.mixtureSweep]]) —
+    * q201 extended across the integer-exact α ladder {0, 1/4, 1/2, 1}
+    * (uniform / isqrt∘isqrt / isqrt / raw): one apportionment row per
+    * (α, language) answering how hard the mixture should rebalance
+    * toward the tail. One corpus encode; each α is a k-row
+    * apportionment over the shared aggregate (the q199 sweep shape).
+    * α = 1 reproduces q194's plan row-for-row — pinned in spec. */
+  def q205MixtureSweep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = graft.sources.Publish
+      .read(spark, bpeMergesRoot(spark, dir))
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.text.Bpe.mixtureSweep(docs, "doc_id", "text", "lang", merges,
+      budget = 1000000L)
+  }
+
   /** q200: quality-CURRICULUM ordering ([[text.Curriculum.phaseOrder]])
     * — the training-schedule step: rank every document by q23's exact
     * integer quality score, cut the top quarter as the ANNEAL set,
@@ -5693,7 +5710,8 @@ object SparkEntry {
     "q201_token_budget_tempered" -> (q201TokenBudgetTempered _),
     "q202_eval_windows"          -> (q202EvalWindows _),
     "q203_curriculum_stored"     -> (q203CurriculumStored _),
-    "q204_repeat_allocation"     -> (q204RepeatAllocation _)
+    "q204_repeat_allocation"     -> (q204RepeatAllocation _),
+    "q205_mixture_sweep"         -> (q205MixtureSweep _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -5776,6 +5794,9 @@ object SparkEntry {
         graft.text.Curriculum.repeatAllocationOracleSql(
           "documents", "doc_id", "text", 8,
           budgetSql = "3 * t + t // 2", maxRepeats = 4L, seed = 1L),
+      "q205_mixture_sweep" ->
+        graft.text.Bpe.mixtureSweepOracleSql(
+          "documents", "doc_id", "text", "lang", 8, budget = 1000000L),
       "q196_epoch_order" ->
         graft.text.Bpe.epochOrderOracleSql(
           "documents", "doc_id", "text", 8, shards = 8, budget = 512L, seed = 1L),

@@ -729,6 +729,104 @@ object Bpe {
       .largestRemainder(agg, langCol, "weight_isqrt", budget, "target_tokens")
   }
 
+  /** The corrected-isqrt fragment over a COLUMN NAME (stage nested
+    * isqrts through named columns, never textual nesting — the
+    * fragment references its input several times). `div` is the
+    * engine's integral-divide token: Spark `div`, DuckDB `//`. */
+  private def isqrtOf(c: String, div: String): String = {
+    val s0 = s"CAST(FLOOR(SQRT(CAST($c AS DOUBLE))) AS BIGINT)"
+    val s1 = s"($s0 - (CASE WHEN $s0 > $c $div GREATEST($s0, 1)" +
+      " THEN 1 ELSE 0 END))"
+    s"($s1 + (CASE WHEN $c $div ($s1 + 1) >= $s1 + 1 THEN 1 ELSE 0 END))"
+  }
+
+  /** The mixture-TEMPERATURE ladder the sweep measures, as
+    * (alpha_ppm, weight column) pairs: α = 0 is uniform, α = 1/4 and
+    * 1/2 are the isqrt ladder (isqrt∘isqrt realizes 1/4 exactly —
+    * the rational-power rungs integer arithmetic can reach), α = 1
+    * is raw word mass. */
+  val MixtureAlphas: Seq[(Long, String)] = Seq(
+    (0L, "__w0"), (250000L, "__w4"), (500000L, "__w2"),
+    (1000000L, "n_words"))
+
+  /** MIXTURE-TEMPERATURE sweep — [[tokenBudgetTempered]] extended
+    * across the integer-exact α ladder: one apportionment row per
+    * (α, language) answering "how hard should this mixture rebalance
+    * toward the tail" — α = 1 reproduces q194's raw plan, α = 0 is
+    * uniform, 1/2 and 1/4 interpolate. The corpus encodes ONCE to the
+    * |languages|-grain aggregate; each α is one k-row apportionment
+    * over it (the q199 sweep shape applied to mixtures).
+    * Output: (alpha_ppm, lang, n_words, weight, target_tokens). */
+  def mixtureSweep(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      merges: Seq[(String, String)],
+      budget: Long): DataFrame = {
+    val agg = graft.CacheScope.persisted(
+      docs.select(col(idCol), col(langCol))
+        .join(encode(docs, idCol, textCol, merges), Seq(idCol))
+        .groupBy(col(langCol))
+        .agg(sum("n_words").as("n_words"))
+        .withColumn("__w0", lit(1L))
+        .withColumn("__w2", expr(isqrtOf("n_words", "div")))
+        .withColumn("__w4", expr(isqrtOf("__w2", "div"))))
+    MixtureAlphas.map { case (alpha, wc) =>
+      graft.operators.Apportion
+        .largestRemainder(agg, langCol, wc, budget, "target_tokens")
+        .select(lit(alpha).as("alpha_ppm"), col(langCol), col("n_words"),
+          col(wc).cast("long").as("weight"), col("target_tokens"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The DuckDB twin of [[mixtureSweep]]: the encode chain's language
+    * aggregate, the staged isqrt ladder, one apportionment pair per α,
+    * rows UNION ALL. */
+  def mixtureSweepOracleSql(
+      table: String, idCol: String, textCol: String, langCol: String,
+      rounds: Int, budget: Long): String = {
+    val enc = encodeOracleSql(table, idCol, textCol, rounds)
+    val withClause = enc.substring(0, enc.indexOf(s"\nSELECT t.$idCol"))
+    val ladder =
+      s"""agg AS MATERIALIZED (
+         |  SELECT t.$langCol AS $langCol,
+         |    CAST(SUM(COALESCE(enc.n_words, 0)) AS BIGINT) AS n_words
+         |  FROM $table t LEFT JOIN enc ON t.$idCol = enc.$idCol
+         |  GROUP BY t.$langCol
+         |), lad AS MATERIALIZED (
+         |  SELECT $langCol, n_words, 1 AS __w0,
+         |    ${isqrtOf("n_words", "//")} AS __w2
+         |  FROM agg
+         |), lad2 AS MATERIALIZED (
+         |  SELECT $langCol, n_words, __w0, __w2,
+         |    ${isqrtOf("__w2", "//")} AS __w4
+         |  FROM lad
+         |)""".stripMargin
+    val perAlpha = MixtureAlphas.map { case (alpha, wc) =>
+      s"""ap_$alpha AS (
+         |  SELECT $langCol, n_words, $wc AS w,
+         |    ($wc * $budget) // GREATEST(SUM($wc) OVER (), 1) AS base,
+         |    ($wc * $budget) % GREATEST(SUM($wc) OVER (), 1) AS rem
+         |  FROM lad2
+         |), rk_$alpha AS (
+         |  SELECT $langCol, n_words, w, base,
+         |    ROW_NUMBER() OVER (ORDER BY rem DESC, $langCol ASC) AS rk,
+         |    $budget - SUM(base) OVER () AS leftover
+         |  FROM ap_$alpha
+         |)""".stripMargin
+    }
+    val rows = MixtureAlphas.map { case (alpha, _) =>
+      s"""SELECT CAST($alpha AS BIGINT) AS alpha_ppm, $langCol,
+         |  CAST(n_words AS BIGINT) AS n_words, CAST(w AS BIGINT) AS weight,
+         |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         |    AS target_tokens
+         |FROM rk_$alpha""".stripMargin
+    }
+    (Seq(withClause, ladder) ++ perAlpha).mkString("", ",\n", "\n") +
+      rows.mkString("", "\nUNION ALL\n", "")
+  }
+
   /** The DuckDB twin of [[tokenBudgetTempered]]: the encode chain,
     * the same division-form corrected isqrt, and the remainder-ranked
     * apportionment over the tempered weights. */

@@ -106,6 +106,50 @@ class ApportionSpec extends SparkSpec {
     got.unpersist(): Unit
   }
 
+  test("q205: the mixture sweep's alpha ladder — endpoints reproduce raw and uniform") {
+    val got = SparkEntry.q205MixtureSweep(spark, SfDir).persist()
+    // every alpha's targets sum to the budget exactly
+    val sums = got.groupBy("alpha_ppm").agg(sum("target_tokens").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sums.values.toSet == Set(1000000L), s"per-alpha sums $sums")
+    // alpha = 1 row-matches q194's raw plan
+    val raw = SparkEntry.q194TokenBudget(spark, SfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    got.where(col("alpha_ppm") === 1000000L).collect().foreach { r =>
+      assert(r.getLong(4) == raw(r.getString(1)),
+        s"alpha=1 diverged from q194 at ${r.getString(1)}")
+    }
+    // alpha = 0 is uniform within one Hamilton seat
+    val k = raw.size
+    got.where(col("alpha_ppm") === 0L).collect().foreach { r =>
+      assert(math.abs(r.getLong(4) - 1000000.0 / k) < 1.0,
+        s"alpha=0 not uniform at ${r.getString(1)}: ${r.getLong(4)}")
+    }
+    // the ladder is monotone at the extremes: the largest language's
+    // target never increases as alpha falls, the smallest's never
+    // decreases (same guarantee family as q201's head/tail pins)
+    val byAlpha = got.collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => r.getString(1) -> r.getLong(4)).toMap).toMap
+    val words = got.where(col("alpha_ppm") === 1000000L).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    val (head, tail) = (words.maxBy(_._2)._1, words.minBy(_._2)._1)
+    val ladder = Seq(1000000L, 500000L, 250000L, 0L)
+    ladder.sliding(2).foreach { case Seq(hi, lo) =>
+      assert(byAlpha(lo)(head) <= byAlpha(hi)(head) + 1,
+        s"head $head gained share from alpha $hi to $lo")
+      assert(byAlpha(lo)(tail) >= byAlpha(hi)(tail) - 1,
+        s"tail $tail lost share from alpha $hi to $lo")
+      case _ => ()
+    }
+    // and the isqrt ladder columns are the exact integer roots
+    got.where(col("alpha_ppm") === 500000L).collect().foreach { r =>
+      val (w, s) = (r.getLong(2), r.getLong(3))
+      assert(s * s <= w && (s + 1) * (s + 1) > w, s"isqrt($w) != $s")
+    }
+    got.unpersist(): Unit
+  }
+
   test("isqrt correction: exact at perfect squares, off-by-one floats, and huge inputs") {
     val sess = spark
     import sess.implicits._
