@@ -646,6 +646,25 @@ object SparkEntry {
       windowSize = 512L, stride = 256L)
   }
 
+  /** q206: WORDPIECE segmentation ([[text.Bpe.wordpieceSegment]]) —
+    * greedy longest-match against the stored-merges vocabulary (the
+    * BERT tokenizer family's algorithm, completing the trained-
+    * tokenizer set beside BPE): per position take the longest
+    * vocabulary symbol, UNK (id 0) advances one character. Runs at
+    * the DISTINCT-WORD grain with the driver-bounded vocabulary
+    * broadcast; ids shared with the BPE path. The oracle re-derives
+    * the vocabulary and replays the greedy scan as a per-row
+    * recursion — every segment under the hash. */
+  def q206WordpieceSegment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = graft.sources.Publish
+      .read(spark, bpeMergesRoot(spark, dir))
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.text.Bpe.wordpieceSegment(docs, "doc_id", "text", merges,
+      maxLen = 8)
+  }
+
   /** q205: MIXTURE-TEMPERATURE sweep ([[text.Bpe.mixtureSweep]]) —
     * q201 extended across the integer-exact α ladder {0, 1/4, 1/2, 1}
     * (uniform / isqrt∘isqrt / isqrt / raw): one apportionment row per
@@ -5711,7 +5730,8 @@ object SparkEntry {
     "q202_eval_windows"          -> (q202EvalWindows _),
     "q203_curriculum_stored"     -> (q203CurriculumStored _),
     "q204_repeat_allocation"     -> (q204RepeatAllocation _),
-    "q205_mixture_sweep"         -> (q205MixtureSweep _)
+    "q205_mixture_sweep"         -> (q205MixtureSweep _),
+    "q206_wordpiece_segment"     -> (q206WordpieceSegment _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -5797,6 +5817,9 @@ object SparkEntry {
       "q205_mixture_sweep" ->
         graft.text.Bpe.mixtureSweepOracleSql(
           "documents", "doc_id", "text", "lang", 8, budget = 1000000L),
+      "q206_wordpiece_segment" ->
+        graft.text.Bpe.wordpieceSegmentOracleSql(
+          "documents", "text", 8, maxLen = 8),
       "q196_epoch_order" ->
         graft.text.Bpe.epochOrderOracleSql(
           "documents", "doc_id", "text", 8, shards = 8, budget = 512L, seed = 1L),

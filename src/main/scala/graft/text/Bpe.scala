@@ -729,6 +729,134 @@ object Bpe {
       .largestRemainder(agg, langCol, "weight_isqrt", budget, "target_tokens")
   }
 
+  /** WORDPIECE-style segmentation — greedy LONGEST-MATCH against a
+    * trained vocabulary (the BERT tokenizer family's algorithm,
+    * completing the trained-tokenizer set beside [[trainMerges]]'s
+    * BPE): at each position take the longest vocabulary symbol
+    * (bounded by `maxLen`) starting there; a position no symbol
+    * covers emits its single character as UNK (token_id 0) and
+    * advances one — total, deterministic, and engine-reproducible
+    * (no float likelihoods anywhere; the greedy rule IS the spec).
+    * The vocabulary is [[vocabularyFromMerges]]'s ranked table, so
+    * ids mean the same thing across the BPE and WordPiece paths.
+    *
+    * Scale shape: segmentation runs at the DISTINCT-WORD grain (one
+    * tokenize pass + one distinct — the corpus never re-scans), with
+    * the driver-bounded vocabulary broadcast as a hash map; the
+    * per-word greedy scan is the documented bounded-grain
+    * mapPartitions clause (no shuffle, no state beyond the map —
+    * the q20 block-compute justification). A consumer re-joins words
+    * to documents on the word key.
+    * Output: (word, seg_pos, symbol, token_id); seg_pos is 1-based. */
+  def wordpieceSegment(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)],
+      maxLen: Int = 8): DataFrame =
+    segmentWords(
+      docs.select(explode(split(col(textCol), " ")).as("word"))
+        .where(col("word") =!= "")
+        .distinct(),
+      vocabularyFromMerges(docs, idCol, textCol, merges),
+      maxLen)
+
+  /** The greedy scan against an EXPLICIT vocabulary — the fixed-
+    * tokenizer form (segmenting words the vocabulary was not trained
+    * on is where UNK actually fires; a corpus-trained vocabulary by
+    * construction covers every surviving corpus symbol).
+    * `words` is a one-column (`word`) relation; `vocab` carries
+    * (token_id, symbol). */
+  def segmentWords(
+      words: DataFrame,
+      vocab: DataFrame,
+      maxLen: Int = 8): DataFrame = {
+    require(maxLen >= 1, "maxLen must be >= 1")
+    val spark = words.sparkSession
+    import spark.implicits._
+    val vmap = vocab
+      .select("symbol", "token_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bc = spark.sparkContext.broadcast(vmap)
+    words.select(col("word")).as[String]
+      .mapPartitions { it =>
+        val v = bc.value
+        it.flatMap { word =>
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long, String, Long)]
+          var pos = 0
+          while (pos < word.length) {
+            // longest vocabulary symbol starting at pos, if any
+            var l = math.min(maxLen, word.length - pos)
+            while (l > 1 && !v.contains(word.substring(pos, pos + l))) l -= 1
+            val sub = word.substring(pos, pos + l)
+            v.get(sub) match {
+              case Some(tid) =>
+                out += ((word, out.length + 1L, sub, tid))
+                pos += l
+              case None =>
+                out += ((word, out.length + 1L,
+                  word.substring(pos, pos + 1), 0L))
+                pos += 1
+            }
+          }
+          out
+        }
+      }
+      .toDF("word", "seg_pos", "symbol", "token_id")
+  }
+
+  /** The DuckDB twin of [[wordpieceSegment]]: the training chain's
+    * ranked vocabulary as a MAP, the distinct-word grain, and the
+    * greedy scan as a per-row recursion (list_filter/list_max are
+    * scalar — no aggregate in the recursive member). */
+  def wordpieceSegmentOracleSql(
+      table: String, textCol: String, rounds: Int, maxLen: Int): String = {
+    val trainCtes = oracleSql(table, textCol, rounds)
+    val withClause = trainCtes
+      .substring(0, trainCtes.indexOf("\nSELECT 1 AS round"))
+      .replaceFirst("^WITH ", "WITH RECURSIVE ")
+    // the longest in-vocab length at `pos`, as a scalar expression
+    val best = s"""list_max(list_filter(range(1, ${maxLen + 1}),
+                  |    l -> pos + l <= LENGTH(word)
+                  |     AND len(m[word[pos + 1 : pos + l]]) > 0))""".stripMargin
+    withClause + ",\n" +
+      s"""vcb AS MATERIALIZED (
+         |  SELECT sym AS symbol, SUM(c) AS n_occurrences
+         |  FROM (SELECT UNNEST(string_split(trim(s), ' ')) AS sym, c FROM s$rounds)
+         |  GROUP BY sym
+         |), vvr AS MATERIALIZED (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, symbol ASC)
+         |      AS token_id, symbol
+         |  FROM vcb
+         |), vmap AS (
+         |  SELECT MAP(LIST(symbol), LIST(token_id)) AS m FROM vvr
+         |), wds AS MATERIALIZED (
+         |  SELECT DISTINCT word FROM (
+         |    SELECT UNNEST(string_split($textCol, ' ')) AS word FROM $table
+         |  ) WHERE word <> ''
+         |), seg AS (
+         |  SELECT word, 0 AS pos,
+         |    CAST([] AS STRUCT(sym VARCHAR, tid BIGINT)[]) AS segs
+         |  FROM wds
+         |  UNION ALL
+         |  SELECT word,
+         |    pos + GREATEST(COALESCE($best, 1), 1) AS pos,
+         |    list_append(segs, CASE WHEN COALESCE($best, 0) > 0
+         |      THEN struct_pack(
+         |        sym := word[pos + 1 : pos + $best],
+         |        tid := CAST(m[word[pos + 1 : pos + $best]][1] AS BIGINT))
+         |      ELSE struct_pack(sym := word[pos + 1 : pos + 1],
+         |        tid := CAST(0 AS BIGINT))
+         |      END)
+         |  FROM seg, vmap WHERE pos < LENGTH(word)
+         |)
+         |SELECT word, CAST(g AS BIGINT) AS seg_pos,
+         |  segs[g].sym AS symbol, segs[g].tid AS token_id
+         |FROM (SELECT word, segs FROM seg WHERE pos = LENGTH(word)),
+         |  UNNEST(range(1, len(segs) + 1)) AS u(g)""".stripMargin
+  }
+
   /** The corrected-isqrt fragment over a COLUMN NAME (stage nested
     * isqrts through named columns, never textual nesting — the
     * fragment references its input several times). `div` is the

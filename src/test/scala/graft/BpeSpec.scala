@@ -282,6 +282,62 @@ class BpeSpec extends SparkSpec {
       == false, "the planted magnitude must actually exceed the old safe range")
   }
 
+  test("wordpieceSegment: greedy longest-match, UNK advance, round-trip identity") {
+    val sess = spark
+    import sess.implicits._
+    // rounds=2 on the ref corpus learns [(a,b), (ab,c)] — vocabulary
+    // ab=1(3) abc=2(2) b=3(1) c=4(1); 'a' merges away entirely
+    val ref = Seq((900L, "ab ab abc"), (901L, "ab abc bc"))
+      .toDF("doc_id", "text")
+    val merges = graft.text.Bpe.trainMerges(ref, "doc_id", "text", rounds = 2)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // FIXED ref-trained vocabulary, segmenting new words too — the
+    // OOV situation where UNK actually fires ('a' merged away in the
+    // ref corpus, so standalone 'a' has no vocabulary entry)
+    val vocab = graft.text.Bpe
+      .vocabularyFromMerges(ref, "doc_id", "text", merges)
+    val words = Seq("ab", "abc", "bc", "abab", "a", "qbc")
+      .toDF("word")
+    val got = graft.text.Bpe.segmentWords(words, vocab)
+      .orderBy("word", "seg_pos")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(got.filter(_._1 == "ab") == Seq(("ab", 1L, "ab", 1L)))
+    // longest-match: abc as ONE symbol, never ab+c
+    assert(got.filter(_._1 == "abc") == Seq(("abc", 1L, "abc", 2L)))
+    assert(got.filter(_._1 == "bc") ==
+      Seq(("bc", 1L, "b", 3L), ("bc", 2L, "c", 4L)))
+    assert(got.filter(_._1 == "abab") ==
+      Seq(("abab", 1L, "ab", 1L), ("abab", 2L, "ab", 1L)))
+    assert(got.filter(_._1 == "a") == Seq(("a", 1L, "a", 0L)),
+      "a merged-away char must segment as UNK id 0")
+    assert(got.filter(_._1 == "qbc") == Seq(
+      ("qbc", 1L, "q", 0L), ("qbc", 2L, "b", 3L), ("qbc", 3L, "c", 4L)),
+      "UNK advances one char and resumes matching")
+
+    // round-trip identity on the real corpus: concatenated segments
+    // re-spell every word, and every non-UNK id resolves to a
+    // vocabulary symbol of the same spelling
+    val docs = Tables.documents(spark, SfDir)
+    val rm = graft.text.Bpe.trainMerges(docs, "doc_id", "text", rounds = 8)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val sgd = graft.text.Bpe.wordpieceSegment(docs, "doc_id", "text", rm)
+      .persist()
+    val respelled = sgd.orderBy("word", "seg_pos")
+      .groupBy("word").agg(concat_ws("", collect_list("symbol")).as("cat"))
+      .where(col("word") =!= col("cat"))
+    assert(respelled.isEmpty, "segments must re-spell the word exactly")
+    val corpusVocab = graft.text.Bpe
+      .vocabularyFromMerges(docs, "doc_id", "text", rm)
+    val badIds = sgd.where(col("token_id") =!= 0L)
+      .join(corpusVocab, Seq("token_id"))
+      .where(sgd("symbol") =!= corpusVocab("symbol"))
+    assert(badIds.isEmpty, "ids must resolve to same-spelling vocab symbols")
+    sgd.unpersist(): Unit
+  }
+
   test("evalWindows: hand layouts, the scored-once identity, and the context guarantee") {
     val sess = spark
     import sess.implicits._
