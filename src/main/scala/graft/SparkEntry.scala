@@ -665,6 +665,24 @@ object SparkEntry {
       maxLen = 8)
   }
 
+  /** q207: unigram-style VITERBI segmentation
+    * ([[text.Bpe.viterbiSegment]]) — the SentencePiece family's
+    * decode rule with an integer-exact objective: maximize total
+    * symbol weight (occurrence counts — the monotone integer
+    * stand-in for float log-probs), ties → fewer tokens → earliest
+    * split. GLOBAL where q206's greedy is local; same distinct-word
+    * grain and bounded broadcast. The oracle replays the identical
+    * DP as a per-row recursion. */
+  def q207ViterbiSegment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = graft.sources.Publish
+      .read(spark, bpeMergesRoot(spark, dir))
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.text.Bpe.viterbiSegment(docs, "doc_id", "text", merges,
+      maxLen = 8)
+  }
+
   /** q205: MIXTURE-TEMPERATURE sweep ([[text.Bpe.mixtureSweep]]) —
     * q201 extended across the integer-exact α ladder {0, 1/4, 1/2, 1}
     * (uniform / isqrt∘isqrt / isqrt / raw): one apportionment row per
@@ -5731,7 +5749,8 @@ object SparkEntry {
     "q203_curriculum_stored"     -> (q203CurriculumStored _),
     "q204_repeat_allocation"     -> (q204RepeatAllocation _),
     "q205_mixture_sweep"         -> (q205MixtureSweep _),
-    "q206_wordpiece_segment"     -> (q206WordpieceSegment _)
+    "q206_wordpiece_segment"     -> (q206WordpieceSegment _),
+    "q207_viterbi_segment"       -> (q207ViterbiSegment _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -5819,6 +5838,9 @@ object SparkEntry {
           "documents", "doc_id", "text", "lang", 8, budget = 1000000L),
       "q206_wordpiece_segment" ->
         graft.text.Bpe.wordpieceSegmentOracleSql(
+          "documents", "text", 8, maxLen = 8),
+      "q207_viterbi_segment" ->
+        graft.text.Bpe.viterbiSegmentOracleSql(
           "documents", "text", 8, maxLen = 8),
       "q196_epoch_order" ->
         graft.text.Bpe.epochOrderOracleSql(

@@ -857,6 +857,165 @@ object Bpe {
          |  UNNEST(range(1, len(segs) + 1)) AS u(g)""".stripMargin
   }
 
+  /** UNIGRAM-style VITERBI segmentation — the SentencePiece family's
+    * decode rule with an INTEGER-EXACT objective: over all ways to
+    * split a word into vocabulary symbols (UNK single chars allowed
+    * at weight 0), pick the split maximizing total symbol WEIGHT
+    * (corpus occurrence counts — the monotone integer stand-in for
+    * the float log-probabilities real unigram LMs maximize, which
+    * cannot cross engines bit-exactly). Ties break by fewer tokens,
+    * then the earliest split point at each DP step — the DP rule IS
+    * the determinism contract, and the oracle replays the identical
+    * DP. Against [[wordpieceSegment]]'s greedy scan, Viterbi is
+    * GLOBAL: greedy 'abc → abc(4)' loses to 'ab(5)+c(3)' when the
+    * weights say so (the spec pins exactly this case).
+    *
+    * Same scale shape as WordPiece: DISTINCT-WORD grain, bounded
+    * vocabulary broadcast, per-word O(len·maxLen) DP in the
+    * bounded-grain mapPartitions clause — no shuffle.
+    * Output: (word, seg_pos, symbol, token_id). */
+  def viterbiSegment(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)],
+      maxLen: Int = 8): DataFrame =
+    viterbiSegmentWords(
+      docs.select(explode(split(col(textCol), " ")).as("word"))
+        .where(col("word") =!= "")
+        .distinct(),
+      vocabularyFromMerges(docs, idCol, textCol, merges),
+      maxLen)
+
+  /** The Viterbi DP against an EXPLICIT vocabulary — `vocab` carries
+    * (token_id, symbol, n_occurrences); the occurrence count is the
+    * weight. */
+  def viterbiSegmentWords(
+      words: DataFrame,
+      vocab: DataFrame,
+      maxLen: Int = 8): DataFrame = {
+    require(maxLen >= 1, "maxLen must be >= 1")
+    val spark = words.sparkSession
+    import spark.implicits._
+    val vmap = vocab
+      .select("symbol", "token_id", "n_occurrences").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val bc = spark.sparkContext.broadcast(vmap)
+    words.select(col("word")).as[String]
+      .mapPartitions { it =>
+        val v = bc.value
+        it.flatMap { word =>
+          val n = word.length
+          // best(i): (score, ntok, path) for the prefix of length i;
+          // candidates ordered by (-score, ntok, j ASC) — the pinned
+          // DP tie rule, identical to the oracle's list_sort
+          val best = new Array[(Long, Int, List[(String, Long)])](n + 1)
+          best(0) = (0L, 0, Nil)
+          var i = 1
+          while (i <= n) {
+            var chosen: (Long, Int, Int, String, Long) = null
+            var j = math.max(0, i - maxLen)
+            while (j < i) {
+              val sub = word.substring(j, i)
+              val cand = v.get(sub) match {
+                case Some((tid, w)) =>
+                  val b = best(j)
+                  (b._1 + w, b._2 + 1, j, sub, tid)
+                case None if j == i - 1 =>
+                  val b = best(j)
+                  (b._1, b._2 + 1, j, sub, 0L)
+                case None => null
+              }
+              if (cand != null && (chosen == null ||
+                  cand._1 > chosen._1 ||
+                  (cand._1 == chosen._1 && (cand._2 < chosen._2 ||
+                    (cand._2 == chosen._2 && cand._3 < chosen._3)))))
+                chosen = cand
+              j += 1
+            }
+            best(i) = (chosen._1, chosen._2,
+              best(chosen._3)._3 :+ ((chosen._4, chosen._5)))
+            i += 1
+          }
+          best(n)._3.zipWithIndex.map { case ((sym, tid), k) =>
+            (word, k + 1L, sym, tid)
+          }
+        }
+      }
+      .toDF("word", "seg_pos", "symbol", "token_id")
+  }
+
+  /** The DuckDB twin of [[viterbiSegment]]: the training chain's
+    * weighted vocabulary as a MAP, the DP as a per-row recursion
+    * carrying the (score, ntok, path) state list — candidate
+    * selection is list_sort on (negscore, ntok, j), the same pinned
+    * tie rule, with only scalar list functions in the recursive
+    * member. */
+  def viterbiSegmentOracleSql(
+      table: String, textCol: String, rounds: Int, maxLen: Int): String = {
+    val trainCtes = oracleSql(table, textCol, rounds)
+    val withClause = trainCtes
+      .substring(0, trainCtes.indexOf("\nSELECT 1 AS round"))
+      .replaceFirst("^WITH ", "WITH RECURSIVE ")
+    withClause + ",\n" +
+      s"""vcb2 AS MATERIALIZED (
+         |  SELECT sym AS symbol, SUM(c) AS n_occurrences
+         |  FROM (SELECT UNNEST(string_split(trim(s), ' ')) AS sym, c FROM s$rounds)
+         |  GROUP BY sym
+         |), vvw AS MATERIALIZED (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, symbol ASC)
+         |      AS token_id, symbol, n_occurrences AS w
+         |  FROM vcb2
+         |), vmap2 AS (
+         |  SELECT MAP(LIST(symbol),
+         |    LIST(struct_pack(tid := token_id, w := w))) AS m FROM vvw
+         |), wds2 AS MATERIALIZED (
+         |  SELECT DISTINCT word FROM (
+         |    SELECT UNNEST(string_split($textCol, ' ')) AS word FROM $table
+         |  ) WHERE word <> ''
+         |), dp AS (
+         |  SELECT word, 0 AS i,
+         |    [struct_pack(score := CAST(0 AS BIGINT), ntok := 0,
+         |      path := CAST([] AS STRUCT(sym VARCHAR, tid BIGINT)[]))] AS st
+         |  FROM wds2
+         |  UNION ALL
+         |  SELECT word, i + 1,
+         |    list_append(st,
+         |      list_transform(
+         |        list_sort(list_filter(
+         |          list_transform(range(GREATEST(i + 1 - $maxLen, 0), i + 1),
+         |          j -> CASE
+         |            WHEN len(m[word[j + 1 : i + 1]]) > 0 THEN
+         |              struct_pack(
+         |                negscore := -(st[j + 1].score
+         |                  + m[word[j + 1 : i + 1]][1].w),
+         |                ntok := st[j + 1].ntok + 1,
+         |                jj := j,
+         |                path := list_append(st[j + 1].path,
+         |                  struct_pack(sym := word[j + 1 : i + 1],
+         |                    tid := CAST(m[word[j + 1 : i + 1]][1].tid
+         |                      AS BIGINT))))
+         |            WHEN j = i THEN
+         |              struct_pack(
+         |                negscore := -st[j + 1].score,
+         |                ntok := st[j + 1].ntok + 1,
+         |                jj := j,
+         |                path := list_append(st[j + 1].path,
+         |                  struct_pack(sym := word[j + 1 : i + 1],
+         |                    tid := CAST(0 AS BIGINT))))
+         |            ELSE NULL END),
+         |          x -> x IS NOT NULL)),
+         |        c -> struct_pack(score := -c.negscore, ntok := c.ntok,
+         |          path := c.path))[1])
+         |  FROM dp, vmap2 WHERE i < LENGTH(word)
+         |)
+         |SELECT word, CAST(g AS BIGINT) AS seg_pos,
+         |  path[g].sym AS symbol, path[g].tid AS token_id
+         |FROM (SELECT word, st[LENGTH(word) + 1].path AS path
+         |      FROM dp WHERE i = LENGTH(word)),
+         |  UNNEST(range(1, len(path) + 1)) AS u(g)""".stripMargin
+  }
+
   /** The corrected-isqrt fragment over a COLUMN NAME (stage nested
     * isqrts through named columns, never textual nesting — the
     * fragment references its input several times). `div` is the

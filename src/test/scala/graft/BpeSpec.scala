@@ -338,6 +338,58 @@ class BpeSpec extends SparkSpec {
     sgd.unpersist(): Unit
   }
 
+  test("viterbiSegment: global optimum beats greedy; UNK; tie rules; corpus round-trip") {
+    val sess = spark
+    import sess.implicits._
+    // explicit weighted vocabulary: ab=5, abc=4, b=2, c=3, a=1 —
+    // greedy longest-match takes abc(4); Viterbi takes ab+c = 8
+    val vocab = Seq((1L, "ab", 5L), (2L, "abc", 4L), (3L, "b", 2L),
+      (4L, "c", 3L), (5L, "a", 1L))
+      .toDF("token_id", "symbol", "n_occurrences")
+    val words = Seq("abc", "abq", "q", "aab").toDF("word")
+    val got = graft.text.Bpe.viterbiSegmentWords(words, vocab)
+      .orderBy("word", "seg_pos")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(got.filter(_._1 == "abc") ==
+      Seq(("abc", 1L, "ab", 1L), ("abc", 2L, "c", 4L)),
+      "Viterbi must beat greedy's single abc(4) with ab+c(8)")
+    assert(got.filter(_._1 == "abq") ==
+      Seq(("abq", 1L, "ab", 1L), ("abq", 2L, "q", 0L)))
+    assert(got.filter(_._1 == "q") == Seq(("q", 1L, "q", 0L)))
+    // a+ab(6) beats a+a+b(4) and ab-prefix is impossible (aab)
+    assert(got.filter(_._1 == "aab") ==
+      Seq(("aab", 1L, "a", 5L), ("aab", 2L, "ab", 1L)))
+    // greedy contrast on the same vocab: abc stays one symbol
+    val greedy = graft.text.Bpe.segmentWords(
+      Seq("abc").toDF("word"), vocab)
+      .collect().map(r => (r.getString(2), r.getLong(3))).toSeq
+    assert(greedy == Seq(("abc", 2L)), s"greedy $greedy")
+
+    // real corpus: round-trip re-spelling, and Viterbi's total weight
+    // per word is >= greedy's (global optimum dominates)
+    val docs = Tables.documents(spark, SfDir)
+    val rm = graft.text.Bpe.trainMerges(docs, "doc_id", "text", rounds = 8)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val vit = graft.text.Bpe.viterbiSegment(docs, "doc_id", "text", rm)
+      .persist()
+    val respelled = vit.orderBy("word", "seg_pos")
+      .groupBy("word").agg(concat_ws("", collect_list("symbol")).as("cat"))
+      .where(col("word") =!= col("cat"))
+    assert(respelled.isEmpty, "segments must re-spell the word exactly")
+    val cv = graft.text.Bpe.vocabularyFromMerges(docs, "doc_id", "text", rm)
+    def weightOf(seg: org.apache.spark.sql.DataFrame) =
+      seg.join(cv.select(col("token_id"), col("n_occurrences")), Seq("token_id"))
+        .groupBy("word").agg(sum("n_occurrences").as("tw"))
+    val worse = weightOf(vit)
+      .join(weightOf(graft.text.Bpe.wordpieceSegment(docs, "doc_id", "text", rm))
+        .withColumnRenamed("tw", "gw"), Seq("word"))
+      .where(col("tw") < col("gw"))
+    assert(worse.isEmpty, "Viterbi total weight must dominate greedy's")
+    vit.unpersist(): Unit
+  }
+
   test("evalWindows: hand layouts, the scored-once identity, and the context guarantee") {
     val sess = spark
     import sess.implicits._
