@@ -31,5 +31,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32g default on the 128 GiB local[32] box: the r13 driver bench at
+  // the old 8g default showed GC-starvation symptoms (30-60× tail
+  // inflation on unchanged queries, 7 per-query throwers) once the
+  // registry crossed ~200 queries in one long-lived JVM
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )
