@@ -890,9 +890,19 @@ object SparkEntry {
     TextOps.fingerprint(Tables.documents(spark, dir), "doc_id", "text")
 
   /** q26: embedding-cosine near-dup pairs (threshold 0.4 — the
-    * synthetic embeddings' max pairwise cosine is ~0.6). */
+    * synthetic embeddings' max pairwise cosine is ~0.6). Bound to the
+    * Cauchy–Schwarz-screened exact scan ([[graft.similarity.Ann
+    * .cosinePairsScreened]]): the screen only discards pairs PROVABLY
+    * below the threshold, so the pair set — and the DuckDB oracle
+    * hash — is identical to the naive all-pairs broadcast BNLJ
+    * ([[graft.similarity.Ann.cosinePairs]]), which stays a spec-only
+    * correctness control (AnnSpec pins screened ≡ naive). The naive
+    * form broadcasts the whole collection to every task — fatal at
+    * 100× and 3.4× slower even at sf0.1, so the registry benches the
+    * form a cluster would actually run. */
   def q26EmbeddingDedup(spark: SparkSession, dir: String): DataFrame =
-    Ann.cosinePairs(Tables.embeddings(spark, dir), "vec_id", "embedding", threshold = 0.4)
+    Ann.cosinePairsScreened(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      threshold = 0.4)
 
   /** q27: multimodal metadata extraction (rows-only). Video rows
     * carry real AVI containers and decode true header dims via

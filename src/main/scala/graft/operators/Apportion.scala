@@ -46,21 +46,33 @@ object Apportion {
     // non-negativity contract is ENFORCED per row (assert_true rides
     // the same projection — no extra pass): a negative weight would
     // otherwise skew every other key's share with no visible error.
-    val withTotals = df
+    // The grand totals (Σw, Σbase) ride 1-row aggregates broadcast
+    // back onto the key grain, NOT unpartitioned windows: same values,
+    // but map-side partial aggregation replaces the move-everything-
+    // to-one-partition WindowExec (and its warning — which this repo
+    // treats as a real defect signal, see UnpartitionedWindowSpec).
+    val weighted = df
       .withColumn("__w", col(weightCol).cast("long"))
       .withColumn("__w", when(assert_true(col("__w") >= 0,
         lit(s"Apportion.largestRemainder: negative weight in $weightCol"))
         .isNull, col("__w")))
-      .withColumn("__wtot", greatest(
-        sum(col("__w")).over(Window.partitionBy()), lit(1L)))
+    val wtot = weighted.agg(greatest(
+      coalesce(sum(col("__w")), lit(0L)), lit(1L)).as("__wtot"))
+    val withTotals = weighted
+      .crossJoin(broadcast(wtot))
       .withColumn("__num", col("__w").cast("decimal(38,0)") * lit(budget))
       .withColumn("__base", expr("CAST(__num div __wtot AS BIGINT)"))
       .withColumn("__rem", expr("CAST(__num % __wtot AS BIGINT)"))
+    val seatsLeft = withTotals.agg(
+      (lit(budget) - coalesce(sum(col("__base")), lit(0L))).as("__left"))
+    // the remainder rank stays a window — but over the BOUNDED key
+    // grain only (languages/domains/sources; the caller aggregated
+    // the corpus first), the documented k-row exception pinned in
+    // UnpartitionedWindowSpec's allowlist
     val ranked = withTotals
       .withColumn("__rk", row_number().over(
         Window.orderBy(col("__rem").desc, col(keyCol).asc)).cast("long"))
-      .withColumn("__left",
-        lit(budget) - sum(col("__base")).over(Window.partitionBy()))
+      .crossJoin(broadcast(seatsLeft))
     ranked
       .withColumn(outCol,
         col("__base") + when(col("__rk") <= col("__left"), 1L).otherwise(0L))
