@@ -782,21 +782,27 @@ object Bpe {
       .mapPartitions { it =>
         val v = bc.value
         it.flatMap { word =>
+          // scan by CODE POINT, not UTF-16 unit: the DuckDB oracle
+          // slices word[a:b] by code point, so a supplementary-plane
+          // char (emoji, rare CJK) must count as ONE position on both
+          // engines — String.substring would split its surrogate pair
+          val cps = word.codePoints().toArray
+          val n = cps.length
+          def slice(a: Int, b: Int): String = new String(cps, a, b - a)
           val out = scala.collection.mutable.ArrayBuffer
             .empty[(String, Long, String, Long)]
           var pos = 0
-          while (pos < word.length) {
+          while (pos < n) {
             // longest vocabulary symbol starting at pos, if any
-            var l = math.min(maxLen, word.length - pos)
-            while (l > 1 && !v.contains(word.substring(pos, pos + l))) l -= 1
-            val sub = word.substring(pos, pos + l)
+            var l = math.min(maxLen, n - pos)
+            while (l > 1 && !v.contains(slice(pos, pos + l))) l -= 1
+            val sub = slice(pos, pos + l)
             v.get(sub) match {
               case Some(tid) =>
                 out += ((word, out.length + 1L, sub, tid))
                 pos += l
               case None =>
-                out += ((word, out.length + 1L,
-                  word.substring(pos, pos + 1), 0L))
+                out += ((word, out.length + 1L, slice(pos, pos + 1), 0L))
                 pos += 1
             }
           }
@@ -905,7 +911,11 @@ object Bpe {
       .mapPartitions { it =>
         val v = bc.value
         it.flatMap { word =>
-          val n = word.length
+          // DP over CODE POINTS (not UTF-16 units) — the oracle's
+          // word[a:b]/LENGTH are code-point-based, and a surrogate
+          // pair must be one DP cell on both engines
+          val cps = word.codePoints().toArray
+          val n = cps.length
           // best(i): (score, ntok, path) for the prefix of length i;
           // candidates ordered by (-score, ntok, j ASC) — the pinned
           // DP tie rule, identical to the oracle's list_sort
@@ -916,7 +926,7 @@ object Bpe {
             var chosen: (Long, Int, Int, String, Long) = null
             var j = math.max(0, i - maxLen)
             while (j < i) {
-              val sub = word.substring(j, i)
+              val sub = new String(cps, j, i - j)
               val cand = v.get(sub) match {
                 case Some((tid, w)) =>
                   val b = best(j)

@@ -390,6 +390,32 @@ class BpeSpec extends SparkSpec {
     vit.unpersist(): Unit
   }
 
+  test("segmentation scans by CODE POINT: supplementary-plane chars are one position") {
+    // the DuckDB oracle slices word[a:b] by code point; UTF-16-unit
+    // indexing would (a) split an emoji's surrogate pair into two
+    // broken UNK "symbols", and (b) miss a vocab symbol whose
+    // code-point length fits maxLen but whose unit length does not
+    val sess = spark
+    import sess.implicits._
+    val uVocab = Seq((1L, "b")).toDF("token_id", "symbol")
+    val greedy = graft.text.Bpe
+      .segmentWords(Seq("😀b").toDF("word"), uVocab)
+      .orderBy("seg_pos")
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    assert(greedy == Seq((1L, "😀", 0L), (2L, "b", 1L)),
+      "an emoji must be ONE intact UNK, not two surrogate halves")
+    // maxLen=2 in code points admits the 2-cp (3-unit) symbol
+    val eVocab = Seq((1L, "😀b", 5L), (2L, "b", 2L))
+      .toDF("token_id", "symbol", "n_occurrences")
+    val vit = graft.text.Bpe
+      .viterbiSegmentWords(Seq("a😀b").toDF("word"),
+        eVocab, maxLen = 2)
+      .orderBy("seg_pos")
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    assert(vit == Seq((1L, "a", 0L), (2L, "😀b", 1L)),
+      "a 2-code-point symbol must fit the maxLen=2 DP window")
+  }
+
   test("evalWindows: hand layouts, the scored-once identity, and the context guarantee") {
     val sess = spark
     import sess.implicits._
