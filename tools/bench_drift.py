@@ -19,6 +19,19 @@ def main() -> int:
     qo, qn = old["queries"], new["queries"]
     print(f"old total {old['total']:.1f}s ({len(qo)} queries)  "
           f"new total {new['total']:.1f}s ({len(qn)} queries)")
+    # keys present in only one run are drift too (a silently-skipped
+    # key reads as "no regression" when it was never compared), as are
+    # error markers (sec < 0)
+    only_old = sorted(set(qo) - set(qn))
+    only_new = sorted(set(qn) - set(qo))
+    if only_old:
+        print(f"only in OLD ({len(only_old)}): {', '.join(only_old)}")
+    if only_new:
+        print(f"only in NEW ({len(only_new)}): {', '.join(only_new)}")
+    for side, qs in (("OLD", qo), ("NEW", qn)):
+        errs = {k: v.get("err", "") for k, v in qs.items() if v["sec"] < 0}
+        for k, e in sorted(errs.items()):
+            print(f"{side} error: {k}" + (f" — {e}" if e else ""))
     rows = []
     for k, v in qn.items():
         if k not in qo or qo[k]["sec"] <= 0 or v["sec"] < 1.0:
