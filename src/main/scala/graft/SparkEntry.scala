@@ -683,6 +683,19 @@ object SparkEntry {
       maxLen = 8)
   }
 
+  /** q208: per-source DISTRIBUTION-DRIFT monitor
+    * ([[graft.text.Drift.sourceDrift]]) — each source's hashed-gram
+    * profile against the curated reference slice (lang='en'),
+    * total-variation distance in integer-exact ppm, alert at 15%.
+    * The ops complement of q170's DSIR selection: q170 prices
+    * documents against the target distribution; q208 watches the
+    * FEEDS so a drifting crawl is caught at the source grain before
+    * curation ever sees its documents. */
+  def q208SourceDrift(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Drift.sourceDrift(Tables.documents(spark, dir),
+      "text", "source", refPred = col("lang") === "en",
+      buckets = 256, alertPpm = 150000L)
+
   /** q205: MIXTURE-TEMPERATURE sweep ([[text.Bpe.mixtureSweep]]) —
     * q201 extended across the integer-exact α ladder {0, 1/4, 1/2, 1}
     * (uniform / isqrt∘isqrt / isqrt / raw): one apportionment row per
@@ -5760,7 +5773,8 @@ object SparkEntry {
     "q204_repeat_allocation"     -> (q204RepeatAllocation _),
     "q205_mixture_sweep"         -> (q205MixtureSweep _),
     "q206_wordpiece_segment"     -> (q206WordpieceSegment _),
-    "q207_viterbi_segment"       -> (q207ViterbiSegment _)
+    "q207_viterbi_segment"       -> (q207ViterbiSegment _),
+    "q208_source_drift"          -> (q208SourceDrift _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -5852,6 +5866,57 @@ object SparkEntry {
       "q207_viterbi_segment" ->
         graft.text.Bpe.viterbiSegmentOracleSql(
           "documents", "text", 8, maxLen = 8),
+      "q208_source_drift" ->
+        // the q170 gram chain (exact char-polynomial hashes, unigrams
+        // + bigrams, mod-bucket) re-derived per source, then the TV
+        // statistic in HUGEINT common-denominator arithmetic — one
+        // floor division at the very end, like the Spark side
+        """WITH hs AS MATERIALIZED (
+          |  SELECT source, lang,
+          |    list_filter(list_transform(string_split(text, ' '),
+          |      w -> CASE WHEN LENGTH(w) > 0 THEN
+          |        list_reduce(list_prepend(CAST(7 AS BIGINT),
+          |          list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))),
+          |          (a, x) -> (a * 31 + x) % 1000000007) END),
+          |      h -> h IS NOT NULL) AS h
+          |  FROM documents
+          |),
+          |grams AS MATERIALIZED (
+          |  SELECT source, lang, unnest(list_concat(h,
+          |    CASE WHEN len(h) > 1 THEN
+          |      list_transform(range(1, len(h)), i -> (h[i] * 131 + h[i+1]) % 1000000007)
+          |    ELSE CAST([] AS BIGINT[]) END)) AS g
+          |  FROM hs
+          |),
+          |prof AS MATERIALIZED (
+          |  SELECT source, (lang = 'en') AS is_ref, g % 256 AS bucket, count(*) AS n
+          |  FROM grams GROUP BY 1, 2, 3
+          |),
+          |ref AS (SELECT bucket, SUM(n) AS r FROM prof WHERE is_ref GROUP BY 1),
+          |obs AS (SELECT source, bucket, SUM(n) AS o FROM prof GROUP BY 1, 2),
+          |ns AS (SELECT source, SUM(o) AS n_grams FROM obs GROUP BY 1),
+          |nr AS (SELECT COALESCE(SUM(r), 0) AS n_ref FROM ref),
+          |grid AS (
+          |  SELECT COALESCE(g.source, obs.source) AS source,
+          |    COALESCE(g.r, 0) AS r, COALESCE(obs.o, 0) AS o
+          |  FROM (SELECT ns.source, ref.bucket, ref.r FROM ns CROSS JOIN ref) g
+          |  FULL OUTER JOIN obs
+          |    ON g.source = obs.source AND g.bucket = obs.bucket
+          |),
+          |d AS (
+          |  SELECT grid.source, ns.n_grams,
+          |    SUM(ABS(CAST(o AS HUGEINT) * n_ref - CAST(r AS HUGEINT) * n_grams)) AS dd
+          |  FROM grid JOIN ns ON grid.source = ns.source CROSS JOIN nr
+          |  GROUP BY 1, 2
+          |)
+          |SELECT d.source, CAST(n_grams AS BIGINT) AS n_grams,
+          |  CAST((dd * 1000000) //
+          |    GREATEST(CAST(2 AS HUGEINT) * n_grams * n_ref, 1) AS BIGINT) AS tv_ppm,
+          |  CAST(CASE WHEN (dd * 1000000) //
+          |    GREATEST(CAST(2 AS HUGEINT) * n_grams * n_ref, 1) >= 150000
+          |    THEN 1 ELSE 0 END AS INTEGER) AS drifted
+          |FROM d CROSS JOIN nr
+          |ORDER BY d.source""".stripMargin,
       "q196_epoch_order" ->
         graft.text.Bpe.epochOrderOracleSql(
           "documents", "doc_id", "text", 8, shards = 8, budget = 512L, seed = 1L),
