@@ -43,40 +43,41 @@ import org.apache.spark.sql.functions._
   */
 object Drift {
 
-  /** Per-source TV drift against the `refPred` slice.
-    * Output: (source, n_grams, tv_ppm, drifted) ordered by source.
-    * A source's own rows may be part of the reference slice (the
-    * reference is a label, not a holdout) — a source that IS the
-    * whole reference therefore reports 0 ppm.
-    * @param alertPpm drifted = tv_ppm >= alertPpm (as INT 0/1 — the
-    *   driver hash gate stringifies booleans differently per engine) */
-  def sourceDrift(
+  /** Per-source hashed-gram profile at the bounded (source, bucket)
+    * grain — ONE narrow pass, map-side combined before the exchange.
+    * The building block both the batch monitor and the S44 streaming
+    * maintainer aggregate (gram counts are per-document additive, so
+    * per-batch profiles SUM to the corpus profile exactly). */
+  def gramProfile(
       docs: DataFrame,
       textCol: String,
       sourceCol: String,
-      refPred: Column,
-      buckets: Int,
+      buckets: Int): DataFrame =
+    docs
+      .select(col(sourceCol).as("source"),
+        explode(call_function("graft_grams", col(textCol), lit(buckets)))
+          .as("bucket"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  /** The TV arithmetic over already-built profiles: `obs` at
+    * (source, bucket, n), `ref` at (bucket, n). Shared verbatim by
+    * [[sourceDrift]] and the S44 maintained view so the two surfaces
+    * cannot drift from each other. */
+  def tvFromProfiles(
+      obs: DataFrame,
+      ref: DataFrame,
       alertPpm: Long): DataFrame = {
-    // one corpus pass, combined at the bounded (source, ref?, bucket)
-    // grain before the exchange
-    val prof = graft.CacheScope.persisted(
-      docs
-        .select(col(sourceCol).as("source"), refPred.as("__ref"),
-          explode(call_function("graft_grams", col(textCol), lit(buckets)))
-            .as("bucket"))
-        .groupBy(col("source"), col("__ref"), col("bucket"))
-        .agg(count(lit(1)).as("n")))
-    val ref = prof.where(col("__ref"))
-      .groupBy("bucket").agg(sum("n").as("r"))
-    val obs = prof.groupBy("source", "bucket").agg(sum("n").as("o"))
-    val nS = obs.groupBy("source").agg(sum("o").as("n_grams"))
-    val nR = ref.agg(coalesce(sum("r"), lit(0L)).as("n_ref"))
+    val refB = ref.groupBy("bucket").agg(sum("n").as("r"))
+    val obsB = obs.groupBy("source", "bucket").agg(sum("n").as("o"))
+    val nS = obsB.groupBy("source").agg(sum("o").as("n_grams"))
+    val nR = refB.agg(coalesce(sum("r"), lit(0L)).as("n_ref"))
     // the |sources|·B comparison grid: every reference bucket under
     // every source (a bucket the source never emits still contributes
     // r·N_s), full-outer'd with the observed profile (a bucket the
     // reference lacks contributes o·N_r)
-    val grid = nS.select("source").crossJoin(ref)
-      .join(obs, Seq("source", "bucket"), "full_outer")
+    val grid = nS.select("source").crossJoin(refB)
+      .join(obsB, Seq("source", "bucket"), "full_outer")
       .na.fill(0L, Seq("r", "o"))
     grid
       .join(broadcast(nS), Seq("source"))
@@ -97,5 +98,34 @@ object Drift {
         when(col("tv_ppm") >= alertPpm, 1).otherwise(0).cast("int"))
       .select("source", "n_grams", "tv_ppm", "drifted")
       .orderBy("source")
+  }
+
+  /** Per-source TV drift against the `refPred` slice.
+    * Output: (source, n_grams, tv_ppm, drifted) ordered by source.
+    * A source's own rows may be part of the reference slice (the
+    * reference is a label, not a holdout) — a source that IS the
+    * whole reference therefore reports 0 ppm.
+    * @param alertPpm drifted = tv_ppm >= alertPpm (as INT 0/1 — the
+    *   driver hash gate stringifies booleans differently per engine) */
+  def sourceDrift(
+      docs: DataFrame,
+      textCol: String,
+      sourceCol: String,
+      refPred: Column,
+      buckets: Int,
+      alertPpm: Long): DataFrame = {
+    // one corpus pass, combined at the bounded (source, ref?, bucket)
+    // grain before the exchange; both profiles slice from it
+    val prof = graft.CacheScope.persisted(
+      docs
+        .select(col(sourceCol).as("source"), refPred.as("__ref"),
+          explode(call_function("graft_grams", col(textCol), lit(buckets)))
+            .as("bucket"))
+        .groupBy(col("source"), col("__ref"), col("bucket"))
+        .agg(count(lit(1)).as("n")))
+    tvFromProfiles(
+      obs = prof.select("source", "bucket", "n"),
+      ref = prof.where(col("__ref")).select("bucket", "n"),
+      alertPpm = alertPpm)
   }
 }
