@@ -696,6 +696,46 @@ object SparkEntry {
       "text", "source", refPred = col("lang") === "en",
       buckets = 256, alertPpm = 150000L)
 
+  /** q209: TIME-WINDOWED drift monitor ([[graft.text.Drift.sourceDrift]]
+    * with the week as the observation grain) — each calendar week's
+    * event-content profile (event_type + props grams) against the
+    * first-week-of-month reference slice, TV in integer-exact ppm.
+    * q208 asks "which FEED rotted"; q209 asks "WHEN did the mix
+    * move" — the other axis a feed-health job slices, and the same
+    * bounded machinery serves it (windows are just another source
+    * label, so the wire stays ≤ |windows|·2·B rows). Week id =
+    * ⌊epoch_days/7⌋ — integer arithmetic both engines floor
+    * identically; the reference is a fixed label (days < 2024-01-08),
+    * deliberately NOT week-aligned: a reference is a curated slice,
+    * not a holdout. */
+  def q209WindowDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      concat(col("event_type"), lit(" "), col("props")).as("text"),
+      floor(datediff(to_date(col("ts")),
+        lit(java.sql.Date.valueOf("1970-01-01"))) / 7)
+        .cast("bigint").as("window_id"),
+      (to_date(col("ts")) < lit(java.sql.Date.valueOf("2024-01-08")))
+        .as("is_ref"))
+    graft.text.Drift.sourceDrift(ev, "text", "window_id",
+      refPred = col("is_ref"), buckets = 256, alertPpm = 40000L)
+      .withColumnRenamed("source", "window_id")
+  }
+
+  /** q210: WITHIN-LANGUAGE drift monitor
+    * ([[graft.text.Drift.groupedDrift]]) — each (source, language)
+    * slice against its LANGUAGE's whole-corpus profile. q208's global
+    * English reference saturates on every non-English grain
+    * (measuring the label, not the rot); the keyed reference asks the
+    * question that matters for a multilingual corpus: "is source X's
+    * German weird German?". Reference per group = the union of every
+    * source's contribution to that language, so a language's sole
+    * contributor reports exactly 0 ppm. Same integer-exact TV, same
+    * bounded |sources|·|langs|·B wire. */
+  def q210LangDrift(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Drift.groupedDrift(Tables.documents(spark, dir),
+      "text", "source", "lang", buckets = 256, alertPpm = 300000L)
+      .withColumnRenamed("group", "lang")
+
   /** q205: MIXTURE-TEMPERATURE sweep ([[text.Bpe.mixtureSweep]]) —
     * q201 extended across the integer-exact α ladder {0, 1/4, 1/2, 1}
     * (uniform / isqrt∘isqrt / isqrt / raw): one apportionment row per
@@ -5774,7 +5814,9 @@ object SparkEntry {
     "q205_mixture_sweep"         -> (q205MixtureSweep _),
     "q206_wordpiece_segment"     -> (q206WordpieceSegment _),
     "q207_viterbi_segment"       -> (q207ViterbiSegment _),
-    "q208_source_drift"          -> (q208SourceDrift _)
+    "q208_source_drift"          -> (q208SourceDrift _),
+    "q209_window_drift"          -> (q209WindowDrift _),
+    "q210_lang_drift"            -> (q210LangDrift _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -5917,6 +5959,117 @@ object SparkEntry {
           |    THEN 1 ELSE 0 END AS INTEGER) AS drifted
           |FROM d CROSS JOIN nr
           |ORDER BY d.source""".stripMargin,
+      "q209_window_drift" ->
+        // q208's chain with the week id as the observation label and
+        // the fixed first-week slice as reference; week id floors in
+        // integer days arithmetic on both engines
+        """WITH src AS MATERIALIZED (
+          |  SELECT (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS window_id,
+          |    (CAST(ts AS DATE) < DATE '2024-01-08') AS is_ref,
+          |    event_type || ' ' || props AS text
+          |  FROM events
+          |),
+          |hs AS MATERIALIZED (
+          |  SELECT window_id, is_ref,
+          |    list_filter(list_transform(string_split(text, ' '),
+          |      w -> CASE WHEN LENGTH(w) > 0 THEN
+          |        list_reduce(list_prepend(CAST(7 AS BIGINT),
+          |          list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))),
+          |          (a, x) -> (a * 31 + x) % 1000000007) END),
+          |      h -> h IS NOT NULL) AS h
+          |  FROM src
+          |),
+          |grams AS MATERIALIZED (
+          |  SELECT window_id, is_ref, unnest(list_concat(h,
+          |    CASE WHEN len(h) > 1 THEN
+          |      list_transform(range(1, len(h)), i -> (h[i] * 131 + h[i+1]) % 1000000007)
+          |    ELSE CAST([] AS BIGINT[]) END)) AS g
+          |  FROM hs
+          |),
+          |prof AS MATERIALIZED (
+          |  SELECT window_id, is_ref, g % 256 AS bucket, count(*) AS n
+          |  FROM grams GROUP BY 1, 2, 3
+          |),
+          |ref AS (SELECT bucket, SUM(n) AS r FROM prof WHERE is_ref GROUP BY 1),
+          |obs AS (SELECT window_id, bucket, SUM(n) AS o FROM prof GROUP BY 1, 2),
+          |ns AS (SELECT window_id, SUM(o) AS n_grams FROM obs GROUP BY 1),
+          |nr AS (SELECT COALESCE(SUM(r), 0) AS n_ref FROM ref),
+          |grid AS (
+          |  SELECT COALESCE(g.window_id, obs.window_id) AS window_id,
+          |    COALESCE(g.r, 0) AS r, COALESCE(obs.o, 0) AS o
+          |  FROM (SELECT ns.window_id, ref.bucket, ref.r FROM ns CROSS JOIN ref) g
+          |  FULL OUTER JOIN obs
+          |    ON g.window_id = obs.window_id AND g.bucket = obs.bucket
+          |),
+          |d AS (
+          |  SELECT grid.window_id, ns.n_grams,
+          |    SUM(ABS(CAST(o AS HUGEINT) * n_ref - CAST(r AS HUGEINT) * n_grams)) AS dd
+          |  FROM grid JOIN ns ON grid.window_id = ns.window_id CROSS JOIN nr
+          |  GROUP BY 1, 2
+          |)
+          |SELECT CAST(d.window_id AS BIGINT) AS window_id,
+          |  CAST(n_grams AS BIGINT) AS n_grams,
+          |  CAST((dd * 1000000) //
+          |    GREATEST(CAST(2 AS HUGEINT) * n_grams * n_ref, 1) AS BIGINT) AS tv_ppm,
+          |  CAST(CASE WHEN (dd * 1000000) //
+          |    GREATEST(CAST(2 AS HUGEINT) * n_grams * n_ref, 1) >= 40000
+          |    THEN 1 ELSE 0 END AS INTEGER) AS drifted
+          |FROM d CROSS JOIN nr
+          |ORDER BY d.window_id""".stripMargin,
+      "q210_lang_drift" ->
+        // the keyed-reference form: each (source, lang) grain vs its
+        // LANGUAGE's corpus profile — reference joins on lang instead
+        // of crossing, everything else is the q208 arithmetic
+        """WITH hs AS MATERIALIZED (
+          |  SELECT source, lang,
+          |    list_filter(list_transform(string_split(text, ' '),
+          |      w -> CASE WHEN LENGTH(w) > 0 THEN
+          |        list_reduce(list_prepend(CAST(7 AS BIGINT),
+          |          list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))),
+          |          (a, x) -> (a * 31 + x) % 1000000007) END),
+          |      h -> h IS NOT NULL) AS h
+          |  FROM documents
+          |),
+          |grams AS MATERIALIZED (
+          |  SELECT source, lang, unnest(list_concat(h,
+          |    CASE WHEN len(h) > 1 THEN
+          |      list_transform(range(1, len(h)), i -> (h[i] * 131 + h[i+1]) % 1000000007)
+          |    ELSE CAST([] AS BIGINT[]) END)) AS g
+          |  FROM hs
+          |),
+          |prof AS MATERIALIZED (
+          |  SELECT source, lang, g % 256 AS bucket, count(*) AS n
+          |  FROM grams GROUP BY 1, 2, 3
+          |),
+          |ref AS (SELECT lang, bucket, SUM(n) AS r FROM prof GROUP BY 1, 2),
+          |obs AS (SELECT source, lang, bucket, SUM(n) AS o FROM prof GROUP BY 1, 2, 3),
+          |ns AS (SELECT source, lang, SUM(o) AS n_grams FROM obs GROUP BY 1, 2),
+          |nr AS (SELECT lang, COALESCE(SUM(r), 0) AS n_ref FROM ref GROUP BY 1),
+          |grid AS (
+          |  SELECT COALESCE(g.source, obs.source) AS source,
+          |    COALESCE(g.lang, obs.lang) AS lang,
+          |    COALESCE(g.r, 0) AS r, COALESCE(obs.o, 0) AS o
+          |  FROM (SELECT ns.source, ref.lang, ref.bucket, ref.r
+          |        FROM ns JOIN ref ON ns.lang = ref.lang) g
+          |  FULL OUTER JOIN obs
+          |    ON g.source = obs.source AND g.lang = obs.lang AND g.bucket = obs.bucket
+          |),
+          |d AS (
+          |  SELECT grid.source, grid.lang, ns.n_grams,
+          |    SUM(ABS(CAST(o AS HUGEINT) * nr.n_ref - CAST(r AS HUGEINT) * ns.n_grams)) AS dd
+          |  FROM grid
+          |  JOIN ns ON grid.source = ns.source AND grid.lang = ns.lang
+          |  JOIN nr ON grid.lang = nr.lang
+          |  GROUP BY 1, 2, 3
+          |)
+          |SELECT d.source, d.lang, CAST(n_grams AS BIGINT) AS n_grams,
+          |  CAST((dd * 1000000) //
+          |    GREATEST(CAST(2 AS HUGEINT) * n_grams * nr.n_ref, 1) AS BIGINT) AS tv_ppm,
+          |  CAST(CASE WHEN (dd * 1000000) //
+          |    GREATEST(CAST(2 AS HUGEINT) * n_grams * nr.n_ref, 1) >= 300000
+          |    THEN 1 ELSE 0 END AS INTEGER) AS drifted
+          |FROM d JOIN nr ON d.lang = nr.lang
+          |ORDER BY d.source, d.lang""".stripMargin,
       "q196_epoch_order" ->
         graft.text.Bpe.epochOrderOracleSql(
           "documents", "doc_id", "text", 8, shards = 8, budget = 512L, seed = 1L),

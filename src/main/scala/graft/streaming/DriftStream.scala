@@ -45,6 +45,12 @@ object DriftStream {
   /** reference-manifest meta key carrying the gram bucket count. */
   val BucketsKey = "graft.driftBuckets"
 
+  /** stats-manifest meta key pinning the bucket count the maintained
+    * deltas were hashed at — the cutover guard: a reference
+    * republished at a DIFFERENT bucket count can never silently mix
+    * with state hashed at the old one. */
+  val BucketsPinKey = "graft.driftBucketsPin"
+
   def referenceVersion(refRoot: String): Option[Long] =
     Publish.currentVersion(refRoot)
 
@@ -87,9 +93,18 @@ object DriftStream {
       statsRoot: String,
       foldEvery: Int = 0): Boolean = {
     if (AppendStream.lastBatch(statsRoot).exists(_ >= batchId)) return false
-    val deltas = Drift.gramProfile(batch, textCol, sourceCol,
-      referenceBuckets(refRoot))
-    val ok = AppendStream.applyBatch(deltas, batchId, statsRoot)
+    val b = referenceBuckets(refRoot)
+    // cutover guard: deltas hashed at different bucket counts can
+    // never mix — a reference republished at a new count with old
+    // state extant is refused LOUDLY, not averaged into garbage
+    for (pin <- Publish.currentMetaValue(statsRoot, BucketsPinKey))
+      require(pin.toInt == b,
+        s"reference at $refRoot was re-published at $b buckets but the " +
+          s"maintained state at $statsRoot is hashed at $pin — reset the " +
+          "stats root (or cut the reference over at the pinned count)")
+    val deltas = Drift.gramProfile(batch, textCol, sourceCol, b)
+    val ok = AppendStream.applyBatch(deltas, batchId, statsRoot,
+      extraMeta = Map(BucketsPinKey -> b.toString))
     if (ok && foldEvery > 0 && (batchId + 1) % foldEvery == 0)
       foldProfile(batch.sparkSession, statsRoot): Unit
     ok
@@ -104,11 +119,38 @@ object DriftStream {
       val folded = Publish.readVersion(spark, statsRoot,
         live.getOrElse(throw new IllegalStateException(s"nothing to fold at $statsRoot")))
         .groupBy("source", "bucket").agg(sum("n").as("n"))
+      // carry the bucket pin through maintenance alongside the replay
+      // marker — a fold must never un-pin the cutover guard
+      // (carryReplayMarker deliberately carries ONLY the marker, so
+      // the pin rides as this version's own meta)
+      val pin = Publish.currentMetaValue(statsRoot, BucketsPinKey)
+        .map(BucketsPinKey -> _).toMap
       Publish.publishStagedIf(spark, statsRoot, expectedLive = live,
-        meta = Publish.carryReplayMarker(statsRoot, Map.empty)) { staging =>
+        meta = Publish.carryReplayMarker(statsRoot, pin) ++ pin) { staging =>
         folded.write.parquet(staging)
       }
     }
+
+  /** REFERENCE CUTOVER (the S35 republish discipline applied to the
+    * drift reference): re-curate the fixed reference as a NEW
+    * version at the SAME bucket count the live manifest pins — the
+    * maintained deltas stay valid (they depend on the reference only
+    * through the bucket count), and every grain's verdict re-reads
+    * retroactively against the new reference at view time, exactly
+    * as re-running the one-shot monitor with the new slice would.
+    * Old verdicts stay reproducible: [[Publish.readVersion]] on the
+    * prior reference version replays them bit-for-bit. */
+  def cutoverReference(
+      refDocs: DataFrame,
+      textCol: String,
+      refRoot: String): Long = {
+    val b = referenceBuckets(refRoot)
+    val prof = refDocs
+      .select(explode(
+        call_function("graft_grams", col(textCol), lit(b))).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+    Publish.publish(prof, refRoot, meta = Map(BucketsKey -> b.toString))
+  }
 
   /** The maintained drift verdict: summed deltas vs the published
     * reference through the exact q208 arithmetic. Row-identical to
@@ -117,11 +159,19 @@ object DriftStream {
       spark: SparkSession,
       statsRoot: String,
       refRoot: String,
-      alertPpm: Long): DataFrame =
+      alertPpm: Long): DataFrame = {
+    // same cutover guard as the write path: state hashed at one
+    // bucket count must never be scored against a reference hashed
+    // at another (the comparison would be deterministic garbage)
+    for (pin <- Publish.currentMetaValue(statsRoot, BucketsPinKey))
+      require(pin.toInt == referenceBuckets(refRoot),
+        s"maintained state at $statsRoot is hashed at $pin buckets but " +
+          s"the live reference at $refRoot is at ${referenceBuckets(refRoot)}")
     Drift.tvFromProfiles(
       obs = Publish.read(spark, statsRoot).select("source", "bucket", "n"),
       ref = Publish.read(spark, refRoot).select("bucket", "n"),
       alertPpm = alertPpm)
+  }
 
   /** Start the feed-health maintainer over a document stream. */
   def start(

@@ -60,29 +60,45 @@ object Drift {
       .groupBy(col("source"), col("bucket"))
       .agg(count(lit(1)).as("n"))
 
-  /** The TV arithmetic over already-built profiles: `obs` at
-    * (source, bucket, n), `ref` at (bucket, n). Shared verbatim by
-    * [[sourceDrift]] and the S44 maintained view so the two surfaces
-    * cannot drift from each other. */
-  def tvFromProfiles(
+  /** The TV arithmetic over already-built profiles, generalized to a
+    * KEYED reference: `obs` at (obsKeys..., bucket, n), `ref` at
+    * (refKeys..., bucket, n) with refKeys ⊆ obsKeys. Each obs grain
+    * is compared to the reference profile sharing its refKeys values
+    * (refKeys = Nil ⇒ one global reference, the q208 shape;
+    * refKeys = Seq("lang") ⇒ each (source, lang) vs its LANGUAGE's
+    * corpus profile, the q210 shape). One implementation serves every
+    * drift surface so the grains cannot diverge arithmetically. */
+  def keyedTv(
       obs: DataFrame,
       ref: DataFrame,
+      obsKeys: Seq[String],
+      refKeys: Seq[String],
       alertPpm: Long): DataFrame = {
-    val refB = ref.groupBy("bucket").agg(sum("n").as("r"))
-    val obsB = obs.groupBy("source", "bucket").agg(sum("n").as("o"))
-    val nS = obsB.groupBy("source").agg(sum("o").as("n_grams"))
-    val nR = refB.agg(coalesce(sum("r"), lit(0L)).as("n_ref"))
-    // the |sources|·B comparison grid: every reference bucket under
-    // every source (a bucket the source never emits still contributes
+    require(refKeys.forall(obsKeys.contains), "refKeys must be ⊆ obsKeys")
+    // join helper: refKeys = Nil degenerates to a 1-row broadcast cross
+    def onRef(l: DataFrame, r: DataFrame, how: String = "inner"): DataFrame =
+      if (refKeys.isEmpty) l.crossJoin(broadcast(r))
+      else l.join(broadcast(r), refKeys, how)
+    val refB = ref.groupBy((refKeys :+ "bucket").map(col): _*)
+      .agg(sum("n").as("r"))
+    val obsB = obs.groupBy((obsKeys :+ "bucket").map(col): _*)
+      .agg(sum("n").as("o"))
+    val nS = obsB.groupBy(obsKeys.map(col): _*).agg(sum("o").as("n_grams"))
+    val nR = refB.groupBy(refKeys.map(col): _*)
+      .agg(coalesce(sum("r"), lit(0L)).as("n_ref"))
+    // the grain×B comparison grid: every reference bucket under every
+    // obs grain (a bucket the grain never emits still contributes
     // r·N_s), full-outer'd with the observed profile (a bucket the
     // reference lacks contributes o·N_r)
-    val grid = nS.select("source").crossJoin(refB)
-      .join(obsB, Seq("source", "bucket"), "full_outer")
+    val grid = onRef(nS.select(obsKeys.map(col): _*), refB)
+      .join(obsB, obsKeys :+ "bucket", "full_outer")
       .na.fill(0L, Seq("r", "o"))
-    grid
-      .join(broadcast(nS), Seq("source"))
-      .crossJoin(broadcast(nR))
-      .groupBy(col("source"), col("n_grams"), col("n_ref"))
+    onRef(grid.join(broadcast(nS), obsKeys), nR, how = "left")
+      // a grain whose refKeys slice has no reference at all (possible
+      // only when ref is built independently of obs) reports 0 via the
+      // greatest() guard below
+      .na.fill(0L, Seq("n_ref"))
+      .groupBy((obsKeys.map(col) :+ col("n_grams") :+ col("n_ref")): _*)
       .agg(sum(abs(
         col("o").cast("decimal(38,0)") * col("n_ref") -
         col("r").cast("decimal(38,0)") * col("n_grams"))).as("__d"))
@@ -96,9 +112,20 @@ object Drift {
           |  AS BIGINT)""".stripMargin))
       .withColumn("drifted",
         when(col("tv_ppm") >= alertPpm, 1).otherwise(0).cast("int"))
-      .select("source", "n_grams", "tv_ppm", "drifted")
-      .orderBy("source")
+      .select((obsKeys ++ Seq("n_grams", "tv_ppm", "drifted")).map(col): _*)
+      .orderBy(obsKeys.map(col): _*)
   }
+
+  /** The global-reference case: `obs` at (source, bucket, n), `ref`
+    * at (bucket, n). Shared verbatim by [[sourceDrift]] and the S44
+    * maintained view so the two surfaces cannot drift from each
+    * other. */
+  def tvFromProfiles(
+      obs: DataFrame,
+      ref: DataFrame,
+      alertPpm: Long): DataFrame =
+    keyedTv(obs, ref, obsKeys = Seq("source"), refKeys = Nil,
+      alertPpm = alertPpm)
 
   /** Per-source TV drift against the `refPred` slice.
     * Output: (source, n_grams, tv_ppm, drifted) ordered by source.
@@ -126,6 +153,40 @@ object Drift {
     tvFromProfiles(
       obs = prof.select("source", "bucket", "n"),
       ref = prof.where(col("__ref")).select("bucket", "n"),
+      alertPpm = alertPpm)
+  }
+
+  /** WITHIN-GROUP drift: each (source, group) slice scored against
+    * its GROUP's whole-corpus profile — e.g. group = language: "is
+    * source X's German weird German?", which a global reference
+    * cannot ask (against an English reference every non-English grain
+    * saturates, measuring the label rather than the rot). The
+    * reference for each group is the union of every source's
+    * contribution to it, so a source that IS its group's only
+    * contributor reports exactly 0 ppm (pinned in spec).
+    * Output: (source, group, n_grams, tv_ppm, drifted) ordered.
+    * Same bounded shape as [[sourceDrift]]: one narrow gram pass to
+    * the (source, group, bucket) grain, then broadcast arithmetic —
+    * the wire never carries more than |sources|·|groups|·B rows. */
+  def groupedDrift(
+      docs: DataFrame,
+      textCol: String,
+      sourceCol: String,
+      groupCol: String,
+      buckets: Int,
+      alertPpm: Long): DataFrame = {
+    val prof = graft.CacheScope.persisted(
+      docs
+        .select(col(sourceCol).as("source"), col(groupCol).as("group"),
+          explode(call_function("graft_grams", col(textCol), lit(buckets)))
+            .as("bucket"))
+        .groupBy(col("source"), col("group"), col("bucket"))
+        .agg(count(lit(1)).as("n")))
+    keyedTv(
+      obs = prof,
+      ref = prof.select("group", "bucket", "n"),
+      obsKeys = Seq("source", "group"),
+      refKeys = Seq("group"),
       alertPpm = alertPpm)
   }
 }

@@ -83,4 +83,73 @@ class DriftSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
     assert(a.toSeq == b.toSeq)
   }
+
+  // ---- groupedDrift (q210): keyed reference = the group's own union --
+
+  private def grouped(df: org.apache.spark.sql.DataFrame) =
+    graft.text.Drift.groupedDrift(df, "text", "source", "lang",
+      buckets = 256, alertPpm = 300000L)
+
+  test("grouped extremes: sole contributor 0 ppm, identical twins 0 ppm, " +
+    "equal-mass disjoint pair exactly 500000 ppm") {
+    val sess = spark
+    import sess.implicits._
+    val docs = Seq(
+      // lang 'aa': s1 is the only contributor — its profile IS the
+      // reference, 0 ppm by the sole-contributor identity
+      (1L, "alpha beta alpha gamma", "aa", "s1"),
+      // lang 'bb': two sources with the same gram multiset — both 0
+      (2L, "delta echo delta", "bb", "s2"),
+      (3L, "delta echo delta", "bb", "s3"),
+      // lang 'cc': two sources, disjoint vocabularies, EQUAL gram
+      // mass — each source vs the union is exactly TV = 1/2: half the
+      // union's mass sits in buckets the source fills alone
+      // (|1 − 1/2| summed over its own mass) and half in the other's
+      (4L, "zulu quux zulu", "cc", "s4"),
+      (5L, "mike romeo mike", "cc", "s5"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = grouped(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    // 4 unigrams + 3 bigrams = 7 grams
+    assert(got(("s1", "aa")) == ((7L, 0L, 0)), s"sole contributor: $got")
+    assert(got(("s2", "bb"))._2 == 0L && got(("s3", "bb"))._2 == 0L,
+      s"identical twins must both report 0: $got")
+    assert(got(("s4", "cc"))._2 == 500000L && got(("s5", "cc"))._2 == 500000L,
+      s"equal-mass disjoint pair must report exactly 1/2: $got " +
+        "(if not, the test words collided in a bucket; pick others)")
+    assert(got(("s4", "cc"))._3 == 1 && got(("s2", "bb"))._3 == 0)
+  }
+
+  test("grouped real corpus: hand-identical per (source, lang) grain") {
+    GraftSession.local(4)
+    val docs = Tables.documents(spark, SfDir)
+    val got = grouped(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    assert(got.nonEmpty)
+    // independent BigInt recomputation, keyed by lang
+    val prof = docs
+      .select(col("source"), col("lang"),
+        explode(call_function("graft_grams", col("text"), lit(256))).as("b"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val byLang = prof.groupBy(_._2)
+    for ((lang, rows) <- byLang) {
+      val refCnt = rows.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+      val nR = BigInt(refCnt.values.sum)
+      for ((src, srcRows) <- rows.groupBy(_._1)) {
+        val obs = srcRows.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+        val nS = BigInt(obs.values.sum)
+        val d = (refCnt.keySet ++ obs.keySet).iterator.map { b =>
+          (BigInt(obs.getOrElse(b, 0L)) * nR -
+            BigInt(refCnt.getOrElse(b, 0L)) * nS).abs
+        }.sum
+        val ppm = (d * 1000000) / ((BigInt(2) * nS * nR).max(1))
+        assert(got((src, lang)) ==
+          ((nS.toLong, ppm.toLong, if (ppm >= 300000) 1 else 0)),
+          s"($src, $lang): operator != BigInt hand calc")
+      }
+    }
+  }
 }

@@ -74,6 +74,8 @@ class DriftStreamSpec extends SparkSpec {
       Seq((1L, "alpha", "srcX")).toDF("doc_id", "text", "source"),
       lastId, "text", "source", refRoot, statsRoot),
       "fold must carry the replay marker (the S20 lesson)")
+    assert(Publish.currentMetaValue(statsRoot, DriftStream.BucketsPinKey)
+      .contains("256"), "fold must carry the bucket pin (the cutover guard)")
     Sinks.deleteRecursively(java.nio.file.Paths.get(base))
   }
 
@@ -104,6 +106,56 @@ class DriftStreamSpec extends SparkSpec {
       Publish.read(spark, refRoot).select("bucket", "n"), 150000L)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
     assert(after == oneShot, "batched view diverged from the one-shot union")
+    Sinks.deleteRecursively(java.nio.file.Paths.get(base))
+  }
+
+  test("reference cutover re-verdicts retroactively; a bucket-count change is refused") {
+    val base = Files.createTempDirectory("graft_s44_cut").toString
+    val (refRoot, statsRoot) = (s"$base/ref", s"$base/stats")
+    val refV1 = Seq((1L, "alpha beta alpha gamma", "base"),
+      (2L, "beta gamma alpha alpha", "base")).toDF("doc_id", "text", "source")
+    DriftStream.publishReference(refV1, "text", buckets = 256, refRoot)
+
+    // the feed emits a steady alien mix: drifted under reference v1
+    val feed = Seq((10L, "zulu quux zulu quux", "feed"),
+      (11L, "quux zulu quux quux", "feed")).toDF("doc_id", "text", "source")
+    assert(DriftStream.applyBatch(feed, 0L, "text", "source", refRoot, statsRoot))
+    val v1Verdict = view(statsRoot, refRoot)
+    assert(v1Verdict.head._4 == 1, s"alien mix must flag under v1: $v1Verdict")
+
+    // CUTOVER: re-curate the reference to the feed's own mix (same
+    // bucket count, resolved from the live manifest) — the verdict
+    // flips retroactively at read time with NO state rewrite, exactly
+    // as re-running the one-shot monitor with the new slice would
+    val rv1 = Publish.currentVersion(refRoot).get
+    DriftStream.cutoverReference(
+      Seq((20L, "zulu quux zulu quux", "cur"),
+        (21L, "quux zulu quux quux", "cur")).toDF("doc_id", "text", "source"),
+      "text", refRoot): Unit
+    assert(Publish.currentVersion(refRoot).get > rv1)
+    assert(DriftStream.referenceBuckets(refRoot) == 256, "cutover must keep the pinned count")
+    val v2Verdict = view(statsRoot, refRoot)
+    assert(v2Verdict == Seq(("feed", 14L, 0L, 0)),
+      s"identical-to-new-reference mix must read 0 under v2: $v2Verdict")
+    // old verdicts stay reproducible through the versioned reference
+    val replay = graft.text.Drift.tvFromProfiles(
+      Publish.read(spark, statsRoot).select("source", "bucket", "n"),
+      Publish.readVersion(spark, refRoot, rv1).select("bucket", "n"), 150000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(replay == v1Verdict, "v1 verdict must replay bit-for-bit from the pinned version")
+
+    // a republish at a DIFFERENT bucket count with old state extant is
+    // refused loudly on BOTH surfaces — mixed-bucket profiles are
+    // deterministic garbage, never averaged in silently
+    Publish.publish(
+      Publish.read(spark, refRoot).limit(1),
+      refRoot, meta = Map(DriftStream.BucketsKey -> "128")): Unit
+    intercept[IllegalArgumentException] {
+      DriftStream.applyBatch(feed, 1L, "text", "source", refRoot, statsRoot): Unit
+    }
+    intercept[IllegalArgumentException] {
+      DriftStream.driftView(spark, statsRoot, refRoot, 150000L): Unit
+    }
     Sinks.deleteRecursively(java.nio.file.Paths.get(base))
   }
 
