@@ -61,7 +61,7 @@ class OracleSpec extends AnyFunSuite {
     // the streaming half of the contract: one §2d row per S-component
     val sRows = """(?m)^\|\s*(S\d+)\s*\|""".r
       .findAllMatchIn(sec2).map(_.group(1)).toSet
-    assert(sRows == (1 to 44).map(i => s"S$i").toSet,
+    assert(sRows == (1 to 45).map(i => s"S$i").toSet,
       s"§2d streaming rows drifted: $sRows")
   }
 
