@@ -736,6 +736,27 @@ object SparkEntry {
       "text", "source", "lang", buckets = 256, alertPpm = 300000L)
       .withColumnRenamed("group", "lang")
 
+  /** q211: EDIT-DISTANCE near-dup verification
+    * ([[graft.similarity.Dedup.editNearDupPairs]]) — the exact
+    * character-level verifier atop the fuzzy-dedup ladder: blocked
+    * candidate pairs scored by Levenshtein, kept at ≥ 30% integer-ppm
+    * similarity. Shingle Jaccard (q17) treats documents as token
+    * sets; this is the stage that prices every single-character edit,
+    * catching templated rewrites token sets miss. */
+  def q211EditNearDup(spark: SparkSession, dir: String): DataFrame =
+    graft.similarity.Dedup.editNearDupPairs(Tables.documents(spark, dir),
+      "doc_id", "text", lenBucket = 64, minSimPpm = 300000L)
+
+  /** q212: SOURCE-CALIBRATED quality
+    * ([[graft.text.TextOps.calibratedQuality]]) — q23's heuristic
+    * score mapped to its source-relative rank in exact ppm, so one
+    * global cut line means the same thing on every feed. The rank is
+    * the two-pass distributed PrefixSum.globalRowNumber, not a
+    * per-source window sort. */
+  def q212CalibratedQuality(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextOps.calibratedQuality(Tables.documents(spark, dir),
+      "doc_id", "text", "source")
+
   /** q205: MIXTURE-TEMPERATURE sweep ([[text.Bpe.mixtureSweep]]) —
     * q201 extended across the integer-exact α ladder {0, 1/4, 1/2, 1}
     * (uniform / isqrt∘isqrt / isqrt / raw): one apportionment row per
@@ -5816,7 +5837,9 @@ object SparkEntry {
     "q207_viterbi_segment"       -> (q207ViterbiSegment _),
     "q208_source_drift"          -> (q208SourceDrift _),
     "q209_window_drift"          -> (q209WindowDrift _),
-    "q210_lang_drift"            -> (q210LangDrift _)
+    "q210_lang_drift"            -> (q210LangDrift _),
+    "q211_edit_neardup"          -> (q211EditNearDup _),
+    "q212_calibrated_quality"    -> (q212CalibratedQuality _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -6070,6 +6093,51 @@ object SparkEntry {
           |    THEN 1 ELSE 0 END AS INTEGER) AS drifted
           |FROM d JOIN nr ON d.lang = nr.lang
           |ORDER BY d.source, d.lang""".stripMargin,
+      "q211_edit_neardup" ->
+        // the same deterministic blocking key, DuckDB's levenshtein
+        // as the exact DP kernel, identical integer-ppm similarity
+        """WITH keyed AS MATERIALIZED (
+          |  SELECT doc_id, text, LENGTH(text) // 64 AS lb,
+          |    string_split(text, ' ')[1] AS w0,
+          |    string_split(text, ' ')[-1] AS wl
+          |  FROM documents
+          |),
+          |pairs AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |    CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+          |    GREATEST(LENGTH(a.text), LENGTH(b.text)) AS mx
+          |  FROM keyed a JOIN keyed b
+          |    ON a.lb = b.lb AND a.w0 = b.w0 AND a.wl = b.wl
+          |      AND a.doc_id < b.doc_id
+          |)
+          |SELECT doc_a, doc_b, lev,
+          |  1000000 - (lev * 1000000) // GREATEST(CAST(mx AS BIGINT), 1) AS sim_ppm
+          |FROM pairs
+          |WHERE 1000000 - (lev * 1000000) // GREATEST(CAST(mx AS BIGINT), 1) >= 300000
+          |ORDER BY doc_a, doc_b""".stripMargin,
+      "q212_calibrated_quality" ->
+        // q23's exact score, then the source-relative rank in integer
+        // ppm — ROW_NUMBER ties broken by doc_id, single-doc source
+        // calibrates to 0 via the GREATEST guard
+        """WITH s AS MATERIALIZED (
+          |  SELECT doc_id, source,
+          |    (4 * alpha_ppm + 3 * stopword_ppm
+          |      + 2 * (1000000 - digit_ppm) + (1000000 - punct_ppm)) // 10 AS quality_score_ppm
+          |  FROM (
+          |    SELECT doc_id, source,
+          |      (len(regexp_extract_all(text, '[A-Za-z]')) * 1000000) // GREATEST(LENGTH(text), 1) AS alpha_ppm,
+          |      (len(regexp_extract_all(text, '[0-9]')) * 1000000) // GREATEST(LENGTH(text), 1) AS digit_ppm,
+          |      (len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 1000000) // GREATEST(LENGTH(text), 1) AS punct_ppm,
+          |      (len(list_filter(string_split(text, ' '),
+          |          w -> w IN ('the','a','an','and','or','of','to','in','is','it'))) * 1000000)
+          |        // GREATEST(len(string_split(text, ' ')), 1) AS stopword_ppm
+          |    FROM documents
+          |  )
+          |)
+          |SELECT doc_id, source, quality_score_ppm,
+          |  ((ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality_score_ppm, doc_id) - 1)
+          |    * 1000000) // GREATEST(COUNT(*) OVER (PARTITION BY source) - 1, 1) AS calibrated_ppm
+          |FROM s""".stripMargin,
       "q196_epoch_order" ->
         graft.text.Bpe.epochOrderOracleSql(
           "documents", "doc_id", "text", 8, shards = 8, budget = 512L, seed = 1L),

@@ -825,4 +825,52 @@ object Dedup {
     val corpusSlice = spark.read.parquet(candidates: _*).select(col(keyCol))
     batch.join(corpusSlice, Seq(keyCol), "left_anti")
   }
+
+  /** EDIT-DISTANCE near-dup verification — the exact character-level
+    * verifier the fuzzy-dedup ladder tops out at (shingle Jaccard
+    * treats a document as a token SET; Levenshtein is the one that
+    * prices every insertion/deletion/substitution, catching the
+    * templated-rewrite near-dups token sets miss). Candidates come
+    * from a deterministic blocking key — (length bucket, first word,
+    * last word) — and the exact DP kernel runs only within blocks;
+    * in a production pass the block key is whatever candidate stage
+    * precedes it (the MinHash/SimHash bands of q18/q19), this query
+    * demonstrates the verify kernel with a key both engines can
+    * replay. Similarity is integer-exact ppm:
+    * 1e6 − ⌊lev·1e6 / max(len_a, len_b)⌋.
+    *
+    * Scale shape: one narrow keying pass, one equi-join that
+    * hash-partitions on the block key (text bytes shuffle once,
+    * bounded by block fan-out), the DP kernel is Spark's codegen'd
+    * `levenshtein` — no UDF. Block sizes bound the quadratic: the
+    * key's cardinality grows with corpus vocabulary, so blocks stay
+    * small as the corpus grows; a pathological block (every doc
+    * opens with the same boilerplate word) is exactly the stop-
+    * phrase shape the upstream banding stages exist to shred. */
+  def editNearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      lenBucket: Int,
+      minSimPpm: Long): DataFrame = {
+    val keyed = docs.select(
+      col(idCol).as("__id"), col(textCol).as("__text"),
+      expr(s"length($textCol) div $lenBucket").as("__lb"),
+      element_at(split(col(textCol), " "), 1).as("__w0"),
+      element_at(split(col(textCol), " "), -1).as("__wl"))
+    val a = keyed.select(col("__id").as("doc_a"), col("__text").as("__ta"),
+      col("__lb"), col("__w0"), col("__wl"))
+    val b = keyed.select(col("__id").as("doc_b"), col("__text").as("__tb"),
+      col("__lb"), col("__w0"), col("__wl"))
+    a.join(b, Seq("__lb", "__w0", "__wl"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("__ta"), col("__tb")).cast("long").as("lev"),
+        greatest(length(col("__ta")), length(col("__tb"))).as("__mx"))
+      .withColumn("sim_ppm",
+        expr("1000000 - (lev * 1000000) div greatest(cast(__mx as bigint), 1)"))
+      .where(col("sim_ppm") >= minSimPpm)
+      .select("doc_a", "doc_b", "lev", "sim_ppm")
+      .orderBy("doc_a", "doc_b")
+  }
 }

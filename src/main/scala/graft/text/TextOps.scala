@@ -43,29 +43,65 @@ object TextOps {
     * points (Java BigDecimal HALF_UP vs C-library rounding disagree
     * when e.g. n_chars = 128 makes the millionths ratio land exactly
     * on .5), so no floats appear anywhere in this operator. */
-  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String,
+      carryCols: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
     docs
       .select(
-        col(idCol),
-        length(t).as("n_chars"),
-        size(tokens(t)).as("n_tokens"),
-        regexp_count(t, lit("[A-Za-z]")).as("__alpha"),
-        regexp_count(t, lit("[0-9]")).as("__digit"),
-        regexp_count(t, lit("[^A-Za-z0-9 ]")).as("__punct"),
-        size(filter(tokens(t), w => w.isInCollection(Stopwords))).as("__stop"))
+        (col(idCol) +: carryCols.map(col)) ++ Seq(
+          length(t).as("n_chars"),
+          size(tokens(t)).as("n_tokens"),
+          regexp_count(t, lit("[A-Za-z]")).as("__alpha"),
+          regexp_count(t, lit("[0-9]")).as("__digit"),
+          regexp_count(t, lit("[^A-Za-z0-9 ]")).as("__punct"),
+          size(filter(tokens(t), w => w.isInCollection(Stopwords))).as("__stop")): _*)
       .select(
-        col(idCol),
-        col("n_chars"),
-        col("n_tokens"),
-        expr("(__alpha * 1000000L) div greatest(n_chars, 1)").as("alpha_ppm"),
-        expr("(__digit * 1000000L) div greatest(n_chars, 1)").as("digit_ppm"),
-        expr("(__punct * 1000000L) div greatest(n_chars, 1)").as("punct_ppm"),
-        expr("(__stop * 1000000L) div greatest(n_tokens, 1)").as("stopword_ppm"))
+        (col(idCol) +: carryCols.map(col)) ++ Seq(
+          col("n_chars"),
+          col("n_tokens"),
+          expr("(__alpha * 1000000L) div greatest(n_chars, 1)").as("alpha_ppm"),
+          expr("(__digit * 1000000L) div greatest(n_chars, 1)").as("digit_ppm"),
+          expr("(__punct * 1000000L) div greatest(n_chars, 1)").as("punct_ppm"),
+          expr("(__stop * 1000000L) div greatest(n_tokens, 1)").as("stopword_ppm")): _*)
       .withColumn(
         "quality_score_ppm",
         expr("""(4 * alpha_ppm + 3 * stopword_ppm
                | + 2 * (1000000 - digit_ppm) + (1000000 - punct_ppm)) div 10""".stripMargin))
+  }
+
+  /** SOURCE-CALIBRATED quality: each document's quality score mapped
+    * to its source-RELATIVE rank in exact integer ppm —
+    * ⌊(rank−1)·1e6 / (n_source−1)⌋, ties broken by id. Raw heuristic
+    * scores aren't comparable across feeds (a code-heavy source's
+    * median punctuation ratio would fail a prose threshold wholesale);
+    * calibrating within source is the curation step that lets one
+    * global cut line (e.g. "drop the bottom decile") mean the same
+    * thing everywhere. A single-document source calibrates to 0.
+    *
+    * Scale shape: the rank rides [[graft.operators.PrefixSum
+    * .globalRowNumber]] over (source, score, id) — the two-pass
+    * distributed rank, NO per-source window sort (a
+    * `Window.partitionBy(source)` puts each source's whole corpus in
+    * one task, and real feeds are orders of magnitude apart in size —
+    * the q172/q178 lesson). Per-source offsets and counts come off
+    * the ranked frame as one k-row broadcast aggregate: rank_in_src =
+    * global_rn − min(global_rn within source). */
+  def calibratedQuality(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String): DataFrame = {
+    val scored = qualityScore(docs, idCol, textCol, carryCols = Seq(sourceCol))
+      .select(col(idCol), col(sourceCol), col("quality_score_ppm"))
+    val (ranked, _) = graft.operators.PrefixSum.globalRowNumber(
+      scored, Seq(sourceCol, "quality_score_ppm", idCol), "__rn")
+    val per = ranked.groupBy(sourceCol)
+      .agg(count(lit(1)).as("__n"), min("__rn").as("__first"))
+    ranked.join(broadcast(per), Seq(sourceCol))
+      .withColumn("calibrated_ppm",
+        expr("((__rn - __first) * 1000000) div greatest(__n - 1, 1)"))
+      .select(col(idCol), col(sourceCol),
+        col("quality_score_ppm"), col("calibrated_ppm"))
   }
 
   /** Per-source corpus DATASHEET — the "data card" summary a

@@ -322,4 +322,23 @@ class TextQualitySpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
     assert(small == Map("srcA" -> 1L, "srcB" -> 1L), small.toString)
   }
+
+  test("calibratedQuality (q212): source-relative rank ppm, ties by id, " +
+    "single-doc source calibrates to 0") {
+    // srcA: three docs whose raw scores order c < a = b (tie broken by
+    // id); srcB: one doc (calibrates to 0 whatever its raw score)
+    val docs = Seq(
+      (1L, "the and of to in", "srcA"),   // all-stopword prose: high score
+      (2L, "the and of to in", "srcA"),   // identical → tie with doc 1
+      (3L, "0123 4567 89!! ###", "srcA"), // digits+punct: low score
+      (9L, "whatever text", "srcB"))
+      .toDF("doc_id", "text", "source")
+    val got = TextOps.calibratedQuality(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    // srcA ranks: doc3 (lowest) → 0, doc1 → ⌊1e6/2⌋, doc2 → 1e6
+    assert(got(3L) == (("srcA", 0L)), s"lowest rank must calibrate to 0: $got")
+    assert(got(1L) == (("srcA", 500000L)), s"tie must break by id: $got")
+    assert(got(2L) == (("srcA", 1000000L)), s"top rank must calibrate to 1e6: $got")
+    assert(got(9L) == (("srcB", 0L)), s"single-doc source must calibrate to 0: $got")
+  }
 }
