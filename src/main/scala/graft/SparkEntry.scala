@@ -6101,6 +6101,8 @@ object SparkEntry {
           |    string_split(text, ' ')[1] AS w0,
           |    string_split(text, ' ')[-1] AS wl
           |  FROM documents
+          |  QUALIFY COUNT(*) OVER (PARTITION BY LENGTH(text) // 64,
+          |    string_split(text, ' ')[1], string_split(text, ' ')[-1]) <= 8
           |),
           |pairs AS (
           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -842,22 +842,35 @@ object Dedup {
     * Scale shape: one narrow keying pass, one equi-join that
     * hash-partitions on the block key (text bytes shuffle once,
     * bounded by block fan-out), the DP kernel is Spark's codegen'd
-    * `levenshtein` — no UDF. Block sizes bound the quadratic: the
-    * key's cardinality grows with corpus vocabulary, so blocks stay
-    * small as the corpus grows; a pathological block (every doc
-    * opens with the same boilerplate word) is exactly the stop-
-    * phrase shape the upstream banding stages exist to shred. */
+    * `levenshtein` — no UDF. The quadratic is bounded STRUCTURALLY:
+    * blocks over `maxBlock` members are dropped whole (the q17 max-df
+    * discipline) — a block that big is a clone/boilerplate family,
+    * exactly the shape the upstream banding stages exist to shred,
+    * and pricing its every pair here would be O(block²) work the
+    * verify stage must never sign up for. The cap showed up in
+    * anger on the 3× clone-heavy sweep corpus: uncapped, its clone
+    * families drove 53× pair growth (116 s); capped, the pair count
+    * tracks the corpus (PLANS.md r14). */
   def editNearDupPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       lenBucket: Int,
-      minSimPpm: Long): DataFrame = {
-    val keyed = docs.select(
+      minSimPpm: Long,
+      maxBlock: Int = 8): DataFrame = {
+    val keyed0 = docs.select(
       col(idCol).as("__id"), col(textCol).as("__text"),
       expr(s"length($textCol) div $lenBucket").as("__lb"),
       element_at(split(col(textCol), " "), 1).as("__w0"),
       element_at(split(col(textCol), " "), -1).as("__wl"))
+    // df-cap on the block grain: one aggregate + one equi-join, both
+    // partitioned by the same block key the pair join shuffles on
+    val small = keyed0
+      .groupBy("__lb", "__w0", "__wl")
+      .agg(count(lit(1)).as("__bn"))
+      .where(col("__bn") <= maxBlock)
+      .select("__lb", "__w0", "__wl")
+    val keyed = keyed0.join(small, Seq("__lb", "__w0", "__wl"))
     val a = keyed.select(col("__id").as("doc_a"), col("__text").as("__ta"),
       col("__lb"), col("__w0"), col("__wl"))
     val b = keyed.select(col("__id").as("doc_b"), col("__text").as("__tb"),
