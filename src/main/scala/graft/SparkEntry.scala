@@ -747,6 +747,44 @@ object SparkEntry {
     graft.similarity.Dedup.editNearDupPairs(Tables.documents(spark, dir),
       "doc_id", "text", lenBucket = 64, minSimPpm = 300000L)
 
+  /** q213: QUALITY-AWARE canonical selection
+    * ([[graft.similarity.Dedup.keepersFromEdges]] +
+    * [[graft.text.TextOps.qualityScore]]) — the curation refinement
+    * of q43: min-id keepers answer "which copy is canonical" with an
+    * arbitrary tiebreak, but a real pipeline keeps the BEST copy —
+    * per near-dup cluster, the member with the highest q23 quality
+    * score (ties to the lowest id). Clusters come from the exact
+    * df-capped Jaccard edge set (the q43 correctness control, so the
+    * whole chain stays SQL-oracle-checkable); the canonical pick is
+    * one max-struct aggregation on the cluster grain + one join back
+    * — no window sort. */
+  def q213CanonicalKeepers(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val edges = graft.similarity.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.8, maxDf = 20).select("doc_a", "doc_b")
+    val clusters = graft.similarity.Dedup
+      .keepersFromEdges(docs, "doc_id", edges, maxIters = 20)
+      .select(col("doc_id"), col("keeper_id").as("cluster_id"))
+    val scored = graft.text.TextOps.qualityScore(docs, "doc_id", "text")
+      .select(col("doc_id"), col("quality_score_ppm"))
+    val joined = clusters.join(scored, Seq("doc_id"))
+    // per-cluster argmax by (quality DESC, id ASC) as one max-struct
+    // aggregate — negated id makes the lexicographic max break ties
+    // toward the LOWEST id; no window, partial map-side combine
+    val canon = joined
+      .groupBy("cluster_id")
+      .agg(max(struct(col("quality_score_ppm").as("q"),
+        (-col("doc_id")).as("nid"))).as("m"))
+      .select(col("cluster_id"), (-col("m.nid")).as("canonical_id"),
+        col("m.q").as("canonical_quality_ppm"))
+    joined.join(canon, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("canonical_id"),
+        col("canonical_quality_ppm"),
+        when(col("doc_id") === col("canonical_id"), 1).otherwise(0)
+          .cast("int").as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   /** q212: SOURCE-CALIBRATED quality
     * ([[graft.text.TextOps.calibratedQuality]]) — q23's heuristic
     * score mapped to its source-relative rank in exact ppm, so one
@@ -5839,7 +5877,8 @@ object SparkEntry {
     "q209_window_drift"          -> (q209WindowDrift _),
     "q210_lang_drift"            -> (q210LangDrift _),
     "q211_edit_neardup"          -> (q211EditNearDup _),
-    "q212_calibrated_quality"    -> (q212CalibratedQuality _)
+    "q212_calibrated_quality"    -> (q212CalibratedQuality _),
+    "q213_canonical_keepers"     -> (q213CanonicalKeepers _)
   )
 
   // q10 and q44 compute the same result over different physical
@@ -6140,6 +6179,69 @@ object SparkEntry {
           |  ((ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality_score_ppm, doc_id) - 1)
           |    * 1000000) // GREATEST(COUNT(*) OVER (PARTITION BY source) - 1, 1) AS calibrated_ppm
           |FROM s""".stripMargin,
+      "q213_canonical_keepers" ->
+        // q43's recursive component closure + q23's exact score, then
+        // the per-cluster argmax by (quality DESC, id ASC)
+        """WITH RECURSIVE toks AS (
+          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+          |  WHERE len(string_split(text, ' ')) >= 3
+          |),
+          |sh AS (
+          |  SELECT doc_id, UNNEST(list_distinct(list_transform(
+          |    generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+          |  FROM toks
+          |),
+          |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+          |inter AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2
+          |),
+          |pairs AS (
+          |  SELECT doc_a, doc_b FROM (
+          |    SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+          |    FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+          |  ) WHERE jaccard >= 0.8
+          |),
+          |edges AS (
+          |  SELECT doc_a, doc_b FROM pairs
+          |  UNION ALL
+          |  SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+          |),
+          |reach(doc_id, label) AS (
+          |  SELECT doc_id, doc_id FROM documents
+          |  UNION
+          |  SELECT e.doc_a, r.label FROM edges e JOIN reach r ON r.doc_id = e.doc_b
+          |),
+          |comp AS (SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY 1),
+          |q AS (
+          |  SELECT doc_id,
+          |    (4 * alpha_ppm + 3 * stopword_ppm
+          |      + 2 * (1000000 - digit_ppm) + (1000000 - punct_ppm)) // 10 AS quality_score_ppm
+          |  FROM (
+          |    SELECT doc_id,
+          |      (len(regexp_extract_all(text, '[A-Za-z]')) * 1000000) // GREATEST(LENGTH(text), 1) AS alpha_ppm,
+          |      (len(regexp_extract_all(text, '[0-9]')) * 1000000) // GREATEST(LENGTH(text), 1) AS digit_ppm,
+          |      (len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 1000000) // GREATEST(LENGTH(text), 1) AS punct_ppm,
+          |      (len(list_filter(string_split(text, ' '),
+          |          w -> w IN ('the','a','an','and','or','of','to','in','is','it'))) * 1000000)
+          |        // GREATEST(len(string_split(text, ' ')), 1) AS stopword_ppm
+          |    FROM documents
+          |  )
+          |),
+          |j AS (
+          |  SELECT comp.doc_id, comp.cluster_id, q.quality_score_ppm
+          |  FROM comp JOIN q ON comp.doc_id = q.doc_id
+          |)
+          |SELECT doc_id, cluster_id,
+          |  FIRST_VALUE(doc_id) OVER w AS canonical_id,
+          |  FIRST_VALUE(quality_score_ppm) OVER w AS canonical_quality_ppm,
+          |  CAST(CASE WHEN doc_id = FIRST_VALUE(doc_id) OVER w
+          |    THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
+          |FROM j
+          |WINDOW w AS (PARTITION BY cluster_id ORDER BY quality_score_ppm DESC, doc_id
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+          |ORDER BY doc_id""".stripMargin,
       "q196_epoch_order" ->
         graft.text.Bpe.epochOrderOracleSql(
           "documents", "doc_id", "text", 8, shards = 8, budget = 512L, seed = 1L),
