@@ -57,13 +57,69 @@ object Pq {
   private def dist(x: Column, c: Column): Column = sqDist(x, c)
 
   /** Assign each sub-vector its nearest code from `codebook`
-    * (sub, code, cvec): returns (idCol, sub, code). */
+    * (sub, code, cvec): returns (idCol, sub, code).
+    *
+    * Plan shape (r14-opt): the codebook folds to ONE row per sub
+    * carrying the K (code, cvec) structs, and the argmin is
+    * `array_min` over a `transform` — the same (round(d,6), code)
+    * lexicographic minimum the old join+min(struct) computed, but as
+    * a NARROW codegen'd map: no |sv|·K row blow-up, and no
+    * aggregation at all where the old groupBy(min(struct)) planned as
+    * SortAggregate (struct-typed buffer) with two Exchange+Sort
+    * rounds (q116 before-plan, plans/r14). Assignment now costs zero
+    * shuffles at any scale. */
   def assign(sv: DataFrame, codebook: DataFrame, idCol: String): DataFrame =
-    sv.join(broadcast(codebook), Seq("sub"))
-      .withColumn("d", round(dist(col("subvec"), col("cvec")), 6))
-      .groupBy(col(idCol), col("sub"))
-      .agg(min(struct(col("d"), col("code"))).as("m"))
-      .select(col(idCol), col("sub"), col("m.code").as("code"))
+    assignCarry(sv, codebook, idCol).select(col(idCol), col("sub"), col("code"))
+
+  /** [[assign]] keeping `subvec` on the output row — the Lloyd-loop
+    * form: the centroid update needs (code, subvec) together, and
+    * carrying the vector through the narrow argmin is free where
+    * re-joining the sub-vector table on (id, sub) was a shuffle.
+    *
+    * The codebook is |m·K| rows by CONTRACT (the broadcast-sized
+    * dim-probe posture this module documents), so it inlines as a
+    * LITERAL per-sub array: collect once on the driver (trainCodebook
+    * already localizes every codebook state, so this usually collects
+    * a LocalRelation — no job), constant-fold the (code, cvec, ‖c‖²)
+    * structs, and dispatch on `sub` with a when-chain. Against the
+    * cbArr-broadcast draft this removes one groupBy job + one
+    * broadcast build PER assign call — at sf0.1 those fixed job
+    * round-trips, not arithmetic, were the family's cost.
+    * ‖c‖² is precomputed here (index-order sum — bit-identical to
+    * graft_dot) and ‖x‖² hoisted per row, so the K-way argmin pays
+    * ONE dot product per candidate; the association order
+    * (xx − 2x·c) + cc is sqDist's exactly. */
+  private[graft] def assignCarry(
+      sv: DataFrame, codebook: DataFrame, idCol: String): DataFrame = {
+    val local = codebook.select(col("sub"), col("code"), col("cvec")).collect()
+    require(local.nonEmpty, "assign: empty codebook")
+    val bySub = local.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map {
+      case (s, rs) =>
+        val entries = rs.map { r =>
+          (r.getInt(1), r.getSeq[Double](2).toArray)
+        }.sortBy(_._1)
+        val arr = array(entries.map { case (code, v) =>
+          var cc = 0.0
+          var i = 0
+          while (i < v.length) { cc += v(i) * v(i); i += 1 }
+          struct(lit(code).as("code"),
+            array(v.map(lit(_)).toIndexedSeq: _*).as("cvec"),
+            lit(cc).as("cc"))
+        }.toIndexedSeq: _*)
+        (s, arr)
+    }
+    val cbDispatch = bySub.tail
+      .foldLeft(when(col("sub") === bySub.head._1, bySub.head._2)) {
+        case (acc, (s, arr)) => acc.when(col("sub") === s, arr)
+      }
+    sv.withColumn("__cb", cbDispatch)
+      .withColumn("__xx", expr("graft_dot(subvec, subvec)"))
+      .withColumn("code",
+        expr("array_min(transform(__cb, s -> struct(" +
+          "round(__xx - 2.0D * graft_dot(subvec, s.cvec) + s.cc, 6) AS d, " +
+          "s.code AS code))).code"))
+      .drop("__cb", "__xx")
+  }
 
   /** Train a PQ codebook: stride-sampled init, `iters` Lloyd rounds.
     * Returns (sub, code, cvec) with centroid components rounded at
@@ -100,10 +156,15 @@ object Pq {
           expr("transform(subvec, v -> round(v, 6))").as("cvec")))
 
     for (_ <- 0 until iters) {
-      val assigned = assign(sv, codebook, idCol)
+      // assignCarry keeps subvec on the assigned row, so the centroid
+      // update reads it directly — the old sv⋈assigned re-join on
+      // (id, sub) was a full shuffle of the sub-vector table per
+      // Lloyd round; with the narrow argmin the only exchange left
+      // per round is the (sub, code, pos) mean aggregation
+      val assigned = assignCarry(sv, codebook, idCol)
       // element-wise mean per (sub, code), rounded; empty clusters
       // fall back to the previous centroid via the right join
-      val updated = sv.join(assigned, Seq(idCol, "sub"))
+      val updated = assigned
         .select(col("sub"), col("code"), posexplode(col("subvec")))
         .groupBy("sub", "code", "pos").agg(round(avg("col"), 6).as("c"))
         .groupBy("sub", "code").agg(
