@@ -256,31 +256,42 @@ object Multimodal {
       .mapPartitions(_.map { r =>
         val sceneLen = 1 + (r.doc_id % 3).toInt
         val (w, h) = (32, 32)
+        // frames of one scene are BIT-IDENTICAL by construction (the
+        // raster is keyed on the scene index alone), so the JPEG
+        // encode runs once per SCENE and repeated frames reuse the
+        // byte array (r14-opt, guide §1.2 "don't compute things you
+        // throw away": the encode was ~half this operator's cost and
+        // produced identical bytes up to sceneLen times per clip).
+        // Output payload is byte-for-byte what the per-frame encode
+        // produced — the muxer sees the same frame bytes either way.
+        val sceneJpeg = scala.collection.mutable.HashMap.empty[Int, Array[Byte]]
         val frames = (0 until framesPerDoc).map { f =>
           val scene = f / sceneLen
-          val img = new java.awt.image.BufferedImage(w, h,
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              // one level per dHash grid cell, quadratic mix (the
-              // q175/q180 lesson) keyed on the SCENE index — frames
-              // of one scene are bit-identical, a boundary re-keys
-              // every cell
-              val cell = (x * 9 / w) + (y * 8 / h) * 9
-              val key = (r.doc_id * 1000003L + scene * 7919L +
-                cell * 2654435761L) % 1000000007L
-              val mix = key * key % 1000000007L * 2654435761L % 1000000007L
-              val v = math.min(255, 16 + (mix % 7L).toInt * 24)
-              img.setRGB(x, y, (v << 16) | (v << 8) | v)
-              x += 1
+          sceneJpeg.getOrElseUpdate(scene, {
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                // one level per dHash grid cell, quadratic mix (the
+                // q175/q180 lesson) keyed on the SCENE index — frames
+                // of one scene are bit-identical, a boundary re-keys
+                // every cell
+                val cell = (x * 9 / w) + (y * 8 / h) * 9
+                val key = (r.doc_id * 1000003L + scene * 7919L +
+                  cell * 2654435761L) % 1000000007L
+                val mix = key * key % 1000000007L * 2654435761L % 1000000007L
+                val v = math.min(255, 16 + (mix % 7L).toInt * 24)
+                img.setRGB(x, y, (v << 16) | (v << 8) | v)
+                x += 1
+              }
+              y += 1
             }
-            y += 1
-          }
-          val baos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "jpg", baos)
-          baos.toByteArray
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "jpg", baos)
+            baos.toByteArray
+          })
         }
         r.copy(payload = Riff.muxMjpeg(w, h, fps = 24, frames))
       })
@@ -311,15 +322,30 @@ object Multimodal {
               (i, (off, math.min(16, n - off)))
             }
         }
+        // byte-identical frames decode once per clip (r14-opt):
+        // same JPEG bytes ⇒ same raster ⇒ same dHash, and MJPEG
+        // clips repeat frame bytes whenever consecutive frames show
+        // the same shot (the q193 scene structure). Only SUCCESSFUL
+        // decodes memoize — the undecodable stub is keyed on
+        // (off, len), which identical bytes at different offsets must
+        // NOT share. A decode failure is deterministic per byte
+        // string, so caching Option keeps failures re-stubbed per
+        // frame while skipping the re-decode attempt.
+        val seen = scala.collection.mutable.HashMap
+          .empty[java.nio.ByteBuffer, Option[Long]]
         ranges.map { case (i, (off, len)) =>
           val bytes = java.util.Arrays.copyOfRange(r.payload, off, off + len)
-          val img =
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: Exception => null }
-          if (img != null)
-            FrameHash(r.doc_id, i, ImageDedup.dHashOf(img), decoded = true)
-          else FrameHash(r.doc_id, i,
-            (off.toLong * 2654435761L + len) % 1000000007L, decoded = false)
+          val hash = seen.getOrElseUpdate(java.nio.ByteBuffer.wrap(bytes), {
+            val img =
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              catch { case _: Exception => null }
+            if (img != null) Some(ImageDedup.dHashOf(img)) else None
+          })
+          hash match {
+            case Some(h) => FrameHash(r.doc_id, i, h, decoded = true)
+            case None => FrameHash(r.doc_id, i,
+              (off.toLong * 2654435761L + len) % 1000000007L, decoded = false)
+          }
         }
       }))
       .toDF()
