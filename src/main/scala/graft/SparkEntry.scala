@@ -856,10 +856,16 @@ object SparkEntry {
       .read(spark, bpeMergesRoot(spark, dir))
       .orderBy("round").collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
-    val corpusTokens = graft.text.Bpe
-      .encode(docs, "doc_id", "text", merges)
-      .agg(sum("n_bpe_tokens")).head.getLong(0)
-    graft.text.Curriculum.repeatAllocation(docs, "doc_id", "text", merges,
+    // ONE persisted encode pass feeds both the budget scalar and the
+    // allocation plan (it previously ran separately for each — plus
+    // twice more inside the running sum's sampler; 4 corpus encodes
+    // total, now 1). Zero-token docs contribute 0 to the sum and are
+    // filtered inside the allocation, so the budget is unchanged.
+    val lens = graft.CacheScope.persisted(
+      graft.text.Bpe.encode(docs, "doc_id", "text", merges)
+        .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens")))
+    val corpusTokens = lens.agg(sum("n_tokens")).head.getLong(0)
+    graft.text.Curriculum.repeatAllocationFromLengths(lens, "doc_id",
       budget = corpusTokens * 3L + corpusTokens / 2L, maxRepeats = 4L,
       seed = 1L)
   }

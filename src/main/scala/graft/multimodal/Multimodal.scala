@@ -325,12 +325,12 @@ object Multimodal {
         // byte-identical frames decode once per clip (r14-opt):
         // same JPEG bytes ⇒ same raster ⇒ same dHash, and MJPEG
         // clips repeat frame bytes whenever consecutive frames show
-        // the same shot (the q193 scene structure). Only SUCCESSFUL
-        // decodes memoize — the undecodable stub is keyed on
-        // (off, len), which identical bytes at different offsets must
-        // NOT share. A decode failure is deterministic per byte
-        // string, so caching Option keeps failures re-stubbed per
-        // frame while skipping the re-decode attempt.
+        // the same shot (the q193 scene structure). Failures memoize
+        // as None — the re-decode ATTEMPT is skipped for repeated
+        // undecodable bytes — while the undecodable STUB stays keyed
+        // per (off, len) outside the cache, which identical bytes at
+        // different offsets must NOT share. A decode failure is
+        // deterministic per byte string, so caching Option is safe.
         val seen = scala.collection.mutable.HashMap
           .empty[java.nio.ByteBuffer, Option[Long]]
         ranges.map { case (i, (off, len)) =>

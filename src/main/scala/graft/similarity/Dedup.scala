@@ -592,6 +592,17 @@ object Dedup {
     val edges = verifiedPairs.select("doc_a", "doc_b")
       .unionByName(verifiedPairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .transform(graft.CacheScope.persisted(_))
+    // MEASURED, REJECTED (r15-opt): restricting the iteration to the
+    // edge-endpoint subgraph (labels only ever change for endpoint
+    // nodes, so the per-round joins/sums could run over |endpoints|
+    // instead of |docs|, with identity labels unioned back at the
+    // end). At the gate scales the per-round ROW count is not the
+    // cost — per-JOB fixed latency is — and the restriction adds an
+    // endpoints distinct, a semi-join materialization, and a final
+    // anti-join that re-executes per consumer: same-VM A/B at sf0.01,
+    // q32 2.43 s → 3.45 s, q43 3.71 s → 3.91 s. On a cluster where
+    // |docs| dwarfs |endpoints| the restriction is the right shape —
+    // revisit if the all-docs round tables ever dominate a profile.
     var labels = docs.select(col(idCol), col(idCol).as("keeper_id"))
     // convergence detection: labels are per-node NON-INCREASING, so
     // for integral ids the label total strictly decreases until the
@@ -752,12 +763,16 @@ object Dedup {
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
       .withColumn("total_tokens", size(col("toks")))
       .where(col("total_tokens") >= n)
-    val shingled = toks
+    // persisted: BOTH the recurrence aggregate and the span join
+    // consume this — unpersisted, the tokenize + window-slice + md5
+    // corpus pass (the query's dominant compute) ran twice per action
+    // (guide §1.2: don't compute things twice)
+    val shingled = graft.CacheScope.persisted(toks
       .select(col("doc_id"), col("total_tokens"),
         posexplode(expr(
           s"transform(sequence(0, total_tokens - $n), i -> array_join(slice(toks, i + 1, $n), ' '))")))
       .select(col("doc_id"), col("total_tokens"), col("pos"),
-        Overlap.contentHash(col("col")).as("h"))
+        Overlap.contentHash(col("col")).as("h")))
     // cross-doc recurrence: one 8-byte-key shuffle, partial-aggregated
     val dupHashes = shingled.groupBy("h")
       .agg(count_distinct(col("doc_id")).as("nd"))

@@ -26,11 +26,15 @@ import org.apache.spark.sql.functions._
   * distances — the whole PQ family sits under the hash gate instead
   * of a recall-only spec.
   *
-  * Plan shape: the codebook is |m·K| rows (a broadcast everywhere it
-  * joins); training and encoding are one |vectors·m|-row long-form
-  * pass per Lloyd iteration (sub-vector slices, NOT per-dim
-  * explosion, so dot products stay inside codegen); nothing is ever
-  * collected to the driver.
+  * Plan shape: the codebook is |m·K| rows BY CONTRACT (the bounded
+  * dim-probe posture) and is COLLECTED to the driver once per
+  * assignment, where it inlines as constant-folded literal per-sub
+  * arrays — an assign is then one narrow codegen'd map over the
+  * sub-vector rows, zero shuffles, zero joins (an empty codebook
+  * throws at plan build; PqSpec pins it). Training and encoding are
+  * one |vectors·m|-row long-form pass per Lloyd iteration (sub-vector
+  * slices, NOT per-dim explosion, so dot products stay inside
+  * codegen); only codebook-sized relations ever reach the driver.
   */
 object Pq {
 
@@ -90,8 +94,18 @@ object Pq {
     * ONE dot product per candidate; the association order
     * (xx − 2x·c) + cc is sqDist's exactly. */
   private[graft] def assignCarry(
-      sv: DataFrame, codebook: DataFrame, idCol: String): DataFrame = {
-    val local = codebook.select(col("sub"), col("code"), col("cvec")).collect()
+      sv: DataFrame, codebook: DataFrame, idCol: String): DataFrame =
+    assignCarryLocal(sv,
+      codebook.select(col("sub"), col("code"), col("cvec")).collect(), idCol)
+
+  /** [[assignCarry]] over an ALREADY-COLLECTED codebook (rows of
+    * (sub:int, code:int, cvec:array<double>)) — what a fixed-codebook
+    * consumer that assigns repeatedly (S22's per-micro-batch search)
+    * uses so the |m·K| collect and the literal when-chain build run
+    * ONCE, not per batch. */
+  private[graft] def assignCarryLocal(
+      sv: DataFrame, local: Array[org.apache.spark.sql.Row],
+      idCol: String): DataFrame = {
     require(local.nonEmpty, "assign: empty codebook")
     val bySub = local.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map {
       case (s, rs) =>
@@ -113,6 +127,11 @@ object Pq {
         case (acc, (s, arr)) => acc.when(col("sub") === s, arr)
       }
     sv.withColumn("__cb", cbDispatch)
+      // a `sub` with no codebook entry leaves __cb NULL; dropping the
+      // row here preserves the pre-r14 inner-join contract (callers
+      // with a PARTIAL codebook — driftReencode with a sub removed —
+      // lose those rows instead of seeing NULL codes propagate)
+      .where(col("__cb").isNotNull)
       .withColumn("__xx", expr("graft_dot(subvec, subvec)"))
       .withColumn("code",
         expr("array_min(transform(__cb, s -> struct(" +

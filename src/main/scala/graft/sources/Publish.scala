@@ -175,7 +175,10 @@ object Publish {
     // only a holder that STOPPED beating (crash, kill) goes stale
     val beat = new Thread(() => {
       try while (!Thread.currentThread().isInterrupted) {
-        Thread.sleep(LockStaleMs / 4)
+        // beat at 1/8 of the horizon: a waiter breaks the lock only
+        // after a FULL horizon without a touch, so the holder survives
+        // up to 7 consecutive missed beats (GC pause, scheduler stall)
+        Thread.sleep(LockStaleMs / 8)
         store.touch(lock)
       } catch {
         case _: InterruptedException => ()

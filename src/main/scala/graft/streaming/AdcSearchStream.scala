@@ -54,14 +54,21 @@ object AdcSearchStream {
       tablePath: String,
       stagingPath: String,
       checkpointLocation: Option[String] = None): StreamingQuery = {
+    // the codebook is FIXED by precondition (scaladoc above): collect
+    // its |m·K| rows ONCE here, outside the foreachBatch closure, so
+    // each micro-batch pays only the narrow encode map — not a fresh
+    // collect + literal when-chain rebuild per batch
+    val localCb = codebook
+      .select(col("sub"), col("code"), col("cvec")).collect()
     val writer = vectors.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val oneVectorPerId = AnnIndexSink.canonicalBatch(batch, idCol, vecCol)
         val spark = batch.sparkSession
         val nextSeq = AnnIndexSink.nextBatchSeq(spark, tablePath)
-        val codes = Pq.assign(
+        val codes = Pq.assignCarryLocal(
             Pq.subVectors(oneVectorPerId, idCol, vecCol, m, dsub),
-            codebook, idCol)
+            localCb, idCol)
+          .select(col(idCol), col("sub"), col("code"))
           .withColumn("batch_seq", lit(nextSeq))
         Ingest.incrementalRefresh(
           tablePath, codes,

@@ -214,7 +214,8 @@ object Bpe {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      merges: Seq[(String, String)]): DataFrame = {
+      merges: Seq[(String, String)],
+      carryCols: Seq[String] = Nil): DataFrame = {
     merges.foreach { case (l, r) =>
       require(!l.contains("'") && !r.contains("'"), "quote-free symbols required")
     }
@@ -222,15 +223,20 @@ object Bpe {
       "concat(' ', regexp_replace(w, '(.)', '$1 '))") { case (acc, (l, r)) =>
       s"replace($acc, ' $l $r ', ' $l$r ')"
     }
+    // carryCols ride the narrow map (guide §2.4): a caller that needs
+    // a per-doc attribute next to the counts (fertility's language
+    // label) keeps the single corpus pass instead of re-joining the
+    // encode output back to `docs` on the id — the join carried
+    // nothing the source row didn't already have.
     docs.select(
-      col(idCol),
-      expr(s"size(filter(split($textCol, ' '), w -> w <> ''))")
-        .cast("long").as("n_words"),
-      expr(s"aggregate(filter(split($textCol, ' '), w -> w <> ''), " +
-        "0, (a, w) -> a + length(w))").cast("long").as("n_chars_sym"),
-      expr(s"aggregate(transform(filter(split($textCol, ' '), w -> w <> ''), " +
-        s"w -> size(split(trim($applied), ' '))), 0, (a, x) -> a + x)")
-        .cast("long").as("n_bpe_tokens"))
+      (col(idCol) +: carryCols.map(col)) ++ Seq(
+        expr(s"size(filter(split($textCol, ' '), w -> w <> ''))")
+          .cast("long").as("n_words"),
+        expr(s"aggregate(filter(split($textCol, ' '), w -> w <> ''), " +
+          "0, (a, w) -> a + length(w))").cast("long").as("n_chars_sym"),
+        expr(s"aggregate(transform(filter(split($textCol, ' '), w -> w <> ''), " +
+          s"w -> size(split(trim($applied), ' '))), 0, (a, x) -> a + x)")
+          .cast("long").as("n_bpe_tokens")): _*)
   }
 
   /** [[encode]] with the merges trained on the same corpus — the
@@ -280,24 +286,31 @@ object Bpe {
       "concat(' ', regexp_replace(w, '(.)', '$1 '))") { case (acc, (l, r)) =>
       s"replace($acc, ' $l $r ', ' $l$r ')"
     }
-    val words = docs.select(col(idCol),
-      posexplode(expr(s"filter(split($textCol, ' '), w -> w <> '')"))
-        .as(Seq("word_pos", "w")))
-    val syms = words
-      .withColumn("__s", expr(applied))
-      .select(col(idCol), col("word_pos"),
-        posexplode(split(trim(col("__s")), " ")).as(Seq("sym_pos", "symbol")))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("word_pos"), col("sym_pos"))
+    // `pos` is computed NARROWLY: each doc's per-word symbol lists
+    // flatten in (word_pos, sym_pos) order inside one expression, so
+    // the 1-based index of the flattened array IS the old
+    // row_number() over (id) ordered by (word_pos, sym_pos) — the
+    // token-grain sort exchange that window forced is gone outright
+    // (guide §2.4). The vocab join stays, but the vocabulary is
+    // k-row-bounded by construction (|alphabet| + ≤64 merges), so it
+    // is broadcast explicitly (guide §3.1) — size ESTIMATES after the
+    // vocabulary's aggregate/window chain are way above reality, so
+    // left to the planner this was a full sort-merge exchange of the
+    // token stream on the symbol key.
+    val syms = docs.select(col(idCol),
+      posexplode(expr(
+        s"flatten(transform(filter(split($textCol, ' '), w -> w <> ''), " +
+        s"w -> split(trim($applied), ' ')))")).as(Seq("__p0", "symbol")))
+      .select(col(idCol), (col("__p0") + 1).cast("long").as("pos"), col("symbol"))
     val joined = oovId match {
-      case None => syms.join(vocab.select(col("token_id"), col("symbol")), Seq("symbol"))
+      case None => syms.join(
+        broadcast(vocab.select(col("token_id"), col("symbol"))), Seq("symbol"))
       case Some(v) => syms
-        .join(vocab.select(col("token_id"), col("symbol")), Seq("symbol"), "left_outer")
+        .join(broadcast(vocab.select(col("token_id"), col("symbol"))),
+          Seq("symbol"), "left_outer")
         .withColumn("token_id", coalesce(col("token_id"), lit(v)))
     }
-    joined
-      .withColumn("pos", row_number().over(win).cast("long"))
-      .select(col(idCol), col("pos"), col("token_id"), col("symbol"))
+    joined.select(col(idCol), col("pos"), col("token_id"), col("symbol"))
   }
 
   /** The DuckDB twin of [[encodeIds]] under self-tokenization: the
@@ -454,8 +467,11 @@ object Bpe {
       textCol: String,
       langCol: String,
       merges: Seq[(String, String)]): DataFrame =
-    docs.select(col(idCol), col(langCol))
-      .join(encode(docs, idCol, textCol, merges), Seq(idCol))
+    // the language label rides encode's narrow map (carryCols) — the
+    // old id-keyed join of the encode output back to `docs` was a
+    // full exchange of both sides to re-attach a column the source
+    // row already had (guide §2.4 remove shuffles outright)
+    encode(docs, idCol, textCol, merges, carryCols = Seq(langCol))
       .groupBy(col(langCol))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -517,7 +533,23 @@ object Bpe {
       shards: Int,
       budget: Long,
       seed: Long): DataFrame = {
-    val wins = contextWindows(docs, idCol, textCol, merges, shards, budget)
+    // Window COMPOSITION is decided entirely by the |docs|-grain
+    // length table (packNextFit over per-doc token counts — the same
+    // scramble/shard/order keys windowsFromStream derives), and a
+    // window's n_tokens is the sum of its members' lengths — exactly
+    // the count of its token-grain rows. So the epoch order never
+    // needs token placement at all: pack the narrow encode lengths
+    // and aggregate members per (shard, seq_id), skipping the old
+    // path's vocabulary pass, symbol explode, vocab join, and
+    // placement join (guide §1.2/§2.4 — same relation, none of the
+    // token-grain work).
+    val scramble = pmod(
+      pmod(col(idCol), lit(1000003L)) * lit(2654435761L), lit(1000000007L))
+    val lens = encodeLengths(docs, idCol, textCol, merges)
+      .select(col(idCol), col("n_tokens"), scramble.as("scramble"),
+        pmod(scramble, lit(shards.toLong)).as("shard"))
+    val packed = graft.operators.Packing
+      .packNextFit(lens, "shard", "scramble", idCol, "n_tokens", budget)
     // The inner (shard, seq_id, seed) sum is reduced mod 1000000007
     // BEFORE the Knuth multiply (the windowsFromStream pattern): the
     // reduced value is < 2^30, so ×2654435761 (< 2^32) stays < 2^62 —
@@ -525,8 +557,8 @@ object Bpe {
     // product wrapped silently past seq_id ~4.4e5. pmod keeps a
     // negative seed non-negative here; the oracle restates it as the
     // sign-safe ((x % M) + M) % M so both engines rank identically.
-    val idx = wins.groupBy(col("shard"), col("seq_id"))
-      .agg(count(lit(1)).as("n_tokens"))
+    val idx = packed.groupBy(col("shard"), col("seq_id"))
+      .agg(sum(col("n_tokens")).as("n_tokens"))
       .withColumn("__h", pmod(
         pmod(col("shard") * lit(1000003L) + col("seq_id") * lit(7919L)
           + lit(seed), lit(1000000007L))
@@ -1344,9 +1376,9 @@ object Bpe {
     * overflow makes padding_ppm exact-by-definition against the
     * n_windows × budget capacity, clamped at 0 via GREATEST — the
     * curve stays meaningful even where single documents dominate.
-    * All packing runs over the |docs|-grain length table (one stream
-    * aggregate, shared across budgets via the caller's persisted
-    * stream); output is |budgets| rows.
+    * All packing runs over the |docs|-grain length table (one narrow
+    * [[encode]] pass — see [[encodeLengths]] — shared across budgets);
+    * output is |budgets| rows.
     * Output: (budget, n_windows, total_tokens, padding_ppm). */
   def packingEfficiency(
       docs: DataFrame,
@@ -1354,13 +1386,30 @@ object Bpe {
       textCol: String,
       merges: Seq[(String, String)],
       shards: Int,
-      budgets: Seq[Long]): DataFrame = {
-    val vocab = vocabularyFromMerges(docs, idCol, textCol, merges)
-    val stream = graft.CacheScope.persisted(
-      encodeIds(docs, idCol, textCol, merges, vocab))
-    packingCurve(stream, idCol, shards, budgets, "arrival")
+      budgets: Seq[Long]): DataFrame =
+    packingCurve(encodeLengths(docs, idCol, textCol, merges),
+      idCol, shards, budgets, "arrival")
       .drop("order_policy")
-  }
+
+  /** The |docs|-grain (id, n_tokens) length table from ONE narrow
+    * [[encode]] pass — the packing family's real input. The old path
+    * built the full token-grain [[encodeIds]] stream (vocabulary
+    * pass + symbol explode + vocab join + per-doc window) and then
+    * immediately aggregated it back to per-doc counts; the count of
+    * a doc's stream rows IS its `n_bpe_tokens` (Σ per-word symbol
+    * counts, both by construction), and docs with zero tokens pack
+    * nothing in either form — so this is the same relation for a
+    * tiny fraction of the work (guide §1.2: fix the algorithm before
+    * the configuration; §2.4 remove shuffles outright — no explode,
+    * no join, no window). */
+  private def encodeLengths(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    encode(docs, idCol, textCol, merges)
+      .where(col("n_bpe_tokens") >= 1L)
+      .select(col(idCol), col("n_bpe_tokens").as("n_tokens"))
 
   /** The packing ORDER POLICIES the sweep measures. `arrival` is the
     * scramble order production packing uses (q189); `inc`/`dec` place
@@ -1375,7 +1424,7 @@ object Bpe {
     val OrderPolicies: Seq[String] = Seq("arrival", "inc", "dec")
 
   private def packingCurve(
-      stream: DataFrame,
+      lengths: DataFrame,
       idCol: String,
       shards: Int,
       budgets: Seq[Long],
@@ -1392,8 +1441,7 @@ object Bpe {
       case "inc"     => col("n_tokens")
       case "dec"     => -col("n_tokens")
     }
-    val lens = graft.CacheScope.persisted(stream.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"))
+    val lens = graft.CacheScope.persisted(lengths
       .select(col(idCol), col("n_tokens"), scramble.as("scramble"),
         pmod(scramble, lit(shards.toLong)).as("shard"))
       .withColumn("__ord", ord))
@@ -1415,8 +1463,9 @@ object Bpe {
   /** PACKING-ORDER sweep — [[packingEfficiency]] extended across the
     * order policies: one curve row per (budget, policy) answering
     * "which intra-shard placement order should the packer use at this
-    * budget". The corpus encodes ONCE (persisted stream shared by all
-    * |policies| × |budgets| recurrences, each a per-shard O(n) fold).
+    * budget". The corpus encodes ONCE (a narrow per-doc length pass
+    * shared by all |policies| × |budgets| recurrences, each a
+    * per-shard O(n) fold).
     * Output: (budget, order_policy, n_windows, total_tokens,
     * padding_ppm). */
   def packingOrderSweep(
@@ -1426,10 +1475,13 @@ object Bpe {
       merges: Seq[(String, String)],
       shards: Int,
       budgets: Seq[Long]): DataFrame = {
-    val vocab = vocabularyFromMerges(docs, idCol, textCol, merges)
-    val stream = graft.CacheScope.persisted(
-      encodeIds(docs, idCol, textCol, merges, vocab))
-    OrderPolicies.map(packingCurve(stream, idCol, shards, budgets, _))
+    // one narrow encode pass shared by all |policies| × |budgets|
+    // recurrences — persisted because every packingCurve policy builds
+    // its own ordered lens over it (see encodeLengths for why the
+    // token-grain stream is gone)
+    val lengths = graft.CacheScope.persisted(
+      encodeLengths(docs, idCol, textCol, merges))
+    OrderPolicies.map(packingCurve(lengths, idCol, shards, budgets, _))
       .reduce(_ unionByName _)
   }
 

@@ -118,17 +118,36 @@ object Curriculum {
       merges: Seq[(String, String)],
       budget: Long,
       maxRepeats: Long,
+      seed: Long = 1L): DataFrame =
+    repeatAllocationFromLengths(
+      Bpe.encode(docs, idCol, textCol, merges)
+        .select(col(idCol), col("n_bpe_tokens").as("n_tokens")),
+      idCol, budget, maxRepeats, seed)
+
+  /** [[repeatAllocation]] over an ALREADY-ENCODED (id, n_tokens)
+    * length table — what lets a caller that needs the corpus total
+    * BEFORE choosing the budget (q204 sizes its budget at 3.5× the
+    * corpus) share ONE encode pass between the budget scalar and the
+    * plan, instead of re-running the merge chain per consumer. The
+    * length table is persisted here because three jobs consume it:
+    * the range exchange's sampler, the running sum's pass structure,
+    * and the total aggregate (guide §1.2 — don't compute things
+    * twice; measured: q204 ran the corpus encode 4× before this). */
+  def repeatAllocationFromLengths(
+      lengths: DataFrame,
+      idCol: String,
+      budget: Long,
+      maxRepeats: Long,
       seed: Long = 1L): DataFrame = {
     require(budget >= 0, "budget must be non-negative")
     require(maxRepeats >= 1, "maxRepeats must be >= 1")
     val M = 1000000007L
-    val lens = Bpe.encode(docs, idCol, textCol, merges)
-      .select(col(idCol), col("n_bpe_tokens").as("n_tokens"))
+    val lens = graft.CacheScope.persisted(lengths
       .where(col("n_tokens") >= 1L)
       .withColumn("__h", pmod(
         pmod(pmod(col(idCol), lit(1000003L)) * lit(7919L)
           + pmod(lit(seed), lit(M)), lit(M))
-          * lit(2654435761L), lit(M)))
+          * lit(2654435761L), lit(M))))
     val cum = graft.operators.PrefixSum
       .globalRunningSum(lens, Seq("__h", idCol), "n_tokens", "__cum")
     // an all-empty corpus yields a NULL sum and an empty output — the

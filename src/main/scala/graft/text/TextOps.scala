@@ -554,10 +554,21 @@ object TextOps {
     // the in-line wrapper persists the index INPUT once — restricted
     // postings are query-dependent and would be corpus-sized cache
     // pressure under a dense query set (the per-run-cache critique
-    // this stored posture exists to close)
+    // this stored posture exists to close).
+    //
+    // Shuffle shape (guide §2.3/§2.4): `dl` and `fp` already sit ON
+    // every index row, constant per doc — carrying them through the
+    // term join and the (qid, doc) aggregate replaces the three
+    // id-/qid-keyed joins the old plan ran against re-derived
+    // distinct() tables (dl re-join + two fps joins), each of which
+    // exchanged the candidate-pair table once more. The self/same-
+    // fingerprint exclusion moves BEFORE the aggregate: fp and __qfp
+    // are constant within a (qid, doc) group, so filtering pair rows
+    // early drops exactly the groups the old post-agg filter dropped —
+    // fewer rows into the exchange, identical survivors.
     val qTerms = index.where(queryPred)
-      .select(col(idCol).as("qid"), col("term"))
-    val tf = index.select(col(idCol), col("term"), col("tf"))
+      .select(col(idCol).as("qid"), col("term"), col("fp").as("__qfp"))
+    val tf = index.select(col(idCol), col("term"), col("tf"), col("dl"), col("fp"))
       .join(qTerms.select("term").distinct(), "term")
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = log(lit(1.0d) +
@@ -565,19 +576,14 @@ object TextOps {
     val tfNorm = (col("tf") * (lit(1.2d) + lit(1.0d))) /
       (col("tf") + lit(1.2d) * (lit(1.0d) - lit(0.75d) +
         lit(0.75d) * col("dl") / avgdl))
-    val scored = qTerms
-      .join(tf, "term").join(dfreq, "term").join(dl, idCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("__s").desc, col(idCol))
+    qTerms
+      .join(tf, "term").join(dfreq, "term")
+      .where(col(idCol) =!= col("qid") && col("fp") =!= col("__qfp"))
       .withColumn("__c", round(idf * tfNorm, 9).cast("decimal(28,9)"))
       .groupBy(col("qid"), col(idCol))
       .agg(count(lit(1)).as("n_terms"), sum(col("__c")).as("__s"))
-
-    val fps = index.select(col(idCol), col("fp").as("fingerprint")).distinct()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("__s").desc, col(idCol))
-    scored
-      .join(fps.select(col(idCol).as("qid"), col("fingerprint").as("__qfp")), "qid")
-      .join(fps, idCol)
-      .where(col(idCol) =!= col("qid") && col("fingerprint") =!= col("__qfp"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("qid"), col("rank"), col(idCol).as("neg_id"),

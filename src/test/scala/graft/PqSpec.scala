@@ -42,6 +42,30 @@ class PqSpec extends SparkSpec {
       "ADC lookup sum diverges from the reconstructed distance")
   }
 
+  test("assign contract: partial codebook drops uncovered subs (inner-join " +
+      "semantics); empty codebook throws at plan build") {
+    val emb = Tables.embeddings(spark, SfDir)
+    val sv = Pq.subVectors(emb, "vec_id", "embedding", M, D)
+    val cb = Pq.trainCodebook(emb, "vec_id", "embedding", M, D, K, iters = 1)
+    // drop one sub-space from the codebook: rows for that sub must
+    // VANISH (the pre-r14 inner-join contract), never survive with a
+    // NULL code that would poison downstream joins/groups
+    val partial = cb.where(col("sub") =!= 3)
+    val assigned = Pq.assign(sv, partial, "vec_id")
+    assert(assigned.where(col("sub") === 3).count() == 0,
+      "uncovered sub-space leaked rows through assign")
+    assert(assigned.where(col("code").isNull).count() == 0,
+      "assign emitted NULL codes")
+    // full-codebook assignment of the remaining subs is unchanged
+    val full = Pq.assign(sv, cb, "vec_id").where(col("sub") =!= 3)
+    assert(assigned.exceptAll(full).isEmpty && full.exceptAll(assigned).isEmpty,
+      "partial-codebook assignment diverges from the full assignment's slice")
+    // empty codebook: loud plan-build failure, not a silent empty result
+    intercept[IllegalArgumentException] {
+      Pq.assign(sv, cb.limit(0), "vec_id")
+    }
+  }
+
   test("Lloyd rounds do not increase quantization error; codes complete") {
     val emb = Tables.embeddings(spark, SfDir)
     val sv = Pq.subVectors(emb, "vec_id", "embedding", M, D)

@@ -141,7 +141,12 @@ class PublishSpec extends SparkSpec {
     val root = freshRoot()
     val rootPath = Paths.get(root)
     Files.createDirectories(rootPath)
-    sys.props("graft.publish.lockStaleMs") = "1500"
+    // 4 s horizon (beat every 500 ms): the margin between a missed
+    // beat and the break threshold must absorb full-suite GC/scheduler
+    // stalls — at the old 1500 ms horizon a >1.1 s delay of the beat
+    // thread under a loaded VM let the waiter break a LIVE lock and
+    // flip the ordering assertion (the one r14 full-suite flake)
+    sys.props("graft.publish.lockStaleMs") = "4000"
     try {
       // 1. A LIVE holder whose critical section outlives the stale
       // horizon: the heartbeat keeps its mtime fresh, so a concurrent
@@ -150,7 +155,7 @@ class PublishSpec extends SparkSpec {
       val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
       val slow = new Thread(() => Publish.withCommitLock(rootPath) {
         order.add("slow-start")
-        Thread.sleep(4500) // 3× the stale horizon
+        Thread.sleep(9000) // > 2× the stale horizon
         order.add("slow-end")
       }: Unit)
       slow.start()
@@ -180,7 +185,7 @@ class PublishSpec extends SparkSpec {
           done.incrementAndGet()
         }: Unit))
       racers.foreach(_.start())
-      racers.foreach(_.join(10000))
+      racers.foreach(_.join(30000))
       assert(done.get() == 6, s"only ${done.get()}/6 racers got the lock")
       assert(maxSeen.get() == 1,
         s"${maxSeen.get()} writers inside the critical section at once")
