@@ -2607,9 +2607,15 @@ object SparkEntry {
     * (≡ full re-encode) and τ=∞ (≡ carry-everything) edges. */
   def q118PqDriftReencode(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val oldCb = Pq.trainCodebook(emb, "vec_id", "embedding",
-      PqM, PqDsub, PqK, iters = 1)
-    val newCb = pqCodebook(spark, dir)
+    // ONE 2-round training supplies both codebooks: its round-1 state
+    // IS the old iters=1 training bit-for-bit (deterministic seeds +
+    // arithmetic — Pq.trainCodebookStates), so the separate 1-iter
+    // retrain and its sub-vector persist fill are gone (3 Lloyd
+    // rounds → 2 for identical output)
+    val states = Pq.trainCodebookStates(emb, "vec_id", "embedding",
+      PqM, PqDsub, PqK, iters = 2)
+    val oldCb = states(1)
+    val newCb = states(2)
     val oldCodes = Pq.assign(
       Pq.subVectors(emb, "vec_id", "embedding", PqM, PqDsub), oldCb, "vec_id")
     Pq.driftReencode(emb, "vec_id", "embedding", oldCodes, oldCb, newCb,
@@ -2790,7 +2796,11 @@ object SparkEntry {
     val cells = Pq.assign(
         Pq.subVectors(emb, "vec_id", "embedding", 1, D), coarse, "vec_id")
       .select(col("vec_id"), col("code").as("cell"))
-    val resid = Pq.residuals(emb, "vec_id", "embedding", cells, coarse)
+    // persisted: the residual relation (emb ⋈ cells ⋈ coarse) feeds
+    // BOTH the fine training's sub-vector persist and the codes
+    // assign — unpersisted, the cell join ran once per consumer
+    val resid = graft.CacheScope.persisted(
+      Pq.residuals(emb, "vec_id", "embedding", cells, coarse))
     val fine = Pq.trainCodebook(resid, "vec_id", "e", PqM, PqDsub, PqK, 2)
     val codes = Pq.assign(
       Pq.subVectors(resid, "vec_id", "e", PqM, PqDsub), fine, "vec_id")

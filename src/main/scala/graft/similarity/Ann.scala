@@ -194,9 +194,15 @@ object Ann {
     e.mapPartitions { it =>
       val (bids, bnorms, bmat, d) = bc.value
       val m = bids.length
+      // per-PARTITION scratch, not per row (guide §5): an m-double raw
+      // buffer allocated per row churned ~n·m·8 bytes of garbage per
+      // run — with 32 concurrent local tasks that allocation rate was
+      // the measured c32-vs-c8 penalty on this kernel. The buffer is
+      // fully overwritten for every row and nothing emitted references
+      // it, so reuse is value-identical.
+      val raw = new Array[Double](m)
       it.flatMap { case (id, eSeq, norm) =>
         val ea = eSeq.toArray
-        val raw = new Array[Double](m)
         var i = 0
         while (i < m) {
           var s = 0.0

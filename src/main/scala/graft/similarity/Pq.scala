@@ -145,7 +145,21 @@ object Pq {
     * 1e-6 (the cross-engine determinism contract). Empty clusters
     * keep their previous centroid. */
   def trainCodebook(vecs: DataFrame, idCol: String, vecCol: String,
-      m: Int, dsub: Int, k: Int, iters: Int): DataFrame = {
+      m: Int, dsub: Int, k: Int, iters: Int): DataFrame =
+    trainCodebookStates(vecs, idCol, vecCol, m, dsub, k, iters).last
+
+  /** [[trainCodebook]] exposing EVERY codebook state: element 0 is
+    * the stride-sampled init, element i the codebook after Lloyd
+    * round i. Each state is already a localized literal leaf (the
+    * loop materializes them anyway), so capturing the sequence is
+    * free — and a DRIFT consumer that needs both "the codebook before
+    * the last refinement round" and "after" (q118) trains ONCE
+    * instead of re-running the whole loop at iters−1: round i of two
+    * separate trainings is bit-identical by the module's determinism
+    * contract, so this is the same result for half the Lloyd work
+    * (guide §1.2 — don't compute things twice). */
+  def trainCodebookStates(vecs: DataFrame, idCol: String, vecCol: String,
+      m: Int, dsub: Int, k: Int, iters: Int): Seq[DataFrame] = {
     val sv = graft.CacheScope.persisted(subVectors(vecs, idCol, vecCol, m, dsub))
     // deterministic init: the k smallest vec_ids' sub-vectors, code =
     // rank − 1 (same k seed vectors for every sub-space). orderBy +
@@ -173,6 +187,8 @@ object Pq {
       sv.join(seeds, Seq(idCol))
         .select(col("sub"), col("code"),
           expr("transform(subvec, v -> round(v, 6))").as("cvec")))
+    val states = Seq.newBuilder[DataFrame]
+    states += codebook
 
     for (_ <- 0 until iters) {
       // assignCarry keeps subvec on the assigned row, so the centroid
@@ -193,8 +209,9 @@ object Pq {
         codebook.join(updated, Seq("sub", "code"), "left")
           .select(col("sub"), col("code"),
             coalesce(col("newvec"), col("cvec")).as("cvec")))
+      states += codebook
     }
-    codebook
+    states.result()
   }
 
   /** Asymmetric-distance kNN: for each probe (exact sub-vectors),
