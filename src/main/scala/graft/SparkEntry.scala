@@ -767,7 +767,11 @@ object SparkEntry {
       .select(col("doc_id"), col("keeper_id").as("cluster_id"))
     val scored = graft.text.TextOps.qualityScore(docs, "doc_id", "text")
       .select(col("doc_id"), col("quality_score_ppm"))
-    val joined = clusters.join(scored, Seq("doc_id"))
+    // persisted: BOTH the canonical-pick aggregate and the final join
+    // consume this — unpersisted, the cluster labels AND the regex
+    // quality pass re-derived once per consumer (r15-opt, guide §1.2)
+    val joined = graft.CacheScope.persisted(
+      clusters.join(scored, Seq("doc_id")))
     // per-cluster argmax by (quality DESC, id ASC) as one max-struct
     // aggregate — negated id makes the lexicographic max break ties
     // toward the LOWEST id; no window, partial map-side combine

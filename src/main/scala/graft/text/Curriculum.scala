@@ -45,9 +45,16 @@ object Curriculum {
       textCol: String,
       annealPpm: Long,
       seed: Long = 1L): DataFrame =
+    // persisted: the rank's range-partitioner SAMPLES its input before
+    // the shuffle map runs it again — unpersisted, the regex scoring
+    // pass executes twice per plan (r15-opt; the narrow no-join
+    // upstream is exactly the case where the q172 persist caveat does
+    // not apply). q203's stored-score path stays unpersisted — its
+    // upstream is a plain parquet scan.
     orderFromScores(
-      TextOps.qualityScore(docs, idCol, textCol)
-        .select(col(idCol), col("quality_score_ppm")),
+      graft.CacheScope.persisted(
+        TextOps.qualityScore(docs, idCol, textCol)
+          .select(col(idCol), col("quality_score_ppm"))),
       idCol, annealPpm, seed)
 
   /** The ordering half over an ALREADY-SCORED (id, quality_score_ppm)

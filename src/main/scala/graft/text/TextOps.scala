@@ -91,8 +91,13 @@ object TextOps {
       idCol: String,
       textCol: String,
       sourceCol: String): DataFrame = {
-    val scored = qualityScore(docs, idCol, textCol, carryCols = Seq(sourceCol))
-      .select(col(idCol), col(sourceCol), col("quality_score_ppm"))
+    // persisted: the rank's range-partitioner samples its input before
+    // the shuffle map runs it again — unpersisted, the regex scoring
+    // pass executed twice per plan (r15-opt; narrow no-join upstream,
+    // so the q172 persist caveat does not apply)
+    val scored = graft.CacheScope.persisted(
+      qualityScore(docs, idCol, textCol, carryCols = Seq(sourceCol))
+        .select(col(idCol), col(sourceCol), col("quality_score_ppm")))
     val (ranked, _) = graft.operators.PrefixSum.globalRowNumber(
       scored, Seq(sourceCol, "quality_score_ppm", idCol), "__rn")
     val per = ranked.groupBy(sourceCol)
