@@ -475,8 +475,10 @@ object SparkEntry {
     * context-window assembly take as input; q184's counts are this
     * stream's lengths). Merges come from the PUBLISHED merge table
     * (q184's stored posture), the vocabulary from q185's derivation;
-    * position is a per-doc row_number over (word, symbol) order —
-    * partitioned by document, never a global sort. The oracle
+    * position is the 1-based index of the doc's flattened per-word
+    * symbol lists — computed narrowly in one expression (r15: the
+    * per-doc row_number window this replaced cost a token-grain sort
+    * exchange), never a global sort. The oracle
     * re-derives merges, vocabulary, AND the ordered stream (list
     * index over range(len) — order by construction), so the hash
     * covers every document's exact token sequence. */
